@@ -1,0 +1,21 @@
+"""sentinel_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of LUMC/sentinel (reference: /root/reference).
+
+The reference is a MongoDB-backed JSON QC-statistics store; this package
+re-expresses its full operator surface (ingest/shred ETL, predicate
+algebra, data-point retrieval, descriptive-statistics aggregation,
+roll-ups, JSON-Patch maintenance) as idiomatic Spark DataFrame / SQL
+plans, plus the large-scale training-data operators (dedup, similarity
+search, text analysis, multimodal plumbing) a 100 TB pipeline needs.
+
+Layout:
+    session.py     SparkSession builder tuned for the target cluster
+    sources/       parquet/JSON(+gzip) readers, upload validation
+    plans/         declarative per-pipeline specs (schema+shred+metrics)
+    operators/     selectors, datapoints, aggregate, rollup, ingest,
+                   maintenance
+    functions/     scalar/text/dedup/similarity/multimodal column builders
+    streaming/     structured-streaming ingest + windowed aggregation
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,216 @@
+"""Deduplication operators for training-data pipelines: exact
+(hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design
+------------
+* Exact dedup is a single hash aggregation on a digest key — map-side
+  partial aggregation, one shuffle on the digest, no row comparison.
+* MinHash uses *string* min-hashing: h_i(shingle) = md5(seed_i ||
+  shingle), minimized lexicographically. md5 is uniform, so the min over
+  hex strings is a valid permutation-min; crucially it is
+  engine-portable (identical in Spark and any SQL oracle) and needs no
+  UDF. Signatures are banded (LSH) and candidate pairs come from a
+  self-join on band keys — the only shuffle is on band buckets, never a
+  full O(n²) cross join.
+* SimHash packs 64 md5-derived bit votes into a BIGINT; near-dup =
+  small Hamming distance, found via ``bit_count(x ^ y)`` on
+  band-bucketed candidates.
+* n-gram Jaccard verifies candidate pairs exactly (array_intersect /
+  array_union on shingle sets) — run it only on LSH survivors.
+
+All expression-only (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.text import WORD_RE, normalized_text
+
+
+def token_shingles(col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+    Documents shorter than n tokens yield their whole token string as a
+    single shingle (so they still participate)."""
+    toks = f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
+    return F.expr(
+        f"""CASE WHEN size({toks}) < {n}
+              THEN array(concat_ws(' ', {toks}))
+              ELSE array_distinct(transform(
+                     sequence(1, size({toks}) - {n} + 1),
+                     i -> concat_ws(' ', slice({toks}, i, {n}))))
+         END"""
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as a single Column: array of ``num_hashes``
+    lexicographic-min md5(seed || shingle) hex digests.
+
+    NOTE: as a column expression the shingle sub-expression gets
+    duplicated ``num_hashes`` times by projection collapse — fine for
+    few hashes, but for signature *tables* use
+    :func:`minhash_signatures` (explode + partial-agg min), which
+    tokenizes each document exactly once.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda x, i=i: F.md5(F.concat(F.lit(f"mh{i}|"), x)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig) signature table: explode shingles once, take the 16
+    mins with hash-aggregate partials. One shuffle on id; the regexp
+    tokenizer runs exactly once per document regardless of
+    ``num_hashes``."""
+    # One strong hash per shingle, then cheap linear permutations
+    # h_i = (a_i·h + b_i) mod p — the standard minhash family. Keeping
+    # everything < 2^62 avoids int64 overflow (ANSI mode errors on it).
+    p = 2147483647  # 2^31 - 1, prime
+    coef = _minhash_coefficients(num_hashes, p)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(text_col, shingle_n)).alias("sh"),
+    ).select("id", F.pmod(F.xxhash64("sh"), F.lit(p)).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
+        for i, (a, b) in enumerate(coef)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def _minhash_coefficients(num_hashes: int, p: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)
+    return [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+
+
+def lsh_band_key(signature: Column, band: int, rows_per_band: int) -> Column:
+    """Key for one LSH band: hash of (band index, that band's signature
+    slice). Equal key ⇒ the band's minhashes all agree."""
+    sl = F.slice(signature, band * rows_per_band + 1, rows_per_band)
+    return F.xxhash64(F.lit(band), sl)
+
+
+def exact_dup_groups(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Exact dedup: group by content digest; emit canonical (min id) and
+    group size. One shuffle on the digest."""
+    return (
+        df.select(key.alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (id_a < id_b), with
+    the estimated Jaccard (= fraction of matching minhashes).
+
+    Plan shape: project signature → explode band keys → self-join on
+    band key (shuffle on bucket, never O(n²)) → distinct pairs →
+    signature-agreement estimate.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures(
+        df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
+    )
+    # Narrow (id, band_key) rows through the self-join + pair-dedup;
+    # signatures re-attach afterwards so the shuffled rows stay small.
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[lsh_band_key(F.col("sig"), b, rows_per_band) for b in range(num_bands)]
+            )
+        ).alias("band_key"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sigs = (
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+    )
+    # estimated jaccard = fraction of matching signature positions
+    match_frac = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    return with_sigs.select("id_a", "id_b", match_frac.alias("est_jaccard"))
+
+
+def ngram_jaccard(df_pairs: DataFrame, shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over shingle sets (verification for LSH survivors)."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return F.round(inter / F.greatest(union, F.lit(1)), 6)
+
+
+def simhash64(col: str, shingle_n: int = 2) -> Column:
+    """64-bit SimHash of the document's word n-grams, expression-only.
+
+    Each shingle votes its md5-derived 64-bit pattern; bit b of the
+    result is 1 iff more shingles had bit b set than unset. Computed as
+    a fold over 8 hex nibbles × 8... implemented per-bit via aggregate
+    for clarity; bit_count(x ^ y) then gives Hamming distance.
+    """
+    toks = token_shingles(col, shingle_n)
+    # per-bit votes: sum over shingles of (bit set ? 1 : -1); bit from
+    # conv of hex nibble. Build 64 bits in one expression via aggregate
+    # over bit positions.
+    sh = "sh"
+    return F.expr(
+        f"""aggregate(
+              sequence(0, 63),
+              0L,
+              (acc, b) -> acc + shiftleft(
+                CASE WHEN aggregate(
+                    {_shingles_sql(col, shingle_n)},
+                    0L,
+                    (a, s) -> a + CASE WHEN ((conv(substr(md5(s), 1 + floor(b / 4) , 1), 16, 10) div shiftleft(1L, b % 4)) % 2) = 1 THEN 1L ELSE -1L END
+                  ) > 0 THEN 1L ELSE 0L END, b)
+            )"""
+    )
+
+
+def _shingles_sql(col: str, n: int) -> str:
+    toks = f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
+    return (
+        f"CASE WHEN size({toks}) < {n} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE array_distinct(transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))) END"
+    )

@@ -1,0 +1,86 @@
+"""Scalar function surface (reference §2.8 F1-F11), as Column builders.
+
+Everything stays JVM-side (built-in pyspark.sql.functions — no Python
+UDFs), so these compose into whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_col(col: Column | str) -> Column:
+    """F1: md5 digest (utils/package.scala:78-95). Accepts string or
+    binary input."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
+def combined_md5(md5s: Column) -> Column:
+    """F1 (reference identity): md5 of the concatenation of the *sorted*
+    member md5s — ``ReferenceRecord.combinedMd5``
+    (models/ReferenceRecord.scala:43). ``md5s`` is an array<string>
+    column (e.g. from ``collect_list``)."""
+    return F.md5(F.concat_ws("", F.array_sort(md5s)))
+
+
+def pct_of(numer: Column | str, denom: Column | str) -> Column:
+    """F3: ``numer * 100.0 / denom`` (utils/package.scala:48)."""
+    n = F.col(numer) if isinstance(numer, str) else numer
+    d = F.col(denom) if isinstance(denom, str) else denom
+    return n.cast("double") * 100.0 / d.cast("double")
+
+
+def file_extension(filename: Column | str) -> Column:
+    """F6: lower-cased filename extension
+    (models/AnnotationRecord.scala:42-43)."""
+    c = F.col(filename) if isinstance(filename, str) else filename
+    return F.lower(F.regexp_extract(c, r"\.([^.]+)$", 1))
+
+
+def json_path(col: Column | str, path: str) -> Column:
+    """F7: JSON path navigation (MapleRunsProcessor.scala:77) over a raw
+    JSON string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, path)
+
+
+def split_csv_param(col: Column | str) -> Column:
+    """F9: comma-split multi-valued params (api/SentinelServlet.scala:251-256)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, ",")
+
+
+OBJECT_ID_RE = r"^[0-9a-fA-F]{24}$"
+EMAIL_RE = r"^[^@]+@[^@]+\.[^@]+$"
+
+
+def is_valid_object_id(col: Column | str) -> Column:
+    """F4: ObjectId validation (utils/package.scala:116-131)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(OBJECT_ID_RE)
+
+
+def is_valid_email(col: Column | str) -> Column:
+    """F11: email validation (models/User.scala:78-138)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(EMAIL_RE)
+
+
+def new_object_id() -> Column:
+    """F4: id generation — UUID analog of ObjectId creation."""
+    return F.expr("uuid()")
+
+
+def separate_by_validity(values: Sequence[str]) -> tuple[list[str], list[str]]:
+    """F4 driver-side helper: bulk-split ids into (valid, invalid)
+    (api/SentinelServlet.scala:258-273)."""
+    import re
+
+    pat = re.compile(OBJECT_ID_RE)
+    valid = [v for v in values if pat.match(v)]
+    invalid = [v for v in values if not pat.match(v)]
+    return valid, invalid

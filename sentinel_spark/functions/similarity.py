@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* Brute-force cosine top-k: broadcast the (small) query set, compute
+  dot/norms with ``zip_with`` + ``aggregate`` (JVM-side, no UDF), rank
+  per query with a window. At scale the candidate scan is
+  embarrassingly parallel; the window partitions by query id so the
+  only shuffle is (n_queries × n_candidates) scored rows → per-query
+  top-k. For large k×q use ``TakeOrderedAndProject``-shaped limits per
+  query instead.
+* LSH-bucketed variant (random-hyperplane signs derived from md5 bit
+  parity — deterministic and engine-portable): candidates are scored
+  only within matching sign-buckets, cutting the scored set by ~2^bits.
+
+Arithmetic policy: elements are cast to double *before* multiply, and
+folds run left-to-right over the array — both identical in any engine —
+so scores are bit-reproducible; exposed scores round to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with double promotion, left-to-right fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query id against all other vectors.
+
+    Returns (q_id, c_id, sim, rank), rank 1..k, ties broken by c_id.
+    """
+    q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim_exact"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    )
+
+
+def _hyperplane_weights(bits: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane weights from md5(i_j) parity — deterministic and
+    reproducible anywhere, computed ONCE driver-side (never per row)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] in "13579bdf" else -1.0
+            for j in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
+def hyperplane_bucket(vec: Column, bits: int, dim: int) -> Column:
+    """Deterministic sign-LSH bucket id in [0, 2^bits): bit i is the
+    sign of Σ_j w_ij·v_j with w_ij ∈ {-1,+1} md5-derived. The weight
+    matrix is a broadcast-literal array, so the per-row work is one
+    zip_with fold per bit, all inside codegen."""
+    weights = _hyperplane_weights(bits, dim)
+    acc = None
+    for i in range(bits):
+        w = F.array(*[F.lit(x) for x in weights[i]])
+        s = F.aggregate(
+            F.zip_with(vec, w, lambda x, wi: x.cast("double") * wi),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bit = F.when(s > 0, F.lit(1)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc * 2 + bit
+    return acc
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's
+    sign-LSH bucket. Recall < 1 by design; the scale path when the
+    candidate set is too large to brute-force."""
+    dim = len(emb.select(vec_col).first()[0])
+    with_bucket = emb.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), bits, dim).alias("bucket")
+    )
+    q = with_bucket.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), F.col("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim_exact"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    )

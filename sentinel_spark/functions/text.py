@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale document pipelines:
+language-ID (stopword-hit heuristic), quality scoring, token counting,
+and document fingerprinting. All pure built-in-function Columns — no
+Python UDFs — so they run JVM-side inside whole-stage codegen over any
+number of documents.
+
+These extend the reference surface (per the rebuild brief); the
+``documents`` table (doc_id, text, lang, source, n_chars) is the target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"
+
+# Tiny per-language stopword lexicons for the n-gram/stopword heuristic.
+# Deterministic tie-break: earlier entries in LANG_ORDER win ties.
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "les", "et", "est", "un"),
+}
+LANG_ORDER = ("en", "de", "es", "fr")
+
+STOPWORDS = LEXICONS["en"]
+
+
+def tokens(col: Column | str, pattern: str = WORD_RE) -> Column:
+    """Lower-cased word tokens via regexp extraction (whitespace- and
+    punctuation-robust)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.expr(f"regexp_extract_all(lower({_sql(c)}), '{pattern}', 0)")
+
+
+def _sql(c: Column) -> str:
+    # Render a simple column reference for use inside F.expr fragments.
+    # Only plain column names are passed here.
+    name = c._jc.toString()  # e.g. "text"
+    return name
+
+
+def token_count(col: str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str) -> Column:
+    c = F.col(col)
+    return F.length(c)
+
+
+def avg_token_len(col: str) -> Column:
+    t = tokens(col)
+    return F.expr(
+        f"round(aggregate(regexp_extract_all(lower({col}), '{WORD_RE}', 0), 0D,"
+        " (acc, x) -> acc + length(x), acc -> acc /"
+        f" greatest(size(regexp_extract_all(lower({col}), '{WORD_RE}', 0)), 1)), 6)"
+    )
+
+
+def stopword_count(col: str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    inlist = ", ".join(f"'{w}'" for w in stopwords)
+    return F.expr(
+        f"size(filter(regexp_extract_all(lower({col}), '{WORD_RE}', 0), x -> x IN ({inlist})))"
+    )
+
+
+def stopword_ratio(col: str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.round(
+        stopword_count(col, stopwords) / F.greatest(token_count(col), F.lit(1)), 6
+    )
+
+
+def punct_ratio(col: str) -> Column:
+    """Fraction of characters that are neither word characters nor
+    spaces."""
+    c = F.col(col)
+    return F.round(
+        F.length(F.regexp_replace(F.lower(c), "[a-z0-9 ]", ""))
+        / F.greatest(F.length(c), F.lit(1)),
+        6,
+    )
+
+
+def quality_score(col: str) -> Column:
+    """Composite document-quality score in [0,1]: rewards mid-length
+    docs and normal stopword density, penalizes punctuation soup.
+    Deliberately simple + fully expression-based."""
+    length_term = F.least(F.length(F.col(col)) / F.lit(200.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    return F.round((length_term + stop_term + punct_term) / 3.0, 6)
+
+
+def lang_hit_counts(col: str) -> dict[str, Column]:
+    """Stopword-hit count per language lexicon."""
+    return {lang: stopword_count(col, lex) for lang, lex in LEXICONS.items()}
+
+
+def lang_id(col: str) -> Column:
+    """Predicted language = lexicon with the most token hits;
+    ties break in LANG_ORDER. Pure CASE expression."""
+    hits = lang_hit_counts(col)
+    expr = None
+    remaining = list(LANG_ORDER)
+    while len(remaining) > 1:
+        lang = remaining.pop(0)
+        cond = None
+        for other in remaining:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = (
+            F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+        )
+    out = expr.otherwise(F.lit(remaining[0]))
+    return out
+
+
+def normalized_text(col: str) -> Column:
+    """Whitespace-collapsed, trimmed, lower-cased canonical form."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def fingerprint(col: str) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalized_text(col))

@@ -1,0 +1,147 @@
+"""Descriptive-statistics aggregation — the reference's analytical core
+(GET /stats/<pipeline>/<unit>s/aggregate), Spark-first.
+
+The reference runs one MongoDB mapReduce *per metric field in parallel*
+(reference processors/StatsProcessor.scala:261-324, ``.par`` at :274),
+with hand-written JS map/reduce/finalize implementing merge-able
+count/sum/min/max plus Chan's parallel-variance merge
+(StatsProcessor.scala:92-165). In Spark the whole fan-out collapses to
+ONE ``df.agg(...)`` computing every (field × statistic) pair in a single
+distributed pass — partial aggregation (map-side combine) and the
+merge-safe variance algorithm are built into ``var_pop``'s
+ObjectHashAggregate partials, so no UDAF is needed.
+
+Semantics preserved from the reference:
+
+* per-field null-skipping — the JS map fn emits only when the dotted
+  path is defined (StatsProcessor.scala:105); Spark aggregates ignore
+  nulls per-column, which is the same thing.
+* **population** variance (``diff/n``, StatsProcessor.scala:151) →
+  ``var_pop`` / ``stddev_pop``, NOT the sample variants.
+* exact median with even/odd interpolation (StatsProcessor.scala:154-156)
+  → Spark SQL ``percentile(col, 0.5)`` (exact; ``percentile_approx``
+  would NOT match). The reference sorts the array with JS default
+  (lexicographic) sort — a documented latent bug; we implement the
+  evident numeric intent (SURVEY.md §7.3).
+* fragment recursion (read1/read2/readAll sub-structs,
+  StatsProcessor.scala:282-315) → the same ``agg()`` over nested column
+  paths; ``libType=single`` drops read2/readAll and filters isPaired.
+
+Float policy: ``avg``/``variance``/``stdev`` are rounded to 6 decimals so
+results are bit-stable across summation orders (distributed partial
+aggregation is order-free math but not order-free floating point).
+``min``/``max``/``median``/``count`` involve no accumulation and are left
+exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators.selectors import Selector, apply_selector, from_lib_type, combine_and
+
+STAT_NAMES = ("nDataPoints", "avg", "min", "max", "median", "variance", "stdev")
+
+ROUND_DIGITS = 6
+
+
+def _prefix(field: str) -> str:
+    return field.replace(".", "_")
+
+
+def stat_exprs(field: str, alias_prefix: str | None = None) -> list[Column]:
+    """The 7 descriptive statistics for one (possibly nested) metric
+    field — DataPointAggr shape (models/DataPointAggr.scala:29-36 plus
+    variance, StatsProcessor.scala:150-152)."""
+    p = alias_prefix if alias_prefix is not None else _prefix(field)
+    c = F.col(field).cast("double")
+    return [
+        F.count(c).alias(f"{p}_nDataPoints"),
+        F.round(F.avg(c), ROUND_DIGITS).alias(f"{p}_avg"),
+        F.min(c).alias(f"{p}_min"),
+        F.max(c).alias(f"{p}_max"),
+        F.expr(f"percentile(cast({field} as double), 0.5)").alias(f"{p}_median"),
+        F.round(F.var_pop(c), ROUND_DIGITS).alias(f"{p}_variance"),
+        F.round(F.stddev_pop(c), ROUND_DIGITS).alias(f"{p}_stdev"),
+    ]
+
+
+def conditional_stat_exprs(field: str, cond: Column, alias_prefix: str) -> list[Column]:
+    """Stats over ``field`` restricted to rows matching ``cond`` — used
+    for fragment read-level recursion when read levels are encoded as
+    row subsets rather than nested structs."""
+    c = F.when(cond, F.col(field).cast("double"))
+    return [
+        F.count(c).alias(f"{alias_prefix}_nDataPoints"),
+        F.round(F.avg(c), ROUND_DIGITS).alias(f"{alias_prefix}_avg"),
+        F.min(c).alias(f"{alias_prefix}_min"),
+        F.max(c).alias(f"{alias_prefix}_max"),
+        F.percentile(c, F.lit(0.5)).alias(f"{alias_prefix}_median"),
+        F.round(F.var_pop(c), ROUND_DIGITS).alias(f"{alias_prefix}_variance"),
+        F.round(F.stddev_pop(c), ROUND_DIGITS).alias(f"{alias_prefix}_stdev"),
+    ]
+
+
+def aggregate_stats(
+    df: DataFrame,
+    fields: Sequence[str],
+    *,
+    selector: Selector = None,
+    lib_type: str | None = None,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """``getAggregateStats`` (StatsProcessor.scala:261-324): one row (or
+    one per group) with the full DataPointAggr for every metric field.
+
+    ``fields`` may be dotted paths into nested stats structs
+    (``stats.nSnps``, ``stats.read1.nBases``) — the Spark analog of the
+    reference's reflection-driven field enumeration
+    (utils/package.scala:67-71).
+
+    The reference 404s when nothing aggregated (StatsProcessor.scala:280)
+    — callers can check ``nDataPoints == 0`` on the single-row result.
+    """
+    pred = combine_and(selector, from_lib_type(lib_type))
+    src = apply_selector(df, pred)
+    exprs: list[Column] = []
+    for f_ in fields:
+        exprs.extend(stat_exprs(f_))
+    if group_by:
+        return src.groupBy(*group_by).agg(*exprs).orderBy(*group_by)
+    return src.agg(*exprs)
+
+
+def aggregate_fragment_stats(
+    df: DataFrame,
+    read_fields: Sequence[str],
+    *,
+    fragment_fields: Sequence[str] = (),
+    lib_type: str | None = None,
+    selector: Selector = None,
+    paired_attr: str = "isPaired",
+    read_levels: Sequence[str] = ("read1", "read2", "readAll"),
+    stats_col: str = "stats",
+) -> DataFrame:
+    """Fragment (paired-end) aggregation (StatsProcessor.scala:282-315;
+    models/FragmentStatsLike.scala:26-47).
+
+    ``stats`` is a struct with ``read1``/``read2``/``readAll``
+    sub-structs; each read-level metric aggregates independently, plus
+    optional fragment-level (outer) fields. ``lib_type='single'``
+    restricts to read1 and filters to unpaired rows
+    (StatsProcessor.scala:288-291); 'paired' filters to paired rows.
+    Everything is still one ``agg()`` pass.
+    """
+    pred = combine_and(selector, from_lib_type(lib_type, attr=paired_attr))
+    src = apply_selector(df, pred)
+    levels = ("read1",) if lib_type == "single" else tuple(read_levels)
+    exprs: list[Column] = []
+    for lvl in levels:
+        for f_ in read_fields:
+            exprs.extend(stat_exprs(f"{stats_col}.{lvl}.{f_}", alias_prefix=f"{lvl}_{f_}"))
+    for f_ in fragment_fields:
+        exprs.extend(stat_exprs(f"{stats_col}.{f_}", alias_prefix=_prefix(f_)))
+    return src.agg(*exprs)

@@ -1,0 +1,114 @@
+"""Data-point retrieval — the reference's GET /stats/<pipeline>/<unit>s
+query (reference processors/StatsProcessor.scala:190-245), Spark-first.
+
+Pipeline shape (reference builds ``[$match?, $sort?, $project]`` then
+post-processes client-side; here the *whole* thing is one Catalyst plan):
+
+    scan → filter(selector ∧ ownership) → select(projection)
+         → orderBy(time | deterministic-shuffle) → limit → mask-labels
+
+Two deliberate upgrades over the reference, both noted in its own TODOs:
+
+* Random default ordering was client-side ``Random.shuffle`` because
+  MongoDB 3.2 lacked ``$sample`` (StatsProcessor.scala:22, 240-241).
+  Here it is engine-side AND deterministic: order by ``md5(seed || key)``
+  — a seedable pseudo-random permutation that distributes, pushes to
+  executors, and is reproducible for tests/oracles.
+* Label masking (StatsProcessor.scala:220-234) was a client-side loop;
+  here it's a ``when()`` projection that stays in whole-stage codegen.
+
+At scale: filter+project push into the scan; sort+limit compiles to
+TakeOrderedAndProject (per-partition top-k + single small merge), so a
+limited data-point query never global-sorts 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators.selectors import (
+    Selector,
+    apply_selector,
+    combine_and,
+    ownership,
+)
+
+
+def shuffle_key(seed: int | str, key_cols: Sequence[str]) -> Column:
+    """Deterministic pseudo-random sort key: md5 over seed + row key.
+
+    Replaces the reference's client-side ``Random.shuffle``
+    (StatsProcessor.scala:240-241) with an engine-side, seedable,
+    oracle-reproducible permutation.
+    """
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]))
+
+
+def get_datapoints(
+    df: DataFrame,
+    *,
+    selector: Selector = None,
+    user_id: str | None = None,
+    is_admin: bool = False,
+    owner_attr: str | None = None,
+    projection: Sequence[str | Column] | None = None,
+    time_sorted: bool = False,
+    time_col: str = "creationTimeUtc",
+    tiebreak: Sequence[str] = (),
+    shuffle_seed: int | str | None = None,
+    shuffle_key_cols: Sequence[str] = (),
+    n_limit: int | None = None,
+    mask_label_cols: Sequence[str] = (),
+    mask_owner_attr: str = "uploaderId",
+) -> DataFrame:
+    """The data-point query (StatsProcessor.scala:190-245).
+
+    * ``selector`` — composed predicate (P2/P3); elided when None.
+    * ``user_id``/``is_admin``/``owner_attr`` — row-level security (P5).
+    * ``projection`` — column pruning (P1).
+    * ``time_sorted`` — newest-first ``$sort`` (O1) with deterministic
+      ``tiebreak`` columns so a subsequent limit is reproducible.
+    * ``shuffle_seed`` — default-order deterministic shuffle (O2).
+    * ``n_limit`` — head-n (O3).
+    * ``mask_label_cols`` — per-row label masking (P6): each listed
+      column is nulled unless the row's ``mask_owner_attr`` equals
+      ``user_id``.
+    """
+    pred = combine_and(
+        selector,
+        ownership(user_id, is_admin, owner_attr) if owner_attr else None,
+    )
+    out = apply_selector(df, pred)
+
+    if projection is not None:
+        out = out.select(*projection)
+
+    if mask_label_cols:
+        owner_ok = F.col(mask_owner_attr) == F.lit(user_id)
+        for c in mask_label_cols:
+            out = out.withColumn(c, F.when(owner_ok, F.col(c)).otherwise(F.lit(None)))
+
+    if time_sorted:
+        out = out.orderBy(F.col(time_col).desc(), *[F.col(c) for c in tiebreak])
+    elif shuffle_seed is not None:
+        out = out.orderBy(shuffle_key(shuffle_seed, shuffle_key_cols))
+
+    if n_limit is not None:
+        out = out.limit(n_limit)
+    return out
+
+
+def id_lookup(df: DataFrame, id_col: str, ids: Sequence, check_count: bool = False) -> DataFrame:
+    """ID-set lookup (UnitsAdapter.scala:50-64). With ``check_count``,
+    raises if fewer distinct ids were found than requested — the
+    reference's cardinality check."""
+    out = df.filter(F.col(id_col).isin(list(ids)))
+    if check_count:
+        found = out.select(id_col).distinct().count()
+        want = len(set(ids))
+        if found != want:
+            raise LookupError(f"expected {want} distinct {id_col}, found {found}")
+    return out

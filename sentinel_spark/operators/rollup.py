@@ -1,0 +1,54 @@
+"""Global per-pipeline roll-ups (reference A7/A8).
+
+The reference's `$match → $project → $group → $sort` pipeline
+(processors/CompositeRunsProcessor.scala:256-278) producing
+``PipelineStats(pipelineName, nRuns, nSamples, nReadGroups)``
+(models/PipelineStats.scala:29-34), and the write-time derived counts
+``nSamples = sampleIds.size`` (models/BaseRunRecord.scala:64-67).
+
+In Spark this is a single partial-aggregated groupBy — the group count
+is tiny (one row per pipeline), so the shuffle is negligible at any
+scale; all the heavy lifting happens map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators.selectors import not_deleted
+
+
+def with_derived_counts(
+    runs: DataFrame,
+    sample_ids: str = "sampleIds",
+    read_group_ids: str = "readGroupIds",
+) -> DataFrame:
+    """A8: persist nSamples/nReadGroups as ``size(ids)`` at write time
+    (BaseRunRecord.scala:64-67)."""
+    return runs.withColumn("nSamples", F.size(F.col(sample_ids))).withColumn(
+        "nReadGroups", F.size(F.col(read_group_ids))
+    )
+
+
+def pipeline_stats(
+    runs: DataFrame,
+    pipeline_col: str = "pipeline",
+    n_samples: str = "nSamples",
+    n_read_groups: str = "nReadGroups",
+    deletion_col: str = "deletionTimeUtc",
+) -> DataFrame:
+    """A7: visible-runs roll-up, sorted by pipeline
+    (CompositeRunsProcessor.scala:256-278)."""
+    src = runs
+    if deletion_col in runs.columns:
+        src = runs.filter(not_deleted(deletion_col))
+    return (
+        src.groupBy(pipeline_col)
+        .agg(
+            F.count(F.lit(1)).alias("nRuns"),
+            F.sum(F.col(n_samples)).alias("nSamples"),
+            F.sum(F.col(n_read_groups)).alias("nReadGroups"),
+        )
+        .orderBy(pipeline_col)
+    )

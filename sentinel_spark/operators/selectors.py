@@ -1,0 +1,99 @@
+"""Selector algebra — composable typed predicates (reference P3/P4/P5).
+
+The reference builds MongoDB query documents from small combinators
+(reference utils/Selector.scala:23-88); here each combinator returns a
+Spark ``Column`` (or ``None`` for "no constraint", mirroring the
+reference's empty-query elision at StatsProcessor.scala:202-211).
+``None`` composes away in :func:`combine_and`, so a fully-unconstrained
+query never even gets a Filter node — Catalyst sees the bare scan.
+
+All predicates are plain Column expressions, so they push down into the
+parquet scan (``PushedFilters`` in ``.explain``) — the Spark analog of
+the reference putting ``$match`` first in the pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A selector is Optional[Column]: None == "matches everything".
+Selector = Optional[Column]
+
+
+def one_match_one(attr: str, value) -> Column:
+    """Scalar equality ``{attr: {$eq: v}}`` (Selector.scala:56-58)."""
+    return F.col(attr) == F.lit(value)
+
+
+def one_opt_match_one(attr: str, value) -> Selector:
+    """Equality only when the parameter was given (Selector.scala:60-65)."""
+    return None if value is None else one_match_one(attr, value)
+
+
+def one_in_many(attr: str, value) -> Column:
+    """Array column contains scalar — ``$elemMatch:{$eq}`` (Selector.scala:67-69)."""
+    return F.array_contains(F.col(attr), F.lit(value))
+
+
+def one_opt_in_many(attr: str, value) -> Selector:
+    """Optional variant of :func:`one_in_many` (Selector.scala:71-76)."""
+    return None if value is None else one_in_many(attr, value)
+
+
+def many_contain_one(attr: str, values: Sequence) -> Column:
+    """Scalar column in a user-supplied set — ``{$in: vs}`` (Selector.scala:78-82)."""
+    return F.col(attr).isin(list(values))
+
+
+def many_intersect_many(attr: str, values: Sequence) -> Column:
+    """Array column intersects a set — ``$elemMatch:{$in}`` (Selector.scala:84-88)."""
+    return F.arrays_overlap(F.col(attr), F.array(*[F.lit(v) for v in values]))
+
+
+def negate(sel: Selector) -> Selector:
+    """``{$not: q}`` (Selector.scala:29-32)."""
+    return None if sel is None else ~sel
+
+
+def combine_and(*sels: Selector) -> Selector:
+    """Conjunction dropping empty sub-queries (Selector.scala:37-43)."""
+    present = [s for s in sels if s is not None]
+    if not present:
+        return None
+    return reduce(lambda a, b: a & b, present)
+
+
+def from_lib_type(lib_type: str | None, attr: str = "isPaired") -> Selector:
+    """Library-type param → isPaired predicate (Selector.scala:45-48;
+    attr name models/FragmentStatsLike.scala:39-40)."""
+    if lib_type is None:
+        return None
+    if lib_type not in ("single", "paired"):
+        raise ValueError(f"lib_type must be 'single' or 'paired', got {lib_type!r}")
+    return F.col(attr) == F.lit(lib_type == "paired")
+
+
+def not_deleted(attr: str = "deletionTimeUtc") -> Column:
+    """Soft-delete visibility filter — ``$exists:false``
+    (RunsProcessor.scala:391; CompositeRunsProcessor.scala:261-262)."""
+    return F.col(attr).isNull()
+
+
+def ownership(user_id: str | None, is_admin: bool = False, attr: str = "uploaderId") -> Selector:
+    """Row-level security: non-admins see only their own rows
+    (RunsProcessor.scala:89-95; CompositeRunsProcessor.scala:121-124)."""
+    if is_admin or user_id is None:
+        return None
+    return F.col(attr) == F.lit(user_id)
+
+
+def apply_selector(df, sel: Selector):
+    """Apply a selector, eliding the Filter node entirely when empty —
+    the Spark analog of skipping the ``$match`` stage
+    (StatsProcessor.scala:202-211)."""
+    return df if sel is None else df.filter(sel)

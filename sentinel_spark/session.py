@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the sentinel_spark workload.
+
+Local tests run on ``local[$SPARK_GRAFT_CPUS]`` but every setting here is
+chosen for the real target — a many-executor cluster reading ~100 TB:
+
+* AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  runtime broadcast conversion) so plans self-correct at scale.
+* ``spark.sql.shuffle.partitions`` starts at 2×cores; AQE coalesces down
+  for small stages and the advisory partition size governs large ones.
+* Arrow enabled for the (rare) Pandas-UDF paths.
+* Session timezone pinned to UTC — the reference stores all timestamps
+  UTC (reference utils/package.scala:134 ``utcTimeNow``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sentinel-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cpus, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

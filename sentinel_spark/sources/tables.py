@@ -1,0 +1,55 @@
+"""Parquet table loaders for the synthetic benchmark tables.
+
+The driver generates a TPC-H-ish star schema plus ``events`` /
+``documents`` / ``embeddings`` at ``/root/testdata/sf*`` (TESTDATA.md).
+Everything is read through ``spark.read.parquet`` so Catalyst gets
+column pruning + filter pushdown into the scan for free.
+
+At 100 TB these reads become partitioned-directory scans; nothing here
+assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale.
+BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+        # outright; read it as long nanos and rebuild a (microsecond)
+        # timestamp. `div` keeps the arithmetic integral — float division
+        # would lose precision on epoch-nanos magnitudes.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}

@@ -1,0 +1,107 @@
+"""Descriptive-stats aggregation against hand-computed goldens —
+mirrors the reference's fixture-derived oracles (FIXTURES.md §3: nSnps
+data points from the maple summary examples)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators.aggregate import (
+    aggregate_fragment_stats,
+    aggregate_stats,
+    conditional_stat_exprs,
+)
+
+# The maple fixtures' sample-level nSnps values (FIXTURES.md §3).
+NSNPS = [200, 250, 100, 101, 102, 103, 104]
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    return spark.createDataFrame(
+        [(f"s{i}", float(v)) for i, v in enumerate(NSNPS)], "dbId string, nSnps double"
+    )
+
+
+def _py_stats(vals):
+    n = len(vals)
+    avg = sum(vals) / n
+    var = sum((v - avg) ** 2 for v in vals) / n  # population variance
+    sv = sorted(vals)
+    mid = n // 2
+    median = sv[mid] if n % 2 else (sv[mid - 1] + sv[mid]) / 2
+    return n, avg, min(vals), max(vals), median, var, math.sqrt(var)
+
+
+def test_aggregate_stats_golden(samples):
+    row = aggregate_stats(samples, ["nSnps"]).collect()[0]
+    n, avg, mn, mx, med, var, std = _py_stats(NSNPS)
+    assert row["nSnps_nDataPoints"] == n
+    assert row["nSnps_avg"] == pytest.approx(avg, abs=1e-6)
+    assert row["nSnps_min"] == mn
+    assert row["nSnps_max"] == mx
+    assert row["nSnps_median"] == med  # exact, odd-count middle element
+    assert row["nSnps_variance"] == pytest.approx(var, abs=1e-5)
+    assert row["nSnps_stdev"] == pytest.approx(std, abs=1e-6)
+
+
+def test_even_count_median_interpolates(spark):
+    df = spark.createDataFrame([(v,) for v in [1.0, 2.0, 4.0, 8.0]], "x double")
+    row = aggregate_stats(df, ["x"]).collect()[0]
+    assert row["x_median"] == 3.0  # mean of the two middles
+
+
+def test_null_skipping_per_field(spark):
+    df = spark.createDataFrame(
+        [(1.0, None), (3.0, 10.0), (None, 20.0)], "a double, b double"
+    )
+    row = aggregate_stats(df, ["a", "b"]).collect()[0]
+    assert row["a_nDataPoints"] == 2 and row["b_nDataPoints"] == 2
+    assert row["a_avg"] == 2.0 and row["b_avg"] == 15.0
+
+
+def test_empty_aggregate_is_zero_points(spark):
+    df = spark.createDataFrame([], "a double")
+    row = aggregate_stats(df, ["a"]).collect()[0]
+    assert row["a_nDataPoints"] == 0
+    assert row["a_avg"] is None  # caller's 404 analog
+
+
+def test_grouped(samples):
+    df = samples.withColumn("g", (F.col("nSnps") >= 150).cast("string"))
+    rows = aggregate_stats(df, ["nSnps"], group_by=["g"]).collect()
+    by_g = {r["g"]: r for r in rows}
+    assert by_g["true"]["nSnps_nDataPoints"] == 2
+    assert by_g["false"]["nSnps_avg"] == pytest.approx(102.0)
+
+
+def test_fragment_recursion_and_libtype(spark):
+    df = spark.createDataFrame(
+        [
+            (True, ((10.0,), (20.0,), (30.0,))),
+            (True, ((12.0,), (22.0,), (34.0,))),
+            (False, ((100.0,), None, None)),
+        ],
+        "isPaired boolean, stats struct<read1:struct<nBases:double>, read2:struct<nBases:double>, readAll:struct<nBases:double>>",
+    )
+    all_row = aggregate_fragment_stats(df, ["nBases"]).collect()[0]
+    assert all_row["read1_nBases_nDataPoints"] == 3
+    assert all_row["read2_nBases_nDataPoints"] == 2
+
+    single = aggregate_fragment_stats(df, ["nBases"], lib_type="single").collect()[0]
+    assert single["read1_nBases_nDataPoints"] == 1
+    assert single["read1_nBases_avg"] == 100.0
+    assert "read2_nBases_avg" not in single.asDict()
+
+    paired = aggregate_fragment_stats(df, ["nBases"], lib_type="paired").collect()[0]
+    assert paired["read1_nBases_avg"] == 11.0
+    assert paired["read2_nBases_avg"] == 21.0
+
+
+def test_conditional_stats(spark):
+    df = spark.createDataFrame(
+        [("F", 1.0), ("F", 3.0), ("O", 10.0)], "st string, v double"
+    )
+    row = df.agg(*conditional_stat_exprs("v", F.col("st") == "F", "f_v")).collect()[0]
+    assert row["f_v_nDataPoints"] == 2 and row["f_v_avg"] == 2.0

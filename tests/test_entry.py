@@ -1,0 +1,26 @@
+"""Driver-contract smoke tests: entry() returns rows; every oracle key
+has a matching query; flagship schema is stable."""
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert "l_quantity_avg" in df.columns
+
+
+def test_oracle_keys_subset_of_queries():
+    q = set(E.queries())
+    o = set(E.oracle_sql())
+    assert o <= q
+    # rows-only entries are exactly the documented non-SQL-expressible ones
+    assert q - o == {"minhash_pairs", "lsh_topk"}
+
+
+def test_all_queries_run_and_return_rows(spark):
+    for name, fn in E.queries().items():
+        df = fn(spark, SF)
+        assert df.count() > 0, name

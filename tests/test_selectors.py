@@ -1,0 +1,62 @@
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators import selectors as S
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", ["x", "y"], True, "u1", None),
+            (2, "b", ["y"], False, "u2", None),
+            (3, "a", ["z"], True, "u1", "2024-01-01"),
+        ],
+        "id int, k string, arr array<string>, isPaired boolean, uploaderId string, deletionTimeUtc string",
+    )
+
+
+def test_one_match_one(spark):
+    got = _df(spark).filter(S.one_match_one("k", "a")).count()
+    assert got == 2
+
+
+def test_opt_selectors_elide(spark):
+    assert S.one_opt_match_one("k", None) is None
+    assert S.one_opt_in_many("arr", None) is None
+    assert S.combine_and(None, None) is None
+    assert S.negate(None) is None
+
+
+def test_array_selectors(spark):
+    df = _df(spark)
+    assert df.filter(S.one_in_many("arr", "y")).count() == 2
+    assert df.filter(S.many_intersect_many("arr", ["x", "z"])).count() == 2
+
+
+def test_many_contain_one(spark):
+    assert _df(spark).filter(S.many_contain_one("id", [1, 3])).count() == 2
+
+
+def test_combine_and_negate(spark):
+    df = _df(spark)
+    sel = S.combine_and(S.one_match_one("k", "a"), S.negate(S.one_match_one("id", 3)), None)
+    rows = df.filter(sel).collect()
+    assert [r.id for r in rows] == [1]
+
+
+def test_lib_type(spark):
+    df = _df(spark)
+    assert df.filter(S.from_lib_type("paired")).count() == 2
+    assert df.filter(S.from_lib_type("single")).count() == 1
+    assert S.from_lib_type(None) is None
+
+
+def test_visibility_and_ownership(spark):
+    df = _df(spark)
+    assert df.filter(S.not_deleted()).count() == 2
+    assert S.ownership("u1", is_admin=True) is None
+    assert df.filter(S.ownership("u1")).count() == 2
+
+
+def test_apply_selector_none_keeps_plan(spark):
+    df = _df(spark)
+    assert S.apply_selector(df, None) is df

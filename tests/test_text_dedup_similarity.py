@@ -1,0 +1,105 @@
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions import dedup as D
+from sentinel_spark.functions import similarity as SIM
+from sentinel_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "  The quick brown fox jumps over the lazy dog  "),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_token_and_stopword_counts(docs, spark):
+    r = docs.filter("doc_id = 1").select(
+        T.token_count("text").alias("nt"), T.stopword_count("text").alias("ns")
+    ).collect()[0]
+    assert r.nt == 9 and r.ns == 2  # 'the' twice
+
+
+def test_fingerprint_normalizes(docs):
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[4]  # case/whitespace-insensitive
+    assert fps[1] != fps[2]
+
+
+def test_exact_dedup_groups(docs):
+    out = D.exact_dup_groups(docs, T.fingerprint("text"), "doc_id")
+    dups = {r.keep_id: r.n_copies for r in out.collect()}
+    assert dups[1] == 2  # docs 1 and 4 collapse; canonical is min id
+
+
+def test_lang_id_returns_known_lang(docs):
+    langs = {r[0] for r in docs.select(T.lang_id("text")).collect()}
+    assert langs <= {"en", "de", "es", "fr"}
+    # doc 1 has 'the' hits → english beats others
+    assert docs.filter("doc_id=1").select(T.lang_id("text")).collect()[0][0] == "en"
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = D.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=16, num_bands=8)
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0  # identical after normalization
+    assert (1, 2) in got and got[(1, 2)] > 0.3  # near-dup caught by some band
+    assert all(3 not in p for p in got)  # unrelated doc never paired
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    withsh = docs.select("doc_id", D.token_shingles("text", 3).alias("sh"))
+    a = withsh.filter("doc_id=1").select(F.col("sh").alias("sh_a"))
+    b = withsh.filter("doc_id=2").select(F.col("sh").alias("sh_b"))
+    j = a.crossJoin(b).select(D.ngram_jaccard(None, F.col("sh_a"), F.col("sh_b")).alias("j"))
+    val = j.collect()[0].j
+    assert 0.4 < val < 0.9  # 6 of 7 shingles shared → 6/8
+
+
+def test_simhash_hamming(spark, docs):
+    sh = docs.select("doc_id", D.simhash64("text").alias("h"))
+    hs = {r.doc_id: r.h for r in sh.collect()}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(hs[1], hs[4]) == 0
+    assert ham(hs[1], hs[2]) < ham(hs[1], hs[3])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+
+
+def test_cosine_topk(emb):
+    out = SIM.brute_force_topk(emb, [0], k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r.c_id for r in rows] == [1, 2]
+    assert rows[0].sim > 0.99
+
+
+def test_l2_norm(emb):
+    r = emb.filter("vec_id = 0").select(F.round(SIM.l2_norm(F.col("embedding")), 6).alias("n")).collect()[0]
+    assert r.n == 1.0
+
+
+def test_lsh_topk_subset_of_bruteforce(emb):
+    # with few bits everything may share a bucket; result must be a
+    # subset of the exact ranking's candidate set and scored identically
+    exact = {(r.q_id, r.c_id): r.sim for r in SIM.brute_force_topk(emb, [0], k=4).collect()}
+    approx = SIM.lsh_topk(emb, [0], k=4, bits=2)
+    for r in approx.collect():
+        if (r.q_id, r.c_id) in exact:
+            assert exact[(r.q_id, r.c_id)] == r.sim
