@@ -350,6 +350,79 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard similarity over document pairs (the
+    verification stage for LSH candidates), on a bounded id range."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = d.select("doc_id", D.token_shingles("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        D.ngram_jaccard(None, F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.2)
+
+
+def q_ingest_rollup(spark, sf_dir):
+    """S1-S4+S7+A7+A8 end-to-end: ingest the reference-shaped fixture
+    corpus (3 maple + 1 plain upload), shred, roll up per pipeline.
+    Fixture-driven (not over sf tables) → rows-only check; the golden
+    values {maple: 3/5/7, plain: 1/0/0} are asserted in tests."""
+    from sentinel_spark.operators.ingest import read_uploads, shred_uploads
+    from sentinel_spark.operators.rollup import pipeline_stats
+    from sentinel_spark.plans.pipeline_spec import PIPELINES
+
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+    maple = shred_uploads(
+        read_uploads(
+            spark,
+            [
+                os.path.join(fx, "maple", f)
+                for f in (
+                    "maple_single_sample_multi_rg.json",
+                    "maple_multi_sample_multi_rg.json",
+                    "maple_multi_sample_single_rg.json",
+                )
+            ],
+        ),
+        PIPELINES["maple"],
+        "user1",
+    )
+    plain = shred_uploads(
+        read_uploads(spark, [os.path.join(fx, "plain", "plain.json")]),
+        PIPELINES["plain"],
+        "user2",
+    )
+    all_runs = maple.runs.unionByName(plain.runs, allowMissingColumns=True)
+    return pipeline_stats(all_runs)
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal column plumbing (expression side): opaque binary
+    content + byte-size metadata, all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over a media table
+    (decode stubbed deterministically) → rows-only check."""
+    from sentinel_spark.functions.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = attach_fake_media(d, "doc_id", "text")
+    return extract_media_features(media)
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -412,6 +485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ingest_rollup": q_ingest_rollup,
+        "binary_meta": q_binary_meta,
+        "multimodal_features": q_multimodal_features,
         "embed_norm": q_embed_norm,
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,

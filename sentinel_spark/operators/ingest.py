@@ -1,0 +1,334 @@
+"""Upload ingest ETL (reference S1-S8, J4): read run-summary JSON files
+(gzip-transparent), validate against the pipeline's JSON Schema, shred
+into runs / samples / read_groups DataFrames, resolve reference /
+annotation dimensions with get-or-create semantics, and detect
+duplicate uploads.
+
+Reference lifecycle (processors/RunsProcessor.scala:264-316,
+exts/maple/MapleRunsProcessor.scala:73-146): parse+validate → store raw
+file w/ (md5, uploaderId) dup detection → shred into unit records →
+bulk-insert units → insert run record.
+
+Spark-first design decisions:
+
+* **Gzip** is handled by Spark's text source natively (S1 — the
+  reference sniffs the 0x1f8b magic by hand, utils/package.scala:103-113).
+* **Validation** (S3) runs *distributed* via a mapInPandas pass with the
+  ``jsonschema`` package — a deliberate Python-UDF use: JSON-Schema
+  draft-04 semantics are not expressible as Catalyst expressions, and
+  validation is a one-time ingest cost, not a query-path cost.
+* **Shredding** (S4) is two ``explode(map_entries(...))`` projections —
+  dynamic sample/read-group names are MapType keys, so one generic plan
+  shreds any pipeline.
+* **IDs are deterministic digests** (md5 of run/sample/readgroup
+  coordinates) rather than random ObjectIds: idempotent re-ingest,
+  merge-friendly at scale, and stable for tests. The reference's
+  ObjectId remains a 24-hex string; ours is 32-hex.
+* **Dimension get-or-create** (S8/J4) also keys on content digests
+  (combinedMd5 / annotMd5), so MERGE-not-matched reproduces the unique
+  index without any coordination.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as TY
+
+from sentinel_spark.plans.pipeline_spec import PipelineSpec
+
+# ---------------------------------------------------------------------------
+# S1+S2: read upload files (gzip-transparent) into (path, content) rows
+# ---------------------------------------------------------------------------
+
+UPLOAD_SCHEMA = TY.StructType(
+    [
+        TY.StructField("uploadPath", TY.StringType()),
+        TY.StructField("content", TY.StringType()),
+    ]
+)
+
+
+def read_uploads(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
+    """One row per upload file; `.gz` inputs decompress transparently
+    (S1, utils/package.scala:103-113 → Spark codec handling)."""
+    df = spark.read.text(list(paths), wholetext=True)
+    return df.select(
+        F.input_file_name().alias("uploadPath"), F.col("value").alias("content")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3: distributed JSON-Schema validation (jsonschema in mapInPandas)
+# ---------------------------------------------------------------------------
+
+VALIDATED_SCHEMA = TY.StructType(
+    list(UPLOAD_SCHEMA.fields) + [TY.StructField("validationError", TY.StringType())]
+)
+
+
+def validate_uploads(uploads: DataFrame, spec: PipelineSpec) -> DataFrame:
+    """Adds ``validationError`` (null = valid). Invalid-JSON and
+    schema-violating docs get distinct error classes, matching the
+    reference's JsonValidationError vs schema message lists
+    (utils/JsonExtractor.scala:43-100)."""
+    schema_json = json.dumps(spec.json_schema)
+
+    def check(batches: Iterator) -> Iterator:
+        import jsonschema
+
+        validator = jsonschema.Draft4Validator(json.loads(schema_json))
+        for pdf in batches:
+            errs = []
+            for content in pdf["content"]:
+                try:
+                    doc = json.loads(content)
+                except (ValueError, TypeError) as e:
+                    errs.append(f"invalid JSON: {e}")
+                    continue
+                msgs = [e.message for e in validator.iter_errors(doc)]
+                errs.append("; ".join(msgs) if msgs else None)
+            pdf = pdf.copy()
+            pdf["validationError"] = errs
+            yield pdf
+
+    return uploads.mapInPandas(check, schema=VALIDATED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# S4-S8: shred one pipeline's uploads into record DataFrames
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IngestResult:
+    runs: DataFrame
+    samples: DataFrame | None
+    read_groups: DataFrame | None
+    files: DataFrame
+    references: DataFrame | None
+    annotations: DataFrame | None
+    rejects: DataFrame
+
+
+def _labels(run_name, sample_name=None, read_group_name=None):
+    parts = [
+        run_name.alias("runName"),
+        (sample_name if sample_name is not None else F.lit(None).cast("string")).alias(
+            "sampleName"
+        ),
+        (
+            read_group_name
+            if read_group_name is not None
+            else F.lit(None).cast("string")
+        ).alias("readGroupName"),
+        F.lit(None).cast("string").alias("notes"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    ]
+    return F.struct(*parts)
+
+
+def shred_uploads(
+    uploads: DataFrame,
+    spec: PipelineSpec,
+    uploader_id: str,
+) -> IngestResult:
+    """Validated uploads → runs/samples/read_groups (+files, +dims).
+
+    One pass over the parsed docs; samples and read groups come from the
+    same exploded projection lineage, so the file is read and parsed
+    once per DataFrame action (or once total if the caller caches the
+    parsed frame).
+    """
+    validated = validate_uploads(uploads, spec)
+    rejects = validated.filter(F.col("validationError").isNotNull()).select(
+        "uploadPath", "validationError"
+    )
+    ok = validated.filter(F.col("validationError").isNull())
+
+    now = F.current_timestamp()
+    content_md5 = F.md5(F.col("content"))
+    run_id = F.md5(F.concat_ws("|", F.lit(uploader_id), content_md5))
+
+    base = ok.select(
+        run_id.alias("runId"),
+        F.col("uploadPath"),
+        F.col("content"),
+        content_md5.alias("md5"),
+    )
+    if spec.doc_schema is not None:
+        base = base.withColumn("doc", F.from_json("content", spec.doc_schema))
+
+    files = base.select(
+        F.col("runId").alias("fileId"),
+        F.element_at(F.split("uploadPath", "/"), -1).alias("filename"),
+        "md5",
+        F.lit(uploader_id).alias("uploaderId"),
+        F.lit(spec.name).alias("pipeline"),
+        F.col("content").cast("binary").alias("content"),
+    )
+
+    if spec.doc_schema is None:
+        # plain pipeline: raw storage only, no unit extraction
+        runs = base.select(
+            "runId",
+            F.lit(uploader_id).alias("uploaderId"),
+            F.lit(spec.name).alias("pipeline"),
+            F.array().cast("array<string>").alias("sampleIds"),
+            F.array().cast("array<string>").alias("readGroupIds"),
+            _labels(F.lit(None).cast("string")).alias("labels"),
+            F.lit(0).alias("nSamples"),
+            F.lit(0).alias("nReadGroups"),
+            now.alias("creationTimeUtc"),
+            F.lit(None).cast("timestamp").alias("deletionTimeUtc"),
+        )
+        return IngestResult(runs, None, None, files, None, None, rejects)
+
+    # ---- samples: explode the dynamic-keyed samples map (S4) ----
+    sample_rows = base.select(
+        "runId",
+        F.col("doc.runName").alias("runName"),
+        F.explode(F.col("doc.samples")).alias("sampleName", "sample"),
+    ).withColumn("dbId", F.md5(F.concat_ws("|", "runId", "sampleName")))
+
+    stats_struct = F.struct(
+        *[F.col(f"sample.{f}").alias(f) for f in spec.sample_stats_fields]
+    )
+    samples = sample_rows.select(
+        "dbId",
+        "runId",
+        F.lit(uploader_id).alias("uploaderId"),
+        stats_struct.alias("stats"),
+        _labels(F.col("runName"), F.col("sampleName")).alias("labels"),
+        now.alias("creationTimeUtc"),
+    )
+
+    # ---- read groups: second explode ----
+    read_groups = None
+    if spec.has_read_groups:
+        rg_rows = sample_rows.select(
+            "runId",
+            "runName",
+            "sampleName",
+            F.col("dbId").alias("sampleId"),
+            F.explode(F.col("sample.readGroups")).alias("readGroupName", "rg"),
+        ).withColumn(
+            "dbId", F.md5(F.concat_ws("|", "runId", "sampleName", "readGroupName"))
+        )
+        rg_stats = F.struct(
+            *[F.col(f"rg.{f}").alias(f) for f in spec.read_group_stats_fields]
+        )
+        read_groups = rg_rows.select(
+            "dbId",
+            F.col("sampleId"),
+            "runId",
+            F.lit(uploader_id).alias("uploaderId"),
+            F.lit(spec.default_is_paired).alias("isPaired"),
+            rg_stats.alias("stats"),
+            _labels(
+                F.col("runName"), F.col("sampleName"), F.col("readGroupName")
+            ).alias("labels"),
+            now.alias("creationTimeUtc"),
+        )
+
+    # ---- dimensions (S8/J4): deterministic digest ids ----
+    references = None
+    annotations = None
+    run_dim_cols = []
+    if spec.has_reference:
+        contigs = base.select(
+            "runId",
+            F.col("doc.reference.name").alias("refName"),
+            F.explode(F.col("doc.reference.contigs")).alias("contigName", "contig"),
+        )
+        per_run_ref = contigs.groupBy("runId", "refName").agg(
+            F.md5(F.concat_ws("", F.array_sort(F.collect_list("contig.md5")))).alias(
+                "combinedMd5"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("contigName").alias("name"),
+                        F.col("contig.length").alias("length"),
+                        F.col("contig.md5").alias("md5"),
+                    )
+                )
+            ).alias("contigs"),
+        )
+        per_run_ref = per_run_ref.withColumn(
+            "refId", F.md5(F.concat(F.lit("ref:"), F.col("combinedMd5")))
+        )
+        references = per_run_ref.select(
+            "refId", "combinedMd5", "contigs", "refName", now.alias("creationTimeUtc")
+        ).dropDuplicates(["combinedMd5"])
+        run_dim_cols.append(("refId", per_run_ref.select("runId", "refId")))
+
+    if spec.has_annotations:
+        annots = base.select(
+            "runId", F.explode(F.col("doc.annotations")).alias("annotName", "annot")
+        ).select(
+            "runId",
+            F.col("annot.md5").alias("annotMd5"),
+            F.element_at(F.split(F.col("annot.path"), "/"), -1).alias("fileName"),
+        )
+        annots = annots.withColumn(
+            "annotId", F.md5(F.concat(F.lit("annot:"), F.col("annotMd5")))
+        )
+        annotations = annots.select(
+            "annotId", "annotMd5", "fileName", now.alias("creationTimeUtc")
+        ).dropDuplicates(["annotMd5"])
+        per_run_annots = annots.groupBy("runId").agg(
+            F.array_sort(F.collect_set("annotId")).alias("annotIds")
+        )
+        run_dim_cols.append(("annotIds", per_run_annots))
+
+    # ---- run records with derived id lists + counts (S7, A8) ----
+    sample_ids = samples.groupBy("runId").agg(
+        F.array_sort(F.collect_list("dbId")).alias("sampleIds")
+    )
+    runs = (
+        base.select("runId", F.col("doc.runName").alias("runName"))
+        .join(sample_ids, "runId", "left")
+    )
+    if read_groups is not None:
+        rg_ids = read_groups.groupBy("runId").agg(
+            F.array_sort(F.collect_list("dbId")).alias("readGroupIds")
+        )
+        runs = runs.join(rg_ids, "runId", "left")
+    else:
+        runs = runs.withColumn("readGroupIds", F.array().cast("array<string>"))
+    for col_name, dim_df in run_dim_cols:
+        runs = runs.join(dim_df, "runId", "left")
+
+    runs = runs.select(
+        "runId",
+        F.lit(uploader_id).alias("uploaderId"),
+        F.lit(spec.name).alias("pipeline"),
+        F.coalesce(F.col("sampleIds"), F.array().cast("array<string>")).alias(
+            "sampleIds"
+        ),
+        F.coalesce(F.col("readGroupIds"), F.array().cast("array<string>")).alias(
+            "readGroupIds"
+        ),
+        _labels(F.col("runName")).alias("labels"),
+        *[F.col(c) for c, _ in run_dim_cols],
+        now.alias("creationTimeUtc"),
+        F.lit(None).cast("timestamp").alias("deletionTimeUtc"),
+    )
+    runs = runs.withColumn("nSamples", F.size("sampleIds")).withColumn(
+        "nReadGroups", F.size("readGroupIds")
+    )
+    return IngestResult(runs, samples, read_groups, files, references, annotations, rejects)
+
+
+def detect_duplicate_uploads(files: DataFrame, existing_files: DataFrame) -> DataFrame:
+    """S5: re-upload of identical content by the same user is a
+    conflict (unique index (md5, uploaderId), scripts/dbSetup.js:35-40).
+    Returns offending new rows."""
+    return files.join(
+        existing_files.select("md5", "uploaderId"), on=["md5", "uploaderId"], how="left_semi"
+    )

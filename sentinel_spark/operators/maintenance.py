@@ -1,0 +1,192 @@
+"""Maintenance operators — the reference's RFC-6902 JSON-Patch subset,
+soft delete, and cascade delete (reference §2.9 M1-M5, J2, J3).
+
+The reference parses patch documents into typed ops (only
+add/remove/replace accepted; models/JsonPatch.scala:33-121), routes
+them by path (/labels/*, /labels/tags/*, sampleLabels/<id>/...;
+processors/RunsProcessor.scala:98-129, adapters/UnitsAdapter.scala:110-188)
+and *propagates* name changes down the hierarchy: a run's ``runName``
+fans out to all its samples and read groups; a sample's ``sampleName``
+to its read groups (RunsProcessor.scala:63-66, 132-252; J2 semi-join).
+
+Here each patch compiles to an UPDATE (conditional projection) against
+the affected tables; propagation targets are resolved with the same
+id-list / semi-join logic. Struct surgery uses ``withField`` and map
+surgery ``map_concat`` / ``map_filter`` — all JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PATCHABLE_OPS = ("add", "remove", "replace")
+
+
+@dataclass(frozen=True)
+class PatchOp:
+    op: str
+    path: str
+    value: object = None
+
+
+class PatchError(ValueError):
+    pass
+
+
+def parse_patches(doc) -> list[PatchOp]:
+    """M1: patch document (list or single op object) → typed ops.
+    Only add/remove/replace pass (test/copy/move are parsed-but-refused
+    downstream in the reference; JsonPatch.scala:67-121)."""
+    if isinstance(doc, dict):
+        doc = [doc]
+    if not isinstance(doc, list) or not doc:
+        raise PatchError("patch document must be a non-empty array of ops")
+    ops = []
+    for raw in doc:
+        if not isinstance(raw, dict) or "op" not in raw or "path" not in raw:
+            raise PatchError(f"malformed patch op: {raw!r}")
+        op = raw["op"]
+        if op in ("test", "copy", "move"):
+            raise PatchError(f"unsupported patch op: {op}")
+        if op not in PATCHABLE_OPS:
+            raise PatchError(f"unknown patch op: {op}")
+        if op in ("add", "replace") and "value" not in raw:
+            raise PatchError(f"{op} requires a value")
+        if not isinstance(raw["path"], str) or not raw["path"].startswith("/"):
+            raise PatchError(f"invalid path: {raw.get('path')!r}")
+        ops.append(PatchOp(op, raw["path"], raw.get("value")))
+    return ops
+
+
+def _set_label_field(df: DataFrame, cond: Column, field_name: str, value) -> DataFrame:
+    lit = F.lit(value).cast("string") if value is not None else F.lit(None).cast("string")
+    return df.withColumn(
+        "labels",
+        F.when(cond, F.col("labels").withField(field_name, lit)).otherwise(
+            F.col("labels")
+        ),
+    )
+
+
+def _set_tag(df: DataFrame, cond: Column, key: str, value) -> DataFrame:
+    new_tags = F.map_concat(
+        F.map_filter(
+            F.coalesce(F.col("labels.tags"), F.create_map().cast("map<string,string>")),
+            lambda k, _: k != F.lit(key),
+        ),
+        F.create_map(F.lit(key), F.lit(str(value))),
+    )
+    return df.withColumn(
+        "labels",
+        F.when(cond, F.col("labels").withField("tags", new_tags)).otherwise(F.col("labels")),
+    )
+
+
+def _remove_tag(df: DataFrame, cond: Column, key: str) -> DataFrame:
+    new_tags = F.map_filter(
+        F.coalesce(F.col("labels.tags"), F.create_map().cast("map<string,string>")),
+        lambda k, _: k != F.lit(key),
+    )
+    return df.withColumn(
+        "labels",
+        F.when(cond, F.col("labels").withField("tags", new_tags)).otherwise(F.col("labels")),
+    )
+
+
+def apply_label_patch(df: DataFrame, cond: Column, patch: PatchOp) -> DataFrame:
+    """M2: one label-path patch against rows matching ``cond``.
+    Paths: /labels/runName, /labels/sampleName, /labels/readGroupName,
+    /labels/notes, /labels/tags/<key>."""
+    parts = patch.path.strip("/").split("/")
+    if parts[0] != "labels" or len(parts) < 2:
+        raise PatchError(f"unroutable patch path: {patch.path}")
+    if parts[1] == "tags":
+        if len(parts) != 3:
+            raise PatchError(f"tag patches need /labels/tags/<key>: {patch.path}")
+        key = parts[2]
+        if patch.op == "remove":
+            return _remove_tag(df, cond, key)
+        return _set_tag(df, cond, key, patch.value)
+    if len(parts) != 2:
+        raise PatchError(f"unroutable patch path: {patch.path}")
+    field_name = parts[1]
+    if field_name not in ("runName", "sampleName", "readGroupName", "notes"):
+        raise PatchError(f"unpatchable label field: {field_name}")
+    if patch.op == "remove":
+        if field_name != "notes":
+            raise PatchError("only /labels/notes supports remove")
+        return _set_label_field(df, cond, "notes", None)
+    return _set_label_field(df, cond, field_name, patch.value)
+
+
+@dataclass
+class RunTables:
+    """The per-pipeline table triple the maintenance ops act on."""
+
+    runs: DataFrame
+    samples: DataFrame | None = None
+    read_groups: DataFrame | None = None
+
+
+def apply_run_patches(tables: RunTables, run_id: str, patches: list[PatchOp]) -> RunTables:
+    """M2+M3: apply patches addressed to a run, with hierarchy
+    propagation — runName updates fan out to the run's samples and read
+    groups (RunsProcessor.scala:63-66, 132-184)."""
+    runs, samples, read_groups = tables.runs, tables.samples, tables.read_groups
+    run_cond = F.col("runId") == F.lit(run_id)
+    for p in patches:
+        runs = apply_label_patch(runs, run_cond, p)
+        is_run_name = p.path == "/labels/runName"
+        if is_run_name:
+            if samples is not None:
+                samples = apply_label_patch(samples, run_cond, p)
+            if read_groups is not None:
+                read_groups = apply_label_patch(read_groups, run_cond, p)
+    return RunTables(runs, samples, read_groups)
+
+
+def apply_sample_patches(
+    tables: RunTables, sample_id: str, patches: list[PatchOp]
+) -> RunTables:
+    """M2+M3 at sample grain: sampleName propagates to the sample's
+    read groups (J2 semi-join by sampleId)."""
+    runs, samples, read_groups = tables.runs, tables.samples, tables.read_groups
+    cond = F.col("dbId") == F.lit(sample_id)
+    for p in patches:
+        samples = apply_label_patch(samples, cond, p)
+        if p.path == "/labels/sampleName" and read_groups is not None:
+            read_groups = apply_label_patch(
+                read_groups, F.col("sampleId") == F.lit(sample_id), p
+            )
+    return RunTables(runs, samples, read_groups)
+
+
+def soft_delete_run(runs: DataFrame, run_id: str) -> DataFrame:
+    """M5: mark ``deletionTimeUtc``; deleted runs are invisible to all
+    listings and 410-Gone on direct fetch (RunsProcessor.scala:409-443)."""
+    cond = (F.col("runId") == F.lit(run_id)) & F.col("deletionTimeUtc").isNull()
+    return runs.withColumn(
+        "deletionTimeUtc",
+        F.when(cond, F.current_timestamp()).otherwise(F.col("deletionTimeUtc")),
+    )
+
+
+def cascade_delete_run(tables: RunTables, run_id: str) -> RunTables:
+    """J3: on run delete, remove its samples and read groups, then
+    soft-mark the run (RunsProcessor.scala:444-474). The unit deletes
+    are partition-prunable at scale when tables partition by runId."""
+    runs = soft_delete_run(tables.runs, run_id)
+    samples = (
+        tables.samples.filter(F.col("runId") != F.lit(run_id))
+        if tables.samples is not None
+        else None
+    )
+    read_groups = (
+        tables.read_groups.filter(F.col("runId") != F.lit(run_id))
+        if tables.read_groups is not None
+        else None
+    )
+    return RunTables(runs, samples, read_groups)

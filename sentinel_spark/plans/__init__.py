@@ -1,0 +1,3 @@
+from sentinel_spark.plans.pipeline_spec import PIPELINES, PipelineSpec
+
+__all__ = ["PIPELINES", "PipelineSpec"]

@@ -1,0 +1,189 @@
+"""Declarative pipeline specs — the Spark analog of the reference's
+processor subclassing (reference devs_design.rst:63-69: pipeline authors
+subclass RunsProcessor/StatsProcessor; here they declare a spec and the
+generic engine does the rest).
+
+A spec bundles:
+* ``json_schema`` — draft-04 JSON Schema for upload validation (S3;
+  reference utils/JsonExtractor.scala:52-101, schema files under
+  src/test/resources/schema_examples/).
+* ``doc_schema`` — the Spark StructType used by ``from_json`` to parse
+  a validated upload (the typed layer; reference Salat case classes,
+  e.g. exts/maple/MapleRunRecord.scala).
+* ``sample_stats_fields`` / ``read_group_stats_fields`` — the metric
+  fields, driving both shredding and aggregation (the analog of
+  reflection-driven field enumeration, utils/package.scala:67-71).
+* dimension hooks (``has_reference`` / ``has_annotations``) for pref- /
+  pann-style pipelines (exts/pref, exts/pann).
+
+Dynamic JSON keys (sample/read-group names) are MapType columns, so one
+``explode(samples)`` + one ``explode(readGroups)`` shreds any upload
+regardless of unit names — no per-pipeline code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as TY
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    name: str
+    json_schema: dict
+    doc_schema: TY.StructType | None  # None → opaque (plain): store raw only
+    sample_stats_fields: tuple[str, ...] = ()
+    read_group_stats_fields: tuple[str, ...] = ()
+    has_read_groups: bool = False
+    has_reference: bool = False
+    has_annotations: bool = False
+    # read groups of paired-end pipelines may carry isPaired; default
+    # used when the upload doesn't say (maple default: true)
+    default_is_paired: bool = True
+
+
+def _maple() -> PipelineSpec:
+    rg = TY.StructType(
+        [
+            TY.StructField("nReadsInput", TY.LongType()),
+            TY.StructField("nReadsAligned", TY.LongType()),
+        ]
+    )
+    sample = TY.StructType(
+        [
+            TY.StructField("readGroups", TY.MapType(TY.StringType(), rg)),
+            TY.StructField("nSnps", TY.LongType()),
+        ]
+    )
+    doc = TY.StructType(
+        [
+            TY.StructField("runName", TY.StringType()),
+            TY.StructField("samples", TY.MapType(TY.StringType(), sample)),
+        ]
+    )
+    schema = {
+        "type": "object",
+        "required": ["samples"],
+        "properties": {
+            "runName": {"type": "string"},
+            "samples": {
+                "type": "object",
+                "minProperties": 1,
+                "additionalProperties": {
+                    "type": "object",
+                    "required": ["readGroups", "nSnps"],
+                    "properties": {
+                        "nSnps": {"type": "integer"},
+                        "readGroups": {
+                            "type": "object",
+                            "minProperties": 1,
+                            "additionalProperties": {
+                                "type": "object",
+                                "required": ["nReadsInput", "nReadsAligned"],
+                                "properties": {
+                                    "nReadsInput": {"type": "integer"},
+                                    "nReadsAligned": {"type": "integer"},
+                                },
+                            },
+                        },
+                    },
+                },
+            },
+        },
+    }
+    return PipelineSpec(
+        name="maple",
+        json_schema=schema,
+        doc_schema=doc,
+        sample_stats_fields=("nSnps",),
+        read_group_stats_fields=("nReadsInput", "nReadsAligned"),
+        has_read_groups=True,
+    )
+
+
+def _pref() -> PipelineSpec:
+    contig = TY.StructType(
+        [TY.StructField("length", TY.LongType()), TY.StructField("md5", TY.StringType())]
+    )
+    sample = TY.StructType([TY.StructField("num", TY.LongType())])
+    doc = TY.StructType(
+        [
+            TY.StructField("runName", TY.StringType()),
+            TY.StructField(
+                "reference",
+                TY.StructType(
+                    [
+                        TY.StructField("contigs", TY.MapType(TY.StringType(), contig)),
+                        TY.StructField("name", TY.StringType()),
+                    ]
+                ),
+            ),
+            TY.StructField("samples", TY.MapType(TY.StringType(), sample)),
+        ]
+    )
+    schema = {
+        "type": "object",
+        "required": ["samples", "reference"],
+        "properties": {
+            "reference": {
+                "type": "object",
+                "required": ["contigs"],
+                "properties": {"contigs": {"type": "object", "minProperties": 1}},
+            },
+            "samples": {"type": "object", "minProperties": 1},
+        },
+    }
+    return PipelineSpec(
+        name="pref",
+        json_schema=schema,
+        doc_schema=doc,
+        sample_stats_fields=("num",),
+        has_reference=True,
+    )
+
+
+def _pann() -> PipelineSpec:
+    annot = TY.StructType(
+        [TY.StructField("md5", TY.StringType()), TY.StructField("path", TY.StringType())]
+    )
+    sample = TY.StructType([TY.StructField("num", TY.LongType())])
+    doc = TY.StructType(
+        [
+            TY.StructField("runName", TY.StringType()),
+            TY.StructField("annotations", TY.MapType(TY.StringType(), annot)),
+            TY.StructField("samples", TY.MapType(TY.StringType(), sample)),
+        ]
+    )
+    schema = {
+        "type": "object",
+        "required": ["samples", "annotations"],
+        "properties": {
+            "annotations": {"type": "object", "minProperties": 1},
+            "samples": {"type": "object", "minProperties": 1},
+        },
+    }
+    return PipelineSpec(
+        name="pann",
+        json_schema=schema,
+        doc_schema=doc,
+        sample_stats_fields=("num",),
+        has_annotations=True,
+    )
+
+
+def _plain() -> PipelineSpec:
+    # reference src/main/resources/schemas/plain.json: any non-empty
+    # object or array; no units extracted.
+    schema = {
+        "anyOf": [
+            {"type": "object", "minProperties": 1},
+            {"type": "array", "minItems": 1},
+        ]
+    }
+    return PipelineSpec(name="plain", json_schema=schema, doc_schema=None)
+
+
+PIPELINES: dict[str, PipelineSpec] = {
+    s.name: s for s in (_maple(), _pref(), _pann(), _plain())
+}

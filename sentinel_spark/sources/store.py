@@ -1,0 +1,86 @@
+"""Minimal mutable-table layer over parquet directories.
+
+The reference mutates MongoDB collections in place (patches, soft
+deletes, cascade deletes). Spark tables on plain parquet are immutable,
+so maintenance ops become read-modify-write with an atomic directory
+swap. In production this layer is Delta/Iceberg MERGE/UPDATE/DELETE
+(ACID, file-level pruning); the API below mirrors those verbs so the
+call sites translate 1:1. At 100 TB you would never full-rewrite — the
+verbs would map to Delta's MERGE with file skipping — which is why the
+mutation API is isolated here instead of leaking read-modify-write
+assumptions into the operators.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as TY
+
+
+class ParquetTable:
+    def __init__(self, spark: SparkSession, path: str, schema: TY.StructType | None = None):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            if self.schema is None:
+                raise FileNotFoundError(f"{self.path} is empty and no schema given")
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.parquet(self.path)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Materialize to a temp dir, then swap — safe even when ``df``
+        reads from this same table (plain overwrite would clobber its
+        own input mid-scan)."""
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    # -- Delta-verb mirrors ------------------------------------------------
+
+    def merge_insert_not_matched(self, df: DataFrame, keys: list[str]) -> int:
+        """``MERGE ... WHEN NOT MATCHED THEN INSERT`` — append only rows
+        whose key tuple isn't already present (the reference's
+        unique-index get-or-create, S5/S8). Returns rows inserted."""
+        if not self.exists():
+            fresh = df.dropDuplicates(keys)
+            n = fresh.count()
+            self.append(fresh)
+            return n
+        existing = self.read().select(*keys).dropDuplicates()
+        fresh = df.dropDuplicates(keys).join(existing, on=keys, how="left_anti")
+        n = fresh.count()
+        if n:
+            self.append(fresh)
+        return n
+
+    def update(self, cond: Column, assignments: dict[str, Column]) -> None:
+        """``UPDATE SET ... WHERE cond`` via conditional projection."""
+        df = self.read()
+        for col_name, value in assignments.items():
+            df = df.withColumn(col_name, F.when(cond, value).otherwise(F.col(col_name)))
+        self.overwrite(df)
+
+    def delete(self, cond: Column) -> None:
+        """``DELETE WHERE cond``."""
+        self.overwrite(self.read().filter(~cond | cond.isNull()))

@@ -1,0 +1,96 @@
+"""Structured-Streaming extensions.
+
+The reference is strictly request-driven batch (SURVEY.md §2.10) — these
+are the natural streaming upgrades, not ports:
+
+* ``stream_ingest`` — file-arrival ingest: new run-summary JSON files
+  landing in a directory are validated, shredded, and appended to the
+  runs/samples/read_groups tables continuously. Implemented as a file
+  source + ``foreachBatch`` re-using the *exact* batch shred logic, so
+  batch and streaming ingest can never diverge.
+* ``hourly_event_rollup`` — watermarked tumbling-window aggregation
+  over an event stream (late data tolerated up to the watermark).
+
+Both run with ``availableNow`` in tests; on a cluster the same code
+runs ``processingTime`` triggers with checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators.ingest import shred_uploads
+from sentinel_spark.plans.pipeline_spec import PipelineSpec
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    spec: PipelineSpec,
+    uploader_id: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Watch ``input_dir`` for run-summary JSON files; shred each
+    micro-batch with the batch ETL and append to parquet tables under
+    ``out_dir`` (runs/, samples/, read_groups/, rejects/).
+
+    Returns the StreamingQuery (already awaited when available_now).
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(input_dir)
+        .select(
+            F.col("value").alias("content"),
+        )
+        .withColumn("uploadPath", F.lit("stream"))
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = shred_uploads(batch_df, spec, uploader_id)
+        res.runs.write.mode("append").parquet(os.path.join(out_dir, "runs"))
+        if res.samples is not None:
+            res.samples.write.mode("append").parquet(os.path.join(out_dir, "samples"))
+        if res.read_groups is not None:
+            res.read_groups.write.mode("append").parquet(
+                os.path.join(out_dir, "read_groups")
+            )
+        rejects = res.rejects
+        if rejects.take(1):
+            rejects.write.mode("append").parquet(os.path.join(out_dir, "rejects"))
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
+
+
+def hourly_event_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked hourly tumbling-window rollup of an event stream —
+    count + sum(value) per (window, event_type). Late events within the
+    watermark still land in their window; older ones drop."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,125 @@
+"""Ingest ETL tests against the reference's fixture corpus shapes and
+golden values (FIXTURES.md §3 / reference BaseStatsControllerSpec)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators.ingest import (
+    detect_duplicate_uploads,
+    read_uploads,
+    shred_uploads,
+    validate_uploads,
+)
+from sentinel_spark.operators.rollup import pipeline_stats
+from sentinel_spark.plans.pipeline_spec import PIPELINES
+
+FX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _ingest(spark, pipeline, *relpaths):
+    paths = [os.path.join(FX, r) for r in relpaths]
+    return shred_uploads(read_uploads(spark, paths), PIPELINES[pipeline], "user1")
+
+
+def test_maple_shred_counts_golden(spark):
+    res = _ingest(
+        spark,
+        "maple",
+        "maple/maple_single_sample_multi_rg.json",
+        "maple/maple_multi_sample_multi_rg.json",
+        "maple/maple_multi_sample_single_rg.json",
+    )
+    assert res.runs.count() == 3
+    assert res.samples.count() == 5
+    assert res.read_groups.count() == 7
+    # derived counts persisted on the run record (A8)
+    agg = res.runs.agg(F.sum("nSamples"), F.sum("nReadGroups")).collect()[0]
+    assert (agg[0], agg[1]) == (5, 7)
+
+
+def test_golden_rollup_across_pipelines(spark):
+    """The BaseStatsControllerSpec golden: maple {3,5,7}, plain {1,0,0}."""
+    maple = _ingest(
+        spark,
+        "maple",
+        "maple/maple_single_sample_multi_rg.json",
+        "maple/maple_multi_sample_multi_rg.json",
+        "maple/maple_multi_sample_single_rg.json",
+    )
+    plain = _ingest(spark, "plain", "plain/plain.json")
+    all_runs = maple.runs.unionByName(plain.runs, allowMissingColumns=True)
+    got = {
+        r.pipeline: (r.nRuns, r.nSamples, r.nReadGroups)
+        for r in pipeline_stats(all_runs).collect()
+    }
+    assert got == {"maple": (3, 5, 7), "plain": (1, 0, 0)}
+
+
+def test_shred_values_and_keys(spark):
+    res = _ingest(spark, "maple", "maple/maple_multi_sample_multi_rg.json")
+    samples = {r["labels"]["sampleName"]: r["stats"]["nSnps"] for r in res.samples.collect()}
+    assert samples == {"sampleA": 200, "sampleB": 250}
+    rgs = res.read_groups.collect()
+    assert len(rgs) == 3
+    by_name = {(r["labels"]["sampleName"], r["labels"]["readGroupName"]): r for r in rgs}
+    assert by_name[("sampleB", "rg2")]["stats"]["nReadsAligned"] == 30000
+    # FK integrity: every rg.sampleId is a sample dbId of the same run
+    sample_ids = {r["dbId"] for r in res.samples.collect()}
+    assert all(r["sampleId"] in sample_ids for r in rgs)
+    assert all(r["isPaired"] for r in rgs)
+
+
+def test_gzip_upload(spark):
+    res = _ingest(spark, "plain", "plain/plain.json.gz")
+    assert res.runs.count() == 1
+
+
+def test_validation_rejects(spark):
+    uploads = read_uploads(
+        spark, [os.path.join(FX, p) for p in ("invalid.json", "not.json", "maple/maple_single_sample_single_rg.json")]
+    )
+    validated = validate_uploads(uploads, PIPELINES["maple"])
+    errs = {
+        os.path.basename(r.uploadPath): r.validationError for r in validated.collect()
+    }
+    assert errs["maple_single_sample_single_rg.json"] is None
+    assert "invalid JSON" in errs["not.json"]
+    assert errs["invalid.json"] and "invalid JSON" not in errs["invalid.json"]
+
+
+def test_deterministic_ids_idempotent(spark):
+    a = _ingest(spark, "maple", "maple/maple_single_sample_single_rg.json")
+    b = _ingest(spark, "maple", "maple/maple_single_sample_single_rg.json")
+    assert a.runs.select("runId").collect() == b.runs.select("runId").collect()
+    assert a.samples.select("dbId").collect() == b.samples.select("dbId").collect()
+
+
+def test_duplicate_upload_detection(spark):
+    res = _ingest(spark, "maple", "maple/maple_single_sample_single_rg.json")
+    dups = detect_duplicate_uploads(res.files, res.files)
+    assert dups.count() == 1  # same content+user conflicts
+    other_user = res.files.withColumn("uploaderId", F.lit("user2"))
+    assert detect_duplicate_uploads(other_user, res.files).count() == 0
+
+
+def test_pref_reference_dedup(spark):
+    res = _ingest(spark, "pref", "pref/pref_01.json", "pref/pref_02.json", "pref/pref_03.json")
+    refs = res.references.collect()
+    # pref_01 and pref_02 share contigs → one reference record (S8)
+    assert len(refs) == 2
+    assert res.runs.filter(F.col("refId").isNull()).count() == 0
+    # the two runs with identical contigs share a refId
+    ref_ids = [r.refId for r in res.runs.orderBy("labels.runName").collect()]
+    assert ref_ids[0] == ref_ids[1] != ref_ids[2]
+
+
+def test_pann_annotation_dedup(spark):
+    res = _ingest(spark, "pann", "pann/pann_01.json", "pann/pann_02.json")
+    annots = res.annotations.collect()
+    assert len(annots) == 3  # bed shared, two distinct vcfs
+    runs = {r["labels"]["runName"]: r["annotIds"] for r in res.runs.collect()}
+    assert len(runs["Pann_01"]) == 2 and len(runs["Pann_02"]) == 2
+    shared = set(runs["Pann_01"]) & set(runs["Pann_02"])
+    assert len(shared) == 1  # the common bed annotation

@@ -1,0 +1,123 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators.ingest import read_uploads, shred_uploads
+from sentinel_spark.operators.maintenance import (
+    PatchError,
+    RunTables,
+    apply_run_patches,
+    apply_sample_patches,
+    cascade_delete_run,
+    parse_patches,
+    soft_delete_run,
+)
+from sentinel_spark.operators.selectors import not_deleted
+from sentinel_spark.plans.pipeline_spec import PIPELINES
+from sentinel_spark.sources.store import ParquetTable
+
+FX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture()
+def tables(spark):
+    res = shred_uploads(
+        read_uploads(
+            spark, [os.path.join(FX, "maple/maple_multi_sample_multi_rg.json")]
+        ),
+        PIPELINES["maple"],
+        "user1",
+    )
+    return RunTables(res.runs.cache(), res.samples.cache(), res.read_groups.cache())
+
+
+def test_parse_patches_subset():
+    ops = parse_patches([{"op": "replace", "path": "/labels/notes", "value": "x"}])
+    assert ops[0].op == "replace"
+    with pytest.raises(PatchError):
+        parse_patches([{"op": "test", "path": "/labels/notes", "value": "x"}])
+    with pytest.raises(PatchError):
+        parse_patches([{"op": "replace", "path": "labels/notes", "value": "x"}])
+    with pytest.raises(PatchError):
+        parse_patches([{"op": "add", "path": "/labels/notes"}])
+    with pytest.raises(PatchError):
+        parse_patches([])
+
+
+def test_run_name_patch_propagates(tables):
+    run_id = tables.runs.collect()[0]["runId"]
+    patched = apply_run_patches(
+        tables, run_id, parse_patches([{"op": "replace", "path": "/labels/runName", "value": "Renamed"}])
+    )
+    assert patched.runs.collect()[0]["labels"]["runName"] == "Renamed"
+    # M3: fan-out to every sample and read group of the run
+    assert all(r["labels"]["runName"] == "Renamed" for r in patched.samples.collect())
+    assert all(r["labels"]["runName"] == "Renamed" for r in patched.read_groups.collect())
+
+
+def test_notes_and_tags_patches(tables):
+    run_id = tables.runs.collect()[0]["runId"]
+    patched = apply_run_patches(
+        tables,
+        run_id,
+        parse_patches(
+            [
+                {"op": "add", "path": "/labels/notes", "value": "hello"},
+                {"op": "add", "path": "/labels/tags/env", "value": "prod"},
+                {"op": "add", "path": "/labels/tags/tmp", "value": "x"},
+                {"op": "remove", "path": "/labels/tags/tmp"},
+            ]
+        ),
+    )
+    lab = patched.runs.collect()[0]["labels"]
+    assert lab["notes"] == "hello"
+    assert dict(lab["tags"]) == {"env": "prod"}
+    # notes did NOT propagate (only runName does)
+    assert patched.samples.collect()[0]["labels"]["notes"] is None
+
+
+def test_sample_name_patch_propagates_to_rgs(tables):
+    sample_b = tables.samples.filter(F.col("labels.sampleName") == "sampleB").collect()[0]
+    patched = apply_sample_patches(
+        tables,
+        sample_b["dbId"],
+        parse_patches([{"op": "replace", "path": "/labels/sampleName", "value": "sampleZ"}]),
+    )
+    names = {r["labels"]["sampleName"] for r in patched.samples.collect()}
+    assert names == {"sampleA", "sampleZ"}
+    rg_names = {
+        r["labels"]["sampleName"]
+        for r in patched.read_groups.filter(F.col("sampleId") == sample_b["dbId"]).collect()
+    }
+    assert rg_names == {"sampleZ"}
+
+
+def test_soft_delete_hides_run(tables):
+    run_id = tables.runs.collect()[0]["runId"]
+    runs2 = soft_delete_run(tables.runs, run_id)
+    assert runs2.filter(not_deleted()).count() == 0
+    assert runs2.count() == 1  # still present, just invisible
+
+
+def test_cascade_delete(tables):
+    run_id = tables.runs.collect()[0]["runId"]
+    out = cascade_delete_run(tables, run_id)
+    assert out.samples.count() == 0
+    assert out.read_groups.count() == 0
+    assert out.runs.filter(not_deleted()).count() == 0
+
+
+def test_parquet_table_roundtrip(spark, tmp_path, tables):
+    t = ParquetTable(spark, str(tmp_path / "runs"))
+    t.append(tables.runs)
+    assert t.read().count() == 1
+    # merge-not-matched: same content again inserts nothing (S8)
+    assert t.merge_insert_not_matched(tables.runs, ["runId"]) == 0
+    # update verb: soft delete persisted
+    run_id = tables.runs.collect()[0]["runId"]
+    t.update(F.col("runId") == run_id, {"deletionTimeUtc": F.current_timestamp()})
+    assert t.read().filter(not_deleted()).count() == 0
+    # delete verb
+    t.delete(F.col("runId") == run_id)
+    assert t.read().count() == 0

@@ -1,0 +1,69 @@
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.multimodal import (
+    attach_fake_media,
+    decode_image,
+    extract_media_features,
+)
+from sentinel_spark.plans.pipeline_spec import PIPELINES
+from sentinel_spark.streaming.ingest_stream import hourly_event_rollup, stream_ingest
+
+FX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_stream_ingest_availablenow(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    for f in (
+        "maple_single_sample_multi_rg.json",
+        "maple_multi_sample_multi_rg.json",
+        "maple_multi_sample_single_rg.json",
+    ):
+        shutil.copy(os.path.join(FX, "maple", f), inbox / f)
+    out = str(tmp_path / "out")
+    stream_ingest(spark, str(inbox), PIPELINES["maple"], "stream-user", out)
+    runs = spark.read.parquet(os.path.join(out, "runs"))
+    assert runs.count() == 3
+    assert spark.read.parquet(os.path.join(out, "samples")).count() == 5
+    assert spark.read.parquet(os.path.join(out, "read_groups")).count() == 7
+    # second trigger with no new files appends nothing (checkpointed)
+    stream_ingest(spark, str(inbox), PIPELINES["maple"], "stream-user", out)
+    assert spark.read.parquet(os.path.join(out, "runs")).count() == 3
+
+
+def test_stream_rollup_matches_batch(spark):
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "a", 1.0),
+            ("2024-01-01 10:55:00", "a", 2.0),
+            ("2024-01-01 11:05:00", "b", 5.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    rows = hourly_event_rollup(ev).collect()  # batch-mode run of the same plan
+    got = {(str(r.hour), r.event_type): (r.n_events, r.sum_value) for r in rows}
+    assert got[("2024-01-01 10:00:00", "a")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "b")] == (1, 5.0)
+
+
+def test_media_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other content")],
+        "doc_id int, text string",
+    )
+    media = attach_fake_media(docs, "doc_id", "text")
+    feats = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert feats[1].sha1 == feats[2].sha1
+    assert (feats[1].width, feats[1].height) == (feats[2].width, feats[2].height)
+    assert feats[1].sha1 != feats[3].sha1
+    assert feats[1].n_bytes == len(b"hello world")
+    assert 16 <= feats[1].width < 256
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n")
