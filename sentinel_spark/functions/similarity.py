@@ -80,31 +80,24 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_weights(bits: int, dim: int) -> list[list[float]]:
-    """±1 hyperplane weights from md5(i_j) parity — deterministic and
-    reproducible anywhere, computed ONCE driver-side (never per row)."""
-    import hashlib
-
-    return [
-        [
-            1.0 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] in "13579bdf" else -1.0
-            for j in range(dim)
-        ]
-        for i in range(bits)
-    ]
-
-
-def hyperplane_bucket(vec: Column, bits: int, dim: int) -> Column:
+def hyperplane_bucket(vec: Column, bits: int) -> Column:
     """Deterministic sign-LSH bucket id in [0, 2^bits): bit i is the
-    sign of Σ_j w_ij·v_j with w_ij ∈ {-1,+1} md5-derived. The weight
-    matrix is a broadcast-literal array, so the per-row work is one
-    zip_with fold per bit, all inside codegen."""
-    weights = _hyperplane_weights(bits, dim)
+    sign of Σ_j w_ij·v_j with w_ij ∈ {-1,+1} derived from
+    xxhash64(i, j) parity. The weights are computed inside the
+    expression from the element index, so the operator needs no
+    driver-side knowledge of the vector dimension (works on ragged
+    dims too) and stays entirely inside codegen."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def weighted(i: int):
+        return lambda x, j: x.cast("double") * F.when(
+            F.pmod(F.xxhash64(F.lit(i), j), 2) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
     acc = None
     for i in range(bits):
-        w = F.array(*[F.lit(x) for x in weights[i]])
         s = F.aggregate(
-            F.zip_with(vec, w, lambda x, wi: x.cast("double") * wi),
+            F.zip_with(vec, idx, weighted(i)),
             F.lit(0.0),
             lambda a, x: a + x,
         )
@@ -120,19 +113,32 @@ def lsh_topk(
     bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's
     sign-LSH bucket. Recall < 1 by design; the scale path when the
-    candidate set is too large to brute-force."""
-    dim = len(emb.select(vec_col).first()[0])
+    candidate set is too large to brute-force.
+
+    ``multiprobe`` also probes the ``bits`` Hamming-1 neighbor buckets
+    of each query (the standard multi-probe LSH recall boost): for a
+    vector near a hyperplane, the flipped-bit bucket holds its closest
+    neighbors. Candidates live in exactly one bucket, so probes never
+    duplicate a (q, c) pair. No driver-side action runs before the plan
+    executes.
+    """
     with_bucket = emb.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), bits, dim).alias("bucket")
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), bits).alias("bucket")
     )
     q = with_bucket.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("bucket").alias("q_bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("q_bucket"), *[F.col("q_bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+        )
+        q = q.select("q_id", "q_vec", F.explode(probes).alias("q_bucket"))
     c = with_bucket.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), F.col("bucket")
     )

@@ -30,16 +30,10 @@ STOPWORDS = LEXICONS["en"]
 
 def tokens(col: Column | str, pattern: str = WORD_RE) -> Column:
     """Lower-cased word tokens via regexp extraction (whitespace- and
-    punctuation-robust)."""
+    punctuation-robust). Built from public Column APIs only, so it works
+    on derived expressions and under Spark Connect."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.expr(f"regexp_extract_all(lower({_sql(c)}), '{pattern}', 0)")
-
-
-def _sql(c: Column) -> str:
-    # Render a simple column reference for use inside F.expr fragments.
-    # Only plain column names are passed here.
-    name = c._jc.toString()  # e.g. "text"
-    return name
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0))
 
 
 def token_count(col: str) -> Column:

@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as TY
+from pyspark.sql.window import Window
 
 from sentinel_spark.plans.pipeline_spec import PipelineSpec
 
@@ -113,6 +114,14 @@ class IngestResult:
     references: DataFrame | None
     annotations: DataFrame | None
     rejects: DataFrame
+    # Frames persisted by shred_uploads so its multi-join lineage parses
+    # each upload once, not once per downstream join/action. Call
+    # unpersist() when every result DataFrame has been consumed.
+    cached: list[DataFrame] = field(default_factory=list, repr=False)
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            df.unpersist()
 
 
 def _labels(run_name, sample_name=None, read_group_name=None):
@@ -144,8 +153,8 @@ def shred_uploads(
     once per DataFrame action (or once total if the caller caches the
     parsed frame).
     """
-    validated = validate_uploads(uploads, spec)
-    rejects = validated.filter(F.col("validationError").isNotNull()).select(
+    validated = validate_uploads(uploads, spec).persist()
+    schema_rejects = validated.filter(F.col("validationError").isNotNull()).select(
         "uploadPath", "validationError"
     )
     ok = validated.filter(F.col("validationError").isNull())
@@ -160,8 +169,29 @@ def shred_uploads(
         F.col("content"),
         content_md5.alias("md5"),
     )
+    # Intra-batch duplicate detection: two identical uploads from the
+    # same uploader in one batch collide on runId; without this the
+    # groupBy(runId)+join below would inflate sampleIds/counters. The
+    # reference rejects the second upload as a conflict (unique index on
+    # (md5, uploaderId), scripts/dbSetup.js:35-40) — same here, first
+    # (by path) wins, the rest surface in rejects.
+    rn = F.row_number().over(Window.partitionBy("runId").orderBy("uploadPath"))
+    base = base.withColumn("_rn", rn)
+    dup_rejects = base.filter(F.col("_rn") > 1).select(
+        "uploadPath",
+        F.lit("duplicate upload in batch (same content, same uploader)").alias(
+            "validationError"
+        ),
+    )
+    rejects = schema_rejects.unionByName(dup_rejects)
+    base = base.filter(F.col("_rn") == 1).drop("_rn")
     if spec.doc_schema is not None:
         base = base.withColumn("doc", F.from_json("content", spec.doc_schema))
+    # The parsed batch feeds files + samples + read groups + several
+    # id-list self-joins; persist so the upload bytes are read, schema-
+    # validated, and JSON-parsed once — not once per downstream join.
+    base = base.persist()
+    cached = [validated, base]
 
     files = base.select(
         F.col("runId").alias("fileId"),
@@ -186,14 +216,21 @@ def shred_uploads(
             now.alias("creationTimeUtc"),
             F.lit(None).cast("timestamp").alias("deletionTimeUtc"),
         )
-        return IngestResult(runs, None, None, files, None, None, rejects)
+        return IngestResult(runs, None, None, files, None, None, rejects, cached)
 
     # ---- samples: explode the dynamic-keyed samples map (S4) ----
-    sample_rows = base.select(
-        "runId",
-        F.col("doc.runName").alias("runName"),
-        F.explode(F.col("doc.samples")).alias("sampleName", "sample"),
-    ).withColumn("dbId", F.md5(F.concat_ws("|", "runId", "sampleName")))
+    # Persisted too: feeds the samples table, the read-group explode,
+    # and the per-run sampleIds aggregation.
+    sample_rows = (
+        base.select(
+            "runId",
+            F.col("doc.runName").alias("runName"),
+            F.explode(F.col("doc.samples")).alias("sampleName", "sample"),
+        )
+        .withColumn("dbId", F.md5(F.concat_ws("|", "runId", "sampleName")))
+        .persist()
+    )
+    cached.append(sample_rows)
 
     stats_struct = F.struct(
         *[F.col(f"sample.{f}").alias(f) for f in spec.sample_stats_fields]
@@ -322,7 +359,9 @@ def shred_uploads(
     runs = runs.withColumn("nSamples", F.size("sampleIds")).withColumn(
         "nReadGroups", F.size("readGroupIds")
     )
-    return IngestResult(runs, samples, read_groups, files, references, annotations, rejects)
+    return IngestResult(
+        runs, samples, read_groups, files, references, annotations, rejects, cached
+    )
 
 
 def detect_duplicate_uploads(files: DataFrame, existing_files: DataFrame) -> DataFrame:

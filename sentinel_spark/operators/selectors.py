@@ -86,9 +86,15 @@ def not_deleted(attr: str = "deletionTimeUtc") -> Column:
 
 def ownership(user_id: str | None, is_admin: bool = False, attr: str = "uploaderId") -> Selector:
     """Row-level security: non-admins see only their own rows
-    (RunsProcessor.scala:89-95; CompositeRunsProcessor.scala:121-124)."""
-    if is_admin or user_id is None:
+    (RunsProcessor.scala:89-95; CompositeRunsProcessor.scala:121-124).
+
+    Fails closed: the reference always constrains non-admins by user.id
+    — there is no anonymous escape hatch, so a missing ``user_id``
+    without ``is_admin`` is a caller bug, not "see everything"."""
+    if is_admin:
         return None
+    if user_id is None:
+        raise ValueError("ownership(): non-admin queries require a user_id")
     return F.col(attr) == F.lit(user_id)
 
 

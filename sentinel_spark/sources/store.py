@@ -62,16 +62,20 @@ class ParquetTable:
         """``MERGE ... WHEN NOT MATCHED THEN INSERT`` — append only rows
         whose key tuple isn't already present (the reference's
         unique-index get-or-create, S5/S8). Returns rows inserted."""
-        if not self.exists():
+        if self.exists():
+            existing = self.read().select(*keys).dropDuplicates()
+            fresh = df.dropDuplicates(keys).join(existing, on=keys, how="left_anti")
+        else:
             fresh = df.dropDuplicates(keys)
+        # Single evaluation: write once, count the written files — the
+        # anti-join lineage never runs twice.
+        fresh.persist()
+        try:
             n = fresh.count()
-            self.append(fresh)
-            return n
-        existing = self.read().select(*keys).dropDuplicates()
-        fresh = df.dropDuplicates(keys).join(existing, on=keys, how="left_anti")
-        n = fresh.count()
-        if n:
-            self.append(fresh)
+            if n:
+                self.append(fresh)
+        finally:
+            fresh.unpersist()
         return n
 
     def update(self, cond: Column, assignments: dict[str, Column]) -> None:

@@ -41,7 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # outright; read it as long nanos and rebuild a (microsecond)
         # timestamp. `div` keeps the arithmetic integral — float division
         # would lose precision on epoch-nanos magnitudes.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        #
+        # The nanosAsLong conf is set in session.get_spark() for sessions
+        # we create; it is ALSO set here (idempotently) because the
+        # bench/correctness driver hands us its own SparkSession that
+        # never went through our factory. It only affects how
+        # nanos-precision parquet timestamps are surfaced.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         return (

@@ -53,17 +53,23 @@ def stream_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # shred_uploads persists its parse lineage, so the four sink
+        # writes below each read the cached batch instead of re-running
+        # validation + JSON parsing per write.
         res = shred_uploads(batch_df, spec, uploader_id)
-        res.runs.write.mode("append").parquet(os.path.join(out_dir, "runs"))
-        if res.samples is not None:
-            res.samples.write.mode("append").parquet(os.path.join(out_dir, "samples"))
-        if res.read_groups is not None:
-            res.read_groups.write.mode("append").parquet(
-                os.path.join(out_dir, "read_groups")
-            )
-        rejects = res.rejects
-        if rejects.take(1):
-            rejects.write.mode("append").parquet(os.path.join(out_dir, "rejects"))
+        try:
+            res.runs.write.mode("append").parquet(os.path.join(out_dir, "runs"))
+            if res.samples is not None:
+                res.samples.write.mode("append").parquet(os.path.join(out_dir, "samples"))
+            if res.read_groups is not None:
+                res.read_groups.write.mode("append").parquet(
+                    os.path.join(out_dir, "read_groups")
+                )
+            rejects = res.rejects
+            if rejects.take(1):
+                rejects.write.mode("append").parquet(os.path.join(out_dir, "rejects"))
+        finally:
+            res.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
