@@ -10,9 +10,12 @@ l_linestatus≈isPaired, part/supplier≈dedup dims.
 match the Spark side exactly. Float policy: accumulating aggregates
 (avg/variance/stdev/sums of doubles) are rounded to 6 decimals on BOTH
 sides; order-dependent results always carry a deterministic tiebreak.
-Entries without an oracle (minhash_pairs, lsh_topk, ingest_rollup) are
-genuinely non-SQL-expressible or fixture-driven; the driver records the
-weaker rows-only check for those.
+Only three entries run rows-only: ``minhash_pairs`` (xxhash64 has no
+DuckDB equivalent), ``lsh_topk`` (same, and approximate by design),
+and ``ingest_rollup`` (fixture-file-driven, not over the sf tables —
+its golden values are pytest-asserted instead). Everything else,
+including simhash and n-gram-jaccard near-dup pairs, is
+oracle-checked via engine-portable md5/hex arithmetic.
 """
 
 from __future__ import annotations
@@ -351,18 +354,23 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard similarity over document pairs (the
-    verification stage for LSH candidates), on a bounded id range."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    sh = d.select("doc_id", D.token_shingles("text", 3).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        D.ngram_jaccard(None, F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-    ).filter(F.col("jaccard") >= 0.2)
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    index with a doc-frequency cap (prefix filtering) — equi-joins
+    only, no O(n²) pairing stage."""
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, min_jaccard=0.5, max_shingle_df=20
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit md5-vote simhash (computed in one
+    tokenization pass), banded bucket self-join, bit_count Hamming
+    verify. Fully oracle-checked (portable hex arithmetic)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        d, "text", "doc_id", shingle_n=2, num_bands=8, max_hamming=8
+    )
 
 
 def q_ingest_rollup(spark, sf_dir):
@@ -486,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
         "ingest_rollup": q_ingest_rollup,
         "binary_meta": q_binary_meta,
         "multimodal_features": q_multimodal_features,
@@ -513,6 +522,39 @@ def _stats_sql(field: str, prefix: str | None = None, cond: str | None = None) -
 
 _WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _EN = "('the','a','and','of','is')"
+
+
+def _duck_shingles(n: int) -> str:
+    """DuckDB rendering of dedup.token_shingles (distinct word n-grams;
+    short docs fall back to their whole token string)."""
+    return (
+        f"CASE WHEN len({_WORDS}) < {n} THEN [array_to_string({_WORDS}, ' ')] "
+        f"ELSE list_distinct(list_transform(range(1, len({_WORDS}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({_WORDS}, i, i + {n} - 1), ' '))) END"
+    )
+
+
+# DuckDB rendering of dedup.simhash64 (md5 per shingle, majority vote
+# per bit, packed to BIGINT; bit 63 special-cased — DuckDB errors on
+# 1::BIGINT << 63).
+_DUCK_SIMHASH_CTE = f"""
+sh AS (SELECT doc_id, {_duck_shingles(2)} AS s FROM documents),
+hs AS (SELECT doc_id, unnest(list_transform(s, x -> md5(x))) AS m FROM sh),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         count(*) FILTER (((strpos('0123456789abcdef', substr(m, 1 + b.b // 4, 1)) - 1) >> (b.b % 4)) & 1 = 1) AS cnt,
+         count(*) AS n
+  FROM hs CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sim AS (
+  SELECT doc_id, bit_or(CASE WHEN 2*cnt > n
+         THEN CASE WHEN b = 63 THEN (-9223372036854775807 - 1) ELSE 1::BIGINT << CAST(b AS INT) END
+         ELSE 0::BIGINT END) AS h
+  FROM bits GROUP BY doc_id
+)"""
+
+_DUCK_HEX = "strpos('0123456789abcdef', substr(sha256(text), {pos}, 1)) - 1"
 
 
 def _lang_hits(lex: tuple[str, ...]) -> str:
@@ -678,6 +720,42 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": f"""
             SELECT md5({norm_text}) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+            rare AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 20),
+            exr AS (SELECT doc_id, sg FROM ex JOIN rare USING (sg)),
+            pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                      FROM exr a JOIN exr b USING (sg) WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sa.s, sb.s)) / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) AS jaccard
+            FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+            WHERE round(len(list_intersect(sa.s, sb.s)) / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) >= 0.5
+        """,
+        "simhash_pairs": f"""
+            WITH {_DUCK_SIMHASH_CTE},
+            banded AS (SELECT doc_id, h, bb.band AS band, (h >> (8 * bb.band)) & 255 AS key
+                       FROM sim CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bb),
+            pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
+                      FROM banded a JOIN banded b USING (band, key) WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+            FROM pairs WHERE bit_count(xor(ha, hb)) <= 8
+        """,
+        "binary_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+        "multimodal_features": f"""
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   sha256(text) AS sha256,
+                   CAST(16 + (({_DUCK_HEX.format(pos=1)}) * 16 + ({_DUCK_HEX.format(pos=2)})) % 240 AS INTEGER) AS width,
+                   CAST(16 + (({_DUCK_HEX.format(pos=3)}) * 16 + ({_DUCK_HEX.format(pos=4)})) % 240 AS INTEGER) AS height,
+                   'application/x-fake-image' AS mime
+            FROM documents
         """,
         "embed_norm": f"""
             SELECT vec_id, label, round({l2}, 6) AS l2 FROM embeddings

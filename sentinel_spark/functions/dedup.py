@@ -184,27 +184,132 @@ def simhash64(col: str, shingle_n: int = 2) -> Column:
     """64-bit SimHash of the document's word n-grams, expression-only.
 
     Each shingle votes its md5-derived 64-bit pattern; bit b of the
-    result is 1 iff more shingles had bit b set than unset. Computed as
-    a fold over 8 hex nibbles × 8... implemented per-bit via aggregate
-    for clarity; bit_count(x ^ y) then gives Hamming distance.
+    result is 1 iff more shingles voted it set than unset.
+    ``bit_count(x ^ y)`` then gives Hamming distance.
+
+    One pass: the document is tokenized ONCE and each shingle hashed
+    ONCE (``transform(shingles, s -> md5(s))``); a single ``aggregate``
+    fold accumulates all 64 vote counters (+1/-1 per bit per shingle),
+    then a final fold packs votes into the BIGINT. Bit b of md5 hex
+    ``m`` = bit (b%4) of nibble (b div 4); the hex→int step uses
+    ``instr('0123456789abcdef', …) - 1``, which any SQL engine
+    reproduces exactly (so simhash values are DuckDB-oracle-checkable).
     """
-    toks = token_shingles(col, shingle_n)
-    # per-bit votes: sum over shingles of (bit set ? 1 : -1); bit from
-    # conv of hex nibble. Build 64 bits in one expression via aggregate
-    # over bit positions.
-    sh = "sh"
+    votes = f"""aggregate(
+        transform({_shingles_sql(col, shingle_n)}, s -> md5(s)),
+        array_repeat(0, 64),
+        (acc, m) -> zip_with(acc, sequence(0, 63), (a, b) ->
+          a + IF(shiftright(instr('0123456789abcdef', substr(m, 1 + b div 4, 1)) - 1, b % 4) % 2 = 1, 1, -1))
+      )"""
     return F.expr(
         f"""aggregate(
-              sequence(0, 63),
+              zip_with({votes}, sequence(0, 63), (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
               0L,
-              (acc, b) -> acc + shiftleft(
-                CASE WHEN aggregate(
-                    {_shingles_sql(col, shingle_n)},
-                    0L,
-                    (a, s) -> a + CASE WHEN ((conv(substr(md5(s), 1 + floor(b / 4) , 1), 16, 10) div shiftleft(1L, b % 4)) % 2) = 1 THEN 1L ELSE -1L END
-                  ) > 0 THEN 1L ELSE 0L END, b)
+              (x, y) -> x | y
             )"""
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 2,
+    num_bands: int = 8,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (id_a < id_b, Hamming ≤ threshold).
+
+    Plan shape mirrors :func:`minhash_candidate_pairs`: compute the
+    64-bit simhash once per doc, explode ``num_bands`` band keys (the
+    raw 64/num_bands-bit slices — no extra hashing needed), self-join
+    on (band, key) so candidates shuffle by bucket (never O(n²)), then
+    verify with ``bit_count(x ^ y)``. By pigeonhole, any pair with
+    Hamming < num_bands shares at least one clean band. At larger scale
+    use fewer, wider bands (e.g. 4×16 bits) to cut random collisions.
+    """
+    band_bits = 64 // num_bands
+    mask = (1 << band_bits) - 1
+    sim = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col, shingle_n).alias("h")
+    )
+    banded = sim.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(h, {band_bits * b}) & {mask}").alias("key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_df: int = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via an inverted
+    shingle index with a document-frequency cap (prefix filtering).
+
+    Candidates = pairs sharing ≥1 *rare* shingle (doc-frequency ≤
+    ``max_shingle_df``); hot shingles are dropped before the self-join,
+    which bounds the candidate blow-up at scale — near-dup pairs share
+    many shingles, almost all rare, so recall is unaffected. Exact
+    Jaccard (array_intersect/array_union) then verifies each candidate
+    once. Everything is equi-join + hash-aggregate; no O(n²) stage.
+    """
+    sh = df.select(F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_shingle_df)
+        .select("s")
+    )
+    ex_rare = ex.join(rare, "s")
+    pairs = (
+        ex_rare.alias("a")
+        .join(ex_rare.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sh = pairs.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    return with_sh.select(
+        "id_a",
+        "id_b",
+        ngram_jaccard(None, F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
 
 
 def _shingles_sql(col: str, n: int) -> str:

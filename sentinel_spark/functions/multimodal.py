@@ -38,7 +38,7 @@ FEATURE_SCHEMA = TY.StructType(
     [
         TY.StructField("media_id", TY.LongType()),
         TY.StructField("n_bytes", TY.IntegerType()),
-        TY.StructField("sha1", TY.StringType()),
+        TY.StructField("sha256", TY.StringType()),
         TY.StructField("width", TY.IntegerType()),
         TY.StructField("height", TY.IntegerType()),
         TY.StructField("mime", TY.StringType()),
@@ -76,9 +76,12 @@ def decode_image(content: bytes):
 
 def fake_decode(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for image decoding: fabricates (width,
-    height) from the content digest. Same bytes → same dimensions."""
-    d = hashlib.sha1(content).digest()
-    return 16 + d[0] % 240, 16 + d[1] % 240
+    height) from the first two bytes of the sha256 hexdigest. Same
+    bytes → same dimensions, and the derivation is reproducible in any
+    SQL engine (sha256 + hex-char arithmetic), so the whole feature row
+    is oracle-checkable."""
+    d = hashlib.sha256(content).hexdigest()
+    return 16 + int(d[0:2], 16) % 240, 16 + int(d[2:4], 16) % 240
 
 
 def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
@@ -101,13 +104,13 @@ def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> Da
                     w, h = fake_decode(b)
                 widths.append(w)
                 heights.append(h)
-                shas.append(hashlib.sha1(b).hexdigest())
+                shas.append(hashlib.sha256(b).hexdigest())
                 sizes.append(len(b))
             out = pdf[["media_id", "mime"]].copy()
             out["n_bytes"] = sizes
-            out["sha1"] = shas
+            out["sha256"] = shas
             out["width"] = widths
             out["height"] = heights
-            yield out[["media_id", "n_bytes", "sha1", "width", "height", "mime"]]
+            yield out[["media_id", "n_bytes", "sha256", "width", "height", "mime"]]
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -16,8 +16,9 @@ def test_oracle_keys_subset_of_queries():
     q = set(E.queries())
     o = set(E.oracle_sql())
     assert o <= q
-    # rows-only entries are exactly the documented non-SQL-expressible ones
-    assert q - o == {"minhash_pairs", "lsh_topk"}
+    # rows-only entries are exactly the documented ones: xxhash64-based
+    # (no DuckDB equivalent) or fixture-file-driven
+    assert q - o == {"minhash_pairs", "lsh_topk", "ingest_rollup"}
 
 
 def test_all_queries_run_and_return_rows(spark):

@@ -57,9 +57,9 @@ def test_media_features_deterministic(spark):
     )
     media = attach_fake_media(docs, "doc_id", "text")
     feats = {r.media_id: r for r in extract_media_features(media).collect()}
-    assert feats[1].sha1 == feats[2].sha1
+    assert feats[1].sha256 == feats[2].sha256
     assert (feats[1].width, feats[1].height) == (feats[2].width, feats[2].height)
-    assert feats[1].sha1 != feats[3].sha1
+    assert feats[1].sha256 != feats[3].sha256
     assert feats[1].n_bytes == len(b"hello world")
     assert 16 <= feats[1].width < 256
 
