@@ -260,6 +260,43 @@ def q_combined_md5(spark, sf_dir):
     )
 
 
+def q_users_crud(spark, sf_dir):
+    """S10+M4+F11: users dimension derived from customer, bulk-validated
+    with the reference's id/email rules (models/User.scala:78-138) and
+    patched via the expression-side user-patch path (/verified replace
+    for an admin-selected id set, UsersAdapter.scala:118-121)."""
+    from sentinel_spark.operators.maintenance import PatchOp
+    from sentinel_spark.operators.users import (
+        apply_user_patches,
+        valid_email,
+        valid_user_id,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    users = c.select(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("id"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("invalid-email"))
+        .otherwise(F.concat(F.lit("user"), F.col("c_custkey").cast("string"), F.lit("@example.org")))
+        .alias("email"),
+        (F.col("c_custkey") % 3 == 0).alias("verified"),
+        (F.col("c_custkey") % 50 == 1).alias("isAdmin"),
+        F.lit("").alias("hashedPassword"),
+    )
+    patched = apply_user_patches(
+        users,
+        F.col("id").isin(["u1", "u2", "u3"]),
+        [PatchOp("replace", "/verified", True)],
+    )
+    return patched.select(
+        "id",
+        "email",
+        "verified",
+        "isAdmin",
+        valid_user_id("id").alias("id_valid"),
+        valid_email("email").alias("email_valid"),
+    )
+
+
 def q_scalar_functions(spark, sf_dir):
     """F1/F3/F6: md5, pctOf, filename-extension extraction."""
     p = _t(spark, sf_dir, "part")
@@ -485,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "dedup_get_or_create": q_dedup_get_or_create,
         "combined_md5": q_combined_md5,
+        "users_crud": q_users_crud,
         "scalar_functions": q_scalar_functions,
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
@@ -680,6 +718,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(md5(p_type), '' ORDER BY md5(p_type))) AS combined_md5,
                    count(*) AS n_members
             FROM part GROUP BY p_brand
+        """,
+        "users_crud": """
+            WITH users AS (
+              SELECT 'u' || c_custkey AS id,
+                     CASE WHEN c_custkey % 7 = 0 THEN 'invalid-email'
+                          ELSE 'user' || c_custkey || '@example.org' END AS email,
+                     (c_custkey % 3 = 0) AS verified,
+                     (c_custkey % 50 = 1) AS isAdmin
+              FROM customer
+            )
+            SELECT id, email,
+                   CASE WHEN id IN ('u1','u2','u3') THEN true ELSE verified END AS verified,
+                   isAdmin,
+                   (length(id) >= 3 AND regexp_matches(id, '^\\w+$')) AS id_valid,
+                   regexp_matches(email, '^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\\.[a-zA-Z0-9-.]+$') AS email_valid
+            FROM users
         """,
         "scalar_functions": """
             SELECT p_partkey,

@@ -1,0 +1,290 @@
+"""Users dimension + CRUD + patches (reference S10, M4, F11).
+
+Mirrors ``adapters/UsersAdapter.scala:46-76`` (userExist / addUser /
+getUser / updateUser / deleteUser) and ``:86-133`` (patchAndUpdateUser
+with authorization + the /verified, /email, /password patch functions),
+plus the validators in ``models/User.scala:78-138`` and the record
+shape in ``models/User.scala:41-57``.
+
+Spark-first shape: the users table is a small dimension (ParquetTable
+— Delta/Iceberg MERGE in production); every mutation is a conditional
+projection + table-verb call, and every validator exists twice:
+
+* driver-side (plain Python) for single-record CRUD validation, and
+* expression-side (``Column`` rlike) for bulk validation of a whole
+  dimension in one distributed pass — something the reference can't do.
+
+bcrypt (F10) is out of analytical scope (SURVEY §2.8): hash_password
+is a clearly-marked deterministic sha256 stand-in so password patches
+remain testable without the bcrypt dependency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import uuid
+from dataclasses import dataclass, replace
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as TY
+
+from sentinel_spark.operators.maintenance import PatchError, PatchOp
+from sentinel_spark.sources.store import ParquetTable
+
+USERS_SCHEMA = TY.StructType(
+    [
+        TY.StructField("id", TY.StringType(), False),
+        TY.StructField("email", TY.StringType()),
+        TY.StructField("hashedPassword", TY.StringType()),
+        TY.StructField("activeKey", TY.StringType()),
+        TY.StructField("verified", TY.BooleanType()),
+        TY.StructField("isAdmin", TY.BooleanType()),
+        TY.StructField("creationTimeUtc", TY.TimestampType()),
+        TY.StructField("updateTimeUtc", TY.TimestampType()),
+    ]
+)
+
+# Validation rules, verbatim from models/User.scala:78-138 and
+# package.scala:37-39 (MinUserIdLength=3, MinPasswordLength=6).
+MIN_USER_ID_LENGTH = 3
+MIN_PASSWORD_LENGTH = 6
+EMAIL_RE = r"^[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z0-9-.]+$"
+_NON_WORD_RE = re.compile(r"\W+")
+
+
+class DuplicateUserIdError(ValueError):
+    pass
+
+
+class UserNotFoundError(LookupError):
+    pass
+
+
+class AuthorizationError(PermissionError):
+    pass
+
+
+@dataclass(frozen=True)
+class User:
+    """models/User.scala:41-57 minus Mongo _id (the string id is the key)."""
+
+    id: str
+    email: str
+    hashedPassword: str = ""
+    activeKey: str = ""
+    verified: bool = False
+    isAdmin: bool = False
+
+
+# -- validators (models/User.scala:78-138) ---------------------------------
+
+
+def id_messages(user_id: str) -> list[str]:
+    msgs = []
+    if len(user_id) < MIN_USER_ID_LENGTH:
+        msgs.append(f"User ID shorter than {MIN_USER_ID_LENGTH} characters.")
+    bad = _NON_WORD_RE.findall(user_id)
+    if bad:
+        msgs.append("User ID contains forbidden characters: '" + "', '".join(bad) + "'.")
+    return msgs
+
+
+def email_messages(email: str) -> list[str]:
+    return [] if re.match(EMAIL_RE, email) else ["Email invalid."]
+
+
+def password_messages(password: str, confirm: str | None = None) -> list[str]:
+    msgs = []
+    if confirm is not None and password != confirm:
+        msgs.append("Different passwords given.")
+    if len(password) < MIN_PASSWORD_LENGTH:
+        msgs.append(f"Password shorter than {MIN_PASSWORD_LENGTH} characters.")
+    if not (
+        re.search("[A-Z]", password)
+        and re.search("[a-z]", password)
+        and re.search("[0-9]", password)
+    ):
+        msgs.append(
+            "Password does not contain a mixture of lower case(s), upper case(s), and number(s)."
+        )
+    return msgs
+
+
+def valid_user_id(col: Column | str) -> Column:
+    """Expression-side id validator (bulk path): length + word-chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) >= MIN_USER_ID_LENGTH) & c.rlike(r"^\w+$")
+
+
+def valid_email(col: Column | str) -> Column:
+    """Expression-side email validator — the reference's exact regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(EMAIL_RE)
+
+
+def hash_password(password: str) -> str:
+    """STUB for bcrypt (models/User.scala:96): deterministic salted
+    sha256 so password patches are testable; NOT a secure KDF."""
+    return "sha256$" + hashlib.sha256(b"sentinel-spark$" + password.encode()).hexdigest()
+
+
+def generate_api_key() -> str:
+    """Stand-in for the HMAC-SHA1 key generator (models/User.scala:84-90)."""
+    return uuid.uuid4().hex
+
+
+# -- patch functions (UsersAdapter.scala:118-133) --------------------------
+
+
+def patch_user(user: User, patches: list[PatchOp]) -> User:
+    """Apply the reference's user patch subset: replace on /verified,
+    /email (validated), /password (validated, re-hashed). Anything else
+    is a PatchValidationError analog."""
+    out = user
+    for p in patches:
+        if p.op != "replace":
+            raise PatchError(f"unsupported user patch: {p.op} {p.path}")
+        if p.path == "/verified":
+            if not isinstance(p.value, bool):
+                raise PatchError("/verified requires a boolean")
+            out = replace(out, verified=p.value)
+        elif p.path == "/email":
+            msgs = email_messages(str(p.value))
+            if msgs:
+                raise PatchError("; ".join(msgs))
+            out = replace(out, email=str(p.value))
+        elif p.path == "/password":
+            msgs = password_messages(str(p.value))
+            if msgs:
+                raise PatchError("; ".join(msgs))
+            out = replace(out, hashedPassword=hash_password(str(p.value)))
+        else:
+            raise PatchError(f"unpatchable user path: {p.path}")
+    return out
+
+
+def apply_user_patches(
+    df: DataFrame, cond: Column, patches: list[PatchOp]
+) -> DataFrame:
+    """Expression-side mirror of patch_user for bulk patching a users
+    DataFrame: same routing, conditional projection per field."""
+    for p in patches:
+        if p.op != "replace" or p.path not in ("/verified", "/email", "/password"):
+            raise PatchError(f"unsupported user patch: {p.op} {p.path}")
+        field = p.path.lstrip("/")
+        if field == "password":
+            value = F.lit(hash_password(str(p.value)))
+            field = "hashedPassword"
+        else:
+            value = F.lit(p.value)
+        df = df.withColumn(field, F.when(cond, value).otherwise(F.col(field)))
+    return df
+
+
+def ownership_selector(user: User, attr: str = "uploaderId"):
+    """P5 wired to the users dimension: row-level security derived from
+    the authenticated user *record* (admins unconstrained, everyone
+    else pinned to their uploaderId) — RunsProcessor.scala:89-95 with
+    the user coming from UsersAdapter.getUser rather than a bare id."""
+    from sentinel_spark.operators.selectors import ownership
+
+    return ownership(user.id, user.isAdmin, attr)
+
+
+# -- the adapter (UsersAdapter.scala:46-116) -------------------------------
+
+
+class UsersStore:
+    """CRUD over the users dimension table. Call sites translate 1:1 to
+    Delta MERGE/UPDATE/DELETE at scale (see sources/store.py)."""
+
+    def __init__(self, spark, path: str):
+        self.table = ParquetTable(spark, path, USERS_SCHEMA)
+        self.spark = spark
+
+    def _row(self, user: User) -> DataFrame:
+        return self.spark.createDataFrame(
+            [
+                (
+                    user.id,
+                    user.email,
+                    user.hashedPassword,
+                    user.activeKey,
+                    user.verified,
+                    user.isAdmin,
+                )
+            ],
+            TY.StructType(USERS_SCHEMA.fields[:6]),
+        ).select(
+            "*",
+            F.current_timestamp().alias("creationTimeUtc"),
+            F.lit(None).cast("timestamp").alias("updateTimeUtc"),
+        )
+
+    def user_exists(self, user_id: str) -> bool:
+        """UsersAdapter.scala:46-48."""
+        return bool(
+            self.table.read().filter(F.col("id") == F.lit(user_id)).take(1)
+        )
+
+    def add_user(self, user: User) -> None:
+        """UsersAdapter.scala:51-56 — duplicate id is a conflict."""
+        msgs = id_messages(user.id) + email_messages(user.email)
+        if msgs:
+            raise ValueError("; ".join(msgs))
+        inserted = self.table.merge_insert_not_matched(self._row(user), ["id"])
+        if inserted == 0:
+            raise DuplicateUserIdError(user.id)
+
+    def get_user(self, user_id: str) -> User | None:
+        """UsersAdapter.scala:64-69."""
+        rows = self.table.read().filter(F.col("id") == F.lit(user_id)).take(1)
+        if not rows:
+            return None
+        r = rows[0]
+        return User(
+            id=r.id,
+            email=r.email,
+            hashedPassword=r.hashedPassword,
+            activeKey=r.activeKey,
+            verified=r.verified,
+            isAdmin=r.isAdmin,
+        )
+
+    def update_user(self, user: User) -> None:
+        """UsersAdapter.scala:72-78 — update-no-upsert; missing id errors."""
+        if not self.user_exists(user.id):
+            raise UserNotFoundError(user.id)
+        self.table.update(
+            F.col("id") == F.lit(user.id),
+            {
+                "email": F.lit(user.email),
+                "hashedPassword": F.lit(user.hashedPassword),
+                "activeKey": F.lit(user.activeKey),
+                "verified": F.lit(user.verified),
+                "isAdmin": F.lit(user.isAdmin),
+                "updateTimeUtc": F.current_timestamp(),
+            },
+        )
+
+    def delete_user(self, user_id: str) -> None:
+        """UsersAdapter.scala:59-62."""
+        self.table.delete(F.col("id") == F.lit(user_id))
+
+    def patch_and_update_user(
+        self, requester: User, user_id: str, patches: list[PatchOp]
+    ) -> User:
+        """UsersAdapter.scala:86-106: self-or-admin authorization,
+        /verified admin-only, then patch + update."""
+        if not (requester.id == user_id or requester.isAdmin):
+            raise AuthorizationError(f"{requester.id} may not patch {user_id}")
+        if any(p.path == "/verified" for p in patches) and not requester.isAdmin:
+            raise AuthorizationError("/verified patches are admin-only")
+        current = self.get_user(user_id)
+        if current is None:
+            raise UserNotFoundError(user_id)
+        patched = patch_user(current, patches)
+        self.update_user(patched)
+        return patched

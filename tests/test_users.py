@@ -1,0 +1,152 @@
+"""Users dimension CRUD + patches (S10/M4), mirroring the reference's
+UsersAdapterSpec.scala / UsersControllerSpec.scala behaviors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.operators.maintenance import PatchError, PatchOp
+from sentinel_spark.operators.users import (
+    AuthorizationError,
+    DuplicateUserIdError,
+    User,
+    UserNotFoundError,
+    UsersStore,
+    apply_user_patches,
+    email_messages,
+    hash_password,
+    id_messages,
+    password_messages,
+    valid_email,
+    valid_user_id,
+)
+
+ADMIN = User(id="admin", email="admin@example.org", isAdmin=True, verified=True)
+AVG = User(id="avg", email="avg@example.org", hashedPassword=hash_password("Pass123"))
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = UsersStore(spark, str(tmp_path / "users"))
+    s.add_user(ADMIN)
+    s.add_user(AVG)
+    return s
+
+
+def test_add_and_exists(store):
+    assert store.user_exists("avg")
+    assert not store.user_exists("nobody")
+
+
+def test_add_duplicate_id_conflicts(store):
+    with pytest.raises(DuplicateUserIdError):
+        store.add_user(User(id="avg", email="other@example.org"))
+
+
+def test_add_invalid_rejected(store):
+    with pytest.raises(ValueError):
+        store.add_user(User(id="x", email="ok@example.org"))  # id too short
+    with pytest.raises(ValueError):
+        store.add_user(User(id="okay", email="not-an-email"))
+
+
+def test_get_user_roundtrip(store):
+    u = store.get_user("avg")
+    assert u == AVG
+    assert store.get_user("nobody") is None
+
+
+def test_update_user(store):
+    store.update_user(User(id="avg", email="new@example.org"))
+    assert store.get_user("avg").email == "new@example.org"
+    with pytest.raises(UserNotFoundError):
+        store.update_user(User(id="ghost", email="g@example.org"))
+
+
+def test_delete_user(store):
+    store.delete_user("avg")
+    assert not store.user_exists("avg")
+    assert store.user_exists("admin")
+
+
+def test_patch_verified_admin_only(store):
+    patched = store.patch_and_update_user(
+        ADMIN, "avg", [PatchOp("replace", "/verified", True)]
+    )
+    assert patched.verified
+    assert store.get_user("avg").verified
+    with pytest.raises(AuthorizationError):
+        store.patch_and_update_user(AVG, "avg", [PatchOp("replace", "/verified", True)])
+
+
+def test_patch_authorization_self_or_admin(store):
+    with pytest.raises(AuthorizationError):
+        store.patch_and_update_user(AVG, "admin", [PatchOp("replace", "/email", "x@y.zz")])
+    patched = store.patch_and_update_user(
+        AVG, "avg", [PatchOp("replace", "/email", "self@example.org")]
+    )
+    assert patched.email == "self@example.org"
+
+
+def test_patch_email_validated(store):
+    with pytest.raises(PatchError):
+        store.patch_and_update_user(ADMIN, "avg", [PatchOp("replace", "/email", "bad")])
+
+
+def test_patch_password_validated_and_rehashed(store):
+    old = store.get_user("avg").hashedPassword
+    patched = store.patch_and_update_user(
+        ADMIN, "avg", [PatchOp("replace", "/password", "NewPass99")]
+    )
+    assert patched.hashedPassword != old
+    assert patched.hashedPassword == hash_password("NewPass99")
+    for bad in ("short", "alllowercase1", "NOUPPER"):
+        with pytest.raises(PatchError):
+            store.patch_and_update_user(ADMIN, "avg", [PatchOp("replace", "/password", bad)])
+
+
+def test_validator_messages():
+    assert id_messages("ok_id") == []
+    assert any("shorter" in m for m in id_messages("ab"))
+    assert any("forbidden" in m for m in id_messages("bad id!"))
+    assert email_messages("a.b+c@d-e.fg") == []
+    assert email_messages("nope") == ["Email invalid."]
+    assert password_messages("Abc123") == []
+    assert password_messages("Abc123", "Other1") != []
+    assert password_messages("abc123") != []  # no upper case
+
+
+def test_ownership_from_user_record(spark, store):
+    from sentinel_spark.operators.users import ownership_selector
+
+    data = spark.createDataFrame(
+        [("avg", 1), ("admin", 2), ("other", 3)], "uploaderId string, v int"
+    )
+    assert ownership_selector(store.get_user("admin")) is None  # admin sees all
+    visible = data.filter(ownership_selector(store.get_user("avg"))).collect()
+    assert [r.uploaderId for r in visible] == ["avg"]
+
+
+def test_bulk_expression_validators_and_patch(spark):
+    df = spark.createDataFrame(
+        [("avg", "a@b.cc", False), ("ab", "bad", False), ("third", "c@d.ee", False)],
+        "id string, email string, verified boolean",
+    )
+    flags = {
+        r.id: (r.idv, r.emv)
+        for r in df.select(
+            "id",
+            valid_user_id("id").alias("idv"),
+            valid_email("email").alias("emv"),
+        ).collect()
+    }
+    assert flags["avg"] == (True, True)
+    assert flags["ab"] == (False, False)
+    df = df.withColumn("hashedPassword", F.lit(""))
+    patched = apply_user_patches(
+        df,
+        F.col("id") == "avg",
+        [PatchOp("replace", "/verified", True), PatchOp("replace", "/password", "Xyz987")],
+    )
+    rows = {r.id: r for r in patched.collect()}
+    assert rows["avg"].verified and rows["avg"].hashedPassword == hash_password("Xyz987")
+    assert not rows["third"].verified and rows["third"].hashedPassword == ""
