@@ -212,6 +212,51 @@ def q_labels_join(spark, sf_dir):
     )
 
 
+def q_labels_join_map(spark, sf_dir):
+    """J1 exact shape: per-run {dbId → labels} map (RunsProcessor.scala:
+    360-375), serialized deterministically (entries sorted by dbId) so
+    the oracle can hash it."""
+    from sentinel_spark.operators.joins import unit_labels_map
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # the synthetic lineitem repeats (orderkey, linenumber); collapse to
+    # one label per unit id first (map keys must be unique)
+    units = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.min("l_returnflag").alias("label")
+    )
+    labels = unit_labels_map(
+        units, run_col="l_orderkey", id_col="l_linenumber", labels_col="label",
+        out_col="sampleLabels",
+    )
+    return o.join(labels, o.o_orderkey == labels.l_orderkey).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_json(F.col("sampleLabels")).alias("sample_labels_json"),
+    )
+
+
+def q_render_strip(spark, sf_dir):
+    """P8+P9: run-shaped records rendered with hidden attributes dropped
+    and blanks recursively stripped (nulls out; empty arrays collapse;
+    a labels object whose every field is blank disappears entirely)."""
+    from sentinel_spark.operators.render import render_records
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    runs = o.select(
+        F.concat(F.lit("r"), key.cast("string")).alias("runId"),
+        F.col("o_orderpriority").alias("pipeline"),
+        F.array(F.lit("s1")).alias("sampleIds"),
+        F.array(F.lit("rg1")).alias("readGroupIds"),
+        F.struct(
+            F.when(key % 3 != 0, F.concat(F.lit("note-"), F.col("o_custkey").cast("string"))).alias("notes"),
+            F.when(key % 4 != 0, F.array(F.col("o_orderstatus"))).alias("tags"),
+        ).alias("labels"),
+    )
+    return render_records(runs, ["runId"])
+
+
 def q_union_pipelines(spark, sf_dir):
     """J5: multi-pipeline fan-out union (flatten of per-pipeline results)."""
     o = _t(spark, sf_dir, "orders")
@@ -518,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fragment_agg": q_fragment_agg,
         "global_rollup": q_global_rollup,
         "labels_join": q_labels_join,
+        "labels_join_map": q_labels_join_map,
+        "render_strip": q_render_strip,
         "union_pipelines": q_union_pipelines,
         "topk_per_group": q_topk_per_group,
         "dedup_get_or_create": q_dedup_get_or_create,
@@ -694,6 +741,31 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS unit_labels
               FROM lineitem GROUP BY l_orderkey
             ) g ON o_orderkey = g.l_orderkey
+        """,
+        "labels_join_map": """
+            SELECT o_orderkey, o_orderstatus, sample_labels_json
+            FROM orders
+            JOIN (
+              SELECT l_orderkey,
+                     '{' || string_agg('"' || l_linenumber || '":"' || label || '"', ',' ORDER BY l_linenumber) || '}' AS sample_labels_json
+              FROM (SELECT l_orderkey, l_linenumber, min(l_returnflag) AS label
+                    FROM lineitem GROUP BY 1, 2)
+              GROUP BY l_orderkey
+            ) g ON o_orderkey = g.l_orderkey
+        """,
+        "render_strip": """
+            SELECT 'r' || o_orderkey AS runId,
+                   '{' || concat_ws(',',
+                     '"runId":"r' || o_orderkey || '"',
+                     '"pipeline":"' || o_orderpriority || '"',
+                     CASE WHEN o_orderkey % 3 != 0 OR o_orderkey % 4 != 0 THEN
+                       '"labels":{' || concat_ws(',',
+                         CASE WHEN o_orderkey % 3 != 0 THEN '"notes":"note-' || o_custkey || '"' END,
+                         CASE WHEN o_orderkey % 4 != 0 THEN '"tags":["' || o_orderstatus || '"]' END
+                       ) || '}'
+                     END
+                   ) || '}' AS rendered
+            FROM orders
         """,
         "union_pipelines": """
             SELECT o_orderkey, 'pipeA' AS pipeline, o_totalprice FROM orders WHERE o_orderstatus = 'O'

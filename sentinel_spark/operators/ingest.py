@@ -364,6 +364,35 @@ def shred_uploads(
     )
 
 
+def read_raw_file(files: DataFrame, file_id: str) -> tuple[str, bytes]:
+    """S9: raw-file download (CompositeRunsProcessor.scala:120-125;
+    api/RunsController.scala:246-257) — stream the stored summary back.
+
+    Point lookup on the files table (at scale: id-partitioned /
+    Z-ordered, so this prunes to one file group). Returns
+    ``(filename, content bytes)`` after verifying the stored md5 —
+    the GridFS integrity check equivalent. For ``.gz`` uploads the
+    stored content is the *decompressed* text (S1 decompresses at
+    ingest), matching the reference reading back through its
+    gzip-transparent layer.
+    """
+    rows = (
+        files.filter(F.col("fileId") == F.lit(file_id))
+        .select("filename", "content", "md5")
+        .take(1)
+    )
+    if not rows:
+        raise FileNotFoundError(f"no stored file with id {file_id!r}")
+    r = rows[0]
+    content = bytes(r.content)
+    import hashlib
+
+    actual = hashlib.md5(content).hexdigest()
+    if actual != r.md5:
+        raise IOError(f"stored md5 {r.md5} != content md5 {actual}")
+    return r.filename, content
+
+
 def detect_duplicate_uploads(files: DataFrame, existing_files: DataFrame) -> DataFrame:
     """S5: re-upload of identical content by the same user is a
     conflict (unique index (md5, uploaderId), scripts/dbSetup.js:35-40).

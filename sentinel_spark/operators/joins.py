@@ -1,0 +1,71 @@
+"""Run ⋈ unit-label enrichment (reference J1).
+
+``showUnitsLabels=true`` enriches each run with ``sampleLabels`` /
+``readGroupLabels`` — maps of ``{dbId → labels}`` fetched from the unit
+collections by the run's id lists (processors/RunsProcessor.scala:
+360-375; label fetchers adapters/SamplesAdapter.scala:93-100,
+adapters/ReadGroupsAdapter.scala:94-101).
+
+Spark-first: one hash aggregation per unit table builds the per-run map
+(``map_from_entries`` over a sorted ``collect_list`` so map iteration
+order is deterministic), then a broadcast-friendly equi-join on runId
+attaches it. Per-run maps are small (units per run), so collect_list
+never buffers more than one run's units per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unit_labels_map(
+    units: DataFrame,
+    run_col: str = "runId",
+    id_col: str = "dbId",
+    labels_col: str = "labels",
+    out_col: str = "labelsMap",
+) -> DataFrame:
+    """Per-run ``{dbId → labels}`` map. Entries sort by dbId before
+    map_from_entries, making map order (and its JSON rendering)
+    deterministic."""
+    entry = F.struct(F.col(id_col).alias("key"), F.col(labels_col).alias("value"))
+
+    # Comparator-based sort: label structs contain a MapType (tags),
+    # which is not an orderable type, so sort_array would reject the
+    # entry struct — compare on the key alone instead.
+    def by_key(left, right):
+        return (
+            F.when(left["key"] < right["key"], F.lit(-1))
+            .when(left["key"] > right["key"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return units.groupBy(run_col).agg(
+        F.map_from_entries(F.array_sort(F.collect_list(entry), by_key)).alias(out_col)
+    )
+
+
+def enrich_runs_with_unit_labels(
+    runs: DataFrame,
+    samples: DataFrame | None = None,
+    read_groups: DataFrame | None = None,
+    run_col: str = "runId",
+) -> DataFrame:
+    """RunsProcessor.scala:360-375: attach sampleLabels and/or
+    readGroupLabels maps. Left joins keep runs with no units (their
+    maps stay null, stripped by the render layer)."""
+    out = runs
+    if samples is not None:
+        out = out.join(
+            unit_labels_map(samples, run_col=run_col, out_col="sampleLabels"),
+            run_col,
+            "left",
+        )
+    if read_groups is not None:
+        out = out.join(
+            unit_labels_map(read_groups, run_col=run_col, out_col="readGroupLabels"),
+            run_col,
+            "left",
+        )
+    return out

@@ -1,0 +1,80 @@
+"""Render layer — blank-stripping projection (P8) and hidden-attribute
+projection (P9).
+
+Reference: every response runs through ``hideBlanks.replaceEmpty``
+(api/SentinelServlet.scala:43-62, applied :99-109): nulls/Nones are
+dropped, and empty arrays/objects collapse to nothing *recursively*
+(an object whose every field was blank disappears too) unless the
+caller passes ``showBlanks``. Serialization also strips
+``sampleIds``/``readGroupIds`` (models/BaseRunRecord.scala:84-87,
+utils/package.scala:136-148).
+
+Spark-first: the recursion is driven by the *schema*, not the data —
+:func:`strip_blanks` walks the DataFrame's StructType once at plan
+time and emits a pure Column expression that nulls out empty
+containers bottom-up; ``to_json`` (ignoreNullFields, the Spark
+default) then drops every null key. No UDF, whole-stage codegen,
+identical cost to any other projection at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as TY
+
+# models/BaseRunRecord.scala:84-87
+HIDDEN_RUN_ATTRIBUTES = ("sampleIds", "readGroupIds")
+
+
+def strip_blanks(c: Column, dtype: TY.DataType) -> Column:
+    """Schema-recursive blank stripping: the Column analog of
+    ``hideBlanks.replaceEmpty``. Arrays/maps lose null (post-strip)
+    elements and become NULL when emptied; structs whose every field
+    stripped to NULL become NULL; scalars pass through (empty *strings*
+    survive, matching the reference — only nulls and empty containers
+    are blanks)."""
+    if isinstance(dtype, TY.ArrayType):
+        elems = F.transform(c, lambda x: strip_blanks(x, dtype.elementType))
+        kept = F.filter(elems, lambda x: x.isNotNull())
+        return F.when(F.size(kept) > 0, kept)
+    if isinstance(dtype, TY.MapType):
+        vals = F.transform_values(c, lambda k, v: strip_blanks(v, dtype.valueType))
+        kept = F.map_filter(vals, lambda k, v: v.isNotNull())
+        return F.when(F.size(kept) > 0, kept)
+    if isinstance(dtype, TY.StructType):
+        fields = [strip_blanks(c[f.name], f.dataType).alias(f.name) for f in dtype.fields]
+        any_set = reduce(lambda a, b: a | b, [f.isNotNull() for f in fields])
+        return F.when(any_set, F.struct(*fields))
+    return c
+
+
+def render_json(
+    df: DataFrame,
+    hidden: Sequence[str] = HIDDEN_RUN_ATTRIBUTES,
+    show_blanks: bool = False,
+) -> Column:
+    """One rendered-JSON Column for the whole row: hidden attributes
+    dropped (P9), blanks stripped unless ``show_blanks`` (P8), then
+    ``to_json``. Field order follows the DataFrame schema, like the
+    reference's case-class field order."""
+    visible = [f for f in df.schema.fields if f.name not in set(hidden)]
+    row = F.struct(*[F.col(f.name).alias(f.name) for f in visible])
+    if show_blanks:
+        return F.to_json(row, {"ignoreNullFields": "false"})
+    return F.to_json(strip_blanks(row, TY.StructType(visible)))
+
+
+def render_records(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    hidden: Sequence[str] = HIDDEN_RUN_ATTRIBUTES,
+    show_blanks: bool = False,
+) -> DataFrame:
+    """Rendered listing: key columns + the stripped JSON per row."""
+    return df.select(
+        *key_cols, render_json(df, hidden=hidden, show_blanks=show_blanks).alias("rendered")
+    )

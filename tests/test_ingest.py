@@ -76,6 +76,51 @@ def test_gzip_upload(spark):
     assert res.runs.count() == 1
 
 
+def test_raw_file_roundtrip(spark):
+    """S9: stored bytes match the upload byte-for-byte (md5-verified)."""
+    from sentinel_spark.operators.ingest import read_raw_file
+
+    res = _ingest(spark, "plain", "plain/plain.json")
+    file_id = res.files.select("fileId").collect()[0][0]
+    filename, content = read_raw_file(res.files, file_id)
+    assert filename == "plain.json"
+    with open(os.path.join(FX, "plain", "plain.json"), "rb") as fh:
+        assert content == fh.read()
+    with pytest.raises(FileNotFoundError):
+        read_raw_file(res.files, "nope")
+
+
+def test_raw_file_roundtrip_gz(spark):
+    """S9 gz case: stored content is the decompressed text."""
+    import gzip
+
+    from sentinel_spark.operators.ingest import read_raw_file
+
+    res = _ingest(spark, "plain", "plain/plain.json.gz")
+    file_id = res.files.select("fileId").collect()[0][0]
+    _, content = read_raw_file(res.files, file_id)
+    with open(os.path.join(FX, "plain", "plain.json.gz"), "rb") as fh:
+        assert content == gzip.decompress(fh.read())
+
+
+def test_intra_batch_duplicate_rejected(spark, tmp_path):
+    """Two identical uploads in one batch: first wins, second rejected
+    (the in-batch analog of the (md5, uploaderId) unique index)."""
+    import shutil
+
+    src = os.path.join(FX, "maple", "maple_single_sample_single_rg.json")
+    a, b = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    shutil.copy(src, a)
+    shutil.copy(src, b)
+    res = shred_uploads(read_uploads(spark, [a, b]), PIPELINES["maple"], "user1")
+    assert res.runs.count() == 1
+    assert res.samples.count() == 1
+    rejects = res.rejects.collect()
+    assert len(rejects) == 1 and "duplicate upload" in rejects[0].validationError
+    # counters not inflated by the duplicate
+    assert res.runs.collect()[0].nSamples == 1
+
+
 def test_validation_rejects(spark):
     uploads = read_uploads(
         spark, [os.path.join(FX, p) for p in ("invalid.json", "not.json", "maple/maple_single_sample_single_rg.json")]

@@ -1,0 +1,39 @@
+"""J1 unit-label enrichment over really-ingested fixture tables
+(RunsProcessor.scala:360-375)."""
+
+import os
+
+from sentinel_spark.operators.ingest import read_uploads, shred_uploads
+from sentinel_spark.operators.joins import enrich_runs_with_unit_labels
+from sentinel_spark.plans.pipeline_spec import PIPELINES
+
+FX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_enrich_runs_with_unit_labels(spark):
+    res = shred_uploads(
+        read_uploads(
+            spark,
+            [
+                os.path.join(FX, "maple", f)
+                for f in (
+                    "maple_single_sample_multi_rg.json",
+                    "maple_multi_sample_multi_rg.json",
+                )
+            ],
+        ),
+        PIPELINES["maple"],
+        "user1",
+    )
+    enriched = enrich_runs_with_unit_labels(res.runs, res.samples, res.read_groups)
+    rows = enriched.collect()
+    assert len(rows) == 2
+    for r in rows:
+        # map keys are exactly the run's persisted id lists
+        assert sorted(r.sampleLabels.keys()) == sorted(r.sampleIds)
+        assert sorted(r.readGroupLabels.keys()) == sorted(r.readGroupIds)
+        # values are the unit label structs (names present)
+        for dbid, labels in r.sampleLabels.items():
+            assert labels.sampleName is not None
+        for dbid, labels in r.readGroupLabels.items():
+            assert labels.readGroupName is not None

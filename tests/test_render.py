@@ -1,0 +1,82 @@
+"""P8 blank-stripping + P9 hidden-attribute render goldens
+(api/SentinelServlet.scala:43-62; models/BaseRunRecord.scala:84-87)."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as TY
+
+from sentinel_spark.operators.render import render_json, render_records, strip_blanks
+
+
+def _runs(spark):
+    schema = TY.StructType(
+        [
+            TY.StructField("runId", TY.StringType()),
+            TY.StructField("pipeline", TY.StringType()),
+            TY.StructField("sampleIds", TY.ArrayType(TY.StringType())),
+            TY.StructField("readGroupIds", TY.ArrayType(TY.StringType())),
+            TY.StructField(
+                "labels",
+                TY.StructType(
+                    [
+                        TY.StructField("notes", TY.StringType()),
+                        TY.StructField("tags", TY.MapType(TY.StringType(), TY.StringType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            ("r1", "maple", ["s1"], ["rg1"], ("note", {"k": "v"})),
+            ("r2", "maple", ["s2"], [], (None, {})),  # labels fully blank
+            ("r3", "plain", [], [], ("only-note", {})),
+        ],
+        schema,
+    )
+
+
+def test_hidden_attributes_never_rendered(spark):
+    out = {r.runId: r.rendered for r in render_records(_runs(spark), ["runId"]).collect()}
+    for rendered in out.values():
+        assert "sampleIds" not in rendered and "readGroupIds" not in rendered
+
+
+def test_blank_stripping_recursive(spark):
+    out = {r.runId: json.loads(r.rendered) for r in render_records(_runs(spark), ["runId"]).collect()}
+    assert out["r1"] == {
+        "runId": "r1",
+        "pipeline": "maple",
+        "labels": {"notes": "note", "tags": {"k": "v"}},
+    }
+    # all-blank nested object disappears entirely (the JNothing case)
+    assert out["r2"] == {"runId": "r2", "pipeline": "maple"}
+    # partially-blank object keeps only its non-blank fields
+    assert out["r3"] == {"runId": "r3", "pipeline": "plain", "labels": {"notes": "only-note"}}
+
+
+def test_show_blanks_keeps_everything(spark):
+    df = _runs(spark)
+    out = {
+        r.runId: json.loads(r.rendered)
+        for r in df.select("runId", render_json(df, show_blanks=True).alias("rendered")).collect()
+    }
+    assert out["r2"]["labels"] == {"notes": None, "tags": {}}
+    assert "sampleIds" not in out["r2"]  # hidden attrs stay hidden even with blanks
+
+
+def test_strip_blanks_array_of_structs(spark):
+    schema = TY.ArrayType(
+        TY.StructType(
+            [TY.StructField("a", TY.StringType()), TY.StructField("b", TY.StringType())]
+        )
+    )
+    df = spark.createDataFrame(
+        [([("x", None), (None, None)],)], TY.StructType([TY.StructField("xs", schema)])
+    )
+    got = df.select(
+        F.to_json(strip_blanks(F.col("xs"), schema)).alias("j")
+    ).collect()[0].j
+    # inner all-null struct pruned from the array; kept struct loses null field
+    assert json.loads(got) == [{"a": "x"}]
