@@ -436,13 +436,12 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
-    index with a doc-frequency cap (prefix filtering) — equi-joins
-    only, no O(n²) pairing stage."""
+    """Exact n-gram Jaccard near-dup pairs via inverted-index count
+    aggregation (|a∩b| counted in the join, |a∪b| from sizes) —
+    explode → equi-join → hash-aggregate, all codegen, no per-pair
+    array ops."""
     d = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=3, min_jaccard=0.5, max_shingle_df=20
-    )
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, min_jaccard=0.5)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -849,15 +848,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),
-            ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-            rare AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) <= 20),
-            exr AS (SELECT doc_id, sg FROM ex JOIN rare USING (sg)),
-            pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                      FROM exr a JOIN exr b USING (sg) WHERE a.doc_id < b.doc_id)
-            SELECT id_a, id_b,
-                   round(len(list_intersect(sa.s, sb.s)) / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) AS jaccard
-            FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
-            WHERE round(len(list_intersect(sa.s, sb.s)) / greatest(len(list_distinct(sa.s || sb.s)), 1), 6) >= 0.5
+            ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+            pair AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                     count(*) AS inter
+              FROM ex a JOIN ex b USING (sg) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b, round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+            FROM pair WHERE round(inter / (sz_a + sz_b - inter), 6) >= 0.5
         """,
         "simhash_pairs": f"""
             WITH {_DUCK_SIMHASH_CTE},

@@ -35,8 +35,13 @@ def main():
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("sentinel-spark-bench")
     qs = E.queries()
-    # warm the JVM/codegen once on the smallest table
+    # warm the JVM/codegen once on the smallest table, and the Arrow /
+    # Python-worker pool once (first mapInPandas otherwise charges its
+    # interpreter spin-up to whichever query runs it first)
     E.q_selector_algebra(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in qs.items():

@@ -23,16 +23,38 @@ All expression-only (no Python UDFs).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sentinel_spark.functions.text import WORD_RE, normalized_text
 
 
+def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure the tokenize/explode stage has enough partitions to use
+    every core: a small single-file parquet input arrives as ONE
+    partition, serializing the regex-heavy first stage. At real scale
+    inputs span many files/row-groups and this is a no-op (no action is
+    triggered — the check is plan-side)."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_shingles(col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text.
-    Documents shorter than n tokens yield their whole token string as a
-    single shingle (so they still participate)."""
+    """Distinct word n-gram shingles of the normalized text, as a
+    single array Column. Documents shorter than n tokens yield their
+    whole token string as a single shingle (so they still participate).
+
+    NOTE: convenient for ad-hoc/per-row use, but the higher-order
+    ``transform``/``slice`` lambdas evaluate *interpreted* (outside
+    codegen) — bulk operators use :func:`shingle_rows` instead, which
+    produces the identical shingle set through posexplode + window
+    leads, all codegen.
+    """
     toks = f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
     return F.expr(
         f"""CASE WHEN size({toks}) < {n}
@@ -42,6 +64,46 @@ def token_shingles(col: str, n: int = 3) -> Column:
                      i -> concat_ws(' ', slice({toks}, i, {n}))))
          END"""
     )
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """(id, s) distinct shingle rows — the bulk/scale formulation.
+
+    Same shingle set as :func:`token_shingles`, computed without any
+    interpreted array lambdas: one regexp tokenization per document,
+    ``posexplode`` to token rows, window ``lead`` to form n-grams
+    (short-doc rows fall out because their lead is null — they rejoin
+    through the whole-token-string branch), then per-doc dedup. Every
+    stage is codegen'd; the only shuffles are the window/dedup
+    hash-partition on id.
+    """
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)).alias(
+            "toks"
+        ),
+    )
+    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", k).over(w).alias(f"t{k}") for k in range(1, n)]
+    grams = (
+        toks.select("id", "tok", *leads)
+        .filter(F.col(f"t{n - 1}").isNotNull() if n > 1 else F.lit(True))
+        .select(
+            "id", F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)]).alias("s")
+        )
+    )
+    short = base.filter(F.size("toks") < n).select(
+        "id", F.concat_ws(" ", "toks").alias("s")
+    )
+    return grams.unionByName(short).dropDuplicates(["id", "s"])
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
@@ -81,10 +143,9 @@ def minhash_signatures(
     # everything < 2^62 avoids int64 overflow (ANSI mode errors on it).
     p = 2147483647  # 2^31 - 1, prime
     coef = _minhash_coefficients(num_hashes, p)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_shingles(text_col, shingle_n)).alias("sh"),
-    ).select("id", F.pmod(F.xxhash64("sh"), F.lit(p)).alias("h"))
+    sh = shingle_rows(df, text_col, id_col, shingle_n).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(p)).alias("h")
+    )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
         for i, (a, b) in enumerate(coef)
@@ -140,9 +201,12 @@ def minhash_candidate_pairs(
     signature-agreement estimate.
     """
     rows_per_band = num_hashes // num_bands
+    # The signature table feeds three plan branches (banded explode +
+    # two pair re-attach joins); persist so the tokenize+hash lineage
+    # runs once, not once per branch. It is tiny (num_hashes longs/doc).
     sig = minhash_signatures(
         df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
-    )
+    ).persist()
     # Narrow (id, band_key) rows through the self-join + pair-dedup;
     # signatures re-attach afterwards so the shuffled rows stay small.
     banded = sig.select(
@@ -210,6 +274,70 @@ def simhash64(col: str, shingle_n: int = 2) -> Column:
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, h) simhash table via explode — the bulk/scale formulation.
+
+    Same bits as :func:`simhash64` (one md5 per shingle, majority vote
+    per bit), but computed as explode → 16 nibble projections → 64
+    ``sum()`` aggregates → bit packing: every stage is codegen'd
+    column arithmetic, whereas the single-Column form pays interpreted
+    higher-order-lambda evaluation per (shingle × bit). One shuffle on
+    id with map-side partial aggregation.
+    """
+    ex = shingle_rows(df, text_col, id_col, shingle_n).select(
+        "id", F.md5("s").alias("m")
+    )
+    nibbles = ex.select(
+        "id",
+        *[
+            (F.instr(F.lit("0123456789abcdef"), F.substring("m", 1 + i, 1)) - 1).alias(
+                f"n{i}"
+            )
+            for i in range(16)
+        ],
+    )
+
+    # Two set-bit counters packed per 64-bit sum (32-bit halves): 32
+    # aggregates + one row count instead of 64 vote aggregates, halving
+    # the generated-code size. Counter capacity 2^32 shingles per doc —
+    # unreachable. bit b set-count lives in half (b % 2) of sum s{b//2}.
+    def bit(b: int):
+        return F.shiftright(F.col(f"n{b // 4}"), b % 4) % 2
+
+    sums = [
+        F.sum(bit(2 * k) + (bit(2 * k + 1).cast("long") * F.lit(1 << 32))).alias(f"s{k}")
+        for k in range(32)
+    ]
+    counts = nibbles.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
+
+    def set_count(b: int):
+        half = F.col(f"s{b // 2}")
+        return (
+            F.shiftrightunsigned(half, 32) if b % 2 else half.bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+
+    # majority vote: bit set iff 2 * set_count > n_shingles
+    packed = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(
+                set_count(b) * 2 > F.col("n"),
+                F.lit(1 << b if b < 63 else -(1 << 63)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return counts.select("id", packed.alias("h"))
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str,
@@ -231,9 +359,9 @@ def simhash_hamming_pairs(
     """
     band_bits = 64 // num_bands
     mask = (1 << band_bits) - 1
-    sim = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col, shingle_n).alias("h")
-    )
+    # Persisted for the same reason as the minhash signature table: the
+    # banded self-join references it on both sides (8 bytes per doc).
+    sim = simhash_table(df, text_col, id_col, shingle_n=shingle_n).persist()
     banded = sim.select(
         "id",
         "h",
@@ -274,42 +402,51 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
-    max_shingle_df: int = 20,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs via an inverted
-    shingle index with a document-frequency cap (prefix filtering).
+    """Exact n-gram Jaccard near-duplicate pairs via inverted-index
+    count aggregation — no per-pair array operations anywhere.
 
-    Candidates = pairs sharing ≥1 *rare* shingle (doc-frequency ≤
-    ``max_shingle_df``); hot shingles are dropped before the self-join,
-    which bounds the candidate blow-up at scale — near-dup pairs share
-    many shingles, almost all rare, so recall is unaffected. Exact
-    Jaccard (array_intersect/array_union) then verifies each candidate
-    once. Everything is equi-join + hash-aggregate; no O(n²) stage.
+    Shingles are distinct per document, so in the inverted-index
+    self-join each matching (a, b) row IS one shared shingle:
+    ``|a∩b| = count(*)`` per pair, and ``|a∪b| = |a| + |b| − |a∩b|``.
+    The whole pipeline is explode → equi-join → hash-aggregate, fully
+    inside whole-stage codegen (interpreted higher-order array lambdas
+    never touch the hot path).
+
+    Scale note: join fan-out is Σ df(s)² over shingles — fine while
+    per-shingle doc frequency is moderate. On Zipfian corpora, run
+    :func:`minhash_candidate_pairs` first and verify survivors, or
+    drop stop-shingles before pairing (both standard practice); the
+    count-aggregation trick stays the same.
     """
-    sh = df.select(F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh"))
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    rare = (
-        ex.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") <= max_shingle_df)
-        .select("s")
-    )
-    ex_rare = ex.join(rare, "s")
-    pairs = (
-        ex_rare.alias("a")
-        .join(ex_rare.alias("b"), "s")
+    from pyspark.sql.window import Window
+
+    rows = shingle_rows(df, text_col, id_col, shingle_n)
+    # Both sides of the self-join read this; persist so documents are
+    # tokenized/shingled once (narrow: id + size + one shingle per row).
+    # Per-doc shingle count via a window over the already-id-partitioned
+    # rows (no extra shuffle).
+    ex = rows.select(
+        "id", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"), "s"
+    ).persist()
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    with_sh = pairs.join(
-        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    return with_sh.select(
-        "id_a",
-        "id_b",
-        ngram_jaccard(None, F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-    ).filter(F.col("jaccard") >= min_jaccard)
+    jaccard = F.round(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+    )
+    return inter.select("id_a", "id_b", jaccard.alias("jaccard")).filter(
+        F.col("jaccard") >= min_jaccard
+    )
 
 
 def _shingles_sql(col: str, n: int) -> str:

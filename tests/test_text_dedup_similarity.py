@@ -71,6 +71,28 @@ def test_simhash_hamming(spark, docs):
     assert ham(hs[1], hs[2]) < ham(hs[1], hs[3])
 
 
+def test_simhash_table_matches_column_form(spark, docs):
+    """The explode/codegen bulk formulation computes the exact same
+    64-bit values as the single-Column expression."""
+    col_form = {r.doc_id: r.h for r in docs.select("doc_id", D.simhash64("text").alias("h")).collect()}
+    bulk = {r.id: r.h for r in D.simhash_table(docs, "text", "doc_id").collect()}
+    assert bulk == col_form
+
+
+def test_simhash_hamming_pairs_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_hamming_pairs(docs, "text", "doc_id").collect()}
+    assert pairs.get((1, 4)) == 0  # identical after normalization
+    assert all(3 not in p for p in pairs)  # unrelated doc never paired
+
+
+def test_ngram_jaccard_pairs_count_aggregation(spark, docs):
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, min_jaccard=0.5).collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.75) < 1e-6  # 6 of 8 shingles shared
+    assert all(3 not in p for p in got)
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     vecs = [
