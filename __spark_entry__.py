@@ -358,6 +358,30 @@ def q_scalar_functions(spark, sf_dir):
 # Events: JSON navigation + time bucketing (F7; streaming-shaped agg)
 # --------------------------------------------------------------------------
 
+def q_param_validation(spark, sf_dir):
+    """F4+F9+F11: comma-split multi-valued params
+    (api/SentinelServlet.scala:251-256) and ObjectId/email regex
+    validation (utils/package.scala:116-131, models/User.scala:78-138)
+    as bulk expressions."""
+    c = _t(spark, sf_dir, "customer")
+    raw = F.concat_ws(
+        ",", F.lit("p1"), F.col("c_mktsegment"), F.col("c_custkey").cast("string")
+    )
+    oid = F.when(
+        F.col("c_custkey") % 2 == 0, F.substring(F.md5(F.col("c_name")), 1, 24)
+    ).otherwise(F.lit("not-an-object-id"))
+    email = F.when(
+        F.col("c_custkey") % 5 == 0, F.lit("nope")
+    ).otherwise(F.concat(F.lit("c"), F.col("c_custkey").cast("string"), F.lit("@host.example")))
+    return c.select(
+        "c_custkey",
+        F.size(SC.split_csv_param(raw)).alias("n_params"),
+        F.element_at(SC.split_csv_param(raw), 2).alias("second_param"),
+        SC.is_valid_object_id(oid).alias("oid_valid"),
+        SC.is_valid_email(email).alias("email_valid"),
+    )
+
+
 def q_events_json(spark, sf_dir):
     """F7: JSON-path navigation over a raw JSON column + grouped agg."""
     ev = _t(spark, sf_dir, "events")
@@ -401,6 +425,17 @@ def q_text_stats(spark, sf_dir):
         T.stopword_count("text").alias("n_stopwords"),
         T.stopword_ratio("text").alias("stop_ratio"),
         T.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: composite [0,1] score (length / stopword-density
+    / punctuation terms) + mean token length, all JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.avg_token_len("text").alias("avg_tok_len"),
+        T.quality_score("text").alias("quality"),
     )
 
 
@@ -531,6 +566,23 @@ def q_ann_topk(spark, sf_dir):
     return SIM.brute_force_topk(e, [0, 1, 2, 3, 4], k=5)
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine similar-pair mining — exact baseline on a
+    bounded id range (the LSH-bucketed variant is the scale path,
+    recall-tested in pytest). Threshold sits inside this corpus's
+    similarity range (max pairwise cosine ≈ 0.48) so the gate verifies
+    real rows."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return SIM.cosine_near_dup_pairs(e, threshold=0.35)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: nearest-cell assignment + nprobe cell-restricted
+    scoring, deterministic centroids → fully oracle-checked."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e, [0, 1, 2, 3, 4], k=5, n_cells=16, nprobe=4)
+
+
 def q_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN (the scale path). Approximate by design →
     rows-only check."""
@@ -570,9 +622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_md5": q_combined_md5,
         "users_crud": q_users_crud,
         "scalar_functions": q_scalar_functions,
+        "param_validation": q_param_validation,
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
         "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -584,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "embed_norm": q_embed_norm,
         "ann_topk": q_ann_topk,
+        "cosine_near_dup": q_cosine_near_dup,
+        "ivf_topk": q_ivf_topk,
         "lsh_topk": q_lsh_topk,
     }
 
@@ -663,6 +719,13 @@ def oracle_sql() -> dict[str, str]:
     )
     norm_text = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
     l2 = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        )
 
     return {
         "datapoint_select": """
@@ -813,6 +876,18 @@ def oracle_sql() -> dict[str, str]:
                    lower(regexp_extract(concat_ws('.', p_name, p_type), '\\.([^.]+)$', 1)) AS ext
             FROM part
         """,
+        "param_validation": """
+            SELECT c_custkey,
+                   CAST(len(string_split(concat_ws(',', 'p1', c_mktsegment, c_custkey), ',')) AS INTEGER) AS n_params,
+                   string_split(concat_ws(',', 'p1', c_mktsegment, c_custkey), ',')[2] AS second_param,
+                   regexp_matches(CASE WHEN c_custkey % 2 = 0 THEN substr(md5(c_name), 1, 24)
+                                       ELSE 'not-an-object-id' END,
+                                  '^[0-9a-fA-F]{24}$') AS oid_valid,
+                   regexp_matches(CASE WHEN c_custkey % 5 = 0 THEN 'nope'
+                                       ELSE 'c' || c_custkey || '@host.example' END,
+                                  '^[^@]+@[^@]+\\.[^@]+$') AS email_valid
+            FROM customer
+        """,
         "events_json": """
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -834,6 +909,20 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter({_WORDS}, x -> x IN {_EN})) / greatest(len({_WORDS}), 1), 6) AS stop_ratio,
                    round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_WORDS} AS w,
+                     round(len(list_filter({_WORDS}, x -> x IN {_EN})) / greatest(len({_WORDS}), 1), 6) AS stop_ratio,
+                     round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(list_sum(list_transform(w, x -> CAST(length(x) AS DOUBLE))) / greatest(len(w), 1), 6) AS avg_tok_len,
+                   round((least(length(text) / 200.0, 1.0)
+                          + least(stop_ratio * 4, 1.0)
+                          + (1.0 - least(punct_ratio * 4, 1.0))) / 3.0, 6) AS quality
+            FROM t
         """,
         "lang_id": f"""
             SELECT doc_id, lang AS declared_lang, {lang_case} AS predicted_lang
@@ -884,6 +973,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_norm": f"""
             SELECT vec_id, label, round({l2}, 6) AS l2 FROM embeddings
+        """,
+        "cosine_near_dup": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({cos("a.embedding", "b.embedding")}, 6) AS sim
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.35
+        """,
+        "ivf_topk": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            cents AS (SELECT vec_id AS cell, embedding AS c_vec FROM e WHERE vec_id < 16),
+            cell_sims AS (
+              SELECT e.vec_id AS id, e.embedding AS v, c.cell,
+                     {cos("e.embedding", "c.c_vec")} AS c_sim
+              FROM e CROSS JOIN cents c
+            ),
+            ranked_cells AS (
+              SELECT id, v, cell, c_sim,
+                     row_number() OVER (PARTITION BY id ORDER BY c_sim DESC, cell) AS cell_rank
+              FROM cell_sims
+            ),
+            assigned AS (SELECT id AS c_id, v AS c_vec2, cell FROM ranked_cells WHERE cell_rank = 1),
+            probes AS (SELECT id AS q_id, v AS q_vec, cell FROM ranked_cells
+                       WHERE cell_rank <= 4 AND id IN (0,1,2,3,4)),
+            scored AS (
+              SELECT q_id, c_id, {cos("q_vec", "c_vec2")} AS sim_exact
+              FROM assigned JOIN probes USING (cell) WHERE c_id != q_id
+            )
+            SELECT q_id, c_id, round(sim_exact, 6) AS sim, CAST(rank AS INTEGER) AS rank
+            FROM (
+              SELECT q_id, c_id, sim_exact,
+                     row_number() OVER (PARTITION BY q_id ORDER BY sim_exact DESC, c_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "ann_topk": f"""
             WITH q AS (

@@ -106,6 +106,114 @@ def hyperplane_bucket(vec: Column, bits: int) -> Column:
     return acc
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine ≥ threshold) — the all-pairs baseline. O(n²): bound the
+    input id range or use :func:`cosine_near_dup_pairs_lsh` at scale
+    (same contract, bucketed candidates)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates share a sign-LSH
+    bucket (or, with multiprobe, differ in one bucket bit — one side
+    explodes its probe set against the other side's actual bucket),
+    then exact cosine verifies. Output pairs are normalized
+    (id_a < id_b) and deduplicated; recall < 1 by design."""
+    with_bucket = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), bits).alias("bucket"),
+    ).persist()
+    left = with_bucket
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+        )
+        left = with_bucket.select("id", "v", F.explode(probes).alias("bucket"))
+    cand = (
+        left.alias("a")
+        .join(with_bucket.alias("b"), "bucket")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return cand.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to the nearest of
+    ``n_cells`` centroid cells; each query scores only the vectors in
+    its ``nprobe`` closest cells. The centroid "training" is a
+    deterministic stand-in — the first ``n_cells`` vectors by id —
+    because real IVF trains centroids offline anyway; the *serving*
+    plumbing (assignment, probe-list, cell-restricted scoring) is the
+    part that must scale, and it is all broadcast-joins + windows.
+    Deterministic end-to-end, so the full output is oracle-checkable.
+    """
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+    by_sim = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    scored_cells = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id", "v", "cell", cosine(F.col("v"), F.col("c_vec")).alias("c_sim")
+        )
+        .withColumn("cell_rank", F.row_number().over(by_sim))
+    )
+    assigned = scored_cells.filter(F.col("cell_rank") == 1).select(
+        F.col("id").alias("c_id"), F.col("v").alias("c_vec2"), "cell"
+    )
+    probes = scored_cells.filter(
+        (F.col("cell_rank") <= nprobe) & F.col("id").isin(list(query_ids))
+    ).select(F.col("id").alias("q_id"), F.col("v").alias("q_vec"), "cell")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec2")).alias("sim_exact"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: Sequence[int],

@@ -117,6 +117,31 @@ def test_l2_norm(emb):
     assert r.n == 1.0
 
 
+def test_cosine_near_dup_exact(emb):
+    pairs = {(r.id_a, r.id_b): r.sim for r in SIM.cosine_near_dup_pairs(emb, 0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99  # near-identical vectors
+    assert (2, 3) in pairs
+    assert (0, 4) not in pairs  # opposite vectors
+
+
+def test_cosine_near_dup_lsh_subset_and_scored_identically(emb):
+    exact = {(r.id_a, r.id_b): r.sim for r in SIM.cosine_near_dup_pairs(emb, 0.9).collect()}
+    approx = {(r.id_a, r.id_b): r.sim for r in SIM.cosine_near_dup_pairs_lsh(emb, 0.9, bits=2).collect()}
+    assert set(approx) <= set(exact)
+    for p, s in approx.items():
+        assert exact[p] == s
+
+
+def test_ivf_topk_probes_nearest_cells(emb):
+    # 5 vectors, 2 cells (centroids = vec 0 and 1, which are near-identical),
+    # probe both cells → equals brute force
+    out = SIM.ivf_topk(emb, [0], k=3, n_cells=2, nprobe=2)
+    exact = SIM.brute_force_topk(emb, [0], k=3)
+    assert [(r.c_id, r.sim) for r in out.orderBy("rank").collect()] == [
+        (r.c_id, r.sim) for r in exact.orderBy("rank").collect()
+    ]
+
+
 def test_lsh_topk_subset_of_bruteforce(emb):
     # with few bits everything may share a bucket; result must be a
     # subset of the exact ranking's candidate set and scored identically
