@@ -212,6 +212,37 @@ def q_labels_join(spark, sf_dir):
     )
 
 
+def q_soft_delete_cascade(spark, sf_dir):
+    """M5+J3+P4 through the real maintenance API: cascade-delete one
+    run (units removed, run soft-marked), then the visibility-filtered
+    per-pipeline rollup over runs with some pre-existing soft deletes."""
+    from sentinel_spark.operators.maintenance import RunTables, cascade_delete_run
+    from sentinel_spark.operators.selectors import not_deleted
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    runs = o.select(
+        F.col("o_orderkey").alias("runId"),
+        F.col("o_orderstatus").alias("pipeline"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.current_timestamp()).alias(
+            "deletionTimeUtc"
+        ),
+    )
+    samples = li.select(F.col("l_orderkey").alias("runId"))
+    after = cascade_delete_run(RunTables(runs=runs, samples=samples), run_id=7)
+    visible = after.runs.filter(not_deleted())
+    per_run = after.samples.groupBy("runId").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        visible.join(per_run, "runId", "left")
+        .groupBy("pipeline")
+        .agg(
+            F.count(F.lit(1)).alias("nRuns"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("nItems"),
+        )
+        .orderBy("pipeline")
+    )
+
+
 def q_labels_join_map(spark, sf_dir):
     """J1 exact shape: per-run {dbId → labels} map (RunsProcessor.scala:
     360-375), serialized deterministically (entries sorted by dbId) so
@@ -302,6 +333,41 @@ def q_combined_md5(spark, sf_dir):
     return p.groupBy("p_brand").agg(
         SC.combined_md5(F.collect_list(F.md5(F.col("p_type")))).alias("combined_md5"),
         F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def q_patch_labels(spark, sf_dir):
+    """M1+M2: JSON-Patch parse + path-routed label patching through the
+    real maintenance API (replace /labels/runName, add /labels/tags/*,
+    remove /labels/tags/*) as conditional struct/map surgery — all
+    JVM-side expressions."""
+    from sentinel_spark.operators.maintenance import apply_label_patch, parse_patches
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    runs = o.select(
+        F.concat(F.lit("r"), key.cast("string")).alias("runId"),
+        key.alias("k"),
+        F.struct(
+            F.concat(F.lit("run-"), key.cast("string")).alias("runName"),
+            F.lit(None).cast("string").alias("notes"),
+            F.create_map(F.lit("env"), F.lit("prod")).alias("tags"),
+        ).alias("labels"),
+    )
+    rename, add_tag, drop_tag = parse_patches(
+        [
+            {"op": "replace", "path": "/labels/runName", "value": "renamed"},
+            {"op": "add", "path": "/labels/tags/reviewed", "value": "yes"},
+            {"op": "remove", "path": "/labels/tags/env"},
+        ]
+    )
+    out = apply_label_patch(runs, F.col("k") % 10 == 0, rename)
+    out = apply_label_patch(out, F.col("k") % 10 == 0, add_tag)
+    out = apply_label_patch(out, F.col("k") % 4 == 0, drop_tag)
+    return out.select(
+        "runId",
+        F.col("labels.runName").alias("run_name"),
+        F.to_json(F.col("labels.tags")).alias("tags_json"),
     )
 
 
@@ -620,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "dedup_get_or_create": q_dedup_get_or_create,
         "combined_md5": q_combined_md5,
+        "patch_labels": q_patch_labels,
+        "soft_delete_cascade": q_soft_delete_cascade,
         "users_crud": q_users_crud,
         "scalar_functions": q_scalar_functions,
         "param_validation": q_param_validation,
@@ -852,6 +920,31 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(md5(p_type), '' ORDER BY md5(p_type))) AS combined_md5,
                    count(*) AS n_members
             FROM part GROUP BY p_brand
+        """,
+        "soft_delete_cascade": """
+            WITH runs AS (
+              SELECT o_orderkey AS runId, o_orderstatus AS pipeline,
+                     (o_orderkey % 97 = 0 OR o_orderkey = 7) AS deleted
+              FROM orders
+            ),
+            items AS (
+              SELECT l_orderkey AS runId, count(*) AS n
+              FROM lineitem WHERE l_orderkey != 7 GROUP BY 1
+            )
+            SELECT pipeline, count(*) AS nRuns,
+                   CAST(sum(coalesce(n, 0)) AS BIGINT) AS nItems
+            FROM runs LEFT JOIN items USING (runId)
+            WHERE NOT deleted GROUP BY pipeline ORDER BY pipeline
+        """,
+        "patch_labels": """
+            SELECT 'r' || o_orderkey AS runId,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'renamed'
+                        ELSE 'run-' || o_orderkey END AS run_name,
+                   CASE WHEN o_orderkey % 20 = 0 THEN '{"reviewed":"yes"}'
+                        WHEN o_orderkey % 10 = 0 THEN '{"env":"prod","reviewed":"yes"}'
+                        WHEN o_orderkey % 4 = 0 THEN '{}'
+                        ELSE '{"env":"prod"}' END AS tags_json
+            FROM orders
         """,
         "users_crud": """
             WITH users AS (
