@@ -81,6 +81,81 @@ def stream_ingest(
     return writer.trigger(processingTime="10 seconds").start()
 
 
+def stateful_dedup_stream(
+    docs: DataFrame,
+    key_col: str = "fingerprint",
+    payload_cols: tuple[str, ...] = ("content",),
+):
+    """Custom stateful streaming operator: exact dedup across
+    micro-batches — only the first document per content fingerprint is
+    ever emitted; later arrivals (same batch or any future batch) drop.
+
+    Built on ``applyInPandasWithState``: state is one boolean per
+    fingerprint group, persisted in the streaming state store (RocksDB/
+    HDFS-backed on a cluster, checkpoint-restored across restarts).
+    This is the streaming analog of the batch ``exact_dup_groups`` —
+    a batch engine must re-scan history to dedup; the state store
+    carries "seen" forward instead, so each arriving batch does one
+    state lookup per new fingerprint. Returns the deduped stream.
+    """
+    import pandas as pd  # noqa: F401  (workers need pandas for the UDF)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_fields = ", ".join(
+        [f"{key_col} string"] + [f"{c} string" for c in payload_cols]
+    )
+
+    def emit_first(key, pdfs, state):
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]][[key_col, *payload_cols]]
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        emit_first,
+        outputStructType=out_fields,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+):
+    """File-arrival wrapper for :func:`stateful_dedup_stream`: each
+    line of each arriving text file is a document; fingerprint = md5 of
+    the normalized content; unique documents append to parquet."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    stream = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .select(
+            F.md5(F.lower(F.trim(F.col("value")))).alias("fingerprint"),
+            F.col("value").alias("content"),
+        )
+    )
+    deduped = stateful_dedup_stream(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "unique"))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def hourly_event_rollup(
     events: DataFrame,
     ts_col: str = "ts",

@@ -50,6 +50,26 @@ def test_stream_rollup_matches_batch(spark):
     assert got[("2024-01-01 11:00:00", "b")] == (1, 5.0)
 
 
+def test_stateful_dedup_stream(spark, tmp_path):
+    """Dedup state survives across triggers: a fingerprint emitted in
+    batch 1 never re-emits, intra-batch dups collapse too."""
+    from sentinel_spark.streaming.ingest_stream import run_dedup_stream
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = str(tmp_path / "out")
+    (inbox / "f1.txt").write_text("alpha\nbeta\nalpha\n")
+    run_dedup_stream(spark, str(inbox), out)
+    got = {r.content for r in spark.read.parquet(out + "/unique").collect()}
+    assert got == {"alpha", "beta"}
+    # second batch: one dup (beta) and one new (gamma)
+    (inbox / "f2.txt").write_text("beta\ngamma\n")
+    run_dedup_stream(spark, str(inbox), out)
+    rows = spark.read.parquet(out + "/unique").collect()
+    assert {r.content for r in rows} == {"alpha", "beta", "gamma"}
+    assert len(rows) == 3  # beta did NOT re-emit
+
+
 def test_media_features_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "hello world"), (3, "other content")],
