@@ -250,7 +250,11 @@ def q_labels_join_map(spark, sf_dir):
     from sentinel_spark.operators.joins import unit_labels_map
 
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # Pre-partition on the run key: hashpartitioning(l_orderkey)
+    # satisfies the clustering requirement of BOTH downstream
+    # aggregations (the (orderkey, linenumber) dedup and the per-run
+    # map build), so the whole pipeline runs on one exchange.
+    li = _t(spark, sf_dir, "lineitem").repartition("l_orderkey")
     # the synthetic lineitem repeats (orderkey, linenumber); collapse to
     # one label per unit id first (map keys must be unique)
     units = li.groupBy("l_orderkey", "l_linenumber").agg(
