@@ -23,15 +23,32 @@ from pyspark.sql import types as TY
 
 
 class ParquetTable:
-    def __init__(self, spark: SparkSession, path: str, schema: TY.StructType | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: TY.StructType | None = None,
+        partition_cols: list[str] | None = None,
+    ):
+        """``partition_cols`` writes a Hive-style directory layout
+        (e.g. ``pipeline=maple/``). Queries filtering on those columns
+        then prune whole directories at the scan (``PartitionFilters``
+        in ``.explain``) — the Spark analog of the reference routing
+        each pipeline to its own Mongo collection
+        (MongodbAdapter.scala:56-64), and the main scan-cost lever for
+        per-pipeline queries at 100 TB."""
         self.spark = spark
         self.path = path
         self.schema = schema
+        self.partition_cols = list(partition_cols or [])
 
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        )
+        if not os.path.isdir(self.path):
+            return False
+        for _root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def read(self) -> DataFrame:
         if not self.exists():
@@ -41,14 +58,20 @@ class ParquetTable:
         return self.spark.read.parquet(self.path)
 
     def append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path)
+        w = df.write.mode("append")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         """Materialize to a temp dir, then swap — safe even when ``df``
         reads from this same table (plain overwrite would clobber its
         own input mid-scan)."""
         tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if self.partition_cols:
+            w = w.partitionBy(*self.partition_cols)
+        w.parquet(tmp)
         old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(self.path):
             os.rename(self.path, old)

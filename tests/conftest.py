@@ -17,3 +17,26 @@ def spark():
     s = get_spark("sentinel-spark-tests", cpus=8, shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def sel_df(spark):
+    """(i, a, b, c) rows for the selector-algebra property tests."""
+    rows = [(i, i % 7, i % 5, i % 3) for i in range(60)]
+    return spark.createDataFrame(rows, "i int, a int, b int, c int")
+
+
+@pytest.fixture(scope="session")
+def labels_df(spark):
+    """Rows with a labels struct (notes + tags map) for patch laws."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, "n0", {"env": "prod"}), (1, None, {}), (2, "n2", {"x": "1", "y": "2"})]
+    return spark.createDataFrame(
+        rows, "id int, notes string, tags map<string,string>"
+    ).select(
+        "id",
+        F.struct(
+            F.col("notes"), F.col("tags")
+        ).alias("labels"),
+    )

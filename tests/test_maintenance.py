@@ -121,3 +121,28 @@ def test_parquet_table_roundtrip(spark, tmp_path, tables):
     # delete verb
     t.delete(F.col("runId") == run_id)
     assert t.read().count() == 0
+
+
+def test_partitioned_table_prunes(spark, tmp_path):
+    """Hive-layout partitioning on pipeline: a per-pipeline filter
+    prunes whole directories at the scan (PartitionFilters)."""
+    import os
+
+    t = ParquetTable(spark, str(tmp_path / "runs_p"), partition_cols=["pipeline"])
+    df = spark.createDataFrame(
+        [("r1", "maple", 1), ("r2", "maple", 2), ("r3", "plain", 3)],
+        "runId string, pipeline string, n int",
+    )
+    t.append(df)
+    # physical layout: one directory per pipeline value
+    assert sorted(
+        d for d in os.listdir(t.path) if d.startswith("pipeline=")
+    ) == ["pipeline=maple", "pipeline=plain"]
+    got = t.read().filter(F.col("pipeline") == "maple")
+    assert got.count() == 2
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "maple" in plan
+    # verbs still work through the partitioned layout
+    t.update(F.col("runId") == "r3", {"n": F.lit(99)})
+    assert t.read().filter("runId = 'r3'").collect()[0].n == 99
+    assert t.merge_insert_not_matched(df, ["runId"]) == 0

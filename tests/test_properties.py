@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) — a layer the reference's
+fixture-only strategy lacks (SURVEY §5): algebraic laws of the selector
+combinators, patch round-trips, and the equivalence of the two shingle
+formulations on arbitrary text.
+
+Examples are kept few (Spark jobs per example) but each drives many
+rows at once.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.dedup import shingle_rows, token_shingles
+from sentinel_spark.operators import selectors as S
+from sentinel_spark.operators.maintenance import PatchOp, apply_label_patch
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+VALUES = list(range(10))
+
+
+@SLOW
+@given(
+    eq=st.sampled_from(VALUES),
+    inset=st.lists(st.sampled_from(VALUES), min_size=0, max_size=5),
+    negated=st.sampled_from(VALUES),
+)
+def test_selector_conjunction_matches_python(spark, sel_df, eq, inset, negated):
+    """combine_and == set intersection of the member predicates, with
+    None members eliding; negate == complement."""
+    sel = S.combine_and(
+        S.one_match_one("a", eq),
+        S.many_contain_one("b", inset) if inset else None,
+        S.negate(S.one_match_one("c", negated)),
+        S.one_opt_match_one("a", None),
+    )
+    got = {r.i for r in S.apply_selector(sel_df, sel).select("i").collect()}
+    want = {
+        i
+        for i, (a, b, c) in enumerate(ROWS)
+        if a == eq and (not inset or b in inset) and not (c == negated)
+    }
+    assert got == want
+
+
+ROWS = [(i % 7, i % 5, i % 3) for i in range(60)]
+
+
+@SLOW
+@given(
+    key=st.text(alphabet="abcxyz", min_size=1, max_size=6),
+    value=st.text(alphabet="abc123", min_size=0, max_size=8),
+)
+def test_tag_add_then_remove_roundtrips(spark, labels_df, key, value):
+    """add /labels/tags/<k> then remove /labels/tags/<k> restores the
+    original tags for every row."""
+    cond = F.lit(True)
+    added = apply_label_patch(labels_df, cond, PatchOp("add", f"/labels/tags/{key}", value))
+    removed = apply_label_patch(added, cond, PatchOp("remove", f"/labels/tags/{key}"))
+    orig = [r.labels.tags for r in labels_df.orderBy("id").collect()]
+    back = [r.labels.tags for r in removed.orderBy("id").collect()]
+    assert back == [{k: v for k, v in t.items() if k != key} for t in orig]
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XY.,!7  ", min_size=0, max_size=120),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_shingle_rows_equals_array_form(spark, texts, n):
+    """The codegen bulk formulation and the array Column form produce
+    the identical shingle set for arbitrary text."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    array_form = {
+        r.doc_id: set(r.sh)
+        for r in df.select("doc_id", token_shingles("text", n).alias("sh")).collect()
+    }
+    bulk = {}
+    for r in shingle_rows(df, "text", "doc_id", n).collect():
+        bulk.setdefault(r.id, set()).add(r.s)
+    assert bulk == array_form
