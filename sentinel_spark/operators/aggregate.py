@@ -52,18 +52,33 @@ def _prefix(field: str) -> str:
     return field.replace(".", "_")
 
 
-def stat_exprs(field: str, alias_prefix: str | None = None) -> list[Column]:
+def stat_exprs(
+    field: str, alias_prefix: str | None = None, approx_median: bool = False
+) -> list[Column]:
     """The 7 descriptive statistics for one (possibly nested) metric
     field — DataPointAggr shape (models/DataPointAggr.scala:29-36 plus
-    variance, StatsProcessor.scala:150-152)."""
+    variance, StatsProcessor.scala:150-152).
+
+    ``approx_median=True`` swaps exact ``percentile`` for
+    ``percentile_approx``: the exact form buffers every group's values
+    (ObjectHashAggregate) — correct and oracle-matching, but at 100×
+    group sizes the approx sketch (bounded memory, mergeable) is the
+    documented scale switch. Default stays exact because the reference
+    computes an exact median.
+    """
     p = alias_prefix if alias_prefix is not None else _prefix(field)
     c = F.col(field).cast("double")
+    median = (
+        F.percentile_approx(c, F.lit(0.5), F.lit(10000))
+        if approx_median
+        else F.expr(f"percentile(cast({field} as double), 0.5)")
+    )
     return [
         F.count(c).alias(f"{p}_nDataPoints"),
         F.round(F.avg(c), ROUND_DIGITS).alias(f"{p}_avg"),
         F.min(c).alias(f"{p}_min"),
         F.max(c).alias(f"{p}_max"),
-        F.expr(f"percentile(cast({field} as double), 0.5)").alias(f"{p}_median"),
+        median.alias(f"{p}_median"),
         F.round(F.var_pop(c), ROUND_DIGITS).alias(f"{p}_variance"),
         F.round(F.stddev_pop(c), ROUND_DIGITS).alias(f"{p}_stdev"),
     ]
@@ -92,6 +107,7 @@ def aggregate_stats(
     selector: Selector = None,
     lib_type: str | None = None,
     group_by: Sequence[str] = (),
+    approx_median: bool = False,
 ) -> DataFrame:
     """``getAggregateStats`` (StatsProcessor.scala:261-324): one row (or
     one per group) with the full DataPointAggr for every metric field.
@@ -108,7 +124,7 @@ def aggregate_stats(
     src = apply_selector(df, pred)
     exprs: list[Column] = []
     for f_ in fields:
-        exprs.extend(stat_exprs(f_))
+        exprs.extend(stat_exprs(f_, approx_median=approx_median))
     if group_by:
         return src.groupBy(*group_by).agg(*exprs).orderBy(*group_by)
     return src.agg(*exprs)

@@ -105,3 +105,16 @@ def test_conditional_stats(spark):
     )
     row = df.agg(*conditional_stat_exprs("v", F.col("st") == "F", "f_v")).collect()[0]
     assert row["f_v_nDataPoints"] == 2 and row["f_v_avg"] == 2.0
+
+
+def test_approx_median_scale_switch(spark):
+    """percentile_approx opt-in: close to exact on a smooth
+    distribution, bounded-memory plan (no per-group value buffering)."""
+    from sentinel_spark.operators.aggregate import aggregate_stats
+
+    df = spark.range(10001).select((F.col("id") * 1.0).alias("v"))
+    exact = aggregate_stats(df, ["v"]).collect()[0]
+    approx = aggregate_stats(df, ["v"], approx_median=True).collect()[0]
+    assert exact.v_median == 5000.0
+    assert abs(approx.v_median - exact.v_median) <= 10
+    assert approx.v_nDataPoints == exact.v_nDataPoints == 10001
