@@ -10,12 +10,13 @@ l_linestatus≈isPaired, part/supplier≈dedup dims.
 match the Spark side exactly. Float policy: accumulating aggregates
 (avg/variance/stdev/sums of doubles) are rounded to 6 decimals on BOTH
 sides; order-dependent results always carry a deterministic tiebreak.
-Only three entries run rows-only: ``minhash_pairs`` (xxhash64 has no
-DuckDB equivalent), ``lsh_topk`` (same, and approximate by design),
-and ``ingest_rollup`` (fixture-file-driven, not over the sf tables —
-its golden values are pytest-asserted instead). Everything else,
-including simhash and n-gram-jaccard near-dup pairs, is
-oracle-checked via engine-portable md5/hex arithmetic.
+Only two entries run rows-only: ``minhash_pairs`` (xxhash64 has no
+DuckDB equivalent; covered by pytest recall goldens) and
+``ingest_rollup`` (fixture-file-driven, not over the sf tables — its
+golden values are pytest-asserted instead). Everything else, including
+the approximate operators (simhash, LSH ANN, n-gram Jaccard), is
+oracle-checked via engine-portable md5/hex arithmetic or inlined
+literal weights.
 """
 
 from __future__ import annotations
@@ -654,10 +655,12 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed ANN (the scale path). Approximate by design →
-    rows-only check."""
+    """Sign-LSH bucketed ANN with multiprobe (the scale path).
+    Approximate by design but fully deterministic: literal md5-parity
+    hyperplane weights (dim is a known table property) make the whole
+    output oracle-checkable — the oracle inlines the same weights."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.lsh_topk(e, [0, 1, 2, 3, 4], k=5, bits=4)
+    return SIM.lsh_topk(e, [0, 1, 2, 3, 4], k=5, bits=4, dim=64)
 
 
 # --------------------------------------------------------------------------
@@ -767,6 +770,53 @@ sim AS (
 )"""
 
 _DUCK_HEX = "strpos('0123456789abcdef', substr(sha256(text), {pos}, 1)) - 1"
+
+
+def _lsh_topk_oracle(bits: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB mirror of SIM.lsh_topk(bits=4, dim=64, multiprobe): the
+    same literal md5-parity hyperplane weights are inlined, so bucket
+    assignment (and therefore the approximate result set) is identical."""
+    from sentinel_spark.functions.similarity import hyperplane_weights
+
+    weights = hyperplane_weights(bits, dim)
+
+    def dot_w(i: int) -> str:
+        lits = ", ".join(str(x) for x in weights[i])
+        return (
+            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_w(i)} > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+        for i in range(bits)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(q.q_vec, c.c_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(c.c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    probe_xors = ", ".join(["0"] + [str(1 << b) for b in range(bits)])
+    return f"""
+        WITH wb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS q_vec, xor(bucket, x.x) AS q_bucket
+          FROM wb CROSS JOIN (SELECT unnest([{probe_xors}]) AS x) x
+          WHERE vec_id IN (0,1,2,3,4)
+        ),
+        c AS (SELECT vec_id AS c_id, embedding AS c_vec, bucket FROM wb),
+        scored AS (
+          SELECT q.q_id, c.c_id, {cos} AS sim_exact
+          FROM c JOIN q ON c.bucket = q.q_bucket
+          WHERE c.c_id != q.q_id
+        )
+        SELECT q_id, c_id, round(sim_exact, 6) AS sim, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT q_id, c_id, sim_exact,
+                 row_number() OVER (PARTITION BY q_id ORDER BY sim_exact DESC, c_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def _lang_hits(lex: tuple[str, ...]) -> str:
@@ -1107,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        "lsh_topk": _lsh_topk_oracle(),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id IN (0,1,2,3,4)

@@ -106,6 +106,40 @@ def hyperplane_bucket(vec: Column, bits: int) -> Column:
     return acc
 
 
+def hyperplane_weights(bits: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane weights from md5("i_j") hex parity — computed once
+    driver-side, deterministic, and reproducible in ANY engine (the
+    oracle can inline the same literals), unlike xxhash64."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2 else -1.0
+            for j in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
+def hyperplane_bucket_fixed(vec: Column, bits: int, dim: int) -> Column:
+    """Sign-LSH bucket with *literal* weight arrays (known ``dim`` —
+    a table property the caller owns; no driver-side action). Bit i is
+    the sign of the dot with weight row i; bit 0 is the MSB. Use
+    :func:`hyperplane_bucket` when the dimension is unknown/ragged."""
+    weights = hyperplane_weights(bits, dim)
+    acc = None
+    for i in range(bits):
+        w = F.array(*[F.lit(x) for x in weights[i]])
+        s = F.aggregate(
+            F.zip_with(vec, w, lambda x, wi: x.cast("double") * wi),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bit = F.when(s > 0, F.lit(1)).otherwise(F.lit(0))
+        acc = bit if acc is None else acc * 2 + bit
+    return acc
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
@@ -222,6 +256,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's
     sign-LSH bucket. Recall < 1 by design; the scale path when the
@@ -233,10 +268,18 @@ def lsh_topk(
     neighbors. Candidates live in exactly one bucket, so probes never
     duplicate a (q, c) pair. No driver-side action runs before the plan
     executes.
+
+    With ``dim`` given (a property of the embedding table), buckets use
+    literal md5-parity weights — deterministic AND engine-portable, so
+    the full approximate output is oracle-checkable; without it, the
+    dimension-free xxhash64 bucket function is used.
     """
-    with_bucket = emb.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), bits).alias("bucket")
+    bucket_fn = (
+        hyperplane_bucket_fixed(F.col(vec_col), bits, dim)
+        if dim is not None
+        else hyperplane_bucket(F.col(vec_col), bits)
     )
+    with_bucket = emb.select(F.col(id_col), F.col(vec_col), bucket_fn.alias("bucket"))
     q = with_bucket.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),

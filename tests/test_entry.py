@@ -18,7 +18,7 @@ def test_oracle_keys_subset_of_queries():
     assert o <= q
     # rows-only entries are exactly the documented ones: xxhash64-based
     # (no DuckDB equivalent) or fixture-file-driven
-    assert q - o == {"minhash_pairs", "lsh_topk", "ingest_rollup"}
+    assert q - o == {"minhash_pairs", "ingest_rollup"}
 
 
 def test_all_queries_run_and_return_rows(spark):
