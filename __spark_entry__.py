@@ -10,13 +10,12 @@ l_linestatus≈isPaired, part/supplier≈dedup dims.
 match the Spark side exactly. Float policy: accumulating aggregates
 (avg/variance/stdev/sums of doubles) are rounded to 6 decimals on BOTH
 sides; order-dependent results always carry a deterministic tiebreak.
-Only two entries run rows-only: ``minhash_pairs`` (xxhash64 has no
-DuckDB equivalent; covered by pytest recall goldens) and
-``ingest_rollup`` (fixture-file-driven, not over the sf tables — its
-golden values are pytest-asserted instead). Everything else, including
-the approximate operators (simhash, LSH ANN, n-gram Jaccard), is
-oracle-checked via engine-portable md5/hex arithmetic or inlined
-literal weights.
+Exactly one entry runs rows-only: ``ingest_rollup`` — fixture-file-
+driven (reference-shaped JSON uploads, not the sf tables), with its
+golden values pytest-asserted instead. Every other query, including
+every approximate operator (minhash, simhash, LSH ANN, n-gram
+Jaccard), is hash-checked against DuckDB via engine-portable md5/hex
+arithmetic or inlined literal weights.
 """
 
 from __future__ import annotations
@@ -772,6 +771,53 @@ sim AS (
 _DUCK_HEX = "strpos('0123456789abcdef', substr(sha256(text), {pos}, 1)) - 1"
 
 
+def _minhash_oracle(num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3) -> str:
+    """DuckDB mirror of D.minhash_candidate_pairs: identical md5-based
+    base hash, the same linear permutation coefficients, the same
+    banded md5 bucket keys — so the candidate set and estimated
+    Jaccards hash-match exactly."""
+    from sentinel_spark.functions.dedup import _minhash_coefficients
+
+    p = 2147483647
+    coef = _minhash_coefficients(num_hashes, p)
+    rpb = num_hashes // num_bands
+    md5parse = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(sg), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coef)
+    )
+    band_rows = ", ".join(
+        "md5('{band}|' || {parts}) AS k{band}".format(
+            band=b,
+            parts=" || '|' || ".join(f"m{b * rpb + j}" for j in range(rpb)),
+        )
+        for b in range(num_bands)
+    )
+    key_list = ", ".join(f"k{b}" for b in range(num_bands))
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+        WITH sh AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS s FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        hs AS (SELECT doc_id, ({md5parse}) % {p} AS h FROM ex),
+        sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+        keyed AS (SELECT *, {band_rows} FROM sig),
+        banded AS (SELECT doc_id, unnest([{key_list}]) AS band_key FROM keyed),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b USING (band_key)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(({matches}) / {num_hashes}.0, 6) AS est_jaccard
+        FROM pairs
+        JOIN keyed sa ON sa.doc_id = id_a
+        JOIN keyed sb ON sb.doc_id = id_b
+    """
+
+
 def _lsh_topk_oracle(bits: int = 4, dim: int = 64, k: int = 5) -> str:
     """DuckDB mirror of SIM.lsh_topk(bits=4, dim=64, multiprobe): the
     same literal md5-parity hyperplane weights are inlined, so bucket
@@ -1082,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5({norm_text}) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "minhash_pairs": _minhash_oracle(),
         "ngram_jaccard_pairs": f"""
             WITH sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),
             ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),

@@ -144,7 +144,7 @@ def minhash_signatures(
     p = 2147483647  # 2^31 - 1, prime
     coef = _minhash_coefficients(num_hashes, p)
     sh = shingle_rows(df, text_col, id_col, shingle_n).select(
-        "id", F.pmod(F.xxhash64("s"), F.lit(p)).alias("h")
+        "id", F.pmod(_md5_int60("s"), F.lit(p)).alias("h")
     )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
@@ -157,6 +157,22 @@ def minhash_signatures(
     )
 
 
+def _md5_int60(col: str) -> Column:
+    """First 15 hex chars of md5 parsed to a BIGINT (< 2^60) — the
+    strong base hash for the minhash permutation family. md5 + hex
+    arithmetic instead of xxhash64 so any SQL engine reproduces the
+    signatures exactly (the correctness oracle inlines the same
+    parse)."""
+    m = F.md5(F.col(col))
+    out = F.lit(0).cast("long")
+    for i in range(15):
+        nib = (F.instr(F.lit("0123456789abcdef"), F.substring(m, i + 1, 1)) - 1).cast(
+            "long"
+        )
+        out = out * 16 + nib
+    return out
+
+
 def _minhash_coefficients(num_hashes: int, p: int) -> list[tuple[int, int]]:
     import random
 
@@ -165,10 +181,15 @@ def _minhash_coefficients(num_hashes: int, p: int) -> list[tuple[int, int]]:
 
 
 def lsh_band_key(signature: Column, band: int, rows_per_band: int) -> Column:
-    """Key for one LSH band: hash of (band index, that band's signature
-    slice). Equal key ⇒ the band's minhashes all agree."""
+    """Key for one LSH band: digest of (band index, that band's
+    signature slice). Equal key ⇒ the band's minhashes all agree.
+    md5 over a '|'-joined rendering keeps the key engine-portable."""
     sl = F.slice(signature, band * rows_per_band + 1, rows_per_band)
-    return F.xxhash64(F.lit(band), sl)
+    return F.md5(
+        F.concat_ws(
+            "|", F.lit(str(band)), F.concat_ws("|", sl.cast("array<string>"))
+        )
+    )
 
 
 def exact_dup_groups(df: DataFrame, key: Column, id_col: str) -> DataFrame:

@@ -16,9 +16,9 @@ def test_oracle_keys_subset_of_queries():
     q = set(E.queries())
     o = set(E.oracle_sql())
     assert o <= q
-    # rows-only entries are exactly the documented ones: xxhash64-based
-    # (no DuckDB equivalent) or fixture-file-driven
-    assert q - o == {"minhash_pairs", "ingest_rollup"}
+    # the single rows-only entry is fixture-file-driven by nature (its
+    # golden values are pytest-asserted instead)
+    assert q - o == {"ingest_rollup"}
 
 
 def test_all_queries_run_and_return_rows(spark):
