@@ -150,3 +150,19 @@ def test_lsh_topk_subset_of_bruteforce(emb):
     for r in approx.collect():
         if (r.q_id, r.c_id) in exact:
             assert exact[(r.q_id, r.c_id)] == r.sim
+
+
+def test_null_and_empty_text_behavior(spark):
+    """Edge contract: null-text docs drop out of the pairing operators
+    (they can match nothing); empty/whitespace docs normalize to the
+    empty shingle and dedup against each other as exact duplicates."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "hello world")],
+        "doc_id int, text string",
+    )
+    rows = {(r.id, r.s) for r in D.shingle_rows(docs, "text", "doc_id", 3).collect()}
+    assert rows == {(2, ""), (3, ""), (4, "hello world")}  # doc 1 (null) absent
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, "text", "doc_id").collect()}
+    assert pairs == {(2, 3): 1.0}  # empty docs are exact dups of each other
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] is None and fps[2] == fps[3] != fps[4]
