@@ -176,6 +176,31 @@ def q_fragment_agg(spark, sf_dir):
     return li.agg(*exprs)
 
 
+def q_fragment_struct_agg(spark, sf_dir):
+    """A5 struct form: the real nested read1/read2 recursion over a
+    fragment stats struct (StatsProcessor.scala:282-315), with
+    libType='paired' filtering and a fragment-level outer field — one
+    agg() pass over nested column paths."""
+    from sentinel_spark.operators.aggregate import aggregate_fragment_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.struct(
+            F.struct(F.col("l_quantity").alias("q")).alias("read1"),
+            F.struct(F.col("l_extendedprice").alias("q")).alias("read2"),
+            F.col("l_discount").alias("frag"),
+        ).alias("stats"),
+        (F.col("l_linestatus") == "F").alias("isPaired"),
+    )
+    return aggregate_fragment_stats(
+        src,
+        ["q"],
+        fragment_fields=["frag"],
+        lib_type="paired",
+        read_levels=("read1", "read2"),
+    )
+
+
 def q_global_rollup(spark, sf_dir):
     """A7+A8: derived per-run unit counts rolled up per pipeline
     (o_orderstatus≈pipeline), sorted by group key."""
@@ -684,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": q_agg_stats,
         "agg_stats_grouped": q_agg_stats_grouped,
         "fragment_agg": q_fragment_agg,
+        "fragment_struct_agg": q_fragment_struct_agg,
         "global_rollup": q_global_rollup,
         "labels_join": q_labels_join,
         "labels_join_map": q_labels_join_map,
@@ -953,6 +979,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_stats_sql('l_quantity', 'read1_l_quantity', "l_linestatus = 'F'")},
                    {_stats_sql('l_quantity', 'read2_l_quantity', "l_linestatus = 'O'")}
             FROM lineitem
+        """,
+        "fragment_struct_agg": f"""
+            SELECT {_stats_sql('l_quantity', 'read1_q')},
+                   {_stats_sql('l_extendedprice', 'read2_q')},
+                   {_stats_sql('l_discount', 'frag')}
+            FROM lineitem WHERE l_linestatus = 'F'
         """,
         "global_rollup": """
             WITH per_run AS (
