@@ -642,6 +642,16 @@ def q_multimodal_features(spark, sf_dir):
     return extract_media_features(media)
 
 
+def q_media_frames(spark, sf_dir):
+    """Frame sampling over the fake-media table: 1 media row → n frame
+    rows through Arrow-batched mapInPandas; the deterministic digest
+    derivation makes even this Python-side fan-out hash-checkable."""
+    from sentinel_spark.functions.multimodal import attach_fake_media, sample_frames
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return sample_frames(attach_fake_media(d, "doc_id", "text"), n_frames=4)
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -736,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_rollup": q_ingest_rollup,
         "binary_meta": q_binary_meta,
         "multimodal_features": q_multimodal_features,
+        "media_frames": q_media_frames,
         "embed_norm": q_embed_norm,
         "ann_topk": q_ann_topk,
         "cosine_near_dup": q_cosine_near_dup,
@@ -1196,6 +1207,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (({_DUCK_HEX.format(pos=3)}) * 16 + ({_DUCK_HEX.format(pos=4)})) % 240 AS INTEGER) AS height,
                    'application/x-fake-image' AS mime
             FROM documents
+        """,
+        "media_frames": """
+            WITH f AS (
+              SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i.i AS INTEGER) AS frame_idx,
+                     sha256(text || '#frame#' || i.i) AS frame_sha256
+              FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+              WHERE doc_id < 100
+            )
+            SELECT media_id, frame_idx, frame_sha256,
+                   CAST(16 + ((strpos('0123456789abcdef', substr(frame_sha256, 1, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substr(frame_sha256, 2, 1)) - 1)) % 240 AS INTEGER) AS width,
+                   CAST(16 + ((strpos('0123456789abcdef', substr(frame_sha256, 3, 1)) - 1) * 16
+                            + (strpos('0123456789abcdef', substr(frame_sha256, 4, 1)) - 1)) % 240 AS INTEGER) AS height
+            FROM f
         """,
         "embed_norm": f"""
             SELECT vec_id, label, round({l2}, 6) AS l2 FROM embeddings

@@ -84,6 +84,72 @@ def fake_decode(content: bytes) -> tuple[int, int]:
     return 16 + int(d[0:2], 16) % 240, 16 + int(d[2:4], 16) % 240
 
 
+FRAME_SCHEMA = TY.StructType(
+    [
+        TY.StructField("media_id", TY.LongType()),
+        TY.StructField("frame_idx", TY.IntegerType()),
+        TY.StructField("frame_sha256", TY.StringType()),
+        TY.StructField("width", TY.IntegerType()),
+        TY.StructField("height", TY.IntegerType()),
+    ]
+)
+
+
+def fake_frame(content: bytes, idx: int) -> tuple[str, int, int]:
+    """Deterministic stand-in for video frame extraction: frame i is
+    the sha256 of (content, i) with digest-derived dimensions."""
+    d = hashlib.sha256(content + b"#frame#" + str(idx).encode()).hexdigest()
+    return d, 16 + int(d[0:2], 16) % 240, 16 + int(d[2:4], 16) % 240
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over a (fake-)video table: 1 media row → n frame
+    rows, Arrow-batched. The explode-shaped mapInPandas is the real
+    plumbing (row fan-out, narrow output without the heavy bytes); the
+    decoder is the deterministic stand-in — with a real codec only
+    ``fake_frame`` changes. Uniform frame-index sampling mirrors the
+    usual keyframe/stride samplers."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "frame_sha256", "width", "height")}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                for i in range(n_frames):
+                    sha, w, h = fake_frame(b, i)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_sha256"].append(sha)
+                    out["width"].append(w)
+                    out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pass: content → resized content + new dims. STUB resizer
+    (digest-stamped bytes, deterministic); the Spark shape — binary in,
+    binary out, metadata updated, Arrow-batched — is the real part."""
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = [
+                hashlib.sha256(bytes(c) + f"@{width}x{height}".encode()).digest()
+                for c in pdf["content"]
+            ]
+            pdf["meta"] = [
+                {**(dict(m) if m is not None else {}), "resized": f"{width}x{height}"}
+                for m in pdf["meta"]
+            ]
+            yield pdf
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the media table.
 

@@ -87,3 +87,34 @@ def test_media_features_deterministic(spark):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_frame_sampling_fanout(spark):
+    from sentinel_spark.functions.multimodal import attach_fake_media, sample_frames
+
+    docs = spark.createDataFrame([(1, "vid one"), (2, "vid two")], "doc_id int, text string")
+    frames = sample_frames(attach_fake_media(docs, "doc_id", "text"), n_frames=3).collect()
+    assert len(frames) == 6  # 2 media x 3 frames
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for rows in by_media.values():
+        assert sorted(r.frame_idx for r in rows) == [0, 1, 2]
+        assert len({r.frame_sha256 for r in rows}) == 3  # frames distinct
+        assert all(16 <= r.width < 256 and 16 <= r.height < 256 for r in rows)
+    # deterministic across runs
+    again = sample_frames(attach_fake_media(docs, "doc_id", "text"), n_frames=3).collect()
+    assert {(r.media_id, r.frame_idx, r.frame_sha256) for r in again} == {
+        (r.media_id, r.frame_idx, r.frame_sha256) for r in frames
+    }
+
+
+def test_resize_media_stub(spark):
+    from sentinel_spark.functions.multimodal import attach_fake_media, resize_media
+
+    docs = spark.createDataFrame([(1, "img")], "doc_id int, text string")
+    media = attach_fake_media(docs, "doc_id", "text")
+    out = resize_media(media, 64, 48).collect()[0]
+    assert out.meta["resized"] == "64x48"
+    assert out.content != media.collect()[0].content  # bytes transformed
+    assert out.mime == "application/x-fake-image"
