@@ -343,20 +343,23 @@ def simhash_table(
             F.shiftrightunsigned(half, 32) if b % 2 else half.bitwiseAND(F.lit(0xFFFFFFFF))
         )
 
-    # majority vote: bit set iff 2 * set_count > n_shingles
-    packed = reduce(
-        lambda acc, b: acc.bitwiseOR(
-            F.when(
-                set_count(b) * 2 > F.col("n"),
-                F.lit(1 << b if b < 63 else -(1 << 63)),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-        ),
-        range(64),
-        F.lit(0).cast("long"),
-    )
-    return counts.select("id", packed.alias("h"))
+    # majority vote: bit set iff 2 * set_count > n_shingles. OR-combine
+    # as a balanced tree (depth 6) rather than a 64-deep left fold —
+    # shallow expression trees analyze and codegen-compile faster.
+    terms = [
+        F.when(
+            set_count(b) * 2 > F.col("n"), F.lit(1 << b if b < 63 else -(1 << 63))
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        for b in range(64)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return counts.select("id", terms[0].alias("h"))
 
 
 def simhash_hamming_pairs(

@@ -1,0 +1,62 @@
+"""Skew-handling utilities: two-phase salted aggregation.
+
+AQE's skew-join splitting covers skewed *joins*; skewed *heavy-state
+aggregations* (collect_list/collect_set/exact percentile on a hot key)
+still funnel one key's entire state through one task. Salting splits
+each key into ``buckets`` sub-groups: phase 1 aggregates per
+(key, salt) — hot keys fan out across tasks — and phase 2 merges the
+per-salt partials per key. For algebraic aggregates Spark's map-side
+partials already do this; salting is for the holistic ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_collect_list(
+    df: DataFrame,
+    key_cols: list[str],
+    value: Column | str,
+    buckets: int = 16,
+    out_col: str = "values",
+    sort: bool = True,
+) -> DataFrame:
+    """collect_list per key via two salted phases. With ``sort`` the
+    merged array is sorted, making the result independent of salt/task
+    order (collect_list alone has no ordering guarantee anyway)."""
+    v = F.col(value) if isinstance(value, str) else value
+    salt = F.pmod(F.xxhash64(v.cast("string")), F.lit(buckets)).alias("_salt")
+    partial = (
+        df.select(*key_cols, v.alias("_v"), salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.collect_list("_v").alias("_part"))
+    )
+    merged = partial.groupBy(*key_cols).agg(
+        F.flatten(F.collect_list("_part")).alias(out_col)
+    )
+    if sort:
+        merged = merged.withColumn(out_col, F.sort_array(F.col(out_col)))
+    return merged
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value: Column | str,
+    buckets: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact distinct count per key, salt-partitioned by the *value*:
+    distinct values of one key spread over ``buckets`` sub-groups
+    (a value always lands in the same bucket, so per-bucket distinct
+    counts add up exactly)."""
+    v = F.col(value) if isinstance(value, str) else value
+    salt = F.pmod(F.xxhash64(v.cast("string")), F.lit(buckets)).alias("_salt")
+    per_bucket = (
+        df.select(*key_cols, v.alias("_v"), salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count_distinct("_v").alias("_nd"))
+    )
+    return per_bucket.groupBy(*key_cols).agg(F.sum("_nd").alias(out_col))

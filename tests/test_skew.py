@@ -1,0 +1,51 @@
+"""Salted two-phase aggregation equals the direct form (skew utilities)."""
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.skew import salted_collect_list, salted_count_distinct
+
+
+def _df(spark):
+    # one hot key (100 rows) + several small ones, with duplicate values
+    rows = [("hot", i % 37) for i in range(100)] + [
+        (f"k{j}", v) for j in range(5) for v in range(j + 1)
+    ]
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def test_salted_collect_list_matches_direct(spark):
+    df = _df(spark)
+    direct = {
+        r.k: sorted(r.vs)
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    salted = {
+        r.k: list(r.values)
+        for r in salted_collect_list(df, ["k"], "v", buckets=8).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_count_distinct_matches_direct(spark):
+    df = _df(spark)
+    direct = {
+        r.k: r.nd for r in df.groupBy("k").agg(F.count_distinct("v").alias("nd")).collect()
+    }
+    salted = {
+        r.k: r.n_distinct
+        for r in salted_count_distinct(df, ["k"], "v", buckets=8).collect()
+    }
+    assert salted == direct
+    assert salted["hot"] == 37
+
+
+def test_salted_phases_spread_hot_key(spark):
+    df = _df(spark)
+    # phase-1 grain really is (key, salt): the hot key occupies many groups
+    from pyspark.sql import functions as FF
+
+    salt = FF.pmod(FF.xxhash64(FF.col("v").cast("string")), FF.lit(8))
+    n_groups = (
+        df.select("k", salt.alias("s")).filter("k = 'hot'").distinct().count()
+    )
+    assert n_groups > 1
