@@ -10,12 +10,15 @@ search, text analysis, multimodal plumbing) a 100 TB pipeline needs.
 
 Layout:
     session.py     SparkSession builder tuned for the target cluster
-    sources/       parquet/JSON(+gzip) readers, upload validation
+    sources/       parquet loaders + mutable (partitioned) table layer
     plans/         declarative per-pipeline specs (schema+shred+metrics)
     operators/     selectors, datapoints, aggregate, rollup, ingest,
-                   maintenance
-    functions/     scalar/text/dedup/similarity/multimodal column builders
-    streaming/     structured-streaming ingest + windowed aggregation
+                   maintenance, joins (unit-label maps), render
+                   (blank-strip/hidden attrs), users (CRUD + patches)
+    functions/     scalar/text/dedup/similarity/multimodal/skew column
+                   builders and bulk operators
+    streaming/     structured-streaming ingest, watermarked rollup,
+                   stateful cross-batch dedup
 """
 
 __version__ = "0.1.0"
