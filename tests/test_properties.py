@@ -88,3 +88,26 @@ def test_shingle_rows_equals_array_form(spark, texts, n):
     for r in shingle_rows(df, "text", "doc_id", n).collect():
         bulk.setdefault(r.id, set()).add(r.s)
     assert bulk == array_form
+
+
+@SLOW
+@given(
+    values=st.lists(
+        st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=200
+    )
+)
+def test_descriptive_stats_match_python_statistics(spark, values):
+    """aggregate_stats agrees with Python's statistics module on
+    arbitrary integer data: exact median (even/odd interpolation),
+    population variance, count/min/max/avg."""
+    import statistics
+
+    from sentinel_spark.operators.aggregate import aggregate_stats
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    r = aggregate_stats(df, ["v"]).collect()[0]
+    assert r.v_nDataPoints == len(values)
+    assert r.v_min == min(values) and r.v_max == max(values)
+    assert abs(r.v_avg - round(statistics.fmean(values), 6)) <= 1e-6
+    assert r.v_median == statistics.median(values)
+    assert abs(r.v_variance - round(statistics.pvariance(values), 6)) <= 1e-4

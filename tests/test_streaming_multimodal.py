@@ -50,6 +50,40 @@ def test_stream_rollup_matches_batch(spark):
     assert got[("2024-01-01 11:00:00", "b")] == (1, 5.0)
 
 
+def test_hourly_rollup_true_stream_watermark(spark, tmp_path):
+    """Run the rollup as a real stream (file source, append mode): only
+    windows the watermark has passed are emitted — the late-data
+    contract a batch-mode run cannot exercise."""
+    from sentinel_spark.streaming.ingest_stream import hourly_event_rollup
+
+    src = tmp_path / "events"
+    spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "a", 1.0),
+            ("2024-01-01 10:55:00", "a", 2.0),
+            ("2024-01-01 11:05:00", "b", 5.0),
+            ("2024-01-01 12:30:00", "c", 9.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value").write.parquet(str(src))
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(str(src))
+    q = (
+        hourly_event_rollup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("rollup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(str(r.hour), r.event_type): (r.n_events, r.sum_value) for r in spark.sql("SELECT * FROM rollup_sink").collect()}
+    # watermark ends at 12:30 - 1h = 11:30 → only the 10:00 window has
+    # closed; 11:00 and 12:00 windows are withheld as potentially late
+    assert rows == {("2024-01-01 10:00:00", "a"): (2, 3.0)}
+
+
 def test_stateful_dedup_stream(spark, tmp_path):
     """Dedup state survives across triggers: a fingerprint emitted in
     batch 1 never re-emits, intra-batch dups collapse too."""
