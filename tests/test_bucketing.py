@@ -1,0 +1,38 @@
+"""Bucketed co-located joins: pre-bucketing both sides on the join key
+eliminates the shuffle entirely — the storage-layout lever for the
+runs ⋈ units joins at 100 TB (SURVEY §2.4: all reference joins are
+id-equality, so bucketing by runId co-locates every one of them)."""
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    runs = spark.range(200).select(
+        F.col("id").alias("runId"), (F.col("id") % 7).alias("pipeline")
+    )
+    units = spark.range(1000).select(
+        (F.col("id") % 200).alias("runId"), F.col("id").alias("dbId")
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            runs.write.bucketBy(4, "runId").sortBy("runId")
+            .option("path", str(tmp_path / "runs_b")).saveAsTable("bk_runs")
+        )
+        (
+            units.write.bucketBy(4, "runId").sortBy("runId")
+            .option("path", str(tmp_path / "units_b")).saveAsTable("bk_units")
+        )
+        joined = spark.table("bk_runs").join(spark.table("bk_units"), "runId")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == 1000
+        # contrast: the same join on unbucketed frames shuffles both sides
+        plain = runs.join(units, "runId")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_runs")
+        spark.sql("DROP TABLE IF EXISTS bk_units")
