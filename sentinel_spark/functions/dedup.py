@@ -106,26 +106,6 @@ def shingle_rows(
     return grams.unionByName(short).dropDuplicates(["id", "s"])
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as a single Column: array of ``num_hashes``
-    lexicographic-min md5(seed || shingle) hex digests.
-
-    NOTE: as a column expression the shingle sub-expression gets
-    duplicated ``num_hashes`` times by projection collapse — fine for
-    few hashes, but for signature *tables* use
-    :func:`minhash_signatures` (explode + partial-agg min), which
-    tokenizes each document exactly once.
-    """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda x, i=i: F.md5(F.concat(F.lit(f"mh{i}|"), x)))
-            )
-            for i in range(num_hashes)
-        ]
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -258,8 +238,9 @@ def minhash_candidate_pairs(
     return with_sigs.select("id_a", "id_b", match_frac.alias("est_jaccard"))
 
 
-def ngram_jaccard(df_pairs: DataFrame, shingles_a: Column, shingles_b: Column) -> Column:
-    """Exact Jaccard over shingle sets (verification for LSH survivors)."""
+def ngram_jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over two shingle-set columns (per-pair Column
+    form; bulk pairing uses :func:`ngram_jaccard_pairs`)."""
     inter = F.size(F.array_intersect(shingles_a, shingles_b))
     union = F.size(F.array_union(shingles_a, shingles_b))
     return F.round(inter / F.greatest(union, F.lit(1)), 6)

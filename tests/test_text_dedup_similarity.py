@@ -57,7 +57,7 @@ def test_ngram_jaccard_exact(spark, docs):
     withsh = docs.select("doc_id", D.token_shingles("text", 3).alias("sh"))
     a = withsh.filter("doc_id=1").select(F.col("sh").alias("sh_a"))
     b = withsh.filter("doc_id=2").select(F.col("sh").alias("sh_b"))
-    j = a.crossJoin(b).select(D.ngram_jaccard(None, F.col("sh_a"), F.col("sh_b")).alias("j"))
+    j = a.crossJoin(b).select(D.ngram_jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
     val = j.collect()[0].j
     assert 0.4 < val < 0.9  # 6 of 7 shingles shared → 6/8
 
