@@ -1,0 +1,43 @@
+"""Caller-controlled release of operator-internal persisted frames.
+
+Several bulk operators (minhash/simhash/jaccard pairing, LSH near-dup)
+persist an intermediate DataFrame that feeds multiple plan branches.
+In a long-lived session (streaming driver, bench loop) those cached
+partitions would otherwise accumulate — the same leak
+``IngestResult.unpersist()`` exists to prevent on the ingest path.
+
+Operators record their persisted intermediates on the *result*
+DataFrame via :func:`with_release`; callers free them with
+:func:`release` once the result has been fully consumed::
+
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id")
+    pairs.write.parquet(out)
+    release(pairs)
+
+``release`` is a no-op on DataFrames that carry no cached
+intermediates, so callers can apply it unconditionally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_ATTR = "_sentinel_cached"
+
+
+def with_release(out: DataFrame, cached: list[DataFrame]) -> DataFrame:
+    """Record ``cached`` (persisted intermediates) on ``out`` so a later
+    :func:`release` call can unpersist them. Chains: if ``out`` already
+    carries handles (an operator composed from another operator), the
+    lists concatenate."""
+    existing = list(getattr(out, _ATTR, []))
+    setattr(out, _ATTR, existing + list(cached))
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist every intermediate recorded on ``df`` (no-op if none)."""
+    for cached in getattr(df, _ATTR, []):
+        cached.unpersist()
+    if hasattr(df, _ATTR):
+        setattr(df, _ATTR, [])

@@ -28,19 +28,41 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sentinel_spark.cache import with_release
 from sentinel_spark.functions.text import WORD_RE, normalized_text
 
 
-def _spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def _spread(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    by: Column | None = None,
+) -> DataFrame:
     """Ensure the tokenize/explode stage has enough partitions to use
     every core: a small single-file parquet input arrives as ONE
     partition, serializing the regex-heavy first stage. At real scale
-    inputs span many files/row-groups and this is a no-op (no action is
-    triggered — the check is plan-side)."""
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    inputs span many files and this is a no-op.
+
+    The check is plan-side and never touches the RDD API (Spark
+    Connect-compatible): the input *file list* of the plan proxies the
+    scan parallelism; in-memory relations (no files) always spread.
+
+    With ``by``, the spread is a *hash* repartition on that column —
+    downstream windows/aggregates keyed on it then reuse the
+    partitioning (their Exchanges are elided), so the spread is the
+    ONLY shuffle of the whole per-document pipeline."""
+    spark = df.sparkSession
+    target = min_partitions
+    if target is None:
+        try:
+            target = spark.sparkContext.defaultParallelism
+        except Exception:  # Spark Connect exposes no sparkContext
+            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs < target:
+        return df.repartition(target, by) if by is not None else df.repartition(target)
     return df
 
 
@@ -76,34 +98,57 @@ def shingle_rows(
 
     Same shingle set as :func:`token_shingles`, computed without any
     interpreted array lambdas: one regexp tokenization per document,
-    ``posexplode`` to token rows, window ``lead`` to form n-grams
-    (short-doc rows fall out because their lead is null — they rejoin
-    through the whole-token-string branch), then per-doc dedup. Every
-    stage is codegen'd; the only shuffles are the window/dedup
-    hash-partition on id.
+    ``posexplode`` to token rows, window ``lead`` to form n-grams, then
+    per-doc dedup as an in-place ``groupBy(id, s)``. Short documents
+    (< n tokens) contribute their whole-token-string shingle through
+    the same exploded flow (a ``short_s`` column carried to their
+    pos-0 row), not a separate union branch — keeping the whole plan on
+    one lineage.
+
+    Shuffle profile: the id-hash spread is the ONLY exchange. The lead
+    window keys on id (partitioning reused, sort only), and since
+    hash-partitioning by id co-locates every (id, s) group, the dedup
+    aggregate runs in place too. The output stays hash-partitioned by
+    id, so downstream per-document aggregations (minhash mins, simhash
+    vote sums, shingle counts) elide their exchanges as well — at any
+    scale the per-document pipeline shuffles the corpus exactly once.
     """
-    base = _spread(df).select(
+    base = _spread(df, by=F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)).alias(
             "toks"
         ),
     )
-    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    # posexplode_outer keeps zero-token documents (one null-pos row →
+    # their empty-string shingle, matching token_shingles).
+    toks = base.select(
+        "id",
+        F.when(F.size("toks") < n, F.concat_ws(" ", "toks")).alias("short_s"),
+        F.posexplode_outer("toks").alias("pos", "tok"),
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("tok", k).over(w).alias(f"t{k}") for k in range(1, n)]
+    full = F.col(f"t{n - 1}").isNotNull() if n > 1 else F.col("tok").isNotNull()
+    is_short_anchor = F.col("short_s").isNotNull() & (
+        F.coalesce(F.col("pos"), F.lit(0)) == 0
+    )
     grams = (
-        toks.select("id", "tok", *leads)
-        .filter(F.col(f"t{n - 1}").isNotNull() if n > 1 else F.lit(True))
+        toks.select("id", "short_s", "pos", "tok", *leads)
+        .filter(full | is_short_anchor)
         .select(
-            "id", F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)]).alias("s")
+            "id",
+            F.when(F.col("short_s").isNotNull(), F.col("short_s"))
+            .otherwise(
+                F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)])
+            )
+            .alias("s"),
         )
     )
-    short = base.filter(F.size("toks") < n).select(
-        "id", F.concat_ws(" ", "toks").alias("s")
-    )
-    return grams.unionByName(short).dropDuplicates(["id", "s"])
+    # distinct = HashAggregate on (id, s); hash-partitioning by id
+    # already co-locates those groups, so no exchange is added.
+    return grams.distinct()
 
 
 def minhash_signatures(
@@ -200,6 +245,9 @@ def minhash_candidate_pairs(
     Plan shape: project signature → explode band keys → self-join on
     band key (shuffle on bucket, never O(n²)) → distinct pairs →
     signature-agreement estimate.
+
+    Call :func:`sentinel_spark.cache.release` on the result when done —
+    the signature table persists to feed three plan branches.
     """
     rows_per_band = num_hashes // num_bands
     # The signature table feeds three plan branches (banded explode +
@@ -235,7 +283,9 @@ def minhash_candidate_pairs(
         / F.lit(float(num_hashes)),
         6,
     )
-    return with_sigs.select("id_a", "id_b", match_frac.alias("est_jaccard"))
+    return with_release(
+        with_sigs.select("id_a", "id_b", match_frac.alias("est_jaccard")), [sig]
+    )
 
 
 def ngram_jaccard(shingles_a: Column, shingles_b: Column) -> Column:
@@ -286,42 +336,55 @@ def simhash_table(
     """(id, h) simhash table via explode — the bulk/scale formulation.
 
     Same bits as :func:`simhash64` (one md5 per shingle, majority vote
-    per bit), but computed as explode → 16 nibble projections → 64
-    ``sum()`` aggregates → bit packing: every stage is codegen'd
-    column arithmetic, whereas the single-Column form pays interpreted
+    per bit), but computed as explode → 16 packed-counter ``sum()``
+    aggregates (4×16-bit vote counters per sum, fed by a literal-array
+    nibble lookup) → bit packing: every stage is codegen'd column
+    arithmetic, whereas the single-Column form pays interpreted
     higher-order-lambda evaluation per (shingle × bit). One shuffle on
     id with map-side partial aggregation.
     """
     ex = shingle_rows(df, text_col, id_col, shingle_n).select(
         "id", F.md5("s").alias("m")
     )
-    nibbles = ex.select(
-        "id",
-        *[
-            (F.instr(F.lit("0123456789abcdef"), F.substring("m", 1 + i, 1)) - 1).alias(
-                f"n{i}"
-            )
-            for i in range(16)
-        ],
-    )
 
-    # Two set-bit counters packed per 64-bit sum (32-bit halves): 32
-    # aggregates + one row count instead of 64 vote aggregates, halving
-    # the generated-code size. Counter capacity 2^32 shingles per doc —
-    # unreachable. bit b set-count lives in half (b % 2) of sum s{b//2}.
-    def bit(b: int):
-        return F.shiftright(F.col(f"n{b // 4}"), b % 4) % 2
-
-    sums = [
-        F.sum(bit(2 * k) + (bit(2 * k + 1).cast("long") * F.lit(1 << 32))).alias(f"s{k}")
-        for k in range(32)
+    # Four 16-bit set-bit counters packed per 64-bit sum: nibble p's
+    # four bit-vote counters live in sum s{p}, so the aggregate is 16
+    # sums + one count instead of 64 (or r2's 32) vote aggregates. Each
+    # sum's update expression is a LOOKUP, not bit arithmetic: a literal
+    # 16-element array indexed by the hex digit's 1-based position
+    # (``instr`` over the hex alphabet), where entry x packs the four
+    # bits of nibble value x-1 at offsets 0/16/32/48. This shrinks the
+    # generated aggregate class ~4× vs the r2 shape (the dominant
+    # first-run cost was codegen compile, not execution).
+    #
+    # 16-bit counters cap at 65,535 distinct shingles per document
+    # (≈ 400 KB+ of text); an assert_true guard fails loudly instead of
+    # silently wrapping — split oversized documents before simhashing.
+    lut = [
+        F.lit(
+            ((x & 1) << 0)
+            | (((x >> 1) & 1) << 16)
+            | (((x >> 2) & 1) << 32)
+            | (((x >> 3) & 1) << 48)
+        ).cast("long")
+        for x in range(16)
     ]
-    counts = nibbles.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
+    lut_arr = F.array(*lut)
+    sums = [
+        F.sum(
+            F.element_at(
+                lut_arr, F.instr(F.lit("0123456789abcdef"), F.substring("m", 1 + p, 1))
+            )
+        ).alias(f"s{p}")
+        for p in range(16)
+    ]
+    counts = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
 
     def set_count(b: int):
-        half = F.col(f"s{b // 2}")
-        return (
-            F.shiftrightunsigned(half, 32) if b % 2 else half.bitwiseAND(F.lit(0xFFFFFFFF))
+        # md5 bit b = bit (b % 4) of nibble (b // 4) → field (b % 4) of
+        # sum s{b // 4}.
+        return F.shiftrightunsigned(F.col(f"s{b // 4}"), 16 * (b % 4)).bitwiseAND(
+            F.lit(0xFFFF)
         )
 
     # majority vote: bit set iff 2 * set_count > n_shingles. OR-combine
@@ -340,7 +403,14 @@ def simhash_table(
             terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
             for i in range(0, len(terms), 2)
         ]
-    return counts.select("id", terms[0].alias("h"))
+    guard = F.assert_true(
+        F.col("n") < F.lit(1 << 16),
+        F.lit(
+            "simhash_table: document exceeds 65535 distinct shingles; "
+            "split oversized documents before simhashing"
+        ),
+    )
+    return counts.select("id", F.when(guard.isNull(), terms[0]).alias("h"))
 
 
 def simhash_hamming_pairs(
@@ -359,9 +429,18 @@ def simhash_hamming_pairs(
     raw 64/num_bands-bit slices — no extra hashing needed), self-join
     on (band, key) so candidates shuffle by bucket (never O(n²)), then
     verify with ``bit_count(x ^ y)``. By pigeonhole, any pair with
-    Hamming < num_bands shares at least one clean band. At larger scale
-    use fewer, wider bands (e.g. 4×16 bits) to cut random collisions.
+    Hamming < num_bands shares at least one clean band — so
+    ``max_hamming`` is clamped to ``num_bands - 1``, the guaranteed-
+    recall regime (at the old boundary ``max_hamming == num_bands`` a
+    pair was found only if a band *happened* to be clean, silently
+    making the advertised threshold best-effort). Ask for more bands to
+    widen the guaranteed threshold; use fewer, wider bands (e.g. 4×16
+    bits) to cut random collisions when recall can be probabilistic.
+
+    Call :func:`sentinel_spark.cache.release` on the result when done —
+    the simhash table persists to feed both join sides.
     """
+    max_hamming = min(max_hamming, num_bands - 1)
     band_bits = 64 // num_bands
     mask = (1 << band_bits) - 1
     # Persisted for the same reason as the minhash signature table: the
@@ -395,9 +474,10 @@ def simhash_hamming_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    out = pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    return with_release(out, [sim])
 
 
 def ngram_jaccard_pairs(
@@ -407,6 +487,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index
     count aggregation — no per-pair array operations anywhere.
@@ -418,11 +499,23 @@ def ngram_jaccard_pairs(
     inside whole-stage codegen (interpreted higher-order array lambdas
     never touch the hot path).
 
-    Scale note: join fan-out is Σ df(s)² over shingles — fine while
-    per-shingle doc frequency is moderate. On Zipfian corpora, run
-    :func:`minhash_candidate_pairs` first and verify survivors, or
-    drop stop-shingles before pairing (both standard practice); the
-    count-aggregation trick stays the same.
+    Scale note — the Zipf guard: join fan-out is Σ df(s)² over
+    shingles, and a real web corpus has stop-shingles with df in the
+    millions. ``max_df`` bounds it: shingles with doc-frequency >
+    ``max_df`` are *excluded from candidate generation* (fan-out is
+    then ≤ max_df per surviving shingle), and the reported Jaccard is
+    still **exact** — the stop-shingle set is tiny by construction
+    (Zipf: few distinct shingles are frequent), so each document's
+    stop-shingles are collected into a small array, broadcast-joined
+    back onto the candidate pairs, and their shared count added to the
+    inverted-index partial before the final threshold. The only pairs
+    lost vs the unpruned run are those sharing *no* sub-threshold
+    shingle at all — at any useful ``min_jaccard`` such pairs overlap
+    only in boilerplate.
+
+    Call :func:`sentinel_spark.cache.release` on the result when done —
+    the shingle table (and stop-shingle set, when ``max_df`` is set)
+    persist to feed multiple plan branches.
     """
     from pyspark.sql.window import Window
 
@@ -434,9 +527,25 @@ def ngram_jaccard_pairs(
     ex = rows.select(
         "id", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"), "s"
     ).persist()
+    cached = [ex]
+
+    idx = ex
+    if max_df is not None:
+        # Stop-shingle set: one groupBy over the (already persisted)
+        # shingle rows. Tiny output (only the Zipf head exceeds max_df).
+        stop = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+            .persist()
+        )
+        cached.append(stop)
+        idx = ex.join(F.broadcast(stop), "s", "left_anti")
+
     inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), "s")
+        idx.alias("a")
+        .join(idx.alias("b"), "s")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(
             F.col("a.id").alias("id_a"),
@@ -446,12 +555,52 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+
+    if max_df is not None:
+        # Re-add the stop-shingle contribution exactly: per-doc arrays
+        # of stop-shingles (each array bounded by the tiny stop set;
+        # the *table* is one row per affected doc, so these are shuffle
+        # joins on id — candidate pairs, not the index, drive the cost).
+        stop_per_doc = (
+            ex.join(F.broadcast(stop), "s", "left_semi")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list("s")).alias("stop_sh"))
+        )
+        empty = F.array().cast("array<string>")
+        inter = (
+            inter.join(
+                stop_per_doc.select(
+                    F.col("id").alias("id_a"), F.col("stop_sh").alias("stop_a")
+                ),
+                "id_a",
+                "left",
+            )
+            .join(
+                stop_per_doc.select(
+                    F.col("id").alias("id_b"), F.col("stop_sh").alias("stop_b")
+                ),
+                "id_b",
+                "left",
+            )
+            .withColumn(
+                "inter",
+                F.col("inter")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("stop_a"), empty),
+                        F.coalesce(F.col("stop_b"), empty),
+                    )
+                ),
+            )
+        )
+
     jaccard = F.round(
         F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
     )
-    return inter.select("id_a", "id_b", jaccard.alias("jaccard")).filter(
+    out = inter.select("id_a", "id_b", jaccard.alias("jaccard")).filter(
         F.col("jaccard") >= min_jaccard
     )
+    return with_release(out, cached)
 
 
 def _shingles_sql(col: str, n: int) -> str:

@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sentinel_spark.cache import with_release
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ with double promotion, left-to-right fold."""
@@ -171,7 +173,10 @@ def cosine_near_dup_pairs_lsh(
     bucket (or, with multiprobe, differ in one bucket bit — one side
     explodes its probe set against the other side's actual bucket),
     then exact cosine verifies. Output pairs are normalized
-    (id_a < id_b) and deduplicated; recall < 1 by design."""
+    (id_a < id_b) and deduplicated; recall < 1 by design.
+
+    Call :func:`sentinel_spark.cache.release` on the result when done —
+    the bucketed table persists to feed both join sides."""
     with_bucket = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -196,7 +201,10 @@ def cosine_near_dup_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return cand.select("id_a", "id_b", sim.alias("sim")).filter(F.col("sim") >= threshold)
+    out = cand.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= threshold
+    )
+    return with_release(out, [with_bucket])
 
 
 def ivf_topk(
@@ -216,25 +224,45 @@ def ivf_topk(
     plumbing (assignment, probe-list, cell-restricted scoring) is the
     part that must scale, and it is all broadcast-joins + windows.
     Deterministic end-to-end, so the full output is oracle-checkable.
+
+    Cell *assignment* is an argmax aggregate (``max_by`` over the
+    scored (vector × centroid) rows, tie-broken toward the lower cell
+    id), not a row_number window: map-side partial max_by reduces each
+    vector's 16 candidate rows before the shuffle, where the window
+    formulation shuffled and sorted all of them. The only window left
+    ranks the *query* probe lists — a few rows.
     """
     cents = emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
     )
-    by_sim = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     scored_cells = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .crossJoin(F.broadcast(cents))
         .select(
             "id", "v", "cell", cosine(F.col("v"), F.col("c_vec")).alias("c_sim")
         )
+    )
+    # argmax(c_sim, tie → smallest cell) via max_by over an ordering
+    # struct; v rides along inside the payload struct (identical for
+    # every row of the group).
+    best = scored_cells.groupBy("id").agg(
+        F.max_by(
+            F.struct(F.col("cell"), F.col("v")),
+            F.struct(F.col("c_sim"), (-F.col("cell")).alias("neg_cell")),
+        ).alias("best")
+    )
+    assigned = best.select(
+        F.col("id").alias("c_id"),
+        F.col("best.v").alias("c_vec2"),
+        F.col("best.cell").alias("cell"),
+    )
+    by_sim = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    probes = (
+        scored_cells.filter(F.col("id").isin(list(query_ids)))
         .withColumn("cell_rank", F.row_number().over(by_sim))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(F.col("id").alias("q_id"), F.col("v").alias("q_vec"), "cell")
     )
-    assigned = scored_cells.filter(F.col("cell_rank") == 1).select(
-        F.col("id").alias("c_id"), F.col("v").alias("c_vec2"), "cell"
-    )
-    probes = scored_cells.filter(
-        (F.col("cell_rank") <= nprobe) & F.col("id").isin(list(query_ids))
-    ).select(F.col("id").alias("q_id"), F.col("v").alias("q_vec"), "cell")
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("c_id") != F.col("q_id"))

@@ -25,9 +25,16 @@ def salted_collect_list(
 ) -> DataFrame:
     """collect_list per key via two salted phases. With ``sort`` the
     merged array is sorted, making the result independent of salt/task
-    order (collect_list alone has no ordering guarantee anyway)."""
+    order (collect_list alone has no ordering guarantee anyway).
+
+    The salt is derived from the *row* (partition id + per-partition
+    row position), never from the value: a hot key dominated by one
+    repeated value — the most common skew shape — still fans out across
+    all ``buckets`` sub-groups. (Value-derived salting remains correct
+    and *required* for :func:`salted_count_distinct`, where a value
+    must land in exactly one bucket.)"""
     v = F.col(value) if isinstance(value, str) else value
-    salt = F.pmod(F.xxhash64(v.cast("string")), F.lit(buckets)).alias("_salt")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets)).alias("_salt")
     partial = (
         df.select(*key_cols, v.alias("_v"), salt)
         .groupBy(*key_cols, "_salt")

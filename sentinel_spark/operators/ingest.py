@@ -145,6 +145,7 @@ def shred_uploads(
     uploads: DataFrame,
     spec: PipelineSpec,
     uploader_id: str,
+    eager: bool = False,
 ) -> IngestResult:
     """Validated uploads → runs/samples/read_groups (+files, +dims).
 
@@ -152,6 +153,15 @@ def shred_uploads(
     same exploded projection lineage, so the file is read and parsed
     once per DataFrame action (or once total if the caller caches the
     parsed frame).
+
+    ``eager=True`` materializes the persisted parse/validate frame
+    immediately (one tiny ``count()`` job) so that a downstream
+    multi-join consumer — e.g. the per-pipeline rollup, which fans the
+    shredded batch into sample/read-group/dimension aggregations —
+    reads every branch from the cache instead of racing concurrent
+    first-computations of the same partitions. Ingest batches are
+    bounded (an upload API payload), so the eager job is cheap by
+    construction.
     """
     validated = validate_uploads(uploads, spec).persist()
     schema_rejects = validated.filter(F.col("validationError").isNotNull()).select(
@@ -192,6 +202,8 @@ def shred_uploads(
     # validated, and JSON-parsed once — not once per downstream join.
     base = base.persist()
     cached = [validated, base]
+    if eager:
+        base.count()
 
     files = base.select(
         F.col("runId").alias("fileId"),

@@ -169,15 +169,29 @@ def apply_user_patches(
     df: DataFrame, cond: Column, patches: list[PatchOp]
 ) -> DataFrame:
     """Expression-side mirror of patch_user for bulk patching a users
-    DataFrame: same routing, conditional projection per field."""
+    DataFrame: same routing, conditional projection per field, and the
+    same validation the reference's patchFunctions enforce
+    (UsersAdapter.scala:117-133) — patch values are driver-side
+    literals, so the single-record validators apply verbatim before any
+    projection is built."""
     for p in patches:
         if p.op != "replace" or p.path not in ("/verified", "/email", "/password"):
             raise PatchError(f"unsupported user patch: {p.op} {p.path}")
         field = p.path.lstrip("/")
         if field == "password":
+            msgs = password_messages(str(p.value))
+            if msgs:
+                raise PatchError("; ".join(msgs))
             value = F.lit(hash_password(str(p.value)))
             field = "hashedPassword"
-        else:
+        elif field == "email":
+            msgs = email_messages(str(p.value))
+            if msgs:
+                raise PatchError("; ".join(msgs))
+            value = F.lit(str(p.value))
+        else:  # /verified
+            if not isinstance(p.value, bool):
+                raise PatchError("/verified requires a boolean")
             value = F.lit(p.value)
         df = df.withColumn(field, F.when(cond, value).otherwise(F.col(field)))
     return df

@@ -16,9 +16,9 @@ def test_oracle_keys_subset_of_queries():
     q = set(E.queries())
     o = set(E.oracle_sql())
     assert o <= q
-    # the single rows-only entry is fixture-file-driven by nature (its
-    # golden values are pytest-asserted instead)
-    assert q - o == {"ingest_rollup"}
+    # every query has an oracle (ingest_rollup's is the literal golden
+    # end-state — the fixture corpus is fully deterministic)
+    assert q - o == set()
 
 
 def test_all_queries_run_and_return_rows(spark):
