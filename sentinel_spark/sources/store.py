@@ -1,25 +1,40 @@
 """Minimal mutable-table layer over parquet directories.
 
 The reference mutates MongoDB collections in place (patches, soft
-deletes, cascade deletes). Spark tables on plain parquet are immutable,
-so maintenance ops become read-modify-write with an atomic directory
-swap. In production this layer is Delta/Iceberg MERGE/UPDATE/DELETE
-(ACID, file-level pruning); the API below mirrors those verbs so the
-call sites translate 1:1. At 100 TB you would never full-rewrite — the
-verbs would map to Delta's MERGE with file skipping — which is why the
-mutation API is isolated here instead of leaking read-modify-write
-assumptions into the operators.
+deletes, cascade deletes; processors/RunsProcessor.scala:409-474
+findAndModify, adapters/UnitsAdapter.scala:110-188). Spark tables on
+plain parquet are immutable, so maintenance ops become copy-on-write:
+
+* On a **partitioned** table, ``update``/``delete`` first resolve which
+  partitions contain matching rows (a partition-pruned, filter-pushed
+  scan projecting only the partition columns), rewrite *only those
+  partition directories*, and atomically swap them in. Untouched
+  partitions' files are never read for rewrite and stay byte-identical
+  — the property that makes a label patch or soft delete affordable at
+  100 TB (it costs O(affected partitions), not O(table)).
+* On an unpartitioned table the fallback is the r2 full-table
+  read-modify-write with an atomic directory swap — acceptable only
+  for small dimensions (users, references, annotations).
+
+In production this layer is Delta/Iceberg MERGE/UPDATE/DELETE (ACID,
+file-level rather than directory-level pruning); the API mirrors those
+verbs so call sites translate 1:1, and the copy-on-write here has the
+same asymptotics as Delta's partition-pruned MERGE.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as TY
+
+_SAFE_PARTITION_VALUE = re.compile(r"[A-Za-z0-9_.\-]+")
 
 
 class ParquetTable:
@@ -102,12 +117,114 @@ class ParquetTable:
         return n
 
     def update(self, cond: Column, assignments: dict[str, Column]) -> None:
-        """``UPDATE SET ... WHERE cond`` via conditional projection."""
-        df = self.read()
-        for col_name, value in assignments.items():
-            df = df.withColumn(col_name, F.when(cond, value).otherwise(F.col(col_name)))
-        self.overwrite(df)
+        """``UPDATE SET ... WHERE cond`` via conditional projection —
+        copy-on-write over only the partitions containing matching rows
+        when the table is partitioned (see module docstring).
+
+        Assignments may not target partition columns (that would move
+        rows across directories — a repartitioning MERGE, not an
+        in-place update; Delta restricts the same way)."""
+        overlap = set(assignments) & set(self.partition_cols)
+        if overlap:
+            raise ValueError(
+                f"update may not assign partition columns {sorted(overlap)}; "
+                "rewrite via append+delete instead"
+            )
+
+        def transform(df: DataFrame) -> DataFrame:
+            for col_name, value in assignments.items():
+                df = df.withColumn(
+                    col_name, F.when(cond, value).otherwise(F.col(col_name))
+                )
+            return df
+
+        self._copy_on_write(cond, transform)
 
     def delete(self, cond: Column) -> None:
-        """``DELETE WHERE cond``."""
-        self.overwrite(self.read().filter(~cond | cond.isNull()))
+        """``DELETE WHERE cond`` — partition-granular copy-on-write on
+        partitioned tables; a partition whose rows are all deleted is
+        dropped entirely."""
+        self._copy_on_write(cond, lambda df: df.filter(~cond | cond.isNull()))
+
+    # -- partition-granular copy-on-write ----------------------------------
+
+    def _copy_on_write(self, cond: Column, transform) -> None:
+        """Rewrite only the partitions holding rows that match ``cond``;
+        swap each rewritten directory atomically. Falls back to the
+        full-table rewrite when the table is unpartitioned."""
+        if not self.partition_cols or not self.exists():
+            self.overwrite(transform(self.read()))
+            return
+        parts = self._affected_partitions(cond)
+        if not parts:
+            return
+        pred = self._partition_predicate(parts)
+        rewritten = transform(self.read().filter(pred))
+        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+        rewritten.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(tmp)
+        olds = []
+        try:
+            for r in parts:
+                rel = self._partition_reldir(r)
+                dst = os.path.join(self.path, rel)
+                src = os.path.join(tmp, rel)
+                if os.path.isdir(dst):
+                    old = f"{dst}.__old_{uuid.uuid4().hex[:8]}"
+                    os.rename(dst, old)
+                    olds.append(old)
+                if os.path.isdir(src):
+                    os.rename(src, dst)
+                # else: every row of this partition was deleted — the
+                # directory stays removed.
+        except BaseException:
+            # Keep the displaced originals (``*.__old_*``) for manual
+            # recovery; only the staging dir is disposable.
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        for old in olds:
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _affected_partitions(self, cond: Column) -> list[dict]:
+        """Partition-value tuples containing rows matching ``cond`` —
+        a filter-pushed scan projecting only partition columns; the
+        collected result is bounded by the partition count, not the
+        row count."""
+        rows = (
+            self.read()
+            .filter(cond)
+            .select(*self.partition_cols)
+            .distinct()
+            .collect()
+        )
+        return [r.asDict() for r in rows]
+
+    def _partition_predicate(self, parts: list[dict]) -> Column:
+        """OR-of-ANDs over partition values — matches Spark's partition
+        pruning, so the rewrite scan only opens affected directories."""
+        return reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(k) == F.lit(p[k]) for k in self.partition_cols],
+                )
+                for p in parts
+            ],
+        )
+
+    def _partition_reldir(self, part: dict) -> str:
+        """Hive-style relative directory for one partition tuple.
+        Values are restricted to filesystem-literal characters so the
+        computed path always matches what Spark wrote (full Hive
+        escaping is out of scope for this stand-in layer)."""
+        segs = []
+        for k in self.partition_cols:
+            v = str(part[k])
+            if not _SAFE_PARTITION_VALUE.fullmatch(v):
+                raise ValueError(
+                    f"partition value {v!r} for {k} needs Hive path escaping; "
+                    "unsupported in the parquet stand-in layer"
+                )
+            segs.append(f"{k}={v}")
+        return os.path.join(*segs)

@@ -146,3 +146,71 @@ def test_partitioned_table_prunes(spark, tmp_path):
     t.update(F.col("runId") == "r3", {"n": F.lit(99)})
     assert t.read().filter("runId = 'r3'").collect()[0].n == 99
     assert t.merge_insert_not_matched(df, ["runId"]) == 0
+
+
+def _file_snapshot(root):
+    """{relative parquet path: bytes} under a directory tree."""
+    snap = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    snap[os.path.relpath(p, root)] = fh.read()
+    return snap
+
+
+def test_copy_on_write_update_leaves_other_partitions_untouched(spark, tmp_path):
+    """Partition-granular copy-on-write (RunsProcessor.scala:409-474
+    semantics at scale): an update keyed into one pipeline rewrites only
+    that pipeline's directory; the other partition's files stay
+    byte-identical (same names, same bytes)."""
+    t = ParquetTable(spark, str(tmp_path / "cow"), partition_cols=["pipeline"])
+    df = spark.createDataFrame(
+        [("r1", "maple", 1), ("r2", "maple", 2), ("r3", "plain", 3)],
+        "runId string, pipeline string, n int",
+    )
+    t.append(df)
+    before = _file_snapshot(os.path.join(t.path, "pipeline=plain"))
+    assert before
+
+    t.update(F.col("runId") == "r1", {"n": F.lit(42)})
+
+    after = _file_snapshot(os.path.join(t.path, "pipeline=plain"))
+    assert after == before  # byte-identical: never rewritten
+    got = {r.runId: r.n for r in t.read().collect()}
+    assert got == {"r1": 42, "r2": 2, "r3": 3}
+    # no staging/backup residue
+    assert not [d for d in os.listdir(tmp_path) if "__tmp" in d or "__old" in d]
+
+
+def test_copy_on_write_delete_drops_empty_partition(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "cow2"), partition_cols=["pipeline"])
+    df = spark.createDataFrame(
+        [("r1", "maple", 1), ("r3", "plain", 3)],
+        "runId string, pipeline string, n int",
+    )
+    t.append(df)
+    before = _file_snapshot(os.path.join(t.path, "pipeline=maple"))
+
+    t.delete(F.col("pipeline") == "plain")
+
+    assert _file_snapshot(os.path.join(t.path, "pipeline=maple")) == before
+    assert not os.path.isdir(os.path.join(t.path, "pipeline=plain"))
+    assert [r.runId for r in t.read().collect()] == ["r1"]
+
+
+def test_copy_on_write_guards(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "cow3"), partition_cols=["pipeline"])
+    df = spark.createDataFrame(
+        [("r1", "maple", 1)], "runId string, pipeline string, n int"
+    )
+    t.append(df)
+    # assigning a partition column would move rows across directories
+    with pytest.raises(ValueError, match="partition columns"):
+        t.update(F.col("runId") == "r1", {"pipeline": F.lit("plain")})
+    # a no-match condition is a no-op that rewrites nothing
+    before = _file_snapshot(t.path)
+    t.update(F.col("runId") == "nope", {"n": F.lit(0)})
+    t.delete(F.col("runId") == "nope")
+    assert _file_snapshot(t.path) == before

@@ -166,3 +166,61 @@ def test_null_and_empty_text_behavior(spark):
     assert pairs == {(2, 3): 1.0}  # empty docs are exact dups of each other
     fps = {r.doc_id: r.fp for r in docs.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
     assert fps[1] is None and fps[2] == fps[3] != fps[4]
+
+
+def _pairs(df):
+    return {
+        (r.id_a, r.id_b): r.jaccard for r in df.collect()
+    }
+
+
+def test_ngram_jaccard_zipf_guard(spark):
+    """max_df stop-shingle pruning on a skewed corpus: a boilerplate
+    phrase shared by ~90% of docs is excluded from candidate
+    generation (its quadratic fan-out never materializes), yet the
+    reported Jaccard stays EXACT — stop-shingle contributions are
+    re-added from the per-doc stop arrays. Above the operating
+    threshold, pruned output == unpruned output; the only pairs lost
+    are those sharing nothing but boilerplate."""
+    boiler = "alpha beta gamma delta epsilon"
+    base = "one two three four five six seven eight nine ten"
+    rows = [(i, f"{boiler} u{i}a u{i}b u{i}c") for i in range(16)]
+    rows += [
+        (100, f"{boiler} {base}"),
+        (101, f"{boiler} {base} eleven"),
+        (200, base + " twelve"),
+        (201, base + " thirteen"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unpruned = D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, min_jaccard=0.5)
+    pruned = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=3, min_jaccard=0.5, max_df=8
+    )
+    up, pr = _pairs(unpruned), _pairs(pruned)
+    # boilerplate 3-grams have df=18 > 8 → pruned from the index, but
+    # every real near-dup pair survives with the identical exact value
+    # (e.g. (100,101) shares 3 stop + 10 non-stop shingles)
+    assert pr == up
+    assert (100, 101) in pr and (200, 201) in pr
+    assert pr[(100, 101)] == pytest.approx(13 / 14, abs=1e-6)
+
+    # fan-out evidence: at a permissive threshold the unpruned run
+    # emits the O(boiler_docs²) pairs that share ONLY boilerplate;
+    # the pruned run never generates those candidates
+    up_low = _pairs(
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, min_jaccard=0.2)
+    )
+    pr_low = _pairs(
+        D.ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_n=3, min_jaccard=0.2, max_df=8
+        )
+    )
+    assert (0, 1) in up_low  # boilerplate-only pair, j = 3/9
+    assert (0, 1) not in pr_low  # candidate suppressed by the guard
+    assert all(k in up_low and up_low[k] == v for k, v in pr_low.items())
+
+    from sentinel_spark.cache import release
+
+    for df in (unpruned, pruned):
+        release(df)
