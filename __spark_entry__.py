@@ -576,6 +576,18 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, min_jaccard=0.5)
 
 
+def q_ngram_jaccard_zipf(spark, sf_dir):
+    """The Zipf-guarded variant of ngram_jaccard_pairs: shingles with
+    doc-frequency > 50 are excluded from candidate generation (bounding
+    the Σ df² join fan-out on skewed corpora) while the reported
+    Jaccard stays exact — stop-shingle contributions re-add from
+    per-doc stop arrays. Fully oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, min_jaccard=0.5, max_df=50
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 64-bit md5-vote simhash (computed in one
     tokenization pass), banded bucket self-join, bit_count Hamming
@@ -627,6 +639,26 @@ def q_ingest_rollup(spark, sf_dir):
     )
     all_runs = maple.runs.unionByName(plain.runs, allowMissingColumns=True)
     return with_release(pipeline_stats(all_runs), maple.cached + plain.cached)
+
+
+def q_typed_tags(spark, sf_dir):
+    """Typed tags (reference Map[String,Any], JsonPatch.scala:67-77):
+    tags ride as JSON text, are patched through the Variant path with
+    type preservation (bool stays bool, number stays number), and read
+    back through typed accessors. The oracle routes the same values
+    through DuckDB's JSON functions."""
+    from sentinel_spark.functions import tags as TJ
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.to_json(F.struct(F.length("text").alias("len"), F.col("lang").alias("lang")))
+    tj = TJ.set_tag_json(TJ.set_tag_json(base, "flag", True), "score", 2.5)
+    return d.select(
+        "doc_id",
+        TJ.get_tag(tj, "len", "long").alias("len_tag"),
+        TJ.get_tag(tj, "lang").alias("lang_tag"),
+        TJ.get_tag(tj, "flag", "boolean").alias("flag"),
+        TJ.get_tag(tj, "score", "double").alias("score"),
+    )
 
 
 def q_binary_meta(spark, sf_dir):
@@ -753,8 +785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_zipf": q_ngram_jaccard_zipf,
         "simhash_pairs": q_simhash_pairs,
         "ingest_rollup": q_ingest_rollup,
+        "typed_tags": q_typed_tags,
         "binary_meta": q_binary_meta,
         "multimodal_features": q_multimodal_features,
         "media_frames": q_media_frames,
@@ -1195,6 +1229,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(inter / (sz_a + sz_b - inter), 6) AS jaccard
             FROM pair WHERE round(inter / (sz_a + sz_b - inter), 6) >= 0.5
         """,
+        "ngram_jaccard_zipf": f"""
+            WITH sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),
+            ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
+            stop AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) > 50),
+            idx AS (SELECT * FROM ex WHERE sg NOT IN (SELECT sg FROM stop)),
+            pair AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+                     count(*) AS inter_ns
+              FROM idx a JOIN idx b USING (sg) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ),
+            spd AS (
+              SELECT doc_id, list(sg) AS stop_sh FROM ex
+              WHERE sg IN (SELECT sg FROM stop) GROUP BY doc_id
+            ),
+            fj AS (
+              SELECT id_a, id_b, sz_a, sz_b,
+                     inter_ns + coalesce(len(list_intersect(a.stop_sh, b.stop_sh)), 0) AS inter
+              FROM pair
+              LEFT JOIN spd a ON a.doc_id = id_a
+              LEFT JOIN spd b ON b.doc_id = id_b
+            )
+            SELECT id_a, id_b, round(inter / (sz_a + sz_b - inter), 6) AS jaccard
+            FROM fj WHERE round(inter / (sz_a + sz_b - inter), 6) >= 0.5
+        """,
         "simhash_pairs": f"""
             WITH {_DUCK_SIMHASH_CTE},
             banded AS (SELECT doc_id, h, bb.band AS band, (h >> (8 * bb.band)) & 255 AS key
@@ -1213,6 +1272,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'plain', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
             ORDER BY pipeline
+        """,
+        "typed_tags": """
+            WITH t AS (
+              SELECT doc_id,
+                     json_merge_patch(
+                       to_json({'len': length(text), 'lang': lang}),
+                       '{"flag": true, "score": 2.5}'
+                     ) AS tj
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(json_extract(tj, '$.len') AS BIGINT) AS len_tag,
+                   json_extract_string(tj, '$.lang') AS lang_tag,
+                   CAST(json_extract(tj, '$.flag') AS BOOLEAN) AS flag,
+                   CAST(json_extract(tj, '$.score') AS DOUBLE) AS score
+            FROM t
         """,
         "binary_meta": """
             SELECT doc_id,

@@ -1,0 +1,71 @@
+"""Typed tags: a JSON-text tags column with type-preserving patches.
+
+The reference stores tags as ``Map[String, Any]`` and its JSON-Patch
+layer admits numeric/bool tag values (models/JsonPatch.scala:67-77;
+CustomTagsAdapter in adapters/). The default Spark mapping here is a
+stringified ``map<string,string>`` (SURVEY §7.3 quirk 5) — lossy for
+value types. This module is the faithful alternative: tags ride as a
+JSON object *string* (``tags_json``), and every operation goes through
+Spark's VariantType so values keep their JSON types end to end:
+
+* parse: ``from_json(col, "map<string,variant>")`` — one key space,
+  heterogenous value types;
+* edit: ``map_filter`` / ``map_concat`` with a ``parse_json`` literal
+  (the patch value is a driver-side literal, so its exact JSON
+  rendering is controlled here, not inferred);
+* serialize: ``to_json`` — numbers stay numbers, bools stay bools.
+
+All expression-only; a patched-then-read tag round-trips its type
+(``5`` never becomes ``"5"``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TAGS_TYPE = "map<string,variant>"
+
+
+def _as_col(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tags_variant_map(tags_json: Column | str) -> Column:
+    """JSON text → ``map<string,variant>`` (null/absent → empty map)."""
+    c = _as_col(tags_json)
+    return F.coalesce(
+        F.from_json(c, _TAGS_TYPE), F.from_json(F.lit("{}"), _TAGS_TYPE)
+    )
+
+
+def set_tag_json(tags_json: Column | str, key: str, value) -> Column:
+    """Return ``tags_json`` with ``key`` set to ``value``, preserving
+    the value's JSON type (int/float/bool/str/None/nested). Driver-side
+    ``json.dumps`` renders the literal; ``parse_json`` lifts it to a
+    variant so ``to_json`` re-emits it unquoted-if-scalar."""
+    lit = F.parse_json(F.lit(json.dumps(value)))
+    kept = F.map_filter(tags_variant_map(tags_json), lambda k, _: k != F.lit(key))
+    return F.to_json(F.map_concat(kept, F.create_map(F.lit(key), lit)))
+
+
+def remove_tag_json(tags_json: Column | str, key: str) -> Column:
+    """Return ``tags_json`` without ``key`` (no-op when absent)."""
+    return F.to_json(
+        F.map_filter(tags_variant_map(tags_json), lambda k, _: k != F.lit(key))
+    )
+
+
+def get_tag(tags_json: Column | str, key: str, dtype: str = "string") -> Column:
+    """Typed accessor: the tag value cast to ``dtype`` (``"string"``,
+    ``"long"``, ``"double"``, ``"boolean"``, ...); null when the key is
+    absent or the value doesn't coerce (``try_variant_get``)."""
+    return F.try_variant_get(
+        F.element_at(tags_variant_map(tags_json), F.lit(key)), "$", dtype
+    )
+
+
+def has_tag(tags_json: Column | str, key: str) -> Column:
+    return F.map_contains_key(tags_variant_map(tags_json), F.lit(key))

@@ -107,6 +107,26 @@ def apply_label_patch(df: DataFrame, cond: Column, patch: PatchOp) -> DataFrame:
         if len(parts) != 3:
             raise PatchError(f"tag patches need /labels/tags/<key>: {patch.path}")
         key = parts[2]
+        # Typed-tags variant: when the labels struct carries tags as
+        # JSON text (``tags_json``), patches go through the Variant
+        # path and preserve numeric/bool value types — the reference's
+        # Map[String, Any] semantics (models/JsonPatch.scala:67-77).
+        labels_fields = [f.name for f in df.schema["labels"].dataType.fields]
+        if "tags_json" in labels_fields:
+            from sentinel_spark.functions import tags as TJ
+
+            cur = F.col("labels.tags_json")
+            new = (
+                TJ.remove_tag_json(cur, key)
+                if patch.op == "remove"
+                else TJ.set_tag_json(cur, key, patch.value)
+            )
+            return df.withColumn(
+                "labels",
+                F.when(cond, F.col("labels").withField("tags_json", new)).otherwise(
+                    F.col("labels")
+                ),
+            )
         if patch.op == "remove":
             return _remove_tag(df, cond, key)
         return _set_tag(df, cond, key, patch.value)

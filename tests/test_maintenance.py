@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 from sentinel_spark.operators.ingest import read_uploads, shred_uploads
 from sentinel_spark.operators.maintenance import (
     PatchError,
+    PatchOp,
     RunTables,
+    apply_label_patch,
     apply_run_patches,
     apply_sample_patches,
     cascade_delete_run,
@@ -214,3 +216,45 @@ def test_copy_on_write_guards(spark, tmp_path):
     t.update(F.col("runId") == "nope", {"n": F.lit(0)})
     t.delete(F.col("runId") == "nope")
     assert _file_snapshot(t.path) == before
+
+
+def test_typed_tags_json_patch_round_trip(spark):
+    """Typed tags (JsonPatch.scala:67-77 admits numerics/bools): a
+    numeric tag patched through the tags_json path stays a JSON number
+    end to end — 5 never becomes "5" — and reads back typed."""
+    from sentinel_spark.functions import tags as TJ
+
+    df = spark.createDataFrame(
+        [(0, '{"env":"prod"}'), (1, None)], "id int, tags_json string"
+    ).select("id", F.struct(F.lit("r").alias("runName"), F.col("tags_json")).alias("labels"))
+
+    cond = F.col("id") == 0
+    df = apply_label_patch(df, cond, PatchOp("add", "/labels/tags/priority", 5))
+    df = apply_label_patch(df, cond, PatchOp("add", "/labels/tags/beta", True))
+    df = apply_label_patch(df, cond, PatchOp("replace", "/labels/tags/env", "dev"))
+
+    row = {r.id: r for r in df.select("id", "labels.tags_json").collect()}
+    import json
+
+    tags0 = json.loads(row[0].tags_json)
+    assert tags0 == {"env": "dev", "priority": 5, "beta": True}
+    assert isinstance(tags0["priority"], int) and isinstance(tags0["beta"], bool)
+    assert row[1].tags_json is None  # untouched row
+
+    # typed accessors
+    got = df.filter(cond).select(
+        TJ.get_tag("labels.tags_json", "priority", "long").alias("p"),
+        TJ.get_tag("labels.tags_json", "beta", "boolean").alias("b"),
+        TJ.get_tag("labels.tags_json", "env").alias("e"),
+        TJ.get_tag("labels.tags_json", "missing", "long").alias("m"),
+    ).collect()[0]
+    assert (got.p, got.b, got.e, got.m) == (5, True, "dev", None)
+
+    # remove + patch onto a null tags_json both behave
+    df = apply_label_patch(df, cond, PatchOp("remove", "/labels/tags/beta"))
+    df = apply_label_patch(
+        df, F.col("id") == 1, PatchOp("add", "/labels/tags/n", 2.5)
+    )
+    row = {r.id: r for r in df.select("id", "labels.tags_json").collect()}
+    assert json.loads(row[0].tags_json) == {"env": "dev", "priority": 5}
+    assert json.loads(row[1].tags_json) == {"n": 2.5}
