@@ -35,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sentinel_spark.functions import dedup as D
 from sentinel_spark.functions import scalar as SC
 from sentinel_spark.functions import similarity as SIM
+from sentinel_spark.functions import skew as SK
 from sentinel_spark.functions import text as T
 from sentinel_spark.operators import selectors as S
 from sentinel_spark.operators.aggregate import (
@@ -576,6 +577,24 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, min_jaccard=0.5)
 
 
+def q_minhash_verified(spark, sf_dir):
+    """LSH-survivor verification: MinHash candidate pairs verified with
+    exact n-gram Jaccard computed ONLY on the survivors (per-pair
+    array_intersect over attached shingle sets) — the scale pattern for
+    Zipfian corpora where the shared-shingle inverted index fans out.
+    Fully oracle-checked."""
+    from sentinel_spark.cache import with_release
+
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_candidate_pairs(
+        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
+    )
+    out = D.verify_pairs_jaccard(
+        d, cand, "text", "doc_id", shingle_n=3, min_jaccard=0.4
+    )
+    return with_release(out, getattr(cand, "_sentinel_cached", []))
+
+
 def q_ngram_jaccard_zipf(spark, sf_dir):
     """The Zipf-guarded variant of ngram_jaccard_pairs: shingles with
     doc-frequency > 50 are excluded from candidate generation (bounding
@@ -639,6 +658,25 @@ def q_ingest_rollup(spark, sf_dir):
     )
     all_runs = maple.runs.unionByName(plain.runs, allowMissingColumns=True)
     return with_release(pipeline_stats(all_runs), maple.cached + plain.cached)
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe holistic aggregation (functions/skew.py): exact
+    distinct-count per key via value-salted two-phase aggregation, and
+    an order-independent collect_list via row-salted two-phase
+    aggregation — the shapes that keep a hot key from funnelling its
+    whole state through one task. Both are exact, so the oracle is the
+    plain single-phase SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    nd = SK.salted_count_distinct(li, ["l_returnflag"], "l_suppkey", out_col="n_supp")
+    lst = SK.salted_collect_list(
+        li.filter(F.col("l_quantity") == 50),
+        ["l_returnflag"],
+        F.col("l_orderkey"),
+        out_col="okeys",
+        sort=True,
+    )
+    return nd.join(lst, "l_returnflag")
 
 
 def q_typed_tags(spark, sf_dir):
@@ -786,8 +824,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_zipf": q_ngram_jaccard_zipf,
+        "minhash_verified": q_minhash_verified,
         "simhash_pairs": q_simhash_pairs,
         "ingest_rollup": q_ingest_rollup,
+        "salted_agg": q_salted_agg,
         "typed_tags": q_typed_tags,
         "binary_meta": q_binary_meta,
         "multimodal_features": q_multimodal_features,
@@ -1217,6 +1257,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "minhash_pairs": _minhash_oracle(),
+        "minhash_verified": f"""
+            WITH mh AS ({_minhash_oracle()}),
+            sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),
+            sz AS (SELECT doc_id, len(s) AS sz, s FROM sh)
+            SELECT id_a, id_b,
+                   round(len(list_intersect(a.s, b.s))
+                         / (a.sz + b.sz - len(list_intersect(a.s, b.s))), 6) AS jaccard
+            FROM (SELECT id_a, id_b FROM mh) p
+            JOIN sz a ON a.doc_id = p.id_a
+            JOIN sz b ON b.doc_id = p.id_b
+            WHERE round(len(list_intersect(a.s, b.s))
+                        / (a.sz + b.sz - len(list_intersect(a.s, b.s))), 6) >= 0.4
+        """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),
             ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS sg FROM sh),
@@ -1272,6 +1325,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'plain', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
             ORDER BY pipeline
+        """,
+        "salted_agg": """
+            WITH nd AS (
+              SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
+              FROM lineitem GROUP BY 1
+            ),
+            l AS (
+              SELECT l_returnflag, list_sort(list(l_orderkey)) AS okeys
+              FROM lineitem WHERE l_quantity = 50 GROUP BY 1
+            )
+            SELECT nd.l_returnflag, n_supp, okeys FROM nd JOIN l USING (l_returnflag)
         """,
         "typed_tags": """
             WITH t AS (

@@ -186,16 +186,10 @@ def _md5_int60(col: str) -> Column:
     """First 15 hex chars of md5 parsed to a BIGINT (< 2^60) — the
     strong base hash for the minhash permutation family. md5 + hex
     arithmetic instead of xxhash64 so any SQL engine reproduces the
-    signatures exactly (the correctness oracle inlines the same
-    parse)."""
-    m = F.md5(F.col(col))
-    out = F.lit(0).cast("long")
-    for i in range(15):
-        nib = (F.instr(F.lit("0123456789abcdef"), F.substring(m, i + 1, 1)) - 1).cast(
-            "long"
-        )
-        out = out * 16 + nib
-    return out
+    signatures exactly (the correctness oracle inlines the same parse,
+    digit-by-digit). Spark-side the parse is a single ``conv(hex, 16,
+    10)`` — one codegen call instead of 15 substring/instr terms."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10).cast("long")
 
 
 def _minhash_coefficients(num_hashes: int, p: int) -> list[tuple[int, int]]:
@@ -344,7 +338,12 @@ def simhash_table(
     id with map-side partial aggregation.
     """
     ex = shingle_rows(df, text_col, id_col, shingle_n).select(
-        "id", F.md5("s").alias("m")
+        "id",
+        # Two conv() calls parse the 16 vote nibbles (8 hex digits
+        # each); nibble extraction below is then shift/mask arithmetic
+        # instead of 16 per-character substring+instr scans.
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
 
     # Four 16-bit set-bit counters packed per 64-bit sum: nibble p's
@@ -370,12 +369,16 @@ def simhash_table(
         for x in range(16)
     ]
     lut_arr = F.array(*lut)
+
+    def nibble(p: int) -> Column:
+        # hex digit p (0-based from the left) of the md5: digits 0-7
+        # live in ``hi``, 8-15 in ``lo``; left-most digit is the high
+        # nibble of its 32-bit half.
+        src, off = (F.col("hi"), 7 - p) if p < 8 else (F.col("lo"), 15 - p)
+        return F.shiftrightunsigned(src, 4 * off).bitwiseAND(F.lit(15))
+
     sums = [
-        F.sum(
-            F.element_at(
-                lut_arr, F.instr(F.lit("0123456789abcdef"), F.substring("m", 1 + p, 1))
-            )
-        ).alias(f"s{p}")
+        F.sum(F.element_at(lut_arr, (nibble(p) + 1).cast("int"))).alias(f"s{p}")
         for p in range(16)
     ]
     counts = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
@@ -601,6 +604,60 @@ def ngram_jaccard_pairs(
         F.col("jaccard") >= min_jaccard
     )
     return with_release(out, cached)
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for a *given* candidate-pair set — the
+    LSH-survivor verification pattern: generate candidates cheaply
+    (:func:`minhash_candidate_pairs` / :func:`simhash_hamming_pairs`),
+    then pay exact set intersection only for survivors.
+
+    ``pairs`` needs columns ``id_a``/``id_b``. Per-document shingle
+    arrays (bounded by document length) attach to the pairs via two
+    id-equi-joins, and ``array_intersect`` runs per *candidate pair*,
+    never per corpus pair — the work is O(candidates × doc length),
+    independent of corpus size. This is the principled alternative to
+    the ``max_df`` Zipf guard when candidate recall should come from
+    MinHash instead of shared-shingle indexing.
+    """
+    rows = shingle_rows(df, text_col, id_col, shingle_n)
+    # groupBy(id) reuses the shingle pipeline's id partitioning — no
+    # extra exchange building the per-doc sets.
+    sets = rows.groupBy("id").agg(
+        F.collect_list("s").alias("sh"), F.count(F.lit(1)).alias("sz")
+    )
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = F.round(inter / (F.col("sz_a") + F.col("sz_b") - inter), 6)
+    return joined.select("id_a", "id_b", jaccard.alias("jaccard")).filter(
+        F.col("jaccard") >= min_jaccard
+    )
 
 
 def _shingles_sql(col: str, n: int) -> str:

@@ -224,3 +224,46 @@ def test_ngram_jaccard_zipf_guard(spark):
 
     for df in (unpruned, pruned):
         release(df)
+
+
+def _n_exchanges(df):
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def test_shingle_pipeline_is_single_exchange(spark):
+    """The 100-TB property the round-3 rewrite bought: the whole
+    per-document pipeline (spread → tokenize → explode → n-gram window
+    → per-doc dedup → per-doc aggregate) moves the corpus across the
+    wire exactly once. Locks in the id-hash spread + partitioning-reuse
+    plan shape against regressions. (Uses its own frame: a cached plan
+    subtree from another test would hide the exchanges.)"""
+    docs = spark.createDataFrame(
+        [(i, f"plan shape probe doc {i} alpha beta gamma") for i in range(6)],
+        "doc_id int, text string",
+    )
+    assert _n_exchanges(D.simhash_table(docs, "text", "doc_id", shingle_n=2)) == 1
+    assert _n_exchanges(D.minhash_signatures(docs, "text", "doc_id")) == 1
+    assert _n_exchanges(D.shingle_rows(docs, "text", "doc_id", 3)) == 1
+
+
+def test_verify_pairs_jaccard_matches_inverted_index(spark, docs):
+    """LSH-survivor verification returns the same exact Jaccard as the
+    inverted-index operator for every candidate pair it is given."""
+    cand = D.minhash_candidate_pairs(
+        docs, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
+    )
+    verified = _pairs(
+        D.verify_pairs_jaccard(docs, cand, "text", "doc_id", shingle_n=3)
+    )
+    exact = _pairs(
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, min_jaccard=0.0)
+    )
+    assert verified  # docs 1/2/4 are near-dups → candidates exist
+    for pair, j in verified.items():
+        assert exact[pair] == j
+    from sentinel_spark.cache import release
+
+    release(cand)
