@@ -547,6 +547,50 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher corpus-filter rules (Rae et al. 2021 §A1.1) as pure
+    codegen columns: word-count/word-length bounds, symbol ratio,
+    alphabetic-word fraction, bullet/ellipsis line fractions, and the
+    composite keep flag. RE2-compatible regexes → exact DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_words"),
+        T.mean_word_length("text").alias("mean_wlen"),
+        T.symbol_word_ratio("text").alias("sym_ratio"),
+        T.alpha_word_frac("text").alias("alpha_frac"),
+        T.bullet_line_frac("text").alias("bullet_frac"),
+        T.ellipsis_line_frac("text").alias("ellipsis_frac"),
+        T.gopher_pass("text").alias("keep"),
+    )
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Per-document repetition profile (duplicate-bigram fraction, top
+    token dominance) — the degenerate-text signals; one-exchange
+    explode/window/aggregate plan."""
+    d = _t(spark, sf_dir, "documents")
+    return D.repetition_table(d, "text", "doc_id").withColumnRenamed("id", "doc_id")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic content-keyed train/val/test split (90/5/5) via
+    md5 hash bucketing — identical documents can never straddle splits,
+    and any engine reproduces the exact assignment. Output: doc counts
+    per (split, lang)."""
+    from sentinel_spark.functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    split = SP.assign_split(
+        T.normalized_text("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint (md5 of normalized text)."""
     d = _t(spark, sf_dir, "documents")
@@ -819,6 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "gopher_quality": q_gopher_quality,
+        "doc_repetition": q_doc_repetition,
+        "hash_split": q_hash_split,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -1251,6 +1298,73 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({norm_text}) AS fp FROM documents
+        """,
+        "gopher_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, lower(text) AS low,
+                     CAST(len({_WORDS}) AS INTEGER) AS n_words,
+                     length(lower(text)) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS wchars,
+                     len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS syms,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]*[a-z][a-z0-9]*')) AS alpha,
+                     len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^\\s*[-*]')) AS bullets,
+                     len(regexp_extract_all(text, '(?m)\\.\\.\\.\\s*$')) AS ells
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n_words,
+                     round(wchars / greatest(n_words, 1), 6) AS mean_wlen,
+                     round(syms / greatest(n_words, 1), 6) AS sym_ratio,
+                     round(alpha / greatest(n_words, 1), 6) AS alpha_frac,
+                     round(bullets / n_lines, 6) AS bullet_frac,
+                     round(ells / n_lines, 6) AS ellipsis_frac
+              FROM t
+            )
+            SELECT *,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_wlen BETWEEN 3.0 AND 10.0
+                    AND sym_ratio < 0.1 AND alpha_frac >= 0.8
+                    AND bullet_frac < 0.9 AND ellipsis_frac < 0.3) AS keep
+            FROM s
+        """,
+        "doc_repetition": f"""
+            WITH t AS (
+              SELECT doc_id, {_WORDS} AS toks FROM documents
+              WHERE len({_WORDS}) > 0
+            ),
+            pt AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+            ),
+            ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                          CAST(max(c) AS BIGINT) AS top_c FROM pt GROUP BY 1),
+            bg AS (
+              SELECT doc_id,
+                     CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+                     CAST(len(list_distinct(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS n_distinct_bigrams
+              FROM t
+            )
+            SELECT ts.doc_id, n_tokens, n_bigrams, n_distinct_bigrams,
+                   round((n_bigrams - n_distinct_bigrams) / greatest(n_bigrams, 1), 6) AS bigram_dup_frac,
+                   round(top_c / n_tokens, 6) AS top_token_frac
+            FROM ts JOIN bg ON ts.doc_id = bg.doc_id
+        """,
+        "hash_split": f"""
+            WITH m AS (SELECT lang, md5({norm_text}) AS h FROM documents),
+            b AS (
+              SELECT lang,
+                     ({" + ".join(f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}" for i in range(15))})
+                       % 1000000 AS bucket
+              FROM m
+            ),
+            s AS (
+              SELECT lang, CASE WHEN bucket < 900000 THEN 'train'
+                                WHEN bucket < 950000 THEN 'val'
+                                ELSE 'test' END AS split
+              FROM b
+            )
+            SELECT split, lang, count(*) AS n_docs FROM s GROUP BY 1, 2
         """,
         "exact_dedup": f"""
             SELECT md5({norm_text}) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -606,6 +606,74 @@ def ngram_jaccard_pairs(
     return with_release(out, cached)
 
 
+def repetition_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-document repetition profile — the standard corpus-quality
+    signals for detecting degenerate/boilerplate text (high duplicate-
+    bigram fraction, one token dominating):
+
+    ``(id, n_tokens, n_bigrams, n_distinct_bigrams, bigram_dup_frac,
+    top_token_frac)``
+
+    Null-text / zero-token documents drop out (nothing to profile),
+    matching the pairing operators' contract.
+
+    Plan shape follows the one-exchange pipeline: id-hash spread →
+    posexplode → lead window (bigrams) → per-doc aggregates (token
+    count + per-token max via a (id, tok) partial, bigram count +
+    distinct count) — every aggregate and the final id-equi-join reuse
+    the spread's partitioning, so the corpus crosses the wire once.
+    """
+    base = _spread(df, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)).alias(
+            "toks"
+        ),
+    )
+    toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    # top-token count: (id, tok) partial counts (clustered by id ⊆ rule
+    # → no exchange), then max per id.
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = per_tok.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_c")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    grams = (
+        toks.select("id", "tok", F.lead("tok", 1).over(w).alias("t1"))
+        .filter(F.col("t1").isNotNull())
+        .select("id", F.concat_ws(" ", "tok", "t1").alias("g"))
+    )
+    gram_stats = grams.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_distinct("g").alias("n_distinct_bigrams"),
+    )
+    out = tok_stats.join(gram_stats, "id", "left").select(
+        "id",
+        "n_tokens",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+        "top_c",
+    )
+    dup = F.round(
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+        / F.greatest(F.col("n_bigrams"), F.lit(1)),
+        6,
+    )
+    return out.select(
+        "id",
+        "n_tokens",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        dup.alias("bigram_dup_frac"),
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
+    )
+
+
 def verify_pairs_jaccard(
     df: DataFrame,
     pairs: DataFrame,

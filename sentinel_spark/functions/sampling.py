@@ -1,0 +1,66 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need train/val/test splits and sub-sampling
+that are (a) stable across reruns and engines (no ``rand()``), (b)
+keyed on *content* so exact duplicates land in the same split (no
+train/eval leakage), and (c) computable without any global pass. The
+standard answer is hash bucketing: bucket = md5(key) mod B, split =
+range of buckets. Everything here is expression-only; the md5-hex →
+integer parse is a single ``conv`` call Spark-side and plain digit
+arithmetic in any SQL oracle, so assignments are bit-reproducible
+everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 1_000_000
+
+
+def hash_bucket(
+    key: Column | str, buckets: int = DEFAULT_BUCKETS, salt: str = ""
+) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the key (with
+    an optional salt for independent re-draws). First 15 hex digits
+    parse to a 60-bit int — uniform, portable, no ``rand()``."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(buckets))
+
+
+def assign_split(
+    key: Column | str,
+    weights: dict[str, float],
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "",
+) -> Column:
+    """Split label from cumulative weight ranges over the hash bucket:
+    ``assign_split(fingerprint, {"train": .9, "val": .05, "test": .05})``.
+    Weights must sum to 1 (±1e-9). Content-keyed splits mean identical
+    documents can never straddle train/eval."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = hash_bucket(key, buckets, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+
+
+def hash_sample(
+    key: Column | str,
+    fraction: float,
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "",
+) -> Column:
+    """Boolean keep-predicate selecting a deterministic ``fraction`` of
+    keys — ``df.filter(hash_sample("doc_id", 0.01))`` is a stable 1%
+    sample that every engine and every rerun agrees on."""
+    return hash_bucket(key, buckets, salt) < int(round(fraction * buckets))

@@ -112,6 +112,81 @@ def lang_id(col: str) -> Column:
     return out
 
 
+# -- Gopher-style corpus-quality rules -------------------------------------
+# The published web-corpus filter heuristics (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1): word-count bounds, mean word
+# length bounds, symbol-to-word ratio, alphabetic-word fraction, and
+# bullet/ellipsis line fractions. Every signal below is a pure regexp/
+# arithmetic Column (no higher-order lambdas), so the whole filter runs
+# inside whole-stage codegen — and every regex is RE2-compatible, so a
+# SQL oracle reproduces it exactly.
+
+
+def word_char_count(col: str) -> Column:
+    """Total characters belonging to word tokens (= Σ token lengths,
+    without materializing the token array)."""
+    low = F.lower(F.col(col))
+    return F.length(low) - F.length(F.regexp_replace(low, "[a-z0-9]", ""))
+
+
+def mean_word_length(col: str) -> Column:
+    return F.round(word_char_count(col) / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def symbol_word_ratio(col: str) -> Column:
+    """(# of '#' plus '...' occurrences) per word — the Gopher symbol
+    ratio."""
+    syms = F.regexp_count(F.col(col), F.lit("#")) + F.regexp_count(
+        F.col(col), F.lit(r"\.\.\.")
+    )
+    return F.round(syms / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def alpha_word_frac(col: str) -> Column:
+    """Fraction of word tokens containing at least one letter."""
+    low = F.lower(F.col(col))
+    alpha = F.regexp_count(low, F.lit("[a-z0-9]*[a-z][a-z0-9]*"))
+    return F.round(alpha / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def bullet_line_frac(col: str) -> Column:
+    lines = F.regexp_count(F.col(col), F.lit("\n")) + 1
+    bullets = F.regexp_count(F.col(col), F.lit(r"(?m)^\s*[-*]"))
+    return F.round(bullets / lines, 6)
+
+
+def ellipsis_line_frac(col: str) -> Column:
+    lines = F.regexp_count(F.col(col), F.lit("\n")) + 1
+    ell = F.regexp_count(F.col(col), F.lit(r"(?m)\.\.\.\s*$"))
+    return F.round(ell / lines, 6)
+
+
+def gopher_pass(
+    col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+) -> Column:
+    """The composite Gopher rule: true iff the document clears every
+    published threshold (defaults are the paper's values)."""
+    n = token_count(col)
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & mean_word_length(col).between(min_mean_word_len, max_mean_word_len)
+        & (symbol_word_ratio(col) < max_symbol_ratio)
+        & (alpha_word_frac(col) >= min_alpha_frac)
+        & (bullet_line_frac(col) < max_bullet_frac)
+        & (ellipsis_line_frac(col) < max_ellipsis_frac)
+    )
+
+
 def normalized_text(col: str) -> Column:
     """Whitespace-collapsed, trimmed, lower-cased canonical form."""
     return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))

@@ -267,3 +267,72 @@ def test_verify_pairs_jaccard_matches_inverted_index(spark, docs):
     from sentinel_spark.cache import release
 
     release(cand)
+
+
+def test_gopher_rules(spark):
+    """Gopher filter thresholds on crafted documents: a normal prose
+    doc passes; symbol soup, bullet lists, and too-short docs fail the
+    specific rule that targets them."""
+    prose = " ".join(f"word{i} the and of normal sentence text flows here" for i in range(10))
+    symbols = " ".join(["### ok..." for _ in range(60)])
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    rows = [(1, prose), (2, symbols), (3, bullets), (4, "too short")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.gopher_pass("text").alias("keep"),
+            T.symbol_word_ratio("text").alias("sym"),
+            T.bullet_line_frac("text").alias("bul"),
+            T.token_count("text").alias("n"),
+        ).collect()
+    }
+    assert got[1].keep is True
+    assert got[2].keep is False and got[2].sym >= 0.1
+    assert got[3].keep is False and got[3].bul == 1.0
+    assert got[4].keep is False and got[4].n < 50
+
+
+def test_repetition_table(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ totally"), (3, None)],
+        "doc_id int, text string",
+    )
+    got = {r.id: r for r in D.repetition_table(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 2}  # null text drops out
+    # doc 1: 4 tokens, 3 bigrams all "spam spam" → dup frac 2/3, top 1.0
+    assert got[1].n_tokens == 4 and got[1].n_bigrams == 3
+    assert got[1].n_distinct_bigrams == 1
+    assert abs(got[1].bigram_dup_frac - 2 / 3) < 1e-6
+    assert got[1].top_token_frac == 1.0
+    assert got[2].bigram_dup_frac == 0.0 and abs(got[2].top_token_frac - 0.2) < 1e-6
+
+
+def test_hash_split_deterministic_and_leakage_free(spark):
+    from sentinel_spark.functions import sampling as SP
+
+    rows = [(i, f"document number {i} content body") for i in range(400)]
+    rows += [(1000, rows[0][1]), (1001, rows[1][1])]  # exact dup contents
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    split = SP.assign_split(
+        T.normalized_text("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    out = df.select("doc_id", T.fingerprint("text").alias("fp"), split.alias("split"))
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in out.collect()}
+    assert a == b  # rerun-stable
+    # content-keyed: identical docs always share a split (no leakage)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.fp, set()).add(r.split)
+    assert all(len(s) == 1 for s in fps.values())
+    # rough proportions: train dominates
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > 300 and c["train"] + c.get("val", 0) + c.get("test", 0) == len(a)
+    # hash_sample subset consistency: the 10% sample is a subset of 20%
+    s10 = {r.doc_id for r in df.filter(SP.hash_sample("text", 0.10)).collect()}
+    s20 = {r.doc_id for r in df.filter(SP.hash_sample("text", 0.20)).collect()}
+    assert s10 <= s20 and len(s20) > len(s10)
