@@ -61,17 +61,31 @@ def brute_force_topk(
 
     Returns (q_id, c_id, sim, rank), rank 1..k, ties broken by c_id.
     """
+    # Norms are hoisted into per-row projections (one fold per vector)
+    # so the pairwise stage does a single dot fold per (q, c) — not the
+    # three folds a naive cosine() per pair would cost. Arithmetic is
+    # identical (same fold, same division), so scores are bit-equal to
+    # the per-pair form the oracle uses.
     q = emb.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = emb.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = emb.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id",
             "c_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim_exact"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim_exact"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
@@ -152,10 +166,22 @@ def cosine_near_dup_pairs(
     cosine ≥ threshold) — the all-pairs baseline. O(n²): bound the
     input id range or use :func:`cosine_near_dup_pairs_lsh` at scale
     (same contract, bucketed candidates)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    # one dot fold per pair; norms computed once per row (bit-equal to
+    # the per-pair cosine the oracle uses)
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return pairs.select("id_a", "id_b", sim.alias("sim")).filter(
         F.col("sim") >= threshold
     )
@@ -180,6 +206,7 @@ def cosine_near_dup_pairs_lsh(
     with_bucket = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
         hyperplane_bucket(F.col(vec_col), bits).alias("bucket"),
     ).persist()
     left = with_bucket
@@ -187,7 +214,7 @@ def cosine_near_dup_pairs_lsh(
         probes = F.array(
             F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
         )
-        left = with_bucket.select("id", "v", F.explode(probes).alias("bucket"))
+        left = with_bucket.select("id", "v", "nrm", F.explode(probes).alias("bucket"))
     cand = (
         left.alias("a")
         .join(with_bucket.alias("b"), "bucket")
@@ -197,10 +224,16 @@ def cosine_near_dup_pairs_lsh(
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
             F.col("a.v").alias("va"),
             F.col("b.v").alias("vb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    # per-row norms ride the bucketed table; the verify stage is one
+    # dot fold per surviving candidate (bit-equal to per-pair cosine)
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     out = cand.select("id_a", "id_b", sim.alias("sim")).filter(
         F.col("sim") >= threshold
     )
@@ -233,27 +266,42 @@ def ivf_topk(
     ranks the *query* probe lists — a few rows.
     """
     cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
     )
+    # per-vector norm computed once and divided out of every centroid
+    # score and the final serving score (bit-equal to per-pair cosine)
     scored_cells = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("vn"),
+        )
         .crossJoin(F.broadcast(cents))
         .select(
-            "id", "v", "cell", cosine(F.col("v"), F.col("c_vec")).alias("c_sim")
+            "id",
+            "v",
+            "vn",
+            "cell",
+            (dot(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("cn"))).alias(
+                "c_sim"
+            ),
         )
     )
     # argmax(c_sim, tie → smallest cell) via max_by over an ordering
-    # struct; v rides along inside the payload struct (identical for
+    # struct; v/vn ride along inside the payload struct (identical for
     # every row of the group).
     best = scored_cells.groupBy("id").agg(
         F.max_by(
-            F.struct(F.col("cell"), F.col("v")),
+            F.struct(F.col("cell"), F.col("v"), F.col("vn")),
             F.struct(F.col("c_sim"), (-F.col("cell")).alias("neg_cell")),
         ).alias("best")
     )
     assigned = best.select(
         F.col("id").alias("c_id"),
         F.col("best.v").alias("c_vec2"),
+        F.col("best.vn").alias("c_norm2"),
         F.col("best.cell").alias("cell"),
     )
     by_sim = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
@@ -261,12 +309,24 @@ def ivf_topk(
         scored_cells.filter(F.col("id").isin(list(query_ids)))
         .withColumn("cell_rank", F.row_number().over(by_sim))
         .filter(F.col("cell_rank") <= nprobe)
-        .select(F.col("id").alias("q_id"), F.col("v").alias("q_vec"), "cell")
+        .select(
+            F.col("id").alias("q_id"),
+            F.col("v").alias("q_vec"),
+            F.col("vn").alias("q_norm"),
+            "cell",
+        )
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec2")).alias("sim_exact"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec2"))
+                / (F.col("q_norm") * F.col("c_norm2"))
+            ).alias("sim_exact"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
     return (
@@ -307,24 +367,40 @@ def lsh_topk(
         if dim is not None
         else hyperplane_bucket(F.col(vec_col), bits)
     )
-    with_bucket = emb.select(F.col(id_col), F.col(vec_col), bucket_fn.alias("bucket"))
+    with_bucket = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        bucket_fn.alias("bucket"),
+    )
     q = with_bucket.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
         F.col("bucket").alias("q_bucket"),
     )
     if multiprobe:
         probes = F.array(
             F.col("q_bucket"), *[F.col("q_bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
         )
-        q = q.select("q_id", "q_vec", F.explode(probes).alias("q_bucket"))
+        q = q.select("q_id", "q_vec", "q_norm", F.explode(probes).alias("q_bucket"))
     c = with_bucket.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), F.col("bucket")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        F.col("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
         .filter(F.col("c_id") != F.col("q_id"))
-        .select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim_exact"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim_exact"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
     return (

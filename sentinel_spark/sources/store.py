@@ -99,9 +99,23 @@ class ParquetTable:
     def merge_insert_not_matched(self, df: DataFrame, keys: list[str]) -> int:
         """``MERGE ... WHEN NOT MATCHED THEN INSERT`` — append only rows
         whose key tuple isn't already present (the reference's
-        unique-index get-or-create, S5/S8). Returns rows inserted."""
+        unique-index get-or-create, S5/S8). Returns rows inserted.
+
+        When the merge keys cover the partition columns, the anti-join's
+        existing-side scan prunes to the partitions the incoming batch
+        actually touches (a key match then must live in a matching
+        partition) — at 100 TB the get-or-create reads O(touched
+        partitions), not the table."""
         if self.exists():
-            existing = self.read().select(*keys).dropDuplicates()
+            existing_src = self.read()
+            if self.partition_cols and set(self.partition_cols) <= set(keys):
+                parts = [
+                    r.asDict()
+                    for r in df.select(*self.partition_cols).distinct().collect()
+                ]
+                if parts:
+                    existing_src = existing_src.filter(self._partition_predicate(parts))
+            existing = existing_src.select(*keys).dropDuplicates()
             fresh = df.dropDuplicates(keys).join(existing, on=keys, how="left_anti")
         else:
             fresh = df.dropDuplicates(keys)

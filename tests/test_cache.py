@@ -1,0 +1,47 @@
+"""Release-handle contract (sentinel_spark/cache.py): operators record
+their persisted intermediates on the result; callers free them once."""
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import release, with_release
+from sentinel_spark.functions import dedup as D
+
+
+def test_with_release_records_and_release_unpersists(spark):
+    inner = spark.range(10).persist()
+    inner.count()
+    assert inner.storageLevel.useMemory
+    out = with_release(inner.select((F.col("id") * 2).alias("x")), [inner])
+    release(out)
+    assert not inner.storageLevel.useMemory
+    # idempotent: second release is a no-op
+    release(out)
+
+
+def test_with_release_chains(spark):
+    a = spark.range(5).persist()
+    b = spark.range(5).persist()
+    out = spark.range(1)
+    out = with_release(out, [a])
+    out = with_release(out, [b])
+    release(out)
+    assert not a.storageLevel.useMemory and not b.storageLevel.useMemory
+
+
+def test_release_noop_on_plain_frames(spark):
+    release(spark.range(3))  # must not raise
+
+
+def test_operators_release_their_caches(spark):
+    docs = spark.createDataFrame(
+        [(i, f"release probe doc {i} alpha beta gamma delta") for i in range(4)],
+        "doc_id int, text string",
+    )
+    pairs = D.minhash_candidate_pairs(docs, "text", "doc_id")
+    cached = getattr(pairs, "_sentinel_cached", [])
+    assert cached, "minhash records its persisted signature table"
+    pairs.count()
+    assert any(c.storageLevel.useMemory for c in cached)
+    handles = list(cached)
+    release(pairs)
+    assert all(not c.storageLevel.useMemory for c in handles)

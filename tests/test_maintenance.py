@@ -258,3 +258,22 @@ def test_typed_tags_json_patch_round_trip(spark):
     row = {r.id: r for r in df.select("id", "labels.tags_json").collect()}
     assert json.loads(row[0].tags_json) == {"env": "dev", "priority": 5}
     assert json.loads(row[1].tags_json) == {"n": 2.5}
+
+
+def test_merge_prunes_to_touched_partitions(spark, tmp_path):
+    """Get-or-create with keys covering the partition column scans only
+    the partitions the incoming batch touches."""
+    t = ParquetTable(spark, str(tmp_path / "mrg"), partition_cols=["pipeline"])
+    df = spark.createDataFrame(
+        [("r1", "maple", 1), ("r2", "plain", 2)],
+        "runId string, pipeline string, n int",
+    )
+    t.append(df)
+    incoming = spark.createDataFrame(
+        [("r1", "maple", 9), ("r9", "maple", 3)],
+        "runId string, pipeline string, n int",
+    )
+    # r1 exists → skipped; r9 is new; the plain partition is never read
+    assert t.merge_insert_not_matched(incoming, ["pipeline", "runId"]) == 1
+    got = {r.runId: r.n for r in t.read().collect()}
+    assert got == {"r1": 1, "r2": 2, "r9": 3}
