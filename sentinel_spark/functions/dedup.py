@@ -523,19 +523,24 @@ def ngram_jaccard_pairs(
     from pyspark.sql.window import Window
 
     rows = shingle_rows(df, text_col, id_col, shingle_n)
-    # Both sides of the self-join read this; persist so documents are
-    # tokenized/shingled once (narrow: id + size + one shingle per row).
     # Per-doc shingle count via a window over the already-id-partitioned
     # rows (no extra shuffle).
-    ex = rows.select(
+    ex0 = rows.select(
         "id", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"), "s"
-    ).persist()
+    )
+    # Persist id-partitioned (the shingle pipeline's native layout) and
+    # let the self-join plan its own distribution: AQE broadcasts the
+    # smaller side when it fits, and a forced s-repartition would both
+    # defeat that and fail to serve the aliased self-join anyway (the
+    # re-aliased side's attributes no longer match the cached
+    # partitioning expressions).
+    ex = ex0.persist()
     cached = [ex]
-
     idx = ex
     if max_df is not None:
-        # Stop-shingle set: one groupBy over the (already persisted)
-        # shingle rows. Tiny output (only the Zipf head exceeds max_df).
+        # Stop-shingle set: partial-aggregated groupBy over the (id-
+        # partitioned) shingle rows — hot shingles reduce map-side, so
+        # the df count itself never skews. Tiny output (the Zipf head).
         stop = (
             ex.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -544,6 +549,8 @@ def ngram_jaccard_pairs(
             .persist()
         )
         cached.append(stop)
+        # Hot shingles are dropped BEFORE any s-exchange, so the join's
+        # shuffle never sees them.
         idx = ex.join(F.broadcast(stop), "s", "left_anti")
 
     inter = (

@@ -46,12 +46,12 @@ def char_count(col: str) -> Column:
 
 
 def avg_token_len(col: str) -> Column:
-    t = tokens(col)
-    return F.expr(
-        f"round(aggregate(regexp_extract_all(lower({col}), '{WORD_RE}', 0), 0D,"
-        " (acc, x) -> acc + length(x), acc -> acc /"
-        f" greatest(size(regexp_extract_all(lower({col}), '{WORD_RE}', 0)), 1)), 6)"
-    )
+    """Mean token length — Σ token lengths equals the count of word
+    characters in the lower-cased text, so this is two regexp_replace/
+    length expressions (whole-stage codegen), not an interpreted
+    ``aggregate`` fold over the token array. Same value as
+    :func:`mean_word_length`; kept as the historical name."""
+    return F.round(word_char_count(col) / F.greatest(token_count(col), F.lit(1)), 6)
 
 
 def stopword_count(col: str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
