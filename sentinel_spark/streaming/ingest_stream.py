@@ -156,6 +156,79 @@ def run_dedup_stream(
     return q
 
 
+def run_document_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    min_words: int = 5,
+):
+    """Streaming training-data intake: quality-gate → cross-batch exact
+    dedup → append. The full batch vocabulary composes unchanged on a
+    stream because every filter is an expression:
+
+    * quality gate: the Gopher rules (``text.gopher_pass`` with a
+      relaxed word floor for line-grain docs) evaluate per-row inside
+      the micro-batch — rejects divert to a ``rejected/`` sink with the
+      failing signals attached, mirroring the batch ingest's rejects
+      channel;
+    * dedup: :func:`stateful_dedup_stream` keeps the "seen" set in the
+      streaming state store, so a duplicate arriving months later still
+      drops without re-scanning history.
+
+    Each line of each arriving text file is one document. Returns the
+    (awaited) StreamingQuery.
+    """
+    from sentinel_spark.functions.text import gopher_pass
+
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    def source():
+        return (
+            spark.readStream.format("text")
+            .load(input_dir)
+            .select(
+                F.col("value").alias("content"),
+                F.md5(F.lower(F.trim(F.col("value")))).alias("fingerprint"),
+                gopher_pass(
+                    "value",
+                    min_words=min_words,
+                    # line-grain docs: keep the ratio rules, drop the
+                    # prose-length bounds that assume full documents
+                    min_mean_word_len=1.0,
+                    max_mean_word_len=20.0,
+                ).alias("keep"),
+            )
+        )
+
+    # Two sinks → two queries over the same file source, each with its
+    # own checkpoint (file sources replay deterministically, so the
+    # split is consistent).
+    rejected = (
+        source()
+        .filter(~F.col("keep"))
+        .select("content", "fingerprint")
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "rejected"))
+        .option("checkpointLocation", checkpoint_dir + "_rejected")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    unique = (
+        stateful_dedup_stream(source().filter(F.col("keep")))
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "unique"))
+        .option("checkpointLocation", checkpoint_dir + "_unique")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    rejected.awaitTermination()
+    unique.awaitTermination()
+    return unique
+
+
 def hourly_event_rollup(
     events: DataFrame,
     ts_col: str = "ts",

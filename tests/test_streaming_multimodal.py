@@ -152,3 +152,31 @@ def test_resize_media_stub(spark):
     assert out.meta["resized"] == "64x48"
     assert out.content != media.collect()[0].content  # bytes transformed
     assert out.mime == "application/x-fake-image"
+
+
+def test_streaming_document_pipeline(spark, tmp_path):
+    """Quality gate + cross-batch stateful dedup composed on a stream:
+    junk lines divert to rejected/, duplicates (same batch or a later
+    run) never re-emit, and the state survives across invocations via
+    the checkpoint."""
+    from sentinel_spark.streaming.ingest_stream import run_document_pipeline
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = str(tmp_path / "docs_out")
+    good_a = "the quick brown fox jumps over the lazy dog"
+    good_b = "every good document has enough plain words to pass"
+    junk = "#### ### ##"
+    (inbox / "b1.txt").write_text(f"{good_a}\n{junk}\n{good_a}\n{good_b}\n")
+    run_document_pipeline(spark, str(inbox), out)
+    uniq = {r.content for r in spark.read.parquet(out + "/unique").collect()}
+    rej = {r.content for r in spark.read.parquet(out + "/rejected").collect()}
+    assert uniq == {good_a, good_b}
+    assert rej == {junk}
+    # later arrival: a duplicate of good_a and one new doc
+    good_c = "a completely new document arrives in the second batch"
+    (inbox / "b2.txt").write_text(f"{good_a}\n{good_c}\n")
+    run_document_pipeline(spark, str(inbox), out)
+    rows = spark.read.parquet(out + "/unique").collect()
+    assert {r.content for r in rows} == {good_a, good_b, good_c}
+    assert len(rows) == 3  # the duplicate never re-emitted
