@@ -166,6 +166,10 @@ class ParquetTable:
         """Rewrite only the partitions holding rows that match ``cond``;
         swap each rewritten directory atomically. Falls back to the
         full-table rewrite when the table is unpartitioned."""
+        if self.schema is None and self.exists():
+            # Remember the schema before mutating: a delete that removes
+            # every row must still leave a readable (empty) table.
+            self.schema = self.read().schema
         if not self.partition_cols or not self.exists():
             self.overwrite(transform(self.read()))
             return

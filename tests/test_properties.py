@@ -111,3 +111,52 @@ def test_descriptive_stats_match_python_statistics(spark, values):
     assert abs(r.v_avg - round(statistics.fmean(values), 6)) <= 1e-6
     assert r.v_median == statistics.median(values)
     assert abs(r.v_variance - round(statistics.pvariance(values), 6)) <= 1e-4
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.sampled_from(["alpha", "beta", "gamma"]),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    thresh=st.integers(min_value=-5, max_value=5),
+    del_pipe=st.sampled_from(["alpha", "beta", "gamma"]),
+)
+def test_copy_on_write_matches_python_semantics(spark, rows, thresh, del_pipe):
+    """Partition-granular UPDATE/DELETE produce exactly the rows a
+    plain Python mirror of the conditional projection produces, for
+    arbitrary data, conditions, and partition layouts."""
+    import shutil
+    import tempfile
+
+    from sentinel_spark.sources.store import ParquetTable
+
+    path = tempfile.mkdtemp(prefix="cowprop_")
+    try:
+        t = ParquetTable(spark, path + "/t", partition_cols=["pipeline"])
+        df = spark.createDataFrame(
+            [(f"r{i}", p, n) for i, p, n in rows],
+            "runId string, pipeline string, n int",
+        )
+        t.append(df)
+
+        cond = (F.col("n") < thresh) & (F.col("pipeline") != "beta")
+        t.update(cond, {"n": F.lit(99)})
+        want = {
+            f"r{i}": (99 if (n < thresh and p != "beta") else n)
+            for i, p, n in rows
+        }
+        got = {r.runId: r.n for r in t.read().collect()}
+        assert got == want
+
+        t.delete(F.col("pipeline") == del_pipe)
+        want_ids = {f"r{i}" for i, p, _ in rows if p != del_pipe}
+        assert {r.runId for r in t.read().collect()} == want_ids
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
