@@ -591,6 +591,30 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/eval leakage audit: duplicate the corpus under shifted ids
+    (so identical text exists under two ids), split BY ID (the naive,
+    leaky scheme), and count content fingerprints straddling splits —
+    versus the content-keyed split, which leaks zero by construction."""
+    from sentinel_spark.functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    by_id = SP.assign_split(
+        F.col("doc_id").cast("string"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    by_content = SP.assign_split(
+        T.normalized_text("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    leak_id = SP.split_leakage(
+        dup.select(T.fingerprint("text").alias("fp"), by_id.alias("sp")), "fp", "sp"
+    ).select(F.lit("by_id").alias("scheme"), "n_keys", "n_leaking")
+    leak_content = SP.split_leakage(
+        dup.select(T.fingerprint("text").alias("fp"), by_content.alias("sp")), "fp", "sp"
+    ).select(F.lit("by_content").alias("scheme"), "n_keys", "n_leaking")
+    return leak_id.unionByName(leak_content)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint (md5 of normalized text)."""
     d = _t(spark, sf_dir, "documents")
@@ -866,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "doc_repetition": q_doc_repetition,
         "hash_split": q_hash_split,
+        "split_leakage": q_split_leakage,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -938,6 +963,15 @@ sim AS (
 )"""
 
 _DUCK_HEX = "strpos('0123456789abcdef', substr(sha256(text), {pos}, 1)) - 1"
+
+
+def _duck_hex60(col: str) -> str:
+    """DuckDB parse of the first 15 hex digits of ``col`` to a 60-bit
+    int — mirrors the Spark side's single conv(hex, 16, 10) call."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
 
 
 def _minhash_oracle(num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3) -> str:
@@ -1298,6 +1332,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({norm_text}) AS fp FROM documents
+        """,
+        "split_leakage": f"""
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+            ),
+            k AS (
+              SELECT md5({norm_text}) AS fp,
+                     md5(CAST(doc_id AS VARCHAR)) AS h_id
+              FROM dup
+            ),
+            s AS (
+              SELECT fp,
+                     CASE WHEN ({_duck_hex60("h_id")}) % 1000000 < 900000 THEN 'train'
+                          WHEN ({_duck_hex60("h_id")}) % 1000000 < 950000 THEN 'val'
+                          ELSE 'test' END AS sp_id,
+                     CASE WHEN ({_duck_hex60("fp")}) % 1000000 < 900000 THEN 'train'
+                          WHEN ({_duck_hex60("fp")}) % 1000000 < 950000 THEN 'val'
+                          ELSE 'test' END AS sp_ct
+              FROM k
+            ),
+            lid AS (SELECT fp, count(DISTINCT sp_id) AS ns FROM s GROUP BY 1),
+            lct AS (SELECT fp, count(DISTINCT sp_ct) AS ns FROM s GROUP BY 1)
+            SELECT 'by_id' AS scheme, count(*) AS n_keys,
+                   CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+            FROM lid
+            UNION ALL
+            SELECT 'by_content', count(*),
+                   CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lct
         """,
         "gopher_quality": f"""
             WITH t AS (

@@ -54,6 +54,25 @@ def assign_split(
     return F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
 
 
+def split_leakage(df, key: Column | str, split: Column | str):
+    """Train/eval hygiene audit: how many content keys (fingerprints)
+    appear in more than one split? Content-keyed splits
+    (:func:`assign_split` on the fingerprint) give zero by
+    construction; id-keyed splits leak whenever duplicate content gets
+    different ids. One row: ``(n_keys, n_leaking)``. Two partial-
+    aggregated passes — count-distinct per key, then a global sum —
+    both map-side combined."""
+    k = F.col(key) if isinstance(key, str) else key
+    s = F.col(split) if isinstance(split, str) else split
+    per_key = df.select(k.alias("k"), s.alias("sp")).groupBy("k").agg(
+        F.count_distinct("sp").alias("n_splits")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).alias("n_leaking"),
+    )
+
+
 def hash_sample(
     key: Column | str,
     fraction: float,
