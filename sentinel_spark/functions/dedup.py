@@ -634,20 +634,17 @@ def repetition_table(
     distinct count) — every aggregate and the final id-equi-join reuse
     the spread's partitioning, so the corpus crosses the wire once.
     """
-    # Persisted: the token-stats and bigram-stats branches both read
-    # this (one regexp tokenization per document, not one per branch);
-    # the cached frame keeps its id-hash partitioning, so both
-    # branches' aggregates still run in place. Release via
-    # sentinel_spark.cache.release on the result.
-    base = (
-        _spread(df, by=F.col(id_col))
-        .select(
-            F.col(id_col).alias("id"),
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
-            ).alias("toks"),
-        )
-        .persist()
+    # Deliberately NOT persisted although two branches read it: caching
+    # here hides the id-hash partitioning from the downstream planner
+    # (an AQE-era InMemoryRelation reports unknown partitioning), which
+    # re-exchanges the exploded token rows three times — measured 3×
+    # slower than simply tokenizing twice. Cheap recompute + preserved
+    # partitioning beats a cache that breaks exchange elision.
+    base = _spread(df, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)).alias(
+            "toks"
+        ),
     )
     toks = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     # top-token count: (id, tok) partial counts (clustered by id ⊆ rule
@@ -680,16 +677,13 @@ def repetition_table(
         / F.greatest(F.col("n_bigrams"), F.lit(1)),
         6,
     )
-    return with_release(
-        out.select(
-            "id",
-            "n_tokens",
-            "n_bigrams",
-            "n_distinct_bigrams",
-            dup.alias("bigram_dup_frac"),
-            F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
-        ),
-        [base],
+    return out.select(
+        "id",
+        "n_tokens",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        dup.alias("bigram_dup_frac"),
+        F.round(F.col("top_c") / F.col("n_tokens"), 6).alias("top_token_frac"),
     )
 
 
