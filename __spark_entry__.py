@@ -675,6 +675,25 @@ def q_ngram_jaccard_zipf(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment for the whole corpus: MinHash+LSH
+    candidate pairs → large-star/small-star connected components →
+    per-document cluster id (component min) with singletons mapping to
+    themselves and ``is_canonical`` marking the keeper row. The
+    end-to-end shape of web-scale dedup removal. Oracle: DuckDB
+    recursive-CTE reachability over the identical portable MinHash
+    pair set."""
+    from sentinel_spark.cache import with_release
+    from sentinel_spark.functions.cluster import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_candidate_pairs(
+        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
+    )
+    out = dedup_clusters(d, cand, "doc_id")
+    return with_release(out, getattr(cand, "_sentinel_cached", []))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 64-bit md5-vote simhash (computed in one
     tokenization pass), banded bucket self-join, bit_count Hamming
@@ -897,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_zipf": q_ngram_jaccard_zipf,
         "minhash_verified": q_minhash_verified,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "ingest_rollup": q_ingest_rollup,
         "salted_agg": q_salted_agg,
@@ -1435,6 +1455,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "minhash_pairs": _minhash_oracle(),
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            mh AS ({_minhash_oracle()}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM mh
+              UNION
+              SELECT id_b, id_a FROM mh
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            comp AS (
+              SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS cluster_id,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+        """,
         "minhash_verified": f"""
             WITH mh AS ({_minhash_oracle()}),
             sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),

@@ -1,0 +1,136 @@
+"""Distributed connected components and dedup clustering.
+
+The final step of web-scale near-duplicate removal: MinHash/SimHash
+LSH produce candidate *pairs* (see :mod:`sentinel_spark.functions.
+dedup`); grouping those pairs into connected components yields one
+canonical document per duplicate cluster, which is what a training
+pipeline actually deletes against. The reference's dedup surface
+stops at content-hash get-or-create (``adapters/FilesAdapter.scala``
+md5 get-or-create); this operator is part of the §2.12
+training-pipeline extension surface.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) —
+converges in O(log n) rounds on *any* graph shape (min-label
+propagation needs O(diameter) rounds, which an adversarial similarity
+chain makes linear), and every round is two partition-aligned
+aggregate+join pairs keyed on the node id. No driver-side graph
+state: the only driver actions are the per-round convergence checks
+(a scalar ``isEmpty``), which is the standard shape for iterative
+DataFrame algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage between iterations. Without this the logical
+    plan doubles per round and analysis time dominates by iteration
+    ~8. ``localCheckpoint`` keeps blocks on executors (no reliable
+    storage needed — a failed executor costs a recompute of one
+    round, acceptable for a log-n-round algorithm); fall back to an
+    eager persist where it is unavailable (Spark Connect)."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        df = df.persist()
+        df.count()
+        return df
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u with (bidirected) neighborhood Γ(u): connect
+    every *larger* neighbor to m = min(Γ(u) ∪ {u}). Output edges all
+    point strictly larger → smaller."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # groupBy(u) then join on u: the aggregate's output partitioning
+    # is reused by the join, so each round exchanges the edge list
+    # once on u (plus the aggregate's partial/final split).
+    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Input invariant: every edge has v < u. For each u connect all
+    neighbors (and u itself) to m = min(Γ(u) ∪ {u}) = min(Γ(u))."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        edges.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return moved.unionByName(self_edges).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``, where
+    ``component`` is the minimum node id of its connected component.
+
+    ``max_iterations`` is a safety net only — large-star/small-star
+    provably converges in O(log n) rounds, so 25 covers any physically
+    storable graph."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = _materialize(edges)
+    for _ in range(max_iterations):
+        nxt = _materialize(_small_star(_large_star(edges)))
+        converged = nxt.exceptAll(edges).isEmpty()
+        edges = nxt
+        if converged:
+            break
+    # At convergence the edge set is a union of stars u → root.
+    return (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(
+            edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for *every* document: near-dup pair members
+    get their component's min id, singletons get themselves.
+    ``is_canonical`` marks the one row per cluster a dedup pipeline
+    keeps. The component frame is tiny relative to the corpus (only
+    documents that collided in LSH), so the attach join broadcasts."""
+    comp = connected_components(pairs, src, dst)
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        df.select(id_col)
+        .join(F.broadcast(comp), F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col,
+            cluster.alias("cluster_id"),
+            (cluster == F.col(id_col)).alias("is_canonical"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Connected components / dedup clustering vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.cluster import connected_components, dedup_clusters
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in roots.values() for n in members}
+
+
+def _check(spark, edges):
+    nodes = sorted({x for e in edges for x in e})
+    expect = _union_find(nodes, edges)
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expect
+
+
+def test_random_graphs(spark):
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 50))
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        _check(spark, edges)
+
+
+def test_long_chain_converges(spark):
+    # A 33-node path — diameter 32; large-star/small-star must resolve
+    # it well inside the O(log n) iteration budget.
+    edges = [(i, i + 1) for i in range(32)]
+    _check(spark, edges)
+
+
+def test_two_cliques_and_bridge(spark):
+    a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    _check(spark, a + b)
+    _check(spark, a + b + [(4, 10)])
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_assigns_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 7), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (2, False),
+        4: (4, True),
+        5: (1, False),
+        6: (6, True),
+        7: (1, False),
+    }
+    canon = [d for d, (_, c) in out.items() if c]
+    assert sorted(canon) == [0, 1, 2, 4, 6]
