@@ -615,6 +615,44 @@ def q_split_leakage(spark, sf_dir):
     return leak_id.unionByName(leak_content)
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each click event attached to the user's most recent
+    prior-or-same-instant purchase. Union-trick window formulation —
+    one shuffle on user_id, no range-join fan-out. Oracle: DuckDB
+    native ASOF LEFT JOIN."""
+    from sentinel_spark.operators.timeseries import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return as_of_join(clicks, purchases, "ts", "user_id", prefix="p_")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap sessionization (10-min inactivity) + per-session rollup.
+    The window and the groupBy share the user_id hash partitioning —
+    one exchange end to end."""
+    from sentinel_spark.operators.timeseries import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", gap_seconds=600, tiebreak="event_id")
+    return s.groupBy("user_id", "session_seq", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchases"
+        ),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint (md5 of normalized text)."""
     d = _t(spark, sf_dir, "documents")
@@ -910,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "hash_split": q_hash_split,
         "split_leakage": q_split_leakage,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -1449,6 +1489,46 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             )
             SELECT split, lang, count(*) AS n_docs FROM s GROUP BY 1, 2
+        """,
+        "asof_join": """
+            SELECT c.event_id, c.user_id, c.ts, c.value,
+                   p.ts AS p_ts, p.value AS p_value
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, event_type,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pts
+              FROM events
+            ),
+            f AS (
+              SELECT *, CASE WHEN pts IS NULL
+                               OR epoch_us(ts) - epoch_us(pts) > 600000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM o
+            ),
+            s AS (
+              SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                             AS BIGINT) AS session_seq
+              FROM f
+            )
+            SELECT user_id, session_seq,
+                   user_id || '#' || session_seq AS session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                     AS duration_us,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+            FROM s GROUP BY 1, 2, 3
         """,
         "exact_dedup": f"""
             SELECT md5({norm_text}) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,141 @@
+"""Time-series operators: as-of join and gap sessionization.
+
+Both are single-shuffle compositions of built-in window functions —
+no range-join explosion, no per-row Python. The reference has no
+time-series surface (its closest is the time sort, O1,
+``processors/DataPointsProcessor.scala`` sort stage); these belong to
+the §2.12 training-pipeline extension surface (event-log feature
+attachment and session construction for behavioral corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "user_id",
+    *,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    right_cols: list[str] | None = None,
+    prefix: str = "r_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the nearest right row per key:
+    ``backward`` → latest right with ``right.on <= left.on`` (the
+    classic trade/quote join), ``forward`` → earliest right with
+    ``right.on >= left.on``. Ties at equal ``on`` match (inclusive).
+
+    Implemented as the union trick: tag sides, one window per key
+    ordered by (on, side), and ``last(right_struct, ignorenulls)``
+    carries the nearest match to every left row. ONE shuffle on the
+    key — never a range-join fan-out, never a per-left-row scan —
+    which is what makes it safe when both sides are event logs of
+    comparable size. A range join would be O(|L|·|R|) per key; this
+    is O((|L|+|R|) log) for the sort.
+
+    ``right`` should be unique per (by, on); pass ``tiebreak`` (a
+    right column name) to make the choice among equal-timestamp right
+    rows deterministic otherwise. ``tolerance_seconds`` nulls out
+    matches further than the window (the match columns stay, the
+    values go null, mirroring pandas ``merge_asof`` tolerance).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    rcols = right_cols or [c for c in right.columns if c not in {*keys, on}]
+
+    r_struct = F.struct(
+        F.col(on).alias("__on_r"), *[F.col(c) for c in rcols]
+    )
+    r_type = right.select(r_struct.alias("x")).schema["x"].dataType
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(l_struct.alias("x")).schema["x"].dataType
+
+    r_tag = right.select(
+        *keys,
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+    )
+    l_tag = left.select(
+        *keys,
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+        F.lit(None).alias("__tb"),
+    )
+
+    if direction == "backward":
+        order = [F.col("__on").asc(), F.col("__side").asc(), F.col("__tb").asc()]
+    elif direction == "forward":
+        order = [F.col("__on").desc(), F.col("__side").asc(), F.col("__tb").desc()]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = r_tag.unionByName(l_tag).select(
+        "__l", F.last("__r", ignorenulls=True).over(w).alias("__r"), "__side"
+    )
+
+    r = F.col("__r")
+    if tolerance_seconds is not None:
+        # unix_micros, not unix_timestamp: the latter floors to whole
+        # seconds, silently widening the tolerance by up to 1 s.
+        gap = F.abs(
+            F.unix_micros(F.col("__l").getField(on))
+            - F.unix_micros(r.getField("__on_r"))
+        )
+        r = F.when(gap <= tolerance_seconds * 1_000_000, r)
+    return matched.where(F.col("__side") == 1).select(
+        *[F.col("__l").getField(c).alias(c) for c in left.columns],
+        r.getField("__on_r").alias(prefix + on),
+        *[r.getField(c).alias(prefix + c) for c in rcols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts: str = "ts",
+    by: str | list[str] = "user_id",
+    *,
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+    seq_col: str = "session_seq",
+    id_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since
+    the key's previous event exceeds ``gap_seconds``. Adds a per-key
+    session sequence number and a globally unique string session id.
+
+    One shuffle on the key; the lag and the running sum share the same
+    window ordering, and a downstream per-session ``groupBy(keys +
+    session)`` reuses the partitioning (hash clustering on a subset of
+    the grouping keys satisfies the aggregate's distribution — no
+    second exchange).
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(ts).over(w)
+    # Microsecond-exact gap (unix_timestamp would floor both sides to
+    # seconds); DuckDB mirror is epoch_us().
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts)) - F.unix_micros(prev) > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    sid: Column = F.concat_ws("#", *keys, F.col(seq_col))
+    return df.withColumn(seq_col, seq).withColumn(id_col, sid)

@@ -1,0 +1,130 @@
+"""as_of_join vs pandas.merge_asof; sessionize vs a Python oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pandas as pd
+
+from sentinel_spark.operators.timeseries import as_of_join, sessionize
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _frames(seed, n_left=120, n_right=80, n_keys=6):
+    rng = random.Random(seed)
+
+    def mk(n):
+        return pd.DataFrame(
+            {
+                "user_id": [rng.randrange(n_keys) for _ in range(n)],
+                "ts": [
+                    EPOCH + dt.timedelta(seconds=rng.randrange(0, 100000))
+                    for _ in range(n)
+                ],
+                "value": [round(rng.uniform(0, 100), 3) for _ in range(n)],
+            }
+        )
+
+    left, right = mk(n_left), mk(n_right)
+    # merge_asof semantics need per-(key, ts) uniqueness on the right
+    right = right.drop_duplicates(["user_id", "ts"])
+    return left, right
+
+
+def _pandas_asof(left, right, direction, tol=None):
+    kw = {"tolerance": pd.Timedelta(seconds=tol)} if tol else {}
+    return (
+        pd.merge_asof(
+            left.sort_values(["ts", "user_id", "value"]),
+            right.sort_values(["ts", "user_id", "value"]).rename(
+                columns={"ts": "r_ts", "value": "r_value"}
+            ),
+            left_on="ts",
+            right_on="r_ts",
+            by="user_id",
+            direction=direction,
+            **kw,
+        )
+        .sort_values(["user_id", "ts", "value"])
+        .reset_index(drop=True)
+    )
+
+
+def _spark_asof(spark, left, right, direction, tol=None):
+    lf, rf = spark.createDataFrame(left), spark.createDataFrame(right)
+    out = as_of_join(
+        lf, rf, "ts", "user_id", direction=direction, tolerance_seconds=tol
+    )
+    return (
+        out.toPandas()
+        .sort_values(["user_id", "ts", "value"])
+        .reset_index(drop=True)[
+            ["user_id", "ts", "value", "r_ts", "r_value"]
+        ]
+    )
+
+
+def test_asof_backward_matches_pandas(spark):
+    for seed in (1, 2):
+        left, right = _frames(seed)
+        expect = _pandas_asof(left, right, "backward")[
+            ["user_id", "ts", "value", "r_ts", "r_value"]
+        ]
+        got = _spark_asof(spark, left, right, "backward")
+        pd.testing.assert_frame_equal(got, expect)
+
+
+def test_asof_forward_and_tolerance(spark):
+    left, right = _frames(3)
+    for direction, tol in (("forward", None), ("backward", 3600)):
+        expect = _pandas_asof(left, right, direction, tol)[
+            ["user_id", "ts", "value", "r_ts", "r_value"]
+        ]
+        got = _spark_asof(spark, left, right, direction, tol)
+        pd.testing.assert_frame_equal(got, expect)
+
+
+def test_asof_key_with_no_right_rows(spark):
+    left = pd.DataFrame(
+        {"user_id": [99], "ts": [EPOCH], "value": [1.0]}
+    )
+    right = pd.DataFrame(
+        {"user_id": [1], "ts": [EPOCH], "value": [2.0]}
+    )
+    out = _spark_asof(spark, left, right, "backward")
+    assert out["r_value"].isna().all()
+
+
+def _py_sessions(rows, gap):
+    # rows: (user, ts, id) → {id: seq}
+    out = {}
+    by_user = {}
+    for u, ts, i in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        prev, seq = by_user.get(u, (None, 0))
+        if prev is None or (ts - prev).total_seconds() > gap:
+            seq += 1
+        by_user[u] = (ts, seq)
+        out[i] = seq
+    return out
+
+
+def test_sessionize_matches_python(spark):
+    rng = random.Random(11)
+    rows = [
+        (
+            rng.randrange(4),
+            EPOCH + dt.timedelta(seconds=rng.randrange(0, 50000)),
+            i,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    got = sessionize(df, "ts", "user_id", gap_seconds=600, tiebreak="event_id")
+    res = {r["event_id"]: r["session_seq"] for r in got.collect()}
+    assert res == _py_sessions(rows, 600)
+    ids = {
+        (r["user_id"], r["session_seq"]): r["session_id"] for r in got.collect()
+    }
+    assert all(v == f"{u}#{s}" for (u, s), v in ids.items())
