@@ -615,6 +615,64 @@ def q_split_leakage(spark, sf_dir):
     return leak_id.unionByName(leak_content)
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub: per-kind match counts + fingerprint of the redacted
+    text. Deterministic synthetic PII (emails/IPs/SSNs/phones derived
+    from doc_id) is appended to each document so the scrub is
+    non-vacuous; the oracle injects the identical strings via printf.
+    Pure codegen regexp columns, patterns in the Java∩RE2 subset."""
+    from sentinel_spark.functions import pii as P
+
+    d = _t(spark, sf_dir, "documents")
+    dec = F.concat(
+        F.col("text"),
+        F.format_string(
+            " contact u%d@example.com from 10.0.%d.%d id %03d-%02d-%04d"
+            " tel +1 (555) 010-%04d",
+            F.col("doc_id"),
+            F.col("doc_id") % 256,
+            (F.col("doc_id") * 7) % 256,
+            F.col("doc_id") % 1000,
+            F.col("doc_id") % 100,
+            F.col("doc_id") % 10000,
+            F.col("doc_id") % 10000,
+        ),
+    )
+    counts = P.pii_counts(dec)
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        F.md5(P.redact_pii(dec)).alias("redacted_fp"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalanced deterministic sample: 10% of en, 80% of zh,
+    50% of es, everything else kept. A pure per-row hash-bucket filter
+    — no global pass, no shuffle; pushed to the scan."""
+    from sentinel_spark.functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    keep = SP.stratified_sample(
+        "lang",
+        F.col("doc_id").cast("string"),
+        {"en": 0.1, "zh": 0.8, "es": 0.5},
+        default_rate=1.0,
+        salt="strat",
+    )
+    return d.where(keep).select("doc_id", "lang")
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (smoothed idf). Three
+    inherent exchanges: id-spread, df-per-term aggregate, top-k
+    window; corpus size attaches as a broadcast 1-row frame."""
+    from sentinel_spark.functions.keywords import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, "text", "doc_id", top_k=5)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: each click event attached to the user's most recent
     prior-or-same-instant purchase. Union-trick window formulation —
@@ -948,6 +1006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "hash_split": q_hash_split,
         "split_leakage": q_split_leakage,
+        "pii_redact": q_pii_redact,
+        "stratified_sample": q_stratified_sample,
+        "tfidf_keywords": q_tfidf_keywords,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1032,6 +1093,42 @@ def _duck_hex60(col: str) -> str:
         f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
         for i in range(15)
     )
+
+
+def _md5_bucket_sql(arg: str, buckets: int = 1_000_000) -> str:
+    """DuckDB mirror of sampling.hash_bucket: first 15 md5 hex digits
+    → 60-bit int → mod buckets."""
+    parse = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"(({parse}) % {buckets})"
+
+
+def _pii_oracle() -> str:
+    from sentinel_spark.functions.pii import PII_PATTERNS
+
+    inject = (
+        "text || printf(' contact u%d@example.com from 10.0.%d.%d"
+        " id %03d-%02d-%04d tel +1 (555) 010-%04d',"
+        " doc_id, doc_id % 256, (doc_id * 7) % 256, doc_id % 1000,"
+        " doc_id % 100, doc_id % 10000, doc_id % 10000)"
+    )
+    # Counts mirror pii_counts: each kind counted on text with the
+    # earlier kinds already replaced.
+    red = "t"
+    count_cols = []
+    for kind, pat in PII_PATTERNS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS INT) AS n_{kind}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    counts = ", ".join(count_cols)
+    return f"""
+        WITH dec AS (SELECT doc_id, {inject} AS t FROM documents)
+        SELECT doc_id, {counts}, md5({red}) AS redacted_fp FROM dec
+    """
 
 
 def _minhash_oracle(num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3) -> str:
@@ -1489,6 +1586,37 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             )
             SELECT split, lang, count(*) AS n_docs FROM s GROUP BY 1, 2
+        """,
+        "pii_redact": _pii_oracle(),
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_md5_bucket_sql("'strat' || CAST(doc_id AS VARCHAR)")}
+                  < CASE lang WHEN 'en' THEN 100000
+                              WHEN 'zh' THEN 800000
+                              WHEN 'es' THEN 500000
+                              ELSE 1000000 END
+        """,
+        "tfidf_keywords": f"""
+            WITH t AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM t GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            sc AS (
+              SELECT doc_id, term, tf,
+                     round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1),
+                           6) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            ),
+            r AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC, term)
+                             AS INT) AS kw_rank
+              FROM sc
+            )
+            SELECT doc_id, term, tf, score, kw_rank FROM r WHERE kw_rank <= 5
         """,
         "asof_join": """
             SELECT c.event_id, c.user_id, c.ts, c.value,

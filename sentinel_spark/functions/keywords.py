@@ -1,0 +1,72 @@
+"""TF-IDF keyword extraction over a document corpus.
+
+Part of the §2.12 training-pipeline text-analysis surface (document
+topicality features alongside :mod:`text`'s quality scores). Pure
+DataFrame composition — tokenize/explode/aggregate/window, all
+codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sentinel_spark.functions.dedup import _spread
+from sentinel_spark.functions.text import WORD_RE
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``k`` keywords per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the scikit-learn smoothing).
+
+    Shuffle profile — three exchanges, each inherent: (1) the id-hash
+    spread, after which tokenize/explode/per-doc term counts all run
+    in place; (2) the document-frequency aggregate keyed on the term;
+    (3) the window back on the document id for the top-k rank. The
+    corpus size joins in as a broadcast 1-row frame (no driver
+    action), and the df-per-term frame joins on the term key —
+    broadcast when small, sort-merge at web-scale vocabulary sizes
+    (AQE decides). Ties rank deterministically (score desc, term asc).
+    """
+    toks = _spread(df, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0))
+        ).alias("term"),
+    )
+    # (id, term) grouping is co-located by the id-hash spread.
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .join(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)))
+                    + F.lit(1)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .where(F.col("kw_rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "score", "kw_rank"
+        )
+    )

@@ -1,0 +1,52 @@
+"""PII detection and redaction over text columns.
+
+Training corpora scrub emails, phone numbers, IP addresses, and
+SSN-shaped ids before release. Everything here is codegen
+``regexp_replace`` / ``regexp_extract_all`` Columns — no Python in
+the hot path — and every pattern stays inside the Java-regex ∩ RE2
+common subset (char classes, bounded repeats, non-capturing groups,
+``\\b``) so a SQL oracle applies the *identical* pattern.
+
+Part of the §2.12 training-pipeline extension surface; the reference
+has no scrubbing stage (its closest is attribute hiding, P9,
+``RunsRouter.scala`` hidden attributes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Order matters: SSN before PHONE (a phone pattern would swallow
+# 123-45-6789), EMAIL before PHONE (digits inside a local part).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()./ -]{6,}[0-9]\b"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind match counts, each computed on text with the *earlier*
+    kinds already replaced — so the counts are exactly what
+    :func:`redact_pii` tags (an SSN is one ssn, not also one phone)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    for kind, pat in PII_PATTERNS:
+        out[kind] = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return out
+
+
+def redact_pii(
+    col: Column | str, kinds: tuple[str, ...] | None = None
+) -> Column:
+    """Replace every match with a ``<KIND>`` token, applying the
+    patterns in :data:`PII_PATTERNS` order (SSNs must be consumed
+    before the looser phone pattern sees them)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return c

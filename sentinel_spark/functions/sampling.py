@@ -83,3 +83,35 @@ def hash_sample(
     keys — ``df.filter(hash_sample("doc_id", 0.01))`` is a stable 1%
     sample that every engine and every rerun agrees on."""
     return hash_bucket(key, buckets, salt) < int(round(fraction * buckets))
+
+
+def stratified_sample(
+    strata: Column | str,
+    key: Column | str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "",
+) -> Column:
+    """Boolean keep-predicate with a different sampling rate per
+    stratum — the language/domain-rebalancing primitive of corpus
+    construction (e.g. keep 100% of low-resource languages, 5% of
+    English). Same deterministic hash bucketing as
+    :func:`hash_sample`, so the selection is a pure per-row filter:
+    no global pass, no shuffle, engine-portable, and upsampling a
+    stratum later (raising its rate) keeps every previously selected
+    key — the buckets are nested by construction."""
+    s = F.col(strata) if isinstance(strata, str) else strata
+    b = hash_bucket(key, buckets, salt)
+    threshold = None
+    for name, rate in rates.items():
+        t = F.lit(int(round(rate * buckets)))
+        threshold = (
+            F.when(s == name, t)
+            if threshold is None
+            else threshold.when(s == name, t)
+        )
+    default = F.lit(int(round(default_rate * buckets)))
+    threshold = default if threshold is None else threshold.otherwise(default)
+    return b < threshold

@@ -1,0 +1,61 @@
+"""tfidf_topk vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from sentinel_spark.functions.keywords import tfidf_topk
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "cats and dogs and cats"),
+    (3, ""),
+    (4, "unique zebra quagga"),
+]
+
+
+def _py_tfidf(docs, k):
+    toks = {i: [t for t in txt.lower().split() if t] for i, txt in docs}
+    n = len(docs)
+    dfc = Counter(t for ts in toks.values() for t in set(ts))
+    out = {}
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        scored = [
+            (t, c, round(c * (math.log((n + 1) / (dfc[t] + 1)) + 1), 6))
+            for t, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[2], x[0]))
+        out[i] = [
+            (t, c, s, r + 1) for r, (t, c, s) in enumerate(scored[:k])
+        ]
+    return out
+
+
+def test_tfidf_matches_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    got = {}
+    for r in tfidf_topk(df, "text", "doc_id", top_k=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["score"], r["kw_rank"])
+        )
+    for i in got:
+        got[i].sort(key=lambda x: x[3])
+    expect = {i: v for i, v in _py_tfidf(DOCS, 3).items() if v}
+    assert got == expect
+    assert 3 not in got  # empty doc has no keywords
+
+
+def test_tfidf_rank_is_deterministic_on_ties(spark):
+    # two terms with identical tf and df — tie broken by term asc
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha beta")], "doc_id bigint, text string"
+    )
+    rows = tfidf_topk(df, "text", "doc_id", top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["kw_rank"], r["term"]))
+    for v in by_doc.values():
+        assert sorted(v) == [(1, "alpha"), (2, "beta")]

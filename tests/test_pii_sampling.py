@@ -1,0 +1,90 @@
+"""PII redaction goldens; stratified-sample rate + nesting laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.pii import pii_counts, redact_pii
+from sentinel_spark.functions.sampling import stratified_sample
+
+CASES = [
+    # (text, redacted, n_email, n_ssn, n_ip, n_phone)
+    (
+        "mail bob.smith+x@corp.example.org now",
+        "mail <EMAIL> now",
+        1, 0, 0, 0,
+    ),
+    (
+        "ssn 123-45-6789 and phone +1 (555) 123-4567",
+        "ssn <SSN> and phone <PHONE>",
+        0, 1, 0, 1,
+    ),
+    ("server at 192.168.0.1 ok", "server at <IP> ok", 0, 0, 1, 0),
+    (
+        "a@b.io c@d.io 555-867-5309",
+        "<EMAIL> <EMAIL> <PHONE>",
+        2, 0, 0, 1,
+    ),
+    ("no pii here at all", "no pii here at all", 0, 0, 0, 0),
+]
+
+
+def test_redaction_goldens(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_) in enumerate(CASES)], "i int, text string"
+    )
+    counts = pii_counts("text")
+    rows = df.select(
+        "i",
+        redact_pii("text").alias("red"),
+        *[c.alias(k) for k, c in counts.items()],
+    ).collect()
+    for r in rows:
+        text, red, ne, ns, nip, nph = CASES[r["i"]]
+        assert r["red"] == red, text
+        assert (r["email"], r["ssn"], r["ip"], r["phone"]) == (ne, ns, nip, nph), text
+
+
+def test_ssn_not_eaten_by_phone(spark):
+    df = spark.createDataFrame([("id 123-45-6789.",)], "text string")
+    out = df.select(redact_pii("text").alias("r")).first()["r"]
+    assert out == "id <SSN>."
+
+
+def test_stratified_rates_and_nesting(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "zh", "xx"][i % 3]) for i in range(6000)],
+        "doc_id bigint, lang string",
+    )
+    key = F.col("doc_id").cast("string")
+    kept = df.where(
+        stratified_sample("lang", key, {"en": 0.1, "zh": 0.5})
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(by_lang.get("en", 0) / 2000 - 0.1) < 0.03
+    assert abs(by_lang.get("zh", 0) / 2000 - 0.5) < 0.04
+    assert "xx" not in by_lang  # default_rate=0
+
+    # nesting: raising a rate keeps every previously selected key
+    small = {
+        r["doc_id"]
+        for r in df.where(
+            stratified_sample("lang", key, {"en": 0.1})
+        ).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in df.where(
+            stratified_sample("lang", key, {"en": 0.4})
+        ).collect()
+    }
+    assert small <= big
+
+    # default_rate=1.0 keeps unlisted strata wholesale
+    all_xx = df.where(
+        stratified_sample("lang", key, {"en": 0.1}, default_rate=1.0)
+    )
+    assert all_xx.where(F.col("lang") == "xx").count() == 2000
