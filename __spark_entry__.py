@@ -952,6 +952,27 @@ def q_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(e, [0, 1, 2, 3, 4], k=5, n_cells=16, nprobe=4)
 
 
+def q_kmeans_cells(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 2 iterations) over the
+    embeddings — the real IVF centroid trainer. Deterministic by
+    construction (lowest-id init, lower-cell tie-break, 6-decimal
+    centroid quantization per update), so the DuckDB oracle unrolls
+    the identical two iterations and hash-matches the trained
+    centroids' norms and the final cell populations."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_fit(emb, 8, n_iter=2)
+    assign = SIM.assign_cells(emb, cents)
+    counts = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return cents.join(counts, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_members"),
+        F.round(SIM.l2_norm(F.col("c_vec")), 6).alias("c_norm"),
+        F.round(
+            F.aggregate("c_vec", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("c_sum"),
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN with multiprobe (the scale path).
     Approximate by design but fully deterministic: literal md5-parity
@@ -1029,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "cosine_near_dup": q_cosine_near_dup,
         "ivf_topk": q_ivf_topk,
+        "kmeans_cells": q_kmeans_cells,
         "lsh_topk": q_lsh_topk,
     }
 
@@ -1128,6 +1150,78 @@ def _pii_oracle() -> str:
     return f"""
         WITH dec AS (SELECT doc_id, {inject} AS t FROM documents)
         SELECT doc_id, {counts}, md5({red}) AS redacted_fp FROM dec
+    """
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled DuckDB mirror of SIM.kmeans_fit + final assignment:
+    same lowest-id init, same cosine/tie-break assignment, same
+    6-decimal centroid quantization per update."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            f" / (sqrt(list_sum(list_transform({a},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+            f" * sqrt(list_sum(list_transform({b},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                 list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c_vec
+          FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for i in range(n_iter + 1):
+        ctes.append(
+            f"""s{i} AS (
+              SELECT e.vec_id AS id, e.embedding AS v, c.cell,
+                     {cos("e.embedding", "c.c_vec")} AS sim
+              FROM e CROSS JOIN c{i} c
+            )"""
+        )
+        ctes.append(
+            f"""a{i} AS (
+              SELECT id, v, cell FROM (
+                SELECT id, v, cell,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY sim DESC, cell) AS rn
+                FROM s{i}
+              ) WHERE rn = 1
+            )"""
+        )
+        if i == n_iter:
+            break  # final pass is assignment-only
+        ctes.append(
+            f"""m{i} AS (
+              SELECT cell, d.i AS pos, sum(CAST(v[d.i] AS DOUBLE)) AS s,
+                     count(*) AS c
+              FROM a{i}, (SELECT unnest(generate_series(1, {dim})) AS i) d
+              GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""c{i + 1} AS (
+              SELECT o.cell, COALESCE(n.c_vec, o.c_vec) AS c_vec
+              FROM c{i} o LEFT JOIN (
+                SELECT cell, list(round(s / c, 6) ORDER BY pos) AS c_vec
+                FROM m{i} GROUP BY cell
+              ) n USING (cell)
+            )"""
+        )
+    norm = "sqrt(list_sum(list_transform(c_vec, x -> x * x)))"
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT c.cell, COALESCE(t.n, 0) AS n_members,
+               round({norm}, 6) AS c_norm,
+               round(list_sum(c_vec), 6) AS c_sum
+        FROM c{n_iter} c LEFT JOIN (
+          SELECT cell, CAST(count(*) AS BIGINT) AS n FROM a{n_iter} GROUP BY 1
+        ) t USING (cell)
     """
 
 
@@ -1848,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        "kmeans_cells": _kmeans_oracle(),
         "lsh_topk": _lsh_topk_oracle(),
         "ann_topk": f"""
             WITH q AS (

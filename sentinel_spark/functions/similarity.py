@@ -248,15 +248,17 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to the nearest of
     ``n_cells`` centroid cells; each query scores only the vectors in
-    its ``nprobe`` closest cells. The centroid "training" is a
+    its ``nprobe`` closest cells. Pass ``centroids`` (a (cell, c_vec)
+    frame from :func:`kmeans_fit`) for trained cells; the default is a
     deterministic stand-in — the first ``n_cells`` vectors by id —
-    because real IVF trains centroids offline anyway; the *serving*
-    plumbing (assignment, probe-list, cell-restricted scoring) is the
-    part that must scale, and it is all broadcast-joins + windows.
-    Deterministic end-to-end, so the full output is oracle-checkable.
+    which keeps the serving output oracle-checkable without unrolling
+    training into the oracle. The *serving* plumbing (assignment,
+    probe-list, cell-restricted scoring) is identical either way, all
+    broadcast-joins + windows.
 
     Cell *assignment* is an argmax aggregate (``max_by`` over the
     scored (vector × centroid) rows, tie-broken toward the lower cell
@@ -265,11 +267,16 @@ def ivf_topk(
     formulation shuffled and sorted all of them. The only window left
     ranks the *query* probe lists — a few rows.
     """
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("cn"),
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            "cell", "c_vec", l2_norm(F.col("c_vec")).alias("cn")
+        )
+    else:
+        cents = emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+        )
     # per-vector norm computed once and divided out of every centroid
     # score and the final serving score (bit-equal to per-pair cosine)
     scored_cells = (
@@ -408,3 +415,110 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
     )
+
+
+def assign_cells(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (tie → lower cell id):
+    broadcast the (cell, c_vec) centroid frame, score every vector
+    against every centroid in one projection, reduce with map-side
+    ``max_by`` — the vector's k candidate rows collapse before the
+    shuffle. Output (id, v, vn, cell)."""
+    c = cents.select(
+        "cell", "c_vec", l2_norm(F.col("c_vec")).alias("cn")
+    )
+    scored = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("vn"),
+        )
+        .crossJoin(F.broadcast(c))
+        .select(
+            "id",
+            "v",
+            "vn",
+            "cell",
+            (dot(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("cn"))).alias(
+                "c_sim"
+            ),
+        )
+    )
+    best = scored.groupBy("id").agg(
+        F.max_by(
+            F.struct(F.col("cell"), F.col("v"), F.col("vn")),
+            F.struct(F.col("c_sim"), (-F.col("cell")).alias("neg_cell")),
+        ).alias("b")
+    )
+    return best.select(
+        "id", F.col("b.v").alias("v"), F.col("b.vn").alias("vn"),
+        F.col("b.cell").alias("cell"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    *,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the real
+    IVF centroid trainer (:func:`ivf_topk`'s first-k-by-id centroids
+    are the documented serving-only stand-in). Returns (cell, c_vec).
+
+    Fully deterministic and engine-portable: init is the k lowest-id
+    vectors, assignment ties break toward the lower cell, and every
+    updated centroid component is quantized to 6 decimals — so a fixed
+    ``n_iter`` run is reproducible bit-for-bit across engines and an
+    unrolled SQL oracle can hash-match it.
+
+    Per iteration: one broadcast assignment (no shuffle — map-side
+    max_by partials), one (cell, dim) sum/count aggregate over the
+    dim-exploded members (the standard scalable mean — never a
+    collect_list of vectors), and a k-row rebuild. Centroids are
+    localCheckpoint'ed each round so iteration i+1's plan doesn't
+    replay iteration i."""
+    from sentinel_spark.functions.cluster import _materialize
+
+    w = Window.orderBy(id_col)  # k rows — single-partition window is fine
+    cents = _materialize(
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
+            ).alias("c_vec"),
+        )
+    )
+    for _ in range(n_iter):
+        a = assign_cells(emb, cents, id_col, vec_col)
+        ex = a.select("cell", F.posexplode("v").alias("pos", "x"))
+        means = (
+            ex.groupBy("cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .select("cell", "pos", F.round(F.col("s") / F.col("c"), 6).alias("m"))
+        )
+        # sort_array on struct(pos, m) orders by pos; getField lifts the
+        # component array back out — no lambdas on the bulk path.
+        newc = means.groupBy("cell").agg(
+            F.sort_array(F.collect_list(F.struct("pos", "m")))
+            .getField("m")
+            .alias("c_vec")
+        )
+        cents = _materialize(
+            cents.select("cell", F.col("c_vec").alias("old"))
+            .join(newc, "cell", "left")
+            .select("cell", F.coalesce("c_vec", "old").alias("c_vec"))
+        )
+    return cents

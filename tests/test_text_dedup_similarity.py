@@ -336,3 +336,37 @@ def test_hash_split_deterministic_and_leakage_free(spark):
     s10 = {r.doc_id for r in df.filter(SP.hash_sample("text", 0.10)).collect()}
     s20 = {r.doc_id for r in df.filter(SP.hash_sample("text", 0.20)).collect()}
     assert s10 <= s20 and len(s20) > len(s10)
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    # two tight direction groups + a lone opposite vector
+    vecs = (
+        [(i, [1.0, 0.05 * i, 0.0]) for i in range(4)]
+        + [(10 + i, [0.0, 1.0, 0.05 * i]) for i in range(4)]
+    )
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    cents = SIM.kmeans_fit(df, 2, n_iter=3)
+    assert cents.count() == 2
+    assign = SIM.assign_cells(df, cents)
+    got = {r["id"]: r["cell"] for r in assign.collect()}
+    group_a = {got[i] for i in range(4)}
+    group_b = {got[10 + i] for i in range(4)}
+    assert len(group_a) == 1 and len(group_b) == 1 and group_a != group_b
+
+
+def test_kmeans_empty_cells_keep_old_centroids(spark):
+    # 3 identical vectors, k=3: two cells go empty and must survive
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)], "vec_id int, embedding array<float>"
+    )
+    cents = SIM.kmeans_fit(df, 3, n_iter=2)
+    assert cents.count() == 3
+    assert all(r["c_vec"] is not None for r in cents.collect())
+
+
+def test_kmeans_feeds_ivf_serving(emb):
+    cents = SIM.kmeans_fit(emb, 2, n_iter=2)
+    out = SIM.ivf_topk(emb, [0], k=2, nprobe=1, centroids=cents)
+    rows = out.orderBy("rank").collect()
+    assert len(rows) >= 1
+    assert rows[0].c_id == 1  # nearest neighbor of 0 is in the same cell
