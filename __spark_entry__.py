@@ -615,6 +615,38 @@ def q_split_leakage(spark, sf_dir):
     return leak_id.unionByName(leak_content)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, 8-token
+    overlap) — context-length fitting. Pure codegen
+    tokenize→sequence→explode→slice, zero shuffles."""
+    from sentinel_spark.functions.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "text", "doc_id", chunk_tokens=64, overlap=8)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.col("token_start").cast("long").alias("token_start"),
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
+def q_token_shards(spark, sf_dir):
+    """GPT-style concatenation packing: documents laid end-to-end in
+    doc_id order, shard boundaries every 2048 tokens. Two-level prefix
+    sum (within coarse buckets + broadcast bucket bases) — no global
+    single-partition window."""
+    from sentinel_spark.functions.chunking import token_offsets
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tok")
+    )
+    return token_offsets(
+        d, "n_tok", "doc_id", shard_tokens=2048
+    ).select("doc_id", "n_tok", "token_offset", "shard_id", "n_shards")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub: per-kind match counts + fingerprint of the redacted
     text. Deterministic synthetic PII (emails/IPs/SSNs/phones derived
@@ -1027,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "hash_split": q_hash_split,
         "split_leakage": q_split_leakage,
+        "chunk_documents": q_chunk_documents,
+        "token_shards": q_token_shards,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "tfidf_keywords": q_tfidf_keywords,
@@ -1680,6 +1714,40 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             )
             SELECT split, lang, count(*) AS n_docs FROM s GROUP BY 1, 2
+        """,
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 56)) AS start
+              FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST(start // 56 AS INT) AS chunk_id,
+                   CAST(start AS BIGINT) AS token_start,
+                   CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens,
+                   md5(array_to_string(toks[start + 1 : start + 64], ' '))
+                     AS chunk_fp
+            FROM s
+        """,
+        "token_shards": f"""
+            WITH t AS (
+              SELECT doc_id, CAST(len({_WORDS}) AS INT) AS n_tok FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tok,
+                     sum(CAST(n_tok AS BIGINT)) OVER (ORDER BY doc_id
+                                                      ROWS UNBOUNDED PRECEDING)
+                       AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tok,
+                   CAST(cum - n_tok AS BIGINT) AS token_offset,
+                   CAST((cum - n_tok) // 2048 AS BIGINT) AS shard_id,
+                   CAST(CASE WHEN n_tok > 0
+                             THEN (cum - 1) // 2048 - (cum - n_tok) // 2048 + 1
+                             ELSE 0 END AS BIGINT) AS n_shards
+            FROM c
         """,
         "pii_redact": _pii_oracle(),
         "stratified_sample": f"""

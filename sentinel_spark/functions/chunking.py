@@ -1,0 +1,111 @@
+"""Document chunking and token-offset shard assignment.
+
+The two structural ops of pretraining-corpus construction: split long
+documents into overlapping token windows (context-length fitting),
+and lay documents end-to-end into fixed-token shards (GPT-style
+concatenation packing). Both are expression-only compositions —
+``sequence``/``slice``/``explode`` and window prefix-sums — nothing
+leaves the JVM. Part of the §2.12 training-pipeline extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sentinel_spark.functions.text import WORD_RE
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """One row per token window: windows start every
+    ``chunk_tokens - overlap`` tokens and span ``chunk_tokens``.
+    Zero-token documents produce no chunks; a document shorter than
+    one window produces exactly one. Pure codegen —
+    tokenize → ``sequence`` of starts → ``explode`` → ``slice`` —
+    embarrassingly parallel, no shuffle at all."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+    )
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__start")
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return base.select(
+        id_col,
+        (F.col("__start") / step).cast("int").alias("chunk_id"),
+        F.col("__start").alias("token_start"),
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def token_offsets(
+    df: DataFrame,
+    tokens_col: str,
+    order_col: str,
+    *,
+    shard_tokens: int = 4096,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Global token offset + shard id for concatenation packing:
+    documents laid end-to-end in ``order_col`` order, shard boundaries
+    every ``shard_tokens`` (documents may straddle — GPT-style).
+
+    Scalable prefix sum, not a single-partition global window: rows
+    prefix-sum *within* coarse ``bucket`` ranges (a monotone function
+    of the order key — default ``order_col div 8192``), bucket totals
+    are a tiny frame whose exclusive running sum broadcasts back, and
+    the global offset is bucket base + within-bucket prefix. The only
+    full-data exchange is the hash partition on the bucket key; the
+    per-bucket windows sort locally.
+
+    Output adds ``token_offset`` (first token's global position),
+    ``shard_id``, and ``n_shards`` (how many shard boundaries the
+    document spans)."""
+    b = bucket if bucket is not None else F.floor(F.col(order_col) / 8192)
+    t = F.col(tokens_col).cast("long")
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = df.withColumn("__bucket", b.cast("long")).withColumn(
+        "__cum_in", F.sum(t).over(w_in)
+    )
+    totals = within.groupBy("__bucket").agg(F.sum(t).alias("__total"))
+    w_b = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = totals.select(
+        "__bucket",
+        (F.sum("__total").over(w_b) - F.col("__total")).alias("__base"),
+    )
+    out = within.join(F.broadcast(bases), "__bucket")
+    offset = F.col("__base") + F.col("__cum_in") - t
+    end = F.col("__base") + F.col("__cum_in") - 1
+    return out.select(
+        *df.columns,
+        offset.alias("token_offset"),
+        F.floor(offset / shard_tokens).cast("long").alias("shard_id"),
+        F.when(t > 0, F.floor(end / shard_tokens) - F.floor(offset / shard_tokens) + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_shards"),
+    )

@@ -1,0 +1,85 @@
+"""Chunking coverage/overlap laws; token_offsets vs a global cumsum."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.chunking import chunk_documents, token_offsets
+
+TEXTS = [
+    (0, " ".join(f"w{i}" for i in range(150))),
+    (1, " ".join(f"x{i}" for i in range(64))),
+    (2, "short doc"),
+    (3, ""),
+    (4, " ".join(f"y{i}" for i in range(65))),
+]
+
+
+def test_chunks_cover_all_tokens_with_overlap(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id bigint, text string")
+    ch = chunk_documents(df, "text", "doc_id", chunk_tokens=64, overlap=8)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_id"], r["token_start"], r["n_tokens"],
+          r["chunk_text"]) for r in ch.collect()]
+    )
+    by_doc = {}
+    for d, cid, start, n, text in rows:
+        by_doc.setdefault(d, []).append((cid, start, n, text))
+    # doc 0: 150 tokens, starts 0,56,112
+    assert [(c, s, n) for c, s, n, _ in by_doc[0]] == [
+        (0, 0, 64), (1, 56, 64), (2, 112, 38)
+    ]
+    # reconstruction: stitching non-overlap regions gives the doc back
+    toks = TEXTS[0][1].split()
+    stitched = by_doc[0][0][3].split()
+    for _, s, _, text in by_doc[0][1:]:
+        stitched += text.split()[8:] if s > 0 else text.split()
+    assert stitched == toks
+    # overlap law: each chunk's first 8 tokens repeat the previous tail
+    for (_, _, _, t1), (_, _, _, t2) in zip(by_doc[0], by_doc[0][1:]):
+        assert t1.split()[-8:] == t2.split()[:8]
+    assert [(c, s, n) for c, s, n, _ in by_doc[1]] == [(0, 0, 64), (1, 56, 8)]
+    assert by_doc[2] == [(0, 0, 2, "short doc")]
+    assert 3 not in by_doc  # empty doc: no chunks
+    assert [(c, s, n) for c, s, n, _ in by_doc[4]] == [(0, 0, 64), (1, 56, 9)]
+
+
+def test_chunk_overlap_must_be_smaller(spark):
+    df = spark.createDataFrame(TEXTS, "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=8, overlap=8)
+
+
+def test_token_offsets_match_global_cumsum(spark):
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(0, 500)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok int")
+    out = token_offsets(df, "n_tok", "doc_id", shard_tokens=1000)
+    got = {
+        r["doc_id"]: (r["token_offset"], r["shard_id"], r["n_shards"])
+        for r in out.collect()
+    }
+    cum = 0
+    for i, n in rows:  # already in doc_id order
+        start, end = cum, cum + n - 1
+        expect = (
+            start,
+            start // 1000,
+            (end // 1000 - start // 1000 + 1) if n > 0 else 0,
+        )
+        assert got[i] == expect, i
+        cum += n
+
+
+def test_token_offsets_bucket_granularity_invariant(spark):
+    rows = [(i, 10 + i % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok int")
+    a = token_offsets(df, "n_tok", "doc_id", shard_tokens=256)
+    b = token_offsets(
+        df, "n_tok", "doc_id", shard_tokens=256,
+        bucket=F.floor(F.col("doc_id") / 37),
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
