@@ -743,6 +743,33 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark n-gram decontamination (GPT-3/Pile-style): documents
+    with doc_id % 10 == 0 stand in as the eval benchmark; every other
+    document is profiled for 8-gram overlap against the benchmark's
+    broadcast n-gram set. One corpus shuffle (the id-spread of the
+    shingle pipeline); the benchmark side broadcasts."""
+    from sentinel_spark.functions.decontam import contamination_table
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    return contamination_table(
+        corpus, bench, "text", "doc_id", n=8, min_overlap_frac=0.05
+    )
+
+
+def q_dup_passages(spark, sf_dir):
+    """Duplicate-passage mining: verbatim 16-token windows shared by
+    ≥2 distinct documents (boilerplate/license/template detection).
+    Narrowest-possible shuffle rows (one md5 per doc-distinct window),
+    algebraic count/min aggregate with map-side partials."""
+    from sentinel_spark.functions.decontam import duplicate_passages
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_passages(d, "text", "doc_id", n=16, min_docs=2)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprint (md5 of normalized text)."""
     d = _t(spark, sf_dir, "documents")
@@ -1066,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "decontam": q_decontam,
+        "dup_passages": q_dup_passages,
         "doc_fingerprint": q_doc_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
@@ -1858,6 +1887,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz b ON b.doc_id = p.id_b
             WHERE round(len(list_intersect(a.s, b.s))
                         / (a.sz + b.sz - len(list_intersect(a.s, b.s))), 6) >= 0.4
+        """,
+        "decontam": f"""
+            WITH s AS (SELECT doc_id, unnest({_duck_shingles(8)}) AS s FROM documents),
+            bench AS (SELECT DISTINCT s FROM s WHERE doc_id % 10 = 0),
+            corpus AS (SELECT doc_id, s FROM s WHERE doc_id % 10 <> 0)
+            SELECT c.doc_id,
+                   count(*) AS n_ngrams,
+                   count(b.s) AS n_hits,
+                   round(count(b.s) / count(*), 6) AS contam_frac,
+                   (count(b.s) / count(*)) >= 0.05 AS contaminated
+            FROM corpus c LEFT JOIN bench b USING (s)
+            GROUP BY c.doc_id
+        """,
+        "dup_passages": f"""
+            WITH s AS (SELECT doc_id, unnest({_duck_shingles(16)}) AS s FROM documents)
+            SELECT md5(s) AS passage_fp,
+                   count(*) AS n_docs,
+                   min(doc_id) AS witness_id
+            FROM s GROUP BY s HAVING count(*) >= 2
         """,
         "ngram_jaccard_pairs": f"""
             WITH sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM documents),

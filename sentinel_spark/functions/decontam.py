@@ -1,0 +1,122 @@
+"""Benchmark decontamination and duplicate-passage mining.
+
+Training corpora must be scrubbed of evaluation-benchmark text
+(n-gram-overlap decontamination, as popularized by GPT-3 appendix C /
+the Pile / FineWeb pipelines) and audited for boilerplate passages
+repeated verbatim across many documents. Both operators are built on
+the same one-shuffle shingle pipeline as the dedup family
+(:func:`sentinel_spark.functions.dedup.shingle_rows`): one regexp
+tokenization per document, posexplode + window leads for the n-gram
+windows, hash-partitioned by document id throughout.
+
+Scale contract (100 TB corpus):
+
+- The benchmark side of decontamination is *small* (eval suites are
+  MBs, not TBs) → its distinct n-gram set is broadcast; the corpus
+  side is never shuffled beyond the one id-spread its own shingle
+  pipeline already performs. No corpus-sized join exchange exists.
+- Duplicate-passage mining shuffles (passage-hash → count) rows of
+  width one md5 — the narrowest possible shuffle row — and the
+  aggregate is algebraic (map-side partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from sentinel_spark.functions.dedup import shingle_rows
+
+
+def benchmark_ngram_set(
+    bench: DataFrame, text_col: str, n: int = 8
+) -> DataFrame:
+    """The distinct word-``n``-gram set of a benchmark corpus, as a
+    single-column (``s``) DataFrame ready to broadcast.
+
+    Uses the identical window construction as the corpus side so a
+    benchmark passage pasted verbatim into a training document is
+    guaranteed to collide.
+    """
+    with_id = bench.select(
+        F.monotonically_increasing_id().alias("_bench_id"), text_col
+    )
+    return shingle_rows(with_id, text_col, "_bench_id", n).select("s").distinct()
+
+
+def contamination_table(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    min_overlap_frac: float = 0.05,
+) -> DataFrame:
+    """Per-document benchmark-contamination profile.
+
+    For every corpus document: its distinct word-``n``-gram count, how
+    many of those n-grams appear anywhere in the benchmark corpus, the
+    contaminated fraction, and a ``contaminated`` flag at
+    ``min_overlap_frac``. Callers drop flagged docs (anti-join or
+    ``WHERE NOT contaminated``) before training.
+
+    Plan shape: corpus shingles are hash-partitioned by id (the one
+    shuffle); the benchmark n-gram set joins as a *broadcast* left
+    join (mark-and-count, so totals and hits come from the same
+    aggregate), and the per-doc groupBy reuses the id partitioning —
+    zero additional exchanges on the corpus lineage. The benchmark
+    side is tiny by nature (eval suites), so the broadcast is safe at
+    any corpus scale.
+    """
+    bench_set = benchmark_ngram_set(bench, text_col, n).withColumn("_hit", F.lit(1))
+    sh = shingle_rows(docs, text_col, id_col, n)
+    marked = sh.join(F.broadcast(bench_set), "s", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias("contam_frac"),
+            (F.col("n_hits") / F.col("n_ngrams") >= min_overlap_frac).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Verbatim passages (word-``n``-gram windows) shared by at least
+    ``min_docs`` distinct documents — boilerplate headers, license
+    blocks, templated spam. Output: the passage fingerprint
+    (md5 of the window), the number of distinct documents containing
+    it, and the smallest such doc id as a retrievable witness.
+
+    Per-doc-distinct windows come from the standard shingle pipeline,
+    so a passage repeated many times *within* one document counts that
+    document once. The global aggregate shuffles one md5 per (doc,
+    window) — algebraic count/min, map-side combined. At corpus scale
+    the Zipf head (windows in millions of docs) stays bounded because
+    rows collapse map-side before the exchange.
+    """
+    sh = shingle_rows(docs, text_col, id_col, n)
+    return (
+        sh.select(F.md5("s").alias("passage_fp"), "id")
+        .groupBy("passage_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("witness_id"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

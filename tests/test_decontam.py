@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.decontam import (
+    benchmark_ngram_set,
+    contamination_table,
+    duplicate_passages,
+)
+
+BOILER = "this material is provided as is without warranty of any kind"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # 0: contains the benchmark passage verbatim (contaminated)
+        (0, "intro words here " + BOILER + " trailing words follow now"),
+        # 1: clean document, no overlap with the benchmark
+        (1, "completely unrelated text about rivers mountains and valleys stretching far"),
+        # 2: shares only a short fragment (< n tokens of overlap window)
+        (2, "provided as is for testing but otherwise a unique sentence entirely"),
+        # 3 & 4: share a 16+ token boilerplate passage with each other
+        (3, "header alpha " + BOILER + " plus more shared legal text in the footer area"),
+        (4, "header beta " + BOILER + " plus more shared legal text in the footer area"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    rows = [(0, "question: " + BOILER + " answer: yes")]
+    return spark.createDataFrame(rows, "bid long, text string")
+
+
+def test_benchmark_ngram_set_is_distinct(bench):
+    s = benchmark_ngram_set(bench, "text", n=8)
+    vals = [r.s for r in s.collect()]
+    assert len(vals) == len(set(vals))
+    assert all(len(v.split(" ")) == 8 for v in vals)
+
+
+def test_contamination_flags_verbatim_inclusion(corpus, bench):
+    out = contamination_table(
+        corpus, bench, "text", "doc_id", n=8, min_overlap_frac=0.05
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # doc 0 embeds the full benchmark passage -> several 8-gram hits
+    assert rows[0].n_hits > 0 and rows[0].contaminated
+    # doc 1 is clean
+    assert rows[1].n_hits == 0 and not rows[1].contaminated
+    # doc 2's overlap is shorter than the 8-token window -> no hit
+    assert rows[2].n_hits == 0
+    # totals are the doc's own distinct 8-gram count
+    assert all(r.n_ngrams > 0 for r in rows.values())
+    assert all(abs(r.contam_frac - round(r.n_hits / r.n_ngrams, 6)) < 1e-9 for r in rows.values())
+
+
+def test_contamination_threshold_boundary(corpus, bench):
+    # with an impossible threshold nothing is flagged, but counts remain
+    out = contamination_table(
+        corpus, bench, "text", "doc_id", n=8, min_overlap_frac=1.1
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_hits > 0
+    assert not any(r.contaminated for r in rows.values())
+
+
+def test_duplicate_passages_finds_shared_boilerplate(corpus):
+    out = duplicate_passages(corpus, "text", "doc_id", n=16, min_docs=2)
+    rows = out.collect()
+    assert rows, "docs 3 and 4 share a >=16-token passage"
+    # witness is the smallest doc id containing the passage
+    assert all(r.n_docs >= 2 for r in rows)
+    shared = [r for r in rows if r.n_docs == 2]
+    assert shared and all(r.witness_id == 3 for r in shared)
+
+
+def test_duplicate_passages_counts_doc_once(spark):
+    # a passage repeated twice INSIDE one doc counts that doc once
+    p = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    df = spark.createDataFrame(
+        [(0, p + " filler " + p), (1, "unrelated words " + " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    out = duplicate_passages(df, "text", "doc_id", n=16, min_docs=2)
+    assert out.count() == 0
+    out1 = duplicate_passages(df, "text", "doc_id", n=16, min_docs=1)
+    fp = out1.where(F.col("n_docs") >= 1).collect()
+    assert all(r.n_docs == 1 for r in fp)
