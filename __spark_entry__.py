@@ -1032,6 +1032,19 @@ def q_kmeans_cells(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means cells bound the pair
+    search (the embedding analogue of an LSH bucket), within-cell
+    cosine ≥ 0.35 edges collapse via connected components, every
+    vector gets (cell, cluster_id, is_canonical). Threshold sits
+    inside this corpus's similarity range (max pairwise cosine ≈
+    0.48) so real clusters form. Fully oracle-checked: deterministic
+    k-means + bit-reproducible cosine folds + recursive-CTE
+    reachability."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(e, k=8, n_iter=2, threshold=0.35)
+
+
 def q_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN with multiprobe (the scale path).
     Approximate by design but fully deterministic: literal md5-parity
@@ -1114,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "ivf_topk": q_ivf_topk,
         "kmeans_cells": q_kmeans_cells,
+        "semantic_dedup": q_semantic_dedup,
         "lsh_topk": q_lsh_topk,
     }
 
@@ -1216,10 +1230,25 @@ def _pii_oracle() -> str:
     """
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
-    """Unrolled DuckDB mirror of SIM.kmeans_fit + final assignment:
-    same lowest-id init, same cosine/tie-break assignment, same
-    6-decimal centroid quantization per update."""
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine between two list columns, double-promoted
+    elementwise like SIM.cosine's left-to-right fold."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _kmeans_ctes(k: int = 8, n_iter: int = 2, dim: int = 64) -> list[str]:
+    """Unrolled DuckDB CTE chain mirroring SIM.kmeans_fit: same
+    lowest-id init, same cosine/tie-break assignment, same 6-decimal
+    centroid quantization per update. The last CTE ``a{n_iter}``
+    (id, v, cell) is the final assignment; ``c{n_iter}`` the trained
+    centroids."""
 
     def cos(a: str, b: str) -> str:
         return (
@@ -1276,6 +1305,13 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
               ) n USING (cell)
             )"""
         )
+    return ctes
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """DuckDB mirror of SIM.kmeans_fit + cell populations (the
+    kmeans_cells gate): trained-centroid norms/sums hash-checked."""
+    ctes = _kmeans_ctes(k, n_iter, dim)
     norm = "sqrt(list_sum(list_transform(c_vec, x -> x * x)))"
     return f"""
         WITH {", ".join(ctes)}
@@ -2059,6 +2095,34 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "kmeans_cells": _kmeans_oracle(),
+        "semantic_dedup": f"""
+            WITH RECURSIVE {", ".join(_kmeans_ctes(8, 2, 64))},
+            pr AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.id < b.id
+              WHERE round({_duck_cos("a.v", "b.v")}, 6) >= 0.35
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pr
+              UNION
+              SELECT id_b, id_a FROM pr
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+            ),
+            comp AS (
+              SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u
+            )
+            SELECT e.vec_id,
+                   a.cell,
+                   coalesce(c.component, e.vec_id) AS cluster_id,
+                   coalesce(c.component, e.vec_id) = e.vec_id AS is_canonical
+            FROM embeddings e
+            JOIN a2 a ON a.id = e.vec_id
+            LEFT JOIN comp c ON c.u = e.vec_id
+        """,
         "lsh_topk": _lsh_topk_oracle(),
         "ann_topk": f"""
             WITH q AS (

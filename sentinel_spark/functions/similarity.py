@@ -522,3 +522,70 @@ def kmeans_fit(
             .select("cell", F.coalesce("c_vec", "old").alias("c_vec"))
         )
     return cents
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space with :func:`kmeans_fit`, mine
+    near-duplicate pairs ONLY within each cluster cell (cosine ≥
+    ``threshold``), then collapse pairs into connected components —
+    every vector gets a ``cluster_id`` (component min) and
+    ``is_canonical`` marks the keeper a pruning pipeline retains.
+
+    Output: (id_col, cell, cluster_id, is_canonical).
+
+    Scale shape — this is the embedding analogue of the MinHash→LSH→
+    components text pipeline, with the k-means cell playing the LSH
+    bucket's role:
+
+    - Pair mining is a self-equi-join on ``cell``, never all-pairs:
+      cost is Σ|cell|² instead of N². At corpus scale ``k`` grows with
+      N (SemDeDup uses ~√N clusters) so cells stay bounded; skewed
+      cells are the residual risk and AQE skew-join handles them.
+    - Assignment is broadcast-centroids + map-side ``max_by`` (no
+      shuffle); the component frame only contains colliding vectors,
+      so the final attach join broadcasts.
+    - Determinism: kmeans_fit is bit-reproducible by construction and
+      cosine folds are left-to-right double folds, so the whole output
+      (including tie-breaks) hash-matches an unrolled SQL oracle.
+    """
+    from sentinel_spark.functions.cluster import dedup_clusters
+
+    cents = kmeans_fit(emb, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    a = assign_cells(emb, cents, id_col, vec_col)  # (id, v, vn, cell)
+    left = a.select(
+        "cell",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    right = a.select(
+        "cell",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    pairs = (
+        left.join(right, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    clusters = dedup_clusters(emb.select(id_col), pairs, id_col)
+    return clusters.join(
+        a.select(F.col("id").alias(id_col), "cell"), id_col
+    ).select(id_col, "cell", "cluster_id", "is_canonical")

@@ -95,3 +95,31 @@ def test_dedup_clusters_assigns_singletons(spark):
     }
     canon = [d for d, (_, c) in out.items() if c]
     assert sorted(canon) == [0, 1, 2, 4, 6]
+
+
+def test_semantic_dedup_groups_near_identical_vectors(spark):
+    from sentinel_spark.functions.similarity import semantic_dedup
+
+    # two tight groups plus isolated singletons; 4-dim embeddings
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # ~ dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.01, 0.999, 0.0, 0.0]),   # ~ dup of 2
+        (4, [0.0, 0.0, 1.0, 0.0]),      # singleton
+        (5, [0.5, 0.5, 0.5, 0.5]),      # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r.vec_id: (r.cluster_id, r.is_canonical)
+        for r in semantic_dedup(emb, k=3, n_iter=2, threshold=0.95).collect()
+    }
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (2, True)
+    assert out[3] == (2, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)
+    # exactly one canonical per cluster
+    canon = [v for v, (_, c) in out.items() if c]
+    assert sorted(canon) == [0, 2, 4, 5]
