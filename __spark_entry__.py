@@ -695,6 +695,19 @@ def q_stratified_sample(spark, sf_dir):
     return d.where(keep).select("doc_id", "lang")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-proportional importance resampling (DCLM-style): each
+    document's keep probability IS its composite quality score, decided
+    by deterministic hash bucketing — no rand(), engine-portable,
+    monotone in the score. Pure per-row filter, no shuffle."""
+    from sentinel_spark.functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    w = T.quality_score("text")
+    keep = SP.weighted_sample(F.col("doc_id").cast("string"), w, salt="wq")
+    return d.where(keep).select("doc_id", w.alias("weight"))
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Top-5 TF-IDF keywords per document (smoothed idf). Three
     inherent exchanges: id-spread, df-per-term aggregate, top-k
@@ -1103,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "tfidf_keywords": q_tfidf_keywords,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -1779,6 +1793,25 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             )
             SELECT split, lang, count(*) AS n_docs FROM s GROUP BY 1, 2
+        """,
+        "weighted_sample": f"""
+            WITH t AS (
+              SELECT doc_id, length(text) AS len_c,
+                     round(len(list_filter({_WORDS}, x -> x IN {_EN})) / greatest(len({_WORDS}), 1), 6) AS stop_ratio,
+                     round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id,
+                     round((least(len_c / 200.0, 1.0)
+                            + least(stop_ratio * 4, 1.0)
+                            + (1.0 - least(punct_ratio * 4, 1.0))) / 3.0, 6) AS weight,
+                     md5('wq' || CAST(doc_id AS VARCHAR)) AS h
+              FROM t
+            )
+            SELECT doc_id, weight FROM q
+            WHERE ({" + ".join(f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (14 - i)}" for i in range(15))})
+                  % 1000000 < CAST(floor(weight * 1000000.0) AS BIGINT)
         """,
         "chunk_documents": f"""
             WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),

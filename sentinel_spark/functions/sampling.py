@@ -115,3 +115,26 @@ def stratified_sample(
     default = F.lit(int(round(default_rate * buckets)))
     threshold = default if threshold is None else threshold.otherwise(default)
     return b < threshold
+
+
+def weighted_sample(
+    key: Column | str,
+    weight: Column,
+    *,
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "",
+) -> Column:
+    """Boolean keep-predicate with a *per-row* keep probability —
+    importance resampling by a quality/score column (the DCLM-style
+    "sample proportionally to classifier score" corpus step). Each
+    row is kept iff ``hash_bucket(key) < floor(clamp(weight,0,1) ·
+    buckets)``, so the decision is deterministic, engine-portable,
+    and monotone: raising a row's weight can only keep it, never drop
+    it (nested buckets, same property as :func:`stratified_sample`).
+
+    Pure per-row filter — no global pass, no shuffle, pushed to the
+    scan when the weight derives from scanned columns.
+    """
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(w * F.lit(float(buckets))).cast("long")
+    return hash_bucket(key, buckets, salt) < threshold

@@ -88,3 +88,41 @@ def test_stratified_rates_and_nesting(spark):
         stratified_sample("lang", key, {"en": 0.1}, default_rate=1.0)
     )
     assert all_xx.where(F.col("lang") == "xx").count() == 2000
+
+
+def test_weighted_sample_clamps_and_bounds(spark):
+    from sentinel_spark.functions.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    all_kept = df.where(weighted_sample("k", F.lit(1.5))).count()
+    none_kept = df.where(weighted_sample("k", F.lit(-0.2))).count()
+    assert all_kept == 2000 and none_kept == 0
+    half = df.where(weighted_sample("k", F.lit(0.5))).count()
+    assert 0.4 * 2000 < half < 0.6 * 2000
+
+
+def test_weighted_sample_monotone_and_deterministic(spark):
+    from sentinel_spark.functions.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    low = {r.k for r in df.where(weighted_sample("k", F.lit(0.2))).collect()}
+    high = {r.k for r in df.where(weighted_sample("k", F.lit(0.6))).collect()}
+    again = {r.k for r in df.where(weighted_sample("k", F.lit(0.2))).collect()}
+    assert low == again
+    assert low <= high  # nested buckets: raising the weight never drops a row
+
+
+def test_weighted_sample_per_row_weights(spark):
+    from sentinel_spark.functions.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    # rows with weight 0 never survive; weight 1 always survive
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("w"),
+    )
+    kept = df.where(weighted_sample("k", F.col("w"))).collect()
+    assert len(kept) == 250
+    assert all(int(r.k) % 2 == 0 for r in kept)
