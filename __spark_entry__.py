@@ -547,6 +547,66 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_corpus_cube(spark, sf_dir):
+    """Corpus composition report over ALL (source, lang) grouping-set
+    combinations in one pass — Spark's CUBE produces the per-source,
+    per-lang, per-(source,lang), and grand-total rows from a single
+    shuffle (partial aggregation covers every set). The null-marker
+    columns are coalesced to '(all)' so the result is engine-portable."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text")).alias("n_tokens"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "avg_chars",
+        )
+    )
+
+
+def q_length_histogram(spark, sf_dir):
+    """Token-length histogram with power-of-two buckets — the corpus
+    profile that drives context-length and packing decisions. The
+    bucket is a pure log2/floor expression so the whole query is one
+    map-side-combined aggregate; at 100 TB this is a scan plus a
+    ~60-row shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    n = T.token_count("text")
+    # bucket = bit-length of the token count (exact integer arithmetic
+    # via base-2 conv, no floating log2 boundary risk); bucket b covers
+    # [2^(b-1), 2^b).
+    bucket = F.when(n <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(n.cast("string"), 10, 2))
+    )
+    return (
+        d.select(
+            bucket.alias("bucket"),
+            n.alias("n_tok"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .withColumn(
+            "bucket_lo",
+            F.expr(
+                "CAST(CASE WHEN bucket = 0 THEN 0"
+                " ELSE shiftleft(1, bucket - 1) END AS BIGINT)"
+            ),
+        )
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher corpus-filter rules (Rae et al. 2021 §A1.1) as pure
     codegen columns: word-count/word-length bounds, symbol ratio,
@@ -1108,6 +1168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "corpus_cube": q_corpus_cube,
+        "length_histogram": q_length_histogram,
         "gopher_quality": q_gopher_quality,
         "doc_repetition": q_doc_repetition,
         "hash_split": q_hash_split,
@@ -1726,6 +1788,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'by_content', count(*),
                    CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
             FROM lct
+        """,
+        "corpus_cube": f"""
+            SELECT coalesce(source, '(all)') AS source,
+                   coalesce(lang, '(all)') AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens,
+                   round(avg(length(text)), 6) AS avg_chars
+            FROM documents
+            GROUP BY CUBE(source, lang)
+        """,
+        "length_histogram": f"""
+            WITH t AS (
+              SELECT CASE WHEN len({_WORDS}) <= 0 THEN 0
+                          ELSE length(bin(CAST(len({_WORDS}) AS BIGINT))) END AS bucket,
+                     len({_WORDS}) AS n_tok
+              FROM documents
+            )
+            SELECT bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   min(n_tok) AS min_tok,
+                   max(n_tok) AS max_tok,
+                   CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END AS BIGINT) AS bucket_lo
+            FROM t GROUP BY bucket
         """,
         "gopher_quality": f"""
             WITH t AS (

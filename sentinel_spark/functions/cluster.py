@@ -52,11 +52,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     # is reused by the join, so each round exchanges the edge list
     # once on u (plus the aggregate's partial/final split).
     mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    # No distinct here: duplicate edges cost a few extra rows through
+    # small_star's aggregates (which dedup at their end anyway) —
+    # cheaper than an extra per-round exchange.
     return (
         nbrs.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -95,10 +97,16 @@ def connected_components(
         .distinct()
     )
     edges = _materialize(edges)
+    n_edges = edges.count()
     for _ in range(max_iterations):
         nxt = _materialize(_small_star(_large_star(edges)))
-        converged = nxt.exceptAll(edges).isEmpty()
-        edges = nxt
+        # Equal counts are necessary for set equality, and counting a
+        # localCheckpointed frame is ~free — so the (relatively)
+        # expensive exact exceptAll comparison only runs on rounds
+        # that could actually be the fixpoint.
+        n_nxt = nxt.count()
+        converged = n_nxt == n_edges and nxt.exceptAll(edges).isEmpty()
+        edges, n_edges = nxt, n_nxt
         if converged:
             break
     # At convergence the edge set is a union of stars u → root.

@@ -556,11 +556,17 @@ def semantic_dedup(
     - Determinism: kmeans_fit is bit-reproducible by construction and
       cosine folds are left-to-right double folds, so the whole output
       (including tie-breaks) hash-matches an unrolled SQL oracle.
+
+    Call :func:`sentinel_spark.cache.release` on the result when done —
+    the cell-assignment table persists to feed both join sides and the
+    final attach.
     """
     from sentinel_spark.functions.cluster import dedup_clusters
 
     cents = kmeans_fit(emb, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
-    a = assign_cells(emb, cents, id_col, vec_col)  # (id, v, vn, cell)
+    # Persisted: referenced by both pair-join sides AND the final cell
+    # attach — without it the broadcast-assignment subtree runs 3×.
+    a = assign_cells(emb, cents, id_col, vec_col).persist()  # (id, v, vn, cell)
     left = a.select(
         "cell",
         F.col("id").alias("id_a"),
@@ -586,6 +592,7 @@ def semantic_dedup(
         .where(F.col("sim") >= threshold)
     )
     clusters = dedup_clusters(emb.select(id_col), pairs, id_col)
-    return clusters.join(
+    out = clusters.join(
         a.select(F.col("id").alias(id_col), "cell"), id_col
     ).select(id_col, "cell", "cluster_id", "is_canonical")
+    return with_release(out, [a])

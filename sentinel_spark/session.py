@@ -43,6 +43,13 @@ def get_spark(
         # testdata events.ts is TIMESTAMP(NANOS); surface as long nanos
         # (tables.load_table rebuilds a microsecond timestamp from it).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The generated-class cache defaults to 100 entries; a session
+        # running the full 60+-query suite generates several codegen
+        # stages per query, so a second pass would recompile everything
+        # it just evicted (observed: "warm" simhash slower than cold).
+        # 5000 entries ≈ tens of MB of class metadata — cheap on any
+        # driver, and steady-state reruns become compile-free.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
