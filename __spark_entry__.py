@@ -755,6 +755,50 @@ def q_stratified_sample(spark, sf_dir):
     return d.where(keep).select("doc_id", "lang")
 
 
+def q_group_sample(spark, sf_dir):
+    """Fixed-size per-group deterministic sample: exactly min(10,
+    |group|) documents per (source, lang), ranked by key hash — the
+    eval-set construction primitive. One shuffle on the group key;
+    the rank window reuses it."""
+    from sentinel_spark.functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    out = SP.group_sample_n(
+        d, ["source", "lang"], F.col("doc_id"), 10, salt="gs"
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+def q_dedup_report(spark, sf_dir):
+    """The headline number of a dedup pipeline: corpus size before vs
+    after near-duplicate removal. Composes MinHash+LSH candidate
+    pairs → connected components → canonical survivors, then one
+    global aggregate: documents and tokens total, kept, and removed.
+    Oracle: identical portable MinHash pair set + recursive-CTE
+    reachability in DuckDB, reduced to the same one-row summary."""
+    from sentinel_spark.cache import with_release
+    from sentinel_spark.functions.cluster import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_candidate_pairs(
+        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
+    )
+    clusters = dedup_clusters(d, cand, "doc_id")
+    joined = d.select("doc_id", T.token_count("text").alias("n_tok")).join(
+        clusters, "doc_id"
+    )
+    out = joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(F.when(F.col("is_canonical"), F.col("n_tok")).otherwise(0)).alias(
+            "n_tokens_kept"
+        ),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+    return with_release(out, getattr(cand, "_sentinel_cached", []))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-proportional importance resampling (DCLM-style): each
     document's keep probability IS its composite quality score, decided
@@ -1179,6 +1223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "group_sample": q_group_sample,
+        "dedup_report": q_dedup_report,
         "tfidf_keywords": q_tfidf_keywords,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
@@ -1879,6 +1925,48 @@ def oracle_sql() -> dict[str, str]:
               FROM b
             )
             SELECT split, lang, count(*) AS n_docs FROM s GROUP BY 1, 2
+        """,
+        "group_sample": """
+            WITH r AS (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                       PARTITION BY source, lang
+                       ORDER BY md5('gs' || CAST(doc_id AS VARCHAR)) ASC,
+                                CAST(doc_id AS VARCHAR) ASC
+                     ) AS rk
+              FROM documents
+            )
+            SELECT doc_id, source, lang FROM r WHERE rk <= 10
+        """,
+        "dedup_report": f"""
+            WITH RECURSIVE
+            mh AS ({_minhash_oracle()}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM mh
+              UNION
+              SELECT id_b, id_a FROM mh
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ),
+            comp AS (
+              SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u
+            ),
+            cl AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS cluster_id,
+                     coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical,
+                     len({_WORDS}) AS n_tok
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN is_canonical THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+                   count(DISTINCT cluster_id) AS n_clusters
+            FROM cl
         """,
         "weighted_sample": f"""
             WITH t AS (

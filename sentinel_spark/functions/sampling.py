@@ -138,3 +138,37 @@ def weighted_sample(
     w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
     threshold = F.floor(w * F.lit(float(buckets))).cast("long")
     return hash_bucket(key, buckets, salt) < threshold
+
+
+def group_sample_n(
+    df,
+    group_cols: list[str],
+    key: Column | str,
+    n: int,
+    *,
+    salt: str = "",
+):
+    """Exactly ``min(n, |group|)`` rows per group, chosen by ranking
+    group members on their key hash — a deterministic "reservoir":
+    rerun-stable, engine-portable, and unbiased for distinct keys
+    (md5 order is independent of any data attribute). The eval-set /
+    per-stratum-cap primitive that :func:`stratified_sample` (a *rate*
+    per stratum) can't express.
+
+    One shuffle on the group key; the rank window reuses that
+    partitioning. Ties on the full hash require identical keys within
+    a group — the md5 of the key string breaks ties by construction
+    for distinct keys, and identical keys order among themselves by
+    the hash's secondary sort on the key itself, keeping the result
+    total-order deterministic.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), k.cast("string")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), k.cast("string").asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )

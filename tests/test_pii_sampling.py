@@ -126,3 +126,27 @@ def test_weighted_sample_per_row_weights(spark):
     kept = df.where(weighted_sample("k", F.col("w"))).collect()
     assert len(kept) == 250
     assert all(int(r.k) % 2 == 0 for r in kept)
+
+
+def test_group_sample_n_exact_sizes(spark):
+    from sentinel_spark.functions.sampling import group_sample_n
+    from pyspark.sql import functions as F
+
+    # groups of size 3, 10, 25 with n=10 -> 3, 10, 10
+    rows = [(g, i) for g, size in [("a", 3), ("b", 10), ("c", 25)] for i in range(size)]
+    df = spark.createDataFrame(rows, "g string, k int")
+    out = group_sample_n(df, ["g"], F.col("k"), 10)
+    sizes = {r.g: r.n for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"a": 3, "b": 10, "c": 10}
+
+
+def test_group_sample_n_deterministic_and_salted(spark):
+    from sentinel_spark.functions.sampling import group_sample_n
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("g", i) for i in range(100)], "g string, k int")
+    s1 = sorted(r.k for r in group_sample_n(df, ["g"], F.col("k"), 5).collect())
+    s2 = sorted(r.k for r in group_sample_n(df, ["g"], F.col("k"), 5).collect())
+    s3 = sorted(r.k for r in group_sample_n(df, ["g"], F.col("k"), 5, salt="other").collect())
+    assert s1 == s2
+    assert s1 != s3  # a different salt draws a different sample
