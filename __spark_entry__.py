@@ -839,6 +839,31 @@ def q_asof_join(spark, sf_dir):
     return as_of_join(clicks, purchases, "ts", "user_id", prefix="p_")
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join: each click attached to every
+    30-minute purchase window (same user) containing it. Interval
+    binning (hour buckets) turns Spark's nested-loop inequality join
+    into an equi-join on (user, bucket) + exact verify; each matching
+    pair meets in exactly one bucket so no dedup is needed. Oracle:
+    DuckDB native inequality join."""
+    from sentinel_spark.operators.timeseries import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+        F.col("value").alias("p_value"),
+    )
+    return range_join(
+        clicks, purchases, "ts", "p_start", "p_end",
+        keys=["user_id"], bucket_seconds=3600,
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap sessionization (10-min inactivity) + per-session rollup.
     The window and the groupBy share the user_id hash partitioning —
@@ -1227,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "tfidf_keywords": q_tfidf_keywords,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "decontam": q_decontam,
         "dup_passages": q_dup_passages,
@@ -2051,6 +2077,20 @@ def oracle_sql() -> dict[str, str]:
               FROM sc
             )
             SELECT doc_id, term, tf, score, kw_rank FROM r WHERE kw_rank <= 5
+        """,
+        "range_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT user_id, ts AS p_start,
+                     ts + INTERVAL 30 MINUTE AS p_end,
+                     value AS p_value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts, p.p_start, p.p_end, p.p_value
+            FROM clicks c JOIN p USING (user_id)
+            WHERE c.ts >= p.p_start AND c.ts <= p.p_end
         """,
         "asof_join": """
             SELECT c.event_id, c.user_id, c.ts, c.value,

@@ -139,3 +139,52 @@ def sessionize(
     seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
     sid: Column = F.concat_ws("#", *keys, F.col(seq_col))
     return df.withColumn(seq_col, seq).withColumn(id_col, sid)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    keys: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair with
+    ``start <= ts <= end`` (inclusive both ends), optionally also
+    matching on equi-``keys``.
+
+    Spark turns a naive inequality join into a broadcast-nested-loop
+    scan — O(|P|·|I|) and a single-task disaster at scale. The scale
+    formulation here is interval binning: timestamps hash to
+    ``bucket_seconds``-wide epoch buckets, each interval *explodes*
+    into the buckets it covers, and the join becomes an equi-join on
+    (keys, bucket) + an exact range verify. A point's bucket is
+    covered by every interval it falls in, and each matching pair
+    meets in exactly ONE bucket (the point's), so no post-join dedup
+    is needed.
+
+    Cost model: the interval side inflates by ~(mean interval length /
+    bucket_seconds) + 1 rows — pick ``bucket_seconds`` near the
+    typical interval length so the inflation is ~2× while each bucket
+    stays selective. The join shuffles on (keys, bucket), so hot
+    buckets (load spikes) spread across keys; with equi-keys present
+    the bucket is a refinement of an already-selective key.
+    """
+    keys = keys or []
+    w = F.lit(bucket_seconds)
+    p_bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / w)
+    i_lo = F.floor(F.unix_timestamp(F.col(start_col)) / w)
+    i_hi = F.floor(F.unix_timestamp(F.col(end_col)) / w)
+    pb = points.withColumn("_bucket", p_bucket.cast("long"))
+    ib = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(i_lo.cast("long"), i_hi.cast("long")))
+    )
+    return (
+        pb.join(ib, [*keys, "_bucket"])
+        .where(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )

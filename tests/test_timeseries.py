@@ -128,3 +128,61 @@ def test_sessionize_matches_python(spark):
         (r["user_id"], r["session_seq"]): r["session_id"] for r in got.collect()
     }
     assert all(v == f"{u}#{s}" for (u, s), v in ids.items())
+
+
+def test_range_join_inclusive_bounds_and_multi_bucket(spark):
+    from sentinel_spark.operators.timeseries import range_join
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    points = spark.createDataFrame(
+        [(1, "u", at(0)), (2, "u", at(90)), (3, "u", at(150)), (4, "v", at(90))],
+        "pid int, k string, ts timestamp",
+    )
+    # interval spans 2.5 hours -> explodes over 3+ hour buckets
+    intervals = spark.createDataFrame(
+        [(10, "u", at(0), at(150))],
+        "iid int, k string, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        r.pid
+        for r in range_join(
+            points, intervals, "ts", "lo", "hi", keys=["k"], bucket_seconds=3600
+        ).collect()
+    )
+    # pid 1 (start boundary), 2 (middle), 3 (end boundary); 4 is the wrong key
+    assert got == [1, 2, 3]
+
+
+def test_range_join_no_keys_and_no_nested_loop(spark):
+    from sentinel_spark.operators.timeseries import range_join
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    points = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=13 * i)) for i in range(40)],
+        "pid int, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, t0 + dt.timedelta(hours=j), t0 + dt.timedelta(hours=j, minutes=45))
+            for j in range(9)
+        ],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    out = range_join(points, intervals, "ts", "lo", "hi", bucket_seconds=1800)
+    # oracle by brute force
+    pts = {r.pid: r.ts for r in points.collect()}
+    ivs = {r.iid: (r.lo, r.hi) for r in intervals.collect()}
+    expect = sorted(
+        (p, i) for p, ts in pts.items() for i, (lo, hi) in ivs.items() if lo <= ts <= hi
+    )
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == expect and len(got) > 0
+    # the binned join must be an equi-join, not a nested-loop scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
