@@ -1,0 +1,55 @@
+"""Suite-wide physical-plan audit: every gate query's executed plan is
+checked for the two shapes that do not survive scale — a cartesian
+product and a non-broadcast nested-loop join — unless the query is on
+the explicit whitelist of documented exact baselines.
+
+This is the mechanical enforcement of PLANS.md: an operator that
+quietly regresses into an all-pairs scan fails here before it ever
+reaches a bench run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Documented exceptions (each justified where it is implemented):
+#  - ann_topk / cosine_near_dup: the contractual exact baselines — a
+#    broadcast query set / bounded id range scanned all-pairs.
+#  - ivf_topk / kmeans_cells / semantic_dedup / lsh_topk: broadcast a
+#    tiny centroid/weight frame against every vector (k rows × N — a
+#    BroadcastNestedLoopJoin node by construction, linear in N).
+#  - tfidf_keywords: the corpus-size scalar attaches as a broadcast
+#    1-row frame (a BroadcastNestedLoopJoin node, O(N) by construction).
+ALLOW_NESTED_LOOP = {
+    "ann_topk",
+    "cosine_near_dup",
+    "ivf_topk",
+    "kmeans_cells",
+    "semantic_dedup",
+    "lsh_topk",
+    "tfidf_keywords",
+}
+
+
+def _plans(df):
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_no_unplanned_allpairs(spark, name):
+    fn = E.queries()[name]
+    df = fn(spark, SF_DIR)
+    plan = _plans(df)
+    if name not in ALLOW_NESTED_LOOP:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name}: nested-loop join"
+    from sentinel_spark.cache import release
+
+    release(df)
