@@ -513,6 +513,22 @@ def q_events_hourly(spark, sf_dir):
 # Text analysis / dedup (training-data operators)
 # --------------------------------------------------------------------------
 
+def q_daily_distinct(spark, sf_dir):
+    """Daily distinct users per event type — the reporting aggregate
+    whose 100 TB form is the persisted mergeable HLL sketch table
+    (functions/sketch.py: build per storage partition, union for any
+    window). The gate keeps the exact count (engine-portable); the
+    sketch path's mergeability law is pytest-enforced as exact
+    equality."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_text_stats(spark, sf_dir):
     """Token counting + quality scoring, all JVM-side expressions."""
     d = _t(spark, sf_dir, "documents")
@@ -1234,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "param_validation": q_param_validation,
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
+        "daily_distinct": q_daily_distinct,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1795,6 +1812,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IN ('purchase','error')
             GROUP BY event_type ORDER BY event_type
+        """,
+        "daily_distinct": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

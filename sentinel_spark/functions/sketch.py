@@ -1,0 +1,101 @@
+"""Mergeable sketches: the incremental/approximate scale path for
+distinct counts and quantiles.
+
+At 100 TB, ``COUNT(DISTINCT x)`` per reporting window is either a
+full-shuffle exact aggregate (see :mod:`sentinel_spark.functions.skew`
+for the salted exact form) or — the warehouse-standard answer — a
+*mergeable sketch*: build one HyperLogLog sketch per storage partition
+(day, pipeline, source), persist the few-KB binary, and answer any
+rollup over any window by unioning sketches instead of rescanning
+data. Spark 4 ships Apache DataSketches HLL natively
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``), so
+the whole path is JVM-side codegen aggregates — no UDFs.
+
+Determinism note: for a fixed lgK and input multiset the DataSketches
+HLL estimate is rerun-deterministic, and the mergeability law
+``estimate(union(sketch(A), sketch(B))) ≈ estimate(sketch(A ∪ B))``
+holds to sketch accuracy (the union operator may settle in a
+different internal representation than a direct sketch, so equality
+is tight-tolerance, not bitwise — see tests/test_sketch.py).
+Cross-engine it is NOT portable (DuckDB's approx_distinct uses a
+different sketch), so gate queries keep exact distinct counts and the
+sketch path is covered by in-repo law tests — the honest split between
+the correctness contract and the scale mechanism.
+
+The exact/approx pairing mirrors the reference's descriptive-stats
+median: exact ``percentile`` in the gate, documented
+``approx_percentile`` switch for scale
+(reference processors/StatsProcessor.scala:150-152 computes exact
+stats server-side; nothing sketch-shaped exists there — this module is
+§2.12 extension surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LGK = 12  # DataSketches default; ~1.6% RSE, ~2.5 KB per sketch
+
+
+def distinct_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: Column | str,
+    *,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """One HLL sketch per group: (group_cols..., sketch binary). The
+    build is a normal partial-aggregated groupBy — each task folds its
+    rows into a local sketch and the shuffle moves KB-sized partials,
+    never values. Persist this table once per ingest window; every
+    later distinct-count question unions from it."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(v.cast("string"), F.lit(lgk)).alias("sketch")
+    )
+
+
+def rollup_distinct(
+    sketches: DataFrame,
+    group_cols: list[str],
+    *,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Re-aggregate persisted sketches to a coarser grouping (day →
+    month, (source, lang) → source …) WITHOUT touching the base data:
+    union the binaries, then estimate. Output: (group_cols...,
+    n_distinct_est)."""
+    return (
+        sketches.groupBy(*group_cols)
+        .agg(F.hll_union_agg(sketch_col).alias("u"))
+        .select(
+            *group_cols,
+            F.hll_sketch_estimate("u").alias("n_distinct_est"),
+        )
+    )
+
+
+def estimate(sketch: Column | str) -> Column:
+    """Distinct-count estimate of one sketch binary."""
+    return F.hll_sketch_estimate(sketch)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probabilities: list[float],
+    *,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Approximate per-group quantiles via Spark's built-in mergeable
+    quantile summary (Greenwald-Khanna): the scale switch for the
+    exact ``percentile`` used by the descriptive-stats gate
+    (operators/aggregate.py documents the same trade on the median).
+    Output: (group_cols..., q array<double>)."""
+    return df.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
+        ).alias("q")
+    )

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions import sketch as SK
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # 3 groups, known distinct cardinalities 500 / 100 / 1
+    return spark.range(10_000).select(
+        (F.col("id") % 3).alias("g"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 500)
+        .when(F.col("id") % 3 == 1, F.col("id") % 100)
+        .otherwise(F.lit(7))
+        .alias("v"),
+    )
+
+
+def test_sketch_estimate_close_to_exact(vals):
+    sk = SK.distinct_sketches(vals, ["g"], "v")
+    est = {r.g: r.n_distinct_est for r in SK.rollup_distinct(sk, ["g"]).collect()}
+    exact = {
+        r.g: r.n
+        for r in vals.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= max(1, 0.05 * n), (g, est[g], n)
+
+
+def test_sketch_mergeability_law(vals):
+    """estimate(union(sketch(part_i))) ≈ estimate(sketch(whole)) and
+    both track the exact count — re-aggregating per-partition sketches
+    answers any window without rescanning. (Union is NOT bit-identical
+    to a direct sketch — the union operator may settle in a different
+    internal representation — so the law is a tight tolerance, and
+    reruns of the same plan ARE deterministic.)"""
+    parts = vals.withColumn("part", F.col("v") % 4)
+    per_part = SK.distinct_sketches(parts, ["g", "part"], "v")
+    rolled = {
+        r.g: r.n_distinct_est
+        for r in SK.rollup_distinct(per_part, ["g"]).collect()
+    }
+    rolled2 = {
+        r.g: r.n_distinct_est
+        for r in SK.rollup_distinct(per_part, ["g"]).collect()
+    }
+    direct = {
+        r.g: r.n_distinct_est
+        for r in SK.rollup_distinct(
+            SK.distinct_sketches(vals, ["g"], "v"), ["g"]
+        ).collect()
+    }
+    exact = {
+        r.g: r.n
+        for r in vals.groupBy("g").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert rolled == rolled2  # rerun-deterministic
+    for g, n in exact.items():
+        assert abs(rolled[g] - direct[g]) <= max(1, 0.02 * n)
+        assert abs(rolled[g] - n) <= max(1, 0.05 * n)
+
+
+def test_quantile_sketch_brackets_exact_median(spark):
+    df = spark.range(1000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    q = SK.quantile_sketch(df, ["g"], "v", [0.5, 0.9], accuracy=10_000).collect()[0].q
+    assert abs(q[0] - 499.5) <= 1.0
+    assert abs(q[1] - 899.0) <= 2.0
