@@ -248,3 +248,90 @@ def hourly_event_rollup(
             "sum_value",
         )
     )
+
+
+def stream_sketch_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_dir: str,
+    *,
+    group_cols: list[str] | None = None,
+    value_col: str = "user_id",
+    ts_col: str = "ts",
+    lgk: int = 12,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incrementally maintained distinct-count sketch table: each
+    micro-batch of event JSON builds per-(day, group) HLL sketches and
+    MERGES them into the persisted sketch table by unioning binaries —
+    so "distinct users this week/month/ever" is answered from KB-sized
+    sketches at any time without rescanning history. This is the
+    streaming face of :mod:`sentinel_spark.functions.sketch`, and the
+    incremental analytics shape the batch `daily_distinct` gate query
+    freezes for correctness.
+
+    The merge reads ONLY the persisted sketch rows (a few per day ×
+    group — never event history), unions with the batch's sketches,
+    and atomically swaps the table (write tmp → rename), mirroring the
+    ParquetTable copy-on-write discipline.
+
+    Input schema: JSON lines with at least (ts, group_cols..., value).
+    Returns the StreamingQuery (already awaited when available_now).
+    """
+    import shutil
+    import uuid
+
+    from sentinel_spark.functions import sketch as SK
+
+    group_cols = group_cols if group_cols is not None else ["event_type"]
+    checkpoint_dir = checkpoint_dir or os.path.join(sketch_dir, "_checkpoint")
+    data_dir = os.path.join(sketch_dir, "data")
+    stream = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .select(
+            F.from_json(
+                F.col("value"),
+                f"{ts_col} timestamp, "
+                + ", ".join(f"{g} string" for g in group_cols)
+                + f", {value_col} string",
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        keys = ["day", *group_cols]
+        fresh = SK.distinct_sketches(
+            batch_df.withColumn("day", F.to_date(ts_col)),
+            keys,
+            value_col,
+            lgk=lgk,
+        )
+        if os.path.isdir(data_dir):
+            existing = batch_df.sparkSession.read.parquet(data_dir)
+            merged = (
+                existing.unionByName(fresh)
+                .groupBy(*keys)
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+        else:
+            merged = fresh
+        tmp = os.path.join(sketch_dir, f"_tmp_{uuid.uuid4().hex}")
+        merged.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(sketch_dir, f"_old_{uuid.uuid4().hex}")
+        if os.path.isdir(data_dir):
+            os.rename(data_dir, old)
+        os.rename(tmp, data_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    writer = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()

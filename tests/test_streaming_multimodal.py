@@ -180,3 +180,48 @@ def test_streaming_document_pipeline(spark, tmp_path):
     rows = spark.read.parquet(out + "/unique").collect()
     assert {r.content for r in rows} == {good_a, good_b, good_c}
     assert len(rows) == 3  # the duplicate never re-emitted
+
+
+def test_stream_sketch_rollup_incremental(spark, tmp_path):
+    """The sketch table is maintained across triggers by unioning
+    binaries — estimates track the cumulative exact distinct count
+    without ever rereading batch-1 events."""
+    import json
+
+    from sentinel_spark.functions import sketch as SK
+    from sentinel_spark.streaming.ingest_stream import stream_sketch_rollup
+
+    inbox = tmp_path / "ev"
+    inbox.mkdir()
+    sketch_dir = str(tmp_path / "sk")
+
+    def write(fname, rows):
+        (inbox / fname).write_text(
+            "\n".join(
+                json.dumps(
+                    {"ts": "2026-01-01 00:00:00", "event_type": t, "user_id": u}
+                )
+                for t, u in rows
+            )
+        )
+
+    write("b1.json", [("click", f"u{i}") for i in range(50)])
+    stream_sketch_rollup(spark, str(inbox), sketch_dir)
+    t = spark.read.parquet(sketch_dir + "/data")
+    est = {
+        (str(r.day), r.event_type): r.n_distinct_est
+        for r in SK.rollup_distinct(t, ["day", "event_type"]).collect()
+    }
+    assert est[("2026-01-01", "click")] == 50
+
+    # batch 2: 25 repeat users + 30 new, plus a new event type
+    write("b2.json", [("click", f"u{i}") for i in range(25, 105)] + [("buy", "u1")])
+    stream_sketch_rollup(spark, str(inbox), sketch_dir)
+    t = spark.read.parquet(sketch_dir + "/data")
+    est = {
+        (str(r.day), r.event_type): r.n_distinct_est
+        for r in SK.rollup_distinct(t, ["day", "event_type"]).collect()
+    }
+    assert est[("2026-01-01", "buy")] == 1
+    n = est[("2026-01-01", "click")]
+    assert abs(n - 105) <= max(1, 0.05 * 105)  # cumulative distinct, not 130
