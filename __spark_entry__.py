@@ -509,6 +509,29 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_hopping(spark, sf_dir):
+    """Hopping-window rollup (1 h window, 30 min slide — each event in
+    exactly two windows): the batch form of the sliding dashboards the
+    streaming layer serves with `F.window(ts, win, slide)`. The window
+    explode happens inside the partial aggregate, so the shuffle carries
+    (window × type) partials, not 2× the events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis / dedup (training-data operators)
 # --------------------------------------------------------------------------
@@ -638,6 +661,28 @@ def q_gopher_quality(spark, sf_dir):
         T.bullet_line_frac("text").alias("bullet_frac"),
         T.ellipsis_line_frac("text").alias("ellipsis_frac"),
         T.gopher_pass("text").alias("keep"),
+    )
+
+
+def q_line_clean(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per-line
+    min-word and blacklist filters, reassembled text, and the page-level
+    keep gate. The synthetic corpus is single-line, so the query first
+    derives deterministic line breaks (plain string replace — portable
+    to the oracle); the operator itself is general. Terminal-punctuation
+    is off because the corpus has no punctuation."""
+    kw = dict(min_words=4, blacklist=("slow",), require_terminal=False)
+    d = _t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table"), F.lit("\ntable")).alias("text"),
+    )
+    return multi.select(
+        "doc_id",
+        T.clean_lines("text", **kw).alias("clean_text"),
+        T.kept_line_count("text", **kw).alias("lines_kept"),
+        F.size(F.split(F.col("text"), "\n")).alias("lines_total"),
+        T.c4_doc_pass("text", min_kept_lines=2, **kw).alias("keep"),
     )
 
 
@@ -1212,6 +1257,24 @@ def q_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(e, [0, 1, 2, 3, 4], k=5, bits=4, dim=64)
 
 
+def q_quantized_topk(spark, sf_dir):
+    """Two-stage int8-quantized ANN (ADC shape): candidate scan over
+    4×-smaller int8 codes, exact float re-rank of the top k·rerank
+    survivors only. Integer code sums are exact in doubles, so the
+    approximate stage is bit-reproducible and the full output
+    oracle-checkable."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.quantized_topk(e, [0, 1, 2, 3, 4], k=5, rerank=4)
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@k harness: quantized two-stage ANN vs the exact
+    brute-force baseline, per query — the measurement every
+    approximate index needs before being trusted at scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.ann_recall(e, [0, 1, 2, 3, 4], k=5, rerank=4)
+
+
 # --------------------------------------------------------------------------
 # Contract
 # --------------------------------------------------------------------------
@@ -1250,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "param_validation": q_param_validation,
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
+        "events_hopping": q_events_hopping,
         "daily_distinct": q_daily_distinct,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1257,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "length_histogram": q_length_histogram,
         "gopher_quality": q_gopher_quality,
+        "line_clean": q_line_clean,
         "doc_repetition": q_doc_repetition,
         "hash_split": q_hash_split,
         "split_leakage": q_split_leakage,
@@ -1294,6 +1359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": q_kmeans_cells,
         "semantic_dedup": q_semantic_dedup,
         "lsh_topk": q_lsh_topk,
+        "quantized_topk": q_quantized_topk,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -1533,6 +1600,68 @@ def _minhash_oracle(num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3
         FROM pairs
         JOIN keyed sa ON sa.doc_id = id_a
         JOIN keyed sb ON sb.doc_id = id_b
+    """
+
+
+def _quantized_topk_oracle(k: int = 5, rerank: int = 4) -> str:
+    """Shared WITH-prefix for the quantized-ANN oracles: builds int8
+    codes (scale = max|v|/127, round HALF_UP — identical in DuckDB and
+    Spark), scores all candidates by integer-code cosine, keeps the top
+    k·rerank per query, and exact-float re-ranks them into ``reranked``.
+    Callers append their own final SELECT."""
+    return f"""
+        WITH q8 AS (
+          SELECT vec_id AS c_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) /
+                        (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END)) AS INTEGER)
+                 ) AS codes
+          FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+            FROM embeddings
+          )
+        ),
+        q8n AS (
+          SELECT c_id, codes,
+                 sqrt(list_sum(list_transform(codes, c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))) AS cn
+          FROM q8
+        ),
+        approx AS (
+          SELECT q.c_id AS q_id, c.c_id,
+                 list_sum(list_transform(list_zip(q.codes, c.codes),
+                                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (q.cn * c.cn) AS sim_q
+          FROM q8n q, q8n c
+          WHERE q.c_id IN (0,1,2,3,4) AND c.c_id != q.c_id
+        ),
+        survivors AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim_q DESC, c_id) AS cand_rank
+            FROM approx
+          ) WHERE cand_rank <= {k * rerank}
+        ),
+        reranked AS (
+          SELECT s.q_id, s.c_id,
+                 list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS sim_exact,
+                 row_number() OVER (
+                   PARTITION BY s.q_id
+                   ORDER BY
+                     list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     DESC, s.c_id
+                 ) AS rank
+          FROM survivors s
+          JOIN embeddings qe ON qe.vec_id = s.q_id
+          JOIN embeddings ce ON ce.vec_id = s.c_id
+        )
     """
 
 
@@ -1824,6 +1953,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        # Hopping window (1 h / 30 min): every event belongs to exactly
+        # two epoch-aligned windows — the 30-min bucket containing it
+        # and the one starting 30 min earlier. time_bucket and Spark's
+        # F.window share the same boundary alignment for divisor-of-hour
+        # slides.
+        "events_hopping": """
+            SELECT win_start,
+                   win_start + INTERVAL '1 hour' AS win_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (
+              SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - (j * INTERVAL '30 minutes') AS win_start,
+                     event_type, value
+              FROM events, UNNEST([0, 1]) AS u(j)
+            )
+            GROUP BY 1, 2, 3
+        """,
         "text_stats": f"""
             SELECT doc_id,
                    CAST(length(text) AS INTEGER) AS n_chars_measured,
@@ -1935,6 +2083,32 @@ def oracle_sql() -> dict[str, str]:
                     AND sym_ratio < 0.1 AND alpha_frac >= 0.8
                     AND bullet_frac < 0.9 AND ellipsis_frac < 0.3) AS keep
             FROM s
+        """,
+        # C4 line cleaning on derived line breaks; word counts use the
+        # same [a-z0-9]+ extraction as the Spark tokens() Column.
+        "line_clean": """
+            WITH multi AS (
+              SELECT doc_id, replace(text, ' table', chr(10) || 'table') AS text
+              FROM documents
+            ),
+            lined AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> len(regexp_extract_all(lower(x), '[a-z0-9]+')) >= 4
+                                      AND NOT contains(lower(x), 'slow')) AS kept
+              FROM multi
+            )
+            SELECT doc_id,
+                   -- array_to_string of an empty list is NULL in DuckDB
+                   -- but '' in Spark's array_join
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+                   CAST(len(kept) AS INTEGER) AS lines_kept,
+                   CAST(len(lines) AS INTEGER) AS lines_total,
+                   (len(kept) >= 2
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(lower(text), '{')) AS keep
+            FROM lined
         """,
         "doc_repetition": f"""
             WITH t AS (
@@ -2413,5 +2587,41 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY q_id ORDER BY sim_exact DESC, c_id) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        # Two-stage int8 ANN: stage 1 (cosine over round(v/scale) int8
+        # codes — integer sums exact in doubles, bit-reproducible) picks
+        # k·rerank=20 survivors; stage 2 re-ranks them with exact float
+        # cosine. Mirrors similarity.quantize_int8/quantized_topk.
+        "quantized_topk": _quantized_topk_oracle() + """
+            SELECT q_id, c_id, round(sim_exact, 6) AS sim, CAST(rank AS INTEGER) AS rank
+            FROM reranked WHERE rank <= 5
+        """,
+        "ann_recall": _quantized_topk_oracle() + """,
+            approx_top AS (
+              SELECT q_id, c_id FROM reranked WHERE rank <= 5
+            ),
+            exact_scored AS (
+              SELECT q.q_id, e.vec_id AS c_id,
+                     row_number() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY
+                         list_sum(list_transform(list_zip(q.q_vec, e.embedding),
+                                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                         DESC, e.vec_id
+                     ) AS rank
+              FROM (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                    WHERE vec_id IN (0,1,2,3,4)) q,
+                   embeddings e
+              WHERE e.vec_id != q.q_id
+            )
+            SELECT ex.q_id,
+                   CAST(sum(CASE WHEN ap.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                   round(sum(CASE WHEN ap.c_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+            FROM exact_scored ex
+            LEFT JOIN approx_top ap ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
+            WHERE ex.rank <= 5
+            GROUP BY ex.q_id
         """,
     }

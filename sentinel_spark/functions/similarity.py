@@ -417,6 +417,149 @@ def lsh_topk(
     )
 
 
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization:
+    ``(id, codes array<int>, scale double)`` with
+    ``scale = max|vᵢ|/127`` (1.0 for the all-zero vector) and
+    ``codesᵢ = round(vᵢ/scale) ∈ [-127, 127]``.
+
+    At 100 TB this is the memory/scan-footprint lever for embedding
+    search: codes are 4× smaller than float32, so a quantized candidate
+    table fits 4× more vectors per executor page and the approximate
+    scoring stage reads a quarter of the bytes. Cosine over codes needs
+    no scale at all (it cancels), so the quantized table alone serves
+    the candidate stage; only re-ranked survivors touch the float
+    vectors.
+
+    Pure codegen Columns (array_max/transform/round); round is
+    HALF_UP in both Spark and DuckDB, so codes are engine-portable."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    return emb.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("int")).alias(
+            "codes"
+        ),
+        scale.alias("scale"),
+    )
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN over int8-quantized vectors: stage 1 scores every
+    candidate by cosine over the int8 ``codes`` (exact integer sums —
+    |Σ cᵢ·cᵢ'| ≤ dim·127² is exact in doubles, so approximate scores are
+    bit-reproducible across engines); stage 2 re-ranks only the top
+    ``k·rerank`` survivors per query with exact float cosine and emits
+    the top ``k``.
+
+    The asymmetric-distance-computation (ADC) shape of FAISS/SCANN
+    re-expressed as DataFrame ops: the full scan touches only the
+    4×-smaller code table, the float table is read once by a
+    broadcast-survivor semi-join. Both stages are deterministic
+    (ties → lower candidate id), so the full output is oracle-checkable.
+    """
+    q8 = quantize_int8(emb, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"),
+        F.col("codes"),
+        l2_norm(F.col("codes")).alias("cn"),
+    )
+    q8 = q8.persist()
+    queries = q8.filter(F.col("c_id").isin(list(query_ids))).select(
+        F.col("c_id").alias("q_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("cn").alias("q_cn"),
+    )
+    approx = (
+        q8.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_codes"), F.col("codes"))
+                / (F.col("q_cn") * F.col("cn"))
+            ).alias("sim_q"),
+        )
+    )
+    w_approx = Window.partitionBy("q_id").orderBy(F.col("sim_q").desc(), F.col("c_id"))
+    survivors = (
+        approx.withColumn("cand_rank", F.row_number().over(w_approx))
+        .filter(F.col("cand_rank") <= k * rerank)
+        .select("q_id", "c_id")
+    )
+    # Exact re-rank: only k·rerank rows per query touch float vectors.
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("vnrm"),
+    )
+    q_vecs = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("vnrm").alias("q_nrm"),
+    )
+    scored = (
+        vecs.join(F.broadcast(survivors), vecs.vid == survivors.c_id)
+        .join(F.broadcast(q_vecs), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("vnrm"))
+            ).alias("sim_exact"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    )
+    return with_release(out, [q8])
+
+
+def ann_recall(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the quantized two-stage ANN against the exact
+    brute-force baseline, per query: ``(q_id, hits, recall)``. The
+    self-measuring harness every approximate index needs — run it on a
+    sampled query set before trusting the index at full scale."""
+    exact = brute_force_topk(emb, query_ids, k, id_col, vec_col).select(
+        "q_id", "c_id"
+    )
+    approx = quantized_topk(emb, query_ids, k, rerank, id_col, vec_col)
+    hits = (
+        exact.join(approx.select("q_id", "c_id", F.lit(1).alias("hit")),
+                   ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "q_id",
+            "hits",
+            F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
+    return with_release(hits, getattr(approx, "_sentinel_cached", []))
+
+
 def assign_cells(
     emb: DataFrame,
     cents: DataFrame,

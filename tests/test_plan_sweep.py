@@ -24,6 +24,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #    BroadcastNestedLoopJoin node by construction, linear in N).
 #  - tfidf_keywords: the corpus-size scalar attaches as a broadcast
 #    1-row frame (a BroadcastNestedLoopJoin node, O(N) by construction).
+#  - quantized_topk / ann_recall: stage 1 scores every candidate against
+#    the broadcast query-code set (q rows × N, linear in N — the whole
+#    point is that the scan reads 4×-smaller int8 codes).
 ALLOW_NESTED_LOOP = {
     "ann_topk",
     "cosine_near_dup",
@@ -32,6 +35,8 @@ ALLOW_NESTED_LOOP = {
     "semantic_dedup",
     "lsh_topk",
     "tfidf_keywords",
+    "quantized_topk",
+    "ann_recall",
 }
 
 

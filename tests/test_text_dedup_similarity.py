@@ -370,3 +370,91 @@ def test_kmeans_feeds_ivf_serving(emb):
     rows = out.orderBy("rank").collect()
     assert len(rows) >= 1
     assert rows[0].c_id == 1  # nearest neighbor of 0 is in the same cell
+
+
+# -- int8 scalar quantization + two-stage ANN ------------------------------
+
+
+def test_quantize_int8_bounds_and_reconstruction(emb):
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in SIM.quantize_int8(emb).collect():
+        assert all(-127 <= c <= 127 for c in r.codes)
+        v = orig[r.vec_id]
+        assert len(r.codes) == len(v)
+        # symmetric quantization: reconstruction error ≤ half a step
+        for c, x in zip(r.codes, v):
+            assert abs(x - c * r.scale) <= r.scale / 2 + 1e-9
+
+
+def test_quantize_int8_zero_vector(spark):
+    z = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id int, embedding array<float>")
+    r = SIM.quantize_int8(z).collect()[0]
+    assert r.scale == 1.0 and list(r.codes) == [0, 0]
+
+
+def test_quantized_topk_scores_are_exact_cosine(emb):
+    exact = {
+        (r.q_id, r.c_id): r.sim for r in SIM.brute_force_topk(emb, [0], k=4).collect()
+    }
+    rows = SIM.quantized_topk(emb, [0], k=2, rerank=2).collect()
+    assert len(rows) == 2
+    for r in rows:
+        # stage 2 re-ranks with exact float cosine — scores must match
+        # the brute-force values bit-for-bit
+        assert exact[(r.q_id, r.c_id)] == r.sim
+
+
+def test_ann_recall_full_on_exhaustive_rerank(emb):
+    # k·rerank = 4 survivors out of 4 candidates → stage 1 discards
+    # nothing, so recall is exactly 1.0 for every query
+    rows = SIM.ann_recall(emb, [0, 1], k=2, rerank=2).collect()
+    assert {r.q_id for r in rows} == {0, 1}
+    assert all(r.recall == 1.0 and r.hits == 2 for r in rows)
+
+
+# -- C4 line-level cleaning ------------------------------------------------
+
+
+def test_clean_lines_min_words_and_blacklist(spark):
+    txt = (
+        "good line with many words\n"
+        "short one\n"
+        "this line mentions JavaScript today\n"
+        "another proper line ends well"
+    )
+    df = spark.createDataFrame([(1, txt)], "id int, text string")
+    r = df.select(
+        T.clean_lines("text", min_words=4, require_terminal=False).alias("c"),
+        T.kept_line_count("text", min_words=4, require_terminal=False).alias("k"),
+        T.c4_doc_pass(
+            "text", min_kept_lines=2, min_words=4, require_terminal=False
+        ).alias("keep"),
+    ).collect()[0]
+    assert r.c.split("\n") == [
+        "good line with many words",
+        "another proper line ends well",
+    ]
+    assert r.k == 2 and r.keep
+
+
+def test_clean_lines_terminal_punctuation(spark):
+    txt = (
+        'ends with period words here.\n'
+        "no terminal punctuation words here\n"
+        'quoted line ends with mark?"'
+    )
+    df = spark.createDataFrame([(1, txt)], "id int, text string")
+    r = df.select(T.clean_lines("text", min_words=4).alias("c")).collect()[0]
+    assert r.c.split("\n") == [
+        "ends with period words here.",
+        'quoted line ends with mark?"',
+    ]
+
+
+def test_c4_page_blacklist(spark):
+    txt = "a perfectly fine long line.\nanother perfectly fine long line.\nlorem ipsum dolor sit amet."
+    df = spark.createDataFrame([(1, txt)], "id int, text string")
+    r = df.select(
+        T.c4_doc_pass("text", min_kept_lines=2, min_words=4).alias("keep")
+    ).collect()[0]
+    assert not r.keep  # page marker kills the whole page
