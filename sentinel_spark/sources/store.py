@@ -130,6 +130,155 @@ class ParquetTable:
             fresh.unpersist()
         return n
 
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        update_cols: list[str] | None = None,
+    ) -> None:
+        """``MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN
+        INSERT`` — the reference's findAndModify-upsert shape
+        (processors/RunsProcessor.scala:409-474) as one copy-on-write
+        pass.
+
+        Matched rows take the incoming values for ``update_cols``
+        (default: every non-key column); unmatched incoming rows append.
+        When the merge keys cover the partition columns, only the
+        partitions present in the incoming batch are rewritten — the
+        merge costs O(touched partitions), not O(table) — and the
+        appended remainder routes to its own (possibly new) partition
+        directories. Duplicate keys in the incoming batch are an error
+        upstream; last-write-wins is applied deterministically by
+        dropping duplicates on the keys."""
+        if not self.exists():
+            self.append(df.dropDuplicates(keys))
+            return
+        incoming = df.dropDuplicates(keys)
+        update_cols = (
+            [c for c in incoming.columns if c not in keys]
+            if update_cols is None
+            else update_cols
+        )
+        overlap = set(update_cols) & set(self.partition_cols)
+        if overlap:
+            raise ValueError(
+                f"merge_upsert may not update partition columns {sorted(overlap)}"
+            )
+        partition_scoped = bool(self.partition_cols) and set(
+            self.partition_cols
+        ) <= set(keys)
+
+        existing = self.read()
+        if partition_scoped:
+            parts = [
+                r.asDict()
+                for r in incoming.select(*self.partition_cols).distinct().collect()
+            ]
+            if not parts:
+                return
+            pred = self._partition_predicate(parts)
+            scoped = existing.filter(pred)
+        else:
+            scoped = existing
+
+        inc = incoming.select(
+            *[F.col(c).alias(f"__inc_{c}") for c in incoming.columns]
+        )
+        join_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(k) == F.col(f"__inc_{k}") for k in keys],
+        )
+        matched_flag = F.col(f"__inc_{keys[0]}").isNotNull()
+        merged = scoped.join(F.broadcast(inc), join_cond, "left").select(
+            *[
+                F.when(matched_flag, F.col(f"__inc_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in update_cols
+                else F.col(c)
+                for c in scoped.columns
+            ]
+        )
+        fresh = incoming.join(
+            scoped.select(*keys).dropDuplicates(), on=keys, how="left_anti"
+        ).select(*scoped.columns)
+        result = merged.unionByName(fresh)
+
+        if partition_scoped:
+            # Rewrite only the touched partition directories, then swap.
+            tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+            result.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(
+                tmp
+            )
+            olds = []
+            for r in parts:
+                rel = self._partition_reldir(r)
+                dst = os.path.join(self.path, rel)
+                src = os.path.join(tmp, rel)
+                if os.path.isdir(dst):
+                    old = f"{dst}.__old_{uuid.uuid4().hex[:8]}"
+                    os.rename(dst, old)
+                    olds.append(old)
+                if os.path.isdir(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(src, dst)
+            for old in olds:
+                shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            self.overwrite(result)
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> list[str]:
+        """Small-file compaction (Delta ``OPTIMIZE`` / Iceberg rewrite):
+        rewrite each partition directory whose file count exceeds
+        ``min_files`` into ⌈bytes/target⌉ files. Returns the relative
+        partition dirs compacted.
+
+        Append-heavy tables (streaming micro-batches, per-batch ingest)
+        accumulate many tiny files; at 100 TB the scan cost is dominated
+        by file-open overhead and the NameNode/listing pressure, so
+        compaction is the standard maintenance pass. Untouched
+        partitions are never read or rewritten. The rewrite itself is
+        content-preserving (read → coalesce → write, no row transform),
+        so readers see identical data before and after the swap."""
+        if not self.exists():
+            return []
+        compacted: list[str] = []
+        for rel, pdir in self._partition_dirs():
+            files = [
+                os.path.join(pdir, f)
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            ]
+            if len(files) <= min_files:
+                continue
+            total = sum(os.path.getsize(f) for f in files)
+            n_out = max(1, -(-total // target_file_bytes))
+            part = self.spark.read.parquet(pdir).coalesce(int(n_out))
+            tmp = f"{pdir}.__tmp_{uuid.uuid4().hex[:8]}"
+            part.write.mode("overwrite").parquet(tmp)
+            old = f"{pdir}.__old_{uuid.uuid4().hex[:8]}"
+            os.rename(pdir, old)
+            os.rename(tmp, pdir)
+            shutil.rmtree(old, ignore_errors=True)
+            compacted.append(rel)
+        return compacted
+
+    def _partition_dirs(self) -> list[tuple[str, str]]:
+        """(relative, absolute) leaf data directories: the Hive leaf
+        dirs on a partitioned table, the root itself otherwise."""
+        if not self.partition_cols:
+            return [(".", self.path)]
+        out: list[tuple[str, str]] = []
+        for root, _dirs, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                out.append((os.path.relpath(root, self.path), root))
+        return sorted(out)
+
     def update(self, cond: Column, assignments: dict[str, Column]) -> None:
         """``UPDATE SET ... WHERE cond`` via conditional projection —
         copy-on-write over only the partitions containing matching rows

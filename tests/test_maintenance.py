@@ -277,3 +277,94 @@ def test_merge_prunes_to_touched_partitions(spark, tmp_path):
     assert t.merge_insert_not_matched(incoming, ["pipeline", "runId"]) == 1
     got = {r.runId: r.n for r in t.read().collect()}
     assert got == {"r1": 1, "r2": 2, "r9": 3}
+
+
+def test_merge_upsert_partition_scoped(spark, tmp_path):
+    """Upsert MERGE (RunsProcessor.scala:409-474 findAndModify upsert):
+    matched keys take incoming values, unmatched incoming rows append,
+    and only the partitions in the incoming batch are rewritten — the
+    untouched partition stays byte-identical."""
+    t = ParquetTable(spark, str(tmp_path / "ups"), partition_cols=["pipeline"])
+    df = spark.createDataFrame(
+        [("r1", "maple", 1), ("r2", "maple", 2), ("r3", "plain", 3)],
+        "runId string, pipeline string, n int",
+    )
+    t.append(df)
+    before = _file_snapshot(os.path.join(t.path, "pipeline=plain"))
+
+    incoming = spark.createDataFrame(
+        [("r1", "maple", 10), ("r9", "maple", 9), ("r5", "fresh", 5)],
+        "runId string, pipeline string, n int",
+    )
+    t.merge_upsert(incoming, ["pipeline", "runId"])
+
+    assert _file_snapshot(os.path.join(t.path, "pipeline=plain")) == before
+    got = {r.runId: (r.pipeline, r.n) for r in t.read().collect()}
+    assert got == {
+        "r1": ("maple", 10),  # updated
+        "r2": ("maple", 2),  # kept
+        "r3": ("plain", 3),  # untouched partition
+        "r9": ("maple", 9),  # inserted into existing partition
+        "r5": ("fresh", 5),  # inserted into brand-new partition
+    }
+    assert not [d for d in os.listdir(tmp_path) if "__tmp" in d or "__old" in d]
+
+
+def test_merge_upsert_unpartitioned_and_guards(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "ups2"))
+    t.merge_upsert(
+        spark.createDataFrame([("a", 1)], "k string, n int"), ["k"]
+    )  # empty table → plain insert
+    t.merge_upsert(
+        spark.createDataFrame([("a", 7), ("b", 2)], "k string, n int"), ["k"]
+    )
+    assert {r.k: r.n for r in t.read().collect()} == {"a": 7, "b": 2}
+
+    p = ParquetTable(spark, str(tmp_path / "ups3"), partition_cols=["pipeline"])
+    p.append(
+        spark.createDataFrame([("r1", "maple", 1)], "runId string, pipeline string, n int")
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        p.merge_upsert(
+            spark.createDataFrame(
+                [("r1", "maple", 2)], "runId string, pipeline string, n int"
+            ),
+            keys=["runId"],
+            update_cols=["pipeline", "n"],
+        )
+
+
+def test_compact_merges_small_files_per_partition(spark, tmp_path):
+    """OPTIMIZE-style compaction: a partition that accumulated many
+    small files (per-batch appends) is rewritten into one file with
+    identical content; partitions under the threshold are untouched."""
+    t = ParquetTable(spark, str(tmp_path / "cmp"), partition_cols=["pipeline"])
+    for i in range(5):
+        t.append(
+            spark.createDataFrame(
+                [(f"r{i}", "maple", i)], "runId string, pipeline string, n int"
+            ).coalesce(1)
+        )
+    t.append(
+        spark.createDataFrame(
+            [("p1", "plain", 0)], "runId string, pipeline string, n int"
+        ).coalesce(1)
+    )
+    before_rows = sorted(
+        (r.runId, r.pipeline, r.n) for r in t.read().collect()
+    )
+    plain_before = _file_snapshot(os.path.join(t.path, "pipeline=plain"))
+
+    done = t.compact(min_files=2)
+
+    assert done == ["pipeline=maple"]
+    maple_files = [
+        f
+        for f in os.listdir(os.path.join(t.path, "pipeline=maple"))
+        if f.endswith(".parquet")
+    ]
+    assert len(maple_files) == 1
+    assert _file_snapshot(os.path.join(t.path, "pipeline=plain")) == plain_before
+    after_rows = sorted((r.runId, r.pipeline, r.n) for r in t.read().collect())
+    assert after_rows == before_rows
+    assert not [d for d in os.listdir(tmp_path) if "__tmp" in d or "__old" in d]
