@@ -37,10 +37,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # outright; read it as long nanos and rebuild a (microsecond)
-        # timestamp. `div` keeps the arithmetic integral — float division
-        # would lose precision on epoch-nanos magnitudes.
+        # events.ts has shipped in two physical encodings across data
+        # generations: TIMESTAMP(NANOS) — which Spark 4 rejects unless
+        # surfaced as epoch-nanos longs — and plain TIMESTAMP(MICROS)
+        # (no UTC adjustment → TIMESTAMP_NTZ). Normalize both to the
+        # session-zone TimestampType the rest of the engine (windows,
+        # watermarks, oracles under the UTC session) expects.
         #
         # The nanosAsLong conf is set in session.get_spark() for sessions
         # we create; it is ALSO set here (idempotently) because the
@@ -50,11 +52,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as TY
 
-        return (
-            spark.read.parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, TY.LongType):
+            # epoch-nanos long → microsecond timestamp; `div` keeps the
+            # arithmetic integral (float division would lose precision
+            # at epoch-nanos magnitudes).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, TY.TimestampType):
+            # TIMESTAMP_NTZ → TimestampType; the session runs in UTC so
+            # the instant is unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
