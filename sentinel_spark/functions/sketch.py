@@ -81,6 +81,117 @@ def estimate(sketch: Column | str) -> Column:
     return F.hll_sketch_estimate(sketch)
 
 
+def misra_gries_candidates(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries: each partition
+    folds its rows into a bounded ``capacity``-entry counter table and
+    emits only the survivors, so the shuffle carries at most
+    ``num_partitions x capacity`` rows regardless of input cardinality
+    — the lever that makes heavy-hitter mining viable when the value
+    domain itself is 100 TB-scale (URLs, shingles, user agents).
+
+    Guarantee (the MG merge bound, adapted to the batched compaction
+    below): a partition summary undercounts any value by at most
+    ``N_p / (capacity - 1)`` (``N_p`` = rows in that partition; each
+    compaction subtracts ``cut`` from every survivor while removing at
+    least ``(capacity - 1) * cut`` total mass, and mass is bounded by
+    ``N_p``). Summed over partitions the total undercount is
+    <= ``N / (capacity - 1)``. Hence every value with true global count
+    > ``N / (capacity - 1)`` survives in at least one partition summary —
+    the union of summaries is a guaranteed candidate superset for any
+    support threshold above that bound (threshold guidance:
+    ``capacity >= N / min_count``).
+
+    This is the one honest Python boundary in the module: MG needs
+    per-partition imperative state Spark's aggregates can't express.
+    It runs as Arrow-batched ``mapInPandas`` holding a dict of at most
+    ``2 x capacity`` entries across the partition's batches (decrement
+    phase compacts back to ``capacity``), emitting one narrow
+    (value, partial_count) frame per partition at iterator end.
+
+    Output: (value string, partial_count long) — partial counts are
+    MG lower bounds, NOT exact; feed :func:`heavy_hitters` for the
+    exact recount.
+    """
+    import pandas as pd
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    narrow = df.select(v.cast("string").alias("value"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for val in pdf["value"]:
+                if val is None:
+                    continue
+                if val in counters:
+                    counters[val] += 1
+                elif len(counters) < 2 * capacity:
+                    counters[val] = 1
+                else:
+                    # Decrement phase: drop `capacity` smallest in one
+                    # pass (batched MG: amortizes the classic
+                    # decrement-all step over dict compaction).
+                    cut = sorted(counters.values())[capacity]
+                    counters = {
+                        k: c - cut for k, c in counters.items() if c > cut
+                    }
+        if counters:
+            yield pd.DataFrame(
+                {"value": list(counters), "partial_count": list(counters.values())}
+            )
+
+    return narrow.mapInPandas(
+        mg_partition, schema="value string, partial_count long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: Column | str,
+    *,
+    min_count: int,
+    top_k: int | None = None,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact frequent-value mining in two phases: (1) per-partition
+    Misra-Gries candidate generation (:func:`misra_gries_candidates` —
+    bounded shuffle, guaranteed superset for thresholds >
+    ``N/capacity``); (2) exact recount of ONLY the candidate values via
+    a broadcast semi-join back over the data, then the ``min_count``
+    filter and optional top-k.
+
+    The result is EXACT (the MG phase only prunes values that
+    provably cannot reach the threshold), which is what makes it
+    oracle-checkable against a plain GROUP BY — the approximation
+    lives entirely in the intermediate, never in the answer.
+
+    Output: (value string, n long), descending by n then value.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    candidates = (
+        misra_gries_candidates(df, v, capacity=capacity)
+        .groupBy("value")
+        .agg(F.sum("partial_count").alias("lb"))
+        .select("value")
+    )
+    narrow = df.select(v.cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    exact = (
+        narrow.join(F.broadcast(candidates), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(min_count))
+        .orderBy(F.col("n").desc(), F.col("value"))
+    )
+    return exact.limit(top_k) if top_k is not None else exact
+
+
 def quantile_sketch(
     df: DataFrame,
     group_cols: list[str],
