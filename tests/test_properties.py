@@ -7,7 +7,9 @@ Examples are kept few (Spark jobs per example) but each drives many
 rows at once.
 """
 
-from hypothesis import HealthCheck, given, settings
+import math
+
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -96,6 +98,7 @@ def test_shingle_rows_equals_array_form(spark, texts, n):
         st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=200
     )
 )
+@example(values=[0, 0, -893629, 916089])  # var ≈ 4e11: one-ulp merge-order gap
 def test_descriptive_stats_match_python_statistics(spark, values):
     """aggregate_stats agrees with Python's statistics module on
     arbitrary integer data: exact median (even/odd interpolation),
@@ -108,9 +111,16 @@ def test_descriptive_stats_match_python_statistics(spark, values):
     r = aggregate_stats(df, ["v"]).collect()[0]
     assert r.v_nDataPoints == len(values)
     assert r.v_min == min(values) and r.v_max == max(values)
-    assert abs(r.v_avg - round(statistics.fmean(values), 6)) <= 1e-6
+    # Relative tolerance: Spark's merge-order var_pop/avg can differ from
+    # Python's two-pass formulation by a few ulps, which is an unbounded
+    # *absolute* gap at large magnitudes (e.g. var ~ 4e11 → 1.2e-4 abs
+    # = 3e-16 rel).  abs_tol covers the near-zero regime where the
+    # engine rounds finalized stats to 6 decimals.
+    assert math.isclose(r.v_avg, statistics.fmean(values), rel_tol=1e-9, abs_tol=1e-6)
     assert r.v_median == statistics.median(values)
-    assert abs(r.v_variance - round(statistics.pvariance(values), 6)) <= 1e-4
+    assert math.isclose(
+        r.v_variance, statistics.pvariance(values), rel_tol=1e-9, abs_tol=1e-6
+    )
 
 
 @SLOW
