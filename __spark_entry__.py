@@ -440,18 +440,6 @@ def q_users_crud(spark, sf_dir):
     )
 
 
-def q_scalar_functions(spark, sf_dir):
-    """F1/F3/F6: md5, pctOf, filename-extension extraction."""
-    p = _t(spark, sf_dir, "part")
-    fname = F.concat_ws(".", F.col("p_name"), F.col("p_type"))
-    return p.select(
-        "p_partkey",
-        SC.md5_col(F.col("p_name")).alias("name_md5"),
-        F.round(SC.pct_of("p_size", F.lit(50)), 6).alias("size_pct"),
-        SC.file_extension(fname).alias("ext"),
-    )
-
-
 # --------------------------------------------------------------------------
 # Events: JSON navigation + time bucketing (F7; streaming-shaped agg)
 # --------------------------------------------------------------------------
@@ -552,40 +540,6 @@ def q_daily_distinct(spark, sf_dir):
     )
 
 
-def q_text_stats(spark, sf_dir):
-    """Token counting + quality scoring, all JVM-side expressions."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        T.char_count("text").alias("n_chars_measured"),
-        T.token_count("text").alias("n_tokens"),
-        T.stopword_count("text").alias("n_stopwords"),
-        T.stopword_ratio("text").alias("stop_ratio"),
-        T.punct_ratio("text").alias("punct_ratio"),
-    )
-
-
-def q_text_quality(spark, sf_dir):
-    """Quality scoring: composite [0,1] score (length / stopword-density
-    / punctuation terms) + mean token length, all JVM expressions."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        T.avg_token_len("text").alias("avg_tok_len"),
-        T.quality_score("text").alias("quality"),
-    )
-
-
-def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic: stopword-lexicon hit-count argmax."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.col("lang").alias("declared_lang"),
-        T.lang_id("text").alias("predicted_lang"),
-    )
-
-
 def q_corpus_cube(spark, sf_dir):
     """Corpus composition report over ALL (source, lang) grouping-set
     combinations in one pass — Spark's CUBE produces the per-source,
@@ -643,24 +597,6 @@ def q_length_histogram(spark, sf_dir):
                 " ELSE shiftleft(1, bucket - 1) END AS BIGINT)"
             ),
         )
-    )
-
-
-def q_gopher_quality(spark, sf_dir):
-    """Gopher corpus-filter rules (Rae et al. 2021 §A1.1) as pure
-    codegen columns: word-count/word-length bounds, symbol ratio,
-    alphabetic-word fraction, bullet/ellipsis line fractions, and the
-    composite keep flag. RE2-compatible regexes → exact DuckDB oracle."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        T.token_count("text").alias("n_words"),
-        T.mean_word_length("text").alias("mean_wlen"),
-        T.symbol_word_ratio("text").alias("sym_ratio"),
-        T.alpha_word_frac("text").alias("alpha_frac"),
-        T.bullet_line_frac("text").alias("bullet_frac"),
-        T.ellipsis_line_frac("text").alias("ellipsis_frac"),
-        T.gopher_pass("text").alias("keep"),
     )
 
 
@@ -830,36 +766,6 @@ def q_group_sample(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
-def q_dedup_report(spark, sf_dir):
-    """The headline number of a dedup pipeline: corpus size before vs
-    after near-duplicate removal. Composes MinHash+LSH candidate
-    pairs → connected components → canonical survivors, then one
-    global aggregate: documents and tokens total, kept, and removed.
-    Oracle: identical portable MinHash pair set + recursive-CTE
-    reachability in DuckDB, reduced to the same one-row summary."""
-    from sentinel_spark.cache import with_release
-    from sentinel_spark.functions.cluster import dedup_clusters
-
-    d = _t(spark, sf_dir, "documents")
-    cand = D.minhash_candidate_pairs(
-        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
-    )
-    clusters = dedup_clusters(d, cand, "doc_id")
-    joined = d.select("doc_id", T.token_count("text").alias("n_tok")).join(
-        clusters, "doc_id"
-    )
-    out = joined.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("n_docs_kept"),
-        F.sum("n_tok").alias("n_tokens"),
-        F.sum(F.when(F.col("is_canonical"), F.col("n_tok")).otherwise(0)).alias(
-            "n_tokens_kept"
-        ),
-        F.count_distinct("cluster_id").alias("n_clusters"),
-    )
-    return with_release(out, getattr(cand, "_sentinel_cached", []))
-
-
 def q_weighted_sample(spark, sf_dir):
     """Quality-proportional importance resampling (DCLM-style): each
     document's keep probability IS its composite quality score, decided
@@ -973,97 +879,6 @@ def q_dup_passages(spark, sf_dir):
     return duplicate_passages(d, "text", "doc_id", n=16, min_docs=2)
 
 
-def q_doc_fingerprint(spark, sf_dir):
-    """Document fingerprint (md5 of normalized text)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", T.fingerprint("text").alias("fp"))
-
-
-def q_exact_dedup(spark, sf_dir):
-    """Exact dedup on content fingerprint: canonical id + copy count."""
-    d = _t(spark, sf_dir, "documents")
-    return D.exact_dup_groups(d, T.fingerprint("text"), "doc_id")
-
-
-def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs (banded signatures,
-    bucket self-join — no O(n²)). Non-SQL-expressible → rows-only check."""
-    d = _t(spark, sf_dir, "documents")
-    return D.minhash_candidate_pairs(
-        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
-    )
-
-
-def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs via inverted-index count
-    aggregation (|a∩b| counted in the join, |a∪b| from sizes) —
-    explode → equi-join → hash-aggregate, all codegen, no per-pair
-    array ops."""
-    d = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, min_jaccard=0.5)
-
-
-def q_minhash_verified(spark, sf_dir):
-    """LSH-survivor verification: MinHash candidate pairs verified with
-    exact n-gram Jaccard computed ONLY on the survivors (per-pair
-    array_intersect over attached shingle sets) — the scale pattern for
-    Zipfian corpora where the shared-shingle inverted index fans out.
-    Fully oracle-checked."""
-    from sentinel_spark.cache import with_release
-
-    d = _t(spark, sf_dir, "documents")
-    cand = D.minhash_candidate_pairs(
-        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
-    )
-    out = D.verify_pairs_jaccard(
-        d, cand, "text", "doc_id", shingle_n=3, min_jaccard=0.4
-    )
-    return with_release(out, getattr(cand, "_sentinel_cached", []))
-
-
-def q_ngram_jaccard_zipf(spark, sf_dir):
-    """The Zipf-guarded variant of ngram_jaccard_pairs: shingles with
-    doc-frequency > 50 are excluded from candidate generation (bounding
-    the Σ df² join fan-out on skewed corpora) while the reported
-    Jaccard stays exact — stop-shingle contributions re-add from
-    per-doc stop arrays. Fully oracle-checked."""
-    d = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(
-        d, "text", "doc_id", shingle_n=3, min_jaccard=0.5, max_df=50
-    )
-
-
-def q_dedup_clusters(spark, sf_dir):
-    """Near-dup cluster assignment for the whole corpus: MinHash+LSH
-    candidate pairs → large-star/small-star connected components →
-    per-document cluster id (component min) with singletons mapping to
-    themselves and ``is_canonical`` marking the keeper row. The
-    end-to-end shape of web-scale dedup removal. Oracle: DuckDB
-    recursive-CTE reachability over the identical portable MinHash
-    pair set."""
-    from sentinel_spark.cache import with_release
-    from sentinel_spark.functions.cluster import dedup_clusters
-
-    d = _t(spark, sf_dir, "documents")
-    cand = D.minhash_candidate_pairs(
-        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
-    )
-    out = dedup_clusters(d, cand, "doc_id")
-    return with_release(out, getattr(cand, "_sentinel_cached", []))
-
-
-def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: 64-bit md5-vote simhash (computed in one
-    tokenization pass), banded bucket self-join, bit_count Hamming
-    verify. Fully oracle-checked (portable hex arithmetic). The
-    requested threshold clamps to num_bands-1 = 7, the regime where the
-    pigeonhole recall guarantee holds (see simhash_hamming_pairs)."""
-    d = _t(spark, sf_dir, "documents")
-    return D.simhash_hamming_pairs(
-        d, "text", "doc_id", shingle_n=2, num_bands=8, max_hamming=8
-    )
-
-
 def q_ingest_rollup(spark, sf_dir):
     """S1-S4+S7+A7+A8 end-to-end: ingest the reference-shaped fixture
     corpus (3 maple + 1 plain upload), shred, roll up per pipeline.
@@ -1144,17 +959,6 @@ def q_typed_tags(spark, sf_dir):
     )
 
 
-def q_binary_meta(spark, sf_dir):
-    """Multimodal column plumbing (expression side): opaque binary
-    content + byte-size metadata, all JVM-side."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
-        F.md5(F.col("text")).alias("content_md5"),
-    )
-
-
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over a media table
     (decode stubbed deterministically) → rows-only check."""
@@ -1190,13 +994,6 @@ def q_embed_norm(spark, sf_dir):
     )
 
 
-def q_ann_topk(spark, sf_dir):
-    """Brute-force cosine top-k (exact baseline for ANN): broadcast
-    query set, windowed rank per query."""
-    e = _t(spark, sf_dir, "embeddings")
-    return SIM.brute_force_topk(e, [0, 1, 2, 3, 4], k=5)
-
-
 def q_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine similar-pair mining — exact baseline on a
     bounded id range (the LSH-bucketed variant is the scale path,
@@ -1205,47 +1002,6 @@ def q_cosine_near_dup(spark, sf_dir):
     real rows."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return SIM.cosine_near_dup_pairs(e, threshold=0.35)
-
-
-def q_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: nearest-cell assignment + nprobe cell-restricted
-    scoring, deterministic centroids → fully oracle-checked."""
-    e = _t(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(e, [0, 1, 2, 3, 4], k=5, n_cells=16, nprobe=4)
-
-
-def q_kmeans_cells(spark, sf_dir):
-    """Distributed Lloyd's k-means (k=8, 2 iterations) over the
-    embeddings — the real IVF centroid trainer. Deterministic by
-    construction (lowest-id init, lower-cell tie-break, 6-decimal
-    centroid quantization per update), so the DuckDB oracle unrolls
-    the identical two iterations and hash-matches the trained
-    centroids' norms and the final cell populations."""
-    emb = _t(spark, sf_dir, "embeddings")
-    cents = SIM.kmeans_fit(emb, 8, n_iter=2)
-    assign = SIM.assign_cells(emb, cents)
-    counts = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-    return cents.join(counts, "cell", "left").select(
-        "cell",
-        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_members"),
-        F.round(SIM.l2_norm(F.col("c_vec")), 6).alias("c_norm"),
-        F.round(
-            F.aggregate("c_vec", F.lit(0.0), lambda acc, x: acc + x), 6
-        ).alias("c_sum"),
-    )
-
-
-def q_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic dedup: k-means cells bound the pair
-    search (the embedding analogue of an LSH bucket), within-cell
-    cosine ≥ 0.35 edges collapse via connected components, every
-    vector gets (cell, cluster_id, is_canonical). Threshold sits
-    inside this corpus's similarity range (max pairwise cosine ≈
-    0.48) so real clusters form. Fully oracle-checked: deterministic
-    k-means + bit-reproducible cosine folds + recursive-CTE
-    reachability."""
-    e = _t(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(e, k=8, n_iter=2, threshold=0.35)
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -1257,22 +1013,450 @@ def q_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(e, [0, 1, 2, 3, 4], k=5, bits=4, dim=64)
 
 
-def q_quantized_topk(spark, sf_dir):
-    """Two-stage int8-quantized ANN (ADC shape): candidate scan over
-    4×-smaller int8 codes, exact float re-rank of the top k·rerank
-    survivors only. Integer code sums are exact in doubles, so the
-    approximate stage is bit-reproducible and the full output
-    oracle-checkable."""
-    e = _t(spark, sf_dir, "embeddings")
-    return SIM.quantized_topk(e, [0, 1, 2, 3, 4], k=5, rerank=4)
-
-
 def q_ann_recall(spark, sf_dir):
     """Recall@k harness: quantized two-stage ANN vs the exact
     brute-force baseline, per query — the measurement every
     approximate index needs before being trusted at scale."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.ann_recall(e, [0, 1, 2, 3, 4], k=5, rerank=4)
+
+
+# --------------------------------------------------------------------------
+# Consolidated gate queries
+#
+# The driver's correctness artifact records at most ~50 registry rows
+# (round 3 shipped 74 entries and the last 24 went unchecked), so
+# single-operator gates from the same family are composed into one
+# frame each: same-schema results union with a ``method``/``kind``
+# column, different-grain results join on their shared key. Every
+# operator keeps full oracle coverage; the composition itself is
+# expressed so the plan stays the one the standalone query had (one
+# scan + union, or the join the grains force anyway).
+# --------------------------------------------------------------------------
+
+def q_fragment_stats(spark, sf_dir):
+    """A5 both forms in one row: the conditional-aggregate read-level
+    recursion and the nested-struct fragment recursion, cross-joined
+    (1 row × 1 row — a broadcast loop join over two scalars)."""
+    return q_fragment_agg(spark, sf_dir).crossJoin(
+        q_fragment_struct_agg(spark, sf_dir)
+    )
+
+
+def q_pipeline_rollup(spark, sf_dir):
+    """A7+A8 ∪ M5+J3+P4: the plain per-pipeline rollup and the rollup
+    after a cascade delete + visibility filter, tagged by ``kind``."""
+    a = q_global_rollup(spark, sf_dir).select(
+        F.lit("all").alias("kind"),
+        F.col("o_orderstatus").alias("pipeline"),
+        "nRuns",
+        "nItems",
+    )
+    b = q_soft_delete_cascade(spark, sf_dir).select(
+        F.lit("visible").alias("kind"), "pipeline", "nRuns", "nItems"
+    )
+    return a.unionByName(b)
+
+
+def q_labels_join_all(spark, sf_dir):
+    """J1 both shapes per run: the sorted label digest and the
+    {dbId → label} map, joined on the run key (the two aggregates
+    share the l_orderkey hash partitioning)."""
+    return q_labels_join(spark, sf_dir).join(
+        q_labels_join_map(spark, sf_dir), ["o_orderkey", "o_orderstatus"]
+    )
+
+
+def q_exact_dedup_all(spark, sf_dir):
+    """S8 + exact text dedup: content-hash dup groups over the part
+    dimension (brand|type key) and over document fingerprints, one
+    shuffle each, tagged by ``src``."""
+    d = _t(spark, sf_dir, "documents")
+    doc = D.exact_dup_groups(d, T.fingerprint("text"), "doc_id").select(
+        F.lit("doc").alias("src"),
+        "dup_key",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        "n_copies",
+    )
+    prt = q_dedup_get_or_create(spark, sf_dir).select(
+        F.lit("part").alias("src"),
+        "dup_key",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        "n_copies",
+    )
+    return doc.unionByName(prt)
+
+
+def q_users_validation(spark, sf_dir):
+    """S10+M4+F11 ⋈ F4+F9: the users CRUD/validation frame joined with
+    the param-split/ObjectId validation frame on the customer key."""
+    u = q_users_crud(spark, sf_dir)
+    p = q_param_validation(spark, sf_dir).withColumnRenamed(
+        "email_valid", "pv_email_valid"
+    )
+    return u.join(
+        p, u.id == F.concat(F.lit("u"), p.c_custkey.cast("string"))
+    )
+
+
+def q_part_scalars(spark, sf_dir):
+    """F1/F3/F6 ⋈ F1-combined: per-part scalar functions joined with
+    the per-brand combinedMd5 digest (a ~25-row broadcast side)."""
+    p = _t(spark, sf_dir, "part")
+    fname = F.concat_ws(".", F.col("p_name"), F.col("p_type"))
+    scal = p.select(
+        "p_partkey",
+        "p_brand",
+        SC.md5_col(F.col("p_name")).alias("name_md5"),
+        F.round(SC.pct_of("p_size", F.lit(50)), 6).alias("size_pct"),
+        SC.file_extension(fname).alias("ext"),
+    )
+    return scal.join(F.broadcast(q_combined_md5(spark, sf_dir)), "p_brand")
+
+
+def q_events_report(spark, sf_dir):
+    """F7 JSON navigation ∪ daily distinct-users rollup over events,
+    tagged by ``kind``."""
+    d = q_daily_distinct(spark, sf_dir).select(
+        F.lit("daily").alias("kind"),
+        "day",
+        "event_type",
+        "n_events",
+        "n_users",
+        F.lit(None).cast("long").alias("sum_k"),
+        F.lit(None).cast("double").alias("avg_value"),
+    )
+    j = q_events_json(spark, sf_dir).select(
+        F.lit("json").alias("kind"),
+        F.lit(None).cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.lit(None).cast("long").alias("n_users"),
+        "sum_k",
+        "avg_value",
+    )
+    return d.unionByName(j)
+
+
+def q_events_windows(spark, sf_dir):
+    """Tumbling ∪ hopping window rollups over events (the batch forms
+    of the streaming dashboards), tagged by ``kind``."""
+    h = q_events_hourly(spark, sf_dir).select(
+        F.lit("hourly").alias("kind"),
+        F.col("hour").alias("win_start"),
+        (F.col("hour") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    p = q_events_hopping(spark, sf_dir).select(
+        F.lit("hopping").alias("kind"),
+        "win_start",
+        "win_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return h.unionByName(p)
+
+
+def q_doc_profile(spark, sf_dir):
+    """The per-document text-analysis profile in ONE scan: token/char/
+    stopword counts and ratios, quality score, language-ID, the Gopher
+    rule columns, the content fingerprint, and binary metadata — every
+    column a JVM-side expression, zero shuffles, zero joins."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.char_count("text").alias("n_chars_measured"),
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_count("text").alias("n_stopwords"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.avg_token_len("text").alias("avg_tok_len"),
+        T.quality_score("text").alias("quality"),
+        F.col("lang").alias("declared_lang"),
+        T.lang_id("text").alias("predicted_lang"),
+        T.token_count("text").alias("n_words"),
+        T.mean_word_length("text").alias("mean_wlen"),
+        T.symbol_word_ratio("text").alias("sym_ratio"),
+        T.alpha_word_frac("text").alias("alpha_frac"),
+        T.bullet_line_frac("text").alias("bullet_frac"),
+        T.ellipsis_line_frac("text").alias("ellipsis_frac"),
+        T.gopher_pass("text").alias("keep"),
+        T.fingerprint("text").alias("fp"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+def q_split_report(spark, sf_dir):
+    """Deterministic hash split counts ∪ the train/eval leakage audit,
+    tagged by ``kind``."""
+    hs = q_hash_split(spark, sf_dir).select(
+        F.lit("counts").alias("kind"),
+        F.col("split").alias("label"),
+        "lang",
+        F.col("n_docs").alias("n1"),
+        F.lit(0).cast("long").alias("n2"),
+    )
+    lk = q_split_leakage(spark, sf_dir).select(
+        F.lit("leakage").alias("kind"),
+        F.col("scheme").alias("label"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("n_keys").alias("n1"),
+        F.col("n_leaking").alias("n2"),
+    )
+    return hs.unionByName(lk)
+
+
+def q_chunk_shards(spark, sf_dir):
+    """Token-window chunking ⋈ concat-packing shard offsets on doc_id
+    (different grains — chunk rows carry their document's packed
+    offset/shard assignment)."""
+    return q_chunk_documents(spark, sf_dir).join(
+        q_token_shards(spark, sf_dir), "doc_id"
+    )
+
+
+def q_sample_suite(spark, sf_dir):
+    """The three deterministic sampling schemes (stratified rates,
+    quality-weighted, fixed-N per group) unioned with a ``method``
+    tag — each branch stays the pure per-row hash filter it was."""
+    st = q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("method"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("double").alias("weight"),
+    )
+    wt = q_weighted_sample(spark, sf_dir).select(
+        F.lit("weighted").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        "weight",
+    )
+    gp = q_group_sample(spark, sf_dir).select(
+        F.lit("grouped").alias("method"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("double").alias("weight"),
+    )
+    return st.unionByName(wt).unionByName(gp)
+
+
+def q_dedup_clusters_report(spark, sf_dir):
+    """The end-to-end near-dup removal pipeline ONCE: MinHash+LSH
+    candidate pairs → connected components → per-document (cluster_id,
+    is_canonical), with the corpus-level before/after summary (docs /
+    tokens kept, cluster count) attached as broadcast constants —
+    the per-doc assignment and the headline report from one shared
+    candidate/component computation."""
+    from sentinel_spark.cache import with_release
+    from sentinel_spark.functions.cluster import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_candidate_pairs(
+        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
+    )
+    clusters = dedup_clusters(d, cand, "doc_id").persist()
+    summary = (
+        d.select("doc_id", T.token_count("text").alias("n_tok"))
+        .join(clusters, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias(
+                "n_docs_kept"
+            ),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.when(F.col("is_canonical"), F.col("n_tok")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+    )
+    out = clusters.crossJoin(F.broadcast(summary))
+    return with_release(out, getattr(cand, "_sentinel_cached", []) + [clusters])
+
+
+def q_decontam_suite(spark, sf_dir):
+    """Benchmark n-gram decontamination ∪ duplicate-passage mining,
+    tagged by ``kind`` (per-document contamination rows; per-passage
+    fingerprint rows)."""
+    c = q_decontam(spark, sf_dir).select(
+        F.lit("contam").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_ngrams").alias("n1"),
+        F.col("n_hits").alias("n2"),
+        F.col("contam_frac").alias("frac"),
+        F.col("contaminated").alias("flag"),
+    )
+    p = q_dup_passages(spark, sf_dir).select(
+        F.lit("passage").alias("kind"),
+        F.col("passage_fp").alias("key"),
+        F.col("n_docs").alias("n1"),
+        F.col("witness_id").alias("n2"),
+        F.lit(None).cast("double").alias("frac"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    return c.unionByName(p)
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """Every text near-dup pairing operator in one frame, tagged by
+    ``method``: MinHash+LSH candidates, their exact-Jaccard-verified
+    survivors (sharing ONE candidate computation), exact inverted-index
+    n-gram Jaccard, its Zipf-guarded variant, and banded SimHash —
+    score is est/exact Jaccard or the Hamming distance as a double."""
+    from sentinel_spark.cache import with_release
+
+    d = _t(spark, sf_dir, "documents")
+    cand = D.minhash_candidate_pairs(
+        d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
+    )
+    mh = cand.select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    ver = D.verify_pairs_jaccard(
+        d, cand, "text", "doc_id", shingle_n=3, min_jaccard=0.4
+    ).select(
+        F.lit("minhash_verified").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    ng = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, min_jaccard=0.5
+    ).select(
+        F.lit("ngram").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    zp = D.ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, min_jaccard=0.5, max_df=50
+    ).select(
+        F.lit("ngram_zipf").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    sh = D.simhash_hamming_pairs(
+        d, "text", "doc_id", shingle_n=2, num_bands=8, max_hamming=8
+    ).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    out = mh.unionByName(ver).unionByName(ng).unionByName(zp).unionByName(sh)
+    return with_release(out, getattr(cand, "_sentinel_cached", []))
+
+
+def q_media_suite(spark, sf_dir):
+    """Multimodal plumbing: per-media extracted features ∪ sampled
+    frame rows (both Arrow-batched mapInPandas over the fake-media
+    table), tagged by ``kind``."""
+    feat = q_multimodal_features(spark, sf_dir).select(
+        F.lit("media").alias("kind"),
+        "media_id",
+        F.lit(None).cast("int").alias("frame_idx"),
+        "sha256",
+        "width",
+        "height",
+        "n_bytes",
+        "mime",
+    )
+    fr = q_media_frames(spark, sf_dir).select(
+        F.lit("frame").alias("kind"),
+        "media_id",
+        "frame_idx",
+        F.col("frame_sha256").alias("sha256"),
+        "width",
+        "height",
+        F.lit(None).cast("int").alias("n_bytes"),
+        F.lit(None).cast("string").alias("mime"),
+    )
+    return feat.unionByName(fr)
+
+
+def q_cosine_norms(spark, sf_dir):
+    """Embedding plumbing ∪ exact cosine pair mining: per-vector L2
+    norms (full corpus) and the exact near-dup pairs on the bounded
+    baseline range, tagged by ``kind``."""
+    pairs = q_cosine_near_dup(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("sim").alias("score"),
+        F.lit(None).cast("int").alias("label"),
+    )
+    norms = q_embed_norm(spark, sf_dir).select(
+        F.lit("norm").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("l2").alias("score"),
+        "label",
+    )
+    return pairs.unionByName(norms)
+
+
+def q_ann_methods(spark, sf_dir):
+    """All four ANN serving strategies over the same query set, tagged
+    by ``method``: exact brute force (the baseline), sign-LSH buckets
+    with multiprobe, IVF cell-restricted probing, and the two-stage
+    int8-quantized scan. One union — each branch keeps its own
+    (broadcast queries → scan → per-query top-k) plan."""
+    e = _t(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    branches = [
+        ("brute", SIM.brute_force_topk(e, qids, k=5)),
+        ("lsh", SIM.lsh_topk(e, qids, k=5, bits=4, dim=64)),
+        ("ivf", SIM.ivf_topk(e, qids, k=5, n_cells=16, nprobe=4)),
+        ("quantized", SIM.quantized_topk(e, qids, k=5, rerank=4)),
+    ]
+    out = None
+    for m, df in branches:
+        tagged = df.select(
+            F.lit(m).alias("method"), "q_id", "c_id", "sim", "rank"
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def q_semantic_dedup_cells(spark, sf_dir):
+    """SemDeDup over ONE k-means training run: the trained centroids
+    feed both the per-vector semantic dedup (cell-bounded pair join →
+    connected components) and the per-cell report columns (population,
+    centroid norm/sum), joined on the cell id."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_fit(e, 8, n_iter=2)
+    sd = SIM.semantic_dedup(e, threshold=0.35, centroids=cents)
+    counts = SIM.assign_cells(e, cents).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = cents.join(counts, "cell", "left").select(
+        "cell",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_members"),
+        F.round(SIM.l2_norm(F.col("c_vec")), 6).alias("c_norm"),
+        F.round(
+            F.aggregate("c_vec", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("c_sum"),
+    )
+    return sd.join(F.broadcast(stats), "cell").select(
+        "vec_id",
+        "cell",
+        "cluster_id",
+        "is_canonical",
+        "n_members",
+        "c_norm",
+        "c_sum",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1296,70 +1480,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_lookup": q_id_lookup,
         "agg_stats": q_agg_stats,
         "agg_stats_grouped": q_agg_stats_grouped,
-        "fragment_agg": q_fragment_agg,
-        "fragment_struct_agg": q_fragment_struct_agg,
-        "global_rollup": q_global_rollup,
-        "labels_join": q_labels_join,
-        "labels_join_map": q_labels_join_map,
+        "fragment_agg": q_fragment_stats,
+        "pipeline_rollup": q_pipeline_rollup,
+        "labels_join": q_labels_join_all,
         "render_strip": q_render_strip,
         "union_pipelines": q_union_pipelines,
         "topk_per_group": q_topk_per_group,
-        "dedup_get_or_create": q_dedup_get_or_create,
-        "combined_md5": q_combined_md5,
+        "exact_dedup": q_exact_dedup_all,
         "patch_labels": q_patch_labels,
-        "soft_delete_cascade": q_soft_delete_cascade,
-        "users_crud": q_users_crud,
-        "scalar_functions": q_scalar_functions,
-        "param_validation": q_param_validation,
-        "events_json": q_events_json,
-        "events_hourly": q_events_hourly,
-        "events_hopping": q_events_hopping,
-        "daily_distinct": q_daily_distinct,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
+        "users_validation": q_users_validation,
+        "part_scalars": q_part_scalars,
+        "events_report": q_events_report,
+        "events_windows": q_events_windows,
+        "doc_profile": q_doc_profile,
         "corpus_cube": q_corpus_cube,
         "length_histogram": q_length_histogram,
-        "gopher_quality": q_gopher_quality,
         "line_clean": q_line_clean,
         "doc_repetition": q_doc_repetition,
-        "hash_split": q_hash_split,
-        "split_leakage": q_split_leakage,
-        "chunk_documents": q_chunk_documents,
-        "token_shards": q_token_shards,
+        "split_report": q_split_report,
+        "chunk_shards": q_chunk_shards,
         "pii_redact": q_pii_redact,
-        "stratified_sample": q_stratified_sample,
-        "weighted_sample": q_weighted_sample,
-        "group_sample": q_group_sample,
-        "dedup_report": q_dedup_report,
+        "sample_suite": q_sample_suite,
+        "dedup_clusters": q_dedup_clusters_report,
         "tfidf_keywords": q_tfidf_keywords,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
-        "decontam": q_decontam,
-        "dup_passages": q_dup_passages,
-        "doc_fingerprint": q_doc_fingerprint,
-        "exact_dedup": q_exact_dedup,
-        "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "ngram_jaccard_zipf": q_ngram_jaccard_zipf,
-        "minhash_verified": q_minhash_verified,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash_pairs": q_simhash_pairs,
+        "decontam": q_decontam_suite,
+        "near_dup_pairs": q_near_dup_pairs,
         "ingest_rollup": q_ingest_rollup,
         "salted_agg": q_salted_agg,
         "typed_tags": q_typed_tags,
-        "binary_meta": q_binary_meta,
-        "multimodal_features": q_multimodal_features,
-        "media_frames": q_media_frames,
-        "embed_norm": q_embed_norm,
-        "ann_topk": q_ann_topk,
-        "cosine_near_dup": q_cosine_near_dup,
-        "ivf_topk": q_ivf_topk,
-        "kmeans_cells": q_kmeans_cells,
-        "semantic_dedup": q_semantic_dedup,
-        "lsh_topk": q_lsh_topk,
-        "quantized_topk": q_quantized_topk,
+        "media_suite": q_media_suite,
+        "cosine_near_dup": q_cosine_norms,
+        "ann_methods": q_ann_methods,
+        "semantic_dedup": q_semantic_dedup_cells,
         "ann_recall": q_ann_recall,
     }
 
@@ -1742,7 +1897,7 @@ def oracle_sql() -> dict[str, str]:
             f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
         )
 
-    return {
+    base = {
         "datapoint_select": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
             FROM lineitem
@@ -2625,3 +2780,182 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ex.q_id
         """,
     }
+
+    direct = [
+        "datapoint_select",
+        "datapoint_shuffle",
+        "selector_algebra",
+        "array_selectors",
+        "ownership_filter",
+        "label_masking",
+        "id_lookup",
+        "agg_stats",
+        "agg_stats_grouped",
+        "render_strip",
+        "union_pipelines",
+        "topk_per_group",
+        "patch_labels",
+        "corpus_cube",
+        "length_histogram",
+        "line_clean",
+        "doc_repetition",
+        "pii_redact",
+        "tfidf_keywords",
+        "asof_join",
+        "range_join",
+        "sessionize",
+        "ingest_rollup",
+        "salted_agg",
+        "typed_tags",
+        "ann_recall",
+    ]
+    out = {k: base[k] for k in direct}
+    # Composed gates: each single-operator oracle becomes a subquery of
+    # its family's composed SQL, so the per-operator checks are intact —
+    # they just land in one registry row (see the consolidation note on
+    # the Spark side).
+    out["fragment_agg"] = f"""
+        SELECT * FROM ({base["fragment_agg"]}) CROSS JOIN ({base["fragment_struct_agg"]})
+    """
+    out["pipeline_rollup"] = f"""
+        SELECT 'all' AS kind, o_orderstatus AS pipeline, nRuns, nItems
+        FROM ({base["global_rollup"]})
+        UNION ALL
+        SELECT 'visible' AS kind, pipeline, nRuns, nItems
+        FROM ({base["soft_delete_cascade"]})
+    """
+    out["labels_join"] = f"""
+        SELECT * FROM ({base["labels_join"]}) a
+        JOIN ({base["labels_join_map"]}) b USING (o_orderkey, o_orderstatus)
+    """
+    out["exact_dedup"] = f"""
+        SELECT 'doc' AS src, dup_key, CAST(keep_id AS BIGINT) AS keep_id, n_copies
+        FROM ({base["exact_dedup"]})
+        UNION ALL
+        SELECT 'part' AS src, dup_key, CAST(keep_id AS BIGINT) AS keep_id, n_copies
+        FROM ({base["dedup_get_or_create"]})
+    """
+    out["users_validation"] = f"""
+        SELECT u.*, p.c_custkey, p.n_params, p.second_param, p.oid_valid,
+               p.email_valid AS pv_email_valid
+        FROM ({base["users_crud"]}) u
+        JOIN ({base["param_validation"]}) p ON u.id = 'u' || p.c_custkey
+    """
+    out["part_scalars"] = f"""
+        SELECT * FROM (
+          SELECT p_partkey, p_brand, md5(p_name) AS name_md5,
+                 round(p_size * 100.0 / 50, 6) AS size_pct,
+                 lower(regexp_extract(concat_ws('.', p_name, p_type), '\\.([^.]+)$', 1)) AS ext
+          FROM part
+        ) s JOIN ({base["combined_md5"]}) g USING (p_brand)
+    """
+    out["events_report"] = f"""
+        SELECT 'daily' AS kind, day, event_type, n_events, n_users,
+               CAST(NULL AS BIGINT) AS sum_k, CAST(NULL AS DOUBLE) AS avg_value
+        FROM ({base["daily_distinct"]})
+        UNION ALL
+        SELECT 'json' AS kind, CAST(NULL AS DATE), event_type, n_events,
+               CAST(NULL AS BIGINT), sum_k, avg_value
+        FROM ({base["events_json"]})
+    """
+    out["events_windows"] = f"""
+        SELECT 'hourly' AS kind, hour AS win_start,
+               hour + INTERVAL '1 hour' AS win_end,
+               event_type, n_events, sum_value
+        FROM ({base["events_hourly"]})
+        UNION ALL
+        SELECT 'hopping' AS kind, win_start, win_end, event_type, n_events, sum_value
+        FROM ({base["events_hopping"]})
+    """
+    out["doc_profile"] = f"""
+        SELECT * FROM ({base["text_stats"]}) a
+        JOIN ({base["text_quality"]}) b USING (doc_id)
+        JOIN ({base["lang_id"]}) c USING (doc_id)
+        JOIN ({base["gopher_quality"]}) d USING (doc_id)
+        JOIN ({base["doc_fingerprint"]}) e USING (doc_id)
+        JOIN ({base["binary_meta"]}) f USING (doc_id)
+    """
+    out["split_report"] = f"""
+        SELECT 'counts' AS kind, split AS label, lang, n_docs AS n1,
+               CAST(0 AS BIGINT) AS n2
+        FROM ({base["hash_split"]})
+        UNION ALL
+        SELECT 'leakage' AS kind, scheme, CAST(NULL AS VARCHAR), n_keys, n_leaking
+        FROM ({base["split_leakage"]})
+    """
+    out["chunk_shards"] = f"""
+        SELECT * FROM ({base["chunk_documents"]}) c
+        JOIN ({base["token_shards"]}) s USING (doc_id)
+    """
+    out["sample_suite"] = f"""
+        SELECT 'stratified' AS method, doc_id, lang,
+               CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS weight
+        FROM ({base["stratified_sample"]})
+        UNION ALL
+        SELECT 'weighted' AS method, doc_id, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), weight
+        FROM ({base["weighted_sample"]})
+        UNION ALL
+        SELECT 'grouped' AS method, doc_id, lang, source, CAST(NULL AS DOUBLE)
+        FROM ({base["group_sample"]})
+    """
+    out["dedup_clusters"] = f"""
+        SELECT * FROM ({base["dedup_clusters"]}) CROSS JOIN ({base["dedup_report"]})
+    """
+    out["decontam"] = f"""
+        SELECT 'contam' AS kind, CAST(doc_id AS VARCHAR) AS key,
+               n_ngrams AS n1, n_hits AS n2, contam_frac AS frac,
+               contaminated AS flag
+        FROM ({base["decontam"]})
+        UNION ALL
+        SELECT 'passage' AS kind, passage_fp, n_docs, witness_id,
+               CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+        FROM ({base["dup_passages"]})
+    """
+    out["near_dup_pairs"] = f"""
+        SELECT 'minhash' AS method, id_a, id_b, est_jaccard AS score
+        FROM ({base["minhash_pairs"]})
+        UNION ALL
+        SELECT 'minhash_verified' AS method, id_a, id_b, jaccard
+        FROM ({base["minhash_verified"]})
+        UNION ALL
+        SELECT 'ngram' AS method, id_a, id_b, jaccard
+        FROM ({base["ngram_jaccard_pairs"]})
+        UNION ALL
+        SELECT 'ngram_zipf' AS method, id_a, id_b, jaccard
+        FROM ({base["ngram_jaccard_zipf"]})
+        UNION ALL
+        SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE)
+        FROM ({base["simhash_pairs"]})
+    """
+    out["media_suite"] = f"""
+        SELECT 'media' AS kind, media_id, CAST(NULL AS INTEGER) AS frame_idx,
+               sha256, width, height, n_bytes, mime
+        FROM ({base["multimodal_features"]})
+        UNION ALL
+        SELECT 'frame' AS kind, media_id, frame_idx, frame_sha256,
+               width, height, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
+        FROM ({base["media_frames"]})
+    """
+    out["cosine_near_dup"] = f"""
+        SELECT 'pair' AS kind, id_a, id_b, sim AS score,
+               CAST(NULL AS INTEGER) AS label
+        FROM ({base["cosine_near_dup"]})
+        UNION ALL
+        SELECT 'norm' AS kind, vec_id, CAST(NULL AS BIGINT), l2, label
+        FROM ({base["embed_norm"]})
+    """
+    out["ann_methods"] = f"""
+        SELECT 'brute' AS method, q_id, c_id, sim, rank FROM ({base["ann_topk"]})
+        UNION ALL
+        SELECT 'lsh' AS method, q_id, c_id, sim, rank FROM ({base["lsh_topk"]})
+        UNION ALL
+        SELECT 'ivf' AS method, q_id, c_id, sim, rank FROM ({base["ivf_topk"]})
+        UNION ALL
+        SELECT 'quantized' AS method, q_id, c_id, sim, rank FROM ({base["quantized_topk"]})
+    """
+    out["semantic_dedup"] = f"""
+        SELECT * FROM ({base["semantic_dedup"]}) s
+        JOIN ({base["kmeans_cells"]}) k USING (cell)
+    """
+    return out

@@ -603,9 +603,20 @@ def assign_cells(
     )
 
 
+def default_k(n: int) -> int:
+    """SemDeDup-style cell-count guidance: k = ⌈√n⌉ keeps the expected
+    cell size at √n, so the within-cell pair join costs Σ|cell|² ≈
+    n·√n instead of n² — the parameter rule that makes the cell-bounded
+    pipelines survive a 100 TB corpus (Abbas et al. 2023 use ~√N
+    clusters for the same reason)."""
+    import math
+
+    return max(1, math.isqrt(max(n, 1) - 1) + 1)
+
+
 def kmeans_fit(
     emb: DataFrame,
-    k: int,
+    k: int | None,
     *,
     n_iter: int = 2,
     id_col: str = "vec_id",
@@ -614,6 +625,10 @@ def kmeans_fit(
     """Distributed Lloyd's k-means over an embedding column — the real
     IVF centroid trainer (:func:`ivf_topk`'s first-k-by-id centroids
     are the documented serving-only stand-in). Returns (cell, c_vec).
+
+    ``k=None`` applies the scale rule k = ⌈√n⌉ (one ``count()`` job at
+    build time — see :func:`default_k`); pass an explicit k when the
+    corpus size is already known to the caller.
 
     Fully deterministic and engine-portable: init is the k lowest-id
     vectors, assignment ties break toward the lower cell, and every
@@ -628,6 +643,9 @@ def kmeans_fit(
     localCheckpoint'ed each round so iteration i+1's plan doesn't
     replay iteration i."""
     from sentinel_spark.functions.cluster import _materialize
+
+    if k is None:
+        k = default_k(emb.count())
 
     w = Window.orderBy(id_col)  # k rows — single-partition window is fine
     cents = _materialize(
@@ -670,11 +688,12 @@ def kmeans_fit(
 def semantic_dedup(
     emb: DataFrame,
     *,
-    k: int = 8,
+    k: int | None = None,
     n_iter: int = 2,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space with :func:`kmeans_fit`, mine
@@ -691,8 +710,10 @@ def semantic_dedup(
 
     - Pair mining is a self-equi-join on ``cell``, never all-pairs:
       cost is Σ|cell|² instead of N². At corpus scale ``k`` grows with
-      N (SemDeDup uses ~√N clusters) so cells stay bounded; skewed
-      cells are the residual risk and AQE skew-join handles them.
+      N (SemDeDup uses ~√N clusters) so cells stay bounded; ``k=None``
+      (the default) applies exactly that rule — k = ⌈√n⌉ via
+      :func:`default_k` — so callers cannot forget it. Skewed cells
+      are the residual risk and AQE skew-join handles them.
     - Assignment is broadcast-centroids + map-side ``max_by`` (no
       shuffle); the component frame only contains colliding vectors,
       so the final attach join broadcasts.
@@ -700,13 +721,21 @@ def semantic_dedup(
       cosine folds are left-to-right double folds, so the whole output
       (including tie-breaks) hash-matches an unrolled SQL oracle.
 
+    ``centroids`` accepts a pre-trained (cell, c_vec) frame (e.g. the
+    caller already ran :func:`kmeans_fit` for an IVF index) so the
+    training pass isn't repeated; when omitted, one is trained here.
+
     Call :func:`sentinel_spark.cache.release` on the result when done —
     the cell-assignment table persists to feed both join sides and the
     final attach.
     """
     from sentinel_spark.functions.cluster import dedup_clusters
 
-    cents = kmeans_fit(emb, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(emb, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    )
     # Persisted: referenced by both pair-join sides AND the final cell
     # attach — without it the broadcast-assignment subtree runs 3×.
     a = assign_cells(emb, cents, id_col, vec_col).persist()  # (id, v, vn, cell)

@@ -17,26 +17,29 @@ import __spark_entry__ as E
 SF_DIR = "/root/testdata/sf0.001"
 
 # Documented exceptions (each justified where it is implemented):
-#  - ann_topk / cosine_near_dup: the contractual exact baselines — a
-#    broadcast query set / bounded id range scanned all-pairs.
-#  - ivf_topk / kmeans_cells / semantic_dedup / lsh_topk: broadcast a
-#    tiny centroid/weight frame against every vector (k rows × N — a
-#    BroadcastNestedLoopJoin node by construction, linear in N).
+#  - ann_methods: the brute-force branch is the contractual exact
+#    baseline (broadcast query set × N), and the lsh/ivf/quantized
+#    branches broadcast tiny centroid/weight/code frames against every
+#    vector — BroadcastNestedLoopJoin nodes by construction, linear in N.
+#  - cosine_near_dup: the exact pair baseline on a bounded id range.
+#  - semantic_dedup: k-means assignment broadcasts the k-row centroid
+#    frame against every vector.
 #  - tfidf_keywords: the corpus-size scalar attaches as a broadcast
 #    1-row frame (a BroadcastNestedLoopJoin node, O(N) by construction).
-#  - quantized_topk / ann_recall: stage 1 scores every candidate against
-#    the broadcast query-code set (q rows × N, linear in N — the whole
-#    point is that the scan reads 4×-smaller int8 codes).
+#  - ann_recall: stage 1 scores every candidate against the broadcast
+#    query-code set (q rows × N, linear in N — the whole point is that
+#    the scan reads 4×-smaller int8 codes).
+#  - fragment_agg: two single-row aggregates cross-joined (1 × 1).
+#  - dedup_clusters: the 1-row corpus summary attaches to the per-doc
+#    cluster frame as a broadcast constant (1 × N).
 ALLOW_NESTED_LOOP = {
-    "ann_topk",
+    "ann_methods",
     "cosine_near_dup",
-    "ivf_topk",
-    "kmeans_cells",
     "semantic_dedup",
-    "lsh_topk",
     "tfidf_keywords",
-    "quantized_topk",
     "ann_recall",
+    "fragment_agg",
+    "dedup_clusters",
 }
 
 
