@@ -1,29 +1,54 @@
-"""Minimal mutable-table layer over parquet directories.
+"""Mutable-table layer over parquet with a versioned manifest log.
 
 The reference mutates MongoDB collections in place (patches, soft
 deletes, cascade deletes; processors/RunsProcessor.scala:409-474
 findAndModify, adapters/UnitsAdapter.scala:110-188). Spark tables on
-plain parquet are immutable, so maintenance ops become copy-on-write:
+plain parquet are immutable, so maintenance ops become copy-on-write —
+and the unit of atomicity here is a **manifest commit**, the minimal
+honest stand-in for a Delta/Iceberg transaction log:
 
-* On a **partitioned** table, ``update``/``delete`` first resolve which
-  partitions contain matching rows (a partition-pruned, filter-pushed
-  scan projecting only the partition columns), rewrite *only those
-  partition directories*, and atomically swap them in. Untouched
-  partitions' files are never read for rewrite and stay byte-identical
-  — the property that makes a label patch or soft delete affordable at
-  100 TB (it costs O(affected partitions), not O(table)).
-* On an unpartitioned table the fallback is the r2 full-table
-  read-modify-write with an atomic directory swap — acceptable only
-  for small dimensions (users, references, annotations).
+* Every table state is a numbered JSON manifest under
+  ``<table>/_sentinel_log/`` listing exactly the data files of that
+  version (plus the schema, so an empty table stays readable). Readers
+  resolve the highest manifest and scan only its files; a reader can
+  **pin** a version and keep a consistent snapshot while writers
+  commit past it.
+* A commit is one atomic ``os.link`` of a fully-written temp manifest
+  to ``<v+1>.json`` — an optimistic CAS: if another writer got there
+  first the link fails (``ConcurrentCommitError``) and the op retries
+  from the fresh snapshot (appends, which commute) or surfaces the
+  conflict (copy-on-write rewrites, which must recompute). The table
+  root directory is never renamed, so there is no window where a
+  reader sees a missing table — the defect of the previous
+  rename-swap design.
+* Data files are immutable once written: mutations stage new files in
+  (under fresh unique names), commit a manifest that drops the
+  replaced ones, and reclaim unreferenced files afterwards.
+  ``retain_versions`` controls the reclaim horizon — the default 1
+  keeps only the live version's files (eager cleanup, the previous
+  physical behavior); ``retain_versions >= 2`` leaves recent versions'
+  files on disk so concurrent readers pinned at an older version are
+  never broken (snapshot isolation), with ``vacuum()`` as the explicit
+  reclaim, exactly like Delta's ``VACUUM``/retention window.
+
+Copy-on-write stays **partition-granular** on partitioned tables:
+``update``/``delete`` first resolve which partitions contain matching
+rows (a partition-pruned scan projecting only the partition columns),
+rewrite only those partitions' files, and commit. Untouched
+partitions' files are never read for rewrite and stay byte-identical —
+the property that makes a label patch or soft delete affordable at
+100 TB (it costs O(affected partitions), not O(table)).
 
 In production this layer is Delta/Iceberg MERGE/UPDATE/DELETE (ACID,
-file-level rather than directory-level pruning); the API mirrors those
-verbs so call sites translate 1:1, and the copy-on-write here has the
-same asymptotics as Delta's partition-pruned MERGE.
+file-level rather than partition-level pruning); the API mirrors those
+verbs so call sites translate 1:1. Cross-table atomicity (the
+run→samples→read-groups cascade) remains out of scope, as it is for
+single-table Delta commits.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -35,6 +60,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as TY
 
 _SAFE_PARTITION_VALUE = re.compile(r"[A-Za-z0-9_.\-]+")
+_LOG_DIR = "_sentinel_log"
+_MANIFEST_RE = re.compile(r"^(\d{12})\.json$")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first. Appends retry
+    automatically (they commute); copy-on-write callers must re-run
+    against the fresh snapshot."""
 
 
 class ParquetTable:
@@ -44,6 +77,7 @@ class ParquetTable:
         path: str,
         schema: TY.StructType | None = None,
         partition_cols: list[str] | None = None,
+        retain_versions: int = 1,
     ):
         """``partition_cols`` writes a Hive-style directory layout
         (e.g. ``pipeline=maple/``). Queries filtering on those columns
@@ -51,48 +85,268 @@ class ParquetTable:
         in ``.explain``) — the Spark analog of the reference routing
         each pipeline to its own Mongo collection
         (MongodbAdapter.scala:56-64), and the main scan-cost lever for
-        per-pipeline queries at 100 TB."""
+        per-pipeline queries at 100 TB.
+
+        ``retain_versions``: how many committed versions' files stay on
+        disk. 1 (default) reclaims replaced files immediately after each
+        commit; >= 2 gives readers pinned at recent versions a stable
+        snapshot until ``vacuum()``."""
         self.spark = spark
         self.path = path
         self.schema = schema
         self.partition_cols = list(partition_cols or [])
+        self.retain_versions = max(1, int(retain_versions))
 
-    def exists(self) -> bool:
+    # -- manifest log ------------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, _LOG_DIR)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._log_dir(), f"{version:012d}.json")
+
+    def _versions(self) -> list[int]:
+        d = self._log_dir()
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            m = _MANIFEST_RE.match(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def version(self) -> int:
+        """Current committed version (0 = no manifest yet)."""
+        vs = self._versions()
+        return vs[-1] if vs else 0
+
+    def history(self) -> list[int]:
+        """Versions whose manifests are still on disk (pinnable)."""
+        return self._versions()
+
+    def _legacy_files(self) -> list[str]:
+        """Data files of a directory written outside the manifest
+        discipline (pre-manifest tables, foreign writers): every
+        parquet file under the root, relative paths."""
         if not os.path.isdir(self.path):
-            return False
-        for _root, _dirs, files in os.walk(self.path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+            return []
+        out = []
+        for root, dirs, files in os.walk(self.path):
+            dirs[:] = [d for d in dirs if d != _LOG_DIR]
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, f), self.path)
+                    )
+        return sorted(out)
 
-    def read(self) -> DataFrame:
-        if not self.exists():
-            if self.schema is None:
-                raise FileNotFoundError(f"{self.path} is empty and no schema given")
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(self.path)
+    def _snapshot(self, version: int | None = None) -> dict:
+        """{"version", "files", "schema"} for ``version`` (default:
+        latest). Falls back to a directory listing for tables that
+        predate the manifest log."""
+        vs = self._versions()
+        if not vs:
+            return {"version": 0, "files": self._legacy_files(), "schema": None}
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise ValueError(
+                f"version {v} is not available (have {vs}); it may have "
+                "been vacuumed"
+            )
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
 
-    def append(self, df: DataFrame) -> None:
-        w = df.write.mode("append")
-        if self.partition_cols:
-            w = w.partitionBy(*self.partition_cols)
-        w.parquet(self.path)
+    def _commit(
+        self, files: list[str], base_version: int, schema_json: str | None
+    ) -> int:
+        """CAS-commit ``files`` as version ``base_version + 1``. The
+        manifest is fully written to a temp file first, then atomically
+        linked into place — a reader can never observe a torn manifest,
+        and a concurrent writer racing to the same version loses the
+        link and gets ConcurrentCommitError."""
+        os.makedirs(self._log_dir(), exist_ok=True)
+        new_v = base_version + 1
+        payload = {
+            "version": new_v,
+            "files": sorted(files),
+            "partition_cols": self.partition_cols,
+            "schema": schema_json,
+        }
+        tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._manifest_path(new_v))
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {new_v} of {self.path} was committed concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return new_v
 
-    def overwrite(self, df: DataFrame) -> None:
-        """Materialize to a temp dir, then swap — safe even when ``df``
-        reads from this same table (plain overwrite would clobber its
-        own input mid-scan)."""
-        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
+    def _commit_files(
+        self,
+        new_files: list[str],
+        replaced: set[str],
+        schema_json: str | None,
+        retry: bool = False,
+    ) -> int:
+        """Commit (current − replaced + new). Appends (empty
+        ``replaced``) retry on CAS conflicts — the staged files are
+        valid regardless of what landed in between; copy-on-write
+        commits surface the conflict instead (their replaced set was
+        computed against a snapshot that no longer is the tip)."""
+        attempts = 8 if retry else 1
+        for _ in range(attempts):
+            snap = self._snapshot()
+            # set-union: on a version-0 table the legacy directory walk
+            # already sees the freshly staged files, so listing them
+            # again via new_files must not double-count them.
+            files = sorted(
+                {f for f in snap["files"] if f not in replaced} | set(new_files)
+            )
+            try:
+                v = self._commit(files, snap["version"], schema_json)
+            except ConcurrentCommitError:
+                continue
+            self._reclaim()
+            return v
+        raise ConcurrentCommitError(
+            f"could not commit to {self.path} after {attempts} attempts"
+        )
+
+    def _reclaim(self) -> None:
+        """Post-commit retention pass: keep the newest
+        ``retain_versions`` manifests and every file they reference;
+        delete data files referenced only by older versions, drop the
+        older manifests, and prune emptied partition directories."""
+        self.vacuum(self.retain_versions)
+
+    def vacuum(self, retain_versions: int | None = None) -> list[str]:
+        """Reclaim files not referenced by the newest
+        ``retain_versions`` manifests (Delta ``VACUUM``). Returns the
+        relative paths deleted. Pinned readers older than the horizon
+        lose their snapshot — the same contract as Delta's retention
+        window."""
+        keep_n = max(1, int(retain_versions or self.retain_versions))
+        vs = self._versions()
+        if not vs:
+            return []
+        kept = set(vs[-keep_n:])
+
+        def files_of(v: int) -> set[str]:
+            with open(self._manifest_path(v)) as fh:
+                return set(json.load(fh)["files"])
+
+        referenced = set().union(*(files_of(v) for v in kept))
+        # Only files we have a record of (referenced by a manifest being
+        # dropped) are deleted — a file referenced by NO manifest may be
+        # another writer's in-flight staged batch, which must survive
+        # until its commit. (Crash-orphaned stages therefore linger;
+        # they are unreachable and harmless.)
+        droppable = set().union(
+            *(files_of(v) for v in vs if v not in kept), set()
+        )
+        deleted = []
+        for rel in sorted(droppable - referenced):
+            p = os.path.join(self.path, rel)
+            if os.path.isfile(p):
+                os.unlink(p)
+                deleted.append(rel)
+        for v in vs:
+            if v not in kept:
+                os.unlink(self._manifest_path(v))
+        self._prune_empty_dirs()
+        return deleted
+
+    def _prune_empty_dirs(self) -> None:
+        # bottom-up so an emptied leaf lets its parent empty out too;
+        # os.walk's cached listings go stale as we delete, so re-list.
+        for root, _dirs, _files in os.walk(self.path, topdown=False):
+            if root == self.path or _LOG_DIR in root:
+                continue
+            if not os.listdir(root):
+                os.rmdir(root)
+
+    def _stage_in(self, df: DataFrame) -> list[str]:
+        """Write ``df`` through Spark into a staging dir, then move the
+        data files into the table tree under fresh unique names (never
+        clobbering an existing file). Returns the relative paths. The
+        files are invisible to readers until a manifest references
+        them."""
+        tmp = f"{self.path}.__stage_{uuid.uuid4().hex[:8]}"
         w = df.write.mode("overwrite")
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)
         w.parquet(tmp)
-        old = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        moved: list[str] = []
+        try:
+            for root, _dirs, files in os.walk(tmp):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(root, tmp)
+                    uniq = f"{uuid.uuid4().hex[:8]}-{fn}"
+                    dst_dir = (
+                        self.path
+                        if rel_dir == "."
+                        else os.path.join(self.path, rel_dir)
+                    )
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.rename(
+                        os.path.join(root, fn), os.path.join(dst_dir, uniq)
+                    )
+                    moved.append(
+                        uniq if rel_dir == "." else os.path.join(rel_dir, uniq)
+                    )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return moved
+
+    def _resolved_schema(self, snap: dict) -> TY.StructType | None:
+        if snap.get("schema"):
+            return TY.StructType.fromJson(json.loads(snap["schema"]))
+        return self.schema
+
+    # -- read / write ------------------------------------------------------
+
+    def exists(self) -> bool:
+        return bool(self._snapshot()["files"])
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Scan the files of ``version`` (default: latest). The
+        returned DataFrame is a stable snapshot: later commits don't
+        change it, and with ``retain_versions >= 2`` its files survive
+        those commits until ``vacuum()``."""
+        snap = self._snapshot(version)
+        if not snap["files"]:
+            schema = self._resolved_schema(snap)
+            if schema is None:
+                raise FileNotFoundError(
+                    f"{self.path} is empty and no schema is known"
+                )
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in snap["files"]]
+        reader = self.spark.read
+        if self.partition_cols:
+            reader = reader.option("basePath", self.path)
+        return reader.parquet(*paths)
+
+    def append(self, df: DataFrame) -> None:
+        staged = self._stage_in(df)
+        self._commit_files(staged, set(), df.schema.json(), retry=True)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full-table replace. ``df`` may read from this same table:
+        the staging write materializes it while the current version's
+        files are still live, and only then does the manifest flip."""
+        snap = self._snapshot()
+        staged = self._stage_in(df)
+        self._commit_files(staged, set(snap["files"]), df.schema.json())
 
     # -- Delta-verb mirrors ------------------------------------------------
 
@@ -119,15 +373,23 @@ class ParquetTable:
             fresh = df.dropDuplicates(keys).join(existing, on=keys, how="left_anti")
         else:
             fresh = df.dropDuplicates(keys)
-        # Single evaluation: write once, count the written files — the
-        # anti-join lineage never runs twice.
-        fresh.persist()
-        try:
-            n = fresh.count()
-            if n:
-                self.append(fresh)
-        finally:
-            fresh.unpersist()
+        # Single evaluation: stage the anti-join result once (one write
+        # job), then count the staged files' footers — the anti-join
+        # lineage never runs twice.
+        staged = self._stage_in(fresh)
+        n = (
+            self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in staged]
+            ).count()
+            if staged
+            else 0
+        )
+        if n:
+            self._commit_files(staged, set(), fresh.schema.json(), retry=True)
+        else:
+            for f in staged:
+                os.unlink(os.path.join(self.path, f))
+            self._prune_empty_dirs()
         return n
 
     def merge_upsert(
@@ -168,6 +430,7 @@ class ParquetTable:
             self.partition_cols
         ) <= set(keys)
 
+        snap = self._snapshot()
         existing = self.read()
         if partition_scoped:
             parts = [
@@ -205,26 +468,11 @@ class ParquetTable:
         result = merged.unionByName(fresh)
 
         if partition_scoped:
-            # Rewrite only the touched partition directories, then swap.
-            tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
-            result.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(
-                tmp
-            )
-            olds = []
-            for r in parts:
-                rel = self._partition_reldir(r)
-                dst = os.path.join(self.path, rel)
-                src = os.path.join(tmp, rel)
-                if os.path.isdir(dst):
-                    old = f"{dst}.__old_{uuid.uuid4().hex[:8]}"
-                    os.rename(dst, old)
-                    olds.append(old)
-                if os.path.isdir(src):
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.rename(src, dst)
-            for old in olds:
-                shutil.rmtree(old, ignore_errors=True)
-            shutil.rmtree(tmp, ignore_errors=True)
+            # Stage the merged partitions + fresh rows, replace only the
+            # touched partitions' files in one manifest commit.
+            staged = self._stage_in(result)
+            replaced = self._files_under(snap["files"], parts)
+            self._commit_files(staged, replaced, result.schema.json())
         else:
             self.overwrite(result)
 
@@ -234,50 +482,62 @@ class ParquetTable:
         min_files: int = 2,
     ) -> list[str]:
         """Small-file compaction (Delta ``OPTIMIZE`` / Iceberg rewrite):
-        rewrite each partition directory whose file count exceeds
-        ``min_files`` into ⌈bytes/target⌉ files. Returns the relative
-        partition dirs compacted.
+        rewrite each partition whose file count exceeds ``min_files``
+        into ⌈bytes/target⌉ files, in ONE manifest commit. Returns the
+        relative partition dirs compacted.
 
         Append-heavy tables (streaming micro-batches, per-batch ingest)
         accumulate many tiny files; at 100 TB the scan cost is dominated
         by file-open overhead and the NameNode/listing pressure, so
         compaction is the standard maintenance pass. Untouched
-        partitions are never read or rewritten. The rewrite itself is
+        partitions are never read or rewritten, the rewrite is
         content-preserving (read → coalesce → write, no row transform),
-        so readers see identical data before and after the swap."""
-        if not self.exists():
+        and with ``retain_versions >= 2`` a reader pinned at the
+        pre-compaction version keeps scanning the original files —
+        compaction is safe under concurrent readers."""
+        snap = self._snapshot()
+        if not snap["files"]:
             return []
+        by_dir: dict[str, list[str]] = {}
+        for rel in snap["files"]:
+            by_dir.setdefault(os.path.dirname(rel) or ".", []).append(rel)
+        staged_all: list[str] = []
+        replaced: set[str] = set()
         compacted: list[str] = []
-        for rel, pdir in self._partition_dirs():
-            files = [
-                os.path.join(pdir, f)
-                for f in os.listdir(pdir)
-                if f.endswith(".parquet")
-            ]
+        for rel_dir in sorted(by_dir):
+            files = by_dir[rel_dir]
             if len(files) <= min_files:
                 continue
-            total = sum(os.path.getsize(f) for f in files)
+            paths = [os.path.join(self.path, f) for f in files]
+            total = sum(os.path.getsize(p) for p in paths)
             n_out = max(1, -(-total // target_file_bytes))
-            part = self.spark.read.parquet(pdir).coalesce(int(n_out))
-            tmp = f"{pdir}.__tmp_{uuid.uuid4().hex[:8]}"
+            part = self.spark.read.parquet(*paths).coalesce(int(n_out))
+            # Stage without partitionBy: these rows all belong to one
+            # partition directory; route the staged files there.
+            tmp = f"{self.path}.__stage_{uuid.uuid4().hex[:8]}"
             part.write.mode("overwrite").parquet(tmp)
-            old = f"{pdir}.__old_{uuid.uuid4().hex[:8]}"
-            os.rename(pdir, old)
-            os.rename(tmp, pdir)
-            shutil.rmtree(old, ignore_errors=True)
-            compacted.append(rel)
+            try:
+                for fn in os.listdir(tmp):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    uniq = f"{uuid.uuid4().hex[:8]}-{fn}"
+                    dst_dir = (
+                        self.path
+                        if rel_dir == "."
+                        else os.path.join(self.path, rel_dir)
+                    )
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.rename(os.path.join(tmp, fn), os.path.join(dst_dir, uniq))
+                    staged_all.append(
+                        uniq if rel_dir == "." else os.path.join(rel_dir, uniq)
+                    )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            replaced.update(files)
+            compacted.append(rel_dir)
+        if compacted:
+            self._commit_files(staged_all, replaced, snap.get("schema"))
         return compacted
-
-    def _partition_dirs(self) -> list[tuple[str, str]]:
-        """(relative, absolute) leaf data directories: the Hive leaf
-        dirs on a partitioned table, the root itself otherwise."""
-        if not self.partition_cols:
-            return [(".", self.path)]
-        out: list[tuple[str, str]] = []
-        for root, _dirs, files in os.walk(self.path):
-            if any(f.endswith(".parquet") for f in files):
-                out.append((os.path.relpath(root, self.path), root))
-        return sorted(out)
 
     def update(self, cond: Column, assignments: dict[str, Column]) -> None:
         """``UPDATE SET ... WHERE cond`` via conditional projection —
@@ -305,52 +565,39 @@ class ParquetTable:
 
     def delete(self, cond: Column) -> None:
         """``DELETE WHERE cond`` — partition-granular copy-on-write on
-        partitioned tables; a partition whose rows are all deleted is
-        dropped entirely."""
+        partitioned tables; a partition whose rows are all deleted ends
+        with no live files (and its directory is pruned once reclaimed)."""
         self._copy_on_write(cond, lambda df: df.filter(~cond | cond.isNull()))
 
     # -- partition-granular copy-on-write ----------------------------------
 
     def _copy_on_write(self, cond: Column, transform) -> None:
-        """Rewrite only the partitions holding rows that match ``cond``;
-        swap each rewritten directory atomically. Falls back to the
-        full-table rewrite when the table is unpartitioned."""
-        if self.schema is None and self.exists():
-            # Remember the schema before mutating: a delete that removes
-            # every row must still leave a readable (empty) table.
-            self.schema = self.read().schema
+        """Rewrite only the partitions holding rows that match ``cond``,
+        then commit one manifest that swaps their files. Falls back to
+        the full-table rewrite when the table is unpartitioned."""
         if not self.partition_cols or not self.exists():
+            if not self.exists() and self.schema is None:
+                # nothing to do and nothing to remember
+                return
             self.overwrite(transform(self.read()))
             return
+        snap = self._snapshot()
         parts = self._affected_partitions(cond)
         if not parts:
             return
         pred = self._partition_predicate(parts)
         rewritten = transform(self.read().filter(pred))
-        tmp = f"{self.path}.__tmp_{uuid.uuid4().hex[:8]}"
-        rewritten.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(tmp)
-        olds = []
-        try:
-            for r in parts:
-                rel = self._partition_reldir(r)
-                dst = os.path.join(self.path, rel)
-                src = os.path.join(tmp, rel)
-                if os.path.isdir(dst):
-                    old = f"{dst}.__old_{uuid.uuid4().hex[:8]}"
-                    os.rename(dst, old)
-                    olds.append(old)
-                if os.path.isdir(src):
-                    os.rename(src, dst)
-                # else: every row of this partition was deleted — the
-                # directory stays removed.
-        except BaseException:
-            # Keep the displaced originals (``*.__old_*``) for manual
-            # recovery; only the staging dir is disposable.
-            shutil.rmtree(tmp, ignore_errors=True)
-            raise
-        for old in olds:
-            shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        staged = self._stage_in(rewritten)
+        replaced = self._files_under(snap["files"], parts)
+        self._commit_files(staged, replaced, rewritten.schema.json())
+
+    def _files_under(self, files: list[str], parts: list[dict]) -> set[str]:
+        """The subset of ``files`` living in the given partitions'
+        directories."""
+        prefixes = [self._partition_reldir(p) + os.sep for p in parts]
+        return {
+            f for f in files if any(f.startswith(pre) for pre in prefixes)
+        }
 
     def _affected_partitions(self, cond: Column) -> list[dict]:
         """Partition-value tuples containing rows matching ``cond`` —

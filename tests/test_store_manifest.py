@@ -1,0 +1,180 @@
+"""Manifest-log transaction tests for ParquetTable: atomic CAS
+commits, snapshot-isolated pinned readers, vacuum retention, and
+legacy-directory bootstrap — the single-table ACID stand-in the
+reference gets from Mongo findAndModify
+(processors/RunsProcessor.scala:409-419)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.sources.store import (
+    ConcurrentCommitError,
+    ParquetTable,
+)
+
+
+def _rows(df):
+    return sorted((r.runId, r.pipeline, r.n) for r in df.collect())
+
+
+def _mk(spark, tmp_path, name, retain=1):
+    t = ParquetTable(
+        spark,
+        str(tmp_path / name),
+        partition_cols=["pipeline"],
+        retain_versions=retain,
+    )
+    t.append(
+        spark.createDataFrame(
+            [("r1", "maple", 1), ("r2", "maple", 2), ("r3", "plain", 3)],
+            "runId string, pipeline string, n int",
+        )
+    )
+    return t
+
+
+def test_versions_are_monotonic_and_pinnable(spark, tmp_path):
+    t = _mk(spark, tmp_path, "v", retain=10)
+    assert t.version() == 1
+    t.update(F.col("runId") == "r1", {"n": F.lit(42)})
+    assert t.version() == 2
+    t.delete(F.col("pipeline") == "plain")
+    assert t.version() == 3
+    # every retained version readable, each its own consistent state
+    assert _rows(t.read(version=1)) == [
+        ("r1", "maple", 1), ("r2", "maple", 2), ("r3", "plain", 3)
+    ]
+    assert _rows(t.read(version=2)) == [
+        ("r1", "maple", 42), ("r2", "maple", 2), ("r3", "plain", 3)
+    ]
+    assert _rows(t.read(version=3)) == [("r1", "maple", 42), ("r2", "maple", 2)]
+
+
+def test_pinned_reader_survives_writer_commits(spark, tmp_path):
+    """The concurrent reader/writer contract: a reader that resolved
+    its snapshot BEFORE a stream of writer commits still evaluates to
+    exactly that snapshot AFTER them (retention >= 2 keeps its files).
+    Under the old rename-swap design this reader would race a missing
+    directory."""
+    t = _mk(spark, tmp_path, "pin", retain=10)
+    pinned = t.read()  # lazy: files resolve now, scan runs later
+
+    # writer commits past the reader: update, delete, compaction
+    t.update(F.col("runId") == "r2", {"n": F.lit(99)})
+    t.delete(F.col("runId") == "r1")
+    t.append(
+        spark.createDataFrame(
+            [("r9", "maple", 9)], "runId string, pipeline string, n int"
+        )
+    )
+    t.compact(min_files=0)
+
+    # the pinned reader evaluates NOW — after four commits — and still
+    # sees version 1 exactly
+    assert _rows(pinned) == [
+        ("r1", "maple", 1), ("r2", "maple", 2), ("r3", "plain", 3)
+    ]
+    # while the live table moved on
+    assert _rows(t.read()) == [
+        ("r2", "maple", 99), ("r3", "plain", 3), ("r9", "maple", 9)
+    ]
+
+
+def test_vacuum_reclaims_old_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path, "vac", retain=10)
+    t.update(F.col("runId") == "r1", {"n": F.lit(5)})
+    t.update(F.col("runId") == "r1", {"n": F.lit(6)})
+    assert len(t.history()) == 3
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted  # the two superseded maple rewrites
+    assert t.history() == [3]
+    assert _rows(t.read()) == [
+        ("r1", "maple", 6), ("r2", "maple", 2), ("r3", "plain", 3)
+    ]
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=1)
+
+
+def test_concurrent_commit_cas(spark, tmp_path):
+    """Two writers racing to the same version: the second CAS loses.
+    Appends retry from the fresh snapshot and land both batches; a
+    copy-on-write caller surfaces ConcurrentCommitError instead."""
+    t = _mk(spark, tmp_path, "cas", retain=10)
+
+    # Simulate a competing writer owning the next version slot by
+    # committing it out from under an in-flight op.
+    squatter = ParquetTable(
+        spark, t.path, partition_cols=["pipeline"], retain_versions=10
+    )
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def racing_commit(files, base_version, schema_json):
+        if not raced["done"]:
+            raced["done"] = True
+            squatter.append(
+                spark.createDataFrame(
+                    [("rX", "plain", 100)], "runId string, pipeline string, n int"
+                )
+            )
+        return orig_commit(files, base_version, schema_json)
+
+    t._commit = racing_commit
+    # append retries: both the squatter's and this batch survive
+    t.append(
+        spark.createDataFrame(
+            [("rY", "maple", 200)], "runId string, pipeline string, n int"
+        )
+    )
+    t._commit = orig_commit
+    got = _rows(t.read())
+    assert ("rX", "plain", 100) in got and ("rY", "maple", 200) in got
+
+    # copy-on-write does NOT retry blindly — it must recompute
+    raced["done"] = False
+    t._commit = racing_commit
+    with pytest.raises(ConcurrentCommitError):
+        t.update(F.col("runId") == "r1", {"n": F.lit(0)})
+    t._commit = orig_commit
+    # the losing CoW left no visible change and the table still reads
+    assert ("r1", "maple", 1) in _rows(t.read())
+
+
+def test_manifest_never_torn(spark, tmp_path):
+    """Every manifest on disk is complete, parseable JSON whose files
+    all exist — commits land via link(2) of a fully-written temp file,
+    so no reader can observe a partial manifest."""
+    import json
+
+    t = _mk(spark, tmp_path, "torn", retain=10)
+    t.update(F.col("runId") == "r1", {"n": F.lit(7)})
+    t.compact(min_files=0)
+    log = os.path.join(t.path, "_sentinel_log")
+    manifests = sorted(f for f in os.listdir(log) if f.endswith(".json"))
+    assert len(manifests) == len(t.history())
+    for m in manifests:
+        with open(os.path.join(log, m)) as fh:
+            payload = json.load(fh)
+        for rel in payload["files"]:
+            assert os.path.isfile(os.path.join(t.path, rel)), (m, rel)
+
+
+def test_legacy_directory_bootstrap(spark, tmp_path):
+    """A parquet directory written outside the manifest discipline
+    (pre-manifest table, foreign writer) reads correctly and is
+    adopted into the log on the first mutation."""
+    raw = str(tmp_path / "legacy")
+    df = spark.createDataFrame(
+        [("r1", "maple", 1), ("r3", "plain", 3)],
+        "runId string, pipeline string, n int",
+    )
+    df.write.partitionBy("pipeline").parquet(raw)
+
+    t = ParquetTable(spark, raw, partition_cols=["pipeline"])
+    assert t.version() == 0
+    assert _rows(t.read()) == [("r1", "maple", 1), ("r3", "plain", 3)]
+    t.update(F.col("runId") == "r1", {"n": F.lit(11)})
+    assert t.version() == 1
+    assert _rows(t.read()) == [("r1", "maple", 11), ("r3", "plain", 3)]
