@@ -97,21 +97,25 @@ def misra_gries_candidates(
     Guarantee (the MG merge bound, adapted to the batched compaction
     below): a partition summary undercounts any value by at most
     ``N_p / (capacity - 1)`` (``N_p`` = rows in that partition; each
-    compaction subtracts ``cut`` from every survivor while removing at
-    least ``(capacity - 1) * cut`` total mass, and mass is bounded by
+    compaction — including the final one before emit — subtracts
+    ``cut`` from every survivor while removing at least
+    ``(capacity - 1) * cut`` total mass, and mass is bounded by
     ``N_p``). Summed over partitions the total undercount is
     <= ``N / (capacity - 1)``. Hence every value with true global count
     > ``N / (capacity - 1)`` survives in at least one partition summary —
     the union of summaries is a guaranteed candidate superset for any
     support threshold above that bound (threshold guidance:
-    ``capacity >= N / min_count``).
+    ``capacity > N / min_count + 1``; :func:`heavy_hitters` enforces
+    exactly this).
 
     This is the one honest Python boundary in the module: MG needs
     per-partition imperative state Spark's aggregates can't express.
     It runs as Arrow-batched ``mapInPandas`` holding a dict of at most
-    ``2 x capacity`` entries across the partition's batches (decrement
-    phase compacts back to ``capacity``), emitting one narrow
-    (value, partial_count) frame per partition at iterator end.
+    ``2 x capacity`` entries across the partition's batches (the
+    decrement phase compacts to <= ``capacity - 1``), and compacts one
+    final time before emitting — so each partition yields at most
+    ``capacity - 1`` rows and the shuffle carries at most
+    ``num_partitions x (capacity - 1)`` rows.
 
     Output: (value string, partial_count long) — partial counts are
     MG lower bounds, NOT exact; feed :func:`heavy_hitters` for the
@@ -121,6 +125,15 @@ def misra_gries_candidates(
 
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     narrow = df.select(v.cast("string").alias("value"))
+
+    def compact(counters: dict[str, int]) -> dict[str, int]:
+        # Drop to <= capacity - 1 entries in one pass (batched MG:
+        # amortizes the classic decrement-all step over dict
+        # compaction). cut is the (capacity+1)-th smallest count, so at
+        # least capacity+1 entries are <= cut and get removed while at
+        # least (capacity - 1) * cut mass leaves the table.
+        cut = sorted(counters.values())[capacity]
+        return {k: c - cut for k, c in counters.items() if c > cut}
 
     def mg_partition(batches):
         counters: dict[str, int] = {}
@@ -133,13 +146,10 @@ def misra_gries_candidates(
                 elif len(counters) < 2 * capacity:
                     counters[val] = 1
                 else:
-                    # Decrement phase: drop `capacity` smallest in one
-                    # pass (batched MG: amortizes the classic
-                    # decrement-all step over dict compaction).
-                    cut = sorted(counters.values())[capacity]
-                    counters = {
-                        k: c - cut for k, c in counters.items() if c > cut
-                    }
+                    counters = compact(counters)
+                    counters[val] = 1
+        if len(counters) > capacity:
+            counters = compact(counters)
         if counters:
             yield pd.DataFrame(
                 {"value": list(counters), "partial_count": list(counters.values())}
@@ -157,33 +167,54 @@ def heavy_hitters(
     min_count: int,
     top_k: int | None = None,
     capacity: int = 4096,
+    broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Exact frequent-value mining in two phases: (1) per-partition
     Misra-Gries candidate generation (:func:`misra_gries_candidates` —
-    bounded shuffle, guaranteed superset for thresholds >
-    ``N/capacity``); (2) exact recount of ONLY the candidate values via
-    a broadcast semi-join back over the data, then the ``min_count``
-    filter and optional top-k.
+    bounded shuffle, guaranteed candidate superset); (2) exact recount
+    of ONLY the candidate values via a semi-join back over the data,
+    then the ``min_count`` filter and optional top-k.
 
-    The result is EXACT (the MG phase only prunes values that
-    provably cannot reach the threshold), which is what makes it
-    oracle-checkable against a plain GROUP BY — the approximation
-    lives entirely in the intermediate, never in the answer.
+    The MG superset guarantee only covers thresholds above
+    ``N / (capacity - 1)``, so this function ENFORCES the
+    precondition: it counts N first (one narrow column-pruned pass —
+    the price of an exactness guarantee that doesn't silently break)
+    and, if ``capacity`` is too small for the requested ``min_count``,
+    auto-scales it to ``N // min_count + 2``. The result is therefore
+    EXACT unconditionally — the approximation lives entirely in the
+    intermediate, never in the answer — which is what makes it
+    oracle-checkable against a plain GROUP BY.
+
+    The candidate set is at most ``num_partitions x (capacity - 1)``
+    distinct values; it is broadcast to the recount join only when that
+    bound stays under ``broadcast_limit`` (at tens of thousands of
+    partitions x thousands of long URLs/shingles a forced broadcast
+    would OOM the driver), otherwise the recount runs as a regular
+    shuffle semi-join.
 
     Output: (value string, n long), descending by n then value.
     """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
+    narrow = df.select(v.cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    n_rows = narrow.count()
+    eff_capacity = capacity
+    if (capacity - 1) * min_count <= n_rows:
+        eff_capacity = n_rows // min_count + 2
     candidates = (
-        misra_gries_candidates(df, v, capacity=capacity)
+        misra_gries_candidates(df, v, capacity=eff_capacity)
         .groupBy("value")
         .agg(F.sum("partial_count").alias("lb"))
         .select("value")
     )
-    narrow = df.select(v.cast("string").alias("value")).filter(
-        F.col("value").isNotNull()
-    )
+    cand_bound = narrow.rdd.getNumPartitions() * max(eff_capacity - 1, 1)
+    if cand_bound <= broadcast_limit:
+        candidates = F.broadcast(candidates)
     exact = (
-        narrow.join(F.broadcast(candidates), "value")
+        narrow.join(candidates, "value")
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(min_count))

@@ -62,9 +62,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # at epoch-nanos magnitudes).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif not isinstance(ts_type, TY.TimestampType):
-            # TIMESTAMP_NTZ → TimestampType; the session runs in UTC so
-            # the instant is unchanged.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # TIMESTAMP_NTZ → TimestampType. The cast interprets the
+            # wall-clock value in the SESSION time zone (instant =
+            # wall − offset(zone)), but the generator wrote UTC wall
+            # clocks — so mirror the nanosAsLong defense above for
+            # foreign (driver-provided) sessions running non-UTC:
+            # from_utc_timestamp adds offset(zone) back, leaving the
+            # UTC instant regardless of session zone (a no-op under the
+            # UTC sessions our factory builds).
+            zone = spark.conf.get("spark.sql.session.timeZone")
+            ts = F.col("ts").cast("timestamp")
+            if zone not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                ts = F.from_utc_timestamp(ts, zone)
+            df = df.withColumn("ts", ts)
         return df
     return spark.read.parquet(path)
 

@@ -25,3 +25,29 @@ def test_all_queries_run_and_return_rows(spark):
     for name, fn in E.queries().items():
         df = fn(spark, SF)
         assert df.count() > 0, name
+
+
+def test_events_ts_instant_is_zone_independent(spark):
+    """events.ts ships as TIMESTAMP_NTZ (UTC wall clocks); load_table
+    must yield the same instant under a non-UTC foreign session (the
+    driver hands in sessions that never went through our factory)."""
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.sources.tables import load_table
+
+    def min_micros():
+        return (
+            load_table(spark, SF, "events")
+            .agg(F.min(F.unix_micros("ts")).alias("m"))
+            .collect()[0]
+            .m
+        )
+
+    zone = spark.conf.get("spark.sql.session.timeZone")
+    utc_instant = min_micros()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted_instant = min_micros()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", zone)
+    assert shifted_instant == utc_instant

@@ -67,3 +67,85 @@ def test_quantile_sketch_brackets_exact_median(spark):
     q = SK.quantile_sketch(df, ["g"], "v", [0.5, 0.9], accuracy=10_000).collect()[0].q
     assert abs(q[0] - 499.5) <= 1.0
     assert abs(q[1] - 899.0) <= 2.0
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # Zipf-ish: "hot0" 5000x, "hot1" 800x, "hot2" 300x, plus a 4000-value
+    # long tail of singletons+doubles and some nulls.
+    return spark.range(10_100).select(
+        F.when(F.col("id") < 5000, F.lit("hot0"))
+        .when(F.col("id") < 5800, F.lit("hot1"))
+        .when(F.col("id") < 6100, F.lit("hot2"))
+        .when(F.col("id") % 50 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("tail"), (F.col("id") % 2000).cast("string")))
+        .alias("v")
+    ).repartition(8)
+
+
+def _exact_counts(df, min_count):
+    return {
+        r.v: r.n
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .collect()
+    }
+
+
+def test_heavy_hitters_matches_group_by_oracle(skewed):
+    """heavy_hitters is EXACT: identical to the plain GROUP BY + HAVING
+    on skewed data, including counts and ordering."""
+    got = SK.heavy_hitters(skewed, "v", min_count=100)
+    rows = got.collect()
+    assert {r.value: r.n for r in rows} == _exact_counts(skewed, 100)
+    # descending by n then value
+    keys = [(-r.n, r.value) for r in rows]
+    assert keys == sorted(keys)
+    # nulls never surface as candidates or results
+    assert all(r.value is not None for r in rows)
+
+
+def test_heavy_hitters_tiny_capacity_autoscales(skewed):
+    """A capacity far below N/min_count would void the MG superset
+    guarantee; heavy_hitters enforces the precondition by auto-scaling,
+    so the answer stays exact even when the caller passes capacity=2."""
+    got = SK.heavy_hitters(skewed, "v", min_count=250, capacity=2)
+    assert {r.value: r.n for r in got.collect()} == _exact_counts(skewed, 250)
+
+
+def test_heavy_hitters_top_k_and_shuffle_join_path(skewed):
+    """broadcast_limit=0 forces the non-broadcast recount join (the
+    huge-candidate-set path); results are unchanged, and top_k trims
+    after the exact filter."""
+    got = SK.heavy_hitters(
+        skewed, "v", min_count=100, top_k=2, broadcast_limit=0
+    ).collect()
+    exact = sorted(
+        _exact_counts(skewed, 100).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:2]
+    assert [(r.value, r.n) for r in got] == exact
+
+
+def test_misra_gries_candidates_superset_and_bounds(skewed):
+    """Every value above the support bound survives in the candidate
+    union, and each partition emits at most capacity-1 rows (the final
+    pre-emit compaction)."""
+    capacity = 64
+    cand = SK.misra_gries_candidates(skewed, "v", capacity=capacity)
+    values = {r.value for r in cand.collect()}
+    n = skewed.filter(F.col("v").isNotNull()).count()
+    bound = n / (capacity - 1)
+    for v, c in _exact_counts(skewed, 1).items():
+        if c > bound:
+            assert v in values, (v, c, bound)
+    import pandas as pd  # noqa: F401
+    per_part = (
+        cand.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # partition boundaries survive mapInPandas 1:1, so per-output-
+    # partition row counts are the per-input-partition emit counts
+    assert all(r.n <= capacity - 1 for r in per_part), per_part
