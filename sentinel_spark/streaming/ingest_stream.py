@@ -26,6 +26,64 @@ from sentinel_spark.operators.ingest import shred_uploads
 from sentinel_spark.plans.pipeline_spec import PipelineSpec
 
 
+def ingest_micro_batch(
+    batch_df: DataFrame,
+    spec: PipelineSpec,
+    uploader_id: str,
+    out_dir: str,
+) -> None:
+    """One streaming micro-batch of upload content → the runs/samples/
+    read_groups/rejects tables, written so that a REPLAY of the same
+    batch is a no-op — the exactly-once half Structured Streaming
+    cannot give a non-transactional sink by itself.
+
+    foreachBatch is at-least-once: a batch whose sink writes partially
+    completed before a crash is replayed in full after restart (the
+    checkpoint only advances on success). Idempotence comes from the
+    shred's deterministic content-derived keys — runId = md5(uploader |
+    content md5), sample/read-group dbId = md5(runId | names) — merged
+    through :meth:`ParquetTable.merge_insert_not_matched`, whose
+    manifest commit is atomic per table. Replayed rows hit existing
+    keys and insert nothing; a partially-applied batch (e.g. runs
+    landed, samples didn't) converges on replay because each table
+    merges independently on its own keys.
+
+    Rejects are a diagnostics side channel keyed on
+    (uploadPath, validationError): replays stay duplicate-free, at the
+    cost of collapsing identical reject lines from genuinely distinct
+    uploads with identical content — which the shred already rejects as
+    conflicts anyway (unique (md5, uploaderId), dbSetup.js:35-40).
+    """
+    from sentinel_spark.sources.store import ParquetTable
+
+    spark = batch_df.sparkSession
+    # shred_uploads persists its parse lineage, so the four sink
+    # merges below each read the cached batch instead of re-running
+    # validation + JSON parsing per write.
+    res = shred_uploads(batch_df, spec, uploader_id)
+    try:
+        ParquetTable(spark, os.path.join(out_dir, "runs")).merge_insert_not_matched(
+            res.runs, ["runId"]
+        )
+        if res.samples is not None:
+            ParquetTable(
+                spark, os.path.join(out_dir, "samples")
+            ).merge_insert_not_matched(res.samples, ["dbId"])
+        if res.read_groups is not None:
+            ParquetTable(
+                spark, os.path.join(out_dir, "read_groups")
+            ).merge_insert_not_matched(res.read_groups, ["dbId"])
+        rejects = res.rejects
+        if rejects.take(1):
+            ParquetTable(
+                spark, os.path.join(out_dir, "rejects")
+            ).merge_insert_not_matched(
+                rejects, ["uploadPath", "validationError"]
+            )
+    finally:
+        res.unpersist()
+
+
 def stream_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -36,8 +94,9 @@ def stream_ingest(
     available_now: bool = True,
 ):
     """Watch ``input_dir`` for run-summary JSON files; shred each
-    micro-batch with the batch ETL and append to parquet tables under
-    ``out_dir`` (runs/, samples/, read_groups/, rejects/).
+    micro-batch with the batch ETL and merge into parquet tables under
+    ``out_dir`` (runs/, samples/, read_groups/, rejects/) with
+    idempotent-replay semantics (see :func:`ingest_micro_batch`).
 
     Returns the StreamingQuery (already awaited when available_now).
     """
@@ -53,23 +112,7 @@ def stream_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # shred_uploads persists its parse lineage, so the four sink
-        # writes below each read the cached batch instead of re-running
-        # validation + JSON parsing per write.
-        res = shred_uploads(batch_df, spec, uploader_id)
-        try:
-            res.runs.write.mode("append").parquet(os.path.join(out_dir, "runs"))
-            if res.samples is not None:
-                res.samples.write.mode("append").parquet(os.path.join(out_dir, "samples"))
-            if res.read_groups is not None:
-                res.read_groups.write.mode("append").parquet(
-                    os.path.join(out_dir, "read_groups")
-                )
-            rejects = res.rejects
-            if rejects.take(1):
-                rejects.write.mode("append").parquet(os.path.join(out_dir, "rejects"))
-        finally:
-            res.unpersist()
+        ingest_micro_batch(batch_df, spec, uploader_id, out_dir)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -273,16 +316,18 @@ def stream_sketch_rollup(
 
     The merge reads ONLY the persisted sketch rows (a few per day ×
     group — never event history), unions with the batch's sketches,
-    and atomically swaps the table (write tmp → rename), mirroring the
-    ParquetTable copy-on-write discipline.
+    and commits through the ParquetTable manifest (an atomic
+    version flip — racing readers keep their snapshot, never a missing
+    directory). Replay safety falls out of the algebra: HLL union is
+    idempotent (re-unioning the same values changes nothing), so an
+    at-least-once foreachBatch replay of a crashed micro-batch
+    converges to the same sketch table.
 
     Input schema: JSON lines with at least (ts, group_cols..., value).
     Returns the StreamingQuery (already awaited when available_now).
     """
-    import shutil
-    import uuid
-
     from sentinel_spark.functions import sketch as SK
+    from sentinel_spark.sources.store import ParquetTable
 
     group_cols = group_cols if group_cols is not None else ["event_type"]
     checkpoint_dir = checkpoint_dir or os.path.join(sketch_dir, "_checkpoint")
@@ -309,23 +354,17 @@ def stream_sketch_rollup(
             value_col,
             lgk=lgk,
         )
-        if os.path.isdir(data_dir):
-            existing = batch_df.sparkSession.read.parquet(data_dir)
+        table = ParquetTable(batch_df.sparkSession, data_dir)
+        if table.exists():
             merged = (
-                existing.unionByName(fresh)
+                table.read()
+                .unionByName(fresh)
                 .groupBy(*keys)
                 .agg(F.hll_union_agg("sketch").alias("sketch"))
             )
         else:
             merged = fresh
-        tmp = os.path.join(sketch_dir, f"_tmp_{uuid.uuid4().hex}")
-        merged.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(sketch_dir, f"_old_{uuid.uuid4().hex}")
-        if os.path.isdir(data_dir):
-            os.rename(data_dir, old)
-        os.rename(tmp, data_dir)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        table.overwrite(merged)
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -225,3 +225,103 @@ def test_stream_sketch_rollup_incremental(spark, tmp_path):
     assert est[("2026-01-01", "buy")] == 1
     n = est[("2026-01-01", "click")]
     assert abs(n - 105) <= max(1, 0.05 * 105)  # cumulative distinct, not 130
+
+
+def test_micro_batch_kill_and_replay_no_duplicates(spark, tmp_path):
+    """Exactly-once under foreachBatch's at-least-once contract: a
+    micro-batch that crashes after SOME tables committed is replayed in
+    full (the streaming checkpoint only advances on success); the
+    replay must converge — no duplicate rows anywhere, missing tables
+    filled in."""
+    from sentinel_spark.sources import store as store_mod
+    from sentinel_spark.streaming.ingest_stream import ingest_micro_batch
+
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [
+            (open(os.path.join(FX, "maple", f)).read(), "stream")
+            for f in (
+                "maple_single_sample_multi_rg.json",
+                "maple_multi_sample_multi_rg.json",
+            )
+        ],
+        "content string, uploadPath string",
+    )
+
+    # Kill: fail the batch after the runs table committed but before
+    # samples/read_groups did — the partial-failure shape a crash
+    # between sink writes produces.
+    orig = store_mod.ParquetTable.merge_insert_not_matched
+    state = {"merges": 0}
+
+    def failing_merge(self, df, keys):
+        state["merges"] += 1
+        if state["merges"] == 2:  # runs committed; die on samples
+            raise RuntimeError("injected crash mid-batch")
+        return orig(self, df, keys)
+
+    store_mod.ParquetTable.merge_insert_not_matched = failing_merge
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ingest_micro_batch(batch, PIPELINES["maple"], "u1", out)
+    finally:
+        store_mod.ParquetTable.merge_insert_not_matched = orig
+
+    # partial state on disk: runs landed, samples/read_groups absent
+    assert spark.read.parquet(os.path.join(out, "runs")).count() == 2
+    assert not os.path.isdir(os.path.join(out, "samples"))
+
+    # Replay the SAME batch (what the restarted stream does), twice for
+    # good measure.
+    ingest_micro_batch(batch, PIPELINES["maple"], "u1", out)
+    ingest_micro_batch(batch, PIPELINES["maple"], "u1", out)
+
+    runs = spark.read.parquet(os.path.join(out, "runs"))
+    samples = spark.read.parquet(os.path.join(out, "samples"))
+    rgs = spark.read.parquet(os.path.join(out, "read_groups"))
+    assert runs.count() == 2  # no duplicate runs from the replays
+    assert runs.select("runId").distinct().count() == 2
+    assert samples.count() == 3  # 1 + 2 samples across the two fixtures
+    assert samples.select("dbId").distinct().count() == 3
+    assert rgs.count() == rgs.select("dbId").distinct().count()
+
+
+def test_sketch_stream_replay_idempotent(spark, tmp_path):
+    """HLL union is idempotent, so replaying a micro-batch into the
+    sketch table leaves every estimate unchanged."""
+    import json
+
+    from sentinel_spark.streaming.ingest_stream import stream_sketch_rollup
+
+    inbox = tmp_path / "ev"
+    inbox.mkdir()
+    lines = [
+        json.dumps({"ts": f"2026-01-0{d} 0{h}:00:00", "event_type": t, "value": str(v)})
+        for d in (1, 2)
+        for h in (1, 2)
+        for t in ("click", "buy")
+        for v in range(20)
+    ]
+    (inbox / "a.jsonl").write_text("\n".join(lines))
+    sketch_dir = str(tmp_path / "sk")
+    stream_sketch_rollup(spark, str(inbox), sketch_dir)
+    data = os.path.join(sketch_dir, "data")
+    before = {
+        (str(r.day), r.event_type): r.n_distinct_est
+        for r in __import__("sentinel_spark.functions.sketch", fromlist=["x"])
+        .rollup_distinct(spark.read.parquet(data), ["day", "event_type"])
+        .collect()
+    }
+    # replay: a fresh checkpoint reprocesses the same file into the
+    # same sketch table (the crashed-before-checkpoint-commit case)
+    stream_sketch_rollup(
+        spark, str(inbox), sketch_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    after = {
+        (str(r.day), r.event_type): r.n_distinct_est
+        for r in __import__("sentinel_spark.functions.sketch", fromlist=["x"])
+        .rollup_distinct(spark.read.parquet(data), ["day", "event_type"])
+        .collect()
+    }
+    assert after == before
