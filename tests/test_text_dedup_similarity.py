@@ -458,3 +458,88 @@ def test_c4_page_blacklist(spark):
         T.c4_doc_pass("text", min_kept_lines=2, min_words=4).alias("keep")
     ).collect()[0]
     assert not r.keep  # page marker kills the whole page
+
+
+def test_default_k_scale_rule():
+    from sentinel_spark.functions.similarity import default_k
+
+    assert default_k(1) == 1
+    assert default_k(100) == 10
+    assert default_k(101) == 11  # ceil, not floor
+    assert default_k(10_000) == 100
+    # the rule that keeps the within-cell pair join ~ n*sqrt(n)
+    for n in (50, 5_000, 1_000_000):
+        k = default_k(n)
+        assert (k - 1) ** 2 < n <= k * k
+
+
+def test_kmeans_k_none_defaults_to_sqrt_n(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 11), 1.0]) for i in range(100)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = SIM.kmeans_fit(df, None, n_iter=1)
+    assert cents.count() == 10  # ceil(sqrt(100))
+
+
+def test_semantic_dedup_skewed_cell_completes_and_is_exact(spark):
+    """One k-means cell attracts ~50% of all vectors (the hot-cell
+    regime AQE's skew-join split handles at scale): the cell-bounded
+    pair join must still complete and produce exactly the clusters a
+    brute-force oracle finds."""
+    import itertools
+
+    # 40 near-identical vectors (one direction) -> one hot cell with
+    # half the corpus; 40 more spread across distinct directions. The
+    # spread vectors take the LOW ids so the lowest-id k-means init
+    # starts from diverse directions and the hot mass lands in ONE cell.
+    hot = [(100 + i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(40)]
+    spread = []
+    for j in range(40):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[1 + (j % 3)] = 1.0
+        v[0] = 0.02 * (j % 13)
+        spread.append((j, v))
+    df = spark.createDataFrame(
+        hot + spread, "vec_id int, embedding array<float>"
+    )
+    out = SIM.semantic_dedup(df, k=4, n_iter=2, threshold=0.999)
+    rows = {r.vec_id: (r.cluster_id, bool(r.is_canonical)) for r in out.collect()}
+    assert len(rows) == 80  # every vector assigned, hot cell included
+
+    # brute-force oracle: connected components over all cosine>=t pairs
+    # restricted to same-cell (the operator contract)
+    cents = SIM.kmeans_fit(df, 4, n_iter=2)
+    cells = {r["id"]: r["cell"] for r in SIM.assign_cells(df, cents).collect()}
+    vecs = dict(hot + spread)
+
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if cells[a] == cells[b] and round(cos(vecs[a], vecs[b]), 6) >= 0.999:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in vecs}
+    got_clusters = {i: c for i, (c, _) in rows.items()}
+    assert got_clusters == expect
+    # the skew premise really held: one CELL attracted ~half the corpus
+    # (the pair join over it is the |cell|^2 hot spot AQE splits)
+    from collections import Counter
+
+    hottest_cell = Counter(cells.values()).most_common(1)[0][1]
+    assert hottest_cell >= 35
