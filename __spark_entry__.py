@@ -1433,13 +1433,20 @@ def q_semantic_dedup_cells(spark, sf_dir):
     """SemDeDup over ONE k-means training run: the trained centroids
     feed both the per-vector semantic dedup (cell-bounded pair join →
     connected components) and the per-cell report columns (population,
-    centroid norm/sum), joined on the cell id."""
+    centroid norm/sum), joined on the cell id.
+
+    k is pinned to 8 (matching the oracle's unrolled literals); the
+    k=⌈√n⌉ scale rule (similarity.default_k, the n·√n pair-join bound)
+    is the production default and is pytest-covered — at this corpus
+    size the broadcast assignment cost k·dim folds per vector dominates
+    long before the pair join does, so the small fixed k is also the
+    faster plan here."""
     e = _t(spark, sf_dir, "embeddings")
     cents = SIM.kmeans_fit(e, 8, n_iter=2)
     sd = SIM.semantic_dedup(e, threshold=0.35, centroids=cents)
-    counts = SIM.assign_cells(e, cents).groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    # cell populations come from the dedup output itself — no second
+    # broadcast-assignment pass over the vectors
+    counts = sd.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
     stats = cents.join(counts, "cell", "left").select(
         "cell",
         F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_members"),

@@ -123,3 +123,29 @@ def test_semantic_dedup_groups_near_identical_vectors(spark):
     # exactly one canonical per cluster
     canon = [v for v, (_, c) in out.items() if c]
     assert sorted(canon) == [0, 2, 4, 5]
+
+
+def test_distributed_and_driver_paths_agree(spark):
+    """driver_threshold=0 forces the distributed large-star/small-star
+    path; its output must equal the driver-local union-find on the
+    same graph (chains, a cycle, disjoint pairs, self-loops)."""
+    edges = (
+        [(i, i + 1) for i in range(10)]          # chain 0..10
+        + [(20, 21), (21, 22), (22, 20)]          # cycle
+        + [(30, 31), (40, 41)]                    # disjoint pairs
+        + [(50, 50)]                              # self-loop drops out
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    drv = {
+        (r.id, r.component)
+        for r in connected_components(df, driver_threshold=10**6).collect()
+    }
+    assert dist == drv
+    comp = dict(drv)
+    assert all(comp[i] == 0 for i in range(11))
+    assert comp[20] == comp[21] == comp[22] == 20
+    assert comp[30] == 30 and comp[31] == 30
