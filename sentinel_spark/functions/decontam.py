@@ -36,10 +36,13 @@ def benchmark_ngram_set(
     Uses the identical window construction as the corpus side so a
     benchmark passage pasted verbatim into a training document is
     guaranteed to collide.
+
+    The internal doc id is the text's md5 — deterministic (no
+    monotonically_increasing_id, which pins the plan to a
+    nondeterministic expression), and identical benchmark documents
+    collapse early, which is exactly right for a distinct n-gram set.
     """
-    with_id = bench.select(
-        F.monotonically_increasing_id().alias("_bench_id"), text_col
-    )
+    with_id = bench.select(F.md5(F.col(text_col)).alias("_bench_id"), text_col)
     return shingle_rows(with_id, text_col, "_bench_id", n).select("s").distinct()
 
 
