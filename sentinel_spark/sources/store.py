@@ -70,6 +70,51 @@ class ConcurrentCommitError(RuntimeError):
     against the fresh snapshot."""
 
 
+def _parquet_file_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet footer — a local metadata
+    read, no data pages touched. Only JSON-safe scalar types are kept
+    (int/float/bool/str; timestamps/dates as ISO strings); nested or
+    statless columns are simply absent, which read_pruned treats as
+    un-prunable. Mirrors the file-level stats Delta/Iceberg store in
+    their logs for data skipping."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return {}
+    import datetime as _dt
+
+    def safe(v):
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        return None
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    agg: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — skip
+                continue
+            lo, hi = safe(st.min), safe(st.max)
+            if lo is None or hi is None:
+                continue
+            if name in agg:
+                agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
+            else:
+                agg[name] = [lo, hi]
+    return agg
+
+
 class ParquetTable:
     def __init__(
         self,
@@ -158,7 +203,11 @@ class ParquetTable:
             return json.load(fh)
 
     def _commit(
-        self, files: list[str], base_version: int, schema_json: str | None
+        self,
+        files: list[str],
+        base_version: int,
+        schema_json: str | None,
+        stats: dict | None = None,
     ) -> int:
         """CAS-commit ``files`` as version ``base_version + 1``. The
         manifest is fully written to a temp file first, then atomically
@@ -172,6 +221,9 @@ class ParquetTable:
             "files": sorted(files),
             "partition_cols": self.partition_cols,
             "schema": schema_json,
+            # per-file column min/max (parquet footer metadata) — the
+            # data-skipping index; only entries for current files ride
+            "stats": {f: (stats or {}).get(f) for f in files if (stats or {}).get(f)},
         }
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -194,6 +246,7 @@ class ParquetTable:
         replaced: set[str],
         schema_json: str | None,
         retry: bool = False,
+        new_stats: dict | None = None,
     ) -> int:
         """Commit (current − replaced + new). Appends (empty
         ``replaced``) retry on CAS conflicts — the staged files are
@@ -209,8 +262,10 @@ class ParquetTable:
             files = sorted(
                 {f for f in snap["files"] if f not in replaced} | set(new_files)
             )
+            stats = dict(snap.get("stats") or {})
+            stats.update(new_stats or {})
             try:
-                v = self._commit(files, snap["version"], schema_json)
+                v = self._commit(files, snap["version"], schema_json, stats)
             except ConcurrentCommitError:
                 continue
             self._reclaim()
@@ -272,40 +327,44 @@ class ParquetTable:
             if not os.listdir(root):
                 os.rmdir(root)
 
-    def _stage_in(self, df: DataFrame) -> list[str]:
+    def _stage_in(self, df: DataFrame) -> tuple[list[str], dict]:
         """Write ``df`` through Spark into a staging dir, then move the
         data files into the table tree under fresh unique names (never
-        clobbering an existing file). Returns the relative paths. The
-        files are invisible to readers until a manifest references
-        them."""
+        clobbering an existing file). Returns (relative paths,
+        per-file column stats). The files are invisible to readers
+        until a manifest references them."""
         tmp = f"{self.path}.__stage_{uuid.uuid4().hex[:8]}"
         w = df.write.mode("overwrite")
         if self.partition_cols:
             w = w.partitionBy(*self.partition_cols)
         w.parquet(tmp)
         moved: list[str] = []
+        stats: dict = {}
         try:
             for root, _dirs, files in os.walk(tmp):
                 for fn in files:
                     if not fn.endswith(".parquet"):
                         continue
                     rel_dir = os.path.relpath(root, tmp)
-                    uniq = f"{uuid.uuid4().hex[:8]}-{fn}"
-                    dst_dir = (
-                        self.path
-                        if rel_dir == "."
-                        else os.path.join(self.path, rel_dir)
-                    )
-                    os.makedirs(dst_dir, exist_ok=True)
-                    os.rename(
-                        os.path.join(root, fn), os.path.join(dst_dir, uniq)
-                    )
-                    moved.append(
-                        uniq if rel_dir == "." else os.path.join(rel_dir, uniq)
-                    )
+                    rel = self._adopt_file(os.path.join(root, fn), rel_dir, fn)
+                    moved.append(rel)
+                    s = _parquet_file_stats(os.path.join(self.path, rel))
+                    if s:
+                        stats[rel] = s
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        return moved
+        return moved, stats
+
+    def _adopt_file(self, src_path: str, rel_dir: str, fn: str) -> str:
+        """Move one staged data file into the table tree under a fresh
+        unique name; returns its relative path."""
+        uniq = f"{uuid.uuid4().hex[:8]}-{fn}"
+        dst_dir = (
+            self.path if rel_dir == "." else os.path.join(self.path, rel_dir)
+        )
+        os.makedirs(dst_dir, exist_ok=True)
+        os.rename(src_path, os.path.join(dst_dir, uniq))
+        return uniq if rel_dir == "." else os.path.join(rel_dir, uniq)
 
     def _resolved_schema(self, snap: dict) -> TY.StructType | None:
         if snap.get("schema"):
@@ -336,17 +395,70 @@ class ParquetTable:
             reader = reader.option("basePath", self.path)
         return reader.parquet(*paths)
 
+    def read_pruned(
+        self,
+        col: str,
+        lower=None,
+        upper=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """File-level data skipping (Delta/Iceberg-style): scan only
+        the files whose footer [min, max] for ``col`` overlaps
+        [lower, upper] — pruning BELOW partition granularity, from the
+        per-file stats the manifest records at commit time. At 100 TB
+        this is the second scan-cost lever after partition pruning:
+        a range predicate on a clustered column (event time, document
+        id) opens only the files that can match.
+
+        Files without stats for ``col`` (legacy bootstrap, nested or
+        statless columns) are conservatively kept. The result still
+        needs the exact row-level filter — skipping is a superset
+        guarantee, identical to the engines'. Bounds compare with
+        Python semantics; for timestamps pass ISO strings (the stats
+        are stored as ISO strings, which compare correctly
+        lexicographically)."""
+        snap = self._snapshot(version)
+        stats = snap.get("stats") or {}
+        kept = []
+        for f in snap["files"]:
+            s = (stats.get(f) or {}).get(col)
+            if s is None:
+                kept.append(f)
+                continue
+            lo, hi = s
+            if (upper is not None and lo > upper) or (
+                lower is not None and hi < lower
+            ):
+                continue
+            kept.append(f)
+        if not kept:
+            schema = self._resolved_schema(snap)
+            if schema is None:
+                raise FileNotFoundError(
+                    f"{self.path} is empty and no schema is known"
+                )
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f) for f in kept]
+        reader = self.spark.read
+        if self.partition_cols:
+            reader = reader.option("basePath", self.path)
+        return reader.parquet(*paths)
+
     def append(self, df: DataFrame) -> None:
-        staged = self._stage_in(df)
-        self._commit_files(staged, set(), df.schema.json(), retry=True)
+        staged, stats = self._stage_in(df)
+        self._commit_files(
+            staged, set(), df.schema.json(), retry=True, new_stats=stats
+        )
 
     def overwrite(self, df: DataFrame) -> None:
         """Full-table replace. ``df`` may read from this same table:
         the staging write materializes it while the current version's
         files are still live, and only then does the manifest flip."""
         snap = self._snapshot()
-        staged = self._stage_in(df)
-        self._commit_files(staged, set(snap["files"]), df.schema.json())
+        staged, stats = self._stage_in(df)
+        self._commit_files(
+            staged, set(snap["files"]), df.schema.json(), new_stats=stats
+        )
 
     # -- Delta-verb mirrors ------------------------------------------------
 
@@ -376,7 +488,7 @@ class ParquetTable:
         # Single evaluation: stage the anti-join result once (one write
         # job), then count the staged files' footers — the anti-join
         # lineage never runs twice.
-        staged = self._stage_in(fresh)
+        staged, stage_stats = self._stage_in(fresh)
         n = (
             self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in staged]
@@ -385,7 +497,10 @@ class ParquetTable:
             else 0
         )
         if n:
-            self._commit_files(staged, set(), fresh.schema.json(), retry=True)
+            self._commit_files(
+                staged, set(), fresh.schema.json(), retry=True,
+                new_stats=stage_stats,
+            )
         else:
             for f in staged:
                 os.unlink(os.path.join(self.path, f))
@@ -470,9 +585,11 @@ class ParquetTable:
         if partition_scoped:
             # Stage the merged partitions + fresh rows, replace only the
             # touched partitions' files in one manifest commit.
-            staged = self._stage_in(result)
+            staged, stats = self._stage_in(result)
             replaced = self._files_under(snap["files"], parts)
-            self._commit_files(staged, replaced, result.schema.json())
+            self._commit_files(
+                staged, replaced, result.schema.json(), new_stats=stats
+            )
         else:
             self.overwrite(result)
 
@@ -502,6 +619,7 @@ class ParquetTable:
         for rel in snap["files"]:
             by_dir.setdefault(os.path.dirname(rel) or ".", []).append(rel)
         staged_all: list[str] = []
+        stats_all: dict = {}
         replaced: set[str] = set()
         compacted: list[str] = []
         for rel_dir in sorted(by_dir):
@@ -520,23 +638,19 @@ class ParquetTable:
                 for fn in os.listdir(tmp):
                     if not fn.endswith(".parquet"):
                         continue
-                    uniq = f"{uuid.uuid4().hex[:8]}-{fn}"
-                    dst_dir = (
-                        self.path
-                        if rel_dir == "."
-                        else os.path.join(self.path, rel_dir)
-                    )
-                    os.makedirs(dst_dir, exist_ok=True)
-                    os.rename(os.path.join(tmp, fn), os.path.join(dst_dir, uniq))
-                    staged_all.append(
-                        uniq if rel_dir == "." else os.path.join(rel_dir, uniq)
-                    )
+                    rel = self._adopt_file(os.path.join(tmp, fn), rel_dir, fn)
+                    staged_all.append(rel)
+                    s = _parquet_file_stats(os.path.join(self.path, rel))
+                    if s:
+                        stats_all[rel] = s
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
             replaced.update(files)
             compacted.append(rel_dir)
         if compacted:
-            self._commit_files(staged_all, replaced, snap.get("schema"))
+            self._commit_files(
+                staged_all, replaced, snap.get("schema"), new_stats=stats_all
+            )
         return compacted
 
     def update(self, cond: Column, assignments: dict[str, Column]) -> None:
@@ -587,9 +701,11 @@ class ParquetTable:
             return
         pred = self._partition_predicate(parts)
         rewritten = transform(self.read().filter(pred))
-        staged = self._stage_in(rewritten)
+        staged, stats = self._stage_in(rewritten)
         replaced = self._files_under(snap["files"], parts)
-        self._commit_files(staged, replaced, rewritten.schema.json())
+        self._commit_files(
+            staged, replaced, rewritten.schema.json(), new_stats=stats
+        )
 
     def _files_under(self, files: list[str], parts: list[dict]) -> set[str]:
         """The subset of ``files`` living in the given partitions'

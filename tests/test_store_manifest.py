@@ -111,7 +111,7 @@ def test_concurrent_commit_cas(spark, tmp_path):
     orig_commit = t._commit
     raced = {"done": False}
 
-    def racing_commit(files, base_version, schema_json):
+    def racing_commit(files, base_version, schema_json, stats=None):
         if not raced["done"]:
             raced["done"] = True
             squatter.append(
@@ -119,7 +119,7 @@ def test_concurrent_commit_cas(spark, tmp_path):
                     [("rX", "plain", 100)], "runId string, pipeline string, n int"
                 )
             )
-        return orig_commit(files, base_version, schema_json)
+        return orig_commit(files, base_version, schema_json, stats)
 
     t._commit = racing_commit
     # append retries: both the squatter's and this batch survive
@@ -178,3 +178,55 @@ def test_legacy_directory_bootstrap(spark, tmp_path):
     t.update(F.col("runId") == "r1", {"n": F.lit(11)})
     assert t.version() == 1
     assert _rows(t.read()) == [("r1", "maple", 11), ("r3", "plain", 3)]
+
+
+def test_file_stats_recorded_and_data_skipping(spark, tmp_path):
+    """The manifest records per-file column [min,max] from the parquet
+    footers; read_pruned scans only files whose range can match — the
+    Delta-style data-skipping lever below partition granularity."""
+    import json
+
+    t = ParquetTable(spark, str(tmp_path / "skip"))
+    # three appends with disjoint id ranges -> three files with
+    # disjoint [min,max]
+    for lo in (0, 100, 200):
+        t.append(
+            spark.range(lo, lo + 50)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    snap = json.load(open(t._manifest_path(t.version())))
+    assert len(snap["files"]) == 3
+    for f in snap["files"]:
+        assert "k" in snap["stats"][f], f
+    # range query overlapping only the middle file
+    pruned = t.read_pruned("k", lower=120, upper=130)
+    assert len(pruned.inputFiles()) == 1
+    got = sorted(r.k for r in pruned.filter("k between 120 and 130").collect())
+    assert got == list(range(120, 131))
+    # full-range query keeps everything; impossible range keeps nothing
+    assert len(t.read_pruned("k").inputFiles()) == 3
+    assert t.read_pruned("k", lower=10_000).count() == 0
+    # skipping is a superset guarantee: pruned+filter == full+filter
+    full = sorted(
+        r.k for r in t.read().filter("k between 120 and 130").collect()
+    )
+    assert got == full
+
+
+def test_data_skipping_survives_mutations_and_compaction(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "skip2"))
+    for lo in (0, 100):
+        t.append(
+            spark.range(lo, lo + 50)
+            .select(F.col("id").alias("k"), F.lit("x").alias("s"))
+            .coalesce(1)
+        )
+    t.update(F.col("k") == 120, {"s": F.lit("y")})
+    # rewritten file's stats refreshed: pruning still exact
+    assert len(t.read_pruned("k", lower=0, upper=49).inputFiles()) == 1
+    t.compact(min_files=0)
+    # compacted file covers the full range -> no pruning possible, but
+    # stats exist and results stay correct
+    pruned = t.read_pruned("k", lower=120, upper=120)
+    assert [r.s for r in pruned.filter("k = 120").collect()] == ["y"]
