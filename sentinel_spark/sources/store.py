@@ -597,6 +597,7 @@ class ParquetTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
+        cluster_by: list[str] | None = None,
     ) -> list[str]:
         """Small-file compaction (Delta ``OPTIMIZE`` / Iceberg rewrite):
         rewrite each partition whose file count exceeds ``min_files``
@@ -608,10 +609,20 @@ class ParquetTable:
         by file-open overhead and the NameNode/listing pressure, so
         compaction is the standard maintenance pass. Untouched
         partitions are never read or rewritten, the rewrite is
-        content-preserving (read → coalesce → write, no row transform),
-        and with ``retain_versions >= 2`` a reader pinned at the
-        pre-compaction version keeps scanning the original files —
-        compaction is safe under concurrent readers."""
+        content-preserving (read → coalesce → write, no row transform
+        beyond optional reordering), and with ``retain_versions >= 2``
+        a reader pinned at the pre-compaction version keeps scanning
+        the original files — compaction is safe under concurrent
+        readers.
+
+        ``cluster_by``: range-cluster the rewrite on these columns
+        (``repartitionByRange`` + in-file sort — the linear form of
+        Delta's ``OPTIMIZE ZORDER BY``): each output file then covers a
+        disjoint value range, so its manifest [min,max] stats become
+        tight and :meth:`read_pruned` range queries skip most files.
+        With ``cluster_by``, ``min_files`` is treated as 0 for layout
+        purposes — even a single unsorted file benefits from
+        re-clustering."""
         snap = self._snapshot()
         if not snap["files"]:
             return []
@@ -622,14 +633,21 @@ class ParquetTable:
         stats_all: dict = {}
         replaced: set[str] = set()
         compacted: list[str] = []
+        file_floor = 0 if cluster_by else min_files
         for rel_dir in sorted(by_dir):
             files = by_dir[rel_dir]
-            if len(files) <= min_files:
+            if len(files) <= file_floor:
                 continue
             paths = [os.path.join(self.path, f) for f in files]
             total = sum(os.path.getsize(p) for p in paths)
             n_out = max(1, -(-total // target_file_bytes))
-            part = self.spark.read.parquet(*paths).coalesce(int(n_out))
+            scan = self.spark.read.parquet(*paths)
+            if cluster_by:
+                part = scan.repartitionByRange(
+                    int(n_out), *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+            else:
+                part = scan.coalesce(int(n_out))
             # Stage without partitionBy: these rows all belong to one
             # partition directory; route the staged files there.
             tmp = f"{self.path}.__stage_{uuid.uuid4().hex[:8]}"

@@ -230,3 +230,31 @@ def test_data_skipping_survives_mutations_and_compaction(spark, tmp_path):
     # stats exist and results stay correct
     pruned = t.read_pruned("k", lower=120, upper=120)
     assert [r.s for r in pruned.filter("k = 120").collect()] == ["y"]
+
+
+def test_cluster_by_compaction_tightens_skipping(spark, tmp_path):
+    """OPTIMIZE-style clustering: interleaved appends give every file a
+    full-range [min,max] (no skipping possible); compact(cluster_by=k)
+    range-repartitions so each file covers a disjoint range and the
+    same read_pruned query then opens a strict subset of files."""
+    t = ParquetTable(spark, str(tmp_path / "zo"))
+    # interleaved ranges: every file spans ~the whole domain
+    for off in (0, 1, 2):
+        t.append(
+            spark.range(300)
+            .select((F.col("id") * 3 + off).alias("k"))
+            .coalesce(1)
+        )
+    before = t.read_pruned("k", lower=100, upper=120)
+    assert len(before.inputFiles()) == 3  # nothing skippable
+
+    total = sum(
+        os.path.getsize(os.path.join(t.path, f))
+        for f in t._snapshot()["files"]
+    )
+    t.compact(target_file_bytes=total // 3 + 1, cluster_by=["k"])
+
+    after = t.read_pruned("k", lower=100, upper=120)
+    assert 1 <= len(after.inputFiles()) < 3  # disjoint ranges now skip
+    got = sorted(r.k for r in after.filter("k between 100 and 120").collect())
+    assert got == list(range(100, 121))
