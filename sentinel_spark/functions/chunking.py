@@ -109,3 +109,107 @@ def token_offsets(
         .cast("long")
         .alias("n_shards"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    capacity: int,
+    *,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Sample packing for training batches: assign each document to a
+    pack (bin) so that each pack's total token length stays within
+    ``capacity`` — the bin-packing counterpart of
+    :func:`token_offsets`' pure concatenation split (packing wastes no
+    tokens to padding and never splits a document across packs, where
+    concat-packing splits documents at shard boundaries).
+
+    Distributed shape: documents scatter deterministically into
+    ``num_buckets`` hash buckets (one shuffle); each bucket runs
+    first-fit-decreasing independently inside one
+    ``applyInPandas`` group. Packs never cross buckets, so the
+    algorithm is embarrassingly parallel and rerun-deterministic
+    (bucket = md5 of the id, FFD order = length desc then id). FFD's
+    guarantee applies per bucket (≤ 11/9·OPT + 1 bins), and at corpus
+    scale each bucket holds ~N/num_buckets documents — tune
+    ``num_buckets`` so a bucket's (id, length) pairs fit one task's
+    memory; the packing state itself is just the open-bin array.
+
+    Documents longer than ``capacity`` get a singleton pack flagged
+    ``oversized`` (the caller chunks them first — see
+    :func:`chunk_documents`).
+
+    Output: (id_col, len_col, pack_id string, pack_slot int,
+    pack_total long, oversized boolean). ``pack_id`` is globally
+    unique (``bucket#local``); ``pack_slot`` is the document's
+    position within its pack; ``pack_total`` the pack's summed length.
+    """
+    import pandas as pd
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+        % num_buckets
+    ).cast("int")
+    narrow = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias("__len"),
+        bucket.alias("__bucket"),
+    )
+
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "__len long, pack_id string, pack_slot int, "
+        "pack_total long, oversized boolean"
+    )
+
+    def ffd(key, pdf: pd.DataFrame):
+        b = int(key[0])
+        pdf = pdf.sort_values(
+            ["__len", id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[list] = []  # [remaining, local_id, n_items, total]
+        rows = []
+        next_local = 0
+        for rid, ln in zip(pdf[id_col], pdf["__len"]):
+            ln = int(ln)
+            if ln > capacity:
+                rows.append((rid, ln, f"{b}#{next_local}", 0, ln, True))
+                next_local += 1
+                continue
+            placed = None
+            for binfo in bins:
+                if binfo[0] >= ln:
+                    placed = binfo
+                    break
+            if placed is None:
+                placed = [capacity, next_local, 0, 0]
+                bins.append(placed)
+                next_local += 1
+            rows.append((rid, ln, f"{b}#{placed[1]}", placed[2], 0, False))
+            placed[0] -= ln
+            placed[2] += 1
+            placed[3] += ln
+        totals = {b2[1]: b2[3] for b2 in bins}
+        out = pd.DataFrame(
+            rows,
+            columns=[id_col, "__len", "pack_id", "pack_slot", "pack_total", "oversized"],
+        )
+        fill = out["pack_id"].map(
+            lambda p: totals.get(int(p.split("#")[1]), 0)
+        )
+        out["pack_total"] = out["pack_total"].where(out["oversized"], fill)
+        return out
+
+    packed = narrow.groupBy("__bucket").applyInPandas(ffd, out_schema)
+    return packed.select(
+        id_col,
+        F.col("__len").alias(len_col),
+        "pack_id",
+        "pack_slot",
+        "pack_total",
+        "oversized",
+    )

@@ -83,3 +83,45 @@ def test_token_offsets_bucket_granularity_invariant(spark):
         bucket=F.floor(F.col("doc_id") / 37),
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_sequences_validity_and_determinism(spark):
+    """Every pack's total <= capacity, every doc packed exactly once,
+    oversized docs isolated and flagged, reruns identical, and the pack
+    count is within the FFD bound of the naive lower bound."""
+    import math
+
+    from sentinel_spark.functions.chunking import pack_sequences
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 900 + 1).alias("n_tok"),
+    )
+    # one oversized document
+    df = df.union(spark.createDataFrame([(9999, 5000)], "doc_id long, n_tok long"))
+    out = pack_sequences(df, "n_tok", "doc_id", capacity=1024, num_buckets=8)
+    rows = out.collect()
+    assert len(rows) == 501
+    assert len({r.doc_id for r in rows}) == 501
+
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        total = sum(m.n_tok for m in members)
+        assert total == members[0].pack_total, pid
+        if any(m.oversized for m in members):
+            assert len(members) == 1
+        else:
+            assert total <= 1024, (pid, total)
+            # pack_slot is a clean 0..k-1 ordering
+            assert sorted(m.pack_slot for m in members) == list(range(len(members)))
+
+    # efficiency: per-bucket FFD with 8 buckets stays near the global
+    # lower bound on this distribution
+    n_packs = len([p for p, m in by_pack.items() if not m[0].oversized])
+    lower = math.ceil(sum(r.n_tok for r in rows if not r.oversized) / 1024)
+    assert n_packs <= lower * 1.3 + 8
+
+    again = pack_sequences(df, "n_tok", "doc_id", capacity=1024, num_buckets=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
