@@ -1,0 +1,111 @@
+"""Schema-enforced tabular sources (CSV / JSON-lines / parquet) with a
+rejects channel.
+
+The reference ingests exactly one format — (gzipped) JSON uploads,
+validated against a per-pipeline JSON Schema with malformed payloads
+diverted to an error response (``utils/JsonExtractor.scala:52-101``).
+This module generalizes that contract to the tabular formats a data
+platform actually receives: every source reads with a DECLARED schema,
+malformed rows are never silently dropped or nulled — they divert to a
+``rejects`` frame carrying the raw line — and the clean frame is
+guaranteed to match the schema.
+
+Spark-first shape: Spark's PERMISSIVE parse mode with
+``columnNameOfCorruptRecord`` gives per-row error capture inside the
+scan itself (one pass, codegen, no pre-validation job); the split into
+records/rejects is two lazy filters over that one parse. Gzip (or any
+registered codec) decompresses transparently at the file source, as
+with the reference's gzip-aware upload path. At 100 TB the parse IS
+the scan — there is no cheaper place to validate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as TY
+
+_CORRUPT = "_corrupt_record"
+
+
+@dataclass
+class TabularSource:
+    """``records`` — schema-clean rows; ``rejects`` — (raw, reason)
+    rows for every input line the schema could not hold."""
+
+    records: DataFrame
+    rejects: DataFrame
+
+
+def read_tabular(
+    spark: SparkSession,
+    paths: str | list[str],
+    fmt: str,
+    schema: TY.StructType | str,
+    **options: str,
+) -> TabularSource:
+    """Read ``csv`` / ``jsonl`` / ``parquet`` under an enforced schema.
+
+    CSV and JSON-lines parse in PERMISSIVE mode with a corrupt-record
+    column: a row that fails the schema (wrong arity, unparseable
+    value, malformed JSON) lands in ``rejects`` with its raw text; the
+    ``records`` frame contains only fully-parsed rows. Parquet is
+    schema-checked structurally (self-describing files): a column
+    missing from the files or read under an incompatible type fails
+    fast at plan time rather than producing silent nulls.
+
+    Options pass through to the underlying reader (``header``,
+    ``sep``, ``multiLine``, ``timestampFormat`` …).
+    """
+    if isinstance(schema, str):
+        schema = TY.StructType.fromDDL(schema)
+    if isinstance(paths, str):
+        paths = [paths]
+    fmt = fmt.lower()
+    if fmt == "parquet":
+        df = spark.read.schema(schema).parquet(*paths)
+        empty = spark.createDataFrame(
+            [], "raw string, reason string"
+        )
+        return TabularSource(records=df, rejects=empty)
+    if fmt not in ("csv", "jsonl", "json"):
+        raise ValueError(f"unsupported format {fmt!r}")
+
+    # Parse via text source + from_csv/from_json rather than the format
+    # reader: Spark refuses plans that reference only the corrupt
+    # column of a raw CSV/JSON scan (its documented workaround is
+    # caching the parse — wrong at 100 TB). The expression form keeps
+    # both branches lazy over one line-oriented scan, same codegen
+    # parse, no cache.
+    if "header" in options:
+        raise ValueError(
+            "header is not supported: the line-oriented parse treats "
+            "every line as data — strip the header upstream or filter "
+            "the known first line"
+        )
+    parse_schema = TY.StructType(
+        list(schema.fields) + [TY.StructField(_CORRUPT, TY.StringType())]
+    )
+    parse_options = dict(options)
+    parse_options["mode"] = "PERMISSIVE"
+    parse_options["columnNameOfCorruptRecord"] = _CORRUPT
+    lines = spark.read.text(list(paths)).filter(F.length("value") > 0)
+    if fmt == "csv":
+        parsed = F.from_csv(
+            F.col("value"), F.lit(parse_schema.simpleString()), parse_options
+        )
+        reason = F.lit("row does not fit declared CSV schema")
+    else:
+        parsed = F.from_json(F.col("value"), parse_schema, parse_options)
+        reason = F.lit("line is not a JSON object fitting the schema")
+    raw = lines.select(F.col("value"), parsed.alias("r"))
+    bad = F.col("r").isNull() | F.col(f"r.{_CORRUPT}").isNotNull()
+    records = raw.filter(~bad).select(
+        *[F.col(f"r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    rejects = raw.filter(bad).select(
+        F.col("value").alias("raw"), reason.alias("reason")
+    )
+    return TabularSource(records=records, rejects=rejects)

@@ -1,0 +1,47 @@
+"""Schema-enforced tabular sources: clean rows vs rejects channel,
+matching the reference's validated-upload contract on CSV/JSONL
+(utils/JsonExtractor.scala:52-101 generalized beyond JSON)."""
+
+import gzip
+
+from sentinel_spark.sources.formats import read_tabular
+
+
+def test_csv_rejects_channel(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text(
+        "1,alice,3.5\n"
+        "2,bob,notanumber\n"   # bad double
+        "3,carol,2.25\n"
+    )
+    src = read_tabular(
+        spark, str(p), "csv", "id int, name string, score double"
+    )
+    recs = sorted((r.id, r.name, r.score) for r in src.records.collect())
+    assert recs == [(1, "alice", 3.5), (3, "carol", 2.25)]
+    rej = src.rejects.collect()
+    assert len(rej) == 1 and "notanumber" in rej[0].raw
+
+
+def test_jsonl_rejects_and_gzip(spark, tmp_path):
+    lines = [
+        '{"id": 1, "name": "a"}',
+        "this is not json",
+        '{"id": "NaNope", "name": "b"}',  # id wrong type
+        '{"id": 3, "name": "c"}',
+    ]
+    p = tmp_path / "d.jsonl.gz"
+    with gzip.open(p, "wt") as fh:
+        fh.write("\n".join(lines))
+    src = read_tabular(spark, str(p), "jsonl", "id long, name string")
+    recs = sorted((r.id, r.name) for r in src.records.collect())
+    assert recs == [(1, "a"), (3, "c")]
+    assert src.rejects.count() == 2
+
+
+def test_parquet_schema_enforced(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "x")], "id long, name string").write.parquet(p)
+    src = read_tabular(spark, p, "parquet", "id long, name string")
+    assert src.records.collect()[0].name == "x"
+    assert src.rejects.count() == 0
