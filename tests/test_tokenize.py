@@ -1,0 +1,102 @@
+"""BPE training + application, pinned against an independent in-test
+reference implementation (classic Sennrich merge-table algorithm)."""
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.tokenize import (
+    END,
+    bpe_encode_word,
+    bpe_tokenize,
+    train_bpe_merges,
+)
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+]
+
+
+def _ref_train(word_counts, num_merges):
+    """Independent reference trainer (dict-of-tuples, same tie-break)."""
+    vocab = {}
+    for w, c in word_counts.items():
+        sym = tuple(list(w[:-1]) + [w[-1] + END])
+        vocab[sym] = vocab.get(sym, 0) + c
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        nv = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id int, text string"
+    )
+
+
+def test_training_matches_reference(spark):
+    wc = {}
+    for line in CORPUS:
+        for w in line.split():
+            wc[w] = wc.get(w, 0) + 1
+    expect = _ref_train(wc, 10)
+    got = train_bpe_merges(_df(spark), "text", 10)
+    assert got == expect
+    # classic example: 'est</w>' forms within the first merges
+    # (via s+t</w> then e+st</w> on this corpus)
+    assert ("e", f"st{END}") in got
+
+
+def test_encode_word_greedy_rank_order():
+    merges = [("e", "s"), ("es", f"t{END}"), ("l", "o"), ("lo", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("lowest", ranks) == ["low", f"est{END}"]
+    assert bpe_encode_word("low", ranks) == ["lo", f"w{END}"]  # low</w> unseen
+
+
+def test_tokenize_roundtrip_and_counts(spark):
+    df = _df(spark)
+    merges = train_bpe_merges(df, "text", 12)
+    out = bpe_tokenize(df, "text", "doc_id", merges)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for i, line in enumerate(CORPUS):
+        toks = rows[i].tokens
+        assert rows[i].n_bpe_tokens == len(toks)
+        # detokenization invariant: concatenation restores the words
+        text = "".join(toks).replace(END, " ").strip()
+        assert text == line
+    # trained merges compress: fewer BPE tokens than characters
+    assert rows[2].n_bpe_tokens < len(CORPUS[2].replace(" ", ""))
+
+
+def test_tokenize_deterministic_across_runs(spark):
+    df = _df(spark)
+    merges = train_bpe_merges(df, "text", 8)
+    a = sorted(map(tuple, bpe_tokenize(df, "text", "doc_id", merges).collect()))
+    b = sorted(map(tuple, bpe_tokenize(df, "text", "doc_id", merges).collect()))
+    assert a == b
