@@ -1,0 +1,114 @@
+"""URL canonicalization and per-domain corpus analysis.
+
+Web-crawl training corpora key on URLs: exact URL dedup needs a
+canonical form (scheme/host case, default ports, fragments and
+tracking params all vary for the same page), and corpus curation
+works per *registered domain* (quality scoring, per-domain caps,
+blocklists — the FineWeb/C4 pipeline shape). All pure codegen
+expressions (regexp over the URL string — deliberately not
+``parse_url``, whose Java URI semantics have no DuckDB mirror), so
+canonicalization joins/aggregates at 100 TB stay whole-stage-codegen
+scans.
+
+Registered-domain extraction is the standard public-suffix-list
+problem; carrying the full PSL is out of scope, so a built-in set of
+the common two-level public suffixes (co.uk, com.au, …) backs an
+approximation, documented as such — the operator accepts a custom
+suffix set for callers with the real PSL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Common two-level public suffixes; extend via the `suffixes` argument.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+_SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased host (authority minus userinfo and port); empty
+    string when the value does not look like an absolute URL."""
+    u = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(u, _SCHEME + r"(?:[^@/?#]*@)?([^:/?#]+)", 2)
+    return F.lower(host)
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form for exact-URL dedup:
+
+    - scheme and host lower-cased (path case is significant — kept);
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - fragment dropped (never sent to the server);
+    - ``utm_*`` / ``fbclid`` / ``gclid`` tracking params dropped, a
+      trailing ``?``/``&`` cleaned up;
+    - a bare trailing slash on an empty path dropped
+      (``http://x.com/`` ≡ ``http://x.com``).
+
+    Each step is one regexp_replace — six chained, all codegen."""
+    u = F.col(url) if isinstance(url, str) else url
+    # lower scheme://host[:port] prefix only
+    prefix = F.lower(F.regexp_extract(u, _SCHEME + r"[^/?#]*", 0))
+    rest = F.regexp_replace(u, _SCHEME + r"[^/?#]*", "")
+    c = F.concat(prefix, rest)
+    c = F.regexp_replace(c, r"^(http://[^/:?#]+):80(?=[/?#]|$)", r"$1")
+    c = F.regexp_replace(c, r"^(https://[^/:?#]+):443(?=[/?#]|$)", r"$1")
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"([?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*", r"$1")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"^(https?://[^/?#]+)/$", r"$1")
+    return c
+
+
+def registered_domain(
+    url: Column | str,
+    suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
+) -> Column:
+    """Registrable domain of the URL's host: the label left of the
+    public suffix plus the suffix (``news.bbc.co.uk`` → ``bbc.co.uk``,
+    ``a.b.example.com`` → ``example.com``). Approximation backed by
+    the built-in two-level suffix set (see module docstring)."""
+    host = url_host(url)
+    two_level = F.regexp_extract(
+        host,
+        r"([^.]+\.(?:" + "|".join(s.replace(".", r"\.") for s in suffixes) + r"))$",
+        1,
+    )
+    generic = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two_level != "", two_level).otherwise(generic)
+
+
+def domain_report(
+    df: DataFrame,
+    url_col: str,
+    *,
+    suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
+) -> DataFrame:
+    """Per-registered-domain corpus composition: documents, distinct
+    canonical URLs, and the duplicate-URL fraction — the aggregate
+    behind per-domain caps and quality buckets. One map-side-combined
+    shuffle on the domain key."""
+    dom = registered_domain(F.col(url_col), suffixes)
+    return (
+        df.select(
+            dom.alias("domain"),
+            canonical_url(F.col(url_col)).alias("curl"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("curl").alias("n_urls"),
+            F.round(
+                1.0 - F.count_distinct("curl") / F.count(F.lit(1)), 6
+            ).alias("dup_url_frac"),
+        )
+    )

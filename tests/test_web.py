@@ -1,0 +1,75 @@
+"""URL canonicalization / registered-domain operators (pure regexp
+expressions — the per-domain curation layer of a web corpus)."""
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.web import (
+    canonical_url,
+    domain_report,
+    registered_domain,
+    url_host,
+)
+
+
+def _one(spark, expr, value):
+    return spark.createDataFrame([(value,)], "u string").select(
+        expr("u").alias("x")
+    ).collect()[0].x
+
+
+def test_url_host(spark):
+    cases = {
+        "https://Example.COM/path": "example.com",
+        "http://user:pw@Host.org:8080/x": "host.org",
+        "ftp://files.example.net/a": "files.example.net",
+        "not a url": "",
+    }
+    for u, want in cases.items():
+        assert _one(spark, url_host, u) == want, u
+
+
+def test_canonical_url(spark):
+    cases = {
+        # scheme+host lowercase, path case preserved
+        "HTTPS://Example.COM/Path": "https://example.com/Path",
+        # default ports dropped, non-default kept
+        "http://x.com:80/a": "http://x.com/a",
+        "https://x.com:443": "https://x.com",
+        "http://x.com:8080/a": "http://x.com:8080/a",
+        # fragment gone
+        "https://x.com/a#sec-2": "https://x.com/a",
+        # tracking params stripped, real params kept
+        "https://x.com/a?utm_source=tw&q=1&fbclid=zz": "https://x.com/a?q=1",
+        "https://x.com/a?utm_campaign=c": "https://x.com/a",
+        # bare trailing slash normalized
+        "http://x.com/": "http://x.com",
+        "http://x.com/a/": "http://x.com/a/",
+    }
+    for u, want in cases.items():
+        assert _one(spark, canonical_url, u) == want, u
+
+
+def test_registered_domain(spark):
+    cases = {
+        "https://news.bbc.co.uk/x": "bbc.co.uk",
+        "https://a.b.example.com/x": "example.com",
+        "http://example.com": "example.com",
+        "https://deep.shop.com.au/": "shop.com.au",
+    }
+    for u, want in cases.items():
+        assert _one(spark, registered_domain, u) == want, u
+
+
+def test_domain_report(spark):
+    urls = [
+        "https://EXample.com/a?utm_source=x",
+        "https://example.com/a",          # same canonical as above
+        "https://example.com/b",
+        "https://news.bbc.co.uk/one",
+        "https://sport.bbc.co.uk/two",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.domain: (r.n_docs, r.n_urls, r.dup_url_frac)
+           for r in domain_report(df, "url").collect()}
+    assert got["example.com"] == (3, 2, 0.333333)
+    assert got["bbc.co.uk"] == (2, 2, 0.0)
