@@ -10,15 +10,24 @@ search, text analysis, multimodal plumbing) a 100 TB pipeline needs.
 
 Layout:
     session.py     SparkSession builder tuned for the target cluster
-    sources/       parquet loaders + mutable (partitioned) table layer
+    sources/       table loaders; the manifest-logged mutable table
+                   layer (atomic CAS commits, snapshot-pinned readers,
+                   vacuum retention, file stats + data skipping,
+                   partition-granular copy-on-write, clustered
+                   compaction); schema-enforced CSV/JSONL sources with
+                   a rejects channel
     plans/         declarative per-pipeline specs (schema+shred+metrics)
     operators/     selectors, datapoints, aggregate, rollup, ingest,
                    maintenance, joins (unit-label maps), render
-                   (blank-strip/hidden attrs), users (CRUD + patches)
-    functions/     scalar/text/dedup/similarity/multimodal/skew column
-                   builders and bulk operators
-    streaming/     structured-streaming ingest, watermarked rollup,
-                   stateful cross-batch dedup
+                   (blank-strip/hidden attrs), users (CRUD + patches),
+                   timeseries (as-of join, range join, sessionization)
+    functions/     scalar/text/dedup/cluster/similarity/decontam/
+                   chunking (incl. FFD sample packing)/tokenize (BPE)/
+                   keywords/pii/sampling/sketch/web/multimodal/skew/
+                   tags column builders and bulk operators
+    streaming/     structured-streaming ingest (idempotent-replay
+                   sinks), watermarked rollups, stateful cross-batch
+                   dedup, incremental HLL sketch maintenance
 """
 
 __version__ = "0.1.0"
