@@ -1,0 +1,88 @@
+"""Per-gate shuffle budgets: every gate query's executed plan may use
+at most the number of hash-partitioning exchanges it was designed
+with. This is the complement of test_plan_sweep's all-pairs audit —
+a refactor that silently breaks a partitioning-reuse (the one-exchange
+shingle pipeline, the pre-partitioned labels join, a window that
+stops sharing its groupBy's clustering) shows up here as an extra
+Exchange long before it shows up as a bench regression.
+
+Budgets are the measured counts at the time each plan was audited
+(PLANS.md); fewer is always fine.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# max allowed `Exchange hashpartitioning` nodes in the executed plan
+BUDGET = {
+    "datapoint_select": 0,
+    "datapoint_shuffle": 0,
+    "selector_algebra": 0,
+    "array_selectors": 1,
+    "ownership_filter": 0,
+    "label_masking": 0,
+    "id_lookup": 0,
+    "agg_stats": 0,
+    "agg_stats_grouped": 1,
+    "fragment_agg": 0,
+    "pipeline_rollup": 4,
+    "labels_join": 2,      # two unit aggregates share one id exchange each
+    "render_strip": 0,
+    "union_pipelines": 0,
+    "topk_per_group": 1,
+    "exact_dedup": 2,      # one digest aggregate per source branch
+    "patch_labels": 0,
+    "users_validation": 0,  # broadcast join, no shuffle
+    "part_scalars": 1,
+    "events_report": 3,
+    "events_windows": 2,
+    "doc_profile": 0,      # ONE scan, pure projection
+    "corpus_cube": 1,      # CUBE = one expand + one shuffle
+    "length_histogram": 1,
+    "line_clean": 0,
+    "doc_repetition": 2,
+    "split_report": 5,
+    "chunk_shards": 2,
+    "pii_redact": 0,
+    "sample_suite": 1,     # only the per-group rank window shuffles
+    "dedup_clusters": 1,   # driver-path CC: just the candidate pipeline
+    "tfidf_keywords": 3,
+    "asof_join": 1,        # union-trick: ONE user_id exchange
+    "range_join": 0,       # bucketed equi-join broadcasts at this size
+    "sessionize": 1,       # window + session rollup share one exchange
+    "decontam": 5,
+    "near_dup_pairs": 31,  # five pairing pipelines, each bucket-bounded
+    "ingest_rollup": 11,
+    "salted_agg": 5,       # two salted phases x two paths + join
+    "typed_tags": 0,
+    "media_suite": 0,      # Arrow fan-out, no shuffle
+    "cosine_near_dup": 0,
+    "ann_methods": 7,
+    "semantic_dedup": 6,
+    "ann_recall": 6,
+}
+
+
+def test_budget_covers_registry():
+    assert set(BUDGET) == set(E.queries())
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET))
+def test_shuffle_budget(spark, name):
+    df = E.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n <= BUDGET[name], (
+        f"{name}: {n} hash exchanges (budget {BUDGET[name]}) — "
+        "a partitioning reuse was probably lost; see PLANS.md"
+    )
+    from sentinel_spark.cache import release
+
+    release(df)
