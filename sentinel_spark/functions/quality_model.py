@@ -1,0 +1,110 @@
+"""Model-based quality scoring: distributed logistic-regression
+training and expression-side scoring.
+
+Modern corpus curation filters with a learned quality classifier
+(FineWeb-Edu, DCLM), not just hand rules — the rules become FEATURES.
+This module closes that loop Spark-first:
+
+* ``featurize`` — the engine's existing quality signals
+  (:mod:`sentinel_spark.functions.text`) assembled into a dense
+  feature array, all codegen Columns;
+* ``logreg_fit`` — full-batch gradient descent where each iteration is
+  ONE map-side-combined aggregate over the corpus (the gradient is an
+  average of per-row vectors; the weight vector itself is a handful of
+  doubles updated on the driver — the same corpus-scale/driver-scale
+  split as :func:`~sentinel_spark.functions.similarity.kmeans_fit` and
+  the BPE trainer);
+* ``score`` — ``sigmoid(w·x + b)`` as a pure Column, so filtering by
+  model score is a scan-level predicate (``WHERE score(x) > t``
+  pushes down like any other expression), and scoring 100 TB costs
+  exactly one read.
+
+Training is deterministic for a fixed partitioning (zero init, fixed
+iteration count and learning rate; float sums vary only in merge
+order, ~1 ulp/iteration — asserted against an independent NumPy
+implementation to 1e-6 in tests, not hashed across engines).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions import text as T
+
+
+def featurize(col: str) -> Column:
+    """Quality-signal feature vector for a text column (each term in
+    [0, ~1]): length saturation, stopword ratio, punctuation ratio,
+    mean word length (scaled), alphabetic-word fraction."""
+    return F.array(
+        F.least(T.char_count(col) / F.lit(200.0), F.lit(1.0)),
+        T.stopword_ratio(col),
+        T.punct_ratio(col),
+        T.mean_word_length(col) / F.lit(10.0),
+        T.alpha_word_frac(col),
+    )
+
+
+@dataclass
+class LogReg:
+    weights: list[float]
+    bias: float
+    n_iter: int
+    lr: float
+
+
+def _margin(x: Column, weights: list[float], bias: float) -> Column:
+    m = F.lit(float(bias))
+    for j, w in enumerate(weights):
+        m = m + F.lit(float(w)) * x[j].cast("double")
+    return m
+
+
+def score(x: Column, model: LogReg) -> Column:
+    """P(high quality) = sigmoid(w·x + b), a pure Column expression."""
+    m = _margin(x, model.weights, model.bias)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+
+def logreg_fit(
+    df: DataFrame,
+    features_col: str,
+    label_col: str,
+    *,
+    dim: int,
+    n_iter: int = 50,
+    lr: float = 1.0,
+) -> LogReg:
+    """Full-batch gradient descent for logistic regression.
+
+    Per iteration: one aggregate computing the mean gradient —
+    ``avg((sigmoid(w·x) − y) · x_j)`` for each of the ``dim`` feature
+    slots plus the bias — as ``dim + 1`` algebraic ``avg()``
+    expressions over one pass (map-side partials; the shuffle carries
+    one partial row per task). The weight update runs on the driver
+    over ``dim + 1`` doubles. Total cost: ``n_iter`` scans — at 100 TB
+    you cache/sample the featurized frame first; the algorithm itself
+    holds no corpus-sized state anywhere.
+    """
+    weights = [0.0] * dim
+    bias = 0.0
+    x = F.col(features_col)
+    y = F.col(label_col).cast("double")
+    for _ in range(n_iter):
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-_margin(x, weights, bias))
+        )
+        err = p - y
+        grads = df.agg(
+            *[
+                F.avg(err * x[j].cast("double")).alias(f"g{j}")
+                for j in range(dim)
+            ],
+            F.avg(err).alias("gb"),
+        ).collect()[0]
+        weights = [weights[j] - lr * grads[f"g{j}"] for j in range(dim)]
+        bias = bias - lr * grads["gb"]
+    return LogReg(weights=weights, bias=bias, n_iter=n_iter, lr=lr)

@@ -1,0 +1,71 @@
+"""Distributed logistic regression pinned against an independent NumPy
+full-batch GD implementation, plus the expression-side scoring path."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.quality_model import (
+    LogReg,
+    featurize,
+    logreg_fit,
+    score,
+)
+
+
+def _numpy_fit(X, y, n_iter, lr):
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        err = p - y
+        w = w - lr * (X.T @ err) / len(y)
+        b = b - lr * err.mean()
+    return w, b
+
+
+def test_fit_matches_numpy_reference(spark):
+    rng = [(i * 37 % 100) / 100.0 for i in range(400)]
+    rows = []
+    for i, r in enumerate(rng):
+        x = [r, (i % 7) / 7.0, ((i * 13) % 11) / 11.0]
+        label = 1 if (2.0 * x[0] - 1.5 * x[1] + 0.5 * x[2] - 0.4) > 0 else 0
+        rows.append((x, label))
+    df = spark.createDataFrame(rows, "x array<double>, y int").repartition(4)
+    model = logreg_fit(df, "x", "y", dim=3, n_iter=40, lr=2.0)
+    X = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows], dtype=float)
+    w_ref, b_ref = _numpy_fit(X, y, 40, 2.0)
+    assert np.allclose(model.weights, w_ref, atol=1e-6)
+    assert abs(model.bias - b_ref) < 1e-6
+
+    # the learned model separates: accuracy > 0.9 on training data
+    scored = df.select(
+        "y", (score(F.col("x"), model) > 0.5).cast("int").alias("pred")
+    )
+    acc = scored.filter("y = pred").count() / 400.0
+    assert acc > 0.9
+
+
+def test_score_is_pure_expression_and_filters_push(spark):
+    model = LogReg(weights=[3.0, -2.0], bias=-0.5, n_iter=0, lr=0.0)
+    df = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], "x array<double>"
+    )
+    got = [round(r.s, 4) for r in df.select(score(F.col("x"), model).alias("s")).collect()]
+    assert got == [round(1 / (1 + np.exp(-2.5)), 4), round(1 / (1 + np.exp(2.5)), 4)]
+    # scoring filter stays a plain Filter over the scan (no shuffle)
+    plan = (
+        df.filter(score(F.col("x"), model) > 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_featurize_over_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs away")],
+        "doc_id int, text string",
+    )
+    v = df.select(featurize("text").alias("x")).collect()[0].x
+    assert len(v) == 5
+    assert all(0.0 <= f <= 2.0 for f in v)
