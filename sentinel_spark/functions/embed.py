@@ -1,0 +1,130 @@
+"""Embedding-space dimensionality reduction: distributed PCA.
+
+Production embedding pipelines reduce dimension before indexing
+(PCA/whitening ahead of IVF/quantization — the FAISS OPQ/PCAR
+preprocessing stage): a 64→16 projection cuts ANN scan bytes 4× on
+top of int8 quantization. The Spark-first split mirrors the other
+trainers in this repo (k-means, BPE, logreg): corpus-scale work is
+one aggregation pass, model-scale work runs on the driver over a
+d×d matrix.
+
+* ``covariance_matrix`` — one ``mapInPandas`` pass emits per-batch
+  partials (n, Σx, XᵀX as NumPy does them — vectorized, no per-row
+  Python); a tiny final reduce on the driver combines them. The
+  shuffle carries one (1 + d + d²)-double row per partition.
+* ``pca_fit`` — eigendecomposition of the d×d covariance on the
+  driver (d² doubles — model-scale), deterministic sign convention
+  (each component's largest-|coefficient| entry is made positive) so
+  projections are reproducible across runs and machines.
+* ``project`` — Arrow-batched matmul of each batch against the
+  broadcast (k×d) component matrix; output is a plain
+  ``array<float>`` column ready for the existing ANN operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def covariance_matrix(df: DataFrame, vec_col: str):
+    """(n, mean, cov) of an ``array<float>`` column, computed with one
+    distributed pass of vectorized per-batch partials."""
+    import numpy as np
+    import pandas as pd
+
+    narrow = df.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull())
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = narrow.mapInPandas(
+        partials, schema="n long, s array<double>, xtx array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError(f"no vectors in {vec_col}")
+    n = sum(r.n for r in rows)
+    d = len(rows[0].s)
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r.s)
+        xtx += np.asarray(r.xtx).reshape(d, d)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+@dataclass
+class PCAModel:
+    mean: list[float]
+    components: list[list[float]]  # k rows of d coefficients
+    explained_variance: list[float]
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int) -> PCAModel:
+    """Top-``k`` principal components of the embedding column. The
+    corpus contributes one aggregation pass; the d×d eigenproblem runs
+    on the driver. Deterministic orientation: each component is signed
+    so its largest-magnitude coefficient is positive."""
+    import numpy as np
+
+    _n, mean, cov = covariance_matrix(df, vec_col)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    ev = []
+    for idx in order:
+        c = vecs[:, idx]
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c = -c
+        comps.append(c.tolist())
+        ev.append(float(max(vals[idx], 0.0)))
+    return PCAModel(
+        mean=mean.tolist(), components=comps, explained_variance=ev
+    )
+
+
+def project(
+    df: DataFrame, vec_col: str, model: PCAModel, out_col: str = "proj"
+) -> DataFrame:
+    """Project every embedding onto the model's components (centered):
+    Arrow-batched matmul against the broadcast (k×d) matrix; appends
+    ``out_col`` as ``array<float>``."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(model.components)  # k×d
+    mu = np.asarray(model.mean)
+    cols = df.columns
+
+    def apply(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                P = (X - mu) @ W.T
+                pdf = pdf.assign(**{out_col: [row.astype(np.float32).tolist() for row in P]})
+            else:
+                pdf = pdf.assign(**{out_col: []})
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out = df.mapInPandas(apply, schema=f"{schema}, {out_col} array<float>")
+    return out.select(*cols, out_col)

@@ -1,0 +1,64 @@
+"""Distributed PCA pinned against NumPy's full in-memory PCA."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.embed import covariance_matrix, pca_fit, project
+
+
+def _data(n=300, d=8, seed=7):
+    rng = np.random.RandomState(seed)
+    # anisotropic: two dominant directions
+    base = rng.randn(n, 2) @ rng.randn(2, d) * 3.0
+    noise = rng.randn(n, d) * 0.3
+    return (base + noise).astype(np.float64)
+
+
+def _df(spark, X):
+    return spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id int, embedding array<float>",
+    ).repartition(5)
+
+
+def test_covariance_matches_numpy(spark):
+    X = _data()
+    n, mean, cov = covariance_matrix(_df(spark, X), "embedding")
+    Xf = X.astype(np.float32).astype(np.float64)  # array<float> storage
+    assert n == len(X)
+    assert np.allclose(mean, Xf.mean(axis=0), atol=1e-6)
+    assert np.allclose(cov, np.cov(Xf.T, bias=True), atol=1e-5)
+
+
+def test_pca_fit_matches_numpy_and_is_oriented(spark):
+    X = _data()
+    model = pca_fit(_df(spark, X), "embedding", k=2)
+    Xf = X.astype(np.float32).astype(np.float64)
+    vals, vecs = np.linalg.eigh(np.cov(Xf.T, bias=True))
+    order = np.argsort(vals)[::-1][:2]
+    for got, idx in zip(model.components, order):
+        ref = vecs[:, idx]
+        j = int(np.argmax(np.abs(ref)))
+        if ref[j] < 0:
+            ref = -ref
+        assert np.allclose(got, ref, atol=1e-4)
+        assert got[int(np.argmax(np.abs(got)))] > 0  # sign convention
+    assert model.explained_variance[0] >= model.explained_variance[1]
+    # the two planted directions dominate
+    assert sum(model.explained_variance) / np.trace(np.cov(Xf.T, bias=True)) > 0.9
+
+
+def test_project_centers_and_reduces(spark):
+    X = _data()
+    df = _df(spark, X)
+    model = pca_fit(df, "embedding", k=2)
+    out = project(df, "embedding", model)
+    rows = {r.vec_id: np.asarray(r.proj) for r in out.collect()}
+    assert all(len(p) == 2 for p in rows.values())
+    # projections average ~0 (centered)
+    P = np.array([rows[i] for i in range(len(X))])
+    assert np.allclose(P.mean(axis=0), 0.0, atol=1e-3)
+    # matches the driver-side projection
+    Xf = X.astype(np.float32).astype(np.float64)
+    ref = (Xf - np.asarray(model.mean)) @ np.asarray(model.components).T
+    assert np.allclose(P, ref, atol=1e-3)
