@@ -22,9 +22,15 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_all_queries_run_and_return_rows(spark):
+    from sentinel_spark.cache import release
+
     for name, fn in E.queries().items():
         df = fn(spark, SF)
         assert df.count() > 0, name
+        # release operator-internal persisted frames: a leftover cache
+        # substitutes InMemoryRelation into later tests' plans (and
+        # hides partitioning — the PLANS.md pitfall)
+        release(df)
 
 
 def test_events_ts_instant_is_zone_independent(spark):

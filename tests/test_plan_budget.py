@@ -74,6 +74,15 @@ def test_budget_covers_registry():
     assert set(BUDGET) == set(E.queries())
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clean_cache(spark):
+    # leftover persisted frames from other test modules would replace
+    # subtrees with InMemoryRelation (unknown partitioning -> extra
+    # exchanges); budgets are defined over clean plans
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.mark.parametrize("name", sorted(BUDGET))
 def test_shuffle_budget(spark, name):
     df = E.queries()[name](spark, SF_DIR)
