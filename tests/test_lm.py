@@ -1,0 +1,79 @@
+"""Bigram LM perplexity, pinned against an independent reference
+count/score implementation; fluent-vs-gibberish ranking property."""
+
+import math
+
+from sentinel_spark.functions.lm import (
+    BOS,
+    UNK,
+    nll_word,
+    perplexity_table,
+    train_bigram_lm,
+)
+
+CLEAN = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "the cat ran to the dog",
+    "a cat and a dog sat together",
+]
+
+
+def _ref_counts(lines):
+    uni, big = {}, {}
+    for line in lines:
+        toks = line.split()
+        uni_line = toks
+        for w in uni_line:
+            uni[w] = uni.get(w, 0) + 1
+        prev = BOS
+        for w in toks:
+            big[(prev, w)] = big.get((prev, w), 0) + 1
+            prev = w
+    uni[BOS] = len(lines)
+    return uni, big
+
+
+def _df(spark, lines):
+    return spark.createDataFrame(
+        list(enumerate(lines)), "doc_id int, text string"
+    )
+
+
+def test_training_counts_match_reference(spark):
+    lm = train_bigram_lm(_df(spark, CLEAN), "text", max_vocab=100, add_k=0.1)
+    uni, big = _ref_counts(CLEAN)
+    assert lm.unigrams == uni
+    assert lm.bigrams == big
+    # closed-form smoothing check on one known bigram
+    want = -math.log2((big[("the", "cat")] + 0.1) / (uni["the"] + 0.1 * lm.vocab_size))
+    assert abs(nll_word(lm, "the", "cat") - want) < 1e-12
+
+
+def test_perplexity_ranks_fluent_below_gibberish(spark):
+    lm = train_bigram_lm(_df(spark, CLEAN), "text", max_vocab=100)
+    test = _df(
+        spark,
+        [
+            "the cat sat on the mat",        # in-distribution
+            "the dog ran to the cat",        # fluent recombination
+            "zq xv qqq plok wrrt mnbv",      # gibberish (all <unk>)
+            "",                              # empty -> null scores
+        ],
+    )
+    rows = {r.doc_id: r for r in perplexity_table(test, "text", "doc_id", lm).collect()}
+    assert rows[0].perplexity < rows[1].perplexity < rows[2].perplexity
+    assert rows[3].perplexity is None and rows[3].n_tokens == 0
+    # perplexity = 2^mean_nll
+    assert abs(rows[0].perplexity - 2.0 ** rows[0].mean_nll) < 1e-4
+
+
+def test_vocab_cap_folds_to_unk(spark):
+    lm = train_bigram_lm(_df(spark, CLEAN), "text", max_vocab=3)
+    assert len(lm.unigrams) <= 3 + 2  # top-3 + <s> + <unk>
+    assert UNK in lm.unigrams
+    # scoring still total: unseen words route through <unk>
+    out = perplexity_table(
+        _df(spark, ["completely novel words here"]), "text", "doc_id", lm
+    ).collect()[0]
+    assert out.perplexity is not None
