@@ -23,8 +23,9 @@ Layout:
                    timeseries (as-of join, range join, sessionization)
     functions/     scalar/text/dedup/cluster/similarity/decontam/
                    chunking (incl. FFD sample packing)/tokenize (BPE)/
-                   keywords/pii/sampling/sketch/web/multimodal/skew/
-                   tags column builders and bulk operators
+                   keywords/pii/sampling/sketch/web (URL+domain)/
+                   quality_model (logreg)/embed (PCA)/lm (perplexity)/
+                   multimodal/skew/tags column builders and operators
     streaming/     structured-streaming ingest (idempotent-replay
                    sinks), watermarked rollups, stateful cross-batch
                    dedup, incremental HLL sketch maintenance
