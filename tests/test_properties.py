@@ -170,3 +170,88 @@ def test_copy_on_write_matches_python_semantics(spark, rows, thresh, del_pipe):
         assert {r.runId for r in t.read().collect()} == want_ids
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@SLOW
+@given(
+    urls=st.lists(
+        st.from_regex(
+            r"(https?|HTTPS?)://[A-Za-z0-9.-]{1,20}(:\d{2,4})?(/[A-Za-z0-9/._-]{0,20})?"
+            r"(\?[a-z0-9=&_]{0,20})?(#[a-z0-9]{0,8})?",
+            fullmatch=True,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_canonical_url_idempotent(spark, urls):
+    """canonical_url is a canonical form: applying it twice equals
+    applying it once, for arbitrary URL-shaped strings."""
+    from sentinel_spark.functions.web import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonical_url("u").alias("once"),
+        canonical_url(canonical_url("u")).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice, r
+
+
+@SLOW
+@given(
+    lengths=st.lists(
+        st.integers(min_value=1, max_value=2000), min_size=1, max_size=120
+    ),
+    capacity=st.integers(min_value=64, max_value=1024),
+)
+def test_pack_sequences_invariants(spark, lengths, capacity):
+    """For arbitrary length distributions and capacities: every doc
+    packed exactly once; every non-oversized pack within capacity;
+    oversized docs isolated iff longer than capacity."""
+    from sentinel_spark.functions.chunking import pack_sequences
+
+    df = spark.createDataFrame(
+        list(enumerate(lengths)), "doc_id long, n_tok long"
+    )
+    rows = pack_sequences(df, "n_tok", "doc_id", capacity, num_buckets=4).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(len(lengths)))
+    packs = {}
+    for r in rows:
+        assert r.oversized == (r.n_tok > capacity)
+        packs.setdefault(r.pack_id, []).append(r)
+    for members in packs.values():
+        total = sum(m.n_tok for m in members)
+        assert total == members[0].pack_total
+        if not members[0].oversized:
+            assert total <= capacity
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdefg h"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    n_merges=st.integers(min_value=0, max_value=12),
+)
+def test_bpe_roundtrip_property(spark, texts, n_merges):
+    """For arbitrary corpora and merge counts: BPE tokens always
+    concatenate back to the regex words of the input (no token is ever
+    lost or invented)."""
+    import re
+
+    from sentinel_spark.functions.tokenize import END, bpe_tokenize, train_bpe_merges
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    merges = train_bpe_merges(df, "text", n_merges)
+    rows = {r.doc_id: r.tokens for r in bpe_tokenize(df, "text", "doc_id", merges).collect()}
+    for i, text in enumerate(texts):
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        rebuilt = "".join(rows[i]).replace(END, " ").split()
+        assert rebuilt == words, (text, rows[i])
