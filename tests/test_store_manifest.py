@@ -258,3 +258,36 @@ def test_cluster_by_compaction_tightens_skipping(spark, tmp_path):
     assert 1 <= len(after.inputFiles()) < 3  # disjoint ranges now skip
     got = sorted(r.k for r in after.filter("k between 100 and 120").collect())
     assert got == list(range(100, 121))
+
+
+def test_many_commits_and_rolling_vacuum(spark, tmp_path):
+    """30 commits of mixed appends/updates with periodic vacuum: the
+    log stays bounded, the live table stays correct, and every retained
+    version stays readable."""
+    t = ParquetTable(
+        spark, str(tmp_path / "many"), partition_cols=["pipeline"],
+        retain_versions=5,
+    )
+    expect = {}
+    for i in range(15):
+        rid = f"r{i}"
+        t.append(
+            spark.createDataFrame(
+                [(rid, "maple" if i % 2 else "plain", i)],
+                "runId string, pipeline string, n int",
+            )
+        )
+        expect[rid] = i
+        if i % 3 == 0:
+            t.update(F.col("runId") == rid, {"n": F.lit(i * 10)})
+            expect[rid] = i * 10
+    assert len(t.history()) <= 5  # retention enforced on every commit
+    got = {r.runId: r.n for r in t.read().collect()}
+    assert got == expect
+    for v in t.history():
+        assert t.read(version=v).count() > 0
+    deleted = t.vacuum(retain_versions=1)
+    assert t.history()[-1] == t.version() and len(t.history()) == 1
+    got = {r.runId: r.n for r in t.read().collect()}
+    assert got == expect
+    assert isinstance(deleted, list)
