@@ -11,16 +11,18 @@ def test_csv_rejects_channel(spark, tmp_path):
     p = tmp_path / "d.csv"
     p.write_text(
         "1,alice,3.5\n"
-        "2,bob,notanumber\n"   # bad double
+        "2,bob,notanumber\n"     # bad double
         "3,carol,2.25\n"
+        "4,dan\n"                # under-arity
+        "5,eve,1.0,EXTRA\n"      # over-arity
     )
     src = read_tabular(
         spark, str(p), "csv", "id int, name string, score double"
     )
     recs = sorted((r.id, r.name, r.score) for r in src.records.collect())
     assert recs == [(1, "alice", 3.5), (3, "carol", 2.25)]
-    rej = src.rejects.collect()
-    assert len(rej) == 1 and "notanumber" in rej[0].raw
+    raws = sorted(r.raw for r in src.rejects.collect())
+    assert raws == ["2,bob,notanumber", "4,dan", "5,eve,1.0,EXTRA"]
 
 
 def test_jsonl_rejects_and_gzip(spark, tmp_path):
