@@ -926,7 +926,10 @@ def q_salted_agg(spark, sf_dir):
     an order-independent collect_list via row-salted two-phase
     aggregation — the shapes that keep a hot key from funnelling its
     whole state through one task. Both are exact, so the oracle is the
-    plain single-phase SQL."""
+    plain single-phase SQL. The sorted list is serialized to a comma
+    string because the driver's canonicalizer hashes scalar columns
+    only (no ArrayType/MapType in any gate schema — pinned by
+    tests/test_registry_contract.py)."""
     li = _t(spark, sf_dir, "lineitem")
     nd = SK.salted_count_distinct(li, ["l_returnflag"], "l_suppkey", out_col="n_supp")
     lst = SK.salted_collect_list(
@@ -936,6 +939,7 @@ def q_salted_agg(spark, sf_dir):
         out_col="okeys",
         sort=True,
     )
+    lst = lst.withColumn("okeys", F.array_join(F.col("okeys").cast("array<string>"), ","))
     return nd.join(lst, "l_returnflag")
 
 
@@ -2611,7 +2615,8 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY 1
             ),
             l AS (
-              SELECT l_returnflag, list_sort(list(l_orderkey)) AS okeys
+              SELECT l_returnflag,
+                     array_to_string(list_sort(list(l_orderkey)), ',') AS okeys
               FROM lineitem WHERE l_quantity = 50 GROUP BY 1
             )
             SELECT nd.l_returnflag, n_supp, okeys FROM nd JOIN l USING (l_returnflag)

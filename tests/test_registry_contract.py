@@ -1,0 +1,45 @@
+"""Registry-wide output-schema contract: the driver's correctness
+harness canonicalizes each gate's result with pandas (sort_values +
+hash per column), which cannot hash list/dict cells — an ArrayType or
+MapType output column fails the driver run even when the operator and
+its oracle agree (round 4's one red row, salted_agg, was exactly
+this). Every gate must therefore emit scalar columns only; arrays are
+serialized (array_join / array_to_string) on BOTH sides.
+
+Also pins the registry size to the driver's ~50-row correctness
+window (see PLANS.md): a registry that silently grows past it drops
+gates from the driver's report.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+MAX_REGISTRY_ROWS = 50
+
+
+def test_registry_fits_driver_window():
+    assert len(E.queries()) <= MAX_REGISTRY_ROWS
+
+
+@pytest.mark.parametrize("name", sorted(E.queries()))
+def test_gate_schema_is_scalar(spark, name):
+    df = E.queries()[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver "
+        "canonicalizer cannot hash them; serialize to string on both "
+        "the Spark and oracle sides"
+    )
+    from sentinel_spark.cache import release
+
+    release(df)
