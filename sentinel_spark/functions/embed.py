@@ -8,10 +8,12 @@ trainers in this repo (k-means, BPE, logreg): corpus-scale work is
 one aggregation pass, model-scale work runs on the driver over a
 d×d matrix.
 
-* ``covariance_matrix`` — one ``mapInPandas`` pass emits per-batch
-  partials (n, Σx, XᵀX as NumPy does them — vectorized, no per-row
-  Python); a tiny final reduce on the driver combines them. The
-  shuffle carries one (1 + d + d²)-double row per partition.
+* ``covariance_matrix`` — one ``mapInPandas`` pass accumulates
+  (n, Σx, XᵀX) across *all* Arrow batches of a task (vectorized, no
+  per-row Python) and yields a single partial row per task; a
+  distributed posexplode+sum then reduces the task partials to one
+  (1 + d + d²)-element vector, so the driver collects exactly
+  1 + d + d² scalars no matter how many rows or partitions feed it.
 * ``pca_fit`` — eigendecomposition of the d×d covariance on the
   driver (d² doubles — model-scale), deterministic sign convention
   (each component's largest-|coefficient| entry is made positive) so
@@ -30,38 +32,55 @@ from pyspark.sql import functions as F
 
 
 def covariance_matrix(df: DataFrame, vec_col: str):
-    """(n, mean, cov) of an ``array<float>`` column, computed with one
-    distributed pass of vectorized per-batch partials."""
+    """(n, mean, cov) of an ``array<float>`` column. One distributed
+    pass: each task folds all its Arrow batches into a single
+    [n, Σx…, XᵀX…] partial vector (one yield per task, at generator
+    exhaustion), then a posexplode+sum reduce combines the task
+    partials element-wise. The driver sees 1 + d + d² scalar rows —
+    O(d²), never O(rows) or O(partitions)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     narrow = df.select(F.col(vec_col).alias("v")).filter(F.col("v").isNotNull())
 
     def partials(batches):
+        n = 0
+        s = None
+        xtx = None
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            n += len(X)
+            if s is None:
+                s = X.sum(axis=0)
+                xtx = X.T @ X
+            else:
+                s += X.sum(axis=0)
+                xtx += X.T @ X
+        if n:
             yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "xtx": [(X.T @ X).ravel().tolist()],
-                }
+                {"part": [[float(n)] + s.tolist() + xtx.ravel().tolist()]}
             )
 
-    rows = narrow.mapInPandas(
-        partials, schema="n long, s array<double>, xtx array<double>"
-    ).collect()
+    rows = (
+        narrow.mapInPandas(partials, schema="part array<double>")
+        .select(F.posexplode("part").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .orderBy("pos")
+        .collect()
+    )
     if not rows:
         raise ValueError(f"no vectors in {vec_col}")
-    n = sum(r.n for r in rows)
-    d = len(rows[0].s)
-    s = np.zeros(d)
-    xtx = np.zeros((d, d))
-    for r in rows:
-        s += np.asarray(r.s)
-        xtx += np.asarray(r.xtx).reshape(d, d)
+    flat = np.array([r.val for r in rows])
+    # len(flat) = 1 + d + d^2  ->  d from the positive quadratic root
+    d = int((math.isqrt(4 * len(flat) - 3) - 1) // 2)
+    n = int(round(flat[0]))
+    s = flat[1 : 1 + d]
+    xtx = flat[1 + d :].reshape(d, d)
     mean = s / n
     cov = xtx / n - np.outer(mean, mean)
     return n, mean, cov

@@ -11,9 +11,12 @@ Spark-first split, like the other trainers here:
 
 * **Training** is two distributed aggregates over the clean corpus —
   unigram counts and bigram counts (both map-side combined; shuffle
-  rows are (token) / (token-pair) keys) — top-``max_vocab`` kept, the
-  rest folded into an ``<unk>`` bucket, pulled to the driver as the
-  model (bounded by construction).
+  rows are (token) / (token-pair) keys). The top-``max_vocab`` vocab
+  broadcasts back and out-of-vocab tokens fold to ``<unk>`` *in the
+  distributed plan, before the bigram groupBy*, so the collected
+  model is bounded by observed in-vocab bigrams — and a
+  ``max_bigrams`` cap turns "the clean corpus is too diverse for a
+  driver-resident model" into a loud error instead of an OOM.
 * **Scoring** broadcasts the count dictionaries and computes each
   document's mean negative log2 bigram probability in Arrow batches
   (dictionary lookups per token — per-row imperative state, the
@@ -54,10 +57,17 @@ def train_bigram_lm(
     *,
     max_vocab: int = 50_000,
     add_k: float = 0.1,
+    max_bigrams: int = 2_000_000,
 ) -> BigramLM:
     """Fit the smoothed bigram model on a (clean) corpus. Two
-    distributed aggregates; the collected model is capped at
-    ``max_vocab`` unigrams (+``<unk>``) and their observed bigrams."""
+    distributed aggregates; out-of-vocab tokens fold to ``<unk>`` via
+    a broadcast vocab join *before* the bigram groupBy, so the
+    ``.collect()`` volume is bounded by the observed in-vocab bigram
+    table, never by raw corpus diversity. If even that exceeds
+    ``max_bigrams`` the corpus is too diverse for a driver-resident
+    model and we raise rather than silently OOM (same contract as
+    ``tokenize.train_bpe_merges``)."""
+    spark = df.sparkSession
     toks = df.select(_tokens(text_col).alias("t")).where(F.size("t") > 0)
     uni_rows = (
         toks.select(F.explode("t").alias("w"))
@@ -82,19 +92,52 @@ def train_bigram_lm(
             )
         ).alias("p")
     ).select("p.a", "p.b")
-    big_rows = (
-        pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")).collect()
+
+    # Fold a/b -> <unk> distributed-side: the vocab frame is
+    # max_vocab rows by construction, so both joins broadcast and the
+    # downstream groupBy keys on at most (V+2)^2 *observed* pairs.
+    vocab_df = spark.createDataFrame(
+        [(w,) for w in sorted(vocab)], "w: string"
     )
+    in_a = F.broadcast(
+        vocab_df.select(F.col("w").alias("a"), F.lit(True).alias("__ina"))
+    )
+    in_b = F.broadcast(
+        vocab_df.select(F.col("w").alias("b"), F.lit(True).alias("__inb"))
+    )
+    folded = (
+        pairs.join(in_a, "a", "left")
+        .join(in_b, "b", "left")
+        .select(
+            F.when(
+                F.col("__ina").isNotNull() | (F.col("a") == BOS), F.col("a")
+            )
+            .otherwise(F.lit(UNK))
+            .alias("a"),
+            F.when(F.col("__inb").isNotNull(), F.col("b"))
+            .otherwise(F.lit(UNK))
+            .alias("b"),
+        )
+    )
+    big_rows = (
+        folded.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(max_bigrams + 1)
+        .collect()
+    )
+    if len(big_rows) > max_bigrams:
+        raise ValueError(
+            f"observed in-vocab bigram table exceeds max_bigrams="
+            f"{max_bigrams}; lower max_vocab or raise the cap"
+        )
     bigrams: dict = {}
     total_unk = 0
     bos_count = 0
     for r in big_rows:
-        a = r.a if (r.a in vocab or r.a == BOS) else UNK
-        b = r.b if r.b in vocab else UNK
-        bigrams[(a, b)] = bigrams.get((a, b), 0) + r.c
-        if a == BOS:
+        bigrams[(r.a, r.b)] = r.c
+        if r.a == BOS:
             bos_count += r.c
-        if a == UNK:
+        if r.a == UNK:
             total_unk += r.c
     unigrams[BOS] = bos_count
     if total_unk:

@@ -168,6 +168,7 @@ def heavy_hitters(
     top_k: int | None = None,
     capacity: int = 4096,
     broadcast_limit: int = 1_000_000,
+    max_capacity: int = 1_000_000,
 ) -> DataFrame:
     """Exact frequent-value mining in two phases: (1) per-partition
     Misra-Gries candidate generation (:func:`misra_gries_candidates` —
@@ -180,7 +181,12 @@ def heavy_hitters(
     precondition: it counts N first (one narrow column-pruned pass —
     the price of an exactness guarantee that doesn't silently break)
     and, if ``capacity`` is too small for the requested ``min_count``,
-    auto-scales it to ``N // min_count + 2``. The result is therefore
+    auto-scales it to ``N // min_count + 2`` — but never silently past
+    ``max_capacity``: each task holds a dict of up to 2x the capacity
+    in flight, so a tiny ``min_count`` over a huge table would
+    otherwise turn the old documented precondition into an executor
+    memory blowup. Past the cap we raise loudly (mirroring the
+    ``broadcast_limit`` guard) instead. The result is therefore
     EXACT unconditionally — the approximation lives entirely in the
     intermediate, never in the answer — which is what makes it
     oracle-checkable against a plain GROUP BY.
@@ -204,6 +210,13 @@ def heavy_hitters(
     eff_capacity = capacity
     if (capacity - 1) * min_count <= n_rows:
         eff_capacity = n_rows // min_count + 2
+    if eff_capacity > max_capacity:
+        raise ValueError(
+            f"min_count={min_count} over {n_rows} rows needs a "
+            f"Misra-Gries capacity of {eff_capacity} (> max_capacity="
+            f"{max_capacity}); raise min_count, or raise max_capacity "
+            "if the executors can hold that working set"
+        )
     candidates = (
         misra_gries_candidates(df, v, capacity=eff_capacity)
         .groupBy("value")

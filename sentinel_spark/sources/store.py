@@ -327,12 +327,34 @@ class ParquetTable:
             if not os.listdir(root):
                 os.rmdir(root)
 
+    def _bootstrap_legacy(self) -> None:
+        """Pin a pre-manifest table's current directory listing as
+        version 1 BEFORE any staged file enters the tree. Without
+        this, a legacy table's readers resolve via the directory walk,
+        which sees staged-but-uncommitted files — and a crash between
+        staging and commit would silently incorporate those rows. Once
+        a manifest exists, readers never fall back to the walk, so a
+        crash merely leaves unreachable orphans (the documented
+        manifest-table behavior). A concurrent bootstrap losing the
+        CAS race is fine: both writers pinned the same listing."""
+        if self._versions():
+            return
+        legacy = self._legacy_files()
+        if not legacy:
+            return
+        try:
+            self._commit(legacy, 0, None)
+        except ConcurrentCommitError:
+            pass
+
     def _stage_in(self, df: DataFrame) -> tuple[list[str], dict]:
         """Write ``df`` through Spark into a staging dir, then move the
         data files into the table tree under fresh unique names (never
         clobbering an existing file). Returns (relative paths,
         per-file column stats). The files are invisible to readers
-        until a manifest references them."""
+        until a manifest references them — guaranteed for legacy
+        tables too via :meth:`_bootstrap_legacy`."""
+        self._bootstrap_legacy()
         tmp = f"{self.path}.__stage_{uuid.uuid4().hex[:8]}"
         w = df.write.mode("overwrite")
         if self.partition_cols:

@@ -62,18 +62,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # at epoch-nanos magnitudes).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif not isinstance(ts_type, TY.TimestampType):
-            # TIMESTAMP_NTZ → TimestampType. The cast interprets the
-            # wall-clock value in the SESSION time zone (instant =
-            # wall − offset(zone)), but the generator wrote UTC wall
-            # clocks — so mirror the nanosAsLong defense above for
-            # foreign (driver-provided) sessions running non-UTC:
-            # from_utc_timestamp adds offset(zone) back, leaving the
-            # UTC instant regardless of session zone (a no-op under the
-            # UTC sessions our factory builds).
+            # TIMESTAMP_NTZ → TimestampType. The generator wrote UTC
+            # wall clocks, but a plain cast interprets them in the
+            # SESSION zone — and the once-used repair (cast +
+            # from_utc_timestamp) composes the zone offset at two
+            # *different* reference points (wall clock vs resulting
+            # instant), which disagree inside DST transition windows
+            # and shifted those rows by the DST delta. The DST-proof
+            # one-step: render the NTZ wall clock to a string (zone-
+            # independent by definition) and parse it back with an
+            # explicit +0000 offset, pinning the instant to UTC with
+            # no session-zone math at all. Under the UTC sessions our
+            # factory builds the plain cast is exact and cheaper, so
+            # keep it for that common case.
             zone = spark.conf.get("spark.sql.session.timeZone")
-            ts = F.col("ts").cast("timestamp")
-            if zone not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-                ts = F.from_utc_timestamp(ts, zone)
+            if zone in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                ts = F.col("ts").cast("timestamp")
+            else:
+                ts = F.to_timestamp(
+                    F.concat(F.col("ts").cast("string"), F.lit(" +0000")),
+                    "yyyy-MM-dd HH:mm:ss[.SSSSSS] Z",
+                )
             df = df.withColumn("ts", ts)
         return df
     return spark.read.parquet(path)

@@ -164,7 +164,10 @@ def test_manifest_never_torn(spark, tmp_path):
 def test_legacy_directory_bootstrap(spark, tmp_path):
     """A parquet directory written outside the manifest discipline
     (pre-manifest table, foreign writer) reads correctly and is
-    adopted into the log on the first mutation."""
+    adopted into the log on the first mutation — as TWO versions: the
+    writer first pins the legacy listing as version 1 (so readers stop
+    resolving via the directory walk before any staged file can land
+    in the tree), then commits the mutation as version 2."""
     raw = str(tmp_path / "legacy")
     df = spark.createDataFrame(
         [("r1", "maple", 1), ("r3", "plain", 3)],
@@ -176,8 +179,38 @@ def test_legacy_directory_bootstrap(spark, tmp_path):
     assert t.version() == 0
     assert _rows(t.read()) == [("r1", "maple", 1), ("r3", "plain", 3)]
     t.update(F.col("runId") == "r1", {"n": F.lit(11)})
-    assert t.version() == 1
+    assert t.version() == 2
     assert _rows(t.read()) == [("r1", "maple", 11), ("r3", "plain", 3)]
+
+
+def test_legacy_bootstrap_hides_uncommitted_files(spark, tmp_path):
+    """Once a writer has touched a legacy table, a data file that lands
+    in the tree WITHOUT a manifest commit (a crashed writer's staged
+    batch, a foreign copy) must be invisible to readers — the
+    pre-stage bootstrap pins the legacy listing so reads never fall
+    back to the directory walk."""
+    import shutil
+
+    raw = str(tmp_path / "legacy2")
+    spark.createDataFrame(
+        [("r1", "maple", 1)], "runId string, pipeline string, n int"
+    ).write.parquet(raw)
+    t = ParquetTable(spark, raw)
+    t.append(
+        spark.createDataFrame(
+            [("r2", "plain", 2)], "runId string, pipeline string, n int"
+        )
+    )
+    # simulate a crashed stage: copy a committed data file back into
+    # the tree under a fresh name, with no manifest referencing it
+    src = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(raw)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    shutil.copy(src, os.path.join(raw, "orphan-staged.parquet"))
+    assert _rows(t.read()) == [("r1", "maple", 1), ("r2", "plain", 2)]
 
 
 def test_file_stats_recorded_and_data_skipping(spark, tmp_path):
