@@ -1119,8 +1119,14 @@ def q_part_scalars(spark, sf_dir):
 
 
 def q_events_report(spark, sf_dir):
-    """F7 JSON navigation ∪ daily distinct-users rollup over events,
-    tagged by ``kind``."""
+    """F7 JSON navigation ∪ daily distinct-users rollup ∪ heavy-hitter
+    mining over events, tagged by ``kind``. The ``heavy`` branch is
+    functions/sketch.py's exact two-phase Misra-Gries frequent-values
+    (users with ≥ 80 events; the value rides in the ``event_type``
+    column slot) — its exactness contract makes it oracle-checkable
+    against a plain GROUP BY ... HAVING."""
+    from sentinel_spark.functions.sketch import heavy_hitters
+
     d = q_daily_distinct(spark, sf_dir).select(
         F.lit("daily").alias("kind"),
         "day",
@@ -1139,7 +1145,18 @@ def q_events_report(spark, sf_dir):
         "sum_k",
         "avg_value",
     )
-    return d.unionByName(j)
+    h = heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", min_count=80
+    ).select(
+        F.lit("heavy").alias("kind"),
+        F.lit(None).cast("date").alias("day"),
+        F.col("value").alias("event_type"),
+        F.col("n").alias("n_events"),
+        F.lit(None).cast("long").alias("n_users"),
+        F.lit(None).cast("long").alias("sum_k"),
+        F.lit(None).cast("double").alias("avg_value"),
+    )
+    return d.unionByName(j).unionByName(h)
 
 
 def q_events_windows(spark, sf_dir):
@@ -1215,11 +1232,32 @@ def q_split_report(spark, sf_dir):
 
 
 def q_chunk_shards(spark, sf_dir):
-    """Token-window chunking ⋈ concat-packing shard offsets on doc_id
-    (different grains — chunk rows carry their document's packed
-    offset/shard assignment)."""
-    return q_chunk_documents(spark, sf_dir).join(
-        q_token_shards(spark, sf_dir), "doc_id"
+    """Token-window chunking ⋈ concat-packing shard offsets ⋈ FFD
+    sample-packing invariants, all on doc_id. The pack columns come
+    from chunking.pack_sequences (capacity 64): ``oversized`` is
+    SQL-exact (a document longer than capacity), and ``pack_ok``
+    asserts the FFD laws the oracle states as ground truth — pack
+    total within capacity, non-negative slot, oversized docs packed
+    as singletons. A capacity/coverage violation flips the boolean
+    and fails the hash; pack-id assignment itself is the
+    deterministic-but-not-SQL-expressible part, pinned by
+    pytest+hypothesis instead."""
+    from sentinel_spark.functions.chunking import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tok")
+    )
+    pk = pack_sequences(d, "n_tok", "doc_id", capacity=64)
+    pack_ok = (
+        (F.col("pack_total") <= 64) | F.col("oversized")
+    ) & (F.col("pack_slot") >= 0) & (
+        ~F.col("oversized") | (F.col("pack_slot") == 0)
+    )
+    pcols = pk.select("doc_id", "oversized", pack_ok.alias("pack_ok"))
+    return (
+        q_chunk_documents(spark, sf_dir)
+        .join(q_token_shards(spark, sf_dir), "doc_id")
+        .join(pcols, "doc_id")
     )
 
 
@@ -1474,6 +1512,214 @@ def q_semantic_dedup_cells(spark, sf_dir):
 # Contract
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Round-5 trainer-family gates (§2.12 extension surface)
+# --------------------------------------------------------------------------
+
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity (functions/lm.py), trained AND scored under
+    the driver gate: the add-k-smoothed model fits on the documents
+    corpus (two distributed aggregates, OOV folded to <unk> through the
+    broadcast vocab join) and every document is scored in Arrow
+    batches. The oracle replays the ENTIRE train+score pipeline in SQL
+    — vocab cut, <unk> fold, bigram counts, and the per-token
+    -log2 P(b|a) average — so both the training counts and the scoring
+    math are hash-checked, not just row counts."""
+    from sentinel_spark.functions import lm as LM
+
+    d = _t(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(d, "text", max_vocab=200, add_k=0.1)
+    return LM.perplexity_table(d, "text", "doc_id", model)
+
+
+def q_trainer_suite(spark, sf_dir):
+    """Model-based quality scoring (functions/quality_model.py) +
+    BPE tokenization (functions/tokenize.py) in one documents-grain
+    gate.
+
+    The logistic regression trains INSIDE the gate (3 full-batch GD
+    iterations, lr=1.0, zero init, label = token_count >= 56) and the
+    oracle unrolls the same 3 iterations as DuckDB CTEs over the
+    identical feature expressions — gradient aggregates and the final
+    sigmoid scores are engine-portable to the 1e-6 rounding because
+    every feature is a rounded rational of integer counts.
+
+    BPE trains its merge table on the deterministic doc_id < 200 slice
+    (tokenizer-on-a-sample, the production shape) and tokenizes every
+    document; the oracle checks the merge-independent invariants
+    exactly — total token characters equal word characters + 4 per
+    word (the </w> marker), and the token count lies in
+    [n_words, word_chars] — while merge-choice correctness stays
+    pinned by pytest against an independent implementation."""
+    from sentinel_spark.functions import quality_model as QM
+    from sentinel_spark.functions import tokenize as TK
+    from sentinel_spark.functions.text import word_char_count
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        QM.featurize("text").alias("x"),
+        (T.token_count("text") >= 56).cast("double").alias("y"),
+    )
+    model = QM.logreg_fit(feats, "x", "y", dim=5, n_iter=3, lr=1.0)
+    # Features ride raw: both engines build them with identical integer
+    # arithmetic and round-6 steps, so the doubles are bit-identical —
+    # re-rounding would only reintroduce HALF_UP-vs-half-away skew on
+    # exact .xxxxxx5 values (x3 = round(wlen,6)/10 produces them).
+    scored = feats.select(
+        "doc_id",
+        *[F.col("x")[j].alias(f"x{j}") for j in range(5)],
+        F.col("y").cast("boolean").alias("y"),
+        F.round(QM.score(F.col("x"), model), 6).alias("q_score"),
+    )
+    merges = TK.train_bpe_merges(
+        d.filter(F.col("doc_id") < 200), "text", num_merges=40
+    )
+    bpe = TK.bpe_tokenize(d, "text", "doc_id", merges).select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.expr("aggregate(tokens, 0L, (acc, x) -> acc + length(x))").alias(
+            "bpe_chars"
+        ),
+    )
+    words = d.select(
+        "doc_id",
+        T.token_count("text").alias("n_words"),
+        word_char_count("text").alias("__wchars"),
+    )
+    out = scored.join(bpe, "doc_id").join(words, "doc_id")
+    bpe_ok = F.when(
+        F.col("n_words") == 0, F.col("n_bpe_tokens") == 0
+    ).otherwise(
+        (F.col("n_bpe_tokens") >= F.col("n_words"))
+        & (F.col("n_bpe_tokens") <= F.col("__wchars"))
+    )
+    return out.select(
+        "doc_id",
+        "x0", "x1", "x2", "x3", "x4",
+        "y",
+        "q_score",
+        "n_words",
+        "bpe_chars",
+        bpe_ok.alias("bpe_ok"),
+    )
+
+
+def q_pca_covariance(spark, sf_dir):
+    """Distributed PCA's corpus-scale half (functions/embed.py):
+    covariance_matrix over the embeddings table — per-task Arrow-batch
+    accumulation, posexplode+sum reduce, 1+d+d² scalars to the driver.
+    The gate emits one row per dimension (n, mean, variance, and the
+    covariance against dimension 0), all SQL-derivable moments, so the
+    distributed aggregation is hash-checked end to end; the d×d
+    eigenproblem (pca_fit) is driver-side model math pinned by pytest
+    against NumPy."""
+    from sentinel_spark.functions.embed import covariance_matrix
+
+    e = _t(spark, sf_dir, "embeddings")
+    n, mean, cov = covariance_matrix(e, "embedding")
+    rows = [
+        (j, int(n), float(mean[j]), float(cov[j][j]), float(cov[0][j]))
+        for j in range(len(mean))
+    ]
+    df = spark.createDataFrame(
+        rows, "dim int, n long, mean double, variance double, cov0 double"
+    )
+    return df.select(
+        "dim",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("cov0", 6).alias("cov0"),
+    )
+
+
+def q_web_domains(spark, sf_dir):
+    """URL canonicalization + per-registered-domain report
+    (functions/web.py). Deterministic URLs are synthesized from
+    (doc_id, source) across three templates that exercise every
+    canonicalization rule — host/scheme case, default :80/:443 ports,
+    fragments, utm_*/gclid tracking params, two-level (co.uk) vs
+    generic public suffixes, and canonical-URL collisions (template 1
+    keys on doc_id % 7, so domains see duplicate URLs). The oracle
+    states each template's canonical form and domain analytically, so
+    the operator's regexp chain is checked against ground truth rather
+    than a parallel regexp dialect."""
+    from sentinel_spark.functions import web as W
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id") % 3
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            sid == 0,
+            F.concat(
+                F.lit("HTTPS://News."), F.col("source"),
+                F.lit(".CO.UK/a/"), did, F.lit("#top"),
+            ),
+        )
+        .when(
+            sid == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".Example.COM:80/p?utm_campaign=z&q="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.static."), F.col("source"),
+                F.lit(".net/x/"), did, F.lit("?gclid=abc"),
+            )
+        )
+    )
+    return W.domain_report(d.select(url.alias("url")), "url")
+
+
+def q_rejects_channel(spark, sf_dir):
+    """Schema-enforced CSV/JSONL sources with a rejects channel
+    (sources/formats.py), reference contract
+    utils/JsonExtractor.scala:52-101 generalized: fixture files (one
+    gzipped — the codec path) parse under declared schemas; clean rows
+    and raw-text rejects union into one frame tagged by ``kind``. The
+    fixture end state is fully deterministic, so the oracle is the
+    literal golden (same pattern as ingest_rollup)."""
+    from sentinel_spark.sources.formats import read_tabular
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "tabular"
+    )
+    csv = read_tabular(
+        spark,
+        [os.path.join(fx, "rows.csv"), os.path.join(fx, "extra.csv.gz")],
+        "csv",
+        "id bigint, name string, score double",
+    )
+    jl = read_tabular(
+        spark, os.path.join(fx, "rows.jsonl"), "jsonl", "id bigint, tag string"
+    )
+    s = F.lit(None).cast("string")
+    dbl = F.lit(None).cast("double")
+    lng = F.lit(None).cast("long")
+    c_rec = csv.records.select(
+        F.lit("csv").alias("kind"), "id", "name", "score",
+        s.alias("tag"), s.alias("raw"),
+    )
+    c_rej = csv.rejects.select(
+        F.lit("csv_reject").alias("kind"), lng.alias("id"), s.alias("name"),
+        dbl.alias("score"), s.alias("tag"), "raw",
+    )
+    j_rec = jl.records.select(
+        F.lit("jsonl").alias("kind"), "id", s.alias("name"),
+        dbl.alias("score"), "tag", s.alias("raw"),
+    )
+    j_rej = jl.rejects.select(
+        F.lit("jsonl_reject").alias("kind"), lng.alias("id"), s.alias("name"),
+        dbl.alias("score"), s.alias("tag"), "raw",
+    )
+    return c_rec.unionByName(c_rej).unionByName(j_rec).unionByName(j_rej)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's analytical core (descriptive-stats
     aggregate, one pass, all fields × all stats) at sf0.001."""
@@ -1527,6 +1773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_methods": q_ann_methods,
         "semantic_dedup": q_semantic_dedup_cells,
         "ann_recall": q_ann_recall,
+        "lm_perplexity": q_lm_perplexity,
+        "trainer_suite": q_trainer_suite,
+        "pca_covariance": q_pca_covariance,
+        "web_domains": q_web_domains,
+        "rejects_channel": q_rejects_channel,
     }
 
 
@@ -2869,6 +3120,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'json' AS kind, CAST(NULL AS DATE), event_type, n_events,
                CAST(NULL AS BIGINT), sum_k, avg_value
         FROM ({base["events_json"]})
+        UNION ALL
+        SELECT 'heavy' AS kind, CAST(NULL AS DATE), CAST(user_id AS VARCHAR),
+               count(*), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM events GROUP BY user_id HAVING count(*) >= 80
     """
     out["events_windows"] = f"""
         SELECT 'hourly' AS kind, hour AS win_start,
@@ -2898,6 +3154,10 @@ def oracle_sql() -> dict[str, str]:
     out["chunk_shards"] = f"""
         SELECT * FROM ({base["chunk_documents"]}) c
         JOIN ({base["token_shards"]}) s USING (doc_id)
+        JOIN (
+          SELECT doc_id, len({_WORDS}) > 64 AS oversized, TRUE AS pack_ok
+          FROM documents
+        ) p USING (doc_id)
     """
     out["sample_suite"] = f"""
         SELECT 'stratified' AS method, doc_id, lang,
@@ -2969,5 +3229,186 @@ def oracle_sql() -> dict[str, str]:
     out["semantic_dedup"] = f"""
         SELECT * FROM ({base["semantic_dedup"]}) s
         JOIN ({base["kmeans_cells"]}) k USING (cell)
+    """
+    # Full SQL replay of the bigram-LM train+score pipeline
+    # (functions/lm.py): vocab cut (top-200 by count, lexicographic
+    # ties), distributed <unk> fold, bigram counts, then per-document
+    # mean -log2 P(b|a) under add-0.1 smoothing. Context counts: vocab
+    # words carry their corpus unigram count, <s> the nonempty-doc
+    # count, <unk> its bigram-context occurrences (0 when absent —
+    # same as the model dict's .get default).
+    out["lm_perplexity"] = f"""
+        WITH toks AS (
+          SELECT doc_id, {_WORDS} AS t FROM documents
+        ),
+        ne AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+        uni AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest(t) AS w FROM ne)
+          GROUP BY w ORDER BY c DESC, w LIMIT 200
+        ),
+        pairs AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) + 1),
+                        i -> {{'a': CASE WHEN i = 1 THEN '<s>' ELSE t[i - 1] END,
+                              'b': t[i]}})) AS p
+          FROM ne
+        ),
+        folded AS (
+          SELECT doc_id,
+                 CASE WHEN p.a = '<s>' OR p.a IN (SELECT w FROM uni)
+                      THEN p.a ELSE '<unk>' END AS a,
+                 CASE WHEN p.b IN (SELECT w FROM uni)
+                      THEN p.b ELSE '<unk>' END AS b
+          FROM pairs
+        ),
+        big AS (SELECT a, b, count(*) AS c FROM folded GROUP BY a, b),
+        ctx AS (
+          SELECT w, c FROM uni
+          UNION ALL SELECT '<s>', (SELECT count(*) FROM ne)
+          UNION ALL SELECT '<unk>',
+                    (SELECT coalesce(sum(c), 0) FROM big WHERE a = '<unk>')
+        ),
+        vsz AS (SELECT (SELECT count(*) FROM uni) + 1 AS v),
+        nll AS (
+          SELECT f.doc_id, count(*) AS n_tok,
+                 avg(-log2((coalesce(bg.c, 0) + 0.1)
+                           / (coalesce(cx.c, 0) + 0.1 * vsz.v))) AS m
+          FROM folded f
+          LEFT JOIN big bg ON bg.a = f.a AND bg.b = f.b
+          LEFT JOIN ctx cx ON cx.w = f.a
+          CROSS JOIN vsz
+          GROUP BY f.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(nll.n_tok, 0) AS INTEGER) AS n_tokens,
+               round(nll.m, 6) AS mean_nll,
+               round(pow(2, nll.m), 6) AS perplexity
+        FROM toks t LEFT JOIN nll ON nll.doc_id = t.doc_id
+    """
+    # Unrolled 3-iteration full-batch GD for the quality logreg
+    # (functions/quality_model.py: zero init, lr=1.0, margin folded
+    # left-to-right exactly as _margin does) + the merge-independent
+    # BPE invariants (functions/tokenize.py: token chars = word chars
+    # + 4 per word; token count within [n_words, word_chars]).
+    _feats = f"""
+          SELECT doc_id,
+                 least(length(text) / 200.0, 1.0) AS x0,
+                 round(len(list_filter({_WORDS}, x -> x IN {_EN}))
+                       / greatest(len({_WORDS}), 1), 6) AS x1,
+                 round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       / greatest(length(text), 1), 6) AS x2,
+                 round((length(lower(text))
+                        - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')))
+                       / greatest(len({_WORDS}), 1), 6) / 10.0 AS x3,
+                 round(len(regexp_extract_all(lower(text), '[a-z0-9]*[a-z][a-z0-9]*'))
+                       / greatest(len({_WORDS}), 1), 6) AS x4,
+                 CASE WHEN len({_WORDS}) >= 56 THEN 1.0 ELSE 0.0 END AS y,
+                 CAST(len({_WORDS}) AS INTEGER) AS n_words,
+                 length(lower(text))
+                   - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS wchars
+          FROM documents
+    """
+
+    def _sig(w: str) -> str:
+        return (
+            f"1.0 / (1.0 + exp(-((((({w}.b + {w}.w0 * x0) + {w}.w1 * x1)"
+            f" + {w}.w2 * x2) + {w}.w3 * x3) + {w}.w4 * x4)))"
+        )
+
+    def _grads(src: str, p: str) -> str:
+        return (
+            f"SELECT avg(({p} - y) * x0) AS g0, avg(({p} - y) * x1) AS g1, "
+            f"avg(({p} - y) * x2) AS g2, avg(({p} - y) * x3) AS g3, "
+            f"avg(({p} - y) * x4) AS g4, avg({p} - y) AS gb FROM {src}"
+        )
+
+    out["trainer_suite"] = f"""
+        WITH feats AS ({_feats}),
+        g1 AS ({_grads("feats", "0.5")}),
+        w1 AS (SELECT -g0 AS w0, -g1 AS w1, -g2 AS w2, -g3 AS w3,
+                      -g4 AS w4, -gb AS b FROM g1),
+        p2 AS (SELECT f.*, {_sig("w")} AS p FROM feats f CROSS JOIN w1 w),
+        g2 AS ({_grads("p2", "p")}),
+        w2 AS (SELECT w.w0 - g.g0 AS w0, w.w1 - g.g1 AS w1, w.w2 - g.g2 AS w2,
+                      w.w3 - g.g3 AS w3, w.w4 - g.g4 AS w4, w.b - g.gb AS b
+               FROM w1 w CROSS JOIN g2 g),
+        p3 AS (SELECT f.*, {_sig("w")} AS p FROM feats f CROSS JOIN w2 w),
+        g3 AS ({_grads("p3", "p")}),
+        w3 AS (SELECT w.w0 - g.g0 AS w0, w.w1 - g.g1 AS w1, w.w2 - g.g2 AS w2,
+                      w.w3 - g.g3 AS w3, w.w4 - g.g4 AS w4, w.b - g.gb AS b
+               FROM w2 w CROSS JOIN g3 g)
+        SELECT f.doc_id,
+               x0, x1, x2, x3, x4,
+               CAST(y AS BOOLEAN) AS y,
+               round({_sig("w")}, 6) AS q_score,
+               n_words,
+               CAST(wchars + 4 * n_words AS BIGINT) AS bpe_chars,
+               TRUE AS bpe_ok
+        FROM feats f CROSS JOIN w3 w
+    """
+    # Per-dimension moments of the embedding column — the covariance
+    # aggregate (functions/embed.py) is pure SQL: E[x_j], E[x_j^2] -
+    # E[x_j]^2, E[x_0 x_j] - E[x_0]E[x_j] over the same float32 inputs.
+    out["pca_covariance"] = """
+        WITH e AS (
+          SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        x AS (
+          SELECT d.d AS dim, CAST(v[d.d + 1] AS DOUBLE) AS xj,
+                 CAST(v[1] AS DOUBLE) AS x0
+          FROM e CROSS JOIN (SELECT unnest(range(0, 64)) AS d) d
+        )
+        SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+               round(avg(xj), 6) AS mean,
+               round(avg(xj * xj) - avg(xj) * avg(xj), 6) AS variance,
+               round(avg(x0 * xj) - avg(x0) * avg(xj), 6) AS cov0
+        FROM x GROUP BY dim
+    """
+    # The three URL templates' canonical forms and registered domains,
+    # stated analytically (ground truth, not a parallel regexp dialect).
+    out["web_domains"] = """
+        WITH u AS (
+          SELECT CASE WHEN doc_id % 3 = 0 THEN lower(source) || '.co.uk'
+                      WHEN doc_id % 3 = 1 THEN 'example.com'
+                      ELSE lower(source) || '.net' END AS domain,
+                 CASE WHEN doc_id % 3 = 0
+                        THEN 'https://news.' || lower(source) || '.co.uk/a/'
+                             || CAST(doc_id AS VARCHAR)
+                      WHEN doc_id % 3 = 1
+                        THEN 'http://' || lower(source) || '.example.com/p?q='
+                             || CAST(doc_id % 7 AS VARCHAR)
+                      ELSE 'https://cdn.static.' || lower(source) || '.net/x/'
+                           || CAST(doc_id AS VARCHAR) END AS curl
+          FROM documents
+        )
+        SELECT domain, count(*) AS n_docs, count(DISTINCT curl) AS n_urls,
+               round(1.0 - count(DISTINCT curl) / count(*), 6) AS dup_url_frac
+        FROM u GROUP BY domain
+    """
+    # Literal golden for the deterministic tabular fixtures (same
+    # pattern as ingest_rollup). No f-string: the JSON raw line keeps
+    # its braces.
+    out["rejects_channel"] = """
+        SELECT 'csv' AS kind, CAST(id AS BIGINT) AS id, name,
+               CAST(score AS DOUBLE) AS score,
+               CAST(NULL AS VARCHAR) AS tag, CAST(NULL AS VARCHAR) AS raw
+        FROM (VALUES (1, 'alpha', 0.5), (2, 'beta', 1.25),
+                     (5, 'zeta', 3.5), (7, 'theta', 5.0)) v(id, name, score)
+        UNION ALL
+        SELECT 'csv_reject', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), raw
+        FROM (VALUES ('oops,gamma,2.0'), ('3,delta'),
+                     ('4,epsilon,notanumber'), ('6,eta,4.25,EXTRA'),
+                     ('8,iota,notanum')) r(raw)
+        UNION ALL
+        SELECT 'jsonl', CAST(id AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), tag, CAST(NULL AS VARCHAR)
+        FROM (VALUES (1, 'a'), (2, 'b'), (4, 'd')) j(id, tag)
+        UNION ALL
+        SELECT 'jsonl_reject', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), raw
+        FROM (VALUES ('this is not json'),
+                     ('{"id": "x", "tag": "c"}')) jr(raw)
     """
     return out

@@ -41,7 +41,7 @@ BUDGET = {
     "patch_labels": 0,
     "users_validation": 0,  # broadcast join, no shuffle
     "part_scalars": 1,
-    "events_report": 3,
+    "events_report": 5,   # + heavy-hitters MG partials + exact recount
     "events_windows": 2,
     "doc_profile": 0,      # ONE scan, pure projection
     "corpus_cube": 1,      # CUBE = one expand + one shuffle
@@ -49,7 +49,7 @@ BUDGET = {
     "line_clean": 0,
     "doc_repetition": 2,
     "split_report": 5,
-    "chunk_shards": 2,
+    "chunk_shards": 3,     # + FFD pack bucket exchange
     "pii_redact": 0,
     "sample_suite": 1,     # only the per-group rank window shuffles
     "dedup_clusters": 1,   # driver-path CC: just the candidate pipeline
@@ -67,6 +67,14 @@ BUDGET = {
     "ann_methods": 7,
     "semantic_dedup": 6,
     "ann_recall": 6,
+    # round-5 trainer-family gates: training runs eagerly at gate
+    # construction (bounded model-scale collects); the returned scoring
+    # plans are scans with broadcast models
+    "lm_perplexity": 0,
+    "trainer_suite": 0,
+    "pca_covariance": 0,
+    "web_domains": 2,      # two-phase count_distinct
+    "rejects_channel": 0,
 }
 
 
