@@ -1,0 +1,243 @@
+"""Pure-Python bcrypt + API-key generation (F10).
+
+Closes the reference's auth surface (``models/User.scala:54-76``:
+``BCrypt.hashpw`` / ``BCrypt.checkpw`` / ``BCrypt.gensalt`` and the
+HmacSHA1-192 API-key generator) without any third-party crypto
+dependency. Everything here is from the public spec:
+
+* bcrypt per Provos & Mazières, *A Future-Adaptable Password Scheme*
+  (USENIX ATC 1999): EksBlowfish key setup (salted expand, then
+  2^cost alternating key/salt expansions) and 64 ECB encryptions of
+  the 192-bit magic ``OrpheanBeholderScryDoubt``, serialized with
+  bcrypt's ``./A-Za-z0-9`` radix-64 alphabet.
+* Blowfish per Schneier (FSE 1993). The P-array / S-box initial
+  values are the fractional hexadecimal digits of pi — *computed* at
+  import with Machin's formula over big integers rather than
+  transcribed, so there is no 1042-constant table to get wrong.
+
+Verified in tests/test_crypto.py against the classic Blowfish vectors
+(all-zero and all-one key/plaintext) and the OpenBSD/John-the-Ripper
+bcrypt vectors ("" @ $2a$06, "U*U" and "U*U*" @ $2a$05) — i.e. output
+is byte-for-byte interoperable with C bcrypt implementations.
+
+Scale note: hashing is driver-side, per-CRUD-call work (one hash per
+user mutation), never a bulk-path operator — the cost parameter, not
+Spark, bounds it. Pure Python sustains ~2 hashes/s at cost 6; pick
+cost ≥ 10 (reference default) where a production SLA allows, or wire
+a native provider through the same two functions.
+"""
+
+from __future__ import annotations
+
+import hmac as _hmac
+import os
+
+_M = 0xFFFFFFFF
+_N_WORDS = 18 + 4 * 256  # P-array + four S-boxes
+
+
+def _pi_fractional_hex_words(n_words: int) -> list[int]:
+    """First ``n_words`` 32-bit words of pi's fractional hex expansion
+    (0x243F6A88, 0x85A308D3, ...), via Machin's formula
+    pi = 16·atan(1/5) − 4·atan(1/239) in fixed-point big-int
+    arithmetic with 128 guard bits (the series floor-divisions lose
+    <1 bit per term; ~15k terms ≪ 2^128)."""
+    bits = 32 * n_words + 128
+    scale = 1 << bits
+
+    def atan_inv(x: int) -> int:
+        total = 0
+        p = scale // x
+        xsq = x * x
+        k = 0
+        while p:
+            t = p // (2 * k + 1)
+            total += t if k % 2 == 0 else -t
+            p //= xsq
+            k += 1
+        return total
+
+    frac = 16 * atan_inv(5) - 4 * atan_inv(239) - 3 * scale
+    if not 0 < frac < scale:  # pragma: no cover - arithmetic invariant
+        raise AssertionError("pi computation out of range")
+    return [(frac >> (bits - 32 * (i + 1))) & _M for i in range(n_words)]
+
+
+_WORDS = _pi_fractional_hex_words(_N_WORDS)
+
+
+def _init_state() -> tuple[list[int], list[list[int]]]:
+    return (
+        list(_WORDS[:18]),
+        [list(_WORDS[18 + 256 * i : 18 + 256 * (i + 1)]) for i in range(4)],
+    )
+
+
+def _encrypt(P, S0, S1, S2, S3, l: int, r: int) -> tuple[int, int]:
+    """One 16-round Blowfish block encryption;
+    F(x) = ((S0[a]+S1[b] mod 2^32) xor S2[c]) + S3[d] mod 2^32."""
+    for i in range(0, 16, 2):
+        l ^= P[i]
+        r ^= ((((S0[l >> 24] + S1[(l >> 16) & 0xFF]) & _M) ^ S2[(l >> 8) & 0xFF]) + S3[l & 0xFF]) & _M
+        r ^= P[i + 1]
+        l ^= ((((S0[r >> 24] + S1[(r >> 16) & 0xFF]) & _M) ^ S2[(r >> 8) & 0xFF]) + S3[r & 0xFF]) & _M
+    return r ^ P[17], l ^ P[16]
+
+
+def _key_words(key: bytes, n: int) -> list[int]:
+    out = []
+    j = 0
+    L = len(key)
+    for _ in range(n):
+        w = 0
+        for _ in range(4):
+            w = ((w << 8) | key[j]) & _M
+            j = (j + 1) % L
+        out.append(w)
+    return out
+
+
+def _expand_state(P, S, key: bytes, salt_words: list[int] | None = None) -> None:
+    """Blowfish key schedule. With ``salt_words`` (bcrypt's salted
+    expand) each chaining block is XORed with the next two words of
+    the cyclic 128-bit salt stream before encryption."""
+    S0, S1, S2, S3 = S
+    for i, w in enumerate(_key_words(key, 18)):
+        P[i] ^= w
+    l = r = 0
+    if salt_words is None:
+        for i in range(0, 18, 2):
+            l, r = _encrypt(P, S0, S1, S2, S3, l, r)
+            P[i], P[i + 1] = l, r
+        for box in S:
+            for i in range(0, 256, 2):
+                l, r = _encrypt(P, S0, S1, S2, S3, l, r)
+                box[i], box[i + 1] = l, r
+    else:
+        sw = salt_words
+        di = 0
+        for i in range(0, 18, 2):
+            l ^= sw[di & 3]
+            r ^= sw[(di + 1) & 3]
+            di += 2
+            l, r = _encrypt(P, S0, S1, S2, S3, l, r)
+            P[i], P[i + 1] = l, r
+        for box in S:
+            for i in range(0, 256, 2):
+                l ^= sw[di & 3]
+                r ^= sw[(di + 1) & 3]
+                di += 2
+                l, r = _encrypt(P, S0, S1, S2, S3, l, r)
+                box[i], box[i + 1] = l, r
+
+
+def blowfish_encrypt_block(key: bytes, block8: bytes) -> bytes:
+    """Plain (unsalted-schedule) Blowfish ECB of one 8-byte block —
+    exposed for the published-test-vector checks."""
+    P, S = _init_state()
+    _expand_state(P, S, key)
+    l, r = _encrypt(P, *S, int.from_bytes(block8[:4], "big"), int.from_bytes(block8[4:], "big"))
+    return l.to_bytes(4, "big") + r.to_bytes(4, "big")
+
+
+# -- bcrypt proper ---------------------------------------------------------
+
+_B64 = "./ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+_B64_IDX = {c: i for i, c in enumerate(_B64)}
+_MAGIC = b"OrpheanBeholderScryDoubt"
+MIN_COST, MAX_COST, DEFAULT_COST = 4, 31, 10
+
+
+def _b64_encode(data: bytes) -> str:
+    """bcrypt's radix-64 (no padding, ``./A-Za-z0-9`` alphabet)."""
+    out = []
+    acc = 0
+    bits = 0
+    for b in data:
+        acc = (acc << 8) | b
+        bits += 8
+        while bits >= 6:
+            bits -= 6
+            out.append(_B64[(acc >> bits) & 0x3F])
+    if bits:
+        out.append(_B64[(acc << (6 - bits)) & 0x3F])
+    return "".join(out)
+
+
+def _b64_decode(s: str, n_bytes: int) -> bytes:
+    acc = 0
+    bits = 0
+    out = bytearray()
+    for ch in s:
+        acc = (acc << 6) | _B64_IDX[ch]
+        bits += 6
+        if bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+        if len(out) >= n_bytes:
+            break
+    return bytes(out[:n_bytes])
+
+
+def bcrypt_gensalt(cost: int = DEFAULT_COST, *, version: str = "2b") -> str:
+    """``$2b$NN$<22-char salt>`` from 16 bytes of OS randomness —
+    BCrypt.gensalt analog (models/User.scala:76)."""
+    if not MIN_COST <= cost <= MAX_COST:
+        raise ValueError(f"bcrypt cost must be in [{MIN_COST}, {MAX_COST}], got {cost}")
+    if version not in ("2a", "2b"):
+        raise ValueError(f"unsupported bcrypt version {version!r}")
+    return f"${version}${cost:02d}${_b64_encode(os.urandom(16))[:22]}"
+
+
+def _eks_hash(password: bytes, salt16: bytes, cost: int) -> bytes:
+    # 2a/2b key: password truncated to 72 bytes, then NUL-terminated;
+    # the cyclic key stream includes the terminator.
+    key = password[:72] + b"\x00"
+    sw = [int.from_bytes(salt16[i : i + 4], "big") for i in range(0, 16, 4)]
+    P, S = _init_state()
+    _expand_state(P, S, key, sw)
+    for _ in range(1 << cost):
+        _expand_state(P, S, key)
+        _expand_state(P, S, salt16)
+    words = [int.from_bytes(_MAGIC[i : i + 4], "big") for i in range(0, 24, 4)]
+    for _ in range(64):
+        for b in range(0, 6, 2):
+            words[b], words[b + 1] = _encrypt(P, *S, words[b], words[b + 1])
+    # C implementations emit only 23 of the 24 ciphertext bytes.
+    return b"".join(w.to_bytes(4, "big") for w in words)[:23]
+
+
+def bcrypt_hashpw(password: str | bytes, salt: str) -> str:
+    """BCrypt.hashpw analog: hash ``password`` under a ``$2b$NN$...``
+    salt string (as produced by :func:`bcrypt_gensalt`, or a full
+    prior hash — extra characters past the 22-char salt are ignored,
+    matching C bcrypt)."""
+    parts = salt.split("$")
+    if len(parts) < 4 or parts[1] not in ("2a", "2b") or len(parts[3]) < 22:
+        raise ValueError("malformed bcrypt salt")
+    version, cost = parts[1], int(parts[2])
+    if not MIN_COST <= cost <= MAX_COST:
+        raise ValueError(f"bcrypt cost must be in [{MIN_COST}, {MAX_COST}], got {cost}")
+    pw = password.encode() if isinstance(password, str) else password
+    salt16 = _b64_decode(parts[3][:22], 16)
+    ct = _eks_hash(pw, salt16, cost)
+    return f"${version}${cost:02d}${_b64_encode(salt16)[:22]}{_b64_encode(ct)[:31]}"
+
+
+def bcrypt_checkpw(password: str | bytes, hashed: str) -> bool:
+    """BCrypt.checkpw analog (models/User.scala:54): recompute under
+    the stored salt/cost and compare constant-time."""
+    try:
+        candidate = bcrypt_hashpw(password, hashed)
+    except (ValueError, KeyError):
+        return False
+    return _hmac.compare_digest(candidate.encode(), hashed.encode())
+
+
+def generate_api_key() -> str:
+    """HmacSHA1-192 API-key generator analog (models/User.scala:66-71):
+    the JCA KeyGenerator's encoded key is 24 random bytes; the
+    reference emits them as standard base64."""
+    import base64
+
+    return base64.b64encode(os.urandom(24)).decode()

@@ -14,22 +14,25 @@ projection + table-verb call, and every validator exists twice:
 * expression-side (``Column`` rlike) for bulk validation of a whole
   dimension in one distributed pass — something the reference can't do.
 
-bcrypt (F10) is out of analytical scope (SURVEY §2.8): hash_password
-is a clearly-marked deterministic sha256 stand-in so password patches
-remain testable without the bcrypt dependency.
+bcrypt (F10) is real: ``hash_password`` / ``check_password`` wrap the
+pure-Python, test-vector-verified bcrypt in functions/crypto.py (the
+reference's BCrypt.hashpw/checkpw, models/User.scala:54-76). Hashing
+happens driver-side per CRUD call — never on the bulk path — so the
+cost parameter, not Spark, bounds the work; the CRUD default here is
+cost 4 (pure-Python throughput), production raises it (the reference
+default is 10) or swaps a native provider through the same functions.
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
-import uuid
 from dataclasses import dataclass, replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as TY
 
+from sentinel_spark.functions import crypto
 from sentinel_spark.operators.maintenance import PatchError, PatchOp
 from sentinel_spark.sources.store import ParquetTable
 
@@ -124,15 +127,26 @@ def valid_email(col: Column | str) -> Column:
     return c.rlike(EMAIL_RE)
 
 
-def hash_password(password: str) -> str:
-    """STUB for bcrypt (models/User.scala:96): deterministic salted
-    sha256 so password patches are testable; NOT a secure KDF."""
-    return "sha256$" + hashlib.sha256(b"sentinel-spark$" + password.encode()).hexdigest()
+BCRYPT_COST = 4  # CRUD-path default; see module docstring.
+
+
+def hash_password(password: str, *, cost: int = BCRYPT_COST) -> str:
+    """bcrypt (models/User.scala:76): random 128-bit salt, EksBlowfish
+    at 2^cost rounds, $2b$ serialization — interoperable with C bcrypt
+    (vector-verified in tests/test_crypto.py)."""
+    return crypto.bcrypt_hashpw(password, crypto.bcrypt_gensalt(cost))
+
+
+def check_password(password: str, hashed: str) -> bool:
+    """BCrypt.checkpw (models/User.scala:54): recompute under the
+    stored salt/cost, constant-time compare."""
+    return crypto.bcrypt_checkpw(password, hashed)
 
 
 def generate_api_key() -> str:
-    """Stand-in for the HMAC-SHA1 key generator (models/User.scala:84-90)."""
-    return uuid.uuid4().hex
+    """HMAC-SHA1 key generator (models/User.scala:84-90): 24 random
+    bytes, standard base64 — same shape the JCA KeyGenerator emits."""
+    return crypto.generate_api_key()
 
 
 # -- patch functions (UsersAdapter.scala:118-133) --------------------------

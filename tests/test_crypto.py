@@ -1,0 +1,111 @@
+"""functions/crypto.py: pure-Python bcrypt against published vectors.
+
+The Blowfish vectors are Schneier's canonical ECB pairs; the bcrypt
+vectors are from the OpenBSD regression suite (also shipped by
+John the Ripper and py-bcrypt) — passing them means the output is
+byte-for-byte interoperable with C bcrypt.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sentinel_spark.functions import crypto
+from sentinel_spark.functions.crypto import (
+    _pi_fractional_hex_words,
+    bcrypt_checkpw,
+    bcrypt_gensalt,
+    bcrypt_hashpw,
+    blowfish_encrypt_block,
+    generate_api_key,
+)
+
+
+def test_pi_words_match_known_prefix():
+    # First Blowfish P-array entries — pi's fractional hex digits.
+    w = _pi_fractional_hex_words(4)
+    assert w == [0x243F6A88, 0x85A308D3, 0x13198A2E, 0x03707344]
+
+
+def test_blowfish_published_vectors():
+    assert blowfish_encrypt_block(b"\x00" * 8, b"\x00" * 8).hex().upper() == "4EF997456198DD78"
+    assert blowfish_encrypt_block(b"\xff" * 8, b"\xff" * 8).hex().upper() == "51866FD5B85ECB8A"
+
+
+@pytest.mark.parametrize(
+    "password,salt,expected",
+    [
+        (
+            "",
+            "$2a$06$DCq7YPn5Rq63x1Lad4cll.",
+            "$2a$06$DCq7YPn5Rq63x1Lad4cll.TV4S6ytwfsfvkgY8jIucDrjc8deX1s.",
+        ),
+        (
+            "U*U",
+            "$2a$05$CCCCCCCCCCCCCCCCCCCCC.",
+            "$2a$05$CCCCCCCCCCCCCCCCCCCCC.E5YPO9kmyuRGyh0XouQYb4YMJKvyOeW",
+        ),
+        (
+            "U*U*",
+            "$2a$05$CCCCCCCCCCCCCCCCCCCCC.",
+            "$2a$05$CCCCCCCCCCCCCCCCCCCCC.VGOzA784oUp/Z0DY336zx7pLYAy0lwK",
+        ),
+    ],
+)
+def test_bcrypt_openbsd_vectors(password, salt, expected):
+    assert bcrypt_hashpw(password, salt) == expected
+
+
+def test_bcrypt_roundtrip_and_reject():
+    h = bcrypt_hashpw("Sup3rSecret", bcrypt_gensalt(4))
+    assert h.startswith("$2b$04$") and len(h) == 60
+    assert bcrypt_checkpw("Sup3rSecret", h)
+    assert not bcrypt_checkpw("sup3rsecret", h)
+    assert not bcrypt_checkpw("Sup3rSecret", h[:-4] + "AAAA")
+    assert not bcrypt_checkpw("anything", "not-a-bcrypt-hash")
+
+
+def test_bcrypt_salt_uniqueness_and_full_hash_as_salt():
+    h1 = bcrypt_hashpw("same", bcrypt_gensalt(4))
+    h2 = bcrypt_hashpw("same", bcrypt_gensalt(4))
+    assert h1 != h2  # random salts
+    # Passing a full prior hash as the salt must reproduce it (the
+    # classic checkpw idiom).
+    assert bcrypt_hashpw("same", h1) == h1
+
+
+def test_bcrypt_parameter_validation():
+    with pytest.raises(ValueError):
+        bcrypt_gensalt(3)
+    with pytest.raises(ValueError):
+        bcrypt_gensalt(32)
+    with pytest.raises(ValueError):
+        bcrypt_hashpw("x", "$2z$06$DCq7YPn5Rq63x1Lad4cll.")
+    with pytest.raises(ValueError):
+        bcrypt_hashpw("x", "$2b$99$DCq7YPn5Rq63x1Lad4cll.")
+
+
+def test_bcrypt_72_byte_truncation():
+    # 2a/2b truncate at 72 key bytes: differences past that are invisible.
+    base = "x" * 72
+    salt = bcrypt_gensalt(4)
+    assert bcrypt_hashpw(base + "AAA", salt) == bcrypt_hashpw(base + "BBB", salt)
+    # ...but byte 72 itself still matters.
+    assert bcrypt_hashpw("x" * 71 + "A", salt) != bcrypt_hashpw("x" * 71 + "B", salt)
+
+
+def test_api_key_shape():
+    k1, k2 = generate_api_key(), generate_api_key()
+    assert k1 != k2
+    import base64
+
+    assert len(base64.b64decode(k1)) == 24  # HmacSHA1-192 encoded key
+
+
+def test_users_integration():
+    from sentinel_spark.operators.users import check_password, hash_password
+
+    h = hash_password("Pass123")
+    assert h.startswith("$2b$04$")
+    assert check_password("Pass123", h)
+    assert not check_password("Pass124", h)

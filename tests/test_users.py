@@ -13,6 +13,7 @@ from sentinel_spark.operators.users import (
     UsersStore,
     apply_user_patches,
     email_messages,
+    check_password,
     hash_password,
     id_messages,
     password_messages,
@@ -98,7 +99,8 @@ def test_patch_password_validated_and_rehashed(store):
         ADMIN, "avg", [PatchOp("replace", "/password", "NewPass99")]
     )
     assert patched.hashedPassword != old
-    assert patched.hashedPassword == hash_password("NewPass99")
+    assert check_password("NewPass99", patched.hashedPassword)
+    assert not check_password("Pass123", patched.hashedPassword)
     for bad in ("short", "alllowercase1", "NOUPPER"):
         with pytest.raises(PatchError):
             store.patch_and_update_user(ADMIN, "avg", [PatchOp("replace", "/password", bad)])
@@ -148,5 +150,5 @@ def test_bulk_expression_validators_and_patch(spark):
         [PatchOp("replace", "/verified", True), PatchOp("replace", "/password", "Xyz987")],
     )
     rows = {r.id: r for r in patched.collect()}
-    assert rows["avg"].verified and rows["avg"].hashedPassword == hash_password("Xyz987")
+    assert rows["avg"].verified and check_password("Xyz987", rows["avg"].hashedPassword)
     assert not rows["third"].verified and rows["third"].hashedPassword == ""
