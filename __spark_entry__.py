@@ -1351,7 +1351,20 @@ def near_dup_union(d):
     by :func:`q_near_dup_pairs` and the bench warmup, which runs this
     exact plan shape on a 3-row frame so the union's one-time codegen
     (~4.4 s measured at any data size) is charged to warmup, not to
-    whichever cold run happens first."""
+    whichever cold run happens first.
+
+    Branch sharing, measured (r5): injecting one persisted
+    shingle_count_rows frame into minhash + both ngram branches was
+    tried and REVERTED — the cached frame's id-partitioning does not
+    serve the downstream groupBys (InMemoryRelation partitioning is
+    not reused), so the union gained 8 hash exchanges and ran ~10%
+    slower at sf0.1 than recomputing per branch (9.6/5.4 vs 9.0/5.3
+    cold/warm). The two identical ngram frames already share one cache
+    entry via Spark's cache-plan matching, and at 100 TB a
+    corpus-sized persisted shingle frame is memory-infeasible anyway —
+    recompute-per-branch is the scale answer too. The injection API
+    (shingles= / shingle_counts=) remains for callers whose consumers
+    don't need the lost partitioning."""
     from sentinel_spark.cache import with_release
 
     cand = D.minhash_candidate_pairs(
@@ -1371,32 +1384,42 @@ def near_dup_union(d):
         "id_b",
         F.col("jaccard").alias("score"),
     )
-    ng = D.ngram_jaccard_pairs(
+    # Raw operator outputs carry the _sentinel_cached handles; the
+    # .select() projections below return fresh DataFrames WITHOUT the
+    # attribute, so harvest the handles from the raw frames (r4's gate
+    # read only cand's and leaked the ngram/simhash caches every run).
+    ng_raw = D.ngram_jaccard_pairs(
         d, "text", "doc_id", shingle_n=3, min_jaccard=0.5
-    ).select(
+    )
+    ng = ng_raw.select(
         F.lit("ngram").alias("method"),
         "id_a",
         "id_b",
         F.col("jaccard").alias("score"),
     )
-    zp = D.ngram_jaccard_pairs(
+    zp_raw = D.ngram_jaccard_pairs(
         d, "text", "doc_id", shingle_n=3, min_jaccard=0.5, max_df=50
-    ).select(
+    )
+    zp = zp_raw.select(
         F.lit("ngram_zipf").alias("method"),
         "id_a",
         "id_b",
         F.col("jaccard").alias("score"),
     )
-    sh = D.simhash_hamming_pairs(
+    sh_raw = D.simhash_hamming_pairs(
         d, "text", "doc_id", shingle_n=2, num_bands=8, max_hamming=8
-    ).select(
+    )
+    sh = sh_raw.select(
         F.lit("simhash").alias("method"),
         "id_a",
         "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
     out = mh.unionByName(ver).unionByName(ng).unionByName(zp).unionByName(sh)
-    return with_release(out, getattr(cand, "_sentinel_cached", []))
+    cached = list(getattr(cand, "_sentinel_cached", []))
+    for raw in (ng_raw, zp_raw, sh_raw):
+        cached += getattr(raw, "_sentinel_cached", [])
+    return with_release(out, cached)
 
 
 def q_near_dup_pairs(spark, sf_dir):
@@ -1439,7 +1462,10 @@ def q_cosine_norms(spark, sf_dir):
     """Embedding plumbing ∪ exact cosine pair mining: per-vector L2
     norms (full corpus) and the exact near-dup pairs on the bounded
     baseline range, tagged by ``kind``."""
-    pairs = q_cosine_near_dup(spark, sf_dir).select(
+    from sentinel_spark.cache import carry
+
+    raw_pairs = q_cosine_near_dup(spark, sf_dir)
+    pairs = raw_pairs.select(
         F.lit("pair").alias("kind"),
         "id_a",
         "id_b",
@@ -1453,7 +1479,9 @@ def q_cosine_norms(spark, sf_dir):
         F.col("l2").alias("score"),
         "label",
     )
-    return pairs.unionByName(norms)
+    # carry the cosine operator's persisted-assignment handle past the
+    # tagging select (leaked before round 5)
+    return carry(pairs.unionByName(norms), raw_pairs)
 
 
 def q_ann_methods(spark, sf_dir):
@@ -1462,6 +1490,8 @@ def q_ann_methods(spark, sf_dir):
     with multiprobe, IVF cell-restricted probing, and the two-stage
     int8-quantized scan. One union — each branch keeps its own
     (broadcast queries → scan → per-query top-k) plan."""
+    from sentinel_spark.cache import carry
+
     e = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
     branches = [
@@ -1476,7 +1506,10 @@ def q_ann_methods(spark, sf_dir):
             F.lit(m).alias("method"), "q_id", "c_id", "sim", "rank"
         )
         out = tagged if out is None else out.unionByName(tagged)
-    return out
+    # the tagging selects drop each branch's persisted-frame handles —
+    # carry them so the caller's release() reaches the lsh/ivf/
+    # quantized intermediates (leaked before round 5).
+    return carry(out, *[df for _, df in branches])
 
 
 def q_semantic_dedup_cells(spark, sf_dir):
@@ -1505,7 +1538,9 @@ def q_semantic_dedup_cells(spark, sf_dir):
             F.aggregate("c_vec", F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("c_sum"),
     )
-    return sd.join(F.broadcast(stats), "cell").select(
+    from sentinel_spark.cache import carry
+
+    out = sd.join(F.broadcast(stats), "cell").select(
         "vec_id",
         "cell",
         "cluster_id",
@@ -1514,6 +1549,9 @@ def q_semantic_dedup_cells(spark, sf_dir):
         "c_norm",
         "c_sum",
     )
+    # carry semantic_dedup's persisted-assignment handle past the
+    # join/select (leaked before round 5)
+    return carry(out, sd)
 
 
 # --------------------------------------------------------------------------

@@ -35,6 +35,20 @@ def with_release(out: DataFrame, cached: list[DataFrame]) -> DataFrame:
     return out
 
 
+def carry(out: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Copy the cached-intermediate handles of ``sources`` onto ``out``.
+
+    Needed because ``_sentinel_cached`` rides as a Python attribute:
+    any DataFrame method (``select``, ``join``, ``unionByName``...)
+    returns a NEW object without it, so a gate that projects an
+    operator's output and releases only the projection silently leaks
+    the operator's persisted intermediates. Call ``carry(projected,
+    raw_operator_output)`` to keep the chain intact."""
+    for src in sources:
+        out = with_release(out, getattr(src, _ATTR, []))
+    return out
+
+
 def release(df: DataFrame) -> None:
     """Unpersist every intermediate recorded on ``df`` (no-op if none)."""
     for cached in getattr(df, _ATTR, []):

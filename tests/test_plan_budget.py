@@ -49,7 +49,11 @@ BUDGET = {
     "line_clean": 0,
     "doc_repetition": 2,
     "split_report": 5,
-    "chunk_shards": 3,     # + FFD pack bucket exchange
+    "chunk_shards": 4,     # + FFD pack bucket exchange + the bucket-
+                           # totals window's constant-key exchange (a
+                           # single-partition move of the tiny totals
+                           # frame; keyed so the WindowExec WARN about
+                           # an empty partition spec never fires)
     "pii_redact": 0,
     "sample_suite": 1,     # only the per-group rank window shuffles
     "dedup_clusters": 1,   # driver-path CC: just the candidate pipeline

@@ -43,3 +43,18 @@ def test_gate_schema_is_scalar(spark, name):
     from sentinel_spark.cache import release
 
     release(df)
+    # Persist-leak tripwire: persist() registers in the CacheManager at
+    # DataFrame construction, so after release() the session cache must
+    # be empty — a gate that projects an operator's output without
+    # carry()ing its _sentinel_cached handles leaks its persisted
+    # intermediates on every run (pre-r5: near_dup_pairs, ann_methods,
+    # cosine_norms, semantic_dedup all did).
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    leaked = not cm.isEmpty()
+    if leaked:
+        spark.catalog.clearCache()  # isolate the failure to this gate
+    assert not leaked, (
+        f"{name}: persisted frames survive release() — harvest the "
+        "operator's _sentinel_cached handles (sentinel_spark.cache.carry) "
+        "before projecting its output"
+    )
