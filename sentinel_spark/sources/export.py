@@ -1,0 +1,152 @@
+"""Training-shard export sink: the last stage of the corpus pipeline.
+
+After dedup/filter/decontam/pack, a training corpus ships as N shards
+of roughly equal token budget, each a self-contained file a data
+loader can stream independently. This module writes that layout with
+Spark's own writers — no driver-side file handling — and returns a
+per-shard manifest (the loader-facing index).
+
+Two shard-assignment semantics, reusing the chunking operators:
+
+* ``concat`` (:func:`sentinel_spark.functions.chunking.token_offsets`)
+  — documents laid end-to-end in a deterministic order, shard
+  boundaries every ``shard_tokens``; a document belongs to the shard
+  its first token lands in, so shard totals may overshoot by at most
+  one document (GPT-style concatenation packing tolerates this).
+* ``pack`` (:func:`sentinel_spark.functions.chunking.pack_sequences`)
+  — first-fit-decreasing bin packing; every shard's total is ≤
+  ``shard_tokens`` (hard capacity), oversized documents flagged into
+  singleton shards. Pack ids are re-keyed to dense shard ids.
+
+Distributed shape: assignment is the chunking operator's plan (one
+bucketed prefix-sum or one bucket-hash ``applyInPandas``), then ONE
+``repartition(shard_id)`` so a shard's rows land in exactly one task,
+then a ``partitionBy(shard_id)`` writer — each shard directory gets
+exactly one data file, written sorted by the order column. The
+manifest is a per-shard aggregate of the same assigned frame. At
+cluster scale every stage is shard-parallel; nothing funnels through
+the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from sentinel_spark.functions.chunking import pack_sequences, token_offsets
+
+
+@dataclass(frozen=True)
+class ExportResult:
+    """Paths + loader-facing index of one export run."""
+
+    out_dir: str
+    manifest: DataFrame  # shard_id, n_docs, n_tokens, min/max order key
+
+
+def assign_shards(
+    df: DataFrame,
+    *,
+    token_col: str,
+    order_col: str,
+    shard_tokens: int,
+    mode: str = "concat",
+) -> DataFrame:
+    """Input frame + ``shard_id`` (long) under the chosen semantics.
+    Exposed separately so the assignment is testable/benchable without
+    I/O and reusable for non-file sinks."""
+    if mode == "concat":
+        out = token_offsets(
+            df, token_col, order_col, shard_tokens=shard_tokens
+        )
+        return out.drop("token_offset", "n_shards")
+    if mode == "pack":
+        packed = pack_sequences(df, token_col, order_col, shard_tokens)
+        # Dense re-key: pack ids are opaque "bucket#local" strings;
+        # loaders want contiguous numeric shard ids. A pack is tiny
+        # (≤ shard_tokens), so the distinct-pack frame is corpus-size /
+        # avg-pack-size — the dense_rank shuffles only that reduced
+        # key set, not the documents.
+        keyed = packed.select(order_col, "pack_id")
+        dense = (
+            keyed.select("pack_id")
+            .distinct()
+            .select(
+                "pack_id",
+                (
+                    F.row_number().over(
+                        # single-partition rank over the REDUCED pack-id
+                        # set (column-derived constant key, same idiom
+                        # as chunking.token_offsets' totals window)
+                        Window.partitionBy(
+                            F.pmod(F.xxhash64("pack_id"), F.lit(1))
+                        ).orderBy("pack_id")
+                    )
+                    - 1
+                ).cast("long").alias("shard_id"),
+            )
+        )
+        return (
+            df.join(keyed, order_col)
+            .join(F.broadcast(dense), "pack_id")
+            .drop("pack_id")
+        )
+    raise ValueError(f"unknown export mode {mode!r} (use 'concat' or 'pack')")
+
+
+def export_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    token_col: str,
+    order_col: str,
+    shard_tokens: int = 1 << 22,
+    mode: str = "concat",
+    file_format: str = "json",
+    compression: str | None = None,
+) -> ExportResult:
+    """Write ``df`` as token-budgeted training shards under
+    ``out_dir`` (``shard_id=N/`` directories, one data file each,
+    rows sorted by ``order_col``), plus a ``_manifest`` directory with
+    one row per shard. ``file_format`` is any Spark batch writer
+    (``json`` → JSON Lines, the interchange default; ``parquet`` for
+    typed reload). Deterministic end to end: same input → same shard
+    membership, same in-file order.
+    """
+    assigned = assign_shards(
+        df,
+        token_col=token_col,
+        order_col=order_col,
+        shard_tokens=shard_tokens,
+        mode=mode,
+    )
+    # One task per shard: hash-repartition on shard_id, then the
+    # partitionBy writer splits a task's output per directory — a
+    # shard's rows live in exactly one task, so each directory gets
+    # exactly one data file. (At petabyte scale raise the parallelism
+    # by also keying on a within-shard split column if single-file
+    # shards are not required.)
+    writer = (
+        assigned.repartition("shard_id")
+        .sortWithinPartitions("shard_id", order_col)
+        .write.mode("error")
+        .partitionBy("shard_id")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.format(file_format).save(out_dir)
+
+    manifest = (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key"),
+        )
+        .orderBy("shard_id")
+    )
+    manifest.coalesce(1).write.mode("error").json(out_dir + "/_manifest")
+    return ExportResult(out_dir, manifest)

@@ -1,0 +1,111 @@
+"""sources/export.py: token-budgeted training-shard sink.
+
+Round-trip tests: write shards, re-read with Spark, and verify the
+loader-facing contract — every document present exactly once, shard
+token budgets respected per mode, one data file per shard directory,
+deterministic membership and in-file order, manifest totals matching
+the data.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.sources.export import assign_shards, export_training_shards
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"doc {i} " + "tok " * (i % 37), 2 + (i % 37)) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_tokens int")
+
+
+def test_concat_assignment_budget(spark, corpus):
+    out = assign_shards(
+        corpus, token_col="n_tokens", order_col="doc_id", shard_tokens=100, mode="concat"
+    )
+    rows = out.collect()
+    assert len(rows) == 200  # every doc, exactly once
+    # concat semantics: shard = floor(first-token offset / budget); a
+    # shard's docs are contiguous in doc_id order
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.doc_id)
+    ids_in_order = [r.doc_id for r in sorted(rows, key=lambda r: r.doc_id)]
+    shards_in_order = [r.shard_id for r in sorted(rows, key=lambda r: r.doc_id)]
+    assert shards_in_order == sorted(shards_in_order)  # monotone over the order key
+    # overshoot bound: total of a shard < budget + max doc length
+    max_len = max(r.n_tokens for r in rows)
+    for sid, ids in by_shard.items():
+        tot = sum(r.n_tokens for r in rows if r.shard_id == sid)
+        if sid != max(by_shard):  # last shard may be short
+            assert tot < 100 + max_len
+
+
+def test_pack_assignment_capacity(spark, corpus):
+    out = assign_shards(
+        corpus, token_col="n_tokens", order_col="doc_id", shard_tokens=100, mode="pack"
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    totals = {}
+    for r in rows:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tokens
+    assert all(t <= 100 for t in totals.values())  # hard capacity (no doc > 100 here)
+    # dense ids: 0..n-1
+    assert sorted(totals) == list(range(len(totals)))
+
+
+def test_export_roundtrip_jsonl(spark, corpus, tmp_path):
+    out_dir = str(tmp_path / "shards")
+    res = export_training_shards(
+        corpus,
+        out_dir,
+        token_col="n_tokens",
+        order_col="doc_id",
+        shard_tokens=400,
+        mode="concat",
+        file_format="json",
+    )
+    # one data file per shard directory
+    shard_dirs = sorted(glob.glob(os.path.join(out_dir, "shard_id=*")))
+    assert shard_dirs
+    for d in shard_dirs:
+        files = [f for f in glob.glob(d + "/*") if not f.endswith((".crc", "_SUCCESS"))]
+        assert len(files) == 1, d
+    # re-read: every doc once, with its shard
+    back = spark.read.json(out_dir)
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200
+    # manifest agrees with the data
+    man = {r.shard_id: (r.n_docs, r.n_tokens) for r in res.manifest.collect()}
+    got = {
+        r.shard_id: (r.n, r.t)
+        for r in back.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert man == got
+    man_back = spark.read.json(out_dir + "/_manifest")
+    assert man_back.count() == len(man)
+
+
+def test_export_deterministic(spark, corpus, tmp_path):
+    a = assign_shards(
+        corpus, token_col="n_tokens", order_col="doc_id", shard_tokens=150, mode="pack"
+    ).collect()
+    b = assign_shards(
+        corpus, token_col="n_tokens", order_col="doc_id", shard_tokens=150, mode="pack"
+    ).collect()
+    assert {(r.doc_id, r.shard_id) for r in a} == {(r.doc_id, r.shard_id) for r in b}
+
+
+def test_export_bad_mode(spark, corpus):
+    with pytest.raises(ValueError):
+        assign_shards(
+            corpus, token_col="n_tokens", order_col="doc_id", shard_tokens=10, mode="zip"
+        )
