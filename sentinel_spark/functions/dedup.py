@@ -309,6 +309,117 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """(band_key, id, sig) index rows for a corpus — the persistable
+    artifact that makes near-dup detection *incremental*: build it once
+    over the existing corpus (write through
+    :class:`sentinel_spark.sources.store.ParquetTable`, clustered on
+    ``band_key`` so index-side reads prune), then check each new batch
+    against it with :func:`incremental_candidate_pairs` — the corpus is
+    never re-shingled.
+
+    One row per (document, band); storage is num_bands keys +
+    num_hashes longs per document, independent of document length."""
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures(
+        df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
+    )
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[lsh_band_key(F.col("sig"), b, rows_per_band) for b in range(num_bands)]
+            )
+        ).alias("band_key"),
+    ).select("band_key", "id", "sig")
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    include_new_new: bool = True,
+) -> DataFrame:
+    """Near-duplicate candidates of a NEW batch against an existing
+    corpus *without touching the corpus text*: only the batch is
+    shingled; the corpus participates through its
+    :func:`minhash_band_index` rows. Output (id_new, id_old,
+    est_jaccard, source) where ``source`` is ``'index'`` for new↔old
+    pairs and ``'batch'`` for new↔new pairs (``include_new_new``
+    keeps intra-batch duplicates from slipping through the check —
+    the reference's intra-batch runId collision guard has the same
+    job, operators/ingest.py:183-195).
+
+    Scale shape: the new batch is typically ≪ the corpus, so its band
+    rows BROADCAST against the index — the index is only *scanned*
+    (and only the matching ``band_key`` ranges of it, when stored
+    clustered on band_key: the store's per-file min/max stats prune
+    the scan). No corpus-sized shuffle exists anywhere; batch-side
+    work is one shingle pipeline over the batch.
+    """
+    rows_per_band = num_hashes // num_bands
+    new_index = minhash_band_index(
+        new_docs, text_col, id_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+    ).persist()
+
+    match_frac = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+        / F.lit(float(num_hashes)),
+        6,
+    )
+
+    vs_index = (
+        index.alias("o")
+        .join(
+            F.broadcast(new_index.alias("n")),
+            F.col("n.band_key") == F.col("o.band_key"),
+        )
+        .filter(F.col("n.id") != F.col("o.id"))
+        .select(
+            F.col("n.id").alias("id_new"),
+            F.col("o.id").alias("id_old"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("o.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_new", "id_old"])
+        .select("id_new", "id_old", match_frac.alias("est_jaccard"),
+                F.lit("index").alias("source"))
+    )
+    out = vs_index
+    if include_new_new:
+        vs_batch = (
+            new_index.alias("a")
+            .join(new_index.alias("b"), "band_key")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_new"),
+                F.col("b.id").alias("id_old"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["id_new", "id_old"])
+            .select("id_new", "id_old", match_frac.alias("est_jaccard"),
+                    F.lit("batch").alias("source"))
+        )
+        out = out.unionByName(vs_batch)
+    return with_release(out, [new_index])
+
+
 def ngram_jaccard(shingles_a: Column, shingles_b: Column) -> Column:
     """Exact Jaccard over two shingle-set columns (per-pair Column
     form; bulk pairing uses :func:`ngram_jaccard_pairs`)."""

@@ -1,0 +1,106 @@
+"""Incremental near-dup: minhash_band_index + incremental_candidate_pairs.
+
+Contract: checking a new batch against a prebuilt index finds exactly
+the candidate pairs a full-corpus recompute would report between
+(new x old) and (new x new) — without re-shingling the corpus — and
+the index survives a ParquetTable write/read round trip.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import release
+from sentinel_spark.functions import dedup as D
+
+OLD_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "pack my box with five dozen liquor jugs right now"),
+    (3, "sphinx of black quartz judge my vow said the king"),
+]
+NEW_DOCS = [
+    # near-dup of old doc 1 (one word changed)
+    (10, "the quick brown fox jumps over the lazy cat tonight"),
+    # exact dup of old doc 2
+    (11, "pack my box with five dozen liquor jugs right now"),
+    # novel
+    (12, "completely unrelated sentence with distinct vocabulary terms"),
+    # intra-batch near-dup of 10
+    (13, "the quick brown fox jumps over the lazy cat today"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    old = spark.createDataFrame(OLD_DOCS, "doc_id long, text string")
+    new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    return old, new
+
+
+def _pairs(df):
+    return {(r.id_new, r.id_old, r.source) for r in df.collect()}
+
+
+def test_incremental_matches_full_recompute(spark, frames):
+    old, new = frames
+    index = D.minhash_band_index(old, "text", "doc_id")
+    inc = D.incremental_candidate_pairs(new, index, "text", "doc_id")
+    got = _pairs(inc)
+    release(inc)
+
+    # Full recompute over old+new, restricted to pairs involving a new doc.
+    full = D.minhash_candidate_pairs(
+        old.unionByName(new), "text", "doc_id"
+    )
+    new_ids = {r[0] for r in NEW_DOCS}
+    want = set()
+    for r in full.collect():
+        a, b = r.id_a, r.id_b
+        if a in new_ids and b in new_ids:
+            want.add((a, b, "batch"))
+        elif a in new_ids:
+            want.add((a, b, "index"))
+        elif b in new_ids:
+            want.add((b, a, "index"))
+    release(full)
+    assert got == want and got  # non-empty: 10-1, 11-2, 10-13 at least
+
+    # est_jaccard agrees with the full recompute for the exact dup
+    exact = {
+        (r.id_new, r.id_old): r.est_jaccard for r in inc.collect()
+    }
+    assert exact[(11, 2)] == 1.0
+
+
+def test_index_roundtrip_through_store(spark, frames, tmp_path):
+    from sentinel_spark.sources.store import ParquetTable
+
+    old, new = frames
+    index = D.minhash_band_index(old, "text", "doc_id")
+    t = ParquetTable(spark, str(tmp_path / "band_index"))
+    t.append(index.withColumn("sig", F.col("sig").cast("array<long>")))
+
+    inc_mem = D.incremental_candidate_pairs(new, index, "text", "doc_id")
+    inc_store = D.incremental_candidate_pairs(new, t.read(), "text", "doc_id")
+    assert _pairs(inc_mem) == _pairs(inc_store)
+    release(inc_mem)
+    release(inc_store)
+
+
+def test_new_new_toggle(spark, frames):
+    old, new = frames
+    index = D.minhash_band_index(old, "text", "doc_id")
+    inc = D.incremental_candidate_pairs(
+        new, index, "text", "doc_id", include_new_new=False
+    )
+    assert all(s == "index" for _, _, s in _pairs(inc))
+    release(inc)
+
+
+def test_index_row_shape(spark, frames):
+    old, _ = frames
+    index = D.minhash_band_index(old, "text", "doc_id", num_bands=4)
+    rows = index.collect()
+    assert len(rows) == len(OLD_DOCS) * 4  # one row per (doc, band)
+    assert all(len(r.sig) == 16 for r in rows)
