@@ -1261,10 +1261,35 @@ def q_chunk_shards(spark, sf_dir):
     )
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Token-budgeted data-mixture sampling (sampling.mixture_sample):
+    three sources get explicit token budgets (700/400/150), documents
+    selected in md5-hash order per source until the budget is reached
+    (≤ one-document overshoot), everything else dropped. The two-level
+    per-source prefix sum is exact, so the oracle replays it as one
+    window cumsum."""
+    from sentinel_spark.functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").alias("n_tok")
+    )
+    out = SP.mixture_sample(
+        d,
+        "source",
+        "n_tok",
+        {"src0": 700, "src1": 400, "src2": 150},
+        key=F.col("doc_id").cast("string"),
+        salt="mx",
+    )
+    return out.select("doc_id", "source", F.col("n_tok").cast("long").alias("n_tok"))
+
+
 def q_sample_suite(spark, sf_dir):
-    """The three deterministic sampling schemes (stratified rates,
-    quality-weighted, fixed-N per group) unioned with a ``method``
-    tag — each branch stays the pure per-row hash filter it was."""
+    """The four deterministic sampling schemes (stratified rates,
+    quality-weighted, fixed-N per group, token-budgeted mixture)
+    unioned with a ``method`` tag — the first three stay the pure
+    per-row hash filters they were; the mixture branch adds its one
+    (source, hash-range) exchange."""
     st = q_stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("method"),
         "doc_id",
@@ -1286,7 +1311,15 @@ def q_sample_suite(spark, sf_dir):
         "source",
         F.lit(None).cast("double").alias("weight"),
     )
-    return st.unionByName(wt).unionByName(gp)
+    # the weight slot carries the mixture branch's token count
+    mx = q_mixture_sample(spark, sf_dir).select(
+        F.lit("mixture").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.col("n_tok").cast("double").alias("weight"),
+    )
+    return st.unionByName(wt).unionByName(gp).unionByName(mx)
 
 
 def q_dedup_clusters_report(spark, sf_dir):
@@ -2716,6 +2749,31 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'es' THEN 500000
                               ELSE 1000000 END
         """,
+        # sampling.mixture_sample replay: same md5-int order, same
+        # exclusive per-source token cumsum, same budget predicate
+        # (buckets=16^15 makes _md5_bucket_sql the identity 60-bit h).
+        "mixture_sample": f"""
+            WITH mx AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok,
+                     {_md5_bucket_sql("'mx' || CAST(doc_id AS VARCHAR)", 16 ** 15)} AS h
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+            ),
+            c AS (
+              SELECT *,
+                     SUM(n_tok) OVER (
+                       PARTITION BY source
+                       ORDER BY h, CAST(doc_id AS VARCHAR)
+                     ) - n_tok AS tok_before
+              FROM mx
+            )
+            SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
+            FROM c
+            WHERE tok_before < CASE source WHEN 'src0' THEN 700
+                                           WHEN 'src1' THEN 400
+                                           ELSE 150 END
+        """,
         "tfidf_keywords": f"""
             WITH t AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
             tf AS (
@@ -3216,6 +3274,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'grouped' AS method, doc_id, lang, source, CAST(NULL AS DOUBLE)
         FROM ({base["group_sample"]})
+        UNION ALL
+        SELECT 'mixture' AS method, doc_id, CAST(NULL AS VARCHAR), source,
+               CAST(n_tok AS DOUBLE)
+        FROM ({base["mixture_sample"]})
     """
     out["dedup_clusters"] = f"""
         SELECT * FROM ({base["dedup_clusters"]}) CROSS JOIN ({base["dedup_report"]})

@@ -172,3 +172,88 @@ def group_sample_n(
         .where(F.col("_rk") <= n)
         .drop("_rk")
     )
+
+
+def mixture_sample(
+    df,
+    source_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    *,
+    key: Column | str | None = None,
+    salt: str = "",
+):
+    """Token-budgeted data-mixture construction: for each source (web,
+    books, code, ...), keep a uniform deterministic subset whose
+    summed token count just reaches that source's budget — the
+    "mix N billion tokens at 60/20/20" step every pretraining corpus
+    recipe ends with.
+
+    Selection is by ascending content-hash order (``key`` defaults to
+    the source+token row rendered through the ``salt``ed md5 of
+    ``token_col``'s row — pass the document id/fingerprint for real
+    use), so the kept subset is (a) uniform — hash order is
+    independent of any data attribute, (b) rerun- and engine-stable,
+    and (c) *monotone in the budget*: raising a source's budget only
+    adds documents, never swaps them (nested-prefix property, same as
+    :func:`stratified_sample`'s nested buckets).
+
+    A document is kept iff its source's cumulative token count BEFORE
+    it is < the budget, so each source's total overshoots by at most
+    one document (and a source with budget 0 or absent from
+    ``budgets`` is dropped entirely).
+
+    Scale shape (the same two-level prefix sum as
+    ``chunking.token_offsets``, generalized per source): rows
+    prefix-sum within (source, coarse hash range) windows — ONE hash
+    exchange on that compound key, never a per-source single task —
+    range totals prefix within each source (a tiny frame: ~32k ranges
+    per source), and the global per-source offset is range base +
+    within-range prefix. A hot source fans out across all its hash
+    ranges, so source skew never serializes.
+    """
+    from pyspark.sql.window import Window
+
+    k = (F.col(key) if isinstance(key, str) else key) if key is not None else F.col(token_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15), 16, 10
+    ).cast("long")  # uniform in [0, 2^60)
+    rng = F.floor(h / F.lit(1 << 45))  # ~32k coarse hash ranges
+    t = F.col(token_col).cast("long")
+
+    w_in = (
+        Window.partitionBy(source_col, "_mix_rng")
+        .orderBy("_mix_h", "_mix_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = (
+        df.withColumn("_mix_h", h)
+        .withColumn("_mix_rng", rng)
+        .withColumn("_mix_key", k.cast("string"))
+        .withColumn("_mix_cum", F.sum(t).over(w_in))
+    )
+    totals = within.groupBy(source_col, "_mix_rng").agg(F.sum(t).alias("_rt"))
+    w_src = (
+        Window.partitionBy(source_col)
+        .orderBy("_mix_rng")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = totals.select(
+        source_col,
+        "_mix_rng",
+        (F.sum("_rt").over(w_src) - F.col("_rt")).alias("_mix_base"),
+    )
+    budget = None
+    for name, b in budgets.items():
+        cond = F.col(source_col) == name
+        budget = (
+            F.when(cond, F.lit(int(b)))
+            if budget is None
+            else budget.when(cond, F.lit(int(b)))
+        )
+    budget = F.lit(0) if budget is None else budget.otherwise(F.lit(0))
+    joined = within.join(F.broadcast(bases), [source_col, "_mix_rng"])
+    before = F.col("_mix_base") + F.col("_mix_cum") - t
+    return joined.where(before < budget).drop(
+        "_mix_h", "_mix_rng", "_mix_key", "_mix_cum", "_mix_base"
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sentinel_spark.functions.pii import pii_counts, redact_pii
@@ -150,3 +151,60 @@ def test_group_sample_n_deterministic_and_salted(spark):
     s3 = sorted(r.k for r in group_sample_n(df, ["g"], F.col("k"), 5, salt="other").collect())
     assert s1 == s2
     assert s1 != s3  # a different salt draws a different sample
+
+
+class TestMixtureSample:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = []
+        for i in range(300):
+            src = ["web", "books", "code"][i % 3]
+            rows.append((i, src, 10 + (i % 17)))
+        return spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+
+    def test_budgets_respected_with_single_doc_overshoot(self, corpus):
+        from sentinel_spark.functions.sampling import mixture_sample
+
+        out = mixture_sample(
+            corpus, "source", "n_tokens",
+            {"web": 300, "books": 150}, key="doc_id",
+        ).collect()
+        tot = {}
+        for r in out:
+            tot[r.source] = tot.get(r.source, 0) + r.n_tokens
+        max_doc = 10 + 16
+        assert "code" not in tot  # absent from budgets -> dropped
+        assert 300 <= tot["web"] < 300 + max_doc
+        assert 150 <= tot["books"] < 150 + max_doc
+
+    def test_deterministic_and_monotone_in_budget(self, corpus):
+        from sentinel_spark.functions.sampling import mixture_sample
+
+        small = {
+            r.doc_id
+            for r in mixture_sample(
+                corpus, "source", "n_tokens", {"web": 200}, key="doc_id"
+            ).collect()
+        }
+        small2 = {
+            r.doc_id
+            for r in mixture_sample(
+                corpus, "source", "n_tokens", {"web": 200}, key="doc_id"
+            ).collect()
+        }
+        big = {
+            r.doc_id
+            for r in mixture_sample(
+                corpus, "source", "n_tokens", {"web": 500}, key="doc_id"
+            ).collect()
+        }
+        assert small == small2  # rerun-stable
+        assert small < big  # raising the budget only adds documents
+
+    def test_budget_larger_than_source_keeps_all(self, corpus):
+        from sentinel_spark.functions.sampling import mixture_sample
+
+        out = mixture_sample(
+            corpus, "source", "n_tokens", {"code": 10**9}, key="doc_id"
+        )
+        assert out.count() == 100  # every code doc

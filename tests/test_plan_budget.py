@@ -55,7 +55,11 @@ BUDGET = {
                            # frame; keyed so the WindowExec WARN about
                            # an empty partition spec never fires)
     "pii_redact": 0,
-    "sample_suite": 1,     # only the per-group rank window shuffles
+    "sample_suite": 4,     # per-group rank window + the mixture
+                           # branch's (source, hash-range) prefix-sum
+                           # exchange (appearing on both of its two
+                           # lineage references) + its tiny per-source
+                           # range-totals window
     "dedup_clusters": 1,   # driver-path CC: just the candidate pipeline
     "tfidf_keywords": 3,
     "asof_join": 1,        # union-trick: ONE user_id exchange
