@@ -353,11 +353,15 @@ def incremental_candidate_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     include_new_new: bool = True,
+    new_index_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidates of a NEW batch against an existing
     corpus *without touching the corpus text*: only the batch is
     shingled; the corpus participates through its
-    :func:`minhash_band_index` rows. Output (id_new, id_old,
+    :func:`minhash_band_index` rows. ``new_index_rows`` injects the
+    batch's own band-index frame when the caller has already built it
+    (e.g. to persist it afterwards) — the batch is then not
+    re-shingled here; the caller owns that frame's persist/release. Output (id_new, id_old,
     est_jaccard, source) where ``source`` is ``'index'`` for new↔old
     pairs and ``'batch'`` for new↔new pairs (``include_new_new``
     keeps intra-batch duplicates from slipping through the check —
@@ -372,10 +376,15 @@ def incremental_candidate_pairs(
     work is one shingle pipeline over the batch.
     """
     rows_per_band = num_hashes // num_bands
-    new_index = minhash_band_index(
-        new_docs, text_col, id_col,
-        shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
-    ).persist()
+    if new_index_rows is not None:
+        new_index = new_index_rows
+        own_cache: list[DataFrame] = []
+    else:
+        new_index = minhash_band_index(
+            new_docs, text_col, id_col,
+            shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+        ).persist()
+        own_cache = [new_index]
 
     match_frac = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
@@ -417,7 +426,7 @@ def incremental_candidate_pairs(
                     F.lit("batch").alias("source"))
         )
         out = out.unionByName(vs_batch)
-    return with_release(out, [new_index])
+    return with_release(out, own_cache)
 
 
 def ngram_jaccard(shingles_a: Column, shingles_b: Column) -> Column:

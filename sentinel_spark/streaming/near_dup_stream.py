@@ -1,0 +1,189 @@
+"""Streaming corpus construction with near-duplicate admission control.
+
+The production loop of a growing training corpus: documents arrive
+continuously; each micro-batch is checked for near-duplicates against
+everything admitted so far WITHOUT ever re-reading the corpus text —
+the corpus participates only through its persisted MinHash band index
+(:func:`sentinel_spark.functions.dedup.minhash_band_index`, a few
+dozen bytes per document regardless of length). Survivors append to
+the corpus table AND the index; near-dups divert to a rejects table
+with their best-match evidence.
+
+Replay contract (same as ``ingest_micro_batch``): every write goes
+through ``ParquetTable.merge_insert_not_matched`` on content-derived
+keys, so an at-least-once re-run of a crashed micro-batch inserts
+nothing — the pipeline is exactly-once in effect under Structured
+Streaming's at-least-once ``foreachBatch``.
+
+Scale shape: per batch, only the batch is shingled; its band rows
+broadcast against the index scan (band_key-clustered storage lets the
+store's file stats prune non-matching ranges). Admission decisions
+are joins end-to-end — nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions import dedup as D
+from sentinel_spark.sources.store import ParquetTable
+
+
+def near_dup_admission(
+    batch: DataFrame,
+    index: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split one batch into (admitted, rejected, new_index_rows).
+
+    Rejection rule, deterministic: a document is rejected iff it has a
+    candidate pair with ``est_jaccard >= min_est_jaccard`` against the
+    existing index, or against a SMALLER-id batch document (the
+    canonical-min rule of the batch dedup family — greedy, so of an
+    intra-batch chain A~B~C only A survives). ``rejected`` carries the
+    best matching partner and its estimate as evidence.
+
+    Pure composition: one shingle pipeline over the batch
+    (:func:`~sentinel_spark.functions.dedup.incremental_candidate_pairs`),
+    then joins; the caller owns persistence. ``new_index_rows`` are the
+    admitted documents' band rows — derived by filtering the SAME
+    batch-index frame the candidate search used, so admission and
+    indexing can never disagree."""
+    batch_index = D.minhash_band_index(
+        batch, text_col, id_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+    ).persist()
+    if index is None:
+        spark = batch.sparkSession
+        index = spark.createDataFrame([], batch_index.schema)
+
+    # The shared batch_index feeds both the pair search (injected, so
+    # the batch is shingled exactly once) and the new-rows output.
+    pairs = D.incremental_candidate_pairs(
+        batch, index, text_col, id_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+        new_index_rows=batch_index,
+    )
+    batch_losers = (
+        pairs.where(
+            (F.col("est_jaccard") >= min_est_jaccard)
+            & (F.col("source") == "batch")
+        )
+        # id_new < id_old by construction: id_old is the rejected one
+        .select(
+            F.col("id_old").alias("rid"),
+            F.col("id_new").alias("match_id"),
+            "est_jaccard",
+            "source",
+        )
+    )
+    index_losers = pairs.where(
+        (F.col("est_jaccard") >= min_est_jaccard) & (F.col("source") == "index")
+    ).select(
+        F.col("id_new").alias("rid"),
+        F.col("id_old").alias("match_id"),
+        "est_jaccard",
+        "source",
+    )
+    evidence = (
+        index_losers.unionByName(batch_losers)
+        .groupBy("rid")
+        .agg(
+            F.max(F.struct("est_jaccard", "match_id", "source")).alias("best")
+        )
+        .select(
+            F.col("rid").alias(id_col),
+            F.col("best.match_id").alias("match_id"),
+            F.col("best.est_jaccard").alias("est_jaccard"),
+            F.col("best.source").alias("match_source"),
+        )
+    )
+    rejected = batch.join(evidence, id_col)
+    admitted = batch.join(evidence.select(id_col), id_col, "left_anti")
+    new_index_rows = batch_index.join(
+        evidence.select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
+    from sentinel_spark.cache import with_release
+
+    return (
+        with_release(admitted, [batch_index]),
+        rejected,
+        new_index_rows,
+    )
+
+
+def run_near_dup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_est_jaccard: float = 0.5,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming face of :func:`near_dup_admission`: JSONL documents
+    under ``input_dir`` → admitted docs at ``corpus_dir``/docs,
+    band index at ``corpus_dir``/index, rejects (with evidence) at
+    ``corpus_dir``/rejects — all ParquetTable
+    ``merge_insert_not_matched`` writes, so crashed-batch replays
+    insert nothing twice. Returns the StreamingQuery (awaited when
+    ``available_now``)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(corpus_dir, "_checkpoint")
+    stream = (
+        spark.readStream.format("text")
+        .load(input_dir)
+        .select(
+            F.from_json(
+                F.col("value"), f"{id_col} long, {text_col} string"
+            ).alias("r")
+        )
+        .select("r.*")
+        .where(F.col(id_col).isNotNull())
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from sentinel_spark.cache import release
+
+        sess = batch_df.sparkSession
+        docs_t = ParquetTable(sess, os.path.join(corpus_dir, "docs"))
+        index_t = ParquetTable(sess, os.path.join(corpus_dir, "index"))
+        rejects_t = ParquetTable(sess, os.path.join(corpus_dir, "rejects"))
+
+        index = index_t.read() if index_t.exists() else None
+        admitted, rejected, new_rows = near_dup_admission(
+            batch_df, index, text_col, id_col,
+            shingle_n=shingle_n, num_hashes=num_hashes,
+            num_bands=num_bands, min_est_jaccard=min_est_jaccard,
+        )
+        # Admission first, then its index rows: if we crash between the
+        # two, replay re-derives the same split (the index lacking the
+        # admitted docs' rows cannot reject them — candidates only ADD
+        # with more index rows, and a doc never matches itself) and
+        # merge_insert_not_matched skips what already landed.
+        docs_t.merge_insert_not_matched(admitted, [id_col])
+        index_t.merge_insert_not_matched(new_rows, ["id", "band_key"])
+        rejects_t.merge_insert_not_matched(rejected, [id_col])
+        release(admitted)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()

@@ -1,0 +1,114 @@
+"""Streaming near-dup admission (streaming/near_dup_stream.py).
+
+Batch-level admission laws, the availableNow streaming round trip
+(growing corpus + index + rejects across micro-batch generations),
+and crash-replay idempotency of the three-table write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import release
+from sentinel_spark.streaming.near_dup_stream import (
+    near_dup_admission,
+    run_near_dup_stream,
+)
+
+B1 = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "the quick brown fox jumps over the lazy dog tonight again"),  # ~ dup of 1
+    (3, "sphinx of black quartz judge my vow said the king"),
+]
+B2 = [
+    (10, "well the quick brown fox jumps over the lazy dog tonight"),  # ~ dup of 1 (indexed)
+    (11, "completely unrelated sentence with distinct vocabulary terms"),
+]
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_admission_split(spark):
+    batch = spark.createDataFrame(B1, "doc_id long, text string")
+    admitted, rejected, new_rows = near_dup_admission(
+        batch, None, "text", "doc_id", min_est_jaccard=0.5
+    )
+    adm = {r.doc_id for r in admitted.collect()}
+    rej = {r.doc_id: r for r in rejected.collect()}
+    assert adm == {1, 3}
+    assert set(rej) == {2}
+    assert rej[2].match_id == 1 and rej[2].match_source == "batch"
+    assert rej[2].est_jaccard >= 0.5
+    # index rows only for admitted docs, one per band
+    idx = new_rows.groupBy("id").count().collect()
+    assert {r.id for r in idx} == {1, 3}
+    assert all(r["count"] == 4 for r in idx)
+    release(admitted)
+
+
+def test_admission_against_existing_index(spark):
+    from sentinel_spark.functions import dedup as D
+
+    old = spark.createDataFrame(B1[:1] + B1[2:], "doc_id long, text string")
+    index = D.minhash_band_index(old, "text", "doc_id")
+    batch = spark.createDataFrame(B2, "doc_id long, text string")
+    admitted, rejected, new_rows = near_dup_admission(
+        batch, index, "text", "doc_id", min_est_jaccard=0.5
+    )
+    assert {r.doc_id for r in admitted.collect()} == {11}
+    rej = {r.doc_id: r for r in rejected.collect()}
+    assert rej[10].match_id == 1 and rej[10].match_source == "index"
+    release(admitted)
+
+
+def test_streaming_rounds_and_replay(spark, tmp_path):
+    from sentinel_spark.sources.store import ParquetTable
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+
+    _write_jsonl(inbox / "b1.jsonl", B1)
+    run_near_dup_stream(spark, str(inbox), corpus, min_est_jaccard=0.5)
+
+    docs_t = ParquetTable(spark, os.path.join(corpus, "docs"))
+    index_t = ParquetTable(spark, os.path.join(corpus, "index"))
+    rejects_t = ParquetTable(spark, os.path.join(corpus, "rejects"))
+    assert {r.doc_id for r in docs_t.read().collect()} == {1, 3}
+    assert {r.doc_id for r in rejects_t.read().collect()} == {2}
+
+    # second generation: near-dup of an INDEXED doc rejected, novel admitted
+    _write_jsonl(inbox / "b2.jsonl", B2)
+    run_near_dup_stream(spark, str(inbox), corpus, min_est_jaccard=0.5)
+    assert {r.doc_id for r in docs_t.read().collect()} == {1, 3, 11}
+    rej = {r.doc_id: r.match_source for r in rejects_t.read().collect()}
+    assert rej == {2: "batch", 10: "index"}
+    # index holds exactly the admitted docs, 4 band rows each
+    assert index_t.read().count() == 3 * 4
+
+    # replay: wipe the checkpoint so Structured Streaming re-delivers
+    # EVERYTHING (at-least-once worst case) — the three tables must not
+    # change (merge_insert_not_matched on content keys).
+    import shutil
+
+    shutil.rmtree(os.path.join(corpus, "_checkpoint"))
+    before = (
+        docs_t.read().count(),
+        index_t.read().count(),
+        rejects_t.read().count(),
+    )
+    run_near_dup_stream(spark, str(inbox), corpus, min_est_jaccard=0.5)
+    after = (
+        docs_t.read().count(),
+        index_t.read().count(),
+        rejects_t.read().count(),
+    )
+    assert before == after == (3, 12, 2)
