@@ -28,7 +28,11 @@ Layout:
                    multimodal/skew/tags column builders and operators
     streaming/     structured-streaming ingest (idempotent-replay
                    sinks), watermarked rollups, stateful cross-batch
-                   dedup, incremental HLL sketch maintenance
+                   dedup, incremental HLL sketch maintenance,
+                   near-dup admission over the persisted band index
+    pipelines.py   the end-to-end corpus recipe (quality → exact
+                   dedup → near-dup → decontam → mixture → shard
+                   export) with a one-aggregate funnel report
 """
 
 __version__ = "0.1.0"

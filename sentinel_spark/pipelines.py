@@ -1,0 +1,189 @@
+"""End-to-end training-corpus construction: the whole library as one
+call.
+
+``build_training_corpus`` runs the canonical corpus recipe —
+
+    quality gate (Gopher rules) →
+    exact dedup (fingerprint, canonical-min) →
+    near-dup dedup (MinHash+LSH candidates → connected components,
+    canonical-min) →
+    benchmark decontamination (8-gram overlap vs the eval suite) →
+    optional token-budgeted source mixture →
+    token-budgeted shard export + loader manifest
+
+— and returns the shard manifest plus a single-aggregate funnel
+report (documents/tokens surviving each stage), the number every
+corpus-build log line starts with.
+
+Composition rules (why this is one plan family, not six jobs):
+
+* Stage predicates ride as COLUMNS on one lineage wherever possible
+  (quality flags, exact-canonical, contamination) — a document's fate
+  is decided by conjunction, and the funnel report is ONE aggregate
+  over the flag columns, not one count() per stage.
+* The two stages that genuinely need their own distributed passes
+  (LSH candidate pairing, mixture prefix-sum) run on the
+  already-reduced survivor frame.
+* Every stage is an operator documented/tested on its own
+  (functions/text.py, dedup.py, cluster.py, decontam.py, sampling.py,
+  sources/export.py); this module only composes and flags — there is
+  no bespoke logic to re-verify beyond the composition laws in
+  tests/test_pipelines.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from sentinel_spark.cache import release, with_release
+from sentinel_spark.functions import dedup as D
+from sentinel_spark.functions import text as T
+from sentinel_spark.functions.cluster import dedup_clusters
+from sentinel_spark.functions.decontam import contamination_table
+from sentinel_spark.functions.sampling import mixture_sample
+from sentinel_spark.sources.export import ExportResult, export_training_shards
+
+
+@dataclass(frozen=True)
+class CorpusBuildResult:
+    funnel: DataFrame  # one row: docs/tokens per stage
+    selected: DataFrame  # the final per-document frame (id, tokens, flags)
+    export: ExportResult | None
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None,
+    out_dir: str | None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+    budgets: dict[str, int] | None = None,
+    shingle_n: int = 3,
+    decontam_n: int = 8,
+    decontam_max_frac: float = 0.05,
+    shard_tokens: int = 1 << 22,
+    export_mode: str = "pack",
+    file_format: str = "json",
+    quality_kwargs: dict | None = None,
+) -> CorpusBuildResult:
+    """Run the full recipe over ``docs`` (and ``benchmark`` for
+    decontamination — pass None to skip that stage, and ``out_dir``
+    None to skip the export). ``budgets`` + ``source_col`` enable the
+    mixture stage. Deterministic end to end: canonical-min rules for
+    both dedup stages, hash-ordered mixture, hash-bucketed packing."""
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        *([F.col(source_col)] if source_col else []),
+        T.token_count(text_col).alias("n_tok"),
+        T.gopher_pass(text_col, **(quality_kwargs or {})).alias("quality_ok"),
+        T.fingerprint(text_col).alias("fp"),
+    )
+
+    # exact dedup: canonical = min id per fingerprint; a window would
+    # serialize hot fingerprints, so reuse the groupBy operator and
+    # broadcast-join the (tiny) winners frame back.
+    winners = D.exact_dup_groups(base, F.col("fp"), id_col).select(
+        F.col("dup_key").alias("fp"), F.col("keep_id")
+    )
+    flagged = base.join(winners, "fp").withColumn(
+        "exact_canonical", F.col(id_col) == F.col("keep_id")
+    )
+
+    # near-dup on the exact-surviving quality-passing frame (the
+    # expensive stage runs on the reduced set). persist: feeds the LSH
+    # pairing AND the final attach.
+    survivors = flagged.where(
+        F.col("quality_ok") & F.col("exact_canonical")
+    ).persist()
+    cand = D.minhash_candidate_pairs(
+        survivors, text_col, id_col, shingle_n=shingle_n
+    )
+    clusters = dedup_clusters(survivors, cand, id_col)
+    stage2 = survivors.join(clusters.select(id_col, "is_canonical"), id_col)
+
+    if benchmark is not None:
+        contam = contamination_table(
+            stage2.where("is_canonical"),
+            benchmark,
+            text_col,
+            id_col,
+            n=decontam_n,
+            min_overlap_frac=decontam_max_frac,
+        ).select(id_col, "contaminated")
+        stage3 = stage2.join(contam, id_col, "left").withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+    else:
+        stage3 = stage2.withColumn("contaminated", F.lit(False))
+
+    clean = stage3.where(F.col("is_canonical") & ~F.col("contaminated"))
+    if budgets is not None:
+        if source_col is None:
+            raise ValueError("budgets require source_col")
+        final = mixture_sample(
+            clean, source_col, "n_tok", budgets,
+            key=F.col(id_col).cast("string"), salt="corpus",
+        )
+    else:
+        final = clean
+
+    # Funnel: one aggregate over the flag columns of the pre-near-dup
+    # frame, plus the two post-stage frames (near-dup/decontam flags
+    # only exist for survivors; mixture membership is a frame, not a
+    # flag). Three small aggregates total, all on reduced frames.
+    f0 = base.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum("n_tok").alias("tokens_in"),
+        F.sum(F.when(F.col("quality_ok"), 1).otherwise(0)).alias("docs_quality"),
+        F.sum(F.when(F.col("quality_ok"), F.col("n_tok")).otherwise(0)).alias(
+            "tokens_quality"
+        ),
+    )
+    f1 = stage3.agg(
+        F.count(F.lit(1)).alias("docs_exact"),
+        F.sum("n_tok").alias("tokens_exact"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias("docs_neardup"),
+        F.sum(F.when(F.col("is_canonical"), F.col("n_tok")).otherwise(0)).alias(
+            "tokens_neardup"
+        ),
+        F.sum(
+            F.when(F.col("is_canonical") & ~F.col("contaminated"), 1).otherwise(0)
+        ).alias("docs_clean"),
+        F.sum(
+            F.when(
+                F.col("is_canonical") & ~F.col("contaminated"), F.col("n_tok")
+            ).otherwise(0)
+        ).alias("tokens_clean"),
+    )
+    f2 = final.agg(
+        F.count(F.lit(1)).alias("docs_final"),
+        F.sum("n_tok").alias("tokens_final"),
+    )
+    funnel = f0.crossJoin(f1).crossJoin(f2)
+
+    selected = final.select(
+        id_col,
+        *( [source_col] if source_col else [] ),
+        "n_tok",
+        text_col,
+    )
+
+    export = None
+    if out_dir is not None:
+        export = export_training_shards(
+            selected,
+            out_dir,
+            token_col="n_tok",
+            order_col=id_col,
+            shard_tokens=shard_tokens,
+            mode=export_mode,
+            file_format=file_format,
+        )
+    out = with_release(selected, [survivors])
+    out = with_release(out, getattr(cand, "_sentinel_cached", []))
+    return CorpusBuildResult(funnel, out, export)

@@ -1,0 +1,116 @@
+"""build_training_corpus: the end-to-end recipe's composition laws.
+
+Each stage is verified in its own module's tests; here we pin the
+composition — stage order, flag conjunction, funnel arithmetic, and
+the export round trip — on a corpus engineered so every stage drops
+exactly one known document.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import release
+from sentinel_spark.pipelines import build_training_corpus
+
+LONG = "the quick brown fox jumps over the lazy dog tonight and sings "
+
+
+def _mk_docs(spark):
+    rows = [
+        # 1: good document
+        (1, "web", LONG * 3 + "alpha beta gamma delta epsilon"),
+        # 2: exact duplicate of 1 (differs only in case/whitespace -> same fingerprint)
+        (2, "web", (LONG * 3 + "alpha beta gamma delta epsilon").upper()),
+        # 3: near-duplicate of 1 (suffix added)
+        (3, "web", LONG * 3 + "alpha beta gamma delta epsilon zeta eta theta"),
+        # 4: quality reject (too short)
+        (4, "web", "too short"),
+        # 5: contaminated (verbatim benchmark passage inside)
+        (5, "web", "unique preamble before the benchmark text starts here now then "
+                   "which question answer pairs from the held out evaluation suite "
+                   "must never leak into a training corpus at all ever anywhere "
+                   "plus trailing filler words to stay past the quality minimum "
+                   "with several additional distinct tokens for length safety"),
+        # 6: clean independent document
+        (6, "books", "entirely distinct narrative prose about sailing ships and "
+                     "harbor towns with lanterns maps compasses tides storms crews "
+                     "voyages cargo spices silks charts stars winds sails ropes "
+                     "anchors docks gulls waves cliffs beacons captains journals "
+                     "letters ports islands reefs currents horizons mornings"),
+    ]
+    bench = [(100, "which question answer pairs from the held out evaluation suite "
+                   "must never leak into a training corpus at all ever anywhere")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    benchmark = spark.createDataFrame(bench, "doc_id long, text string")
+    return docs, benchmark
+
+
+QKW = {"min_words": 20, "min_mean_word_len": 2.0}
+
+
+def test_funnel_and_selection(spark):
+    docs, bench = _mk_docs(spark)
+    res = build_training_corpus(
+        docs, bench, None,
+        source_col="source",
+        quality_kwargs=QKW,
+        decontam_max_frac=0.05,
+    )
+    kept = {r.doc_id for r in res.selected.collect()}
+    # 2 exact-dropped, 3 near-dup-dropped (canonical-min keeps 1),
+    # 4 quality-dropped, 5 contaminated -> 1 and 6 survive
+    assert kept == {1, 6}
+    f = res.funnel.collect()[0]
+    assert f.docs_in == 6
+    assert f.docs_quality == 5          # doc 4 fails the gate
+    assert f.docs_exact == 4            # doc 2 folds into 1, doc 4 gone
+    assert f.docs_neardup == 3          # doc 3 folds into 1
+    assert f.docs_clean == 2            # doc 5 contaminated
+    assert f.docs_final == 2            # no mixture stage
+    assert f.tokens_final == sum(
+        r.n_tok for r in res.selected.collect()
+    )
+    release(res.selected)
+
+
+def test_mixture_stage_budgets(spark):
+    docs, bench = _mk_docs(spark)
+    res = build_training_corpus(
+        docs, bench, None,
+        source_col="source",
+        budgets={"web": 10_000},  # books absent -> dropped
+        quality_kwargs=QKW,
+    )
+    kept = {r.doc_id for r in res.selected.collect()}
+    assert kept == {1}
+    release(res.selected)
+
+
+def test_export_stage_roundtrip(spark, tmp_path):
+    docs, bench = _mk_docs(spark)
+    out = str(tmp_path / "corpus")
+    res = build_training_corpus(
+        docs, bench, out,
+        source_col="source",
+        quality_kwargs=QKW,
+        shard_tokens=64,
+        export_mode="pack",
+    )
+    back = spark.read.json(out)
+    assert {r.doc_id for r in back.collect()} == {1, 6}
+    man = res.export.manifest.collect()
+    assert sum(r.n_docs for r in man) == 2
+    assert all(r.n_tokens <= 64 or r.n_docs == 1 for r in man)
+    release(res.selected)
+
+
+def test_no_benchmark_skips_decontam(spark):
+    docs, _ = _mk_docs(spark)
+    res = build_training_corpus(
+        docs, None, None, source_col="source", quality_kwargs=QKW
+    )
+    kept = {r.doc_id for r in res.selected.collect()}
+    assert kept == {1, 5, 6}  # doc 5 stays without a benchmark
+    release(res.selected)
