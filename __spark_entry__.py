@@ -1380,7 +1380,7 @@ def q_decontam_suite(spark, sf_dir):
 
 
 def near_dup_union(d):
-    """The five-branch near-dup union over a documents frame — shared
+    """The six-branch near-dup union over a documents frame — shared
     by :func:`q_near_dup_pairs` and the bench warmup, which runs this
     exact plan shape on a 3-row frame so the union's one-time codegen
     (~4.4 s measured at any data size) is charged to warmup, not to
@@ -1448,9 +1448,33 @@ def near_dup_union(d):
         "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    out = mh.unionByName(ver).unionByName(ng).unionByName(zp).unionByName(sh)
+    # Incremental near-dup over a half-corpus subset (bounds the extra
+    # bench cost): docs with even id are the world; id % 10 == 0 is the
+    # "new batch", the rest the already-indexed corpus. Candidates must
+    # equal the full recompute restricted to batch-involving pairs —
+    # the oracle states exactly that (same minhash SQL + reorient).
+    sub = d.where(F.col("doc_id") % 2 == 0)
+    inc_idx = D.minhash_band_index(
+        sub.where(F.col("doc_id") % 10 != 0), "text", "doc_id"
+    )
+    inc_raw = D.incremental_candidate_pairs(
+        sub.where(F.col("doc_id") % 10 == 0), inc_idx, "text", "doc_id"
+    )
+    inc = inc_raw.select(
+        F.concat(F.lit("inc_"), F.col("source")).alias("method"),
+        F.col("id_new").alias("id_a"),
+        F.col("id_old").alias("id_b"),
+        F.col("est_jaccard").alias("score"),
+    )
+    out = (
+        mh.unionByName(ver)
+        .unionByName(ng)
+        .unionByName(zp)
+        .unionByName(sh)
+        .unionByName(inc)
+    )
     cached = list(getattr(cand, "_sentinel_cached", []))
-    for raw in (ng_raw, zp_raw, sh_raw):
+    for raw in (ng_raw, zp_raw, sh_raw, inc_raw):
         cached += getattr(raw, "_sentinel_cached", [])
     return with_release(out, cached)
 
@@ -2052,7 +2076,12 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """
 
 
-def _minhash_oracle(num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+    where: str = "",
+) -> str:
     """DuckDB mirror of D.minhash_candidate_pairs: identical md5-based
     base hash, the same linear permutation coefficients, the same
     banded md5 bucket keys — so the candidate set and estimated
@@ -2081,7 +2110,7 @@ def _minhash_oracle(num_hashes: int = 16, num_bands: int = 4, shingle_n: int = 3
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
     return f"""
-        WITH sh AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS s FROM documents),
+        WITH sh AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS s FROM documents {where}),
         ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
         hs AS (SELECT doc_id, ({md5parse}) % {p} AS h FROM ex),
         sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
@@ -3307,6 +3336,14 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'simhash' AS method, id_a, id_b, CAST(hamming AS DOUBLE)
         FROM ({base["simhash_pairs"]})
+        UNION ALL
+        SELECT 'inc_' || CASE WHEN id_a % 10 = 0 AND id_b % 10 = 0
+                              THEN 'batch' ELSE 'index' END AS method,
+               CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_a,
+               CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_b,
+               est_jaccard
+        FROM ({_minhash_oracle(where="WHERE doc_id % 2 = 0")})
+        WHERE id_a % 10 = 0 OR id_b % 10 = 0
     """
     out["media_suite"] = f"""
         SELECT 'media' AS kind, media_id, CAST(NULL AS INTEGER) AS frame_idx,

@@ -66,7 +66,10 @@ BUDGET = {
     "range_join": 0,       # bucketed equi-join broadcasts at this size
     "sessionize": 1,       # window + session rollup share one exchange
     "decontam": 5,
-    "near_dup_pairs": 31,  # five pairing pipelines, each bucket-bounded
+    "near_dup_pairs": 36,  # six pairing pipelines, each bucket-bounded
+                           # (r5 adds the incremental new-vs-index
+                           # branch: one batch shingle pipeline + the
+                           # subset index build)
     "ingest_rollup": 11,
     "salted_agg": 5,       # two salted phases x two paths + join
     "typed_tags": 0,
@@ -101,9 +104,12 @@ def _clean_cache(spark):
 
 @pytest.mark.parametrize("name", sorted(BUDGET))
 def test_shuffle_budget(spark, name):
+    from sentinel_spark.cache import release
+
     df = E.queries()[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"\bExchange hashpartitioning", plan))
+    release(df)  # gates persist at construction; don't leak across tests
     assert n <= BUDGET[name], (
         f"{name}: {n} hash exchanges (budget {BUDGET[name]}) — "
         "a partitioning reuse was probably lost; see PLANS.md"
