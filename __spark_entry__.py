@@ -1395,9 +1395,8 @@ def near_dup_union(d):
     cold/warm). The two identical ngram frames already share one cache
     entry via Spark's cache-plan matching, and at 100 TB a
     corpus-sized persisted shingle frame is memory-infeasible anyway —
-    recompute-per-branch is the scale answer too. The injection API
-    (shingles= / shingle_counts=) remains for callers whose consumers
-    don't need the lost partitioning."""
+    recompute-per-branch is the scale answer too; the injection API
+    tried for it was removed again as dead surface (r5 review)."""
     from sentinel_spark.cache import with_release
 
     cand = D.minhash_candidate_pairs(

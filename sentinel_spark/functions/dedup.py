@@ -151,27 +151,6 @@ def shingle_rows(
     return grams.distinct()
 
 
-def shingle_count_rows(
-    df: DataFrame, text_col: str, id_col: str, n: int
-) -> DataFrame:
-    """(id, sz, s) distinct shingle rows plus the per-document shingle
-    count — :func:`shingle_rows` with the count attached via a window
-    over the already-id-partitioned rows (no extra shuffle).
-
-    This is the shareable intermediate of the same-``n`` pairing
-    family: persist it once and feed it to
-    :func:`minhash_candidate_pairs` (``shingles=``) and any number of
-    :func:`ngram_jaccard_pairs` variants (``shingle_counts=``), so the
-    corpus is tokenized and shuffled ONCE for all of them. The caller
-    owns the persist/unpersist of an injected frame."""
-    from pyspark.sql.window import Window
-
-    rows = shingle_rows(df, text_col, id_col, n)
-    return rows.select(
-        "id", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"), "s"
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -179,21 +158,19 @@ def minhash_signatures(
     *,
     shingle_n: int = 3,
     num_hashes: int = 16,
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig) signature table: explode shingles once, take the 16
     mins with hash-aggregate partials. One shuffle on id; the regexp
     tokenizer runs exactly once per document regardless of
-    ``num_hashes``. ``shingles`` injects a precomputed (id, s[, ...])
-    shingle frame (see :func:`shingle_count_rows`) in place of the
-    internal :func:`shingle_rows` call."""
+    ``num_hashes``."""
     # One strong hash per shingle, then cheap linear permutations
     # h_i = (a_i·h + b_i) mod p — the standard minhash family. Keeping
     # everything < 2^62 avoids int64 overflow (ANSI mode errors on it).
     p = 2147483647  # 2^31 - 1, prime
     coef = _minhash_coefficients(num_hashes, p)
-    src = shingles if shingles is not None else shingle_rows(df, text_col, id_col, shingle_n)
-    sh = src.select("id", F.pmod(_md5_int60("s"), F.lit(p)).alias("h"))
+    sh = shingle_rows(df, text_col, id_col, shingle_n).select(
+        "id", F.pmod(_md5_int60("s"), F.lit(p)).alias("h")
+    )
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
         for i, (a, b) in enumerate(coef)
@@ -255,7 +232,6 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     num_hashes: int = 16,
     num_bands: int = 4,
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (id_a < id_b), with
     the estimated Jaccard (= fraction of matching minhashes).
@@ -264,9 +240,7 @@ def minhash_candidate_pairs(
     band key (shuffle on bucket, never O(n²)) → distinct pairs →
     signature-agreement estimate.
 
-    ``shingles`` injects a shared precomputed shingle frame (see
-    :func:`shingle_count_rows`). Call
-    :func:`sentinel_spark.cache.release` on the result when done —
+    Call :func:`sentinel_spark.cache.release` on the result when done —
     the signature table persists to feed three plan branches.
     """
     rows_per_band = num_hashes // num_bands
@@ -274,8 +248,7 @@ def minhash_candidate_pairs(
     # two pair re-attach joins); persist so the tokenize+hash lineage
     # runs once, not once per branch. It is tiny (num_hashes longs/doc).
     sig = minhash_signatures(
-        df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes,
-        shingles=shingles,
+        df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
     ).persist()
     # Narrow (id, band_key) rows through the self-join + pair-dedup;
     # signatures re-attach afterwards so the shuffled rows stay small.
@@ -638,7 +611,6 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     max_df: int | None = None,
-    shingle_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index
     count aggregation — no per-pair array operations anywhere.
@@ -664,33 +636,26 @@ def ngram_jaccard_pairs(
     shingle at all — at any useful ``min_jaccard`` such pairs overlap
     only in boilerplate.
 
-    ``shingle_counts`` injects a shared precomputed (id, sz, s) frame
-    (:func:`shingle_count_rows`, caller-persisted and caller-released)
-    so several same-``n`` operators tokenize the corpus once. Call
-    :func:`sentinel_spark.cache.release` on the result when done —
-    the internal shingle table (and stop-shingle set, when ``max_df``
-    is set) persist to feed multiple plan branches.
+    Call :func:`sentinel_spark.cache.release` on the result when done —
+    the shingle table (and stop-shingle set, when ``max_df`` is set)
+    persist to feed multiple plan branches.
     """
-    if shingle_counts is not None:
-        ex = shingle_counts
-        cached: list[DataFrame] = []
-    else:
-        from pyspark.sql.window import Window
+    from pyspark.sql.window import Window
 
-        rows = shingle_rows(df, text_col, id_col, shingle_n)
-        # Per-doc shingle count via a window over the already-id-
-        # partitioned rows (no extra shuffle).
-        ex0 = rows.select(
-            "id", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"), "s"
-        )
-        # Persist id-partitioned (the shingle pipeline's native layout)
-        # and let the self-join plan its own distribution: AQE
-        # broadcasts the smaller side when it fits, and a forced
-        # s-repartition would both defeat that and fail to serve the
-        # aliased self-join anyway (the re-aliased side's attributes no
-        # longer match the cached partitioning expressions).
-        ex = ex0.persist()
-        cached = [ex]
+    rows = shingle_rows(df, text_col, id_col, shingle_n)
+    # Per-doc shingle count via a window over the already-id-
+    # partitioned rows (no extra shuffle).
+    ex0 = rows.select(
+        "id", F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"), "s"
+    )
+    # Persist id-partitioned (the shingle pipeline's native layout) and
+    # let the self-join plan its own distribution: AQE broadcasts the
+    # smaller side when it fits, and a forced s-repartition would both
+    # defeat that and fail to serve the aliased self-join anyway (the
+    # re-aliased side's attributes no longer match the cached
+    # partitioning expressions).
+    ex = ex0.persist()
+    cached = [ex]
     idx = ex
     if max_df is not None:
         # Stop-shingle set: partial-aggregated groupBy over the (id-

@@ -180,7 +180,7 @@ def mixture_sample(
     token_col: str,
     budgets: dict[str, int],
     *,
-    key: Column | str | None = None,
+    key: Column | str,
     salt: str = "",
 ):
     """Token-budgeted data-mixture construction: for each source (web,
@@ -189,10 +189,9 @@ def mixture_sample(
     "mix N billion tokens at 60/20/20" step every pretraining corpus
     recipe ends with.
 
-    Selection is by ascending content-hash order (``key`` defaults to
-    the source+token row rendered through the ``salt``ed md5 of
-    ``token_col``'s row — pass the document id/fingerprint for real
-    use), so the kept subset is (a) uniform — hash order is
+    Selection is by ascending ``salt``ed-md5 order of ``key`` — a
+    REQUIRED unique per-row key (document id / content fingerprint);
+    the hash of a unique key makes the kept subset (a) uniform — hash order is
     independent of any data attribute, (b) rerun- and engine-stable,
     and (c) *monotone in the budget*: raising a source's budget only
     adds documents, never swaps them (nested-prefix property, same as
@@ -214,7 +213,17 @@ def mixture_sample(
     """
     from pyspark.sql.window import Window
 
-    k = (F.col(key) if isinstance(key, str) else key) if key is not None else F.col(token_col)
+    if key is None:
+        # A defaulted key would have to come from row content the
+        # caller didn't declare unique; any collision (e.g. two docs
+        # with equal token counts) makes the cumsum boundary depend on
+        # Spark's unstable intra-partition order, silently breaking
+        # the determinism and monotonicity guarantees above.
+        raise ValueError(
+            "mixture_sample requires a unique per-row key column "
+            "(document id or content fingerprint)"
+        )
+    k = F.col(key) if isinstance(key, str) else key
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15), 16, 10
     ).cast("long")  # uniform in [0, 2^60)

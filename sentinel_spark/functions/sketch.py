@@ -210,13 +210,18 @@ def heavy_hitters(
     eff_capacity = capacity
     if (capacity - 1) * min_count <= n_rows:
         eff_capacity = n_rows // min_count + 2
-    if eff_capacity > max_capacity:
-        raise ValueError(
-            f"min_count={min_count} over {n_rows} rows needs a "
-            f"Misra-Gries capacity of {eff_capacity} (> max_capacity="
-            f"{max_capacity}); raise min_count, or raise max_capacity "
-            "if the executors can hold that working set"
-        )
+        # The cap guards the SILENT auto-scale only: a tiny min_count
+        # over a big table would otherwise inflate every partition's
+        # dict toward n/min_count entries. An explicitly-passed
+        # capacity is the caller's own executor sizing and is honored
+        # as given.
+        if eff_capacity > max_capacity:
+            raise ValueError(
+                f"min_count={min_count} over {n_rows} rows needs a "
+                f"Misra-Gries capacity of {eff_capacity} (> max_capacity="
+                f"{max_capacity}); raise min_count, or raise max_capacity "
+                "if the executors can hold that working set"
+            )
     candidates = (
         misra_gries_candidates(df, v, capacity=eff_capacity)
         .groupBy("value")

@@ -65,6 +65,7 @@ def build_training_corpus(
     shingle_n: int = 3,
     decontam_n: int = 8,
     decontam_max_frac: float = 0.05,
+    min_est_jaccard: float = 0.5,
     shard_tokens: int = 1 << 22,
     export_mode: str = "pack",
     file_format: str = "json",
@@ -73,42 +74,58 @@ def build_training_corpus(
     """Run the full recipe over ``docs`` (and ``benchmark`` for
     decontamination — pass None to skip that stage, and ``out_dir``
     None to skip the export). ``budgets`` + ``source_col`` enable the
-    mixture stage. Deterministic end to end: canonical-min rules for
-    both dedup stages, hash-ordered mixture, hash-bucketed packing."""
-    base = docs.select(
+    mixture stage. ``min_est_jaccard`` thresholds the LSH candidate
+    pairs before clustering — raw band collisions include ~1%-chance
+    low-similarity pairs, and clustering those would chain-drop
+    documents no other path in this library considers duplicates.
+    Deterministic end to end: canonical-min rules for both dedup
+    stages, hash-ordered mixture, hash-bucketed packing.
+
+    Caching shape: only the NARROW per-document flags frame (id,
+    source, token count, quality flag, fingerprint — tens of bytes per
+    document) persists; the text column is re-scanned from the source
+    by the stages that need it (LSH pairing, decontamination, export)
+    and re-joined against the cached flags. At corpus scale a cached
+    full-text frame is memory-infeasible, and the featurization
+    (tokenize + Gopher rules + fingerprint) — the expensive part of
+    the scan — runs exactly once either way."""
+    # One featurization pass; only the narrow flags frame is cached.
+    narrow = docs.select(
         F.col(id_col),
-        F.col(text_col),
         *([F.col(source_col)] if source_col else []),
         T.token_count(text_col).alias("n_tok"),
         T.gopher_pass(text_col, **(quality_kwargs or {})).alias("quality_ok"),
         T.fingerprint(text_col).alias("fp"),
-    )
+    ).persist()
+    texts = docs.select(id_col, text_col)
 
     # exact dedup: canonical = min id per fingerprint; a window would
     # serialize hot fingerprints, so reuse the groupBy operator and
     # broadcast-join the (tiny) winners frame back.
-    winners = D.exact_dup_groups(base, F.col("fp"), id_col).select(
+    winners = D.exact_dup_groups(narrow, F.col("fp"), id_col).select(
         F.col("dup_key").alias("fp"), F.col("keep_id")
     )
-    flagged = base.join(winners, "fp").withColumn(
+    flagged = narrow.join(winners, "fp").withColumn(
         "exact_canonical", F.col(id_col) == F.col("keep_id")
     )
 
     # near-dup on the exact-surviving quality-passing frame (the
-    # expensive stage runs on the reduced set). persist: feeds the LSH
-    # pairing AND the final attach.
-    survivors = flagged.where(
+    # expensive stage runs on the reduced set); text re-attaches from
+    # the source scan, flags come from the cache.
+    survivor_meta = flagged.where(
         F.col("quality_ok") & F.col("exact_canonical")
-    ).persist()
-    cand = D.minhash_candidate_pairs(
+    )
+    survivors = texts.join(survivor_meta, id_col)
+    cand_raw = D.minhash_candidate_pairs(
         survivors, text_col, id_col, shingle_n=shingle_n
     )
-    clusters = dedup_clusters(survivors, cand, id_col)
-    stage2 = survivors.join(clusters.select(id_col, "is_canonical"), id_col)
+    cand = cand_raw.where(F.col("est_jaccard") >= min_est_jaccard)
+    clusters = dedup_clusters(survivor_meta, cand, id_col)
+    stage2 = survivor_meta.join(clusters.select(id_col, "is_canonical"), id_col)
 
     if benchmark is not None:
         contam = contamination_table(
-            stage2.where("is_canonical"),
+            texts.join(stage2.where("is_canonical").select(id_col), id_col),
             benchmark,
             text_col,
             id_col,
@@ -132,11 +149,11 @@ def build_training_corpus(
     else:
         final = clean
 
-    # Funnel: one aggregate over the flag columns of the pre-near-dup
-    # frame, plus the two post-stage frames (near-dup/decontam flags
-    # only exist for survivors; mixture membership is a frame, not a
-    # flag). Three small aggregates total, all on reduced frames.
-    f0 = base.agg(
+    # Funnel: one aggregate over the cached flags frame, plus the two
+    # post-stage frames (near-dup/decontam flags only exist for
+    # survivors; mixture membership is a frame, not a flag). Three
+    # small aggregates, none re-featurizing text.
+    f0 = narrow.agg(
         F.count(F.lit(1)).alias("docs_in"),
         F.sum("n_tok").alias("tokens_in"),
         F.sum(F.when(F.col("quality_ok"), 1).otherwise(0)).alias("docs_quality"),
@@ -168,10 +185,9 @@ def build_training_corpus(
 
     selected = final.select(
         id_col,
-        *( [source_col] if source_col else [] ),
+        *([source_col] if source_col else []),
         "n_tok",
-        text_col,
-    )
+    ).join(texts, id_col)
 
     export = None
     if out_dir is not None:
@@ -184,6 +200,6 @@ def build_training_corpus(
             mode=export_mode,
             file_format=file_format,
         )
-    out = with_release(selected, [survivors])
-    out = with_release(out, getattr(cand, "_sentinel_cached", []))
+    out = with_release(selected, [narrow])
+    out = with_release(out, getattr(cand_raw, "_sentinel_cached", []))
     return CorpusBuildResult(funnel, out, export)

@@ -115,38 +115,51 @@ def export_training_shards(
     typed reload). Deterministic end to end: same input → same shard
     membership, same in-file order.
     """
+    # Persist the assignment: it feeds BOTH the data write and the
+    # manifest aggregate, and recomputing it (in pack mode: the hash
+    # bucketing shuffle + FFD + two joins) would double the sink's
+    # most expensive stage. Released before returning — the returned
+    # manifest is the written file read back (schema pinned), so
+    # nothing the caller holds re-runs the assignment lineage.
     assigned = assign_shards(
         df,
         token_col=token_col,
         order_col=order_col,
         shard_tokens=shard_tokens,
         mode=mode,
-    )
-    # One task per shard: hash-repartition on shard_id, then the
-    # partitionBy writer splits a task's output per directory — a
-    # shard's rows live in exactly one task, so each directory gets
-    # exactly one data file. (At petabyte scale raise the parallelism
-    # by also keying on a within-shard split column if single-file
-    # shards are not required.)
-    writer = (
-        assigned.repartition("shard_id")
-        .sortWithinPartitions("shard_id", order_col)
-        .write.mode("error")
-        .partitionBy("shard_id")
-    )
-    if compression:
-        writer = writer.option("compression", compression)
-    writer.format(file_format).save(out_dir)
-
-    manifest = (
-        assigned.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
-            F.min(order_col).alias("first_key"),
-            F.max(order_col).alias("last_key"),
+    ).persist()
+    try:
+        # One task per shard: hash-repartition on shard_id, then the
+        # partitionBy writer splits a task's output per directory — a
+        # shard's rows live in exactly one task, so each directory gets
+        # exactly one data file. (At petabyte scale raise the
+        # parallelism by also keying on a within-shard split column if
+        # single-file shards are not required.)
+        writer = (
+            assigned.repartition("shard_id")
+            .sortWithinPartitions("shard_id", order_col)
+            .write.mode("error")
+            .partitionBy("shard_id")
         )
-        .orderBy("shard_id")
-    )
-    manifest.coalesce(1).write.mode("error").json(out_dir + "/_manifest")
-    return ExportResult(out_dir, manifest)
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.format(file_format).save(out_dir)
+
+        manifest = (
+            assigned.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+                F.min(order_col).alias("first_key"),
+                F.max(order_col).alias("last_key"),
+            )
+            .orderBy("shard_id")
+        )
+        manifest.coalesce(1).write.mode("error").json(out_dir + "/_manifest")
+        manifest_back = (
+            df.sparkSession.read.schema(manifest.schema)
+            .json(out_dir + "/_manifest")
+        )
+    finally:
+        assigned.unpersist()
+    return ExportResult(out_dir, manifest_back)

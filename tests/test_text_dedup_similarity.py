@@ -544,34 +544,3 @@ def test_semantic_dedup_skewed_cell_completes_and_is_exact(spark):
     hottest_cell = Counter(cells.values()).most_common(1)[0][1]
     assert hottest_cell >= 35
 
-
-def test_shingle_injection_equivalence(spark, docs):
-    """The shingles=/shingle_counts= injection API (r5) must reproduce
-    the internally-computed results exactly — it only swaps where the
-    (id, s) rows come from."""
-    from sentinel_spark.cache import release
-
-    counts = D.shingle_count_rows(docs, "text", "doc_id", 3).persist()
-
-    sig_default = {
-        (r.id, tuple(r.sig))
-        for r in D.minhash_signatures(docs, "text", "doc_id").collect()
-    }
-    sig_injected = {
-        (r.id, tuple(r.sig))
-        for r in D.minhash_signatures(
-            docs, "text", "doc_id", shingles=counts
-        ).collect()
-    }
-    assert sig_default == sig_injected
-
-    pj_default = D.ngram_jaccard_pairs(docs, "text", "doc_id", min_jaccard=0.1)
-    pj_injected = D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", min_jaccard=0.1, shingle_counts=counts
-    )
-    got_d = {tuple(r) for r in pj_default.collect()}
-    got_i = {tuple(r) for r in pj_injected.collect()}
-    assert got_d == got_i and got_d  # non-empty: 1-2 and 1-4 overlap
-    release(pj_default)
-    release(pj_injected)  # no internal caches when injected; no-op
-    counts.unpersist()
