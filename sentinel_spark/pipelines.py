@@ -42,6 +42,7 @@ from sentinel_spark.functions import dedup as D
 from sentinel_spark.functions import text as T
 from sentinel_spark.functions.cluster import dedup_clusters
 from sentinel_spark.functions.decontam import contamination_table
+from sentinel_spark.functions.pii import redact_pii
 from sentinel_spark.functions.sampling import mixture_sample
 from sentinel_spark.sources.export import ExportResult, export_training_shards
 
@@ -66,6 +67,7 @@ def build_training_corpus(
     decontam_n: int = 8,
     decontam_max_frac: float = 0.05,
     min_est_jaccard: float = 0.5,
+    redact: bool = False,
     shard_tokens: int = 1 << 22,
     export_mode: str = "pack",
     file_format: str = "json",
@@ -183,11 +185,30 @@ def build_training_corpus(
     )
     funnel = f0.crossJoin(f1).crossJoin(f2)
 
-    selected = final.select(
-        id_col,
-        *([source_col] if source_col else []),
-        "n_tok",
-    ).join(texts, id_col)
+    # ``redact`` masks PII in the exported text (C4/Dolma-style) — a
+    # pure regexp projection on the already-selected rows, after every
+    # content-keyed decision (fingerprints/shingles/token counts are
+    # computed over the ORIGINAL text, so redaction can't split
+    # duplicate groups or shift stage decisions).
+    out_text = (
+        redact_pii(F.col(text_col)).alias(text_col)
+        if redact
+        else F.col(text_col)
+    )
+    selected = (
+        final.select(
+            id_col,
+            *([source_col] if source_col else []),
+            "n_tok",
+        )
+        .join(texts, id_col)
+        .select(
+            id_col,
+            *([source_col] if source_col else []),
+            "n_tok",
+            out_text,
+        )
+    )
 
     export = None
     if out_dir is not None:

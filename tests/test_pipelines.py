@@ -114,3 +114,22 @@ def test_no_benchmark_skips_decontam(spark):
     kept = {r.doc_id for r in res.selected.collect()}
     assert kept == {1, 5, 6}  # doc 5 stays without a benchmark
     release(res.selected)
+
+
+def test_redact_masks_pii_after_decisions(spark):
+    docs, bench = _mk_docs(spark)
+    # plant an email into the surviving doc 6
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 6,
+            F.concat(F.col("text"), F.lit(" contact captain@ships.example.org")),
+        ).otherwise(F.col("text")),
+    )
+    res = build_training_corpus(
+        docs, bench, None, source_col="source", quality_kwargs=QKW, redact=True
+    )
+    rows = {r.doc_id: r.text for r in res.selected.collect()}
+    assert set(rows) == {1, 6}
+    assert "<EMAIL>" in rows[6] and "@" not in rows[6]
+    release(res.selected)
