@@ -255,3 +255,53 @@ def test_bpe_roundtrip_property(spark, texts, n_merges):
         words = re.findall(r"[a-z0-9]+", text.lower())
         rebuilt = "".join(rows[i]).replace(END, " ").split()
         assert rebuilt == words, (text, rows[i])
+
+
+@SLOW
+@given(
+    tokens=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # source
+            st.integers(min_value=1, max_value=500),   # token count
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    budget_a=st.integers(min_value=0, max_value=5000),
+    budget_b=st.integers(min_value=0, max_value=5000),
+)
+def test_mixture_sample_laws(spark, tokens, budget_a, budget_b):
+    """For arbitrary corpora and budgets: (1) a source's kept total
+    reaches min(budget, source total) and overshoots by less than one
+    document; (2) unbudgeted sources are dropped; (3) raising one
+    budget only ADDS documents (nested-prefix monotonicity)."""
+    from sentinel_spark.functions.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, src, t) for i, (src, t) in enumerate(tokens)],
+        "doc_id long, source string, n_tok long",
+    )
+    budgets = {"a": budget_a, "b": budget_b}
+    kept = mixture_sample(
+        df, "source", "n_tok", budgets, key="doc_id"
+    ).collect()
+    totals: dict[str, int] = {}
+    maxlen: dict[str, int] = {}
+    src_total: dict[str, int] = {}
+    for i, (src, t) in enumerate(tokens):
+        src_total[src] = src_total.get(src, 0) + t
+        maxlen[src] = max(maxlen.get(src, 0), t)
+    for r in kept:
+        assert r.source in budgets  # (2) "c" never kept
+        totals[r.source] = totals.get(r.source, 0) + r.n_tok
+    for src, b in budgets.items():
+        got = totals.get(src, 0)
+        want = min(b, src_total.get(src, 0))
+        assert got >= want or got > b - 1  # reaches the budget or the source
+        if got > b:
+            assert got - b < maxlen.get(src, 0)  # (1) < one-doc overshoot
+    # (3) monotonicity in one budget
+    bigger = mixture_sample(
+        df, "source", "n_tok", {"a": budget_a + 777, "b": budget_b}, key="doc_id"
+    ).collect()
+    assert {r.doc_id for r in kept} <= {r.doc_id for r in bigger}
