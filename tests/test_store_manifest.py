@@ -324,3 +324,73 @@ def test_many_commits_and_rolling_vacuum(spark, tmp_path):
     got = {r.runId: r.n for r in t.read().collect()}
     assert got == expect
     assert isinstance(deleted, list)
+
+
+def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
+    """Z-order vs linear clustering: after zorder=True compaction on
+    (x, y), read_pruned skips files for a narrow range on EITHER
+    column; linear cluster_by=[x] gives tight stats (and skipping)
+    only on x."""
+    import itertools
+
+    from sentinel_spark.sources.store import ParquetTable
+
+    # two independent uniform dimensions, deliberately decorrelated
+    import os as _os
+
+    rows = [(x, (x * 7919 + 13) % 256) for x in range(256)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+
+    def sixteenth_of_total(t):
+        # target ~16 multi-row files; a degenerate 1-row-per-file
+        # layout would make ANY ordering give tight per-file stats
+        snap = t._snapshot()
+        total = sum(
+            _os.path.getsize(_os.path.join(t.path, f)) for f in snap["files"]
+        )
+        return max(1, total // 16)
+
+    lin = ParquetTable(spark, str(tmp_path / "lin"))
+    lin.append(df)
+    lin.compact(target_file_bytes=sixteenth_of_total(lin), cluster_by=["x"])
+    zo = ParquetTable(spark, str(tmp_path / "zo"))
+    zo.append(df)
+    zo.compact(
+        target_file_bytes=sixteenth_of_total(zo),
+        cluster_by=["x", "y"],
+        zorder=True,
+    )
+
+    def n_files(t):
+        return len(t._snapshot()["files"])
+
+    def n_scanned(t, col, lo, hi):
+        pruned = t.read_pruned(col, lo, hi)
+        return len(pruned.inputFiles()) if pruned.inputFiles() else 0
+
+    # both layouts produced several files (target_file_bytes=1 → one
+    # file per range partition)
+    assert 4 < n_files(lin) < 40 and 4 < n_files(zo) < 40
+
+    # rows survive identically
+    assert sorted((r.x, r.y) for r in zo.read().collect()) == sorted(rows)
+
+    # x-range: both layouts skip
+    assert n_scanned(lin, "x", 0, 15) < n_files(lin)
+    assert n_scanned(zo, "x", 0, 15) < n_files(zo)
+    # y-range: the z-ordered layout must skip a solid majority of its
+    # files; the x-linear layout (y decorrelated) scans nearly all of
+    # its files (a couple may skip by luck of small per-file samples)
+    lin_y_frac = n_scanned(lin, "y", 0, 15) / n_files(lin)
+    zo_y_frac = n_scanned(zo, "y", 0, 15) / n_files(zo)
+    assert lin_y_frac > 0.7
+    assert zo_y_frac <= 0.5
+    assert zo_y_frac < lin_y_frac
+
+    # superset guarantee: pruned scan + exact filter == full filter
+    want = {(x, y) for (x, y) in rows if 0 <= y <= 15}
+    got = {
+        (r.x, r.y)
+        for r in zo.read_pruned("y", 0, 15).where("y between 0 and 15").collect()
+    }
+    assert got == want
