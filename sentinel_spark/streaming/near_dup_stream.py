@@ -134,6 +134,7 @@ def run_near_dup_stream(
     min_est_jaccard: float = 0.5,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Streaming face of :func:`near_dup_admission`: JSONL documents
     under ``input_dir`` → admitted docs at ``corpus_dir``/docs,
@@ -141,7 +142,17 @@ def run_near_dup_stream(
     ``corpus_dir``/rejects — all ParquetTable
     ``merge_insert_not_matched`` writes, so crashed-batch replays
     insert nothing twice. Returns the StreamingQuery (awaited when
-    ``available_now``)."""
+    ``available_now``).
+
+    ``compact_every``: every N micro-batches, small-file-compact the
+    docs table and band_key-cluster the index (tight per-file
+    band_key stats are what let the admission join's index scan prune
+    — see :func:`~sentinel_spark.functions.dedup.minhash_band_index`).
+    Append-heavy streaming tables accumulate one file set per batch;
+    without maintenance, scan cost grows with batch COUNT instead of
+    data size. Safe under the manifest log: compaction is one atomic
+    version flip, and a crash mid-compaction leaves only unreachable
+    staged files (the next commit wins or retries)."""
     checkpoint_dir = checkpoint_dir or os.path.join(corpus_dir, "_checkpoint")
     stream = (
         spark.readStream.format("text")
@@ -178,6 +189,9 @@ def run_near_dup_stream(
         index_t.merge_insert_not_matched(new_rows, ["id", "band_key"])
         rejects_t.merge_insert_not_matched(rejected, [id_col])
         release(admitted)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            docs_t.compact()
+            index_t.compact(cluster_by=["band_key"])
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

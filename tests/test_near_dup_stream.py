@@ -112,3 +112,24 @@ def test_streaming_rounds_and_replay(spark, tmp_path):
         rejects_t.read().count(),
     )
     assert before == after == (3, 12, 2)
+
+
+def test_streaming_with_compaction(spark, tmp_path):
+    """compact_every folds each generation's appended files into the
+    clustered layout without changing any table's contents."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    _write_jsonl(inbox / "b1.jsonl", B1)
+    run_near_dup_stream(spark, str(inbox), corpus, compact_every=1)
+    _write_jsonl(inbox / "b2.jsonl", B2)
+    run_near_dup_stream(spark, str(inbox), corpus, compact_every=1)
+
+    docs_t = ParquetTable(spark, os.path.join(corpus, "docs"))
+    index_t = ParquetTable(spark, os.path.join(corpus, "index"))
+    assert {r.doc_id for r in docs_t.read().collect()} == {1, 3, 11}
+    assert index_t.read().count() == 12
+    # compaction actually ran: the index is down to one clustered file
+    assert len(index_t._snapshot()["files"]) == 1
