@@ -415,6 +415,13 @@ class ParquetTable:
         reader = self.spark.read
         if self.partition_cols:
             reader = reader.option("basePath", self.path)
+        # Scan under the RECORDED schema: after column-adding evolution
+        # the files disagree on width, and schema inference samples an
+        # arbitrary file — the explicit schema makes every file read
+        # deterministic (missing columns surface as null).
+        schema = self._resolved_schema(snap)
+        if schema is not None:
+            reader = reader.schema(schema)
         return reader.parquet(*paths)
 
     def read_pruned(
@@ -464,12 +471,58 @@ class ParquetTable:
         reader = self.spark.read
         if self.partition_cols:
             reader = reader.option("basePath", self.path)
+        schema = self._resolved_schema(snap)
+        if schema is not None:
+            reader = reader.schema(schema)  # same contract as read()
         return reader.parquet(*paths)
 
+    def _evolve_schema(self, snap: dict, df: DataFrame) -> str:
+        """Schema to record for an append of ``df`` onto ``snap``:
+        existing columns must keep their exact types (by name; column
+        order is irrelevant — parquet resolves by name), NEW columns
+        must be nullable (older files then read them as null through
+        the explicit-schema scan) and are adopted into the recorded
+        schema. A frame MISSING an existing column, or changing a
+        type, fails loudly — silent narrowing is how a table format
+        corrupts itself."""
+        existing = self._resolved_schema(snap) if snap["files"] else None
+        if existing is None:
+            return df.schema.json()
+        incoming = {f.name: f for f in df.schema.fields}
+        merged = []
+        for f in existing.fields:
+            g = incoming.pop(f.name, None)
+            if g is None:
+                raise ValueError(
+                    f"append is missing existing column {f.name!r}; "
+                    "schema evolution only ADDS nullable columns"
+                )
+            if g.dataType != f.dataType:
+                raise ValueError(
+                    f"column {f.name!r} type change "
+                    f"{f.dataType.simpleString()} -> "
+                    f"{g.dataType.simpleString()} is not supported"
+                )
+            merged.append(f)
+        for g in df.schema.fields:  # preserve the frame's order for extras
+            if g.name in incoming:
+                if not g.nullable:
+                    raise ValueError(
+                        f"new column {g.name!r} must be nullable — "
+                        "existing files have no values for it"
+                    )
+                merged.append(g)
+        return TY.StructType(merged).json()
+
     def append(self, df: DataFrame) -> None:
+        """Append ``df``. Adding new nullable columns is allowed (the
+        recorded schema evolves; older files read them as null);
+        dropping or retyping existing columns raises."""
+        snap = self._snapshot()
+        schema_json = self._evolve_schema(snap, df)
         staged, stats = self._stage_in(df)
         self._commit_files(
-            staged, set(), df.schema.json(), retry=True, new_stats=stats
+            staged, set(), schema_json, retry=True, new_stats=stats
         )
 
     def overwrite(self, df: DataFrame) -> None:

@@ -394,3 +394,38 @@ def test_zorder_compaction_skips_on_both_columns(spark, tmp_path):
         for r in zo.read_pruned("y", 0, 15).where("y between 0 and 15").collect()
     }
     assert got == want
+
+
+def test_schema_evolution_add_nullable_column(spark, tmp_path):
+    """Appending a frame with a NEW nullable column evolves the
+    recorded schema; older files read the column as null; dropping or
+    retyping an existing column raises."""
+    import pytest
+
+    from sentinel_spark.sources.store import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "evo"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 3.5)], "id long, v string, score double"
+        )
+    )
+    rows = {r.id: (r.v, r.score) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", 3.5)}
+    # column order is by-name, not positional
+    t.append(
+        spark.createDataFrame(
+            [(4.5, "c", 3)], "score double, v string, id long"
+        )
+    )
+    assert t.read().count() == 3
+
+    with pytest.raises(ValueError, match="missing existing column"):
+        t.append(spark.createDataFrame([(9,)], "id long"))
+    with pytest.raises(ValueError, match="type change"):
+        t.append(
+            spark.createDataFrame(
+                [(9, "x", "oops")], "id long, v string, score string"
+            )
+        )
