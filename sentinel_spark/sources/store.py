@@ -547,7 +547,8 @@ class ParquetTable:
         actually touches (a key match then must live in a matching
         partition) — at 100 TB the get-or-create reads O(touched
         partitions), not the table."""
-        if self.exists():
+        snap = self._snapshot()
+        if snap["files"]:
             existing_src = self.read()
             if self.partition_cols and set(self.partition_cols) <= set(keys):
                 parts = [
@@ -572,8 +573,11 @@ class ParquetTable:
             else 0
         )
         if n:
+            # Same evolution contract as append: recording a NARROWER
+            # incoming schema verbatim would silently drop existing
+            # columns at read time under the recorded-schema scan.
             self._commit_files(
-                staged, set(), fresh.schema.json(), retry=True,
+                staged, set(), self._evolve_schema(snap, fresh), retry=True,
                 new_stats=stage_stats,
             )
         else:

@@ -429,3 +429,26 @@ def test_schema_evolution_add_nullable_column(spark, tmp_path):
                 [(9, "x", "oops")], "id long, v string, score string"
             )
         )
+
+
+def test_merge_insert_respects_evolution_contract(spark, tmp_path):
+    """merge_insert_not_matched follows the same evolution rules as
+    append: narrower incoming frames raise instead of silently
+    shrinking the recorded schema; wider nullable frames evolve it."""
+    import pytest
+
+    from sentinel_spark.sources.store import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "mi_evo"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="missing existing column"):
+        t.merge_insert_not_matched(
+            spark.createDataFrame([(2,)], "id long"), ["id"]
+        )
+    n = t.merge_insert_not_matched(
+        spark.createDataFrame([(2, "b", 1.5)], "id long, v string, w double"),
+        ["id"],
+    )
+    assert n == 1
+    rows = {r.id: (r.v, r.w) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", 1.5)}
