@@ -227,7 +227,13 @@ def mixture_sample(
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15), 16, 10
     ).cast("long")  # uniform in [0, 2^60)
-    rng = F.floor(h / F.lit(1 << 45))  # ~32k coarse hash ranges
+    # ~32k coarse hash ranges. Integer shift, NOT h / 2^45: `/` is
+    # double division and h spans [0, 2^60) — beyond double's 53-bit
+    # mantissa — so a floor of the quotient can land on the wrong side
+    # of a range boundary, breaking the exact (rng, h) ≡ h order the
+    # two-level prefix sum (and the DuckDB oracle, which orders by raw
+    # h) depends on. shiftright keeps rng exactly monotone in h.
+    rng = F.shiftright(h, 45)
     t = F.col(token_col).cast("long")
 
     w_in = (

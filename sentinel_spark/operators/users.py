@@ -18,9 +18,13 @@ bcrypt (F10) is real: ``hash_password`` / ``check_password`` wrap the
 pure-Python, test-vector-verified bcrypt in functions/crypto.py (the
 reference's BCrypt.hashpw/checkpw, models/User.scala:54-76). Hashing
 happens driver-side per CRUD call — never on the bulk path — so the
-cost parameter, not Spark, bounds the work; the CRUD default here is
-cost 4 (pure-Python throughput), production raises it (the reference
-default is 10) or swaps a native provider through the same functions.
+cost parameter, not Spark, bounds the work. The default cost is
+``crypto.DEFAULT_COST`` (10) — the same work factor the reference's
+``BCrypt.gensalt()`` defaults to — so the secure setting is what
+callers get silently; the pure-Python implementation is slow at that
+cost (~7 s/hash), and callers who accept weaker hashes for
+throughput (tests, bulk fixtures) must opt DOWN explicitly via the
+``cost``/``bcrypt_cost`` parameters.
 """
 
 from __future__ import annotations
@@ -127,13 +131,15 @@ def valid_email(col: Column | str) -> Column:
     return c.rlike(EMAIL_RE)
 
 
-BCRYPT_COST = 4  # CRUD-path default; see module docstring.
-
-
-def hash_password(password: str, *, cost: int = BCRYPT_COST) -> str:
+def hash_password(password: str, *, cost: int | None = None) -> str:
     """bcrypt (models/User.scala:76): random 128-bit salt, EksBlowfish
     at 2^cost rounds, $2b$ serialization — interoperable with C bcrypt
-    (vector-verified in tests/test_crypto.py)."""
+    (vector-verified in tests/test_crypto.py). ``cost`` defaults to
+    ``crypto.DEFAULT_COST`` (10, the reference's gensalt default);
+    passing a lower cost is a deliberate weakening for test/throughput
+    use — see the module docstring."""
+    if cost is None:
+        cost = crypto.DEFAULT_COST
     return crypto.bcrypt_hashpw(password, crypto.bcrypt_gensalt(cost))
 
 
@@ -152,10 +158,13 @@ def generate_api_key() -> str:
 # -- patch functions (UsersAdapter.scala:118-133) --------------------------
 
 
-def patch_user(user: User, patches: list[PatchOp]) -> User:
+def patch_user(
+    user: User, patches: list[PatchOp], *, cost: int | None = None
+) -> User:
     """Apply the reference's user patch subset: replace on /verified,
-    /email (validated), /password (validated, re-hashed). Anything else
-    is a PatchValidationError analog."""
+    /email (validated), /password (validated, re-hashed at ``cost``,
+    default ``crypto.DEFAULT_COST``). Anything else is a
+    PatchValidationError analog."""
     out = user
     for p in patches:
         if p.op != "replace":
@@ -173,14 +182,18 @@ def patch_user(user: User, patches: list[PatchOp]) -> User:
             msgs = password_messages(str(p.value))
             if msgs:
                 raise PatchError("; ".join(msgs))
-            out = replace(out, hashedPassword=hash_password(str(p.value)))
+            out = replace(out, hashedPassword=hash_password(str(p.value), cost=cost))
         else:
             raise PatchError(f"unpatchable user path: {p.path}")
     return out
 
 
 def apply_user_patches(
-    df: DataFrame, cond: Column, patches: list[PatchOp]
+    df: DataFrame,
+    cond: Column,
+    patches: list[PatchOp],
+    *,
+    cost: int | None = None,
 ) -> DataFrame:
     """Expression-side mirror of patch_user for bulk patching a users
     DataFrame: same routing, conditional projection per field, and the
@@ -196,7 +209,7 @@ def apply_user_patches(
             msgs = password_messages(str(p.value))
             if msgs:
                 raise PatchError("; ".join(msgs))
-            value = F.lit(hash_password(str(p.value)))
+            value = F.lit(hash_password(str(p.value), cost=cost))
             field = "hashedPassword"
         elif field == "email":
             msgs = email_messages(str(p.value))
@@ -228,9 +241,11 @@ class UsersStore:
     """CRUD over the users dimension table. Call sites translate 1:1 to
     Delta MERGE/UPDATE/DELETE at scale (see sources/store.py)."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, *, bcrypt_cost: int | None = None):
         self.table = ParquetTable(spark, path, USERS_SCHEMA)
         self.spark = spark
+        # None → crypto.DEFAULT_COST at hash time; tests opt down.
+        self.bcrypt_cost = bcrypt_cost
 
     def _row(self, user: User) -> DataFrame:
         return self.spark.createDataFrame(
@@ -313,6 +328,6 @@ class UsersStore:
         current = self.get_user(user_id)
         if current is None:
             raise UserNotFoundError(user_id)
-        patched = patch_user(current, patches)
+        patched = patch_user(current, patches, cost=self.bcrypt_cost)
         self.update_user(patched)
         return patched

@@ -247,15 +247,33 @@ class ParquetTable:
         schema_json: str | None,
         retry: bool = False,
         new_stats: dict | None = None,
+        evolve_from: TY.StructType | None = None,
     ) -> int:
         """Commit (current − replaced + new). Appends (empty
         ``replaced``) retry on CAS conflicts — the staged files are
         valid regardless of what landed in between; copy-on-write
         commits surface the conflict instead (their replaced set was
-        computed against a snapshot that no longer is the tip)."""
+        computed against a snapshot that no longer is the tip).
+
+        ``evolve_from`` (the incoming frame's schema) makes the
+        recorded schema a per-attempt MERGE against each fresh
+        snapshot, superseding ``schema_json``. This is what keeps the
+        evolution contract race-safe: a caller-rendered schema string
+        is stale the moment a concurrent append wins the CAS — if the
+        winner added a new nullable column, committing the loser's
+        pre-race schema on retry would silently drop that column at
+        read time (the exact narrowing ``_evolve_schema`` exists to
+        prevent), so the merge must re-run inside the retry loop."""
         attempts = 8 if retry else 1
         for _ in range(attempts):
             snap = self._snapshot()
+            sj = (
+                self._evolve_schema(
+                    snap, evolve_from, allow_missing_nullable=True
+                )
+                if evolve_from is not None
+                else schema_json
+            )
             # set-union: on a version-0 table the legacy directory walk
             # already sees the freshly staged files, so listing them
             # again via new_files must not double-count them.
@@ -265,7 +283,7 @@ class ParquetTable:
             stats = dict(snap.get("stats") or {})
             stats.update(new_stats or {})
             try:
-                v = self._commit(files, snap["version"], schema_json, stats)
+                v = self._commit(files, snap["version"], sj, stats)
             except ConcurrentCommitError:
                 continue
             self._reclaim()
@@ -476,23 +494,44 @@ class ParquetTable:
             reader = reader.schema(schema)  # same contract as read()
         return reader.parquet(*paths)
 
-    def _evolve_schema(self, snap: dict, df: DataFrame) -> str:
-        """Schema to record for an append of ``df`` onto ``snap``:
-        existing columns must keep their exact types (by name; column
-        order is irrelevant — parquet resolves by name), NEW columns
-        must be nullable (older files then read them as null through
-        the explicit-schema scan) and are adopted into the recorded
-        schema. A frame MISSING an existing column, or changing a
-        type, fails loudly — silent narrowing is how a table format
-        corrupts itself."""
+    def _evolve_schema(
+        self,
+        snap: dict,
+        incoming_schema: TY.StructType,
+        *,
+        allow_missing_nullable: bool = False,
+    ) -> str:
+        """Schema to record for an append of a frame with
+        ``incoming_schema`` onto ``snap``: existing columns must keep
+        their exact types (by name; column order is irrelevant —
+        parquet resolves by name), NEW columns must be nullable (older
+        files then read them as null through the explicit-schema scan)
+        and are adopted into the recorded schema. A frame MISSING an
+        existing column, or changing a type, fails loudly — silent
+        narrowing is how a table format corrupts itself.
+
+        Takes the schema (not the DataFrame) so ``_commit_files`` can
+        re-run the merge against each retry attempt's FRESH snapshot —
+        see its ``evolve_from`` contract. ``allow_missing_nullable``
+        is that retry path's relaxation: an existing NULLABLE column
+        absent from the incoming frame stays in the merged schema (the
+        new files simply read it as null) instead of raising — a
+        column can be "existing" there only because a concurrent
+        writer added it after this caller's fail-fast validation, and
+        failing the retry would turn every such benign race into an
+        error. The strict default still catches caller bugs (a frame
+        that genuinely dropped a column) at validation time."""
         existing = self._resolved_schema(snap) if snap["files"] else None
         if existing is None:
-            return df.schema.json()
-        incoming = {f.name: f for f in df.schema.fields}
+            return incoming_schema.json()
+        incoming = {f.name: f for f in incoming_schema.fields}
         merged = []
         for f in existing.fields:
             g = incoming.pop(f.name, None)
             if g is None:
+                if allow_missing_nullable and f.nullable:
+                    merged.append(f)  # concurrent widening; reads null
+                    continue
                 raise ValueError(
                     f"append is missing existing column {f.name!r}; "
                     "schema evolution only ADDS nullable columns"
@@ -504,7 +543,7 @@ class ParquetTable:
                     f"{g.dataType.simpleString()} is not supported"
                 )
             merged.append(f)
-        for g in df.schema.fields:  # preserve the frame's order for extras
+        for g in incoming_schema.fields:  # preserve the frame's order for extras
             if g.name in incoming:
                 if not g.nullable:
                     raise ValueError(
@@ -518,11 +557,15 @@ class ParquetTable:
         """Append ``df``. Adding new nullable columns is allowed (the
         recorded schema evolves; older files read them as null);
         dropping or retyping existing columns raises."""
-        snap = self._snapshot()
-        schema_json = self._evolve_schema(snap, df)
+        # Fail-fast validation against the CURRENT snapshot before any
+        # staging I/O; the authoritative merge re-runs per commit
+        # attempt inside _commit_files (evolve_from) so a concurrent
+        # winner's new columns are never dropped by a stale render.
+        self._evolve_schema(self._snapshot(), df.schema)
         staged, stats = self._stage_in(df)
         self._commit_files(
-            staged, set(), schema_json, retry=True, new_stats=stats
+            staged, set(), None, retry=True, new_stats=stats,
+            evolve_from=df.schema,
         )
 
     def overwrite(self, df: DataFrame) -> None:
@@ -548,6 +591,9 @@ class ParquetTable:
         partition) — at 100 TB the get-or-create reads O(touched
         partitions), not the table."""
         snap = self._snapshot()
+        # Fail-fast strict validation (same contract as append); the
+        # race-safe per-attempt merge happens in _commit_files.
+        self._evolve_schema(snap, df.schema)
         if snap["files"]:
             existing_src = self.read()
             if self.partition_cols and set(self.partition_cols) <= set(keys):
@@ -575,10 +621,12 @@ class ParquetTable:
         if n:
             # Same evolution contract as append: recording a NARROWER
             # incoming schema verbatim would silently drop existing
-            # columns at read time under the recorded-schema scan.
+            # columns at read time under the recorded-schema scan; the
+            # merge runs per-attempt (evolve_from) so a CAS retry can't
+            # commit a schema stale to a racing winner's new columns.
             self._commit_files(
-                staged, set(), self._evolve_schema(snap, fresh), retry=True,
-                new_stats=stage_stats,
+                staged, set(), None, retry=True, new_stats=stage_stats,
+                evolve_from=fresh.schema,
             )
         else:
             for f in staged:

@@ -105,7 +105,11 @@ def test_api_key_shape():
 def test_users_integration():
     from sentinel_spark.operators.users import check_password, hash_password
 
-    h = hash_password("Pass123")
+    h = hash_password("Pass123", cost=4)  # explicit opt-down; default is cost 10
     assert h.startswith("$2b$04$")
+    # the DEFAULT path serializes the reference's work factor (cost 10)
+    from sentinel_spark.functions import crypto
+
+    assert crypto.bcrypt_gensalt().startswith("$2b$10$")
     assert check_password("Pass123", h)
     assert not check_password("Pass124", h)

@@ -452,3 +452,41 @@ def test_merge_insert_respects_evolution_contract(spark, tmp_path):
     assert n == 1
     rows = {r.id: (r.v, r.w) for r in t.read().collect()}
     assert rows == {1: ("a", None), 2: ("b", 1.5)}
+
+
+def test_schema_evolution_survives_commit_race(spark, tmp_path):
+    """Two appends race; the CAS winner adds a new nullable column.
+    The loser's retry must re-merge the schema against the FRESH
+    snapshot — committing its pre-race schema render would silently
+    drop the winner's column at read time (recorded-schema scan)."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "evo_race"), retain_versions=10)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    winner = ParquetTable(spark, t.path, retain_versions=10)
+    orig_commit = t._commit
+    raced = {"done": False}
+
+    def racing_commit(files, base_version, schema_json, stats=None):
+        if not raced["done"]:
+            raced["done"] = True
+            # the winner lands a WIDER frame between the loser's
+            # snapshot and its CAS attempt
+            winner.append(
+                spark.createDataFrame(
+                    [(2, "b", 3.5)], "id long, v string, score double"
+                )
+            )
+        return orig_commit(files, base_version, schema_json, stats)
+
+    t._commit = racing_commit
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t._commit = orig_commit
+
+    rows = {r.id: (r.v, r.score) for r in t.read().collect()}
+    # the winner's column survived the loser's retried commit; the
+    # loser's own rows read it as null
+    assert rows == {1: ("a", None), 2: ("b", 3.5), 3: ("c", None)}
+    # and the recorded schema (not file inference) carries the column
+    assert "score" in t.read().columns

@@ -22,12 +22,12 @@ from sentinel_spark.operators.users import (
 )
 
 ADMIN = User(id="admin", email="admin@example.org", isAdmin=True, verified=True)
-AVG = User(id="avg", email="avg@example.org", hashedPassword=hash_password("Pass123"))
+AVG = User(id="avg", email="avg@example.org", hashedPassword=hash_password("Pass123", cost=4))
 
 
 @pytest.fixture()
 def store(spark, tmp_path):
-    s = UsersStore(spark, str(tmp_path / "users"))
+    s = UsersStore(spark, str(tmp_path / "users"), bcrypt_cost=4)
     s.add_user(ADMIN)
     s.add_user(AVG)
     return s
