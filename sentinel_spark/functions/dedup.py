@@ -211,6 +211,49 @@ def lsh_band_key(signature: Column, band: int, rows_per_band: int) -> Column:
     )
 
 
+def _guard_hot_bands(
+    banded: DataFrame, max_band_size: int, keys: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Split band rows into (normal_rows, hot_star_pairs) under a
+    bucket-size cap — the banded self-join's mirror of the n-gram
+    path's ``max_df`` Zipf guard (:func:`ngram_jaccard_pairs`).
+
+    A band bucket shared by B documents emits B² rows through a raw
+    self-join; real web corpora have boilerplate/template families
+    whose shared band keys make that quadratic (exact-dedup upstream
+    removes only byte-identical members). Buckets over the cap are
+    routed to *star* pairing instead: every member pairs with the
+    bucket's min-id representative only — B−1 pairs, preserving
+    connectivity for downstream connected-components clustering (the
+    canonical-min rule both dedup families already use), at the cost
+    of per-pair completeness inside the hot bucket (its members are
+    near-certain duplicates of each other anyway — they agree on a
+    whole signature band).
+
+    Plan shape: the hot-key set is a partial-aggregated count over the
+    band rows (hot keys reduce map-side, so the count itself never
+    skews) and is tiny by construction (the Zipf head) — both the
+    anti-join and the semi-join broadcast it. The representative
+    frame is one row per hot bucket — also broadcast. ``keys`` is the
+    bucket key column list (``["band_key"]`` for minhash LSH;
+    ``["band", "key"]`` for simhash).
+
+    Returns ``(normal_rows, star_pairs)`` where star_pairs has columns
+    (id_a, id_b) with id_a < id_b (representative first).
+    """
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    hot = sizes.where(F.col("__n") > max_band_size).select(*keys)
+    normal = banded.join(F.broadcast(hot), keys, "left_anti")
+    hot_rows = banded.join(F.broadcast(hot), keys, "left_semi")
+    reps = hot_rows.groupBy(*keys).agg(F.min("id").alias("__rep"))
+    star = (
+        hot_rows.join(F.broadcast(reps), keys)
+        .where(F.col("id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return normal, star
+
+
 def exact_dup_groups(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     """Exact dedup: group by content digest; emit canonical (min id) and
     group size. One shuffle on the digest."""
@@ -232,6 +275,7 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     num_hashes: int = 16,
     num_bands: int = 4,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (id_a < id_b), with
     the estimated Jaccard (= fraction of matching minhashes).
@@ -239,6 +283,14 @@ def minhash_candidate_pairs(
     Plan shape: project signature → explode band keys → self-join on
     band key (shuffle on bucket, never O(n²)) → distinct pairs →
     signature-agreement estimate.
+
+    ``max_band_size`` guards the self-join against hot bands (see
+    :func:`_guard_hot_bands`): buckets over the cap contribute
+    representative-vs-member star pairs (min-id canonical) instead of
+    all-pairs, bounding fan-out to linear in the bucket while keeping
+    the bucket connected for clustering. None (the default) keeps the
+    exact all-pairs semantics — set a cap for boilerplate-heavy
+    corpora at scale.
 
     Call :func:`sentinel_spark.cache.release` on the result when done —
     the signature table persists to feed three plan branches.
@@ -260,13 +312,18 @@ def minhash_candidate_pairs(
             )
         ).alias("band_key"),
     )
+    star = None
+    if max_band_size is not None:
+        banded, star = _guard_hot_bands(banded, max_band_size, ["band_key"])
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), "band_key")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
     with_sigs = (
         pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -327,6 +384,7 @@ def incremental_candidate_pairs(
     num_bands: int = 4,
     include_new_new: bool = True,
     new_index_rows: DataFrame | None = None,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidates of a NEW batch against an existing
     corpus *without touching the corpus text*: only the batch is
@@ -345,8 +403,19 @@ def incremental_candidate_pairs(
     rows BROADCAST against the index — the index is only *scanned*
     (and only the matching ``band_key`` ranges of it, when stored
     clustered on band_key: the store's per-file min/max stats prune
-    the scan). No corpus-sized shuffle exists anywhere; batch-side
-    work is one shingle pipeline over the batch.
+    the scan — :func:`sentinel_spark.streaming.near_dup_stream.run_near_dup_stream`
+    wires that pruning via ``ParquetTable.read_pruned``). No
+    corpus-sized shuffle exists anywhere; batch-side work is one
+    shingle pipeline over the batch.
+
+    ``max_band_size`` mirrors :func:`minhash_candidate_pairs`'s hot-
+    band guard on both branches: index-side buckets over the cap
+    participate through their min-(id, sig) representative only (one
+    extra count-aggregate pass over the index scan), and the new-new
+    self-join routes over-cap buckets to star pairs. A hot bucket's
+    members are near-certain duplicates; comparing each new document
+    against the bucket representative still rejects/links it, without
+    the B-per-document fan-out.
     """
     rows_per_band = num_hashes // num_bands
     if new_index_rows is not None:
@@ -365,8 +434,27 @@ def incremental_candidate_pairs(
         6,
     )
 
+    index_side = index
+    if max_band_size is not None:
+        sizes = index.groupBy("band_key").agg(F.count(F.lit(1)).alias("__n"))
+        hot = sizes.where(F.col("__n") > max_band_size).select("band_key")
+        normal_idx = index.join(F.broadcast(hot), "band_key", "left_anti")
+        rep_idx = (
+            index.join(F.broadcast(hot), "band_key", "left_semi")
+            .groupBy("band_key")
+            # min over (id, sig) structs = the min-id row (id leads the
+            # struct ordering; ids are unique per band in the index)
+            .agg(F.min(F.struct("id", "sig")).alias("__r"))
+            .select(
+                "band_key",
+                F.col("__r.id").alias("id"),
+                F.col("__r.sig").alias("sig"),
+            )
+        )
+        index_side = normal_idx.unionByName(rep_idx)
+
     vs_index = (
-        index.alias("o")
+        index_side.alias("o")
         .join(
             F.broadcast(new_index.alias("n")),
             F.col("n.band_key") == F.col("o.band_key"),
@@ -384,9 +472,12 @@ def incremental_candidate_pairs(
     )
     out = vs_index
     if include_new_new:
-        vs_batch = (
-            new_index.alias("a")
-            .join(new_index.alias("b"), "band_key")
+        nn, star = new_index, None
+        if max_band_size is not None:
+            nn, star = _guard_hot_bands(nn, max_band_size, ["band_key"])
+        pair_rows = (
+            nn.alias("a")
+            .join(nn.alias("b"), "band_key")
             .filter(F.col("a.id") < F.col("b.id"))
             .select(
                 F.col("a.id").alias("id_new"),
@@ -394,7 +485,30 @@ def incremental_candidate_pairs(
                 F.col("a.sig").alias("sig_a"),
                 F.col("b.sig").alias("sig_b"),
             )
-            .dropDuplicates(["id_new", "id_old"])
+        )
+        if star is not None:
+            # star pairs carry ids only; re-attach signatures from the
+            # (batch-sized, so cheap) per-id sig map
+            sigs = new_index.select("id", "sig").dropDuplicates(["id"])
+            star_rows = (
+                star.join(
+                    sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+                    "id_a",
+                )
+                .join(
+                    sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+                    "id_b",
+                )
+                .select(
+                    F.col("id_a").alias("id_new"),
+                    F.col("id_b").alias("id_old"),
+                    "sig_a",
+                    "sig_b",
+                )
+            )
+            pair_rows = pair_rows.unionByName(star_rows)
+        vs_batch = (
+            pair_rows.dropDuplicates(["id_new", "id_old"])
             .select("id_new", "id_old", match_frac.alias("est_jaccard"),
                     F.lit("batch").alias("source"))
         )

@@ -67,6 +67,7 @@ def build_training_corpus(
     decontam_n: int = 8,
     decontam_max_frac: float = 0.05,
     min_est_jaccard: float = 0.5,
+    max_band_size: int | None = None,
     redact: bool = False,
     shard_tokens: int = 1 << 22,
     export_mode: str = "pack",
@@ -119,7 +120,8 @@ def build_training_corpus(
     )
     survivors = texts.join(survivor_meta, id_col)
     cand_raw = D.minhash_candidate_pairs(
-        survivors, text_col, id_col, shingle_n=shingle_n
+        survivors, text_col, id_col, shingle_n=shingle_n,
+        max_band_size=max_band_size,
     )
     cand = cand_raw.where(F.col("est_jaccard") >= min_est_jaccard)
     clusters = dedup_clusters(survivor_meta, cand, id_col)

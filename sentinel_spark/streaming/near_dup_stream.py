@@ -42,6 +42,7 @@ def near_dup_admission(
     num_hashes: int = 16,
     num_bands: int = 4,
     min_est_jaccard: float = 0.5,
+    max_band_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Split one batch into (admitted, rejected, new_index_rows).
 
@@ -71,7 +72,7 @@ def near_dup_admission(
     pairs = D.incremental_candidate_pairs(
         batch, index, text_col, id_col,
         shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
-        new_index_rows=batch_index,
+        new_index_rows=batch_index, max_band_size=max_band_size,
     )
     batch_losers = (
         pairs.where(
@@ -132,6 +133,7 @@ def run_near_dup_stream(
     num_hashes: int = 16,
     num_bands: int = 4,
     min_est_jaccard: float = 0.5,
+    max_band_size: int | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     compact_every: int | None = None,
@@ -179,6 +181,7 @@ def run_near_dup_stream(
             batch_df, index, text_col, id_col,
             shingle_n=shingle_n, num_hashes=num_hashes,
             num_bands=num_bands, min_est_jaccard=min_est_jaccard,
+            max_band_size=max_band_size,
         )
         # Admission first, then its index rows: if we crash between the
         # two, replay re-derives the same split (the index lacking the

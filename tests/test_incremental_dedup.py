@@ -104,3 +104,47 @@ def test_index_row_shape(spark, frames):
     rows = index.collect()
     assert len(rows) == len(OLD_DOCS) * 4  # one row per (doc, band)
     assert all(len(r.sig) == 16 for r in rows)
+
+
+def test_incremental_hot_band_guard(spark):
+    """max_band_size on both incremental branches: a hot index bucket
+    participates only through its min-(id, sig) representative (each
+    new doc pairs once with it, not once per member), and the
+    new-new self-join routes its own hot buckets to star pairs. With
+    a cap above every bucket, output matches the unguarded run."""
+    template = "subscribe newsletter banner cookie consent privacy policy footer"
+    old = spark.createDataFrame(
+        [(i, template) for i in range(80)]
+        + [(200, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000, template), (1001, template),
+         (1100, "the quick brown fox jumps over the lazy cat tonight")],
+        "doc_id long, text string",
+    )
+    index = D.minhash_band_index(old, "text", "doc_id", num_bands=8)
+
+    guarded = D.incremental_candidate_pairs(
+        new, index, "text", "doc_id", num_bands=8, max_band_size=16
+    )
+    got = _pairs(guarded)
+    # each hot-family batch doc pairs with the representative (id 0)
+    # ONLY — not with all 80 members
+    idx_hits = {(n, o) for n, o, s in got if s == "index" and n in (1000, 1001)}
+    assert idx_hits == {(1000, 0), (1001, 0)}
+    # the intra-batch template pair still surfaces via the batch branch
+    assert (1000, 1001, "batch") in got
+    # the normal near-dup pair is untouched by the guard
+    assert (1100, 200, "index") in got
+
+    # cap above every bucket == unguarded output
+    unguarded = D.incremental_candidate_pairs(
+        new, index, "text", "doc_id", num_bands=8
+    )
+    capped = D.incremental_candidate_pairs(
+        new, index, "text", "doc_id", num_bands=8, max_band_size=10_000
+    )
+    assert _pairs(capped) == _pairs(unguarded)
+    for df in (guarded, unguarded, capped):
+        release(df)

@@ -544,3 +544,50 @@ def test_semantic_dedup_skewed_cell_completes_and_is_exact(spark):
     hottest_cell = Counter(cells.values()).most_common(1)[0][1]
     assert hottest_cell >= 35
 
+
+
+def test_minhash_hot_band_guard(spark):
+    """max_band_size on the LSH self-join: an engineered hot band (a
+    template family of 120 identical docs → every band bucket holds
+    all 120) emits representative-vs-member star pairs (119 rows)
+    instead of the 7,140 all-pairs rows, while a cap ABOVE every
+    bucket reproduces the unguarded output exactly — the banded
+    mirror of the n-gram path's max_df Zipf guard."""
+    template = "breaking news article boilerplate header navigation footer contact"
+    rows = [(i, template) for i in range(120)]
+    # a normal near-dup pair and two singletons ride along
+    rows += [
+        (500, "the quick brown fox jumps over the lazy dog tonight"),
+        (501, "the quick brown fox jumps over the lazy cat tonight"),
+        (600, "completely unrelated sentence with distinct vocabulary terms"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = D.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=16, num_bands=8, max_band_size=16
+    )
+    got = {(r.id_a, r.id_b): r.est_jaccard for r in guarded.collect()}
+    # hot family: exactly B-1 star pairs, all anchored at the min id
+    fam = {k: v for k, v in got.items() if k[0] < 200 and k[1] < 200}
+    assert len(fam) == 119
+    assert all(a == 0 for a, _ in fam)  # min-id representative
+    assert all(v == pytest.approx(1.0) for v in fam.values())
+    # normal corpus unaffected by the guard
+    assert (500, 501) in got
+
+    # a cap above every bucket == unguarded output (recall unchanged)
+    small = spark.createDataFrame(rows[120:] + rows[:6], "doc_id long, text string")
+    unguarded = D.minhash_candidate_pairs(
+        small, "text", "doc_id", num_hashes=16, num_bands=8
+    )
+    capped = D.minhash_candidate_pairs(
+        small, "text", "doc_id", num_hashes=16, num_bands=8, max_band_size=1000
+    )
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {
+        (r.id_a, r.id_b) for r in unguarded.collect()
+    }
+
+    from sentinel_spark.cache import release
+
+    for df in (guarded, unguarded, capped):
+        release(df)
