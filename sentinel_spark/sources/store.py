@@ -48,6 +48,7 @@ single-table Delta commits.
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import re
@@ -448,6 +449,7 @@ class ParquetTable:
         lower=None,
         upper=None,
         version: int | None = None,
+        values=None,
     ) -> DataFrame:
         """File-level data skipping (Delta/Iceberg-style): scan only
         the files whose footer [min, max] for ``col`` overlaps
@@ -456,6 +458,13 @@ class ParquetTable:
         this is the second scan-cost lever after partition pruning:
         a range predicate on a clustered column (event time, document
         id) opens only the files that can match.
+
+        ``values`` is the key-SET form (an iterable, superseding
+        lower/upper): keep a file iff any value falls inside its
+        [min, max] — the skipping an IN-list / semi-join probe needs
+        on a clustered column, where the single covering range of a
+        scattered key set would keep almost everything. Membership is
+        a bisect against the sorted values per file — O(F log V).
 
         Files without stats for ``col`` (legacy bootstrap, nested or
         statless columns) are conservatively kept. The result still
@@ -466,6 +475,16 @@ class ParquetTable:
         lexicographically)."""
         snap = self._snapshot(version)
         stats = snap.get("stats") or {}
+        vals = None
+        if values is not None:
+            vals = sorted(values)
+            if not vals:
+                schema = self._resolved_schema(snap)
+                if schema is None:
+                    raise FileNotFoundError(
+                        f"{self.path} is empty and no schema is known"
+                    )
+                return self.spark.createDataFrame([], schema)
         kept = []
         for f in snap["files"]:
             s = (stats.get(f) or {}).get(col)
@@ -473,7 +492,11 @@ class ParquetTable:
                 kept.append(f)
                 continue
             lo, hi = s
-            if (upper is not None and lo > upper) or (
+            if vals is not None:
+                i = bisect.bisect_left(vals, lo)
+                if i >= len(vals) or vals[i] > hi:
+                    continue
+            elif (upper is not None and lo > upper) or (
                 lower is not None and hi < lower
             ):
                 continue

@@ -43,6 +43,7 @@ def near_dup_admission(
     num_bands: int = 4,
     min_est_jaccard: float = 0.5,
     max_band_size: int | None = None,
+    batch_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Split one batch into (admitted, rejected, new_index_rows).
 
@@ -58,11 +59,18 @@ def near_dup_admission(
     then joins; the caller owns persistence. ``new_index_rows`` are the
     admitted documents' band rows — derived by filtering the SAME
     batch-index frame the candidate search used, so admission and
-    indexing can never disagree."""
-    batch_index = D.minhash_band_index(
-        batch, text_col, id_col,
-        shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
-    ).persist()
+    indexing can never disagree.
+
+    ``batch_index`` injects a PERSISTED band-index frame of the batch
+    when the caller already built one (the streaming loop does, to
+    collect the batch's band keys for index-scan pruning BEFORE the
+    admission join). Ownership of the persist transfers here either
+    way — it is released with the returned ``admitted`` frame."""
+    if batch_index is None:
+        batch_index = D.minhash_band_index(
+            batch, text_col, id_col,
+            shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+        ).persist()
     if index is None:
         spark = batch.sparkSession
         index = spark.createDataFrame([], batch_index.schema)
@@ -122,6 +130,38 @@ def near_dup_admission(
     )
 
 
+def pruned_index_scan(
+    index_t: ParquetTable,
+    batch_index: DataFrame,
+    *,
+    max_keys: int = 65_536,
+) -> DataFrame:
+    """The admission join's index scan, pruned by the batch's band
+    keys: collect the batch's distinct ``band_key`` values (bounded by
+    |batch| × num_bands) and open only the index files whose per-file
+    [min, max] band_key stats overlap that key set
+    (``ParquetTable.read_pruned(values=...)``). On a band_key-
+    CLUSTERED index (the streaming loop's ``compact_every``
+    maintenance), per-batch scan cost then tracks the batch's bucket
+    footprint, not total corpus size.
+
+    ``max_keys`` bounds the driver-side collect: a backlog-sized first
+    micro-batch can carry millions of distinct keys, at which point
+    the key set prunes nothing (it covers most files) and would only
+    bloat the driver — fall back to the full scan. The limit+1 fetch
+    never materializes more than ``max_keys + 1`` keys either way."""
+    keys = [
+        r.band_key
+        for r in batch_index.select("band_key")
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    ]
+    if len(keys) > max_keys:
+        return index_t.read()
+    return index_t.read_pruned("band_key", values=keys)
+
+
 def run_near_dup_stream(
     spark: SparkSession,
     input_dir: str,
@@ -176,12 +216,23 @@ def run_near_dup_stream(
         index_t = ParquetTable(sess, os.path.join(corpus_dir, "index"))
         rejects_t = ParquetTable(sess, os.path.join(corpus_dir, "rejects"))
 
-        index = index_t.read() if index_t.exists() else None
+        # Build the batch's band index FIRST: its distinct band keys
+        # drive the index-scan pruning, and injecting the same frame
+        # into admission keeps the batch shingled exactly once.
+        batch_index = D.minhash_band_index(
+            batch_df, text_col, id_col,
+            shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+        ).persist()
+        index = (
+            pruned_index_scan(index_t, batch_index)
+            if index_t.exists()
+            else None
+        )
         admitted, rejected, new_rows = near_dup_admission(
             batch_df, index, text_col, id_col,
             shingle_n=shingle_n, num_hashes=num_hashes,
             num_bands=num_bands, min_est_jaccard=min_est_jaccard,
-            max_band_size=max_band_size,
+            max_band_size=max_band_size, batch_index=batch_index,
         )
         # Admission first, then its index rows: if we crash between the
         # two, replay re-derives the same split (the index lacking the

@@ -133,3 +133,60 @@ def test_streaming_with_compaction(spark, tmp_path):
     assert index_t.read().count() == 12
     # compaction actually ran: the index is down to one clustered file
     assert len(index_t._snapshot()["files"]) == 1
+
+
+def test_pruned_index_scan_skips_files(spark, tmp_path):
+    """The admission join's index scan opens only files whose band_key
+    range overlaps the batch's keys: on a band_key-clustered index
+    (the compact_every maintenance shape) a small batch's pruned scan
+    reads a strict subset of files, and admission decisions are
+    identical to the full-scan run."""
+    from sentinel_spark.functions import dedup as D
+    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.streaming.near_dup_stream import pruned_index_scan
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} with unique words w{i}a w{i}b w{i}c")
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+    index_t = ParquetTable(spark, str(tmp_path / "index"))
+    index_t.append(D.minhash_band_index(corpus, "text", "doc_id"))
+    # cluster on band_key so per-file [min,max] stats are tight
+    total = sum(
+        os.path.getsize(os.path.join(index_t.path, f))
+        for f in index_t._snapshot()["files"]
+    )
+    index_t.compact(min_files=0, target_file_bytes=total // 12 + 1,
+                    cluster_by=["band_key"])
+    n_files = len(index_t.read().inputFiles())
+    assert n_files >= 8  # clustered into many files
+
+    # one batch doc -> at most 4 distinct band keys, so the pruned
+    # scan can open at most 4 of the clustered files
+    batch = spark.createDataFrame(
+        [(1000, "corpus document number 7 with unique words w7a w7b w7c")],
+        "doc_id long, text string",
+    )
+    batch_index = D.minhash_band_index(batch, "text", "doc_id").persist()
+
+    pruned = pruned_index_scan(index_t, batch_index)
+    assert 0 < len(pruned.inputFiles()) <= 4 < n_files  # real skipping
+
+    # identical admission decisions vs the full scan
+    got_p = D.incremental_candidate_pairs(
+        batch, pruned, "text", "doc_id", new_index_rows=batch_index
+    )
+    got_f = D.incremental_candidate_pairs(
+        batch, index_t.read(), "text", "doc_id", new_index_rows=batch_index
+    )
+    pairs_p = {(r.id_new, r.id_old, r.source) for r in got_p.collect()}
+    pairs_f = {(r.id_new, r.id_old, r.source) for r in got_f.collect()}
+    assert pairs_p == pairs_f
+    assert (1000, 7, "index") in pairs_p
+
+    # max_keys fallback: a tiny cap falls back to the full scan
+    assert len(
+        pruned_index_scan(index_t, batch_index, max_keys=1).inputFiles()
+    ) == n_files
+    batch_index.unpersist()

@@ -490,3 +490,31 @@ def test_schema_evolution_survives_commit_race(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 3.5), 3: ("c", None)}
     # and the recorded schema (not file inference) carries the column
     assert "score" in t.read().columns
+
+
+def test_read_pruned_key_set(spark, tmp_path):
+    """read_pruned(values=...) — the IN-list/semi-join form of file
+    skipping: keep a file iff ANY key falls inside its [min,max]. A
+    scattered key set's single covering range would keep every file;
+    the set form opens only the files that can hold a key."""
+    t = ParquetTable(spark, str(tmp_path / "keyset"))
+    for lo in (0, 100, 200, 300):
+        t.append(
+            spark.range(lo, lo + 50)
+            .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    # keys in the first and last file only — the covering range
+    # [10, 310] would keep all four files; the set form keeps two
+    pruned = t.read_pruned("k", values=[10, 310])
+    assert len(pruned.inputFiles()) == 2
+    assert sorted(r.k for r in pruned.filter(F.col("k").isin(10, 310)).collect()) == [10, 310]
+    # keys matching nothing -> zero files (empty frame, right schema)
+    assert t.read_pruned("k", values=[99_999]).count() == 0
+    assert t.read_pruned("k", values=[]).count() == 0
+    assert t.read_pruned("k", values=[]).columns == ["k", "v"]
+    # superset guarantee: pruned+filter == full+filter
+    keys = [5, 105, 205]
+    a = sorted(r.k for r in t.read_pruned("k", values=keys).filter(F.col("k").isin(keys)).collect())
+    b = sorted(r.k for r in t.read().filter(F.col("k").isin(keys)).collect())
+    assert a == b == keys
