@@ -64,35 +64,37 @@ def assign_shards(
         return out.drop("token_offset", "n_shards")
     if mode == "pack":
         packed = pack_sequences(df, token_col, order_col, shard_tokens)
-        # Dense re-key: pack ids are opaque "bucket#local" strings;
-        # loaders want contiguous numeric shard ids. A pack is tiny
-        # (≤ shard_tokens), so the distinct-pack frame is corpus-size /
-        # avg-pack-size — the dense_rank shuffles only that reduced
-        # key set, not the documents.
-        keyed = packed.select(order_col, "pack_id")
-        dense = (
-            keyed.select("pack_id")
-            .distinct()
-            .select(
-                "pack_id",
-                (
-                    F.row_number().over(
-                        # single-partition rank over the REDUCED pack-id
-                        # set (column-derived constant key, same idiom
-                        # as chunking.token_offsets' totals window)
-                        Window.partitionBy(
-                            F.pmod(F.xxhash64("pack_id"), F.lit(1))
-                        ).orderBy("pack_id")
-                    )
-                    - 1
-                ).cast("long").alias("shard_id"),
-            )
+        # Dense re-key WITHOUT funnelling the pack-id set through one
+        # partition or a pack-count-sized broadcast: pack ids are
+        # "bucket#local" with locals DENSE within each bucket (the FFD
+        # loop increments them 0,1,2,…), so the global dense id is a
+        # two-level prefix sum — shard_id = base(bucket) + local, where
+        # base is the running sum of per-bucket pack counts. The only
+        # single-partition work is the window over the per-bucket
+        # counts (num_buckets rows, a constant); the only broadcast is
+        # that same tiny frame. Same idiom as token_offsets' bucket
+        # bases — corpus-size work stays fully parallel at any scale.
+        b = F.split("pack_id", "#").getItem(0).cast("long")
+        loc = F.split("pack_id", "#").getItem(1).cast("long")
+        keyed = packed.select(
+            order_col, b.alias("__b"), loc.alias("__loc")
         )
-        return (
-            df.join(keyed, order_col)
-            .join(F.broadcast(dense), "pack_id")
-            .drop("pack_id")
+        counts = keyed.groupBy("__b").agg(
+            (F.max("__loc") + 1).alias("__n")  # locals are dense per bucket
         )
+        w_b = (
+            Window.partitionBy(F.pmod(F.xxhash64("__b"), F.lit(1)))
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bases = counts.select(
+            "__b", (F.sum("__n").over(w_b) - F.col("__n")).alias("__base")
+        )
+        dense_rows = keyed.join(F.broadcast(bases), "__b").select(
+            order_col,
+            (F.col("__base") + F.col("__loc")).cast("long").alias("shard_id"),
+        )
+        return df.join(dense_rows, order_col)
     raise ValueError(f"unknown export mode {mode!r} (use 'concat' or 'pack')")
 
 

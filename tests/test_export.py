@@ -109,3 +109,30 @@ def test_export_bad_mode(spark, corpus):
         assign_shards(
             corpus, token_col="n_tokens", order_col="doc_id", shard_tokens=10, mode="zip"
         )
+
+
+def test_pack_rekey_avoids_pack_set_bottleneck(spark, corpus):
+    """The pack-mode dense re-key must not route the pack-id set
+    through a single-partition window or broadcast it whole: the plan
+    may funnel only the per-BUCKET count frame (bounded by
+    num_buckets, a constant) — shard ids come from base(bucket) +
+    local via the two-level prefix sum. Assert the contiguity/
+    determinism contract plus the plan shape: no Window over pack_id
+    (the bottleneck idiom this replaces) anywhere in the plan."""
+    out = assign_shards(
+        corpus, token_col="n_tokens", order_col="doc_id", shard_tokens=120, mode="pack"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    # the re-key never windows over pack_id rows (the old bottleneck
+    # ranked the whole distinct pack-id set inside one task): every
+    # window spec in the plan must be free of pack_id in its keys
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert "pack_id" not in frag[:200]
+    rows = out.collect()
+    assert len(rows) == 200
+    shard_ids = sorted({r.shard_id for r in rows})
+    assert shard_ids == list(range(len(shard_ids)))  # dense 0..n-1
+    totals = {}
+    for r in rows:
+        totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tokens
+    assert all(t <= 120 for t in totals.values())
