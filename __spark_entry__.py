@@ -600,6 +600,53 @@ def q_length_histogram(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus-composition gates consolidated (registry-slot rule, see
+    the consolidation note): the CUBE grouping-set report and the
+    power-of-two token-length histogram union on a harmonized
+    (kind, key1, key2, n_docs, n_tokens, stat1, stat2) schema — both
+    remain single-scan map-side-combined aggregates over documents."""
+    cube = q_corpus_cube(spark, sf_dir).select(
+        F.lit("cube").alias("kind"),
+        F.col("source").alias("key1"),
+        F.col("lang").alias("key2"),
+        "n_docs",
+        "n_tokens",
+        F.col("avg_chars").cast("double").alias("stat1"),
+        F.lit(None).cast("double").alias("stat2"),
+    )
+    hist = q_length_histogram(spark, sf_dir).select(
+        F.lit("hist").alias("kind"),
+        F.col("bucket").cast("string").alias("key1"),
+        F.col("bucket_lo").cast("string").alias("key2"),
+        "n_docs",
+        "n_tokens",
+        F.col("min_tok").cast("double").alias("stat1"),
+        F.col("max_tok").cast("double").alias("stat2"),
+    )
+    return cube.unionByName(hist)
+
+
+def q_corpus_funnel(spark, sf_dir):
+    """The flagship composition end-to-end:
+    :func:`sentinel_spark.pipelines.build_training_corpus` — Gopher
+    quality gate → exact fingerprint dedup → MinHash-LSH near-dup
+    clustering → benchmark decontamination — over the documents table,
+    returning the single-row stage funnel (docs/tokens surviving each
+    stage). Benchmark = every 10th doc (the decontam gate's split);
+    corpus = the rest. Export and mixture are off here — those sinks
+    are gated by chunk_shards / sample_suite; the funnel row is what
+    every corpus-build log line reports."""
+    from sentinel_spark.cache import carry
+    from sentinel_spark.pipelines import build_training_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    res = build_training_corpus(corpus, bench, None)
+    return carry(res.funnel, res.selected)
+
+
 def q_line_clean(spark, sf_dir):
     """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per-line
     min-word and blacklist filters, reassembled text, and the page-level
@@ -1852,8 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_report": q_events_report,
         "events_windows": q_events_windows,
         "doc_profile": q_doc_profile,
-        "corpus_cube": q_corpus_cube,
-        "length_histogram": q_length_histogram,
+        "corpus_report": q_corpus_report,
+        "corpus_funnel": q_corpus_funnel,
         "line_clean": q_line_clean,
         "doc_repetition": q_doc_repetition,
         "split_report": q_split_report,
@@ -2080,6 +2127,7 @@ def _minhash_oracle(
     num_bands: int = 4,
     shingle_n: int = 3,
     where: str = "",
+    src: str = "documents",
 ) -> str:
     """DuckDB mirror of D.minhash_candidate_pairs: identical md5-based
     base hash, the same linear permutation coefficients, the same
@@ -2109,7 +2157,7 @@ def _minhash_oracle(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
     return f"""
-        WITH sh AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS s FROM documents {where}),
+        WITH sh AS (SELECT doc_id, {_duck_shingles(shingle_n)} AS s FROM {src} {where}),
         ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
         hs AS (SELECT doc_id, ({md5parse}) % {p} AS h FROM ex),
         sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
@@ -2125,6 +2173,40 @@ def _minhash_oracle(
         JOIN keyed sa ON sa.doc_id = id_a
         JOIN keyed sb ON sb.doc_id = id_b
     """
+
+
+def _gopher_oracle(src: str = "documents") -> str:
+    """DuckDB replay of text.gopher_pass (all published thresholds)
+    over ``src``'s (doc_id, text) — parameterized so composed oracles
+    (corpus_funnel) can run the quality gate on a restricted corpus."""
+    return f"""
+            WITH t AS (
+              SELECT doc_id, text, lower(text) AS low,
+                     CAST(len({_WORDS}) AS INTEGER) AS n_words,
+                     length(lower(text)) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS wchars,
+                     len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS syms,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]*[a-z][a-z0-9]*')) AS alpha,
+                     len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^\\s*[-*]')) AS bullets,
+                     len(regexp_extract_all(text, '(?m)\\.\\.\\.\\s*$')) AS ells
+              FROM {src}
+            ),
+            s AS (
+              SELECT doc_id, n_words,
+                     round(wchars / greatest(n_words, 1), 6) AS mean_wlen,
+                     round(syms / greatest(n_words, 1), 6) AS sym_ratio,
+                     round(alpha / greatest(n_words, 1), 6) AS alpha_frac,
+                     round(bullets / n_lines, 6) AS bullet_frac,
+                     round(ells / n_lines, 6) AS ellipsis_frac
+              FROM t
+            )
+            SELECT *,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_wlen BETWEEN 3.0 AND 10.0
+                    AND sym_ratio < 0.1 AND alpha_frac >= 0.8
+                    AND bullet_frac < 0.9 AND ellipsis_frac < 0.3) AS keep
+            FROM s
+        """
 
 
 def _quantized_topk_oracle(k: int = 5, rerank: int = 4) -> str:
@@ -2580,34 +2662,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN bucket = 0 THEN 0 ELSE 1 << (bucket - 1) END AS BIGINT) AS bucket_lo
             FROM t GROUP BY bucket
         """,
-        "gopher_quality": f"""
-            WITH t AS (
-              SELECT doc_id, text, lower(text) AS low,
-                     CAST(len({_WORDS}) AS INTEGER) AS n_words,
-                     length(lower(text)) - length(regexp_replace(lower(text), '[a-z0-9]', '', 'g')) AS wchars,
-                     len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS syms,
-                     len(regexp_extract_all(lower(text), '[a-z0-9]*[a-z][a-z0-9]*')) AS alpha,
-                     len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
-                     len(regexp_extract_all(text, '(?m)^\\s*[-*]')) AS bullets,
-                     len(regexp_extract_all(text, '(?m)\\.\\.\\.\\s*$')) AS ells
-              FROM documents
-            ),
-            s AS (
-              SELECT doc_id, n_words,
-                     round(wchars / greatest(n_words, 1), 6) AS mean_wlen,
-                     round(syms / greatest(n_words, 1), 6) AS sym_ratio,
-                     round(alpha / greatest(n_words, 1), 6) AS alpha_frac,
-                     round(bullets / n_lines, 6) AS bullet_frac,
-                     round(ells / n_lines, 6) AS ellipsis_frac
-              FROM t
-            )
-            SELECT *,
-                   (n_words BETWEEN 50 AND 100000
-                    AND mean_wlen BETWEEN 3.0 AND 10.0
-                    AND sym_ratio < 0.1 AND alpha_frac >= 0.8
-                    AND bullet_frac < 0.9 AND ellipsis_frac < 0.3) AS keep
-            FROM s
-        """,
+        "gopher_quality": _gopher_oracle(),
         # C4 line cleaning on derived line breaks; word counts use the
         # same [a-z0-9]+ extraction as the Spark tokens() Column.
         "line_clean": """
@@ -3190,8 +3245,6 @@ def oracle_sql() -> dict[str, str]:
         "union_pipelines",
         "topk_per_group",
         "patch_labels",
-        "corpus_cube",
-        "length_histogram",
         "line_clean",
         "doc_repetition",
         "pii_redact",
@@ -3209,6 +3262,100 @@ def oracle_sql() -> dict[str, str]:
     # its family's composed SQL, so the per-operator checks are intact —
     # they just land in one registry row (see the consolidation note on
     # the Spark side).
+    out["corpus_report"] = f"""
+        SELECT 'cube' AS kind, source AS key1, lang AS key2, n_docs, n_tokens,
+               CAST(avg_chars AS DOUBLE) AS stat1, CAST(NULL AS DOUBLE) AS stat2
+        FROM ({base["corpus_cube"]})
+        UNION ALL
+        SELECT 'hist' AS kind, CAST(bucket AS VARCHAR) AS key1,
+               CAST(bucket_lo AS VARCHAR) AS key2, n_docs, n_tokens,
+               CAST(min_tok AS DOUBLE) AS stat1, CAST(max_tok AS DOUBLE) AS stat2
+        FROM ({base["length_histogram"]})
+    """
+    # Full SQL replay of pipelines.build_training_corpus (no export /
+    # mixture): Gopher gate -> fingerprint exact dedup -> MinHash-LSH
+    # over the survivors -> recursive-CTE connected components ->
+    # 8-gram decontamination vs the bench split -> the one-row funnel.
+    # Every stage reuses the fragment its standalone gate already
+    # proved (gopher_quality, exact_dedup, minhash/dedup_clusters,
+    # decontam) — composed here on the restricted corpus.
+    out["corpus_funnel"] = f"""
+        WITH RECURSIVE
+        corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        g AS ({_gopher_oracle("corpus")}),
+        narrow AS (
+          SELECT c.doc_id, len({_WORDS}) AS n_tok, g.keep AS quality_ok,
+                 md5({norm_text}) AS fp
+          FROM corpus c JOIN g USING (doc_id)
+        ),
+        winners AS (SELECT fp, min(doc_id) AS keep_id FROM narrow GROUP BY fp),
+        flagged AS (
+          SELECT n.*, (n.doc_id = w.keep_id) AS exact_canonical
+          FROM narrow n JOIN winners w USING (fp)
+        ),
+        surv AS (
+          SELECT doc_id, n_tok FROM flagged WHERE quality_ok AND exact_canonical
+        ),
+        survtext AS (
+          SELECT c.doc_id, c.text FROM surv s JOIN corpus c USING (doc_id)
+        ),
+        mh AS ({_minhash_oracle(src="survtext")}),
+        cand AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= 0.5),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM cand
+          UNION SELECT id_b, id_a FROM cand
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u),
+        clusters AS (
+          SELECT s.doc_id,
+                 coalesce(c.component, s.doc_id) = s.doc_id AS is_canonical
+          FROM surv s LEFT JOIN comp c ON s.doc_id = c.u
+        ),
+        canontext AS (
+          SELECT t.doc_id, t.text
+          FROM clusters cl JOIN survtext t USING (doc_id)
+          WHERE cl.is_canonical
+        ),
+        cs AS (SELECT doc_id, unnest({_duck_shingles(8)}) AS s FROM canontext),
+        bs AS (SELECT DISTINCT unnest({_duck_shingles(8)}) AS s FROM bench),
+        contam AS (
+          SELECT cs.doc_id, (count(b.s) / count(*)) >= 0.05 AS contaminated
+          FROM cs LEFT JOIN bs b USING (s) GROUP BY cs.doc_id
+        ),
+        stage3 AS (
+          SELECT f.doc_id, f.n_tok, cl.is_canonical,
+                 coalesce(ct.contaminated, false) AS contaminated
+          FROM surv f JOIN clusters cl USING (doc_id)
+          LEFT JOIN contam ct USING (doc_id)
+        ),
+        f0 AS (
+          SELECT CAST(count(*) AS BIGINT) AS docs_in,
+                 CAST(sum(n_tok) AS BIGINT) AS tokens_in,
+                 CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality,
+                 CAST(sum(CASE WHEN quality_ok THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_quality
+          FROM narrow
+        ),
+        f1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS docs_exact,
+                 CAST(sum(n_tok) AS BIGINT) AS tokens_exact,
+                 CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS docs_neardup,
+                 CAST(sum(CASE WHEN is_canonical THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_neardup,
+                 CAST(sum(CASE WHEN is_canonical AND NOT contaminated THEN 1 ELSE 0 END) AS BIGINT) AS docs_clean,
+                 CAST(sum(CASE WHEN is_canonical AND NOT contaminated THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_clean
+          FROM stage3
+        ),
+        f2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS docs_final,
+                 CAST(sum(n_tok) AS BIGINT) AS tokens_final
+          FROM stage3 WHERE is_canonical AND NOT contaminated
+        )
+        SELECT * FROM f0, f1, f2
+    """
     out["fragment_agg"] = f"""
         SELECT * FROM ({base["fragment_agg"]}) CROSS JOIN ({base["fragment_struct_agg"]})
     """
