@@ -65,11 +65,20 @@ def main():
     tiny_union.write.format("noop").mode("overwrite").save()
     release(tiny_union)
 
+    # Three repetitions per gate: run 1 = cold (codegen/JIT included,
+    # comparable across rounds), runs 2-3 = warm recomputes. The
+    # per-gate min/median spread separates real regressions from the
+    # documented 2-3x box-variance swing — a gate whose MEDIAN moved
+    # regressed; one whose max moved hit a noisy run.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, fn in qs.items():
-        cold[name] = round(run_one(spark, fn, sf_dir), 3)
-        warm[name] = round(run_one(spark, fn, sf_dir), 3)
+        runs = [round(run_one(spark, fn, sf_dir), 3) for _ in range(3)]
+        cold[name] = runs[0]
+        warm[name] = runs[1]
+        srt = sorted(runs)
+        spread[name] = {"min": srt[0], "med": srt[1], "max": srt[2]}
     total = round(sum(cold.values()), 3)
     result = {
         "metric": "sentinel_spark_suite_total",
@@ -77,7 +86,9 @@ def main():
         "unit": "sec",
         "queries": cold,
         "queries_warm": warm,
+        "queries_spread": spread,
         "warm_total": round(sum(warm.values()), 3),
+        "median_total": round(sum(v["med"] for v in spread.values()), 3),
         "sf": sf,
     }
     # Full cold+warm detail goes to a file (the per-query dicts outgrew
@@ -93,6 +104,7 @@ def main():
         "unit": "sec",
         "queries": cold,
         "warm_total": result["warm_total"],
+        "median_total": result["median_total"],
         "sf": sf,
     }
     print(json.dumps(line, separators=(",", ":")))

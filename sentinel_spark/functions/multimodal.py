@@ -58,20 +58,50 @@ def attach_fake_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_image(content: bytes):
-    """Real decode path — requires an image codec, absent here.
+    """Real decode path — used when an image codec import succeeds at
+    CALL time (PIL preferred, imageio accepted), so the same code
+    serves an environment that gains a codec later; raises
+    ``NotImplementedError`` when the environment ships neither (this
+    container). The surrounding plumbing is exercised through
+    :func:`fake_decode` either way."""
+    import io
 
-    STUB: raises unless PIL is importable. The surrounding plumbing is
-    exercised through :func:`fake_decode`.
-    """
     try:
-        from PIL import Image  # noqa: F401
-        import io
+        from PIL import Image
 
         return Image.open(io.BytesIO(content))
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio
+
+        arr = iio.imread(content)
+
+        class _Decoded:  # minimal PIL-like facade: .size = (w, h)
+            size = (int(arr.shape[1]), int(arr.shape[0]))
+
+        return _Decoded()
     except ImportError as exc:
         raise NotImplementedError(
             "image codec not available in this environment; use fake_decode"
         ) from exc
+
+
+def try_decode_dims(content: bytes) -> tuple[int, int] | None:
+    """(width, height) via the real codec when one is importable AND
+    the bytes decode under it; None otherwise — the probe behind the
+    ``use_real_codec='auto'`` path (callers fall back to
+    :func:`fake_decode`). Undecodable bytes under a present codec also
+    return None rather than failing the batch: synthetic/fake rows and
+    real images can share a table."""
+    try:
+        img = decode_image(content)
+    except NotImplementedError:
+        return None
+    except Exception:
+        return None  # codec present, bytes not an image it accepts
+    w, h = img.size
+    return int(w), int(h)
 
 
 def fake_decode(content: bytes) -> tuple[int, int]:
@@ -150,12 +180,21 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
-def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, use_real_codec: bool | str = False
+) -> DataFrame:
     """Arrow-batched feature extraction over the media table.
 
     One pandas batch in, one out — no per-row Python calls from the JVM
     side. Narrow output (drops the heavy ``content`` column) so
     downstream stages shuffle features, not bytes.
+
+    ``use_real_codec``: False → deterministic :func:`fake_decode`
+    (oracle-checkable, the gate path); True → require a real codec
+    (raises where none is installed); ``"auto"`` → real dimensions
+    when a codec is importable in the WORKER and the bytes decode,
+    :func:`fake_decode` otherwise — the deploy-anywhere setting (the
+    probe runs per row, so decodable and synthetic rows can coexist).
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -163,7 +202,10 @@ def extract_media_features(media: DataFrame, use_real_codec: bool = False) -> Da
             widths, heights, shas, sizes = [], [], [], []
             for content in pdf["content"]:
                 b = bytes(content)
-                if use_real_codec:
+                if use_real_codec == "auto":
+                    dims = try_decode_dims(b)
+                    w, h = dims if dims is not None else fake_decode(b)
+                elif use_real_codec:
                     img = decode_image(b)  # raises NotImplementedError here
                     w, h = img.size
                 else:
