@@ -60,7 +60,30 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as TY
 
-_SAFE_PARTITION_VALUE = re.compile(r"[A-Za-z0-9_.\-]+")
+# Hive path escaping (Spark ExternalCatalogUtils.escapePathName): the
+# exact character set Spark escapes when writing partition directories
+# on POSIX — control chars 01-1F plus the listed specials — rendered
+# as %XX uppercase. Matching Spark's algorithm bit-for-bit is the
+# correctness requirement: _partition_reldir must compute the SAME
+# directory name the partitionBy writer produced.
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(c) for c in range(0x01, 0x20)
+)
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_path_name(v) -> str:
+    """One Hive path segment component for a partition value: null and
+    empty map to the default-partition sentinel (as Spark's
+    getPartitionPathString does); every escapable char becomes %XX."""
+    s = "" if v is None else str(v)
+    if s == "":
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in s
+    )
+
+
 _LOG_DIR = "_sentinel_log"
 _MANIFEST_RE = re.compile(r"^(\d{12})\.json$")
 
@@ -977,17 +1000,13 @@ class ParquetTable:
         )
 
     def _partition_reldir(self, part: dict) -> str:
-        """Hive-style relative directory for one partition tuple.
-        Values are restricted to filesystem-literal characters so the
-        computed path always matches what Spark wrote (full Hive
-        escaping is out of scope for this stand-in layer)."""
-        segs = []
-        for k in self.partition_cols:
-            v = str(part[k])
-            if not _SAFE_PARTITION_VALUE.fullmatch(v):
-                raise ValueError(
-                    f"partition value {v!r} for {k} needs Hive path escaping; "
-                    "unsupported in the parquet stand-in layer"
-                )
-            segs.append(f"{k}={v}")
+        """Hive-style relative directory for one partition tuple, with
+        the standard %XX escaping (see :func:`_escape_path_name`) —
+        string partition values may contain spaces, '=', '/', ':' etc.
+        and still resolve to the directory Spark's partitionBy writer
+        produced."""
+        segs = [
+            f"{_escape_path_name(k)}={_escape_path_name(part[k])}"
+            for k in self.partition_cols
+        ]
         return os.path.join(*segs)

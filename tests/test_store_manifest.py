@@ -518,3 +518,32 @@ def test_read_pruned_key_set(spark, tmp_path):
     a = sorted(r.k for r in t.read_pruned("k", values=keys).filter(F.col("k").isin(keys)).collect())
     b = sorted(r.k for r in t.read().filter(F.col("k").isin(keys)).collect())
     assert a == b == keys
+
+
+def test_partition_values_with_special_chars(spark, tmp_path):
+    """String partition values needing Hive path escaping (spaces,
+    '=', ':', '/') round-trip through append + copy-on-write verbs:
+    _partition_reldir must compute the exact %XX-escaped directory
+    Spark's partitionBy writer produced, or update/delete would miss
+    the partition's files."""
+    t = ParquetTable(spark, str(tmp_path / "esc"), partition_cols=["cat"])
+    rows = [
+        ("a b", 1), ("k=v", 2), ("x:y", 3), ("p/q", 4), ("plain", 5),
+    ]
+    t.append(spark.createDataFrame(rows, "cat string, n int"))
+    got = {(r.cat, r.n) for r in t.read().collect()}
+    assert got == set(rows)
+
+    # copy-on-write UPDATE scoped to an escaped partition: the
+    # affected-partition path computation must hit the right directory
+    t.update(F.col("cat") == "k=v", {"n": F.lit(20)})
+    got = {r.cat: r.n for r in t.read().collect()}
+    assert got["k=v"] == 20 and got["a b"] == 1
+
+    # DELETE of an escaped partition removes exactly that partition
+    t.delete(F.col("cat") == "p/q")
+    assert {r.cat for r in t.read().collect()} == {"a b", "k=v", "x:y", "plain"}
+
+    # the directory on disk really is the escaped form
+    assert any("cat=p%2Fq" in d or "cat=k%3Dv" in d
+               for d in os.listdir(t.path) if os.path.isdir(os.path.join(t.path, d)))
