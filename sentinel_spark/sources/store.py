@@ -94,13 +94,26 @@ class ConcurrentCommitError(RuntimeError):
     against the fresh snapshot."""
 
 
-def _parquet_file_stats(path: str) -> dict:
+def _parquet_file_stats(
+    path: str,
+    value_cols: tuple[str, ...] = (),
+    value_max: int = 16,
+) -> dict:
     """Per-column [min, max] from the parquet footer — a local metadata
     read, no data pages touched. Only JSON-safe scalar types are kept
     (int/float/bool/str; timestamps/dates as ISO strings); nested or
     statless columns are simply absent, which read_pruned treats as
     un-prunable. Mirrors the file-level stats Delta/Iceberg store in
-    their logs for data skipping."""
+    their logs for data skipping.
+
+    ``value_cols`` additionally records the per-file DISTINCT value
+    set for those (low-cardinality) columns when it has at most
+    ``value_max`` members — the entry becomes [min, max, values].
+    Ranges can't skip for a categorical column whose values interleave
+    across the range; the exact set can (read_pruned's key-set form
+    consults it first). Costs one column read of the just-written
+    file per listed column — opt in only for genuinely
+    low-cardinality clustering keys."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked in
@@ -136,6 +149,16 @@ def _parquet_file_stats(path: str) -> dict:
                 agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
             else:
                 agg[name] = [lo, hi]
+    want = [c for c in value_cols if c in agg]
+    if want:
+        try:
+            tbl = pq.read_table(path, columns=want)
+        except Exception:
+            return agg
+        for c in want:
+            vals = [safe(v) for v in tbl.column(c).unique().to_pylist()]
+            if len(vals) <= value_max and None not in vals:
+                agg[c] = agg[c][:2] + [sorted(vals)]
     return agg
 
 
@@ -147,6 +170,7 @@ class ParquetTable:
         schema: TY.StructType | None = None,
         partition_cols: list[str] | None = None,
         retain_versions: int = 1,
+        value_stats_cols: list[str] | None = None,
     ):
         """``partition_cols`` writes a Hive-style directory layout
         (e.g. ``pipeline=maple/``). Queries filtering on those columns
@@ -159,12 +183,19 @@ class ParquetTable:
         ``retain_versions``: how many committed versions' files stay on
         disk. 1 (default) reclaims replaced files immediately after each
         commit; >= 2 gives readers pinned at recent versions a stable
-        snapshot until ``vacuum()``."""
+        snapshot until ``vacuum()``.
+
+        ``value_stats_cols``: low-cardinality columns whose per-file
+        DISTINCT value sets are recorded at commit time (see
+        :func:`_parquet_file_stats`) — ``read_pruned(values=...)`` on
+        such a column then skips every file not actually containing a
+        requested value, even when value ranges interleave."""
         self.spark = spark
         self.path = path
         self.schema = schema
         self.partition_cols = list(partition_cols or [])
         self.retain_versions = max(1, int(retain_versions))
+        self.value_stats_cols = tuple(value_stats_cols or ())
 
     # -- manifest log ------------------------------------------------------
 
@@ -412,7 +443,9 @@ class ParquetTable:
                     rel_dir = os.path.relpath(root, tmp)
                     rel = self._adopt_file(os.path.join(root, fn), rel_dir, fn)
                     moved.append(rel)
-                    s = _parquet_file_stats(os.path.join(self.path, rel))
+                    s = _parquet_file_stats(
+                        os.path.join(self.path, rel), self.value_stats_cols
+                    )
                     if s:
                         stats[rel] = s
         finally:
@@ -514,11 +547,17 @@ class ParquetTable:
             if s is None:
                 kept.append(f)
                 continue
-            lo, hi = s
+            lo, hi = s[0], s[1]
             if vals is not None:
-                i = bisect.bisect_left(vals, lo)
-                if i >= len(vals) or vals[i] > hi:
-                    continue
+                if len(s) > 2:
+                    # exact per-file value set (value_stats_cols):
+                    # skip unless a requested value is actually present
+                    if not set(vals).intersection(s[2]):
+                        continue
+                else:
+                    i = bisect.bisect_left(vals, lo)
+                    if i >= len(vals) or vals[i] > hi:
+                        continue
             elif (upper is not None and lo > upper) or (
                 lower is not None and hi < lower
             ):
@@ -896,7 +935,9 @@ class ParquetTable:
                         continue
                     rel = self._adopt_file(os.path.join(tmp, fn), rel_dir, fn)
                     staged_all.append(rel)
-                    s = _parquet_file_stats(os.path.join(self.path, rel))
+                    s = _parquet_file_stats(
+                        os.path.join(self.path, rel), self.value_stats_cols
+                    )
                     if s:
                         stats_all[rel] = s
             finally:

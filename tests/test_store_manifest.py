@@ -547,3 +547,48 @@ def test_partition_values_with_special_chars(spark, tmp_path):
     # the directory on disk really is the escaped form
     assert any("cat=p%2Fq" in d or "cat=k%3Dv" in d
                for d in os.listdir(t.path) if os.path.isdir(os.path.join(t.path, d)))
+
+
+def test_value_set_stats_skip_categorical(spark, tmp_path):
+    """value_stats_cols records each file's exact distinct value set
+    for a low-cardinality column; read_pruned(values=...) then skips
+    files whose [min,max] RANGE overlaps the probe but which don't
+    actually contain any requested value — the case range stats can
+    never skip for interleaved categoricals."""
+    t = ParquetTable(spark, str(tmp_path / "vset"), value_stats_cols=["cat"])
+    # two files, both spanning the range 'a'..'z' so range-skipping is
+    # impossible, but with DISJOINT value sets
+    t.append(
+        spark.createDataFrame(
+            [("a", 1), ("m", 2), ("z", 3)], "cat string, n int"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [("b", 4), ("n", 5), ("y", 6)], "cat string, n int"
+        ).coalesce(1)
+    )
+    assert len(t.read().inputFiles()) == 2
+
+    # probe for 'm': range stats keep both files; value sets keep one
+    pruned = t.read_pruned("cat", values=["m"])
+    assert len(pruned.inputFiles()) == 1
+    assert [r.n for r in pruned.filter(F.col("cat") == "m").collect()] == [2]
+
+    # a table WITHOUT value stats keeps both (range fallback, superset
+    # guarantee intact)
+    t2 = ParquetTable(spark, str(tmp_path / "vset2"))
+    t2.append(spark.createDataFrame([("a", 1), ("z", 3)], "cat string, n int").coalesce(1))
+    t2.append(spark.createDataFrame([("b", 4), ("y", 6)], "cat string, n int").coalesce(1))
+    assert len(t2.read_pruned("cat", values=["m"]).inputFiles()) == 2
+
+    # high-cardinality guard: >16 distinct values -> no set recorded,
+    # range skipping still works
+    t3 = ParquetTable(spark, str(tmp_path / "vset3"), value_stats_cols=["k"])
+    t3.append(spark.range(0, 50).select(F.col("id").alias("k")).coalesce(1))
+    t3.append(spark.range(100, 150).select(F.col("id").alias("k")).coalesce(1))
+    import json as _json
+
+    snap = _json.load(open(t3._manifest_path(t3.version())))
+    assert all(len(s["k"]) == 2 for s in snap["stats"].values())
+    assert len(t3.read_pruned("k", values=[120]).inputFiles()) == 1
