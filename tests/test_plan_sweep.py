@@ -32,7 +32,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #  - fragment_agg: two single-row aggregates cross-joined (1 × 1).
 #  - dedup_clusters: the 1-row corpus summary attaches to the per-doc
 #    cluster frame as a broadcast constant (1 × N).
+#  - corpus_funnel: the three single-row funnel aggregates assemble by
+#    cross join (1 × 1 × 1) — same shape as fragment_agg.
 ALLOW_NESTED_LOOP = {
+    "corpus_funnel",
     "ann_methods",
     "cosine_near_dup",
     "semantic_dedup",
