@@ -22,12 +22,55 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Common two-level public suffixes; extend via the `suffixes` argument.
+# Well-known two-level public suffixes (the high-traffic subset of the
+# Mozilla PSL's ccTLD second-level registrations); extend or replace
+# via the `suffixes` argument for callers carrying the full PSL.
+# Three-and-more-level suffixes (e.g. Japanese prefecture domains)
+# remain out of the approximation, as documented above.
 TWO_LEVEL_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp",
-    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    # United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "ltd.uk", "plc.uk",
+    "me.uk", "sch.uk", "nhs.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    # Japan / Korea / Greater China
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    # Southeast / South Asia
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.th", "in.th", "or.th", "go.th", "ac.th", "net.th",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id", "sch.id",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "edu.in", "res.in",
+    "gen.in", "firm.in", "ind.in",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "ac.vn",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
+    "com.cl", "gob.cl",
+    "com.ve", "net.ve", "org.ve", "gob.ve",
+    # Europe / Middle East / Africa
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "k12.tr", "bel.tr",
+    "av.tr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "com.ru", "net.ru", "org.ru",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il", "k12.il",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa",
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
+    "co.ke", "or.ke", "go.ke", "ac.ke", "ne.ke",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za", "edu.za",
 )
 
 _SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/"

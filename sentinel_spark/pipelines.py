@@ -142,6 +142,14 @@ def build_training_corpus(
     else:
         stage3 = stage2.withColumn("contaminated", F.lit(False))
 
+    # stage3 is consumed by TWO funnel aggregates (f1, f2) plus the
+    # selected/export path; its lineage contains the decontam 8-gram
+    # shingle pass over the canonical survivors, which would otherwise
+    # run once per consumer. It is as narrow as the flags frame
+    # (ids + scalars), so persisting it stays inside the
+    # narrow-frames-only caching contract above.
+    stage3 = stage3.persist()
+
     clean = stage3.where(F.col("is_canonical") & ~F.col("contaminated"))
     if budgets is not None:
         if source_col is None:
@@ -223,6 +231,6 @@ def build_training_corpus(
             mode=export_mode,
             file_format=file_format,
         )
-    out = with_release(selected, [narrow])
+    out = with_release(selected, [narrow, stage3])
     out = with_release(out, getattr(cand_raw, "_sentinel_cached", []))
     return CorpusBuildResult(funnel, out, export)

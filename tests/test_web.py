@@ -55,6 +55,12 @@ def test_registered_domain(spark):
         "https://a.b.example.com/x": "example.com",
         "http://example.com": "example.com",
         "https://deep.shop.com.au/": "shop.com.au",
+        # broadened built-in suffix coverage (r6): gob.mx, go.jp,
+        # govt.nz, k12.tr are PSL second-level registrations
+        "https://www.hacienda.gob.mx/p": "hacienda.gob.mx",
+        "https://portal.stat.go.jp/": "stat.go.jp",
+        "https://beehive.govt.nz/release": "beehive.govt.nz",
+        "http://okul.meb.k12.tr/": "meb.k12.tr",
     }
     for u, want in cases.items():
         assert _one(spark, registered_domain, u) == want, u
