@@ -290,7 +290,14 @@ def minhash_candidate_pairs(
     all-pairs, bounding fan-out to linear in the bucket while keeping
     the bucket connected for clustering. None (the default) keeps the
     exact all-pairs semantics — set a cap for boilerplate-heavy
-    corpora at scale.
+    corpora at scale. Law (property-tested): on the RAW candidate
+    graph the connected-component partition is invariant under any
+    cap. Caveat: a downstream ``est_jaccard`` threshold applies to
+    star pairs like any pair, so a borderline bucket member whose
+    signature agrees more with another member than with the
+    representative can fall below the threshold that its direct edge
+    would have cleared — acceptable for hot buckets, whose members
+    agree on a whole signature band by construction.
 
     Call :func:`sentinel_spark.cache.release` on the result when done —
     the signature table persists to feed three plan branches.

@@ -305,3 +305,58 @@ def test_mixture_sample_laws(spark, tokens, budget_a, budget_b):
         df, "source", "n_tok", {"a": budget_a + 777, "b": budget_b}, key="doc_id"
     ).collect()
     assert {r.doc_id for r in kept} <= {r.doc_id for r in bigger}
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "breaking news template header footer one",
+                "breaking news template header footer two",
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "completely unrelated sentence with distinct words",
+                "pack my box with five dozen liquor jugs",
+            ]
+        ),
+        min_size=4,
+        max_size=24,
+    ),
+    st.sampled_from([1, 2, 4, 8]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hot_band_guard_preserves_components(spark, texts, cap):
+    """Connectivity law of the max_band_size guard: on the raw
+    (unthresholded) candidate graph, star-routing a hot bucket keeps
+    every bucket member in the SAME connected component (all members
+    reach the min-id representative; cross-bucket edges are
+    untouched) — so dedup clustering is invariant under any cap.
+    Pair-level output differs by design; the component partition must
+    not."""
+    from sentinel_spark.functions import dedup as D
+    from sentinel_spark.functions.cluster import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    base = D.minhash_candidate_pairs(docs, "text", "doc_id", num_bands=8)
+    guarded = D.minhash_candidate_pairs(
+        docs, "text", "doc_id", num_bands=8, max_band_size=cap
+    )
+    cl_base = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, base, "doc_id").collect()
+    }
+    cl_guard = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(docs, guarded, "doc_id").collect()
+    }
+    assert cl_base == cl_guard
+    from sentinel_spark.cache import release
+
+    release(base)
+    release(guarded)
