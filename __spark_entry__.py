@@ -926,6 +926,17 @@ def q_dup_passages(spark, sf_dir):
     return duplicate_passages(d, "text", "doc_id", n=16, min_docs=2)
 
 
+def q_passage_scrub(spark, sf_dir):
+    """Exact-substring scrubbing (decontam.remove_duplicate_passages):
+    non-canonical occurrences of any repeated 16-token window removed,
+    per-doc cleaned text + removal counts. Exact-duplicate documents
+    emerge scrubbed to empty (their min-id copy survives whole)."""
+    from sentinel_spark.functions.decontam import remove_duplicate_passages
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_passages(d, "text", "doc_id", n=16)
+
+
 def q_ingest_rollup(spark, sf_dir):
     """S1-S4+S7+A7+A8 end-to-end: ingest the reference-shaped fixture
     corpus (3 maple + 1 plain upload), shred, roll up per pipeline.
@@ -1423,7 +1434,21 @@ def q_decontam_suite(spark, sf_dir):
         F.lit(None).cast("double").alias("frac"),
         F.lit(None).cast("boolean").alias("flag"),
     )
-    return c.unionByName(p)
+    # scrub branch: the cleaned text rides in the key as doc:md5(text)
+    # so the reassembled string itself is value-hash-checked
+    s = q_passage_scrub(spark, sf_dir).select(
+        F.lit("scrub").alias("kind"),
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.md5("text")
+        ).alias("key"),
+        F.col("n_tokens").cast("long").alias("n1"),
+        F.col("n_removed").cast("long").alias("n2"),
+        F.round(
+            F.col("n_removed") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("frac"),
+        (F.col("n_removed") > 0).alias("flag"),
+    )
+    return c.unionByName(p).unionByName(s)
 
 
 def near_dup_union(d):
@@ -3457,6 +3482,47 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_clusters"] = f"""
         SELECT * FROM ({base["dedup_clusters"]}) CROSS JOIN ({base["dedup_report"]})
     """
+    # decontam.remove_duplicate_passages replay: 1-based positions
+    # (okey subtracts 1 to match Spark's 0-based posexplode), same
+    # id*2^20+pos canonical key, 16-token windows.
+    passage_scrub = f"""
+        WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
+        tok AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM t
+        ),
+        occ AS (
+          SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(toks, pos, pos + 15), ' ')) AS fp,
+                 doc_id * 1048576 + (pos - 1) AS okey
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 14)) AS pos FROM t)
+        ),
+        stats AS (
+          SELECT fp, min(okey) AS canon FROM occ
+          GROUP BY fp HAVING count(*) >= 2
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, cpos FROM (
+            SELECT doc_id, unnest(range(pos, pos + 16)) AS cpos
+            FROM occ JOIN stats USING (fp) WHERE okey <> canon
+          )
+        ),
+        kept AS (
+          SELECT tok.doc_id, tok.pos, tok.toks[tok.pos] AS tk
+          FROM tok LEFT JOIN cov
+            ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos
+          WHERE cov.doc_id IS NULL
+        ),
+        reb AS (
+          SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, coalesce(r.clean, '') AS text,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        FROM t LEFT JOIN reb r USING (doc_id)
+    """
     out["decontam"] = f"""
         SELECT 'contam' AS kind, CAST(doc_id AS VARCHAR) AS key,
                n_ngrams AS n1, n_hits AS n2, contam_frac AS frac,
@@ -3466,6 +3532,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'passage' AS kind, passage_fp, n_docs, witness_id,
                CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
         FROM ({base["dup_passages"]})
+        UNION ALL
+        SELECT 'scrub' AS kind,
+               CAST(doc_id AS VARCHAR) || ':' || md5(text) AS key,
+               n_tokens AS n1, n_removed AS n2,
+               round(n_removed / greatest(n_tokens, 1), 6) AS frac,
+               n_removed > 0 AS flag
+        FROM ({passage_scrub})
     """
     out["near_dup_pairs"] = f"""
         SELECT 'minhash' AS method, id_a, id_b, est_jaccard AS score

@@ -123,3 +123,107 @@ def duplicate_passages(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def remove_duplicate_passages(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 16,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring scrubbing — the TRANSFORM counterpart of
+    :func:`duplicate_passages` (cf. Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every occurrence of
+    a word-``n``-gram window seen ``min_occurrences``+ times in the
+    corpus is removed EXCEPT the globally canonical one (minimum
+    (doc, position)), and each document's surviving tokens are
+    reassembled. Operates on the normalized token stream (lowercased
+    word tokens — the same stream every dedup/decontam operator here
+    keys on), so the cleaned text is normalized text.
+
+    Emergent semantics worth naming: for k byte-identical documents,
+    every window of the non-minimal k−1 copies is non-canonical, so
+    they scrub to EMPTY while the min-id copy survives whole — exact
+    dedup falls out as a special case. A passage repeated twice
+    within one document keeps its first occurrence only.
+
+    Output: (id_col, cleaned text_col, n_tokens, n_removed) — one row
+    per input document (short documents with < n tokens pass through
+    untouched).
+
+    Scale shape: token rows are id-hash-partitioned once (the shingle
+    pipeline's spread); windows come from ``lead`` over that
+    partitioning (no extra exchange); the only other shuffles are the
+    algebraic per-fingerprint aggregate (md5-width rows, map-side
+    combined) and a 16x-bounded explode of DUPLICATED windows into
+    covered positions. Reassembly is a per-document sort —
+    co-partitioned with the tokens, bounded by document length.
+
+    Engine-portable canonical key: ``id * 2**20 + pos`` (documents are
+    assumed < 2^20 tokens; ids < 2^42 — loud overflow otherwise), so
+    any SQL oracle reproduces the same survivor without struct-min
+    support.
+    """
+    from pyspark.sql.window import Window
+
+    from sentinel_spark.functions.dedup import _spread
+    from sentinel_spark.functions.text import WORD_RE
+
+    POS_LIM = 1 << 20
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+    )
+    base = _spread(docs, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    )
+    tok_rows = base.select(
+        "id", F.size("toks").alias("n_tok"), F.posexplode("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    occ = (
+        tok_rows.select(
+            "id",
+            "pos",
+            F.md5(F.concat_ws(" ", *parts)).alias("fp"),
+            F.lead("tok", n - 1).over(w).alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())  # only full n-token windows
+        .drop("__last")
+    )
+    okey = F.col("id") * POS_LIM + F.col("pos")
+    stats = (
+        occ.select("fp", okey.alias("okey"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("canon"))
+        .where(F.col("n_occ") >= min_occurrences)
+    )
+    dup_occ = occ.join(stats, "fp").where(okey != F.col("canon"))
+    covered = dup_occ.select(
+        "id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("pos")
+    ).dropDuplicates(["id", "pos"])
+    kept = tok_rows.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id", "n_tok").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x.tok,
+            ),
+            " ",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    # right-join back so fully-scrubbed documents (zero kept tokens)
+    # and empty documents still emit a row
+    totals = base.select("id", F.size("toks").alias("__n_total"))
+    out = totals.join(
+        rebuilt.select("id", "__clean", "__n_kept"), "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("__clean", F.lit("")).alias(text_col),
+        F.col("__n_total").alias("n_tokens"),
+        (F.col("__n_total") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
+    )
+    return out

@@ -90,3 +90,57 @@ def test_duplicate_passages_counts_doc_once(spark):
     out1 = duplicate_passages(df, "text", "doc_id", n=16, min_docs=1)
     fp = out1.where(F.col("n_docs") >= 1).collect()
     assert all(r.n_docs == 1 for r in fp)
+
+
+def test_remove_duplicate_passages(spark):
+    from sentinel_spark.functions.decontam import remove_duplicate_passages
+
+    boiler = "one two three four"  # 4-token window shared verbatim
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma"),
+            (2, f"delta {boiler} epsilon"),          # later copy -> scrubbed
+            (3, "unique words entirely different here"),
+            (4, f"{boiler} alpha beta gamma"),        # exact dup of 1
+            (5, "tiny doc"),                          # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_passages(
+            docs, "text", "doc_id", n=4
+        ).collect()
+    }
+    # doc 1 is canonical for every one of its windows -> untouched
+    assert out[1].text == "one two three four alpha beta gamma"
+    assert out[1].n_removed == 0
+    # doc 2's copy of the boiler window is non-canonical -> those 4
+    # tokens go; its unique tokens survive
+    assert out[2].text == "delta epsilon"
+    assert out[2].n_removed == 4
+    # untouched docs pass through (normalized token stream)
+    assert out[3].text == "unique words entirely different here"
+    # exact duplicate of doc 1: every window non-canonical -> empty
+    assert out[4].text == ""
+    assert out[4].n_removed == out[4].n_tokens == 7
+    # shorter than n: no windows, untouched
+    assert out[5].text == "tiny doc"
+    assert out[5].n_removed == 0
+
+
+def test_remove_duplicate_passages_within_doc(spark):
+    from sentinel_spark.functions.decontam import remove_duplicate_passages
+
+    phrase = "la la la la"
+    docs = spark.createDataFrame(
+        [(1, f"{phrase} middle words here {phrase}")],
+        "doc_id long, text string",
+    )
+    r = remove_duplicate_passages(docs, "text", "doc_id", n=4).collect()[0]
+    # second within-doc occurrence scrubbed, first kept
+    # NOTE: "la la la la" at pos 0..3 and 8..11; overlapping windows of
+    # the repeated run may cover more -- assert the invariants instead
+    assert r.text.startswith("la la la la middle words here")
+    assert r.n_removed >= 4
+    assert r.n_tokens == 11  # 4 + 3 + 4 tokens
