@@ -856,6 +856,77 @@ class ParquetTable:
                 )
         return z
 
+    def diff(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two committed versions (Delta CDF
+        analog): one row per changed record, tagged ``_change_type`` ∈
+        {insert, delete, update_preimage, update_postimage} — preimage
+        rows carry the FROM-version values, postimage/insert rows the
+        TO-version values, exactly Delta's table_changes contract.
+        This is what an incremental downstream pipeline consumes
+        instead of re-reading the table: process only what changed
+        between the snapshot it last saw and now.
+
+        ``keys`` (required) identifies records across versions.
+        Requires both versions' files on disk — run with
+        ``retain_versions`` ≥ the window you want to diff over.
+
+        Scale shape: ONE full-outer shuffle join on the keys (each
+        side scans only its version's files); change classification
+        and the pre/post fan-out are a null-safe comparison plus an
+        explode of a ≤2-element array — no second pass over the join.
+        Schema evolution is handled by aligning the old side to the
+        new version's recorded schema (added columns read null in the
+        preimage, like Delta)."""
+        if not keys:
+            raise ValueError("diff requires the record-identity key columns")
+        old = self.read(from_version)
+        new = self.read(to_version)
+        # align old to the (possibly wider) new schema
+        for f in new.schema.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        old = old.select(*new.columns)
+        data_cols = [c for c in new.columns if c not in keys]
+
+        o = old.withColumn("__o", F.lit(True)).alias("o")
+        n = new.withColumn("__n", F.lit(True)).alias("n")
+        j = o.join(n, keys, "full_outer")
+
+        def side(tag: str, src: str) -> Column:
+            return F.struct(
+                F.lit(tag).alias("_change_type"),
+                *[F.col(f"{src}.{c}").alias(c) for c in data_cols],
+            )
+
+        changed = F.lit(False)
+        for c in data_cols:
+            changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        empty = F.array().cast(
+            f"array<struct<_change_type:string,{','.join(f'{f.name}:{f.dataType.simpleString()}' for f in new.schema.fields if f.name in data_cols)}>>"
+        )
+        arr = (
+            F.when(F.col("o.__o").isNull(), F.array(side("insert", "n")))
+            .when(F.col("n.__n").isNull(), F.array(side("delete", "o")))
+            .when(
+                changed,
+                F.array(
+                    side("update_preimage", "o"), side("update_postimage", "n")
+                ),
+            )
+            .otherwise(empty)
+        )
+        ex = j.select(*keys, F.explode(arr).alias("__c"))
+        return ex.select(
+            F.col("__c._change_type").alias("_change_type"),
+            *keys,
+            *[F.col(f"__c.{c}").alias(c) for c in data_cols],
+        )
+
     def compact(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,

@@ -592,3 +592,43 @@ def test_value_set_stats_skip_categorical(spark, tmp_path):
     snap = _json.load(open(t3._manifest_path(t3.version())))
     assert all(len(s["k"]) == 2 for s in snap["stats"].values())
     assert len(t3.read_pruned("k", values=[120]).inputFiles()) == 1
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    """diff(v1, v2) emits the Delta-CDF row set: inserts carry new
+    values, deletes old values, updates a preimage + postimage pair;
+    unchanged rows emit nothing; evolution-added columns read null in
+    the preimage."""
+    t = ParquetTable(spark, str(tmp_path / "cdf"), retain_versions=10)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, v string, n int",
+        )
+    )
+    v1 = t.version()
+    # update one, delete one, insert one (with a new nullable column)
+    t.update(F.col("id") == 2, {"n": F.lit(21)})
+    t.delete(F.col("id") == 3)
+    t.append(
+        spark.createDataFrame(
+            [(4, "d", 40, 9.5)], "id long, v string, n int, score double"
+        )
+    )
+    v2 = t.version()
+
+    rows = {
+        (r._change_type, r.id): (r.v, r.n, r.score)
+        for r in t.diff(v1, v2, keys=["id"]).collect()
+    }
+    assert rows == {
+        ("update_preimage", 2): ("b", 20, None),
+        ("update_postimage", 2): ("b", 21, None),
+        ("delete", 3): ("c", 30, None),
+        ("insert", 4): ("d", 40, 9.5),
+    }
+    # identical versions diff to empty
+    assert t.diff(v2, v2, keys=["id"]).count() == 0
+    # keys are mandatory
+    with pytest.raises(ValueError):
+        t.diff(v1, v2)
