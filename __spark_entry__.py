@@ -826,14 +826,35 @@ def q_weighted_sample(spark, sf_dir):
     return d.where(keep).select("doc_id", w.alias("weight"))
 
 
+BM25_QUERY = ["spark", "window", "merge"]  # fixed gate query
+
+
 def q_tfidf_keywords(spark, sf_dir):
-    """Top-5 TF-IDF keywords per document (smoothed idf). Three
-    inherent exchanges: id-spread, df-per-term aggregate, top-k
-    window; corpus size attaches as a broadcast 1-row frame."""
-    from sentinel_spark.functions.keywords import tfidf_topk
+    """Top-5 TF-IDF keywords per document (smoothed idf) ∪ BM25
+    retrieval top-20 for a fixed query, tagged by ``kind``. TF-IDF:
+    three inherent exchanges (id-spread, df-per-term aggregate, top-k
+    window; corpus size attaches as a broadcast 1-row frame). BM25:
+    query-term IN-list pushed into the scan, distributed top-k."""
+    from sentinel_spark.functions.keywords import bm25_topk, tfidf_topk
 
     d = _t(spark, sf_dir, "documents")
-    return tfidf_topk(d, "text", "doc_id", top_k=5)
+    t = tfidf_topk(d, "text", "doc_id", top_k=5).select(
+        F.lit("tfidf").alias("kind"),
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "score",
+        "kw_rank",
+    )
+    bm = bm25_topk(d, "text", "doc_id", BM25_QUERY, top_k=20).select(
+        F.lit("bm25").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("n_terms_matched").cast("long").alias("tf"),
+        "score",
+        F.col("rank").alias("kw_rank"),
+    )
+    return t.unionByName(bm)
 
 
 def q_asof_join(spark, sf_dir):
@@ -2901,8 +2922,37 @@ def oracle_sql() -> dict[str, str]:
                                                 ORDER BY score DESC, term)
                              AS INT) AS kw_rank
               FROM sc
+            ),
+            lens AS (SELECT doc_id, len({_WORDS}) AS dl FROM documents),
+            qhits AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS qtf
+              FROM t WHERE term IN ('merge', 'spark', 'window')
+              GROUP BY 1, 2
+            ),
+            qdf AS (SELECT term, count(*) AS df FROM qhits GROUP BY 1),
+            bconst AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+            bscored AS (
+              SELECT q.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_matched,
+                     round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                               * qtf * (1.2 + 1)
+                               / (qtf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                           6) AS score
+              FROM qhits q JOIN qdf USING (term) JOIN lens USING (doc_id)
+              CROSS JOIN bconst
+              GROUP BY q.doc_id
+            ),
+            bm AS (
+              SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS INT) AS rank
+              FROM bscored
             )
-            SELECT doc_id, term, tf, score, kw_rank FROM r WHERE kw_rank <= 5
+            SELECT 'tfidf' AS kind, doc_id, term, tf, score, kw_rank
+            FROM r WHERE kw_rank <= 5
+            UNION ALL
+            SELECT 'bm25' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+                   n_matched AS tf, score, rank AS kw_rank
+            FROM bm WHERE rank <= 20
         """,
         "range_join": """
             WITH clicks AS (

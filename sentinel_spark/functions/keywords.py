@@ -70,3 +70,84 @@ def tfidf_topk(
             F.col("id").alias(id_col), "term", "tf", "score", "kw_rank"
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval scoring of a fixed query against the corpus —
+    the ranking function behind benchmark-contamination retrieval
+    audits and quality-by-topicality slicing (Robertson/Sparck Jones;
+    the Okapi parameterization with the standard ``ln(1 + (N-df+.5)/
+    (df+.5))`` idf). Returns the ``top_k`` documents:
+    (id_col, n_terms_matched, score, rank) — rank 1 = best, ties
+    broken by ascending id.
+
+    Scale shape: the query term set is a literal IN-list filter pushed
+    into the token explode (non-matching tokens never leave the scan
+    stage); per-(doc, term) tf reuses the id-spread partitioning; df
+    per term is a ≤|query|-row aggregate and joins back as a
+    broadcast; N and avgdl ride as one broadcast scalar row. One
+    global top-k sort on the (tiny) scored-docs frame.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    qs = sorted({t.lower() for t in query_terms})
+    base = _spread(df, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
+        ).alias("toks"),
+    )
+    lens = base.select("id", F.size("toks").alias("dl"))
+    hits = (
+        base.select("id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(qs))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    consts = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.round(F.sum(idf * tf_part), 6).alias("score"),
+        )
+    )
+    # Distributed top-k (TakeOrderedAndProject: per-partition partial
+    # top-k, then merge) — NOT a global rank window, which would drag
+    # the whole scored frame through one task for a common query term.
+    # The rank window then runs over only the k surviving rows.
+    topk = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(top_k)
+    # column-derived constant partition: the window runs over only the
+    # k surviving rows, and a DEFINED partition avoids WindowExec's
+    # move-everything warning (same idiom as chunking.token_offsets)
+    w = Window.partitionBy(F.pmod(F.xxhash64("id"), F.lit(1))).orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "n_terms_matched", "score", "rank"
+    )

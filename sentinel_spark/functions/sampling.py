@@ -272,3 +272,42 @@ def mixture_sample(
     return joined.where(before < budget).drop(
         "_mix_h", "_mix_rng", "_mix_key", "_mix_cum", "_mix_base"
     )
+
+
+def temperature_budgets(
+    df,
+    source_col: str,
+    token_col: str,
+    *,
+    total_tokens: int,
+    alpha: float = 0.7,
+) -> dict[str, int]:
+    """Per-source token budgets for :func:`mixture_sample` under
+    temperature-scaled mixing — the standard multilingual/multi-source
+    pretraining reweighting (sample source s with probability
+    ∝ size_s^alpha): ``alpha=1`` is proportional-to-size, ``alpha=0``
+    uniform across sources, intermediate values upweight the tail.
+
+    One tiny aggregate (rows = number of sources) collects to the
+    driver; the returned dict feeds ``mixture_sample``'s budgets, so
+    the actual selection inherits its deterministic hash-order and
+    monotonicity guarantees. A source's budget is capped at its actual
+    size (oversampling/repetition is a loader concern, not a
+    selection concern — mixture_sample cannot select a document
+    twice); the leftover budget from capped sources is NOT
+    redistributed, keeping budgets a pure closed-form function of the
+    size vector (rerun-stable, auditable)."""
+    sizes = {
+        r[0]: int(r[1])
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("long")))
+        .collect()
+    }
+    if not sizes or total_tokens <= 0:
+        return {}
+    weights = {s: float(n) ** alpha for s, n in sizes.items() if n > 0}
+    z = sum(weights.values())
+    return {
+        s: min(int(round(total_tokens * w / z)), sizes[s])
+        for s, w in weights.items()
+    }

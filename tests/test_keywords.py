@@ -5,6 +5,8 @@ from __future__ import annotations
 import math
 from collections import Counter
 
+import pytest
+
 from sentinel_spark.functions.keywords import tfidf_topk
 
 DOCS = [
@@ -59,3 +61,32 @@ def test_tfidf_rank_is_deterministic_on_ties(spark):
         by_doc.setdefault(r["doc_id"], []).append((r["kw_rank"], r["term"]))
     for v in by_doc.values():
         assert sorted(v) == [(1, "alpha"), (2, "beta")]
+
+
+def test_bm25_topk(spark):
+    from sentinel_spark.functions.keywords import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark window"),         # high tf on query terms
+            (2, "spark window merge extra words about things"),  # all 3 terms
+            (3, "completely unrelated content here"),  # no match
+            (4, "spark " + "filler " * 50),           # long doc: length-normalized down
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "text", "doc_id", ["spark", "window", "merge"], top_k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    # non-matching doc absent; ranks contiguous from 1
+    assert 3 not in rows
+    assert sorted(r.rank for r in rows.values()) == [1, 2, 3]
+    # doc 2 matches all three terms
+    assert rows[2].n_terms_matched == 3
+    # the long doc's single match is length-penalized below doc 1's
+    assert rows[4].score < rows[1].score
+    # idf weighting: rarer 'merge' (df=1) outweighs common 'spark'
+    # (df=3), so doc 2 must outrank doc 1 despite lower total tf
+    assert rows[2].rank == 1
+
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "text", "doc_id", [])

@@ -208,3 +208,36 @@ class TestMixtureSample:
             corpus, "source", "n_tokens", {"code": 10**9}, key="doc_id"
         )
         assert out.count() == 100  # every code doc
+
+
+def test_temperature_budgets(spark):
+    from sentinel_spark.functions.sampling import (
+        mixture_sample,
+        temperature_budgets,
+    )
+
+    rows = (
+        [(i, "big", 10) for i in range(90)]
+        + [(1000 + i, "small", 10) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+
+    # alpha=1: proportional to size (900/100 tokens -> 450/50 of 500)
+    b1 = temperature_budgets(df, "source", "n_tok", total_tokens=500, alpha=1.0)
+    assert b1 == {"big": 450, "small": 50}
+    # alpha=0: uniform across sources
+    b0 = temperature_budgets(df, "source", "n_tok", total_tokens=200, alpha=0.0)
+    assert b0 == {"big": 100, "small": 100}
+    # intermediate alpha upweights the tail monotonically
+    bt = temperature_budgets(df, "source", "n_tok", total_tokens=500, alpha=0.5)
+    assert b1["small"] < bt["small"] < b0.get("small", 10**9) * 5
+    # budgets cap at actual source size
+    bc = temperature_budgets(df, "source", "n_tok", total_tokens=10_000, alpha=0.0)
+    assert bc == {"big": 900, "small": 100}
+    # budgets feed mixture_sample directly and respect its overshoot law
+    out = mixture_sample(df, "source", "n_tok", b1, key=F.col("doc_id").cast("string"))
+    got = {
+        r[0]: r[1]
+        for r in out.groupBy("source").agg(F.sum("n_tok")).collect()
+    }
+    assert 450 <= got["big"] < 450 + 10 and 50 <= got["small"] < 60

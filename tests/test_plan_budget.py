@@ -44,8 +44,12 @@ BUDGET = {
     "events_report": 5,   # + heavy-hitters MG partials + exact recount
     "events_windows": 2,
     "doc_profile": 0,      # ONE scan, pure projection
-    "corpus_cube": 1,      # CUBE = one expand + one shuffle
-    "length_histogram": 1,
+    "corpus_report": 2,    # CUBE (expand + shuffle) + histogram agg
+    "corpus_funnel": 16,   # the whole recipe: featurize/winners/LSH
+                           # pipeline over survivors + decontam shingle
+                           # pass + three funnel aggregates — each
+                           # exchange audited as a stage of its
+                           # standalone gate
     "line_clean": 0,
     "doc_repetition": 2,
     "split_report": 5,
@@ -61,11 +65,15 @@ BUDGET = {
                            # lineage references) + its tiny per-source
                            # range-totals window
     "dedup_clusters": 1,   # driver-path CC: just the candidate pipeline
-    "tfidf_keywords": 3,
+    "tfidf_keywords": 8,   # + r6 bm25 branch: query-hits tf, per-term
+                           # df, doc-length frame, scored aggregate,
+                           # distributed top-k
     "asof_join": 1,        # union-trick: ONE user_id exchange
     "range_join": 0,       # bucketed equi-join broadcasts at this size
     "sessionize": 1,       # window + session rollup share one exchange
-    "decontam": 5,
+    "decontam": 10,        # + r6 scrub branch: token/window/fingerprint
+                           # aggregates + coverage anti-join + per-doc
+                           # reassembly
     "near_dup_pairs": 36,  # six pairing pipelines, each bucket-bounded
                            # (r5 adds the incremental new-vs-index
                            # branch: one batch shingle pipeline + the
