@@ -1,0 +1,73 @@
+"""Stream-stream interval join with watermarks — the Structured
+Streaming correlation primitive (clicks ↔ purchases, impressions ↔
+conversions) the batch layer expresses as :mod:`operators.timeseries`
+range/as-of joins.
+
+Spark-first shape: both sides are ``readStream`` sources with event-
+time watermarks; the join condition is an equi-key plus a bounded
+time interval. The watermark + interval bound is what makes the state
+store finite — each side buffers only rows younger than
+(watermark + interval), and Spark evicts the rest. Without BOTH a
+watermark on each side and a time-bound in the condition, a
+stream-stream inner join's state grows without bound; this module
+always requires them.
+
+At scale: state is hash-partitioned by the join key across executors
+(same partitioning as any keyed stateful operator); skewed keys
+(a bot user with millions of clicks) skew the state store exactly
+like they skew a batch join — upstream per-key rate caps, not the
+join, are the mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lower: str = "0 seconds",
+    upper: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Inner-join ``left`` and ``right`` rows sharing ``key`` where
+    ``left_ts − lower ≤ right_ts ≤ left_ts + upper`` — the
+    conversion-attribution window. Works identically for two batch
+    DataFrames (watermarks become no-ops), which is what the
+    batch-equivalence tests rely on.
+
+    Right-side columns are prefixed to avoid collisions. Both sides
+    get event-time watermarks; the interval bound appears in the join
+    condition so Structured Streaming can bound the state store (see
+    module docstring).
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    rw = rw.select(
+        F.col(key).alias(f"__{key}"),
+        *[
+            F.col(c).alias(f"{prefix}{c}")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    cond = (
+        (F.col(key) == F.col(f"__{key}"))
+        & (
+            F.col(f"{prefix}{right_ts}")
+            >= F.col(left_ts) - F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"{prefix}{right_ts}")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    return lw.join(rw, cond, "inner").drop(f"__{key}")

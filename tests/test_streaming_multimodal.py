@@ -370,3 +370,81 @@ def test_sketch_stream_replay_idempotent(spark, tmp_path):
         .collect()
     }
     assert after == before
+
+
+def test_interval_join_batch_equivalence(spark):
+    """interval_join on batch frames == the naive condition join; a
+    purchase attributes to a click iff it lands in the click's
+    [ts, ts+window]."""
+    import datetime as dt
+
+    from sentinel_spark.streaming.join_stream import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    clicks = spark.createDataFrame(
+        [(1, "u1", s(0)), (2, "u1", s(60)), (3, "u2", s(0))],
+        "click_id long, user_id string, ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        [
+            ("u1", s(10), 5.0),   # within 30m of click 1
+            ("u1", s(65), 7.0),   # within 30m of click 2
+            ("u1", s(50), 9.0),   # in no window (40m after c1, 10m before c2)
+            ("u2", s(31), 3.0),   # 31m after click 3 -> outside
+        ],
+        "user_id string, pts timestamp, amount double",
+    )
+    out = interval_join(
+        clicks, purchases, "user_id", "ts", "pts",
+        lower="0 seconds", upper="30 minutes",
+    )
+    got = {(r.click_id, r.r_amount) for r in out.collect()}
+    assert got == {(1, 5.0), (2, 7.0)}
+
+
+def test_interval_join_streaming_state_bounded(spark, tmp_path):
+    """True streaming run (availableNow file sources both sides):
+    same result as the batch form, and the join is accepted by the
+    streaming planner only because both watermarks + the interval
+    bound exist (state is evictable)."""
+    import json
+    import os
+
+    from sentinel_spark.streaming.join_stream import interval_join
+
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    os.makedirs(cdir), os.makedirs(pdir)
+    with open(cdir + "/c.jsonl", "w") as f:
+        for cid, u, ts in [(1, "u1", "2024-01-01 12:00:00"),
+                           (2, "u1", "2024-01-01 13:00:00")]:
+            f.write(json.dumps({"click_id": cid, "user_id": u, "ts": ts}) + "\n")
+    with open(pdir + "/p.jsonl", "w") as f:
+        for u, ts, a in [("u1", "2024-01-01 12:10:00", 5.0),
+                         ("u1", "2024-01-01 13:05:00", 7.0),
+                         ("u1", "2024-01-01 12:50:00", 9.0)]:
+            f.write(json.dumps({"user_id": u, "pts": ts, "amount": a}) + "\n")
+
+    cs = (
+        spark.readStream.format("text").load(cdir)
+        .select(F.from_json("value", "click_id long, user_id string, ts timestamp").alias("r"))
+        .select("r.*")
+    )
+    ps = (
+        spark.readStream.format("text").load(pdir)
+        .select(F.from_json("value", "user_id string, pts timestamp, amount double").alias("r"))
+        .select("r.*")
+    )
+    joined = interval_join(cs, ps, "user_id", "ts", "pts",
+                           lower="0 seconds", upper="30 minutes")
+    q = (
+        joined.writeStream.format("memory").queryName("ij_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.click_id, r.r_amount) for r in spark.table("ij_out").collect()}
+    assert got == {(1, 5.0), (2, 7.0)}
