@@ -201,9 +201,11 @@ def remove_duplicate_passages(
         .where(F.col("n_occ") >= min_occurrences)
     )
     dup_occ = occ.join(stats, "fp").where(okey != F.col("canon"))
+    # no dropDuplicates on the covered positions: LEFT ANTI ignores
+    # right-side multiplicity, so deduping would only add an exchange
     covered = dup_occ.select(
         "id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("pos")
-    ).dropDuplicates(["id", "pos"])
+    )
     kept = tok_rows.join(covered, ["id", "pos"], "left_anti")
     rebuilt = kept.groupBy("id", "n_tok").agg(
         F.array_join(
