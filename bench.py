@@ -64,6 +64,14 @@ def main():
     tiny_union = E.near_dup_union(tiny)
     tiny_union.write.format("noop").mode("overwrite").save()
     release(tiny_union)
+    # ... and the scrub shape (token-grain lead window + anti-join +
+    # per-doc reassembly), whose one-time codegen otherwise lands on
+    # the decontam gate's cold run (r6: ~5 s cold-vs-median gap).
+    from sentinel_spark.functions.decontam import remove_duplicate_passages
+
+    remove_duplicate_passages(tiny, "text", "doc_id", n=4).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Three repetitions per gate: run 1 = cold (codegen/JIT included,
     # comparable across rounds), runs 2-3 = warm recomputes. The
