@@ -983,3 +983,75 @@ def _shingles_sql(col: str, n: int) -> str:
         f"ELSE array_distinct(transform(sequence(1, size({toks}) - {n} + 1), "
         f"i -> concat_ws(' ', slice({toks}, i, {n})))) END"
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_occurrences: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-grain exact dedup with reassembly — the CCNet/Dolma
+    pass that strips boilerplate paragraphs (cookie banners, license
+    headers, navigation blocks) repeated across the corpus while
+    keeping each paragraph's single canonical occurrence (global
+    minimum (doc, position), same rule as
+    :func:`~sentinel_spark.functions.decontam.remove_duplicate_passages`
+    at token-window grain). Paragraph identity is the md5 of the
+    whitespace-normalized lowercased paragraph, so trivial reflows
+    don't defeat the match; UNIQUE paragraphs and canonical
+    occurrences pass through with their ORIGINAL text.
+
+    Output: (id_col, text_col cleaned, n_paragraphs, n_removed).
+
+    Scale shape: one id-spread, paragraphs via a codegen split +
+    posexplode; one algebraic md5-keyed aggregate (count + min of an
+    id*2^20+idx occurrence key); re-attach by fingerprint join;
+    per-document reassembly sorts within the id partition. Documents
+    are assumed < 2^20 paragraphs (the occurrence-key bound).
+    """
+    POS_LIM = 1 << 20
+    base = _spread(df, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), sep).alias("paras"),
+    )
+    rows = base.select(
+        "id",
+        F.posexplode("paras").alias("idx", "para"),
+    ).withColumn(
+        "fp",
+        F.md5(F.lower(F.trim(F.regexp_replace(F.col("para"), r"\s+", " ")))),
+    )
+    okey = F.col("id") * POS_LIM + F.col("idx")
+    stats = (
+        rows.select("fp", okey.alias("okey"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("canon"))
+        .where(F.col("n_occ") >= min_occurrences)
+    )
+    flagged = rows.join(stats, "fp", "left").withColumn(
+        "keep", F.col("canon").isNull() | (okey == F.col("canon"))
+    )
+    rebuilt = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("idx", "para"))
+                    )
+                ),
+                lambda x: x.para,
+            ),
+            sep,
+        ).alias("__clean"),
+    )
+    return rebuilt.select(
+        F.col("id").alias(id_col),
+        F.col("__clean").alias(text_col),
+        "n_paragraphs",
+        "n_removed",
+    )

@@ -591,3 +591,34 @@ def test_minhash_hot_band_guard(spark):
 
     for df in (guarded, unguarded, capped):
         release(df)
+
+
+def test_dedup_paragraphs(spark):
+    banner = "accept our cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique article one text"),
+            (2, f"{banner}\nanother distinct body"),
+            (3, f"intro text\n{banner}\noutro text"),
+            (4, "no boilerplate at all here"),
+            (5, f"  Accept   our Cookies to continue \nwhitespace variant body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.dedup_paragraphs(docs, "text", "doc_id").collect()
+    }
+    # doc 1 holds the canonical banner occurrence -> untouched
+    assert out[1].text == f"{banner}\nunique article one text"
+    assert out[1].n_removed == 0
+    # later occurrences stripped, original surrounding text kept
+    assert out[2].text == "another distinct body"
+    assert out[3].text == "intro text\noutro text"
+    assert out[3].n_paragraphs == 3 and out[3].n_removed == 1
+    # normalization: the reflowed variant matches and is stripped,
+    # but the SURVIVING text keeps its original form
+    assert out[5].text == "whitespace variant body"
+    # untouched doc passes through verbatim
+    assert out[4].text == "no boilerplate at all here"
+    assert out[4].n_removed == 0
