@@ -1006,6 +1006,12 @@ def dedup_paragraphs(
 
     Output: (id_col, text_col cleaned, n_paragraphs, n_removed).
 
+    Empty and whitespace-only paragraphs (blank-line formatting) are
+    NOT dedupable content: they are kept unconditionally and excluded
+    from the fingerprint statistics — otherwise every blank line in
+    the corpus would collapse to one canonical blank, rewriting
+    document structure.
+
     Scale shape: one id-spread, paragraphs via a codegen split +
     posexplode; one algebraic md5-keyed aggregate (count + min of an
     id*2^20+idx occurrence key); re-attach by fingerprint join;
@@ -1013,20 +1019,27 @@ def dedup_paragraphs(
     are assumed < 2^20 paragraphs (the occurrence-key bound).
     """
     POS_LIM = 1 << 20
+    # \Q...\E: sep is a LITERAL separator. split() takes a regex, and
+    # the reassembly join uses sep verbatim — quoting keeps the two
+    # consistent for regex-special separators ('|', '.', ...).
     base = _spread(df, by=F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        F.split(F.col(text_col), sep).alias("paras"),
+        F.split(F.col(text_col), "\\Q" + sep + "\\E").alias("paras"),
     )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("para"), r"\s+", " ")))
     rows = base.select(
         "id",
         F.posexplode("paras").alias("idx", "para"),
     ).withColumn(
+        # blank paragraphs get a NULL fingerprint: excluded from the
+        # stats aggregate and never matched by the re-attach join
         "fp",
-        F.md5(F.lower(F.trim(F.regexp_replace(F.col("para"), r"\s+", " ")))),
+        F.when(norm != "", F.md5(norm)),
     )
     okey = F.col("id") * POS_LIM + F.col("idx")
     stats = (
-        rows.select("fp", okey.alias("okey"))
+        rows.where(F.col("fp").isNotNull())
+        .select("fp", okey.alias("okey"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("canon"))
         .where(F.col("n_occ") >= min_occurrences)

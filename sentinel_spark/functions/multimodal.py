@@ -87,13 +87,41 @@ def decode_image(content: bytes):
         ) from exc
 
 
+_CODEC_AVAILABLE: bool | None = None  # per-process probe cache
+
+
+def _codec_available() -> bool:
+    """One import probe per (worker) process, cached: Python does NOT
+    cache failed imports, so probing per row would re-run the whole
+    import machinery and raise/catch for every media row on
+    codec-less workers — millions of wasted exceptions on exactly the
+    'auto' path meant for such environments."""
+    global _CODEC_AVAILABLE
+    if _CODEC_AVAILABLE is None:
+        try:
+            import PIL.Image  # noqa: F401
+
+            _CODEC_AVAILABLE = True
+        except ImportError:
+            try:
+                import imageio.v3  # noqa: F401
+
+                _CODEC_AVAILABLE = True
+            except ImportError:
+                _CODEC_AVAILABLE = False
+    return _CODEC_AVAILABLE
+
+
 def try_decode_dims(content: bytes) -> tuple[int, int] | None:
     """(width, height) via the real codec when one is importable AND
     the bytes decode under it; None otherwise — the probe behind the
     ``use_real_codec='auto'`` path (callers fall back to
     :func:`fake_decode`). Undecodable bytes under a present codec also
     return None rather than failing the batch: synthetic/fake rows and
-    real images can share a table."""
+    real images can share a table. Codec availability is probed once
+    per process (cached); only the per-bytes decode runs per row."""
+    if not _codec_available():
+        return None
     try:
         img = decode_image(content)
     except NotImplementedError:

@@ -94,6 +94,22 @@ class ConcurrentCommitError(RuntimeError):
     against the fresh snapshot."""
 
 
+def _stats_safe(v):
+    """Normalize a value to the JSON-safe form the manifest stats use
+    (timestamps/dates as ISO strings). Shared by the stats recorder
+    and by read_pruned's probe values, so a datetime probe compares
+    against string-recorded stats instead of silently never matching
+    (which would break the superset guarantee by skipping files that
+    DO contain the value)."""
+    import datetime as _dt
+
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
 def _parquet_file_stats(
     path: str,
     value_cols: tuple[str, ...] = (),
@@ -118,14 +134,8 @@ def _parquet_file_stats(
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked in
         return {}
-    import datetime as _dt
 
-    def safe(v):
-        if isinstance(v, (bool, int, float, str)):
-            return v
-        if isinstance(v, (_dt.datetime, _dt.date)):
-            return v.isoformat()
-        return None
+    safe = _stats_safe
 
     try:
         md = pq.ParquetFile(path).metadata
@@ -533,7 +543,16 @@ class ParquetTable:
         stats = snap.get("stats") or {}
         vals = None
         if values is not None:
-            vals = sorted(values)
+            # normalize probes the same way the stats were recorded
+            # (datetime/date → ISO strings) or set-membership and the
+            # bisect would compare across types and never match
+            vals = [_stats_safe(v) for v in values]
+            if any(v is None for v in vals):
+                raise ValueError(
+                    "read_pruned values must be int/float/bool/str or "
+                    "datetime/date (no stats-comparable form otherwise)"
+                )
+            vals = sorted(vals)
             if not vals:
                 schema = self._resolved_schema(snap)
                 if schema is None:
@@ -895,7 +914,18 @@ class ParquetTable:
 
         o = old.withColumn("__o", F.lit(True)).alias("o")
         n = new.withColumn("__n", F.lit(True)).alias("n")
-        j = o.join(n, keys, "full_outer")
+        # null-SAFE key equality: a record whose key tuple contains a
+        # null must match itself across versions — the list-form join's
+        # plain equality would emit a spurious delete+insert pair for
+        # it on every diff window
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+        )
+        j = o.join(n, cond, "full_outer")
+        key_out = [
+            F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+        ]
 
         def side(tag: str, src: str) -> Column:
             return F.struct(
@@ -906,9 +936,16 @@ class ParquetTable:
         changed = F.lit(False)
         for c in data_cols:
             changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        empty = F.array().cast(
-            f"array<struct<_change_type:string,{','.join(f'{f.name}:{f.dataType.simpleString()}' for f in new.schema.fields if f.name in data_cols)}>>"
+        # no trailing comma when the table is key-only (data_cols empty)
+        struct_ddl = ",".join(
+            ["_change_type:string"]
+            + [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in new.schema.fields
+                if f.name in data_cols
+            ]
         )
+        empty = F.array().cast(f"array<struct<{struct_ddl}>>")
         arr = (
             F.when(F.col("o.__o").isNull(), F.array(side("insert", "n")))
             .when(F.col("n.__n").isNull(), F.array(side("delete", "o")))
@@ -920,7 +957,7 @@ class ParquetTable:
             )
             .otherwise(empty)
         )
-        ex = j.select(*keys, F.explode(arr).alias("__c"))
+        ex = j.select(*key_out, F.explode(arr).alias("__c"))
         return ex.select(
             F.col("__c._change_type").alias("_change_type"),
             *keys,

@@ -632,3 +632,53 @@ def test_snapshot_diff_change_feed(spark, tmp_path):
     # keys are mandatory
     with pytest.raises(ValueError):
         t.diff(v1, v2)
+
+
+def test_diff_null_keys_and_key_only_table(spark, tmp_path):
+    """diff regressions from review: (a) a record with a NULL key must
+    match itself across versions (null-safe key join) instead of
+    emitting delete+insert every window; (b) a key-only table diffs
+    without a malformed struct DDL."""
+    t = ParquetTable(spark, str(tmp_path / "cdfnull"), retain_versions=10)
+    t.append(
+        spark.createDataFrame([(None, 1), ("k", 2)], "id string, n int")
+    )
+    v1 = t.version()
+    t.append(spark.createDataFrame([("m", 3)], "id string, n int"))
+    v2 = t.version()
+    rows = {(r._change_type, r.id) for r in t.diff(v1, v2, keys=["id"]).collect()}
+    # the null-keyed and unchanged rows emit NOTHING; only the insert
+    assert rows == {("insert", "m")}
+
+    t2 = ParquetTable(spark, str(tmp_path / "cdfko"), retain_versions=10)
+    t2.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    w1 = t2.version()
+    t2.delete(F.col("id") == 1)
+    t2.append(spark.createDataFrame([(3,)], "id long"))
+    w2 = t2.version()
+    got = {(r._change_type, r.id) for r in t2.diff(w1, w2, keys=["id"]).collect()}
+    assert got == {("delete", 1), ("insert", 3)}
+
+
+def test_value_set_probe_normalization(spark, tmp_path):
+    """Datetime probes against string-recorded stats normalize instead
+    of silently skipping everything (superset guarantee)."""
+    import datetime as dt
+
+    t = ParquetTable(spark, str(tmp_path / "vnorm"), value_stats_cols=["day"])
+    t.append(
+        spark.createDataFrame(
+            [(dt.date(2026, 1, 1), 1), (dt.date(2026, 1, 2), 2)],
+            "day date, n int",
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(dt.date(2026, 2, 1), 3)], "day date, n int"
+        ).coalesce(1)
+    )
+    pruned = t.read_pruned("day", values=[dt.date(2026, 1, 2)])
+    assert len(pruned.inputFiles()) == 1
+    assert [r.n for r in pruned.filter(F.col("day") == "2026-01-02").collect()] == [2]
+    with pytest.raises(ValueError, match="read_pruned values"):
+        t.read_pruned("day", values=[object()])

@@ -138,8 +138,12 @@ def test_codec_auto_paths(monkeypatch, spark):
         try_decode_dims,
     )
 
+    import sentinel_spark.functions.multimodal as MM
+
     # codec ABSENT (this container): probe declines, caller falls back
+    monkeypatch.setattr(MM, "_CODEC_AVAILABLE", None)  # fresh probe
     assert try_decode_dims(b"anything") is None
+    assert MM._CODEC_AVAILABLE is False  # cached after one probe
 
     # codec PRESENT (stubbed): decodable bytes give real dims...
     class _Img:
@@ -156,9 +160,11 @@ def test_codec_auto_paths(monkeypatch, spark):
     pil.Image = pil_image
     monkeypatch.setitem(sys.modules, "PIL", pil)
     monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+    monkeypatch.setattr(MM, "_CODEC_AVAILABLE", None)  # re-probe with stub
     assert try_decode_dims(b"MAGIC-bytes") == (320, 200)
     # ...and undecodable bytes still fall back instead of failing
     assert try_decode_dims(b"not-an-image") is None
+    monkeypatch.setattr(MM, "_CODEC_AVAILABLE", None)  # leave clean
 
     # Spark 'auto' end-to-end exercises whichever leg this environment
     # has (here: fallback) — output must equal the fake-decode path

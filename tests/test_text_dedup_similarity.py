@@ -622,3 +622,26 @@ def test_dedup_paragraphs(spark):
     # untouched doc passes through verbatim
     assert out[4].text == "no boilerplate at all here"
     assert out[4].n_removed == 0
+
+
+def test_dedup_paragraphs_blanks_and_regex_sep(spark):
+    """Blank paragraphs are structure, not content: never deduped,
+    never counted; regex-special separators are treated literally."""
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "c\n\nd"), (3, "e\n \n\nf")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.dedup_paragraphs(docs, "text", "doc_id").collect()}
+    # blank-line formatting preserved everywhere, nothing removed
+    assert out[1].text == "a\n\nb" and out[1].n_removed == 0
+    assert out[2].text == "c\n\nd" and out[2].n_removed == 0
+    assert out[3].text == "e\n \n\nf" and out[3].n_removed == 0
+
+    pipe = spark.createDataFrame(
+        [(1, "shared banner|unique one"), (2, "shared banner|unique two")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in D.dedup_paragraphs(pipe, "text", "doc_id", sep="|").collect()}
+    # '|' is a literal separator, not regex alternation
+    assert got[1].text == "shared banner|unique one"
+    assert got[2].text == "unique two" and got[2].n_removed == 1
