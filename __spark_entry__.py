@@ -660,12 +660,23 @@ def q_line_clean(spark, sf_dir):
         "doc_id",
         F.replace(F.col("text"), F.lit(" table"), F.lit("\ntable")).alias("text"),
     )
+    # strip_html ground truth: wrap the document in deterministic HTML
+    # (style/script/comment junk + ' table' boundaries as real <div>
+    # breaks); the full extraction chain must recover EXACTLY the
+    # linebreak-derived text — the oracle states that closed form
+    # directly, so the whole regexp chain is value-hash-checked.
+    html = F.concat(
+        F.lit('<div id="x"> <style>p{color:red}</style>'),
+        F.replace(F.col("text"), F.lit("\ntable"), F.lit("</div><div>table")),
+        F.lit("</div><!-- end --><script>var x=1;</script>"),
+    )
     return multi.select(
         "doc_id",
         T.clean_lines("text", **kw).alias("clean_text"),
         T.kept_line_count("text", **kw).alias("lines_kept"),
         F.size(F.split(F.col("text"), "\n")).alias("lines_total"),
         T.c4_doc_pass("text", min_kept_lines=2, **kw).alias("keep"),
+        T.strip_html(html).alias("html_clean"),
     )
 
 
@@ -2732,7 +2743,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(lines) AS INTEGER) AS lines_total,
                    (len(kept) >= 2
                     AND NOT contains(lower(text), 'lorem ipsum')
-                    AND NOT contains(lower(text), '{')) AS keep
+                    AND NOT contains(lower(text), '{')) AS keep,
+                   -- strip_html ground truth: the gate wraps the doc in
+                   -- deterministic HTML junk; the extraction chain must
+                   -- recover exactly the linebreak-derived text (this
+                   -- closed form), value-hash-checking every regexp step
+                   text AS html_clean
             FROM lined
         """,
         "doc_repetition": f"""

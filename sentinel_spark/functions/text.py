@@ -275,3 +275,41 @@ def normalized_text(col: str) -> Column:
 def fingerprint(col: str) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key)."""
     return F.md5(normalized_text(col))
+
+
+def strip_html(col: Column | str) -> Column:
+    """WET-style text extraction from HTML: drop <script>/<style>
+    blocks and HTML comments WITH their content, strip remaining tags,
+    decode the common named/numeric entities, and collapse the
+    whitespace the removals leave behind. Pure chained
+    ``regexp_replace`` — whole-stage codegen, engine-portable (each
+    step has a 1:1 DuckDB regexp_replace('g') mirror), no HTML parser
+    dependency. A best-effort extractor in the CCNet/C4 tradition, not
+    a spec-complete parser: malformed nesting degrades to leaving text
+    in place, never to dropping non-script content."""
+    c = F.col(col) if isinstance(col, str) else col
+    # (?is): case-insensitive, dot-matches-newline — script/style
+    # blocks and comments span lines
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # block-level closers/br become line breaks so paragraph structure
+    # survives tag removal
+    c = F.regexp_replace(c, r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    # collapse intra-line runs, trim line edges, drop blank lines
+    c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # trim ALL edge whitespace (F.trim strips spaces only, not \n)
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

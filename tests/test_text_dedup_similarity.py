@@ -645,3 +645,28 @@ def test_dedup_paragraphs_blanks_and_regex_sep(spark):
     # '|' is a literal separator, not regex alternation
     assert got[1].text == "shared banner|unique one"
     assert got[2].text == "unique two" and got[2].n_removed == 1
+
+
+def test_strip_html(spark):
+    cases = [
+        # script/style/comments vanish WITH content; tags strip; common
+        # entities decode; block closers become line breaks
+        (
+            "<html><head><style>p{color:red}</style><script>var x=1;"
+            "</script></head><body><h1>Title</h1><p>Hello &amp; welcome "
+            "to the <b>site</b>.</p><!-- hidden --><div>Second "
+            "&lt;block&gt;</div></body></html>",
+            "Title\nHello & welcome to the site .\nSecond <block>",
+        ),
+        # malformed nesting degrades to keeping text, never dropping it
+        ("<p>kept <b>text", "kept text"),
+        ("plain text untouched", "plain text untouched"),
+        ("a&nbsp;b &quot;c&quot; &#39;d&#39;", "a b \"c\" 'd'"),
+    ]
+    from sentinel_spark.functions.text import strip_html
+
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               "i int, text string")
+    got = {r.i: r.t for r in df.select("i", strip_html("text").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
