@@ -182,3 +182,36 @@ def bpe_tokenize(
         encode,
         schema=f"{id_col} {id_type}, tokens array<string>, n_bpe_tokens int",
     )
+
+
+def save_bpe_merges(
+    spark, merges: list[tuple[str, str]], path: str, *, retain_versions: int = 2
+) -> None:
+    """Persist a trained merge list through the manifest-log table
+    (:class:`sentinel_spark.sources.store.ParquetTable`) — rank order
+    is the model, so each row records its rank explicitly and
+    :func:`load_bpe_merges` restores by sorting on it. Re-saving to
+    the same path replaces the model atomically (one manifest flip);
+    readers pinned at the old version keep scoring with the old
+    model until they reload — exactly the model-rollout semantics a
+    production scoring fleet needs (``retain_versions`` ≥ 2 keeps the
+    previous model's files alive through one rollout)."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    t = ParquetTable(spark, path, retain_versions=retain_versions)
+    df = spark.createDataFrame(rows, "rank long, left string, right string")
+    if t.exists():
+        t.overwrite(df)
+    else:
+        t.append(df)
+
+
+def load_bpe_merges(spark, path: str, version: int | None = None) -> list[tuple[str, str]]:
+    """Reload a persisted merge list (optionally a pinned ``version``)
+    in rank order — the tiny model collect (vocabulary-scale, same
+    boundedness as training's merge table)."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    rows = ParquetTable(spark, path, retain_versions=2).read(version).collect()
+    return [(r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)]

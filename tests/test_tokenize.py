@@ -100,3 +100,37 @@ def test_tokenize_deterministic_across_runs(spark):
     a = sorted(map(tuple, bpe_tokenize(df, "text", "doc_id", merges).collect()))
     b = sorted(map(tuple, bpe_tokenize(df, "text", "doc_id", merges).collect()))
     assert a == b
+
+
+def test_bpe_merges_persist_roundtrip(spark, tmp_path):
+    """Train → save → load → identical encodes; re-save replaces the
+    model atomically and a pinned reader keeps the old version."""
+    from sentinel_spark.functions.tokenize import (
+        bpe_tokenize,
+        load_bpe_merges,
+        save_bpe_merges,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest new newer newest"), (2, "low low new new")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(docs, "text", 8)
+    path = str(tmp_path / "bpe")
+    save_bpe_merges(spark, merges, path)
+    back = load_bpe_merges(spark, path)
+    assert back == merges
+    a = {r.doc_id: r.tokens for r in bpe_tokenize(docs, "text", "doc_id", merges).collect()}
+    b = {r.doc_id: r.tokens for r in bpe_tokenize(docs, "text", "doc_id", back).collect()}
+    assert a == b
+
+    # retrain with fewer merges, re-save: loader sees the new model,
+    # a version-pinned loader still sees the old one
+    from sentinel_spark.sources.store import ParquetTable
+
+    v1 = ParquetTable(spark, path).version()
+    smaller = merges[:3]
+    save_bpe_merges(spark, smaller, path)
+    assert load_bpe_merges(spark, path) == smaller
+    assert load_bpe_merges(spark, path, version=v1) == merges
