@@ -682,3 +682,35 @@ def test_value_set_probe_normalization(spark, tmp_path):
     assert [r.n for r in pruned.filter(F.col("day") == "2026-01-02").collect()] == [2]
     with pytest.raises(ValueError, match="read_pruned values"):
         t.read_pruned("day", values=[object()])
+
+
+def test_diff_applies_to_reconstruct_new_version(spark, tmp_path):
+    """CDF law: old snapshot + change feed == new snapshot. Apply the
+    diff (drop deletes and update keys, add inserts and postimages)
+    and assert exact row-set equality with read(v2) — the property an
+    incremental consumer relies on."""
+    t = ParquetTable(spark, str(tmp_path / "cdflaw"), retain_versions=10)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 10) for i in range(8)], "id long, v string, n int"
+        )
+    )
+    v1 = t.version()
+    t.update(F.col("id") % 3 == 0, {"n": F.col("n") + 1})
+    t.delete(F.col("id") == 5)
+    t.append(spark.createDataFrame([(100, "new", 0)], "id long, v string, n int"))
+    v2 = t.version()
+
+    cdf = t.diff(v1, v2, keys=["id"])
+    touched = cdf.where(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("id")
+    additions = cdf.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("id", "v", "n")
+    reconstructed = (
+        t.read(v1).join(touched, "id", "left_anti").unionByName(additions)
+    )
+    want = {(r.id, r.v, r.n) for r in t.read(v2).collect()}
+    got = {(r.id, r.v, r.n) for r in reconstructed.collect()}
+    assert got == want
