@@ -155,3 +155,63 @@ def domain_report(
             ).alias("dup_url_frac"),
         )
     )
+
+
+def domain_blocklist(
+    df: DataFrame,
+    url_col: str,
+    bad: Column,
+    *,
+    min_docs: int = 10,
+    max_bad_frac: float = 0.5,
+    suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
+) -> DataFrame:
+    """Derive a per-domain blocklist from document-level quality
+    evidence — the FineWeb/RefinedWeb curation move: a registered
+    domain whose sampled documents are mostly bad (spam farms, SEO
+    mills, parked pages) is blocked WHOLESALE, catching its future
+    documents before any per-document scoring runs.
+
+    ``bad`` is any boolean Column over the input rows (a failed Gopher
+    gate, a low classifier score, a contamination flag). A domain
+    lands on the blocklist iff it has at least ``min_docs`` documents
+    (below that the evidence is noise) AND its bad fraction exceeds
+    ``max_bad_frac``.
+
+    Output: (domain, n_docs, n_bad, bad_frac) — one row per BLOCKED
+    domain; apply with a broadcast anti-join on
+    :func:`registered_domain`. One map-side-combined aggregate on the
+    domain key; the blocklist itself is tiny (the point of the
+    operator) and broadcasts.
+    """
+    dom = registered_domain(F.col(url_col), suffixes)
+    return (
+        df.select(dom.alias("domain"), bad.cast("int").alias("__bad"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__bad").alias("n_bad"),
+            F.round(F.sum("__bad") / F.count(F.lit(1)), 6).alias("bad_frac"),
+        )
+        .where(
+            (F.col("n_docs") >= min_docs) & (F.col("bad_frac") > max_bad_frac)
+        )
+    )
+
+
+def apply_domain_blocklist(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    *,
+    suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
+) -> DataFrame:
+    """Drop every document whose registered domain is on ``blocklist``
+    (a frame with a ``domain`` column) — broadcast LEFT ANTI join, so
+    at corpus scale this is a scan-side filter, not a shuffle."""
+    dom = registered_domain(F.col(url_col), suffixes)
+    return df.withColumn("__dom", dom).join(
+        F.broadcast(blocklist.select("domain").withColumnRenamed("domain", "__dom")),
+        "__dom",
+        "left_anti",
+    ).drop("__dom")

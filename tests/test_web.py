@@ -79,3 +79,31 @@ def test_domain_report(spark):
            for r in domain_report(df, "url").collect()}
     assert got["example.com"] == (3, 2, 0.333333)
     assert got["bbc.co.uk"] == (2, 2, 0.0)
+
+
+def test_domain_blocklist_and_apply(spark):
+    from sentinel_spark.functions.web import (
+        apply_domain_blocklist,
+        domain_blocklist,
+    )
+
+    rows = []
+    # spam.com: 12 docs, 11 bad -> blocked
+    rows += [(i, f"https://spam.com/p{i}", i < 11) for i in range(12)]
+    # good.org: 12 docs, 2 bad -> kept
+    rows += [(100 + i, f"https://good.org/a{i}", i < 2) for i in range(12)]
+    # tiny.net: 3 docs all bad -> below min_docs, kept (insufficient evidence)
+    rows += [(200 + i, f"https://tiny.net/x{i}", True) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, is_bad boolean")
+
+    bl = domain_blocklist(
+        docs, "url", F.col("is_bad"), min_docs=10, max_bad_frac=0.5
+    )
+    got = {r.domain: (r.n_docs, r.n_bad) for r in bl.collect()}
+    assert got == {"spam.com": (12, 11)}
+
+    kept = apply_domain_blocklist(docs, "url", bl)
+    doms = {r.url.split("/")[2] for r in kept.collect()}
+    assert doms == {"good.org", "tiny.net"}
+    assert kept.count() == 15
+    assert kept.columns == docs.columns  # schema untouched
