@@ -68,6 +68,7 @@ def build_training_corpus(
     decontam_max_frac: float = 0.05,
     min_est_jaccard: float = 0.5,
     max_band_size: int | None = None,
+    scrub_n: int | None = None,
     redact: bool = False,
     shard_tokens: int = 1 << 22,
     export_mode: str = "pack",
@@ -81,8 +82,13 @@ def build_training_corpus(
     pairs before clustering — raw band collisions include ~1%-chance
     low-similarity pairs, and clustering those would chain-drop
     documents no other path in this library considers duplicates.
-    Deterministic end to end: canonical-min rules for both dedup
-    stages, hash-ordered mixture, hash-bucketed packing.
+    ``scrub_n`` adds exact-substring scrubbing of the exported text as
+    the final stage (repeated ``scrub_n``-token windows keep one
+    canonical occurrence corpus-wide; exported token counts are
+    recomputed from the cleaned text — the funnel's counts remain
+    selection-time, pre-scrub). Deterministic end to end:
+    canonical-min rules for both dedup stages, hash-ordered mixture,
+    hash-bucketed packing.
 
     Caching shape: only the NARROW per-document flags frame (id,
     source, token count, quality flag, fingerprint — tens of bytes per
@@ -219,6 +225,31 @@ def build_training_corpus(
             out_text,
         )
     )
+
+    # ``scrub_n`` runs exact-substring scrubbing (remove_duplicate_
+    # passages) over the SELECTED documents as a final text transform
+    # (the Dolma-order last pass): every selection/budget decision was
+    # made on the original text and pre-scrub n_tok; the exported
+    # n_tok is recomputed from the cleaned text so shard budgets stay
+    # honest. Runs after redaction — both are text-only projections
+    # that must not affect content-keyed decisions.
+    if scrub_n is not None:
+        from sentinel_spark.functions.decontam import remove_duplicate_passages
+        from sentinel_spark.functions.text import token_count
+
+        meta_cols = [id_col] + ([source_col] if source_col else [])
+        scrubbed = remove_duplicate_passages(
+            selected, text_col, id_col, n=scrub_n
+        ).select(id_col, text_col)
+        selected = (
+            selected.select(*meta_cols)
+            .join(scrubbed, id_col)
+            .select(
+                *meta_cols,
+                token_count(text_col).alias("n_tok"),
+                F.col(text_col),
+            )
+        )
 
     export = None
     if out_dir is not None:

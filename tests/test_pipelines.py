@@ -133,3 +133,34 @@ def test_redact_masks_pii_after_decisions(spark):
     assert set(rows) == {1, 6}
     assert "<EMAIL>" in rows[6] and "@" not in rows[6]
     release(res.selected)
+
+
+def test_recipe_scrub_stage(spark, tmp_path):
+    """scrub_n: the exported text has non-canonical repeated windows
+    removed and n_tok recomputed; selection itself is unchanged (the
+    scrub is a final text transform, not a selection stage)."""
+    from sentinel_spark.pipelines import build_training_corpus
+
+    boiler = "all rights reserved contact us"  # 5-token repeated block
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"alpha{i}" for i in range(60)) + f" {boiler}"),
+            (2, " ".join(f"beta{i}" for i in range(60)) + f" {boiler}"),
+            (3, " ".join(f"gamma{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    plain = build_training_corpus(docs, None, None)
+    scrubbed = build_training_corpus(docs, None, None, scrub_n=5)
+    p = {r.doc_id: r for r in plain.selected.collect()}
+    s = {r.doc_id: r for r in scrubbed.selected.collect()}
+    assert set(p) == set(s)  # same selection
+    # doc 1 holds the canonical boiler occurrence; doc 2's copy is gone
+    assert "all rights reserved" in s[1].text
+    assert "all rights reserved" not in s[2].text
+    assert s[2].n_tok == p[2].n_tok - 5  # recomputed token count
+    assert s[3].text == p[3].text.lower()  # untouched content, normalized stream
+    from sentinel_spark.cache import release
+
+    release(plain.selected)
+    release(scrubbed.selected)
