@@ -285,8 +285,11 @@ def strip_html(col: Column | str) -> Column:
     ``regexp_replace`` — whole-stage codegen, engine-portable (each
     step has a 1:1 DuckDB regexp_replace('g') mirror), no HTML parser
     dependency. A best-effort extractor in the CCNet/C4 tradition, not
-    a spec-complete parser: malformed nesting degrades to leaving text
-    in place, never to dropping non-script content."""
+    a spec-complete parser: the generic tag-strip only fires on
+    TAG-SHAPED runs (``<`` + letter//! then no nested angle bracket),
+    so prose like ``profit < 5 and growth > 3%`` survives — the worst
+    malformed-input loss is one tag-shaped run, never an unbounded
+    passage."""
     c = F.col(col) if isinstance(col, str) else col
     # (?is): case-insensitive, dot-matches-newline — script/style
     # blocks and comments span lines
@@ -296,15 +299,19 @@ def strip_html(col: Column | str) -> Column:
     # block-level closers/br become line breaks so paragraph structure
     # survives tag removal
     c = F.regexp_replace(c, r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr)\b[^>]*>", "\n")
-    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # tag-shaped only: starts with a letter, '/', or '!'; no '<'/'>'
+    # inside — a stray '<' in prose never swallows following text
+    c = F.regexp_replace(c, r"(?s)<[a-zA-Z/!][^<>]*>", " ")
+    # entity decode; '&amp;' LAST, or double-escaped entities
+    # ('&amp;lt;' — displayed as '&lt;') would double-decode to '<'
     for ent, rep in (
         ("&nbsp;", " "),
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#39;", "'"),
         ("&apos;", "'"),
+        ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     # collapse intra-line runs, trim line edges, drop blank lines

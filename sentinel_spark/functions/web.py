@@ -187,14 +187,22 @@ def domain_blocklist(
     dom = registered_domain(F.col(url_col), suffixes)
     return (
         df.select(dom.alias("domain"), bad.cast("int").alias("__bad"))
+        # hostless/malformed URLs all map to domain '' — one pseudo-
+        # bucket that must never be blockable, or it would wholesale-
+        # drop every unparseable-URL document at apply time
+        .where(F.col("domain") != "")
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__bad").alias("n_bad"),
             F.round(F.sum("__bad") / F.count(F.lit(1)), 6).alias("bad_frac"),
         )
+        # threshold on the EXACT ratio; bad_frac is rounded for the
+        # report only (a 6-decimal round could pull a just-over-
+        # threshold domain back onto the boundary)
         .where(
-            (F.col("n_docs") >= min_docs) & (F.col("bad_frac") > max_bad_frac)
+            (F.col("n_docs") >= min_docs)
+            & (F.col("n_bad") > F.col("n_docs") * F.lit(max_bad_frac))
         )
     )
 
@@ -209,9 +217,12 @@ def apply_domain_blocklist(
     """Drop every document whose registered domain is on ``blocklist``
     (a frame with a ``domain`` column) — broadcast LEFT ANTI join, so
     at corpus scale this is a scan-side filter, not a shuffle."""
+    tmp = "__sentinel_blocklist_dom__"
+    if tmp in df.columns:
+        raise ValueError(f"input frame already has a {tmp!r} column")
     dom = registered_domain(F.col(url_col), suffixes)
-    return df.withColumn("__dom", dom).join(
-        F.broadcast(blocklist.select("domain").withColumnRenamed("domain", "__dom")),
-        "__dom",
+    return df.withColumn(tmp, dom).join(
+        F.broadcast(blocklist.select(F.col("domain").alias(tmp))),
+        tmp,
         "left_anti",
-    ).drop("__dom")
+    ).drop(tmp)

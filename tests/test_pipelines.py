@@ -158,8 +158,9 @@ def test_recipe_scrub_stage(spark, tmp_path):
     # doc 1 holds the canonical boiler occurrence; doc 2's copy is gone
     assert "all rights reserved" in s[1].text
     assert "all rights reserved" not in s[2].text
-    assert s[2].n_tok == p[2].n_tok - 5  # recomputed token count
-    assert s[3].text == p[3].text.lower()  # untouched content, normalized stream
+    assert s[2].n_tok == p[2].n_tok - 5  # kept-token count
+    # untouched documents keep their ORIGINAL text verbatim
+    assert s[3].text == p[3].text and s[3].n_tok == p[3].n_tok
     from sentinel_spark.cache import release
 
     release(plain.selected)

@@ -662,6 +662,10 @@ def test_strip_html(spark):
         ("<p>kept <b>text", "kept text"),
         ("plain text untouched", "plain text untouched"),
         ("a&nbsp;b &quot;c&quot; &#39;d&#39;", "a b \"c\" 'd'"),
+        # stray '<' in prose is NOT a tag: nothing is swallowed
+        ("profit < 5 and growth > 3% today", "profit < 5 and growth > 3% today"),
+        # double-escaped entity decodes ONCE (&amp; handled last)
+        ("a &amp;lt; b", "a &lt; b"),
     ]
     from sentinel_spark.functions.text import strip_html
 
