@@ -1480,7 +1480,29 @@ def q_decontam_suite(spark, sf_dir):
         ).alias("frac"),
         (F.col("n_removed") > 0).alias("flag"),
     )
-    return c.unionByName(p).unionByName(s)
+    # paragraph-dedup branch over the line_clean construction's
+    # derived multi-paragraph docs; reassembled text hash-checked the
+    # same way
+    d = _t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table"), F.lit("\ntable")).alias("text"),
+    )
+    from sentinel_spark.functions.dedup import dedup_paragraphs
+
+    para = dedup_paragraphs(multi, "text", "doc_id").select(
+        F.lit("para").alias("kind"),
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.md5("text")
+        ).alias("key"),
+        F.col("n_paragraphs").cast("long").alias("n1"),
+        F.col("n_removed").cast("long").alias("n2"),
+        F.round(
+            F.col("n_removed") / F.greatest(F.col("n_paragraphs"), F.lit(1)), 6
+        ).alias("frac"),
+        (F.col("n_removed") > 0).alias("flag"),
+    )
+    return c.unionByName(p).unionByName(s).unionByName(para)
 
 
 def near_dup_union(d):
@@ -3605,6 +3627,48 @@ def oracle_sql() -> dict[str, str]:
                round(n_removed / greatest(n_tokens, 1), 6) AS frac,
                n_removed > 0 AS flag
         FROM ({passage_scrub})
+        UNION ALL
+        SELECT 'para' AS kind,
+               CAST(doc_id AS VARCHAR) || ':' || md5(text) AS key,
+               n_paragraphs AS n1, n_removed AS n2,
+               round(n_removed / greatest(n_paragraphs, 1), 6) AS frac,
+               n_removed > 0 AS flag
+        FROM (
+          WITH multi AS (
+            SELECT doc_id, replace(text, ' table', chr(10) || 'table') AS text
+            FROM documents
+          ),
+          pl AS (
+            SELECT doc_id, string_split(text, chr(10)) AS paras FROM multi
+          ),
+          pr AS (
+            SELECT doc_id, paras, unnest(range(1, len(paras) + 1)) AS idx
+            FROM pl
+          ),
+          rows_ AS (
+            SELECT doc_id, idx, paras[idx] AS para,
+                   CASE WHEN lower(trim(regexp_replace(paras[idx], '\\s+', ' ', 'g'))) <> ''
+                        THEN md5(lower(trim(regexp_replace(paras[idx], '\\s+', ' ', 'g'))))
+                   END AS fp,
+                   doc_id * 1048576 + (idx - 1) AS okey
+            FROM pr
+          ),
+          st AS (
+            SELECT fp, min(okey) AS canon FROM rows_
+            WHERE fp IS NOT NULL GROUP BY fp HAVING count(*) >= 2
+          ),
+          fl AS (
+            SELECT r.doc_id, r.idx, r.para,
+                   (r.fp IS NULL OR st.canon IS NULL OR r.okey = st.canon) AS keep
+            FROM rows_ r LEFT JOIN st ON r.fp = st.fp
+          )
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN keep THEN para END, chr(10)
+                                     ORDER BY idx), '') AS text,
+                 CAST(count(*) AS BIGINT) AS n_paragraphs,
+                 CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+          FROM fl GROUP BY doc_id
+        )
     """
     out["near_dup_pairs"] = f"""
         SELECT 'minhash' AS method, id_a, id_b, est_jaccard AS score

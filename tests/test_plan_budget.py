@@ -71,9 +71,10 @@ BUDGET = {
     "asof_join": 1,        # union-trick: ONE user_id exchange
     "range_join": 0,       # bucketed equi-join broadcasts at this size
     "sessionize": 1,       # window + session rollup share one exchange
-    "decontam": 10,        # + r6 scrub branch: token/window/fingerprint
+    "decontam": 13,        # + r6 scrub branch (token/window/fingerprint
                            # aggregates + coverage anti-join + per-doc
-                           # reassembly
+                           # reassembly) + r6 paragraph-dedup branch
+                           # (split/fingerprint aggregate + reassembly)
     "near_dup_pairs": 36,  # six pairing pipelines, each bucket-bounded
                            # (r5 adds the incremental new-vs-index
                            # branch: one batch shingle pipeline + the
