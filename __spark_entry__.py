@@ -1901,7 +1901,30 @@ def q_web_domains(spark, sf_dir):
             )
         )
     )
-    return W.domain_report(d.select(url.alias("url")), "url")
+    rep = W.domain_report(d.select(url.alias("url")), "url").select(
+        F.lit("report").alias("kind"),
+        "domain",
+        "n_docs",
+        F.col("n_urls").alias("n2"),
+        F.col("dup_url_frac").alias("frac"),
+    )
+    # blocklist branch: deterministic evidence (doc_id % 5 < 2 ≈ 40%
+    # bad per domain, over the 1/3 threshold) — the oracle replays the
+    # evidence aggregation and the exact-ratio threshold rule
+    bl = W.domain_blocklist(
+        d.select(url.alias("url"), (F.col("doc_id") % 5 < 2).alias("bad")),
+        "url",
+        F.col("bad"),
+        min_docs=5,
+        max_bad_frac=1.0 / 3.0,
+    ).select(
+        F.lit("blocked").alias("kind"),
+        "domain",
+        "n_docs",
+        F.col("n_bad").alias("n2"),
+        F.col("bad_frac").alias("frac"),
+    )
+    return rep.unionByName(bl)
 
 
 def q_rejects_channel(spark, sf_dir):
@@ -3873,12 +3896,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'http://' || lower(source) || '.example.com/p?q='
                              || CAST(doc_id % 7 AS VARCHAR)
                       ELSE 'https://cdn.static.' || lower(source) || '.net/x/'
-                           || CAST(doc_id AS VARCHAR) END AS curl
+                           || CAST(doc_id AS VARCHAR) END AS curl,
+                 (doc_id % 5 < 2) AS bad
           FROM documents
         )
-        SELECT domain, count(*) AS n_docs, count(DISTINCT curl) AS n_urls,
-               round(1.0 - count(DISTINCT curl) / count(*), 6) AS dup_url_frac
+        SELECT 'report' AS kind, domain, count(*) AS n_docs,
+               count(DISTINCT curl) AS n2,
+               round(1.0 - count(DISTINCT curl) / count(*), 6) AS frac
         FROM u GROUP BY domain
+        UNION ALL
+        SELECT 'blocked' AS kind, domain, count(*) AS n_docs,
+               CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               round(sum(CASE WHEN bad THEN 1 ELSE 0 END) / count(*), 6) AS frac
+        FROM u GROUP BY domain
+        HAVING count(*) >= 5
+           AND sum(CASE WHEN bad THEN 1 ELSE 0 END) > count(*) * (1.0/3.0)
     """
     # Literal golden for the deterministic tabular fixtures (same
     # pattern as ingest_rollup). No f-string: the JSON raw line keeps

@@ -93,7 +93,7 @@ BUDGET = {
     "lm_perplexity": 0,
     "trainer_suite": 0,
     "pca_covariance": 0,
-    "web_domains": 2,      # two-phase count_distinct
+    "web_domains": 3,      # two-phase count_distinct + r6 blocklist-evidence aggregate
     "rejects_channel": 0,
 }
 
