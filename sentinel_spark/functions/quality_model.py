@@ -108,3 +108,31 @@ def logreg_fit(
         weights = [weights[j] - lr * grads[f"g{j}"] for j in range(dim)]
         bias = bias - lr * grads["gb"]
     return LogReg(weights=weights, bias=bias, n_iter=n_iter, lr=lr)
+
+
+def save_model(spark, model: LogReg, path: str, *, retain_versions: int = 2) -> None:
+    """Persist a trained LogReg through the manifest-log table (one
+    row per weight plus the bias/hyperparams as rank -1), mirroring
+    the BPE model-store contract (tokenize.save_bpe_merges): atomic
+    replace on re-save, version-pinned loads for rollout."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    rows = [(-1, model.bias, model.n_iter, float(model.lr))] + [
+        (i, float(w), 0, 0.0) for i, w in enumerate(model.weights)
+    ]
+    df = spark.createDataFrame(rows, "rank long, value double, n_iter long, lr double")
+    t = ParquetTable(spark, path, retain_versions=retain_versions)
+    if t.exists():
+        t.overwrite(df)
+    else:
+        t.append(df)
+
+
+def load_model(spark, path: str, version: int | None = None) -> LogReg:
+    """Reload a persisted LogReg (optionally a pinned version)."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    rows = ParquetTable(spark, path, retain_versions=2).read(version).collect()
+    head = next(r for r in rows if r.rank == -1)
+    weights = [r.value for r in sorted(rows, key=lambda r: r.rank) if r.rank >= 0]
+    return LogReg(weights=weights, bias=head.value, n_iter=int(head.n_iter), lr=head.lr)

@@ -772,3 +772,26 @@ def semantic_dedup(
         a.select(F.col("id").alias(id_col), "cell"), id_col
     ).select(id_col, "cell", "cluster_id", "is_canonical")
     return with_release(out, [a])
+
+
+def save_centroids(spark, cents: DataFrame, path: str, *, retain_versions: int = 2) -> None:
+    """Persist a trained centroid table (``kmeans_fit`` output:
+    (cell, c_vec)) through the manifest-log table — the IVF index
+    artifact a serving fleet loads instead of retraining. Atomic
+    replace on re-save; version-pinned loads for rollout (same model-
+    store contract as tokenize.save_bpe_merges)."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    t = ParquetTable(spark, path, retain_versions=retain_versions)
+    if t.exists():
+        t.overwrite(cents)
+    else:
+        t.append(cents)
+
+
+def load_centroids(spark, path: str, version: int | None = None) -> DataFrame:
+    """Reload a persisted centroid table (optionally pinned); feed to
+    :func:`assign_cells` / :func:`ivf_topk`'s centroid argument."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    return ParquetTable(spark, path, retain_versions=2).read(version)

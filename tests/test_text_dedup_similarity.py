@@ -674,3 +674,28 @@ def test_strip_html(spark):
     got = {r.i: r.t for r in df.select("i", strip_html("text").alias("t")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i])
+
+
+def test_centroid_persistence_roundtrip(spark, tmp_path):
+    from sentinel_spark.functions.similarity import (
+        ivf_topk,
+        kmeans_fit,
+        load_centroids,
+        save_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 3) % 5), 1.0]) for i in range(32)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(emb, 4, n_iter=2)
+    path = str(tmp_path / "ivf")
+    save_centroids(spark, cents, path)
+    back = load_centroids(spark, path)
+    assert {tuple(r.c_vec) for r in back.collect()} == {
+        tuple(r.c_vec) for r in cents.collect()
+    }
+    # serving with reloaded centroids == serving with fresh ones
+    a = {(r.q_id, r.c_id) for r in ivf_topk(emb, [0, 1], k=3, centroids=cents).collect()}
+    b = {(r.q_id, r.c_id) for r in ivf_topk(emb, [0, 1], k=3, centroids=back).collect()}
+    assert a == b
