@@ -49,6 +49,12 @@ def interval_join(
     condition so Structured Streaming can bound the state store (see
     module docstring).
     """
+    clash = {f"{prefix}{c}" for c in right.columns if c != key} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"prefixed right-side columns collide with left columns: "
+            f"{sorted(clash)}; pick a different prefix"
+        )
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     rw = rw.select(
