@@ -115,24 +115,25 @@ def save_model(spark, model: LogReg, path: str, *, retain_versions: int = 2) -> 
     row per weight plus the bias/hyperparams as rank -1), mirroring
     the BPE model-store contract (tokenize.save_bpe_merges): atomic
     replace on re-save, version-pinned loads for rollout."""
-    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.sources.store import save_model_frame
 
     rows = [(-1, model.bias, model.n_iter, float(model.lr))] + [
         (i, float(w), 0, 0.0) for i, w in enumerate(model.weights)
     ]
     df = spark.createDataFrame(rows, "rank long, value double, n_iter long, lr double")
-    t = ParquetTable(spark, path, retain_versions=retain_versions)
-    if t.exists():
-        t.overwrite(df)
-    else:
-        t.append(df)
+    save_model_frame(spark, df, path, retain_versions=retain_versions)
 
 
 def load_model(spark, path: str, version: int | None = None) -> LogReg:
     """Reload a persisted LogReg (optionally a pinned version)."""
-    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.sources.store import load_model_frame
 
-    rows = ParquetTable(spark, path, retain_versions=2).read(version).collect()
-    head = next(r for r in rows if r.rank == -1)
+    rows = load_model_frame(spark, path, version).collect()
+    head = next((r for r in rows if r.rank == -1), None)
+    if head is None:
+        raise ValueError(
+            f"{path} is not a LogReg model table (no rank=-1 header row) — "
+            "wrong path, or a different model family's table"
+        )
     weights = [r.value for r in sorted(rows, key=lambda r: r.rank) if r.rank >= 0]
     return LogReg(weights=weights, bias=head.value, n_iter=int(head.n_iter), lr=head.lr)

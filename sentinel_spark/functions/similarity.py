@@ -780,18 +780,14 @@ def save_centroids(spark, cents: DataFrame, path: str, *, retain_versions: int =
     artifact a serving fleet loads instead of retraining. Atomic
     replace on re-save; version-pinned loads for rollout (same model-
     store contract as tokenize.save_bpe_merges)."""
-    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.sources.store import save_model_frame
 
-    t = ParquetTable(spark, path, retain_versions=retain_versions)
-    if t.exists():
-        t.overwrite(cents)
-    else:
-        t.append(cents)
+    save_model_frame(spark, cents, path, retain_versions=retain_versions)
 
 
 def load_centroids(spark, path: str, version: int | None = None) -> DataFrame:
     """Reload a persisted centroid table (optionally pinned); feed to
     :func:`assign_cells` / :func:`ivf_topk`'s centroid argument."""
-    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.sources.store import load_model_frame
 
-    return ParquetTable(spark, path, retain_versions=2).read(version)
+    return load_model_frame(spark, path, version)

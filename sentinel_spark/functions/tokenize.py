@@ -196,22 +196,18 @@ def save_bpe_merges(
     model until they reload — exactly the model-rollout semantics a
     production scoring fleet needs (``retain_versions`` ≥ 2 keeps the
     previous model's files alive through one rollout)."""
-    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.sources.store import save_model_frame
 
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    t = ParquetTable(spark, path, retain_versions=retain_versions)
     df = spark.createDataFrame(rows, "rank long, left string, right string")
-    if t.exists():
-        t.overwrite(df)
-    else:
-        t.append(df)
+    save_model_frame(spark, df, path, retain_versions=retain_versions)
 
 
 def load_bpe_merges(spark, path: str, version: int | None = None) -> list[tuple[str, str]]:
     """Reload a persisted merge list (optionally a pinned ``version``)
     in rank order — the tiny model collect (vocabulary-scale, same
     boundedness as training's merge table)."""
-    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.sources.store import load_model_frame
 
-    rows = ParquetTable(spark, path, retain_versions=2).read(version).collect()
+    rows = load_model_frame(spark, path, version).collect()
     return [(r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)]

@@ -1159,3 +1159,32 @@ class ParquetTable:
             for k in self.partition_cols
         ]
         return os.path.join(*segs)
+
+
+def save_model_frame(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    retain_versions: int = 2,
+) -> None:
+    """Shared model-store write: persist a small model artifact frame
+    (BPE merges, LogReg weights, IVF centroids) through a
+    :class:`ParquetTable` — first save appends, re-save replaces the
+    model in ONE atomic manifest flip, and ``retain_versions`` ≥ 2
+    keeps the previous model's files alive so a reader pinned at the
+    pre-rollout version keeps serving it until reload."""
+    t = ParquetTable(spark, path, retain_versions=retain_versions)
+    if t.exists():
+        t.overwrite(df)
+    else:
+        t.append(df)
+
+
+def load_model_frame(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Shared model-store read: the latest (or a pinned ``version``)
+    snapshot of a model artifact table. Retention is the WRITER's
+    policy — reading never vacuums."""
+    return ParquetTable(spark, path).read(version)

@@ -49,11 +49,17 @@ def interval_join(
     condition so Structured Streaming can bound the state store (see
     module docstring).
     """
+    if right_ts == key:
+        raise ValueError("right_ts must be a non-key column (it is prefixed)")
     clash = {f"{prefix}{c}" for c in right.columns if c != key} & set(left.columns)
     if clash:
         raise ValueError(
             f"prefixed right-side columns collide with left columns: "
             f"{sorted(clash)}; pick a different prefix"
+        )
+    if f"__{key}" in left.columns or f"__{key}" in right.columns:
+        raise ValueError(
+            f"column '__{key}' collides with the join's internal key alias"
         )
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)

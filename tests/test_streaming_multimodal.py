@@ -454,3 +454,31 @@ def test_interval_join_streaming_state_bounded(spark, tmp_path):
     q.awaitTermination()
     got = {(r.click_id, r.r_amount) for r in spark.table("ij_out").collect()}
     assert got == {(1, 5.0), (2, 7.0)}
+
+
+def test_interval_join_guards(spark):
+    import datetime as dt
+
+    from sentinel_spark.streaming.join_stream import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u", t0, 9.9)], "click_id long, user_id string, ts timestamp, r_amount double"
+    )
+    right = spark.createDataFrame(
+        [("u", t0, 1.0)], "user_id string, pts timestamp, amount double"
+    )
+    # prefixed right column collides with an existing left column
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, "user_id", "ts", "pts")
+    # right_ts must not be the join key
+    with pytest.raises(ValueError, match="non-key"):
+        interval_join(
+            left.drop("r_amount"), right, "user_id", "ts", "user_id"
+        )
+    # internal alias collision is rejected, not silently dropped
+    with pytest.raises(ValueError, match="internal key alias"):
+        interval_join(
+            left.drop("r_amount").withColumn("__user_id", F.lit(1)),
+            right, "user_id", "ts", "pts",
+        )

@@ -699,3 +699,14 @@ def test_centroid_persistence_roundtrip(spark, tmp_path):
     a = {(r.q_id, r.c_id) for r in ivf_topk(emb, [0, 1], k=3, centroids=cents).collect()}
     b = {(r.q_id, r.c_id) for r in ivf_topk(emb, [0, 1], k=3, centroids=back).collect()}
     assert a == b
+    # rollout: re-save (atomic replace) with a retrained index; a
+    # pinned reader keeps the pre-rollout centroids
+    from sentinel_spark.sources.store import ParquetTable
+
+    v1 = ParquetTable(spark, path).version()
+    cents2 = kmeans_fit(emb, 2, n_iter=1)
+    save_centroids(spark, cents2, path)
+    assert load_centroids(spark, path).count() == cents2.count()
+    assert {tuple(r.c_vec) for r in load_centroids(spark, path, version=v1).collect()} == {
+        tuple(r.c_vec) for r in cents.collect()
+    }
