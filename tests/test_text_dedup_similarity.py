@@ -710,3 +710,23 @@ def test_centroid_persistence_roundtrip(spark, tmp_path):
     assert {tuple(r.c_vec) for r in load_centroids(spark, path, version=v1).collect()} == {
         tuple(r.c_vec) for r in cents.collect()
     }
+
+
+def test_dedup_paragraphs_idempotent(spark):
+    """Law: after one pass every duplicated fingerprint has exactly one
+    surviving occurrence corpus-wide, so a second pass is a no-op."""
+    banner = "accept our cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nbody one"),
+            (2, f"{banner}\nbody two\n{banner}"),
+            (3, f"intro\n{banner}\noutro"),
+        ],
+        "doc_id long, text string",
+    )
+    once = D.dedup_paragraphs(docs, "text", "doc_id").select("doc_id", "text")
+    twice = D.dedup_paragraphs(once, "text", "doc_id")
+    got = {r.doc_id: (r.text, r.n_removed) for r in twice.collect()}
+    one = {r.doc_id: r.text for r in once.collect()}
+    assert all(n == 0 for _, n in got.values())
+    assert {k: t for k, (t, _) in got.items()} == one
