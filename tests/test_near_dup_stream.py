@@ -190,3 +190,62 @@ def test_pruned_index_scan_skips_files(spark, tmp_path):
         pruned_index_scan(index_t, batch_index, max_keys=1).inputFiles()
     ) == n_files
     batch_index.unpersist()
+
+
+def test_stream_end_to_end_with_pruning_guard_compaction(spark, tmp_path, monkeypatch):
+    """Integration: run_near_dup_stream with the hot-band guard,
+    per-batch compaction, and band-key index pruning all engaged.
+    Asserts the loop actually routes through pruned_index_scan (spied)
+    and that admission results match the separately-tested laws."""
+    import json as _json
+
+    import sentinel_spark.streaming.near_dup_stream as NDS
+    from sentinel_spark.sources.store import ParquetTable
+
+    calls = {"n": 0, "files_full": [], "files_pruned": []}
+    real = NDS.pruned_index_scan
+
+    def spy(index_t, batch_index, **kw):
+        calls["n"] += 1
+        pruned = real(index_t, batch_index, **kw)
+        calls["files_pruned"].append(len(pruned.inputFiles()))
+        calls["files_full"].append(len(index_t.read().inputFiles()))
+        return pruned
+
+    monkeypatch.setattr(NDS, "pruned_index_scan", spy)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    template = "subscribe newsletter cookie banner footer contact about"
+
+    def write_batch(name, rows):
+        with open(inbox / name, "w") as f:
+            for did, text in rows:
+                f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+
+    # generation 1: distinct docs + a template family
+    write_batch("b1.jsonl", [(i, f"document number {i} unique words w{i}a w{i}b") for i in range(20)]
+                + [(100 + i, template) for i in range(6)])
+    NDS.run_near_dup_stream(
+        spark, str(inbox), corpus,
+        min_est_jaccard=0.5, max_band_size=4, compact_every=1,
+    )
+    docs_t = ParquetTable(spark, os.path.join(corpus, "docs"))
+    rejects_t = ParquetTable(spark, os.path.join(corpus, "rejects"))
+    admitted1 = {r.doc_id for r in docs_t.read().collect()}
+    assert 0 in admitted1 and 100 in admitted1  # template canonical kept
+    assert {r.doc_id for r in rejects_t.read().collect()} == set(range(101, 106))
+
+    # generation 2: near-dup of an existing doc + a novel one
+    write_batch("b2.jsonl", [(500, "document number 7 unique words w7a w7b"),
+                             (501, "a wholly new sentence with fresh words")])
+    NDS.run_near_dup_stream(
+        spark, str(inbox), corpus,
+        min_est_jaccard=0.5, max_band_size=4, compact_every=1,
+    )
+    assert calls["n"] >= 1  # the loop used the pruned scan
+    admitted2 = {r.doc_id for r in docs_t.read().collect()}
+    assert 501 in admitted2 and 500 not in admitted2
+    rej = {r.doc_id: r.match_id for r in rejects_t.read().collect()}
+    assert rej[500] == 7
