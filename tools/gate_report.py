@@ -1,0 +1,73 @@
+"""Per-gate plan report: exchange counts (vs the pinned budgets) and
+optional timings for every registry gate — the re-measurement tool for
+maintaining tests/test_plan_budget.py when a gate's plan changes.
+
+Usage:
+    python tools/gate_report.py [sf_dir] [gate ...]   # plans only
+    TIME=1 python tools/gate_report.py                # + one timed run
+
+Prints one line per gate: measured hash-partitioning exchanges, the
+pinned budget, a flag when measured > budget (the plan-budget test
+would fail), and optional seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from sentinel_spark.cache import release  # noqa: E402
+from sentinel_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+    timed = bool(os.environ.get("TIME"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from importlib import import_module
+
+    budgets = {}
+    try:
+        tb = import_module("tests.test_plan_budget")
+        budgets = dict(tb.BUDGET)
+    except Exception:
+        pass
+
+    spark = get_spark("gate-report")
+    spark.catalog.clearCache()  # budgets are defined over clean plans
+    qs = E.queries()
+    over = 0
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        b = budgets.get(name)
+        flag = ""
+        if b is not None and n > b:
+            flag = "  <-- OVER BUDGET"
+            over += 1
+        t = ""
+        if timed:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t = f"  {time.perf_counter() - t0:6.2f}s"
+        print(f"{name:24s} exchanges={n:3d}  budget={b if b is not None else '-':>3}{t}{flag}")
+        release(df)
+    if over:
+        print(f"\n{over} gate(s) over budget — update tests/test_plan_budget.py "
+              "only after auditing WHY the plan changed")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
