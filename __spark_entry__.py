@@ -3593,46 +3593,64 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_clusters"] = f"""
         SELECT * FROM ({base["dedup_clusters"]}) CROSS JOIN ({base["dedup_report"]})
     """
-    # decontam.remove_duplicate_passages replay: 1-based positions
-    # (okey subtracts 1 to match Spark's 0-based posexplode), same
-    # id*2^20+pos canonical key, 16-token windows.
+    # decontam.remove_duplicate_passages replay — segment model:
+    # original-case tokens (segment 2k+1) interleave with the gaps
+    # around them (segment 2k); a duplicated 16-token window at
+    # 1-based pos covers segments 2(pos−1)+1 … 2(pos−1)+31 (tokens +
+    # interior gaps only, boundary gaps survive); the canonical
+    # occurrence is the lexicographic min(struct(id, pos)) — the
+    # type-agnostic key the Spark side uses.
     passage_scrub = f"""
-        WITH t AS (SELECT doc_id, {_WORDS} AS toks FROM documents),
-        tok AS (
-          SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM t
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '(?i)[a-z0-9]+') AS toks,
+                 regexp_split_to_array(text, '(?i)[a-z0-9]+') AS gaps
+          FROM documents
+        ),
+        seg AS (
+          SELECT doc_id, 2 * (i - 1) AS seg, gaps[i] AS piece
+          FROM (SELECT doc_id, gaps,
+                       unnest(range(1, len(gaps) + 1)) AS i FROM t)
+          UNION ALL
+          SELECT doc_id, 2 * (i - 1) + 1 AS seg, toks[i] AS piece
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS i FROM t)
         ),
         occ AS (
           SELECT doc_id, pos,
-                 md5(array_to_string(list_slice(toks, pos, pos + 15), ' ')) AS fp,
-                 doc_id * 1048576 + (pos - 1) AS okey
+                 md5(array_to_string(
+                   list_transform(list_slice(toks, pos, pos + 15),
+                                  x -> lower(x)), ' ')) AS fp
           FROM (SELECT doc_id, toks,
                        unnest(range(1, len(toks) - 14)) AS pos FROM t)
         ),
         stats AS (
-          SELECT fp, min(okey) AS canon FROM occ
+          SELECT fp, min({{'id': doc_id, 'pos': pos}}) AS canon FROM occ
           GROUP BY fp HAVING count(*) >= 2
         ),
         cov AS (
-          SELECT DISTINCT doc_id, cpos FROM (
-            SELECT doc_id, unnest(range(pos, pos + 16)) AS cpos
-            FROM occ JOIN stats USING (fp) WHERE okey <> canon
+          SELECT DISTINCT doc_id, cseg FROM (
+            SELECT doc_id,
+                   unnest(range(2 * (pos - 1) + 1, 2 * (pos - 1) + 32)) AS cseg
+            FROM occ JOIN stats USING (fp)
+            WHERE {{'id': doc_id, 'pos': pos}} <> canon
           )
         ),
         kept AS (
-          SELECT tok.doc_id, tok.pos, tok.toks[tok.pos] AS tk
-          FROM tok LEFT JOIN cov
-            ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos
+          SELECT seg.doc_id, seg.seg, seg.piece
+          FROM seg LEFT JOIN cov
+            ON seg.doc_id = cov.doc_id AND seg.seg = cov.cseg
           WHERE cov.doc_id IS NULL
         ),
         reb AS (
-          SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean,
-                 count(*) AS n_kept
+          SELECT doc_id, string_agg(piece, '' ORDER BY seg) AS clean,
+                 sum(seg % 2) AS n_kept
           FROM kept GROUP BY doc_id
         )
-        SELECT t.doc_id, coalesce(r.clean, '') AS text,
+        SELECT t.doc_id, r.clean AS text,
                CAST(len(t.toks) AS BIGINT) AS n_tokens,
-               CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
-        FROM t LEFT JOIN reb r USING (doc_id)
+               CAST(len(t.toks) - r.n_kept AS BIGINT) AS n_removed
+        FROM t JOIN reb r USING (doc_id)
     """
     out["decontam"] = f"""
         SELECT 'contam' AS kind, CAST(doc_id AS VARCHAR) AS key,
@@ -3672,17 +3690,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, idx, paras[idx] AS para,
                    CASE WHEN lower(trim(regexp_replace(paras[idx], '\\s+', ' ', 'g'))) <> ''
                         THEN md5(lower(trim(regexp_replace(paras[idx], '\\s+', ' ', 'g'))))
-                   END AS fp,
-                   doc_id * 1048576 + (idx - 1) AS okey
+                   END AS fp
             FROM pr
           ),
           st AS (
-            SELECT fp, min(okey) AS canon FROM rows_
+            SELECT fp, min({{'id': doc_id, 'idx': idx}}) AS canon FROM rows_
             WHERE fp IS NOT NULL GROUP BY fp HAVING count(*) >= 2
           ),
           fl AS (
             SELECT r.doc_id, r.idx, r.para,
-                   (r.fp IS NULL OR st.canon IS NULL OR r.okey = st.canon) AS keep
+                   (r.fp IS NULL OR st.canon IS NULL
+                    OR {{'id': r.doc_id, 'idx': r.idx}} = st.canon) AS keep
             FROM rows_ r LEFT JOIN st ON r.fp = st.fp
           )
           SELECT doc_id,

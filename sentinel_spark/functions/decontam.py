@@ -134,52 +134,88 @@ def remove_duplicate_passages(
     min_occurrences: int = 2,
 ) -> DataFrame:
     """Exact-substring scrubbing — the TRANSFORM counterpart of
-    :func:`duplicate_passages` (cf. Lee et al. 2022, "Deduplicating
+    :func:`duplicate_passages` (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every occurrence of
     a word-``n``-gram window seen ``min_occurrences``+ times in the
-    corpus is removed EXCEPT the globally canonical one (minimum
-    (doc, position)), and each document's surviving tokens are
-    reassembled. Operates on the normalized token stream (lowercased
-    word tokens — the same stream every dedup/decontam operator here
-    keys on), so the cleaned text is normalized text.
+    corpus is cut out of the ORIGINAL text EXCEPT the globally
+    canonical occurrence (minimum (doc, position)). Matching is over
+    the normalized stream (lowercased word tokens — the same key every
+    dedup/decontam operator here uses), but removal is a byte-range
+    cut: the characters from the first removed token through the last
+    removed token go, and everything outside removed spans — casing,
+    punctuation, whitespace, line structure — survives verbatim. A
+    document the scrub never touches comes back byte-identical.
+
+    Segment model: the text splits into an alternating sequence
+    ``gap0 tok0 gap1 tok1 … gapK`` (gaps = the non-token characters
+    between/around tokens; token k is segment ``2k+1``, the gap before
+    it segment ``2k``). A duplicated window at token position ``p``
+    covers segments ``2p+1 … 2p+2n−1`` — its n tokens plus the n−1
+    gaps INTERIOR to the span; the boundary gaps before and after the
+    span survive, so two merely abutting removal spans keep the
+    separator between them, exactly as a character-range union would.
 
     Emergent semantics worth naming: for k byte-identical documents,
     every window of the non-minimal k−1 copies is non-canonical, so
-    they scrub to EMPTY while the min-id copy survives whole — exact
-    dedup falls out as a special case. A passage repeated twice
-    within one document keeps its first occurrence only.
+    their token content scrubs away entirely (only boundary
+    whitespace outside the tokens survives) while the min-id copy
+    passes through byte-identical — exact dedup falls out as a
+    special case. A passage repeated twice within one document keeps
+    its first occurrence only.
 
     Output: (id_col, cleaned text_col, n_tokens, n_removed) — one row
     per input document (short documents with < n tokens pass through
-    untouched).
+    untouched). ``n_removed`` counts removed TOKENS.
 
-    Scale shape: token rows are id-hash-partitioned once (the shingle
-    pipeline's spread); windows come from ``lead`` over that
-    partitioning (no extra exchange); the only other shuffles are the
-    algebraic per-fingerprint aggregate (md5-width rows, map-side
-    combined) and a 16x-bounded explode of DUPLICATED windows into
-    covered positions. Reassembly is a per-document sort —
-    co-partitioned with the tokens, bounded by document length.
+    Canonical key: ``min(struct(id, pos))`` — lexicographic, so it
+    works for ANY orderable id type (long, string/URL, uuid) with no
+    magnitude bound; for numeric ids it picks the identical winner as
+    an ``id·2^20+pos`` arithmetic key would. SQL oracles mirror it
+    with a struct-min aggregate (DuckDB: ``min({'id': …, 'pos': …})``).
 
-    Engine-portable canonical key: ``id * 2**20 + pos`` (documents are
-    assumed < 2^20 tokens; ids < 2^42 — loud overflow otherwise), so
-    any SQL oracle reproduces the same survivor without struct-min
-    support.
+    Scale shape: segment rows are id-hash-partitioned once (the
+    ``_spread``); windows come from ``lead`` over that partitioning
+    (no extra exchange); the other shuffles are the algebraic
+    per-fingerprint aggregate (md5-width rows, map-side combined), a
+    (2n−1)-bounded explode of DUPLICATED windows into covered
+    segments, and the (id, seg) anti-join. Reassembly is a
+    per-document sort — co-partitioned with the segments, bounded by
+    document length.
     """
     from pyspark.sql.window import Window
 
     from sentinel_spark.functions.dedup import _spread
     from sentinel_spark.functions.text import WORD_RE
 
-    POS_LIM = 1 << 20
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)
-    )
+    # (?i) on the ORIGINAL text ≡ WORD_RE on lower(text): same token
+    # boundaries, original casing kept for the reassembly.
+    tok_re = "(?i)" + WORD_RE
     base = _spread(docs, by=F.col(id_col)).select(
-        F.col(id_col).alias("id"), toks.alias("toks")
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.col(text_col), F.lit(tok_re), F.lit(0)).alias("toks"),
+        # limit −1 keeps leading/trailing empties: len(gaps) = len(toks)+1
+        F.split(F.col(text_col), tok_re, -1).alias("gaps"),
     )
-    tok_rows = base.select(
-        "id", F.size("toks").alias("n_tok"), F.posexplode("toks").alias("pos", "tok")
+    # interleave to [gap0, tok0, gap1, …, tok(K−1), gapK]
+    segs = F.concat(
+        F.flatten(
+            F.zip_with(
+                F.slice("gaps", 1, F.size("toks")),
+                F.col("toks"),
+                lambda g, t: F.array(g, t),
+            )
+        ),
+        F.slice("gaps", -1, 1),
+    )
+    seg_rows = base.select(
+        "id",
+        F.size("toks").alias("n_tok"),
+        F.posexplode(segs).alias("seg", "piece"),
+    )
+    tok_rows = seg_rows.where(F.col("seg") % 2 == 1).select(
+        "id",
+        ((F.col("seg") - 1) / 2).cast("int").alias("pos"),
+        F.lower(F.col("piece")).alias("tok"),
     )
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
@@ -193,39 +229,42 @@ def remove_duplicate_passages(
         .where(F.col("__last").isNotNull())  # only full n-token windows
         .drop("__last")
     )
-    okey = F.col("id") * POS_LIM + F.col("pos")
     stats = (
-        occ.select("fp", okey.alias("okey"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("canon"))
+        occ.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("id", "pos")).alias("canon"),
+        )
         .where(F.col("n_occ") >= min_occurrences)
     )
-    dup_occ = occ.join(stats, "fp").where(okey != F.col("canon"))
-    # no dropDuplicates on the covered positions: LEFT ANTI ignores
+    dup_occ = occ.join(stats, "fp").where(F.struct("id", "pos") != F.col("canon"))
+    # no dropDuplicates on the covered segments: LEFT ANTI ignores
     # right-side multiplicity, so deduping would only add an exchange
     covered = dup_occ.select(
-        "id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("pos")
+        "id",
+        F.explode(
+            F.sequence(
+                F.col("pos") * 2 + 1, F.col("pos") * 2 + (2 * n - 1)
+            )
+        ).alias("seg"),
     )
-    kept = tok_rows.join(covered, ["id", "pos"], "left_anti")
+    # segment 0 (the prefix gap) is never covered, so every document —
+    # including fully-scrubbed and empty ones — keeps ≥1 segment and
+    # emits exactly one rebuilt row: no totals re-join needed.
+    kept = seg_rows.join(covered, ["id", "seg"], "left_anti")
     rebuilt = kept.groupBy("id", "n_tok").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x.tok,
+                F.array_sort(F.collect_list(F.struct("seg", "piece"))),
+                lambda x: x.piece,
             ),
-            " ",
+            "",
         ).alias("__clean"),
-        F.count(F.lit(1)).alias("__n_kept"),
+        F.sum(F.col("seg") % 2).alias("__n_kept"),
     )
-    # right-join back so fully-scrubbed documents (zero kept tokens)
-    # and empty documents still emit a row
-    totals = base.select("id", F.size("toks").alias("__n_total"))
-    out = totals.join(
-        rebuilt.select("id", "__clean", "__n_kept"), "id", "left"
-    ).select(
+    return rebuilt.select(
         F.col("id").alias(id_col),
-        F.coalesce("__clean", F.lit("")).alias(text_col),
-        F.col("__n_total").alias("n_tokens"),
-        (F.col("__n_total") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
+        F.col("__clean").alias(text_col),
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        (F.col("n_tok") - F.col("__n_kept")).cast("long").alias("n_removed"),
     )
-    return out

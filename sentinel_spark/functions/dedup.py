@@ -1013,12 +1013,13 @@ def dedup_paragraphs(
     document structure.
 
     Scale shape: one id-spread, paragraphs via a codegen split +
-    posexplode; one algebraic md5-keyed aggregate (count + min of an
-    id*2^20+idx occurrence key); re-attach by fingerprint join;
-    per-document reassembly sorts within the id partition. Documents
-    are assumed < 2^20 paragraphs (the occurrence-key bound).
+    posexplode; one algebraic md5-keyed aggregate (count + a
+    lexicographic ``min(struct(id, idx))`` occurrence key — works for
+    any orderable id type with no magnitude bound, and picks the same
+    winner as an arithmetic ``id·2^20+idx`` key would for numeric
+    ids); re-attach by fingerprint join; per-document reassembly sorts
+    within the id partition.
     """
-    POS_LIM = 1 << 20
     # \Q...\E: sep is a LITERAL separator. split() takes a regex, and
     # the reassembly join uses sep verbatim — quoting keeps the two
     # consistent for regex-special separators ('|', '.', ...).
@@ -1036,16 +1037,18 @@ def dedup_paragraphs(
         "fp",
         F.when(norm != "", F.md5(norm)),
     )
-    okey = F.col("id") * POS_LIM + F.col("idx")
     stats = (
         rows.where(F.col("fp").isNotNull())
-        .select("fp", okey.alias("okey"))
         .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_occ"), F.min("okey").alias("canon"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("id", "idx")).alias("canon"),
+        )
         .where(F.col("n_occ") >= min_occurrences)
     )
     flagged = rows.join(stats, "fp", "left").withColumn(
-        "keep", F.col("canon").isNull() | (okey == F.col("canon"))
+        "keep",
+        F.col("canon").isNull() | (F.struct("id", "idx") == F.col("canon")),
     )
     rebuilt = flagged.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_paragraphs"),

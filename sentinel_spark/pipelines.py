@@ -84,10 +84,11 @@ def build_training_corpus(
     documents no other path in this library considers duplicates.
     ``scrub_n`` adds exact-substring scrubbing of the exported text as
     the final stage (repeated ``scrub_n``-token windows keep one
-    canonical occurrence corpus-wide; scrubbed documents export as the
-    cleaned normalized token stream, untouched documents keep their
-    original text; exported token counts come from the scrub's kept
-    counts — the funnel's counts remain selection-time, pre-scrub). Deterministic end to end:
+    canonical occurrence corpus-wide; removal cuts the duplicated
+    spans out of the ORIGINAL text, so formatting outside removed
+    spans — and untouched documents entirely — survive verbatim;
+    exported token counts come from the scrub's kept counts — the
+    funnel's counts remain selection-time, pre-scrub). Deterministic end to end:
     canonical-min rules for both dedup stages, hash-ordered mixture,
     hash-bucketed packing.
 
@@ -230,14 +231,12 @@ def build_training_corpus(
     # ``scrub_n`` runs exact-substring scrubbing (remove_duplicate_
     # passages) over the SELECTED documents as a final text transform
     # (the Dolma-order last pass): every selection/budget decision was
-    # made on the original text and pre-scrub n_tok. Documents the
-    # scrub actually touched are emitted as the operator's cleaned
-    # NORMALIZED token stream (that is what the scrub computes over);
-    # untouched documents keep their original text — flipping scrub_n
-    # must not silently lowercase/strip-punctuation the whole corpus.
-    # Exported n_tok comes from the scrub's own kept-token count (the
-    # normalized stream has the same token sequence as the original,
-    # so no re-tokenize pass is needed and shard budgets stay honest).
+    # made on the original text and pre-scrub n_tok. The scrub slices
+    # duplicated spans out of the ORIGINAL text (reassembly is the
+    # identity for untouched documents), so its output replaces the
+    # text column directly — no touched-vs-untouched split is needed.
+    # Exported n_tok comes from the scrub's own kept-token count, so
+    # shard budgets stay honest post-removal.
     if scrub_n is not None:
         from sentinel_spark.functions.decontam import remove_duplicate_passages
 
@@ -248,19 +247,14 @@ def build_training_corpus(
             id_col,
             F.col(text_col).alias("__scrub_text"),
             (F.col("n_tokens") - F.col("n_removed")).alias("__scrub_ntok"),
-            F.col("n_removed").alias("__scrub_removed"),
         )
         selected = (
-            selected.withColumnRenamed(text_col, "__orig_text")
+            selected.drop(text_col)
             .join(scrub_out, id_col)
             .select(
                 *meta_cols,
                 F.col("__scrub_ntok").alias("n_tok"),
-                F.when(
-                    F.col("__scrub_removed") > 0, F.col("__scrub_text")
-                )
-                .otherwise(F.col("__orig_text"))
-                .alias(text_col),
+                F.col("__scrub_text").alias(text_col),
             )
         )
 

@@ -115,11 +115,13 @@ def test_remove_duplicate_passages(spark):
     # doc 1 is canonical for every one of its windows -> untouched
     assert out[1].text == "one two three four alpha beta gamma"
     assert out[1].n_removed == 0
-    # doc 2's copy of the boiler window is non-canonical -> those 4
-    # tokens go; its unique tokens survive
-    assert out[2].text == "delta epsilon"
+    # doc 2's copy of the boiler window is non-canonical -> the span
+    # "one two three four" is cut out of the original text; the gaps
+    # on BOTH sides of the span survive (byte-range removal), hence
+    # the double space
+    assert out[2].text == "delta  epsilon"
     assert out[2].n_removed == 4
-    # untouched docs pass through (normalized token stream)
+    # untouched docs come back byte-identical
     assert out[3].text == "unique words entirely different here"
     # exact duplicate of doc 1: every window non-canonical -> empty
     assert out[4].text == ""
@@ -144,3 +146,56 @@ def test_remove_duplicate_passages_within_doc(spark):
     assert r.text.startswith("la la la la middle words here")
     assert r.n_removed >= 4
     assert r.n_tokens == 11  # 4 + 3 + 4 tokens
+
+
+def test_remove_duplicate_passages_preserves_formatting(spark):
+    """The Lee et al. transform is a byte-range cut: casing,
+    punctuation and whitespace OUTSIDE removed spans survive verbatim,
+    and untouched documents come back byte-identical."""
+    from sentinel_spark.functions.decontam import remove_duplicate_passages
+
+    d1 = "Header: ALL Rights Reserved! Body one."
+    d2 = "Intro text... All rights RESERVED! Tail two?"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "Unique\nMixed CASE — with punct!?")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_passages(docs, "text", "doc_id", n=3).collect()
+    }
+    # doc 1 holds the canonical "all rights reserved" window (matching
+    # is case-insensitive) and is otherwise unique -> byte-identical
+    assert out[1].text == d1
+    # doc 2 loses exactly the span "All rights RESERVED" (its original
+    # bytes); the "... " before and "! " after the span survive
+    assert out[2].text == "Intro text... ! Tail two?"
+    assert out[2].n_removed == 3
+    # untouched doc with newline/dash/punctuation: byte-identical
+    assert out[3].text == "Unique\nMixed CASE — with punct!?"
+    assert out[3].n_removed == 0
+
+
+def test_remove_duplicate_passages_string_ids(spark):
+    """String doc ids (URLs, uuids) are first-class: the canonical
+    occurrence is the lexicographic min(struct(id, pos)) — no numeric
+    assumption in the occurrence key."""
+    from sentinel_spark.functions.decontam import remove_duplicate_passages
+
+    boiler = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            ("https://b.example/page", f"{boiler} alpha"),
+            ("https://a.example/page", f"{boiler} beta"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_passages(docs, "text", "doc_id", n=4).collect()
+    }
+    # canonical = lexicographically smaller id keeps the window
+    assert out["https://a.example/page"].text == f"{boiler} beta"
+    assert out["https://a.example/page"].n_removed == 0
+    assert out["https://b.example/page"].text == " alpha"
+    assert out["https://b.example/page"].n_removed == 4

@@ -624,6 +624,23 @@ def test_dedup_paragraphs(spark):
     assert out[4].n_removed == 0
 
 
+def test_dedup_paragraphs_string_ids(spark):
+    """String doc ids are first-class: the canonical occurrence is the
+    lexicographic min(struct(id, idx)) — no numeric assumption."""
+    banner = "accept our cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            ("url-b", f"{banner}\nbody b"),
+            ("url-a", f"{banner}\nbody a"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in D.dedup_paragraphs(docs, "text", "doc_id").collect()}
+    assert out["url-a"].text == f"{banner}\nbody a"
+    assert out["url-a"].n_removed == 0
+    assert out["url-b"].text == "body b" and out["url-b"].n_removed == 1
+
+
 def test_dedup_paragraphs_blanks_and_regex_sep(spark):
     """Blank paragraphs are structure, not content: never deduped,
     never counted; regex-special separators are treated literally."""
