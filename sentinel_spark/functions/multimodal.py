@@ -221,8 +221,10 @@ def extract_media_features(
     (oracle-checkable, the gate path); True → require a real codec
     (raises where none is installed); ``"auto"`` → real dimensions
     when a codec is importable in the WORKER and the bytes decode,
-    :func:`fake_decode` otherwise — the deploy-anywhere setting (the
-    probe runs per row, so decodable and synthetic rows can coexist).
+    :func:`fake_decode` otherwise — the deploy-anywhere setting
+    (codec availability is probed once per worker process; only the
+    per-bytes decode runs per row, so decodable and synthetic rows
+    can coexist).
     """
 
     def run(batches: Iterator) -> Iterator:

@@ -297,10 +297,12 @@ def temperature_budgets(
     twice); the leftover budget from capped sources is NOT
     redistributed, keeping budgets a pure closed-form function of the
     size vector (rerun-stable, auditable)."""
+    # coalesce: a source whose token_col is all-NULL sums to NULL —
+    # treat it as size 0 (it then drops at the n > 0 weight filter)
     sizes = {
         r[0]: int(r[1])
         for r in df.groupBy(source_col)
-        .agg(F.sum(F.col(token_col).cast("long")))
+        .agg(F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0)))
         .collect()
     }
     if not sizes or total_tokens <= 0:

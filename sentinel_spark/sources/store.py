@@ -552,7 +552,13 @@ class ParquetTable:
                     "read_pruned values must be int/float/bool/str or "
                     "datetime/date (no stats-comparable form otherwise)"
                 )
-            vals = sorted(vals)
+            try:
+                vals = sorted(vals)
+            except TypeError:
+                raise ValueError(
+                    "read_pruned values mix incomparable types: "
+                    + ", ".join(sorted({type(v).__name__ for v in vals}))
+                ) from None
             if not vals:
                 schema = self._resolved_schema(snap)
                 if schema is None:
@@ -574,8 +580,18 @@ class ParquetTable:
                     if not set(vals).intersection(s[2]):
                         continue
                 else:
-                    i = bisect.bisect_left(vals, lo)
-                    if i >= len(vals) or vals[i] > hi:
+                    try:
+                        i = bisect.bisect_left(vals, lo)
+                        keep = i < len(vals) and vals[i] <= hi
+                    except TypeError:
+                        raise ValueError(
+                            f"read_pruned values for {col!r} are "
+                            f"{type(vals[0]).__name__} but file stats "
+                            f"are {type(lo).__name__} — probe values "
+                            "must match the column's recorded stats "
+                            "type"
+                        ) from None
+                    if not keep:
                         continue
             elif (upper is not None and lo > upper) or (
                 lower is not None and hi < lower

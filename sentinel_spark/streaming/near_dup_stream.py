@@ -146,10 +146,13 @@ def pruned_index_scan(
     footprint, not total corpus size.
 
     ``max_keys`` bounds the driver-side collect: a backlog-sized first
-    micro-batch can carry millions of distinct keys, at which point
-    the key set prunes nothing (it covers most files) and would only
-    bloat the driver — fall back to the full scan. The limit+1 fetch
-    never materializes more than ``max_keys + 1`` keys either way."""
+    micro-batch can carry millions of distinct keys, at which point an
+    exact key set would only bloat the driver. The limit+1 fetch never
+    materializes more than ``max_keys + 1`` keys; over the cap, the
+    scan falls back to the keys' COVERING [min, max] range (one tiny
+    aggregate, no key transfer) — on a clustered index that still
+    skips files wholly outside the batch's key span, so even backlog
+    batches never silently degrade to a full-manifest read."""
     keys = [
         r.band_key
         for r in batch_index.select("band_key")
@@ -158,7 +161,10 @@ def pruned_index_scan(
         .collect()
     ]
     if len(keys) > max_keys:
-        return index_t.read()
+        lo, hi = batch_index.agg(
+            F.min("band_key"), F.max("band_key")
+        ).first()
+        return index_t.read_pruned("band_key", lower=lo, upper=hi)
     return index_t.read_pruned("band_key", values=keys)
 
 
@@ -176,7 +182,9 @@ def run_near_dup_stream(
     max_band_size: int | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
-    compact_every: int | None = None,
+    compact_every: int | None = 8,
+    compact_target_bytes: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming face of :func:`near_dup_admission`: JSONL documents
     under ``input_dir`` → admitted docs at ``corpus_dir``/docs,
@@ -186,19 +194,31 @@ def run_near_dup_stream(
     insert nothing twice. Returns the StreamingQuery (awaited when
     ``available_now``).
 
-    ``compact_every``: every N micro-batches, small-file-compact the
-    docs table and band_key-cluster the index (tight per-file
-    band_key stats are what let the admission join's index scan prune
-    — see :func:`~sentinel_spark.functions.dedup.minhash_band_index`).
+    ``compact_every`` (default 8): every N micro-batches, small-file-
+    compact the docs table and band_key-cluster the index (tight
+    per-file band_key stats are what let the admission join's index
+    scan prune — see
+    :func:`~sentinel_spark.functions.dedup.minhash_band_index`).
     Append-heavy streaming tables accumulate one file set per batch;
-    without maintenance, scan cost grows with batch COUNT instead of
-    data size. Safe under the manifest log: compaction is one atomic
-    version flip, and a crash mid-compaction leaves only unreachable
-    staged files (the next commit wins or retries)."""
+    without maintenance every appended file spans the whole band_key
+    hash space and ``pruned_index_scan`` keeps every file — pruning is
+    only real on a periodically clustered index, which is why the
+    maintenance is ON by default (pass None to opt out for short
+    bounded runs). Safe under the manifest log: compaction is one
+    atomic version flip, and a crash mid-compaction leaves only
+    unreachable staged files (the next commit wins or retries).
+
+    ``compact_target_bytes`` sizes the compacted files (store default
+    128 MB when None) — smaller targets mean more files with tighter
+    band_key ranges, i.e. finer skip granularity for the pruned scan.
+    ``max_files_per_trigger`` caps the file source's per-batch intake
+    (admission memory control on a backlog)."""
     checkpoint_dir = checkpoint_dir or os.path.join(corpus_dir, "_checkpoint")
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.format("text")
-        .load(input_dir)
+        reader.load(input_dir)
         .select(
             F.from_json(
                 F.col("value"), f"{id_col} long, {text_col} string"
@@ -223,17 +243,25 @@ def run_near_dup_stream(
             batch_df, text_col, id_col,
             shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
         ).persist()
-        index = (
-            pruned_index_scan(index_t, batch_index)
-            if index_t.exists()
-            else None
-        )
-        admitted, rejected, new_rows = near_dup_admission(
-            batch_df, index, text_col, id_col,
-            shingle_n=shingle_n, num_hashes=num_hashes,
-            num_bands=num_bands, min_est_jaccard=min_est_jaccard,
-            max_band_size=max_band_size, batch_index=batch_index,
-        )
+        # ownership of the persist transfers to near_dup_admission
+        # only once it returns; until then a failure (e.g. the pruning
+        # collect) must unpersist here or the frame leaks executor
+        # memory for the life of the stream.
+        try:
+            index = (
+                pruned_index_scan(index_t, batch_index)
+                if index_t.exists()
+                else None
+            )
+            admitted, rejected, new_rows = near_dup_admission(
+                batch_df, index, text_col, id_col,
+                shingle_n=shingle_n, num_hashes=num_hashes,
+                num_bands=num_bands, min_est_jaccard=min_est_jaccard,
+                max_band_size=max_band_size, batch_index=batch_index,
+            )
+        except Exception:
+            batch_index.unpersist()
+            raise
         # Admission first, then its index rows: if we crash between the
         # two, replay re-derives the same split (the index lacking the
         # admitted docs' rows cannot reject them — candidates only ADD
@@ -244,8 +272,13 @@ def run_near_dup_stream(
         rejects_t.merge_insert_not_matched(rejected, [id_col])
         release(admitted)
         if compact_every and (batch_id + 1) % compact_every == 0:
-            docs_t.compact()
-            index_t.compact(cluster_by=["band_key"])
+            ckw = (
+                {"target_file_bytes": compact_target_bytes}
+                if compact_target_bytes is not None
+                else {}
+            )
+            docs_t.compact(**ckw)
+            index_t.compact(cluster_by=["band_key"], **ckw)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -185,11 +185,67 @@ def test_pruned_index_scan_skips_files(spark, tmp_path):
     assert pairs_p == pairs_f
     assert (1000, 7, "index") in pairs_p
 
-    # max_keys fallback: a tiny cap falls back to the full scan
-    assert len(
-        pruned_index_scan(index_t, batch_index, max_keys=1).inputFiles()
-    ) == n_files
+    # max_keys fallback: over the cap, the scan falls back to the
+    # keys' covering [min, max] RANGE — never a silent full-manifest
+    # read. It opens at least the exact-key files, at most everything
+    # overlapping the span, and admission decisions are identical.
+    fb = pruned_index_scan(index_t, batch_index, max_keys=1)
+    fb_files = set(fb.inputFiles())
+    assert set(pruned.inputFiles()) <= fb_files
+    got_fb = D.incremental_candidate_pairs(
+        batch, fb, "text", "doc_id", new_index_rows=batch_index
+    )
+    assert {(r.id_new, r.id_old, r.source) for r in got_fb.collect()} == pairs_f
     batch_index.unpersist()
+
+
+def test_stream_default_cadence_prunes(spark, tmp_path, monkeypatch):
+    """With the DEFAULT compact_every cadence (8), the loop clusters
+    the index on schedule and the very next batch's admission scan
+    opens a strict subset of the index files — pruning is real out of
+    the box, not only when a caller remembers to opt in."""
+    import json as _json
+
+    import sentinel_spark.streaming.near_dup_stream as NDS
+
+    calls = {"pruned": [], "full": []}
+    real = NDS.pruned_index_scan
+
+    def spy(index_t, batch_index, **kw):
+        out = real(index_t, batch_index, **kw)
+        calls["pruned"].append(len(out.inputFiles()))
+        calls["full"].append(len(index_t.read().inputFiles()))
+        return out
+
+    monkeypatch.setattr(NDS, "pruned_index_scan", spy)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # batches 0..7 fill the index (compaction fires after batch 7 =
+    # the default cadence); batch 8 is a single-doc probe whose ≤4
+    # band keys must hit only a few of the clustered files
+    did = 0
+    for b in range(8):
+        rows = []
+        for _ in range(12):
+            rows.append((did, f"document number {did} unique words w{did}a w{did}b w{did}c"))
+            did += 1
+        _write_jsonl(inbox / f"b{b}.jsonl", rows)
+    _write_jsonl(inbox / "b8.jsonl", [(9000, "a wholly novel probe sentence qq zz")])
+
+    corpus = str(tmp_path / "corpus")
+    NDS.run_near_dup_stream(
+        spark, str(inbox), corpus,
+        min_est_jaccard=0.5,
+        compact_target_bytes=1200,      # small files -> tight ranges
+        max_files_per_trigger=1,        # one jsonl file per micro-batch
+    )
+    # 9 batches -> 8 pruned-scan calls (batch 0 has no index yet)
+    assert len(calls["pruned"]) == 8
+    # the post-compaction batch: clustered index, single-doc batch ->
+    # strictly fewer files opened than the manifest holds
+    assert calls["full"][-1] > 4
+    assert 0 < calls["pruned"][-1] < calls["full"][-1]
 
 
 def test_stream_end_to_end_with_pruning_guard_compaction(spark, tmp_path, monkeypatch):

@@ -241,3 +241,14 @@ def test_temperature_budgets(spark):
         for r in out.groupBy("source").agg(F.sum("n_tok")).collect()
     }
     assert 450 <= got["big"] < 450 + 10 and 50 <= got["small"] < 60
+
+
+def test_temperature_budgets_all_null_source(spark):
+    """A source whose token column is entirely NULL sums to NULL —
+    treated as size 0 (dropped by the weight filter), not a crash."""
+    from sentinel_spark.functions.sampling import temperature_budgets
+
+    rows = [(1, "real", 10), (2, "real", 20), (3, "ghost", None), (4, "ghost", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    b = temperature_budgets(df, "source", "n_tok", total_tokens=30, alpha=1.0)
+    assert b == {"real": 30}

@@ -247,6 +247,18 @@ def test_file_stats_recorded_and_data_skipping(spark, tmp_path):
     assert got == full
 
 
+def test_read_pruned_type_mismatch_is_loud(spark, tmp_path):
+    """Probe values of a different type than a file's recorded stats
+    raise a descriptive ValueError (naming both types), not a bare
+    bisect TypeError; mixed probe types fail the same way."""
+    t = ParquetTable(spark, str(tmp_path / "skipt"))
+    t.append(spark.range(10).select(F.col("id").alias("k")).coalesce(1))
+    with pytest.raises(ValueError, match="stats.*type|recorded stats"):
+        t.read_pruned("k", values=["not-an-int"])
+    with pytest.raises(ValueError, match="incomparable types"):
+        t.read_pruned("k", values=[1, "two"])
+
+
 def test_data_skipping_survives_mutations_and_compaction(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "skip2"))
     for lo in (0, 100):
