@@ -1251,7 +1251,14 @@ def q_events_report(spark, sf_dir):
 
 def q_events_windows(spark, sf_dir):
     """Tumbling ∪ hopping window rollups over events (the batch forms
-    of the streaming dashboards), tagged by ``kind``."""
+    of the streaming dashboards) ∪ the stream-stream INTERVAL JOIN's
+    batch form (streaming/join_stream.interval_join — watermarks are
+    no-ops on batch frames): view→click attribution pairs per user
+    within a 30-minute window, one row per joined pair. Column reuse:
+    win_start/win_end carry the view/click timestamps, event_type the
+    user id, n_events the view's event_id, sum_value the click's
+    value — every join output is value-hash-checked. Tagged by
+    ``kind``."""
     h = q_events_hourly(spark, sf_dir).select(
         F.lit("hourly").alias("kind"),
         F.col("hour").alias("win_start"),
@@ -1268,7 +1275,27 @@ def q_events_windows(spark, sf_dir):
         "n_events",
         "sum_value",
     )
-    return h.unionByName(p)
+    from sentinel_spark.streaming.join_stream import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    iv = interval_join(
+        views, clicks, "user_id", "ts", "ts",
+        lower="0 seconds", upper="30 minutes",
+    ).select(
+        F.lit("interval").alias("kind"),
+        F.col("ts").alias("win_start"),
+        F.col("r_ts").alias("win_end"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("event_id").alias("n_events"),
+        F.col("r_value").alias("sum_value"),
+    )
+    return h.unionByName(p).unionByName(iv)
 
 
 def q_doc_profile(spark, sf_dir):
@@ -1379,7 +1406,12 @@ def q_sample_suite(spark, sf_dir):
     quality-weighted, fixed-N per group, token-budgeted mixture)
     unioned with a ``method`` tag — the first three stay the pure
     per-row hash filters they were; the mixture branch adds its one
-    (source, hash-range) exchange."""
+    (source, hash-range) exchange. A fifth ``temperature`` branch
+    checks sampling.temperature_budgets: the per-source token budgets
+    under temperature-scaled mixing (size^0.7 reweighting) are a
+    CLOSED-FORM function of the per-source size vector, so the oracle
+    states them literally in SQL (pow/round over the same sums); the
+    budget rides in the weight slot."""
     st = q_stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("method"),
         "doc_id",
@@ -1409,7 +1441,27 @@ def q_sample_suite(spark, sf_dir):
         "source",
         F.col("n_tok").cast("double").alias("weight"),
     )
-    return st.unionByName(wt).unionByName(gp).unionByName(mx)
+    # temperature branch: one row per source, budget in the weight
+    # slot — the driver-side dict is tiny (|sources| rows) and
+    # deterministic, so materializing it as a frame is exact
+    from sentinel_spark.functions.sampling import temperature_budgets
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", T.token_count("text").alias("n_tok")
+    )
+    budgets = temperature_budgets(
+        d, "source", "n_tok", total_tokens=1000, alpha=0.7
+    )
+    tb = spark.createDataFrame(
+        sorted(budgets.items()), "source string, budget long"
+    ).select(
+        F.lit("temperature").alias("method"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.col("budget").cast("double").alias("weight"),
+    )
+    return st.unionByName(wt).unionByName(gp).unionByName(mx).unionByName(tb)
 
 
 def q_dedup_clusters_report(spark, sf_dir):
@@ -3549,6 +3601,14 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'hopping' AS kind, win_start, win_end, event_type, n_events, sum_value
         FROM ({base["events_hopping"]})
+        UNION ALL
+        SELECT 'interval' AS kind, l.ts AS win_start, r.ts AS win_end,
+               CAST(l.user_id AS VARCHAR) AS event_type,
+               l.event_id AS n_events, r.value AS sum_value
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'view' AND r.event_type = 'click'
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
     """
     out["doc_profile"] = f"""
         SELECT * FROM ({base["text_stats"]}) a
@@ -3589,6 +3649,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'mixture' AS method, doc_id, CAST(NULL AS VARCHAR), source,
                CAST(n_tok AS DOUBLE)
         FROM ({base["mixture_sample"]})
+        UNION ALL
+        -- temperature_budgets replay: budgets are the closed form
+        -- min(round(total·s^α/Σs^α), s) over per-source token sums
+        SELECT 'temperature' AS method, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS VARCHAR) AS lang, source,
+               CAST(least(CAST(round(1000 * pow(s, 0.7) / z) AS BIGINT), s)
+                    AS DOUBLE) AS weight
+        FROM (
+          SELECT source, s, sum(pow(s, 0.7)) OVER () AS z
+          FROM (
+            SELECT source, CAST(sum(len({_WORDS})) AS BIGINT) AS s
+            FROM documents GROUP BY source
+          ) WHERE s > 0
+        )
     """
     out["dedup_clusters"] = f"""
         SELECT * FROM ({base["dedup_clusters"]}) CROSS JOIN ({base["dedup_report"]})
