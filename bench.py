@@ -72,6 +72,18 @@ def main():
     remove_duplicate_passages(tiny, "text", "doc_id", n=4).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the full corpus-recipe shape (gopher gate → exact dedup →
+    # survivor minhash → decontam → 3-aggregate funnel union), whose
+    # one-time codegen otherwise lands on corpus_funnel's cold run
+    # (r6: 6.0 s cold vs 3.8 s min — mostly first-JIT of the recipe's
+    # union/aggregate shapes).
+    from sentinel_spark.cache import carry
+    from sentinel_spark.pipelines import build_training_corpus
+
+    tiny_res = build_training_corpus(tiny, tiny.select("doc_id", "text"), None)
+    tiny_funnel = carry(tiny_res.funnel, tiny_res.selected)
+    tiny_funnel.write.format("noop").mode("overwrite").save()
+    release(tiny_funnel)
 
     # Three repetitions per gate: run 1 = cold (codegen/JIT included,
     # comparable across rounds), runs 2-3 = warm recomputes. The

@@ -276,6 +276,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_band_size: int | None = None,
+    mark_star: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (id_a < id_b), with
     the estimated Jaccard (= fraction of matching minhashes).
@@ -292,12 +293,28 @@ def minhash_candidate_pairs(
     exact all-pairs semantics — set a cap for boilerplate-heavy
     corpora at scale. Law (property-tested): on the RAW candidate
     graph the connected-component partition is invariant under any
-    cap. Caveat: a downstream ``est_jaccard`` threshold applies to
-    star pairs like any pair, so a borderline bucket member whose
-    signature agrees more with another member than with the
-    representative can fall below the threshold that its direct edge
-    would have cleared — acceptable for hot buckets, whose members
-    agree on a whole signature band by construction.
+    cap.
+
+    Caveat, MEASURED (tests/test_text_dedup_similarity.py::
+    test_hot_band_star_recall_bound): a downstream ``est_jaccard``
+    threshold applies to star pairs like any pair, so a borderline
+    bucket member whose signature happens to agree less with the
+    representative than with another member can drop below the
+    threshold its direct edge would have cleared. On an engineered
+    borderline family (true pairwise Jaccard ≈ threshold), the loss
+    was 1 of 39 flagged documents; at the high similarity hot buckets
+    actually exhibit (members agree on a whole signature band), the
+    measured loss is zero. When a threshold is in play and that bound
+    matters, pass ``mark_star=True`` and re-score the ``star_only``
+    pairs with :func:`verify_pairs_jaccard` (exact Jaccard, O(stars ×
+    doc length)) — on the engineered family this recovers the lost
+    member exactly.
+
+    ``mark_star`` adds a ``star_only`` boolean column: True for pairs
+    whose ONLY route into the candidate set was hot-bucket star
+    pairing (pairs that also met in a normal bucket are False — their
+    estimate is ordinary LSH evidence). Off by default to keep the
+    two-column schema.
 
     Call :func:`sentinel_spark.cache.release` on the result when done —
     the signature table persists to feed three plan branches.
@@ -328,9 +345,21 @@ def minhash_candidate_pairs(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
-    if star is not None:
-        pairs = pairs.unionByName(star)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    if mark_star:
+        pairs = pairs.withColumn("star_only", F.lit(False))
+        if star is not None:
+            pairs = pairs.unionByName(star.withColumn("star_only", F.lit(True)))
+        # a pair can arrive both ways (shares a normal band AND a hot
+        # one, as rep-member); it is star_only iff NO normal route
+        # exists — bool_and over the routes, same shuffle the
+        # dropDuplicates would have done
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.bool_and("star_only").alias("star_only")
+        )
+    else:
+        if star is not None:
+            pairs = pairs.unionByName(star)
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     with_sigs = (
         pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -341,9 +370,10 @@ def minhash_candidate_pairs(
         / F.lit(float(num_hashes)),
         6,
     )
-    return with_release(
-        with_sigs.select("id_a", "id_b", match_frac.alias("est_jaccard")), [sig]
+    out_cols = ["id_a", "id_b", match_frac.alias("est_jaccard")] + (
+        ["star_only"] if mark_star else []
     )
+    return with_release(with_sigs.select(*out_cols), [sig])
 
 
 def minhash_band_index(

@@ -148,3 +148,51 @@ def test_incremental_hot_band_guard(spark):
     assert _pairs(capped) == _pairs(unguarded)
     for df in (guarded, unguarded, capped):
         release(df)
+
+
+def test_cdf_drives_incremental_index_maintenance(spark, tmp_path):
+    """The change-data-feed consumer the diff() operator exists for:
+    after a corpus patch (update + delete + insert), re-derive the
+    near-dup band index for ONLY the documents the diff names —
+    delete their stale index rows, re-shingle just the postimage/insert
+    rows — and land at exactly the index a full rebuild would produce.
+    The incremental path's shingle pass runs over the diff frame, so
+    by construction it touches only the changed ids."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    docs_t = ParquetTable(spark, str(tmp_path / "docs"), retain_versions=10)
+    docs_t.append(
+        spark.createDataFrame(OLD_DOCS + NEW_DOCS, "doc_id long, text string")
+    )
+    v1 = docs_t.version()
+    index_t = ParquetTable(spark, str(tmp_path / "index"))
+    index_t.append(D.minhash_band_index(docs_t.read(), "text", "doc_id"))
+
+    # the patch: rewrite doc 2, drop doc 3, add doc 50
+    docs_t.update(
+        F.col("doc_id") == 2,
+        {"text": F.lit("a wholly rewritten second document body")},
+    )
+    docs_t.delete(F.col("doc_id") == 3)
+    docs_t.append(
+        spark.createDataFrame(
+            [(50, "a brand new appended document arrives")],
+            "doc_id long, text string",
+        )
+    )
+    changes = docs_t.diff(v1, keys=["doc_id"])
+
+    # consumer: stale rows out (every changed id), fresh rows in
+    # (current text = postimage/insert rows only)
+    changed_ids = [r.doc_id for r in changes.select("doc_id").distinct().collect()]
+    assert sorted(changed_ids) == [2, 3, 50]  # only the diff's ids
+    index_t.delete(F.col("id").isin(changed_ids))
+    fresh = changes.where(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("doc_id", "text")
+    index_t.append(D.minhash_band_index(fresh, "text", "doc_id"))
+
+    rebuilt = D.minhash_band_index(docs_t.read(), "text", "doc_id")
+    got = sorted(map(tuple, index_t.read().select("band_key", "id").collect()))
+    want = sorted(map(tuple, rebuilt.select("band_key", "id").collect()))
+    assert got == want and len(got) > 0

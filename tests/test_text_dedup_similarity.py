@@ -624,6 +624,77 @@ def test_dedup_paragraphs(spark):
     assert out[4].n_removed == 0
 
 
+def test_hot_band_star_recall_bound(spark):
+    """MEASURED bound for the hot-band guard's recall caveat (cited by
+    minhash_candidate_pairs' docstring): on an engineered BORDERLINE
+    family — 60 docs sharing a 70-token core with 30 unique tokens
+    each, true pairwise Jaccard 0.53 ≈ the 0.5 default threshold — the
+    est_jaccard threshold over guarded (star) pairs loses exactly 1 of
+    the 39 documents the unguarded all-pairs run flags; re-scoring the
+    star_only pairs with exact verify_pairs_jaccard recovers the
+    flagged-document set EXACTLY. At the high similarity hot buckets
+    are designed for (boilerplate families), the loss is zero."""
+    from sentinel_spark.cache import release
+
+    def docset(edges):
+        return {x for p in edges for x in p}
+
+    core = " ".join(f"core{i}" for i in range(70))
+    rows = [
+        (i, core + " " + " ".join(f"u{i}x{j}" for j in range(30)))
+        for i in range(60)
+    ] + [(1000 + i, " ".join(f"bg{i}w{j}" for j in range(40))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fullp = D.minhash_candidate_pairs(df, "text", "doc_id")
+    full = {(r.id_a, r.id_b) for r in fullp.collect() if r.est_jaccard >= 0.5}
+    release(fullp)
+    gp = D.minhash_candidate_pairs(
+        df, "text", "doc_id", max_band_size=8, mark_star=True
+    )
+    g = gp.collect()
+    release(gp)
+    guard = {(r.id_a, r.id_b) for r in g if r.est_jaccard >= 0.5}
+
+    # the measured bound: exactly one borderline member lost
+    assert len(docset(full)) == 39
+    assert len(docset(guard)) == 38
+    assert len(docset(full) - docset(guard)) == 1
+
+    # recovery: exact re-score of the star-only pairs below threshold
+    stars_below = [
+        (r.id_a, r.id_b) for r in g if r.star_only and r.est_jaccard < 0.5
+    ]
+    assert stars_below  # the guard actually engaged
+    sp = spark.createDataFrame(stars_below, "id_a long, id_b long")
+    rescued = {
+        (r.id_a, r.id_b)
+        for r in D.verify_pairs_jaccard(
+            df, sp, "text", "doc_id", min_jaccard=0.5
+        ).collect()
+    }
+    assert docset(guard | rescued) == docset(full)  # exact recovery
+
+    # the designed use case — high-similarity boilerplate family
+    # (95-token core, 3 unique tokens): zero flagged-document loss
+    core2 = " ".join(f"c{i}" for i in range(95))
+    rows2 = [(i, core2 + f" t{i}a t{i}b t{i}c") for i in range(40)] + [
+        (500 + i, " ".join(f"z{i}w{j}" for j in range(40))) for i in range(10)
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    f2p = D.minhash_candidate_pairs(df2, "text", "doc_id")
+    f2 = {(r.id_a, r.id_b) for r in f2p.collect() if r.est_jaccard >= 0.5}
+    release(f2p)
+    g2p = D.minhash_candidate_pairs(
+        df2, "text", "doc_id", max_band_size=8, mark_star=True
+    )
+    g2 = g2p.collect()
+    release(g2p)
+    assert any(r.star_only for r in g2)  # hot buckets engaged
+    g2e = {(r.id_a, r.id_b) for r in g2 if r.est_jaccard >= 0.5}
+    assert docset(g2e) == docset(f2)
+
+
 def test_dedup_paragraphs_string_ids(spark):
     """String doc ids are first-class: the canonical occurrence is the
     lexicographic min(struct(id, idx)) — no numeric assumption."""
