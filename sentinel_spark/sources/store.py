@@ -110,10 +110,44 @@ def _stats_safe(v):
     return None
 
 
+def _bloom_indexes(v, m: int, k: int) -> list:
+    """The ``k`` bit positions of value ``v`` in an ``m``-bit bloom
+    filter: md5 of the value's ``repr`` sliced into 16-bit chunks mod
+    ``m`` (so ``k`` ≤ 8; with ``m`` a power of two ≤ 65536 the modulo
+    is bias-free). ``repr`` of the _stats_safe-normalized value is the
+    canonical encoding — deterministic across processes, and identical
+    between the commit-time recorder and read_pruned's probes."""
+    import hashlib
+
+    h = hashlib.md5(repr(v).encode("utf-8")).digest()
+    return [int.from_bytes(h[2 * i : 2 * i + 2], "big") % m for i in range(k)]
+
+
+def _bloom_build(values, m: int, k: int) -> str:
+    """Base64 bitset of an m-bit bloom filter over ``values``."""
+    import base64
+
+    bits = bytearray(m // 8)
+    for v in values:
+        for idx in _bloom_indexes(v, m, k):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _bloom_maybe_contains(bits: bytes, m: int, k: int, v) -> bool:
+    """False ⇒ ``v`` is DEFINITELY absent from the file (safe to
+    skip); True ⇒ possibly present (keep — the usual bloom one-sided
+    guarantee, so pruning stays a superset)."""
+    return all(bits[i >> 3] & (1 << (i & 7)) for i in _bloom_indexes(v, m, k))
+
+
 def _parquet_file_stats(
     path: str,
     value_cols: tuple[str, ...] = (),
     value_max: int = 16,
+    bloom_cols: tuple[str, ...] = (),
+    bloom_bits: int = 32768,
+    bloom_hashes: int = 6,
 ) -> dict:
     """Per-column [min, max] from the parquet footer — a local metadata
     read, no data pages touched. Only JSON-safe scalar types are kept
@@ -129,7 +163,20 @@ def _parquet_file_stats(
     across the range; the exact set can (read_pruned's key-set form
     consults it first). Costs one column read of the just-written
     file per listed column — opt in only for genuinely
-    low-cardinality clustering keys."""
+    low-cardinality clustering keys.
+
+    ``bloom_cols`` records a per-file BLOOM FILTER instead (the Delta
+    bloom-index analog) for MID-cardinality point-lookup columns —
+    hash keys like an LSH band_key, where the value set would blow the
+    ``value_max`` cap and a range can't skip because every file spans
+    the hash space. The entry becomes [min, max, values|None, bloom]
+    with bloom = {"m", "k", "b" (base64 bitset)}; recorded only while
+    the file's distinct count stays ≤ m/10 (keeping the
+    false-positive rate ≈0.6% at the defaults — an over-full bloom
+    would claim everything present and prune nothing, so it is
+    honestly omitted). ~m/8 bytes of manifest per file per column
+    (4 KiB at the default m=32768). Same one-column-read commit cost
+    as value sets; the two share the read when both are requested."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked in
@@ -159,16 +206,31 @@ def _parquet_file_stats(
                 agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
             else:
                 agg[name] = [lo, hi]
-    want = [c for c in value_cols if c in agg]
-    if want:
+    want_v = [c for c in value_cols if c in agg]
+    want_b = [c for c in bloom_cols if c in agg]
+    if want_v or want_b:
         try:
-            tbl = pq.read_table(path, columns=want)
+            tbl = pq.read_table(path, columns=sorted(set(want_v) | set(want_b)))
         except Exception:
             return agg
-        for c in want:
+        for c in want_v:
             vals = [safe(v) for v in tbl.column(c).unique().to_pylist()]
             if len(vals) <= value_max and None not in vals:
                 agg[c] = agg[c][:2] + [sorted(vals)]
+        for c in want_b:
+            vals = [safe(v) for v in tbl.column(c).unique().to_pylist()]
+            if None in vals or len(vals) > bloom_bits // 10:
+                continue
+            entry = agg[c]
+            if len(entry) == 2:
+                entry.append(None)  # no exact value set recorded
+            entry.append(
+                {
+                    "m": bloom_bits,
+                    "k": bloom_hashes,
+                    "b": _bloom_build(vals, bloom_bits, bloom_hashes),
+                }
+            )
     return agg
 
 
@@ -181,6 +243,7 @@ class ParquetTable:
         partition_cols: list[str] | None = None,
         retain_versions: int = 1,
         value_stats_cols: list[str] | None = None,
+        bloom_stats_cols: list[str] | None = None,
     ):
         """``partition_cols`` writes a Hive-style directory layout
         (e.g. ``pipeline=maple/``). Queries filtering on those columns
@@ -199,13 +262,22 @@ class ParquetTable:
         DISTINCT value sets are recorded at commit time (see
         :func:`_parquet_file_stats`) — ``read_pruned(values=...)`` on
         such a column then skips every file not actually containing a
-        requested value, even when value ranges interleave."""
+        requested value, even when value ranges interleave.
+
+        ``bloom_stats_cols``: MID-cardinality point-lookup columns
+        (hash keys: thousands of distinct values per file, where the
+        exact set is too big and ranges interleave) that get a
+        per-file bloom filter instead — ``read_pruned(values=...)``
+        skips files whose bloom proves every probe absent. This is
+        what lets an append-heavy UNCLUSTERED table (a streaming
+        index between compactions) still prune point lookups."""
         self.spark = spark
         self.path = path
         self.schema = schema
         self.partition_cols = list(partition_cols or [])
         self.retain_versions = max(1, int(retain_versions))
         self.value_stats_cols = tuple(value_stats_cols or ())
+        self.bloom_stats_cols = tuple(bloom_stats_cols or ())
 
     # -- manifest log ------------------------------------------------------
 
@@ -454,7 +526,9 @@ class ParquetTable:
                     rel = self._adopt_file(os.path.join(root, fn), rel_dir, fn)
                     moved.append(rel)
                     s = _parquet_file_stats(
-                        os.path.join(self.path, rel), self.value_stats_cols
+                        os.path.join(self.path, rel),
+                        self.value_stats_cols,
+                        bloom_cols=self.bloom_stats_cols,
                     )
                     if s:
                         stats[rel] = s
@@ -574,15 +648,17 @@ class ParquetTable:
                 continue
             lo, hi = s[0], s[1]
             if vals is not None:
-                if len(s) > 2:
+                vset = s[2] if len(s) > 2 else None
+                bloom = s[3] if len(s) > 3 else None
+                if vset is not None:
                     # exact per-file value set (value_stats_cols):
                     # skip unless a requested value is actually present
-                    if not set(vals).intersection(s[2]):
+                    if not set(vals).intersection(vset):
                         continue
                 else:
                     try:
                         i = bisect.bisect_left(vals, lo)
-                        keep = i < len(vals) and vals[i] <= hi
+                        j = bisect.bisect_right(vals, hi)
                     except TypeError:
                         raise ValueError(
                             f"read_pruned values for {col!r} are "
@@ -591,8 +667,25 @@ class ParquetTable:
                             "must match the column's recorded stats "
                             "type"
                         ) from None
-                    if not keep:
+                    in_range = vals[i:j]
+                    if not in_range:
                         continue
+                    if bloom is not None:
+                        # bloom filter (bloom_stats_cols): skip when
+                        # every in-range probe is DEFINITELY absent —
+                        # the lever for unclustered append-heavy
+                        # tables where ranges can't skip. any() stops
+                        # at the first possible hit.
+                        import base64
+
+                        bits = base64.b64decode(bloom["b"])
+                        if not any(
+                            _bloom_maybe_contains(
+                                bits, bloom["m"], bloom["k"], v
+                            )
+                            for v in in_range
+                        ):
+                            continue
             elif (upper is not None and lo > upper) or (
                 lower is not None and hi < lower
             ):
@@ -1060,7 +1153,9 @@ class ParquetTable:
                     rel = self._adopt_file(os.path.join(tmp, fn), rel_dir, fn)
                     staged_all.append(rel)
                     s = _parquet_file_stats(
-                        os.path.join(self.path, rel), self.value_stats_cols
+                        os.path.join(self.path, rel),
+                        self.value_stats_cols,
+                        bloom_cols=self.bloom_stats_cols,
                     )
                     if s:
                         stats_all[rel] = s

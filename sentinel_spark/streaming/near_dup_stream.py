@@ -233,7 +233,15 @@ def run_near_dup_stream(
 
         sess = batch_df.sparkSession
         docs_t = ParquetTable(sess, os.path.join(corpus_dir, "docs"))
-        index_t = ParquetTable(sess, os.path.join(corpus_dir, "index"))
+        # band_key blooms let the admission scan prune even the
+        # UNCLUSTERED files appended since the last compaction (their
+        # [min,max] spans the whole hash space, so only a bloom can
+        # prove a batch's keys absent)
+        index_t = ParquetTable(
+            sess,
+            os.path.join(corpus_dir, "index"),
+            bloom_stats_cols=["band_key"],
+        )
         rejects_t = ParquetTable(sess, os.path.join(corpus_dir, "rejects"))
 
         # Build the batch's band index FIRST: its distinct band keys

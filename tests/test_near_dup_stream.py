@@ -199,6 +199,55 @@ def test_pruned_index_scan_skips_files(spark, tmp_path):
     batch_index.unpersist()
 
 
+def test_stream_bloom_prunes_uncompacted_index(spark, tmp_path, monkeypatch):
+    """Between compactions the appended index files are UNCLUSTERED —
+    every file's band_key [min,max] spans the hash space, so range and
+    clustering can't skip. The band_key bloom recorded per file at
+    append time still prunes: a later batch's admission scan opens a
+    strict subset of the index files even with compaction OFF."""
+    import json as _json
+
+    import sentinel_spark.streaming.near_dup_stream as NDS
+
+    calls = {"pruned": [], "full": []}
+    real = NDS.pruned_index_scan
+
+    def spy(index_t, batch_index, **kw):
+        out = real(index_t, batch_index, **kw)
+        calls["pruned"].append(len(out.inputFiles()))
+        calls["full"].append(len(index_t.read().inputFiles()))
+        return out
+
+    monkeypatch.setattr(NDS, "pruned_index_scan", spy)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    did = 0
+    for b in range(6):
+        rows = []
+        for _ in range(8):
+            rows.append((did, f"document number {did} unique words w{did}a w{did}b w{did}c"))
+            did += 1
+        _write_jsonl(inbox / f"b{b}.jsonl", rows)
+    _write_jsonl(inbox / "b6.jsonl", [(9000, "a wholly novel probe sentence qq zz")])
+
+    corpus = str(tmp_path / "corpus")
+    NDS.run_near_dup_stream(
+        spark, str(inbox), corpus,
+        min_est_jaccard=0.5,
+        compact_every=None,          # maintenance OFF: 6 unclustered files
+        max_files_per_trigger=1,
+    )
+    assert len(calls["pruned"]) == 6
+    # the probe batch: ≥6 unclustered index files on disk (one commit
+    # per batch, several shuffle-partition files each), the probe's ≤4
+    # band keys appear in none of them -> the blooms prove absence and
+    # the scan opens at most a sliver (zero but for bloom false
+    # positives)
+    assert calls["full"][-1] >= 6
+    assert calls["pruned"][-1] <= calls["full"][-1] // 2
+
+
 def test_stream_default_cadence_prunes(spark, tmp_path, monkeypatch):
     """With the DEFAULT compact_every cadence (8), the loop clusters
     the index on schedule and the very next batch's admission scan
@@ -243,9 +292,11 @@ def test_stream_default_cadence_prunes(spark, tmp_path, monkeypatch):
     # 9 batches -> 8 pruned-scan calls (batch 0 has no index yet)
     assert len(calls["pruned"]) == 8
     # the post-compaction batch: clustered index, single-doc batch ->
-    # strictly fewer files opened than the manifest holds
+    # strictly fewer files opened than the manifest holds (possibly
+    # zero: the probe is novel, and band_key blooms can prove its keys
+    # absent from every file)
     assert calls["full"][-1] > 4
-    assert 0 < calls["pruned"][-1] < calls["full"][-1]
+    assert calls["pruned"][-1] < calls["full"][-1]
 
 
 def test_stream_end_to_end_with_pruning_guard_compaction(spark, tmp_path, monkeypatch):

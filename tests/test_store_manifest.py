@@ -247,6 +247,69 @@ def test_file_stats_recorded_and_data_skipping(spark, tmp_path):
     assert got == full
 
 
+def test_bloom_stats_prune_interleaved_hash_keys(spark, tmp_path):
+    """bloom_stats_cols (the Delta bloom-index analog): md5-like hash
+    keys interleave across every file's [min,max], so range stats keep
+    everything and the cardinality is far past the value-set cap — but
+    a per-file bloom proves a probe key absent and read_pruned skips
+    the file. Superset law: a pruned read never loses a row the full
+    scan would return."""
+    import hashlib
+
+    t = ParquetTable(
+        spark, str(tmp_path / "bloom"), bloom_stats_cols=["key"]
+    )
+    # three single-file commits, 100 hash keys each — interleaved
+    # ranges (md5 output), disjoint sets
+    keysets = [
+        [hashlib.md5(f"f{f}k{i}".encode()).hexdigest() for i in range(100)]
+        for f in range(3)
+    ]
+    for ks in keysets:
+        t.append(
+            spark.createDataFrame([(k, 1) for k in ks], "key string, n int")
+            .coalesce(1)
+        )
+    files = t.read().inputFiles()
+    assert len(files) == 3
+    # range stats can't skip: every probe below falls inside every
+    # file's [min,max] — only the bloom distinguishes the files
+    probe = keysets[1][7]
+    pruned = t.read_pruned("key", values=[probe])
+    assert len(pruned.inputFiles()) == 1  # bloom skipped the other two
+    assert pruned.where(F.col("key") == probe).count() == 1
+    # superset law over every real key
+    for f, ks in enumerate(keysets):
+        got = t.read_pruned("key", values=[ks[0], ks[-1]])
+        assert got.where(F.col("key").isin([ks[0], ks[-1]])).count() == 2
+    # a key in NO file: every file provably absent -> empty scan, and
+    # the result is still a well-formed empty frame
+    miss = t.read_pruned("key", values=[hashlib.md5(b"nowhere").hexdigest()])
+    assert miss.count() == 0
+
+
+def test_bloom_stats_overfull_is_omitted(tmp_path):
+    """A file whose distinct count exceeds m/10 gets NO bloom (an
+    over-full bloom would claim everything present and prune nothing —
+    recording it would only bloat the manifest)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sentinel_spark.sources.store import _parquet_file_stats
+
+    path = str(tmp_path / "f.parquet")
+    pq.write_table(
+        pa.table({"key": [f"k{i:04d}" for i in range(20)]}), path
+    )
+    # m=64 -> cap 6 distinct; 20 distinct -> bloom omitted, range kept
+    s = _parquet_file_stats(path, bloom_cols=("key",), bloom_bits=64)
+    assert len(s["key"]) == 2
+    # big enough bloom -> recorded as the 4-element entry
+    s2 = _parquet_file_stats(path, bloom_cols=("key",), bloom_bits=1024)
+    assert len(s2["key"]) == 4 and s2["key"][2] is None
+    assert s2["key"][3]["m"] == 1024
+
+
 def test_read_pruned_type_mismatch_is_loud(spark, tmp_path):
     """Probe values of a different type than a file's recorded stats
     raise a descriptive ValueError (naming both types), not a bare
