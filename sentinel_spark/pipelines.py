@@ -68,6 +68,7 @@ def build_training_corpus(
     decontam_max_frac: float = 0.05,
     min_est_jaccard: float = 0.5,
     max_band_size: int | None = None,
+    rescore_stars: bool = False,
     scrub_n: int | None = None,
     redact: bool = False,
     shard_tokens: int = 1 << 22,
@@ -82,6 +83,11 @@ def build_training_corpus(
     pairs before clustering — raw band collisions include ~1%-chance
     low-similarity pairs, and clustering those would chain-drop
     documents no other path in this library considers duplicates.
+    ``rescore_stars`` (with ``max_band_size``) re-scores hot-bucket
+    star-only pairs by EXACT Jaccard before thresholding, closing the
+    guard's measured borderline-recall loss at the cost of one exact
+    verification pass over the star pairs only (see
+    minhash_candidate_pairs' measured-bound citation).
     ``scrub_n`` adds exact-substring scrubbing of the exported text as
     the final stage (repeated ``scrub_n``-token windows keep one
     canonical occurrence corpus-wide; removal cuts the duplicated
@@ -129,9 +135,29 @@ def build_training_corpus(
     survivors = texts.join(survivor_meta, id_col)
     cand_raw = D.minhash_candidate_pairs(
         survivors, text_col, id_col, shingle_n=shingle_n,
-        max_band_size=max_band_size,
+        max_band_size=max_band_size, mark_star=rescore_stars,
     )
-    cand = cand_raw.where(F.col("est_jaccard") >= min_est_jaccard)
+    if rescore_stars:
+        # The hot-band guard's measured recall caveat (see
+        # minhash_candidate_pairs): a star pair's ESTIMATE to the
+        # bucket representative can fall below min_est_jaccard even
+        # when the true Jaccard clears it. Re-score the star-only
+        # pairs exactly — O(star pairs × doc length), bounded by the
+        # hot buckets' member counts — and threshold those on true
+        # Jaccard; normal pairs keep the estimate threshold.
+        normal = cand_raw.where(~F.col("star_only")).where(
+            F.col("est_jaccard") >= min_est_jaccard
+        )
+        star_pairs = cand_raw.where(F.col("star_only"))
+        star_kept = D.verify_pairs_jaccard(
+            survivors, star_pairs, text_col, id_col,
+            shingle_n=shingle_n, min_jaccard=min_est_jaccard,
+        ).select("id_a", "id_b", F.col("jaccard").alias("est_jaccard"))
+        cand = normal.select("id_a", "id_b", "est_jaccard").unionByName(
+            star_kept
+        )
+    else:
+        cand = cand_raw.where(F.col("est_jaccard") >= min_est_jaccard)
     clusters = dedup_clusters(survivor_meta, cand, id_col)
     stage2 = survivor_meta.join(clusters.select(id_col, "is_canonical"), id_col)
 

@@ -165,3 +165,38 @@ def test_recipe_scrub_stage(spark, tmp_path):
 
     release(plain.selected)
     release(scrubbed.selected)
+
+
+def test_recipe_rescore_stars_recovers_borderline_dups(spark):
+    """rescore_stars: on the engineered borderline hot-bucket family
+    (the measured star-recall case), the guarded estimate threshold
+    keeps one extra non-canonical member in the corpus; exact
+    re-scoring of the star-only pairs removes it, matching the
+    unguarded run's selection."""
+    from sentinel_spark.cache import release
+    from sentinel_spark.pipelines import build_training_corpus
+
+    core = " ".join(f"core{i}" for i in range(70))
+    rows = [
+        (i, " ".join([core] + [f"u{i}x{j}" for j in range(30)]))
+        for i in range(60)
+    ] + [(1000 + i, " ".join(f"bg{i}w{j}" for j in range(40))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(quality_kwargs=QKW, max_band_size=8)
+
+    unguarded = build_training_corpus(docs, None, None, quality_kwargs=QKW)
+    plain = build_training_corpus(docs, None, None, **kw)
+    rescored = build_training_corpus(docs, None, None, rescore_stars=True, **kw)
+    sel_u = {r.doc_id for r in unguarded.selected.collect()}
+    sel_p = {r.doc_id for r in plain.selected.collect()}
+    sel_r = {r.doc_id for r in rescored.selected.collect()}
+    for res in (unguarded, plain, rescored):
+        release(res.selected)
+
+    # the guard alone keeps extra borderline members; exact star
+    # re-scoring restores the unguarded selection (here the entire
+    # family clusters through the representatives, so re-scoring can
+    # only REMOVE docs the estimate threshold let through)
+    assert sel_u <= sel_p
+    assert sel_r == sel_u
+    assert len(sel_p) - len(sel_r) >= 1

@@ -360,3 +360,82 @@ def test_hot_band_guard_preserves_components(spark, texts, cap):
 
     release(base)
     release(guarded)
+
+
+def _is_subsequence(small: str, big: str) -> bool:
+    it = iter(big)
+    return all(ch in it for ch in small)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab .,X\n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_scrub_is_a_byte_range_cut(spark, docs, n):
+    """Laws of the original-text exact-substring scrub, any corpus:
+    (1) the cleaned text is a character SUBSEQUENCE of the original
+    (removal only deletes, never rewrites — the byte-range-cut
+    contract); (2) n_tokens is the doc's token count and n_removed
+    counts removed tokens (cleaned token count = kept); (3) a document
+    with no duplicated window comes back byte-identical."""
+    import re as _re
+
+    from sentinel_spark.functions.decontam import remove_duplicate_passages
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_passages(df, "text", "doc_id", n=n).collect()
+    }
+    assert set(out) == {i for i, _ in rows}
+    tok = _re.compile(r"[a-z0-9]+", _re.I)
+    for i, t in rows:
+        r = out[i]
+        assert _is_subsequence(r.text, t), (r.text, t)
+        assert r.n_tokens == len(tok.findall(t))
+        assert len(tok.findall(r.text)) == r.n_tokens - r.n_removed
+        if r.n_removed == 0:
+            assert r.text == t
+
+
+@SLOW
+@given(
+    values=st.lists(
+        st.one_of(
+            st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+            st.integers(min_value=-(2**40), max_value=2**40),
+        ),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    ),
+    probes=st.lists(
+        st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_bloom_has_no_false_negatives(values, probes):
+    """The bloom bitset's one-sided guarantee, any value mix: every
+    inserted value tests maybe-present (no false negatives — the
+    property read_pruned's superset guarantee rests on). Probes may
+    false-positive; they must never crash."""
+    import base64
+
+    from sentinel_spark.sources.store import (
+        _bloom_build,
+        _bloom_maybe_contains,
+    )
+
+    m, k = 1024, 6
+    bits = base64.b64decode(_bloom_build(values, m, k))
+    for v in values:
+        assert _bloom_maybe_contains(bits, m, k, v)
+    for p in probes:
+        _bloom_maybe_contains(bits, m, k, p)  # no exception either way
