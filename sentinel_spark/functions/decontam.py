@@ -190,11 +190,15 @@ def remove_duplicate_passages(
     # (?i) on the ORIGINAL text ≡ WORD_RE on lower(text): same token
     # boundaries, original casing kept for the reassembly.
     tok_re = "(?i)" + WORD_RE
+    # NULL text reads as empty: a null array would posexplode to zero
+    # rows and silently DROP the document from the one-row-per-doc
+    # output contract
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     base = _spread(docs, by=F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        F.regexp_extract_all(F.col(text_col), F.lit(tok_re), F.lit(0)).alias("toks"),
+        F.regexp_extract_all(txt, F.lit(tok_re), F.lit(0)).alias("toks"),
         # limit −1 keeps leading/trailing empties: len(gaps) = len(toks)+1
-        F.split(F.col(text_col), tok_re, -1).alias("gaps"),
+        F.split(txt, tok_re, -1).alias("gaps"),
     )
     # interleave to [gap0, tok0, gap1, …, tok(K−1), gapK]
     segs = F.concat(

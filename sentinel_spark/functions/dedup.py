@@ -1055,7 +1055,11 @@ def dedup_paragraphs(
     # consistent for regex-special separators ('|', '.', ...).
     base = _spread(df, by=F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        F.split(F.col(text_col), "\\Q" + sep + "\\E").alias("paras"),
+        # NULL text reads as empty (one blank paragraph): a null array
+        # would posexplode to zero rows and silently drop the document
+        F.split(
+            F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E"
+        ).alias("paras"),
     )
     norm = F.lower(F.trim(F.regexp_replace(F.col("para"), r"\s+", " ")))
     rows = base.select(

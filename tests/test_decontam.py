@@ -199,3 +199,23 @@ def test_remove_duplicate_passages_string_ids(spark):
     assert out["https://a.example/page"].n_removed == 0
     assert out["https://b.example/page"].text == " alpha"
     assert out["https://b.example/page"].n_removed == 4
+
+
+def test_remove_duplicate_passages_null_and_empty_text(spark):
+    """NULL-text and empty documents keep their output row (one row
+    per input doc, the operator's contract) instead of vanishing
+    through a null-array posexplode."""
+    from sentinel_spark.functions.decontam import remove_duplicate_passages
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some real words here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_passages(docs, "text", "doc_id", n=4).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].text == "" and out[1].n_tokens == 0 and out[1].n_removed == 0
+    assert out[2].text == "" and out[2].n_tokens == 0
+    assert out[3].text == "some real words here"

@@ -818,3 +818,15 @@ def test_dedup_paragraphs_idempotent(spark):
     one = {r.doc_id: r.text for r in once.collect()}
     assert all(n == 0 for _, n in got.values())
     assert {k: t for k, (t, _) in got.items()} == one
+
+
+def test_dedup_paragraphs_null_text(spark):
+    """NULL-text documents keep their output row (read as one blank
+    paragraph) instead of vanishing through a null-array posexplode."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real\nbody")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in D.dedup_paragraphs(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].text == "" and out[1].n_paragraphs == 1 and out[1].n_removed == 0
+    assert out[2].text == "real\nbody"
