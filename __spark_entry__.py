@@ -1452,8 +1452,11 @@ def q_sample_suite(spark, sf_dir):
     budgets = temperature_budgets(
         d, "source", "n_tok", total_tokens=1000, alpha=0.7
     )
+    # NULL-safe sort key: a NULL source group would make a bare
+    # sorted() raise (None < str); the oracle keeps that group too
     tb = spark.createDataFrame(
-        sorted(budgets.items()), "source string, budget long"
+        sorted(budgets.items(), key=lambda kv: (kv[0] is None, kv[0] or "")),
+        "source string, budget long",
     ).select(
         F.lit("temperature").alias("method"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -3676,9 +3679,12 @@ def oracle_sql() -> dict[str, str]:
     # type-agnostic key the Spark side uses.
     passage_scrub = f"""
         WITH t AS (
+          -- coalesce: the Spark operator reads NULL text as empty and
+          -- keeps the document's output row; a NULL here would emit
+          -- zero seg rows and drop the doc from the inner join below
           SELECT doc_id,
-                 regexp_extract_all(text, '(?i)[a-z0-9]+') AS toks,
-                 regexp_split_to_array(text, '(?i)[a-z0-9]+') AS gaps
+                 regexp_extract_all(coalesce(text, ''), '(?i)[a-z0-9]+') AS toks,
+                 regexp_split_to_array(coalesce(text, ''), '(?i)[a-z0-9]+') AS gaps
           FROM documents
         ),
         seg AS (
@@ -3750,7 +3756,10 @@ def oracle_sql() -> dict[str, str]:
                n_removed > 0 AS flag
         FROM (
           WITH multi AS (
-            SELECT doc_id, replace(text, ' table', chr(10) || 'table') AS text
+            -- coalesce mirrors dedup_paragraphs' NULL-text-as-empty
+            SELECT doc_id,
+                   replace(coalesce(text, ''), ' table',
+                           chr(10) || 'table') AS text
             FROM documents
           ),
           pl AS (

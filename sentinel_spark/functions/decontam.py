@@ -187,8 +187,18 @@ def remove_duplicate_passages(
     from sentinel_spark.functions.dedup import _spread
     from sentinel_spark.functions.text import WORD_RE
 
-    # (?i) on the ORIGINAL text ≡ WORD_RE on lower(text): same token
-    # boundaries, original casing kept for the reassembly.
+    # (?i) on the ORIGINAL text ≡ WORD_RE on lower(text) for any text
+    # whose lowercase mapping is length-preserving (all of ASCII and
+    # almost all of Unicode): same token boundaries, original casing
+    # kept for the reassembly. Known divergence from the
+    # lower-then-extract stream the DETECTOR operators use: code
+    # points whose lowering changes length or ASCII class (U+0130 İ →
+    # "i̇", U+212A K → "k"), where this operator sees the original
+    # code point (no match) while lower-first operators see the
+    # lowered form. Accepted: mapping lower-side matches back to
+    # original byte offsets is ill-defined exactly when lowering
+    # changes length, and byte-exact reassembly is this operator's
+    # contract.
     tok_re = "(?i)" + WORD_RE
     # NULL text reads as empty: a null array would posexplode to zero
     # rows and silently DROP the document from the one-row-per-doc

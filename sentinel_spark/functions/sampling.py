@@ -309,7 +309,13 @@ def temperature_budgets(
         return {}
     weights = {s: float(n) ** alpha for s, n in sizes.items() if n > 0}
     z = sum(weights.values())
+    # floor(x + 0.5): half-UP rounding, the form SQL engines' round()
+    # uses for positive values — Python's built-in round() is
+    # half-to-even, which would diverge from any SQL replay of this
+    # closed form exactly when a share lands on .5
+    import math
+
     return {
-        s: min(int(round(total_tokens * w / z)), sizes[s])
+        s: min(int(math.floor(total_tokens * w / z + 0.5)), sizes[s])
         for s, w in weights.items()
     }

@@ -641,6 +641,7 @@ class ParquetTable:
                     )
                 return self.spark.createDataFrame([], schema)
         kept = []
+        bloom_idx_cache: dict = {}
         for f in snap["files"]:
             s = (stats.get(f) or {}).get(col)
             if s is None:
@@ -674,14 +675,27 @@ class ParquetTable:
                         # bloom filter (bloom_stats_cols): skip when
                         # every in-range probe is DEFINITELY absent —
                         # the lever for unclustered append-heavy
-                        # tables where ranges can't skip. any() stops
-                        # at the first possible hit.
+                        # tables where ranges can't skip. Probe bit
+                        # positions are hashed ONCE per (m, k) across
+                        # the whole file loop (O(values·k) total, not
+                        # O(files·values·k) — a 65k-key batch against
+                        # dozens of files would otherwise md5 tens of
+                        # millions of times on the driver); per file
+                        # only the bit tests run, short-circuiting at
+                        # the first possible hit.
                         import base64
 
+                        mk = (bloom["m"], bloom["k"])
+                        if mk not in bloom_idx_cache:
+                            bloom_idx_cache[mk] = {
+                                v: _bloom_indexes(v, *mk) for v in vals
+                            }
+                        idx_of = bloom_idx_cache[mk]
                         bits = base64.b64decode(bloom["b"])
                         if not any(
-                            _bloom_maybe_contains(
-                                bits, bloom["m"], bloom["k"], v
+                            all(
+                                bits[i >> 3] & (1 << (i & 7))
+                                for i in idx_of[v]
                             )
                             for v in in_range
                         ):

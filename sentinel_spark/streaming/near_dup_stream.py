@@ -54,6 +54,18 @@ def near_dup_admission(
     intra-batch chain A~B~C only A survives). ``rejected`` carries the
     best matching partner and its estimate as evidence.
 
+    Hot-band caveat (mirrors minhash_candidate_pairs' MEASURED star
+    recall bound): under ``max_band_size``, a batch doc whose estimate
+    to a hot bucket's representative falls just below the threshold is
+    ADMITTED even if its direct edge to another bucket member would
+    have cleared it — a borderline duplicate slips in. Exact re-scoring
+    is not available here by design: the index stores signatures, never
+    corpus text (the operator's whole point), so the estimate is the
+    best evidence this path can have. The measured loss at realistic
+    hot-bucket similarity is zero; run a periodic batch
+    ``minhash_candidate_pairs(mark_star=True)`` + exact re-score sweep
+    over the corpus if the borderline case must be closed.
+
     Pure composition: one shingle pipeline over the batch
     (:func:`~sentinel_spark.functions.dedup.incremental_candidate_pairs`),
     then joins; the caller owns persistence. ``new_index_rows`` are the
@@ -274,11 +286,16 @@ def run_near_dup_stream(
         # two, replay re-derives the same split (the index lacking the
         # admitted docs' rows cannot reject them — candidates only ADD
         # with more index rows, and a doc never matches itself) and
-        # merge_insert_not_matched skips what already landed.
-        docs_t.merge_insert_not_matched(admitted, [id_col])
-        index_t.merge_insert_not_matched(new_rows, ["id", "band_key"])
-        rejects_t.merge_insert_not_matched(rejected, [id_col])
-        release(admitted)
+        # merge_insert_not_matched skips what already landed. finally:
+        # a failed WRITE must still release the persisted frames, or a
+        # caller that restarts the stream on the same session leaks
+        # one cached batch_index per failed batch.
+        try:
+            docs_t.merge_insert_not_matched(admitted, [id_col])
+            index_t.merge_insert_not_matched(new_rows, ["id", "band_key"])
+            rejects_t.merge_insert_not_matched(rejected, [id_col])
+        finally:
+            release(admitted)
         if compact_every and (batch_id + 1) % compact_every == 0:
             ckw = (
                 {"target_file_bytes": compact_target_bytes}
