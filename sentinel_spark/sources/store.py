@@ -48,6 +48,7 @@ single-table Delta commits.
 
 from __future__ import annotations
 
+import base64
 import bisect
 import json
 import os
@@ -125,8 +126,6 @@ def _bloom_indexes(v, m: int, k: int) -> list:
 
 def _bloom_build(values, m: int, k: int) -> str:
     """Base64 bitset of an m-bit bloom filter over ``values``."""
-    import base64
-
     bits = bytearray(m // 8)
     for v in values:
         for idx in _bloom_indexes(v, m, k):
@@ -134,11 +133,16 @@ def _bloom_build(values, m: int, k: int) -> str:
     return base64.b64encode(bytes(bits)).decode("ascii")
 
 
+def _bloom_bits_set(bits: bytes, idxs) -> bool:
+    """True iff every bit position in ``idxs`` is set in ``bits``."""
+    return all(bits[i >> 3] & (1 << (i & 7)) for i in idxs)
+
+
 def _bloom_maybe_contains(bits: bytes, m: int, k: int, v) -> bool:
     """False ⇒ ``v`` is DEFINITELY absent from the file (safe to
     skip); True ⇒ possibly present (keep — the usual bloom one-sided
     guarantee, so pruning stays a superset)."""
-    return all(bits[i >> 3] & (1 << (i & 7)) for i in _bloom_indexes(v, m, k))
+    return _bloom_bits_set(bits, _bloom_indexes(v, m, k))
 
 
 def _parquet_file_stats(
@@ -213,12 +217,18 @@ def _parquet_file_stats(
             tbl = pq.read_table(path, columns=sorted(set(want_v) | set(want_b)))
         except Exception:
             return agg
+        # distinct values computed once per column even when a column
+        # is in both lists
+        uniq = {
+            c: [safe(v) for v in tbl.column(c).unique().to_pylist()]
+            for c in set(want_v) | set(want_b)
+        }
         for c in want_v:
-            vals = [safe(v) for v in tbl.column(c).unique().to_pylist()]
+            vals = uniq[c]
             if len(vals) <= value_max and None not in vals:
                 agg[c] = agg[c][:2] + [sorted(vals)]
         for c in want_b:
-            vals = [safe(v) for v in tbl.column(c).unique().to_pylist()]
+            vals = uniq[c]
             if None in vals or len(vals) > bloom_bits // 10:
                 continue
             entry = agg[c]
@@ -683,8 +693,6 @@ class ParquetTable:
                         # millions of times on the driver); per file
                         # only the bit tests run, short-circuiting at
                         # the first possible hit.
-                        import base64
-
                         mk = (bloom["m"], bloom["k"])
                         if mk not in bloom_idx_cache:
                             bloom_idx_cache[mk] = {
@@ -693,10 +701,7 @@ class ParquetTable:
                         idx_of = bloom_idx_cache[mk]
                         bits = base64.b64decode(bloom["b"])
                         if not any(
-                            all(
-                                bits[i >> 3] & (1 << (i & 7))
-                                for i in idx_of[v]
-                            )
+                            _bloom_bits_set(bits, idx_of[v])
                             for v in in_range
                         ):
                             continue
