@@ -111,16 +111,36 @@ def _stats_safe(v):
     return None
 
 
+def _bloom_key(v) -> str:
+    """Canonical string encoding of a value for bloom hashing,
+    following PYTHON EQUALITY across the numeric types: ``1``,
+    ``1.0`` and ``True`` all encode to ``'1'`` — exactly the
+    equivalence the value-set path gets for free from set
+    intersection and the range path from numeric comparison. Without
+    this, an int probe against a double column's recorded floats
+    (``repr(1)`` vs ``repr(1.0)``) would be a bloom FALSE NEGATIVE —
+    a wrong skip that breaks read_pruned's superset guarantee."""
+    if isinstance(v, (bool, int, float)):
+        fv = float(v)
+        if fv.is_integer():
+            # use the original int when exact (floats above 2^53
+            # collapse to their nearest representable int, which is
+            # also what an equal float probe would encode to)
+            return repr(int(v) if isinstance(v, (bool, int)) else int(fv))
+        return repr(fv)
+    return repr(v)
+
+
 def _bloom_indexes(v, m: int, k: int) -> list:
     """The ``k`` bit positions of value ``v`` in an ``m``-bit bloom
-    filter: md5 of the value's ``repr`` sliced into 16-bit chunks mod
-    ``m`` (so ``k`` ≤ 8; with ``m`` a power of two ≤ 65536 the modulo
-    is bias-free). ``repr`` of the _stats_safe-normalized value is the
-    canonical encoding — deterministic across processes, and identical
-    between the commit-time recorder and read_pruned's probes."""
+    filter: md5 of the value's :func:`_bloom_key` sliced into 16-bit
+    chunks mod ``m`` (so ``k`` ≤ 8; with ``m`` a power of two ≤ 65536
+    the modulo is bias-free) — deterministic across processes, and
+    identical between the commit-time recorder and read_pruned's
+    probes."""
     import hashlib
 
-    h = hashlib.md5(repr(v).encode("utf-8")).digest()
+    h = hashlib.md5(_bloom_key(v).encode("utf-8")).digest()
     return [int.from_bytes(h[2 * i : 2 * i + 2], "big") % m for i in range(k)]
 
 

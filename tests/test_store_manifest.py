@@ -789,3 +789,23 @@ def test_diff_applies_to_reconstruct_new_version(spark, tmp_path):
     want = {(r.id, r.v, r.n) for r in t.read(v2).collect()}
     got = {(r.id, r.v, r.n) for r in reconstructed.collect()}
     assert got == want
+
+
+def test_bloom_numeric_type_equivalence(spark, tmp_path):
+    """Bloom hashing follows Python numeric equality like the other
+    skip paths: int probes against a DOUBLE column's recorded values
+    must never skip a containing file (1 == 1.0 — a repr-level
+    mismatch here would be a false negative and break the superset
+    guarantee)."""
+    t = ParquetTable(spark, str(tmp_path / "bnum"), bloom_stats_cols=["v"])
+    t.append(
+        spark.createDataFrame(
+            [(float(x),) for x in range(50)], "v double"
+        ).coalesce(1)
+    )
+    # int probe for a present double value: file must be kept
+    got = t.read_pruned("v", values=[7])
+    assert len(got.inputFiles()) == 1
+    assert got.where(F.col("v") == 7.0).count() == 1
+    # absent value still skips (bloom active, not disabled)
+    assert t.read_pruned("v", values=[9999]).count() == 0
