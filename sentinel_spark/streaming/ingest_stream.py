@@ -128,18 +128,39 @@ def stateful_dedup_stream(
     docs: DataFrame,
     key_col: str = "fingerprint",
     payload_cols: tuple[str, ...] = ("content",),
+    ttl_ms: int | None = None,
 ):
     """Custom stateful streaming operator: exact dedup across
     micro-batches — only the first document per content fingerprint is
     ever emitted; later arrivals (same batch or any future batch) drop.
 
-    Built on ``applyInPandasWithState``: state is one boolean per
-    fingerprint group, persisted in the streaming state store (RocksDB/
-    HDFS-backed on a cluster, checkpoint-restored across restarts).
-    This is the streaming analog of the batch ``exact_dup_groups`` —
-    a batch engine must re-scan history to dedup; the state store
-    carries "seen" forward instead, so each arriving batch does one
-    state lookup per new fingerprint. Returns the deduped stream.
+    Built on ``applyInPandasWithState``: state is one emit timestamp
+    per fingerprint group, persisted in the streaming state store
+    (RocksDB/HDFS-backed on a cluster, checkpoint-restored across
+    restarts). This is the streaming analog of the batch
+    ``exact_dup_groups`` — a batch engine must re-scan history to
+    dedup; the state store carries "seen" forward instead, so each
+    arriving batch does one state lookup per new fingerprint. Returns
+    the deduped stream.
+
+    ``ttl_ms`` bounds the state for FOREVER streams: a fingerprint is
+    suppressed only within ``ttl_ms`` of its emit (dedup-within-
+    horizon, the ``dropDuplicatesWithinWatermark`` trade) and its
+    state is garbage-collected by an EVENT-time timeout after expiry —
+    without a horizon, exact forever-dedup inherently keeps one state
+    row per distinct fingerprint ever seen, which is the right
+    semantics for bounded backfills but unbounded state on an endless
+    stream. Correctness comes from the arrival-time expiry check
+    against the stored emit timestamp (the timeout callback fires only
+    for groups with no data in a trigger, and only once the watermark
+    passes — it is purely storage reclamation); an expired fingerprint
+    therefore re-emits exactly once per horizon regardless of timeout
+    timing. Event-time (not processing-time) timeouts are load-bearing:
+    a processing-time timeout makes ``availableNow`` runs busy-loop
+    no-data triggers forever instead of terminating (measured: 99
+    batches in 60 s on a 2-row input). The ingestion timestamp column
+    ``__ts`` and a 0-second watermark are added internally when a ttl
+    is set. None (the default) keeps the forever semantics.
     """
     import pandas as pd  # noqa: F401  (workers need pandas for the UDF)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -147,24 +168,48 @@ def stateful_dedup_stream(
     out_fields = ", ".join(
         [f"{key_col} string"] + [f"{c} string" for c in payload_cols]
     )
+    if ttl_ms is not None:
+        docs = docs.withColumn("__ts", F.current_timestamp()).withWatermark(
+            "__ts", "0 seconds"
+        )
 
     def emit_first(key, pdfs, state):
-        if state.exists:
+        import time as _time
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now_ms = int(_time.time() * 1000)
+        if state.exists and (
+            ttl_ms is None or now_ms - state.get[0] <= ttl_ms
+        ):
             return
         first = None
+        ev_ms = None
         for pdf in pdfs:
             if first is None and len(pdf):
                 first = pdf.iloc[[0]][[key_col, *payload_cols]]
+                if ttl_ms is not None:
+                    ev_ms = int(pdf["__ts"].max().timestamp() * 1000)
         if first is not None:
-            state.update((True,))
+            state.update((now_ms,))
+            if ttl_ms is not None:
+                # storage GC at 2x the horizon past this batch's event
+                # time; fires on a later trigger once the watermark
+                # passes it
+                state.setTimeoutTimestamp(ev_ms + 2 * ttl_ms)
             yield first
 
     return docs.groupBy(key_col).applyInPandasWithState(
         emit_first,
         outputStructType=out_fields,
-        stateStructType="seen boolean",
+        stateStructType="emitted_at long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -173,10 +218,13 @@ def run_dedup_stream(
     input_dir: str,
     out_dir: str,
     checkpoint_dir: str | None = None,
+    ttl_ms: int | None = None,
 ):
     """File-arrival wrapper for :func:`stateful_dedup_stream`: each
     line of each arriving text file is a document; fingerprint = md5 of
-    the normalized content; unique documents append to parquet."""
+    the normalized content; unique documents append to parquet.
+    ``ttl_ms`` passes through as the dedup horizon (see the operator's
+    docstring)."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     stream = (
         spark.readStream.format("text")
@@ -186,7 +234,7 @@ def run_dedup_stream(
             F.col("value").alias("content"),
         )
     )
-    deduped = stateful_dedup_stream(stream)
+    deduped = stateful_dedup_stream(stream, ttl_ms=ttl_ms)
     q = (
         deduped.writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "unique"))

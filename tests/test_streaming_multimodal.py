@@ -104,6 +104,41 @@ def test_stateful_dedup_stream(spark, tmp_path):
     assert len(rows) == 3  # beta did NOT re-emit
 
 
+def test_stateful_dedup_ttl_horizon(spark, tmp_path):
+    """ttl_ms bounds dedup to a horizon. Timing-robust construction
+    (a micro-batch run costs seconds of wall clock, so the horizon
+    under test must be far from that scale on both sides): with a
+    LONG horizon a cross-run dup stays suppressed exactly like the
+    forever mode; with a 1 ms horizon every cross-run arrival is past
+    expiry and re-emits — and the availableNow runs terminate, which
+    is itself load-bearing (processing-time timeouts would busy-loop
+    the trigger forever)."""
+    from sentinel_spark.streaming.ingest_stream import run_dedup_stream
+
+    # long horizon: suppressed across runs
+    inbox_a = tmp_path / "in_a"
+    inbox_a.mkdir()
+    out_a = str(tmp_path / "out_a")
+    (inbox_a / "f1.txt").write_text("alpha\nbeta\n")
+    run_dedup_stream(spark, str(inbox_a), out_a, ttl_ms=600_000)
+    (inbox_a / "f2.txt").write_text("alpha\n")
+    run_dedup_stream(spark, str(inbox_a), out_a, ttl_ms=600_000)
+    rows = spark.read.parquet(out_a + "/unique").collect()
+    assert sorted(r.content for r in rows) == ["alpha", "beta"]
+
+    # 1 ms horizon: the cross-run dup is past expiry and re-emits
+    # (intra-batch dups still collapse — one emit per key per batch)
+    inbox_b = tmp_path / "in_b"
+    inbox_b.mkdir()
+    out_b = str(tmp_path / "out_b")
+    (inbox_b / "f1.txt").write_text("alpha\nbeta\nalpha\n")
+    run_dedup_stream(spark, str(inbox_b), out_b, ttl_ms=1)
+    (inbox_b / "f2.txt").write_text("alpha\ndelta\n")
+    run_dedup_stream(spark, str(inbox_b), out_b, ttl_ms=1)
+    rows = spark.read.parquet(out_b + "/unique").collect()
+    assert sorted(r.content for r in rows) == ["alpha", "alpha", "beta", "delta"]
+
+
 def test_media_features_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "hello world"), (3, "other content")],
