@@ -253,6 +253,7 @@ def run_document_pipeline(
     out_dir: str,
     checkpoint_dir: str | None = None,
     min_words: int = 5,
+    ttl_ms: int | None = None,
 ):
     """Streaming training-data intake: quality-gate → cross-batch exact
     dedup → append. The full batch vocabulary composes unchanged on a
@@ -265,7 +266,8 @@ def run_document_pipeline(
       channel;
     * dedup: :func:`stateful_dedup_stream` keeps the "seen" set in the
       streaming state store, so a duplicate arriving months later still
-      drops without re-scanning history.
+      drops without re-scanning history (``ttl_ms`` passes through as
+      the dedup horizon for endless streams — see the operator).
 
     Each line of each arriving text file is one document. Returns the
     (awaited) StreamingQuery.
@@ -307,7 +309,7 @@ def run_document_pipeline(
         .start()
     )
     unique = (
-        stateful_dedup_stream(source().filter(F.col("keep")))
+        stateful_dedup_stream(source().filter(F.col("keep")), ttl_ms=ttl_ms)
         .writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "unique"))
         .option("checkpointLocation", checkpoint_dir + "_unique")
