@@ -439,3 +439,60 @@ def test_bloom_has_no_false_negatives(values, probes):
         assert _bloom_maybe_contains(bits, m, k, v)
     for p in probes:
         _bloom_maybe_contains(bits, m, k, p)  # no exception either way
+
+
+@SLOW
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+        min_size=0, max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+        min_size=0, max_size=25,
+    ),
+    lower_s=st.integers(0, 600),
+    upper_s=st.integers(0, 1800),
+)
+def test_interval_join_matches_bruteforce(spark, left, right, lower_s, upper_s):
+    """interval_join's batch form == the O(n*m) reference on random
+    keyed event sets for arbitrary window bounds: pair (l, r) joins
+    iff keys match and l.ts - lower <= r.ts <= l.ts + upper."""
+    import datetime as dt
+
+    from sentinel_spark.streaming.join_stream import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)
+    ]
+    rrows = [
+        (k, base + dt.timedelta(seconds=s), 1000 + i)
+        for i, (k, s) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(
+        lrows or [(0, base, -1)], "k long, ts timestamp, lid long"
+    )
+    rdf = spark.createDataFrame(
+        rrows or [(0, base, -1)], "k long, ts timestamp, rid long"
+    )
+    if not lrows:
+        ldf = ldf.where("lid >= 0")
+    if not rrows:
+        rdf = rdf.where("rid >= 0")
+    got = {
+        (r.lid, r.r_rid)
+        for r in interval_join(
+            ldf, rdf, "k", "ts", "ts",
+            lower=f"{lower_s} seconds", upper=f"{upper_s} seconds",
+        ).collect()
+    }
+    lo = dt.timedelta(seconds=lower_s)
+    hi = dt.timedelta(seconds=upper_s)
+    want = {
+        (lid, rid)
+        for (lk, lts, lid) in lrows
+        for (rk, rts, rid) in rrows
+        if lk == rk and lts - lo <= rts <= lts + hi
+    }
+    assert got == want
