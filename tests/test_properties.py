@@ -496,3 +496,70 @@ def test_interval_join_matches_bruteforce(spark, left, right, lower_s, upper_s):
         if lk == rk and lts - lo <= rts <= lts + hi
     }
     assert got == want
+
+
+@SLOW
+@given(
+    sizes=st.lists(st.integers(0, 10_000), min_size=1, max_size=6),
+    alpha=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+    total=st.integers(1, 50_000),
+)
+def test_temperature_budget_laws(spark, sizes, alpha, total):
+    """Closed-form laws of temperature_budgets on any size vector:
+    zero-token sources get no budget, every budget caps at its
+    source's size, and the un-capped sum stays within rounding slack
+    of the requested total."""
+    from sentinel_spark.functions.sampling import temperature_budgets
+
+    rows = [(f"s{i}", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    b = temperature_budgets(df, "source", "n_tok", total_tokens=total, alpha=alpha)
+    assert set(b) == {f"s{i}" for i, n in enumerate(sizes) if n > 0}
+    for i, n in enumerate(sizes):
+        if n > 0:
+            assert 0 <= b[f"s{i}"] <= n
+    # each budget ≤ round(share), each round adds ≤ 0.5
+    assert sum(b.values()) <= total + len(b)
+    # alpha=1 with no caps in play is proportional-to-size
+    if alpha == 1.0 and b:
+        n_total = sum(n for n in sizes if n > 0)
+        if total <= min(n for n in sizes if n > 0):
+            for i, n in enumerate(sizes):
+                if n > 0:
+                    assert abs(b[f"s{i}"] - total * n / n_total) <= 1
+
+
+@SLOW
+@given(
+    file_ranges=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 100)),
+        min_size=1,
+        max_size=3,
+    ),
+    q=st.tuples(st.integers(0, 100), st.integers(0, 100)),
+)
+def test_read_pruned_range_superset_law(spark, tmp_path_factory, file_ranges, q):
+    """read_pruned's superset guarantee on arbitrary per-file ranges
+    and query bounds: pruned-scan + exact filter == full-scan + exact
+    filter, always."""
+    from sentinel_spark.sources.store import ParquetTable
+
+    base = tmp_path_factory.mktemp("rp")
+    t = ParquetTable(spark, str(base / "t"))
+    for lo, hi in file_ranges:
+        lo, hi = min(lo, hi), max(lo, hi)
+        t.append(
+            spark.range(lo, hi + 1).select(F.col("id").alias("k")).coalesce(1)
+        )
+    qlo, qhi = min(q), max(q)
+    pruned = sorted(
+        r.k
+        for r in t.read_pruned("k", lower=qlo, upper=qhi)
+        .where(F.col("k").between(qlo, qhi))
+        .collect()
+    )
+    full = sorted(
+        r.k
+        for r in t.read().where(F.col("k").between(qlo, qhi)).collect()
+    )
+    assert pruned == full
