@@ -121,7 +121,15 @@ def _bloom_key(v) -> str:
     (``repr(1)`` vs ``repr(1.0)``) would be a bloom FALSE NEGATIVE —
     a wrong skip that breaks read_pruned's superset guarantee."""
     if isinstance(v, (bool, int, float)):
-        fv = float(v)
+        try:
+            fv = float(v)
+        except OverflowError:
+            # int beyond float range (~1.8e308): commit-time values are
+            # int64-bounded, so only a probe can get here, and an int
+            # that large can never equal any stored value — any stable
+            # encoding keeps the no-false-negative guarantee. Encode
+            # the exact int instead of crashing the read.
+            return repr(int(v))
         if fv.is_integer():
             # use the original int when exact (floats above 2^53
             # collapse to their nearest representable int, which is

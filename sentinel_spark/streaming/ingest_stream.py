@@ -129,6 +129,7 @@ def stateful_dedup_stream(
     key_col: str = "fingerprint",
     payload_cols: tuple[str, ...] = ("content",),
     ttl_ms: int | None = None,
+    event_time_col: str | None = None,
 ):
     """Custom stateful streaming operator: exact dedup across
     micro-batches — only the first document per content fingerprint is
@@ -160,7 +161,34 @@ def stateful_dedup_stream(
     no-data triggers forever instead of terminating (measured: 99
     batches in 60 s on a 2-row input). The ingestion timestamp column
     ``__ts`` and a 0-second watermark are added internally when a ttl
-    is set. None (the default) keeps the forever semantics.
+    is set (``event_time_col`` substitutes a caller-supplied event-time
+    column for the ingestion timestamp — watermark semantics unchanged;
+    tests use it to drive GC with synthetic clocks). None (the default)
+    keeps the forever semantics.
+
+    The GC timeout is re-armed on EVERY invocation that touches a
+    live group — including the suppressed-duplicate path. The
+    GroupState contract documents that "the user has to set the
+    timeout duration every time the function is called, otherwise
+    there will not be any timeout set"; a version honoring that
+    literally would leave duplicate-heavy keys with NO timeout after
+    their first suppressed duplicate — state never reclaimed, exactly
+    the growth ``ttl_ms`` exists to bound. (Measured: the 4.1.2
+    pandas-state implementation happens to retain an untouched group's
+    previous timeout, so the leak doesn't manifest there — but that is
+    an implementation detail the contract doesn't promise.) Re-arming
+    also anchors GC to the LATEST arrival: a steady duplicate stream
+    keeps pushing reclamation to 2x the horizon past its newest event
+    instead of collecting mid-stream at the original emit's deadline.
+    Later than strictly needed is always safe — the arrival-time check
+    governs correctness; the timeout is storage reclamation only.
+
+    Checkpoint compatibility: ``ttl_ms=None`` keeps the original
+    ``seen boolean`` state schema, so forever-mode streams restarted
+    from a pre-ttl checkpoint pass the state-store schema check.
+    Setting a ttl switches the state to ``emitted_at long`` — enabling
+    a horizon on an existing checkpoint is a schema-breaking change
+    and needs a fresh checkpoint directory.
     """
     import pandas as pd  # noqa: F401  (workers need pandas for the UDF)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -168,10 +196,11 @@ def stateful_dedup_stream(
     out_fields = ", ".join(
         [f"{key_col} string"] + [f"{c} string" for c in payload_cols]
     )
+    ts_col = event_time_col or "__ts"
     if ttl_ms is not None:
-        docs = docs.withColumn("__ts", F.current_timestamp()).withWatermark(
-            "__ts", "0 seconds"
-        )
+        if event_time_col is None:
+            docs = docs.withColumn("__ts", F.current_timestamp())
+        docs = docs.withWatermark(ts_col, "0 seconds")
 
     def emit_first(key, pdfs, state):
         import time as _time
@@ -180,30 +209,52 @@ def stateful_dedup_stream(
             state.remove()
             return
         now_ms = int(_time.time() * 1000)
-        if state.exists and (
-            ttl_ms is None or now_ms - state.get[0] <= ttl_ms
-        ):
-            return
         first = None
         ev_ms = None
         for pdf in pdfs:
-            if first is None and len(pdf):
-                first = pdf.iloc[[0]][[key_col, *payload_cols]]
+            if len(pdf):
+                if first is None:
+                    first = pdf.iloc[[0]][[key_col, *payload_cols]]
                 if ttl_ms is not None:
-                    ev_ms = int(pdf["__ts"].max().timestamp() * 1000)
+                    m = int(pdf[ts_col].max().timestamp() * 1000)
+                    ev_ms = m if ev_ms is None else max(ev_ms, m)
+
+        def rearm():
+            # storage GC at 2x the horizon past this batch's event
+            # time; fires on a later trigger once the watermark passes
+            # it. max() keeps the timestamp strictly beyond the current
+            # watermark (Spark rejects timeouts at or before it).
+            state.setTimeoutTimestamp(
+                max(ev_ms + 2 * ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+        if state.exists and (
+            ttl_ms is None or now_ms - state.get[0] <= ttl_ms
+        ):
+            # suppressed duplicate. Spark clears the group's timeout on
+            # every invocation, so the GC timer MUST be re-armed here
+            # too — otherwise any key that keeps receiving duplicates
+            # inside the horizon loses its timeout and its state row is
+            # never reclaimed (unbounded growth on exactly the
+            # duplicate-heavy keys the ttl exists to bound).
+            if ttl_ms is not None and ev_ms is not None:
+                rearm()
+            return
         if first is not None:
-            state.update((now_ms,))
+            state.update((now_ms,) if ttl_ms is not None else (True,))
             if ttl_ms is not None:
-                # storage GC at 2x the horizon past this batch's event
-                # time; fires on a later trigger once the watermark
-                # passes it
-                state.setTimeoutTimestamp(ev_ms + 2 * ttl_ms)
+                rearm()
             yield first
 
     return docs.groupBy(key_col).applyInPandasWithState(
         emit_first,
         outputStructType=out_fields,
-        stateStructType="emitted_at long",
+        # ttl_ms=None keeps the pre-ttl 'seen boolean' schema so
+        # forever-mode checkpoints survive the upgrade; the long emit
+        # timestamp only exists when a horizon needs it.
+        stateStructType=(
+            "emitted_at long" if ttl_ms is not None else "seen boolean"
+        ),
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.EventTimeTimeout

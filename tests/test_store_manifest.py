@@ -809,3 +809,26 @@ def test_bloom_numeric_type_equivalence(spark, tmp_path):
     assert got.where(F.col("v") == 7.0).count() == 1
     # absent value still skips (bloom active, not disabled)
     assert t.read_pruned("v", values=[9999]).count() == 0
+
+
+def test_bloom_probe_beyond_float_range(spark, tmp_path):
+    """An int probe beyond float range (~1.8e308) must not crash the
+    read with OverflowError from float() canonicalization — commit-time
+    values are int64-bounded, so such a probe can never match anything;
+    it should behave as simply absent."""
+    from sentinel_spark.sources.store import _bloom_key
+
+    huge = 10**400
+    # the encoder itself is total over huge ints
+    assert _bloom_key(huge) == repr(huge)
+    t = ParquetTable(spark, str(tmp_path / "bhuge"), bloom_stats_cols=["v"])
+    t.append(
+        spark.createDataFrame(
+            [(float(x),) for x in range(50)], "v double"
+        ).coalesce(1)
+    )
+    # probe with the oversized int: no crash, value treated as absent
+    assert t.read_pruned("v", values=[huge]).count() == 0
+    # mixed probe set: the present value still keeps the file
+    got = t.read_pruned("v", values=[huge, 7])
+    assert got.where(F.col("v") == 7.0).count() == 1

@@ -1,3 +1,4 @@
+import json
 import os
 import shutil
 
@@ -137,6 +138,92 @@ def test_stateful_dedup_ttl_horizon(spark, tmp_path):
     run_dedup_stream(spark, str(inbox_b), out_b, ttl_ms=1)
     rows = spark.read.parquet(out_b + "/unique").collect()
     assert sorted(r.content for r in rows) == ["alpha", "alpha", "beta", "delta"]
+
+
+def test_stateful_dedup_ttl_gc_rearms_on_duplicates(spark, tmp_path):
+    """The suppressed-duplicate path must RE-ARM the GC timeout: the
+    GroupState contract says a timeout has to be set on every function
+    call, so an early return that skips it would leave duplicate-heavy
+    keys with state that is never reclaimed. The re-arm's observable
+    effect (pinned here) is that GC anchors to the LATEST arrival —
+    a within-horizon duplicate pushes reclamation to its own
+    ev + 2·ttl instead of leaving the original emit's deadline (or,
+    on a contract-literal engine, no deadline at all). Eventual
+    removal after the extended horizon is pinned too.
+
+    Construction: 6 files → 6 ordered micro-batches in one availableNow
+    run (maxFilesPerTrigger=1), synthetic event times via
+    event_time_col so watermark movement is deterministic
+    (ttl = 10 min, so GC = ev + 20 min; the watermark an invocation
+    sees is the PREVIOUS batch's max event time):
+
+    - b0  alpha @10:00  emits; GC deadline 10:20
+    - b1  alpha @10:15  wall-clock-within-horizon duplicate →
+          suppressed; re-arm moves the deadline to 10:35
+    - b2  fillA @10:30  wm 10:15 → nothing collectible
+    - b3  fillB @10:31  wm 10:30: past alpha's ORIGINAL 10:20 deadline
+          but before the re-armed 10:35 → alpha must survive (state
+          grows to 4 rows); without the re-arm it is collected here
+    - b4  fillC @11:00  wm 10:31 → alpha still held
+    - b5  fillD @11:01  wm 11:00: past 10:35 → alpha reclaimed, and
+          fillA/fillB (deadlines 10:50/10:51) go with it → 2 rows
+    """
+    from sentinel_spark.streaming.ingest_stream import stateful_dedup_stream
+
+    src = tmp_path / "gc_src"
+    src.mkdir()
+    batches = [
+        ("alpha", "doc-a", "2024-01-01 10:00:00"),
+        ("alpha", "doc-a-dup", "2024-01-01 10:15:00"),
+        ("fillA", "doc-fa", "2024-01-01 10:30:00"),
+        ("fillB", "doc-fb", "2024-01-01 10:31:00"),
+        ("fillC", "doc-fc", "2024-01-01 11:00:00"),
+        ("fillD", "doc-fd", "2024-01-01 11:01:00"),
+    ]
+    for i, (fp, content, ev) in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text(
+            json.dumps({"fingerprint": fp, "content": content, "ev": ev})
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(
+            "fingerprint string, content string, ev timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    deduped = stateful_dedup_stream(
+        stream, ttl_ms=600_000, event_time_col="ev"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("gc_sink")
+        .option("checkpointLocation", str(tmp_path / "gc_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sorted(
+        r.fingerprint for r in spark.sql("SELECT * FROM gc_sink").collect()
+    )
+    # the in-horizon duplicate was suppressed (dedup semantics intact)
+    assert out == ["alpha", "fillA", "fillB", "fillC", "fillD"]
+    totals = [
+        op["numRowsTotal"]
+        for prog in q.recentProgress
+        for op in prog["stateOperators"] or []
+    ]
+    # b3 is the discriminator: 4 rows iff the duplicate re-armed
+    # alpha's deadline past the original 10:20 (3 means alpha was
+    # collected at its first-emit deadline — re-arm missing)
+    assert totals[:6] == [1, 1, 2, 3, 4, 2], totals
+    # eventual reclamation: only fillC/fillD remain at the end, even
+    # if an extra no-data batch ran for timeout processing
+    assert totals[-1] == 2, totals
 
 
 def test_media_features_deterministic(spark):
