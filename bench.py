@@ -25,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E
+from pyspark.sql import functions as F
 from sentinel_spark.cache import release
 from sentinel_spark.session import get_spark
 
@@ -84,6 +85,38 @@ def main():
     tiny_funnel = carry(tiny_res.funnel, tiny_res.selected)
     tiny_funnel.write.format("noop").mode("overwrite").save()
     release(tiny_funnel)
+    # ... and the paragraph-grain dedup shape (md5-keyed winner
+    # aggregate + segment reassembly) added to the decontam gate in r7;
+    # its first-JIT otherwise lands on that gate's cold run (r7: 6.7 s
+    # cold vs 4.3 s median — the largest remaining cold-warm gap).
+    from sentinel_spark.functions.dedup import dedup_paragraphs
+
+    tiny_para = tiny.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the"), F.lit("\nthe")).alias("text")
+    )
+    dedup_paragraphs(tiny_para, "text", "doc_id").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # ... and the ingest shred shape (JSON-schema validation mapInPandas
+    # → shred multi-join → rollup): the gate is fixture-sized, so its
+    # 2.9 s cold vs 1.7 s median (r7) is almost entirely this one-time
+    # codegen. One single-upload fixture warms every stage.
+    from sentinel_spark.operators.ingest import read_uploads, shred_uploads
+    from sentinel_spark.operators.rollup import pipeline_stats
+    from sentinel_spark.plans.pipeline_spec import PIPELINES
+
+    fx = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures"
+    )
+    shredded = shred_uploads(
+        read_uploads(spark, [os.path.join(fx, "plain", "plain.json")]),
+        PIPELINES["plain"],
+        "warmup-user",
+        eager=True,
+    )
+    warm_roll = carry(pipeline_stats(shredded.runs), shredded.cached)
+    warm_roll.write.format("noop").mode("overwrite").save()
+    release(warm_roll)
 
     # Three repetitions per gate: run 1 = cold (codegen/JIT included,
     # comparable across rounds), runs 2-3 = warm recomputes. The
