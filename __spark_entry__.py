@@ -656,9 +656,20 @@ def q_line_clean(spark, sf_dir):
     is off because the corpus has no punctuation."""
     kw = dict(min_words=4, blacklist=("slow",), require_terminal=False)
     d = _t(spark, sf_dir, "documents")
+    # a synthetic footer line exercises corpus-frequency boilerplate
+    # removal: docs with doc_id % 3 < 2 share one footer (removed as
+    # boilerplate everywhere), the rest get a per-doc unique footer
+    # (doc-frequency 1 — must survive)
+    footer = F.when(
+        F.col("doc_id") % 3 < 2, F.lit("all rights reserved")
+    ).otherwise(F.concat(F.lit("contact "), F.col("doc_id").cast("string")))
     multi = d.select(
         "doc_id",
-        F.replace(F.col("text"), F.lit(" table"), F.lit("\ntable")).alias("text"),
+        F.concat(
+            F.replace(F.col("text"), F.lit(" table"), F.lit("\ntable")),
+            F.lit("\n"),
+            footer,
+        ).alias("text"),
     )
     # strip_html ground truth: wrap the document in deterministic HTML
     # (style/script/comment junk + ' table' boundaries as real <div>
@@ -670,14 +681,29 @@ def q_line_clean(spark, sf_dir):
         F.replace(F.col("text"), F.lit("\ntable"), F.lit("</div><div>table")),
         F.lit("</div><!-- end --><script>var x=1;</script>"),
     )
-    return multi.select(
+    base = multi.select(
         "doc_id",
         T.clean_lines("text", **kw).alias("clean_text"),
         T.kept_line_count("text", **kw).alias("lines_kept"),
         F.size(F.split(F.col("text"), "\n")).alias("lines_total"),
         T.c4_doc_pass("text", min_kept_lines=2, **kw).alias("keep"),
         T.strip_html(html).alias("html_clean"),
+        # NFC branch: decompose every 'e' into e + combining acute;
+        # normalize_unicode must compose each back to é — the oracle
+        # states nfc_normalize over the same decomposition, so a no-op
+        # implementation hash-mismatches
+        F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")).alias("nfc_text"),
     )
+    # corpus-frequency boilerplate branch (dedup.remove_boilerplate_lines):
+    # the cleaned text itself is value-hash-checked
+    from sentinel_spark.functions.dedup import remove_boilerplate_lines
+
+    bp = remove_boilerplate_lines(multi, "text", "doc_id", min_docs=2).select(
+        "doc_id",
+        F.col("text").alias("bp_text"),
+        F.col("n_removed").cast("long").alias("bp_removed"),
+    )
+    return T.normalize_unicode(base.join(bp, "doc_id"), "nfc_text")
 
 
 def q_doc_repetition(spark, sf_dir):
@@ -1979,7 +2005,25 @@ def q_web_domains(spark, sf_dir):
         F.col("n_bad").alias("n2"),
         F.col("bad_frac").alias("frac"),
     )
-    return rep.unionByName(bl)
+    # URL-dedup branch (web.url_dedup): template 1 collides on
+    # doc_id % 7 so domains see real duplicate groups; n2 carries the
+    # per-domain sum of WINNER ids, so the min-id winner rule itself
+    # is value-checked, not just the group sizes
+    dd = W.url_dedup(
+        d.select(F.col("doc_id").alias("id"), url.alias("url")), "url", "id"
+    )
+    ud = (
+        dd.groupBy(W.registered_domain("url").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("id").alias("n2"),
+            F.round(
+                F.sum(F.col("n_url_copies") - 1) / F.sum("n_url_copies"), 6
+            ).alias("frac"),
+        )
+        .select(F.lit("urldedup").alias("kind"), "domain", "n_docs", "n2", "frac")
+    )
+    return rep.unionByName(bl).unionByName(ud)
 
 
 def q_rejects_channel(spark, sf_dir):
@@ -2824,7 +2868,10 @@ def oracle_sql() -> dict[str, str]:
         # same [a-z0-9]+ extraction as the Spark tokens() Column.
         "line_clean": """
             WITH multi AS (
-              SELECT doc_id, replace(text, ' table', chr(10) || 'table') AS text
+              SELECT doc_id,
+                     replace(text, ' table', chr(10) || 'table') || chr(10) ||
+                     CASE WHEN doc_id % 3 < 2 THEN 'all rights reserved'
+                          ELSE 'contact ' || CAST(doc_id AS VARCHAR) END AS text
               FROM documents
             ),
             lined AS (
@@ -2834,6 +2881,33 @@ def oracle_sql() -> dict[str, str]:
                                  x -> len(regexp_extract_all(lower(x), '[a-z0-9]+')) >= 4
                                       AND NOT contains(lower(x), 'slow')) AS kept
               FROM multi
+            ),
+            -- boilerplate branch: full replay of the distinct-doc
+            -- line-frequency rule (remove_boilerplate_lines)
+            lr AS (
+              SELECT doc_id, idx, lines[idx] AS line,
+                     CASE WHEN lower(trim(regexp_replace(lines[idx], '\\s+', ' ', 'g'))) <> ''
+                          THEN md5(lower(trim(regexp_replace(lines[idx], '\\s+', ' ', 'g'))))
+                     END AS fp
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS lines,
+                           unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+                    FROM multi)
+            ),
+            freq AS (
+              SELECT fp FROM lr WHERE fp IS NOT NULL
+              GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+            ),
+            fl AS (
+              SELECT lr.doc_id, lr.idx, lr.line,
+                     (lr.fp IS NULL OR freq.fp IS NULL) AS keep
+              FROM lr LEFT JOIN freq ON lr.fp = freq.fp
+            ),
+            bp AS (
+              SELECT doc_id,
+                     coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                         ORDER BY idx), '') AS bp_text,
+                     CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS bp_removed
+              FROM fl GROUP BY doc_id
             )
             SELECT doc_id,
                    -- array_to_string of an empty list is NULL in DuckDB
@@ -2848,8 +2922,11 @@ def oracle_sql() -> dict[str, str]:
                    -- deterministic HTML junk; the extraction chain must
                    -- recover exactly the linebreak-derived text (this
                    -- closed form), value-hash-checking every regexp step
-                   text AS html_clean
-            FROM lined
+                   text AS html_clean,
+                   bp_text, bp_removed,
+                   -- NFC branch: decompose every 'e', normalize back
+                   nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS nfc_text
+            FROM lined JOIN bp USING (doc_id)
         """,
         "doc_repetition": f"""
             WITH t AS (
@@ -3987,7 +4064,8 @@ def oracle_sql() -> dict[str, str]:
     # stated analytically (ground truth, not a parallel regexp dialect).
     out["web_domains"] = """
         WITH u AS (
-          SELECT CASE WHEN doc_id % 3 = 0 THEN lower(source) || '.co.uk'
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN lower(source) || '.co.uk'
                       WHEN doc_id % 3 = 1 THEN 'example.com'
                       ELSE lower(source) || '.net' END AS domain,
                  CASE WHEN doc_id % 3 = 0
@@ -4012,6 +4090,15 @@ def oracle_sql() -> dict[str, str]:
         FROM u GROUP BY domain
         HAVING count(*) >= 5
            AND sum(CASE WHEN bad THEN 1 ELSE 0 END) > count(*) * (1.0/3.0)
+        UNION ALL
+        -- url_dedup replay: one winner (min doc_id) per canonical URL;
+        -- n2 = per-domain sum of winner ids checks winner selection
+        SELECT 'urldedup' AS kind, domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(wid) AS BIGINT) AS n2,
+               round(sum(n - 1) / sum(n), 6) AS frac
+        FROM (SELECT domain, curl, min(doc_id) AS wid, count(*) AS n
+              FROM u GROUP BY domain, curl) w
+        GROUP BY domain
     """
     # Literal golden for the deterministic tabular fixtures (same
     # pattern as ingest_rollup). No f-string: the JSON raw line keeps

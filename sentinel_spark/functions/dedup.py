@@ -1050,27 +1050,7 @@ def dedup_paragraphs(
     ids); re-attach by fingerprint join; per-document reassembly sorts
     within the id partition.
     """
-    # \Q...\E: sep is a LITERAL separator. split() takes a regex, and
-    # the reassembly join uses sep verbatim — quoting keeps the two
-    # consistent for regex-special separators ('|', '.', ...).
-    base = _spread(df, by=F.col(id_col)).select(
-        F.col(id_col).alias("id"),
-        # NULL text reads as empty (one blank paragraph): a null array
-        # would posexplode to zero rows and silently drop the document
-        F.split(
-            F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E"
-        ).alias("paras"),
-    )
-    norm = F.lower(F.trim(F.regexp_replace(F.col("para"), r"\s+", " ")))
-    rows = base.select(
-        "id",
-        F.posexplode("paras").alias("idx", "para"),
-    ).withColumn(
-        # blank paragraphs get a NULL fingerprint: excluded from the
-        # stats aggregate and never matched by the re-attach join
-        "fp",
-        F.when(norm != "", F.md5(norm)),
-    )
+    rows = _segment_rows(df, text_col, id_col, sep)
     stats = (
         rows.where(F.col("fp").isNotNull())
         .groupBy("fp")
@@ -1084,8 +1064,48 @@ def dedup_paragraphs(
         "keep",
         F.col("canon").isNull() | (F.struct("id", "idx") == F.col("canon")),
     )
+    return _reassemble_segments(
+        flagged, id_col, text_col, sep, n_alias="n_paragraphs"
+    )
+
+
+def _segment_rows(
+    df: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """Exploded (id, idx, para, fp) rows shared by the segment-grain
+    dedup operators: split on the literal separator, fingerprint each
+    segment's whitespace-normalized lowercased form."""
+    # \Q...\E: sep is a LITERAL separator. split() takes a regex, and
+    # the reassembly join uses sep verbatim — quoting keeps the two
+    # consistent for regex-special separators ('|', '.', ...).
+    base = _spread(df, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        # NULL text reads as empty (one blank paragraph): a null array
+        # would posexplode to zero rows and silently drop the document
+        F.split(
+            F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E"
+        ).alias("paras"),
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("para"), r"\s+", " ")))
+    return base.select(
+        "id",
+        F.posexplode("paras").alias("idx", "para"),
+    ).withColumn(
+        # blank paragraphs get a NULL fingerprint: excluded from the
+        # stats aggregate and never matched by the re-attach join
+        "fp",
+        F.when(norm != "", F.md5(norm)),
+    )
+
+
+def _reassemble_segments(
+    flagged: DataFrame, id_col: str, text_col: str, sep: str, *, n_alias: str
+) -> DataFrame:
+    """Rebuild (id_col, text_col, n_alias, n_removed) from flagged
+    segment rows: keep-marked segments rejoin in position order inside
+    the id partition — no window, one aggregate."""
     rebuilt = flagged.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.count(F.lit(1)).alias(n_alias),
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
         F.array_join(
             F.transform(
@@ -1102,6 +1122,68 @@ def dedup_paragraphs(
     return rebuilt.select(
         F.col("id").alias(id_col),
         F.col("__clean").alias(text_col),
-        "n_paragraphs",
+        n_alias,
         "n_removed",
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_docs: int = 2,
+    max_words: int | None = None,
+    keep_first: bool = False,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency line removal — the RefinedWeb/CCNet boilerplate
+    pass one grain below :func:`dedup_paragraphs`: a line whose
+    normalized form appears in at least ``min_docs`` DISTINCT documents
+    is navigation/cookie-banner/footer furniture, and every occurrence
+    is removed (``keep_first=True`` instead retains the global minimum
+    ``(doc, position)`` occurrence, the paragraph-dedup rule). The
+    distinct-document frequency is the load-bearing difference from
+    ``dedup_paragraphs``: a line repeated many times INSIDE one
+    document (verse refrains, tables) is that document's own structure,
+    not corpus boilerplate, and stays.
+
+    ``max_words`` restricts candidacy to short lines (boilerplate is
+    short; a long duplicated passage is :mod:`decontam`'s job) — lines
+    with more words are never removed. Blank lines are structure, not
+    content: never counted, never removed.
+
+    Output: (id_col, text_col cleaned, n_lines, n_removed).
+
+    Scale shape: one id-spread, codegen split + posexplode; one
+    md5-keyed aggregate whose distinct-doc count is a two-phase
+    partial (count_distinct over the fingerprint partitioning); the
+    frequent-fp set re-attaches by fingerprint join (AQE broadcasts it
+    when small — the common case); per-document reassembly sorts
+    within the id partition. No window, no driver collect."""
+    rows = _segment_rows(df, text_col, id_col, sep)
+    if max_words is not None:
+        # long lines drop out of candidacy at the fingerprint, so they
+        # neither pay the aggregate nor match the re-attach join
+        rows = rows.withColumn(
+            "fp",
+            F.when(
+                F.size(F.split(F.trim(F.col("para")), r"\s+")) <= max_words,
+                F.col("fp"),
+            ),
+        )
+    stats = (
+        rows.where(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(
+            F.count_distinct(F.col("id")).alias("n_docs"),
+            F.min(F.struct("id", "idx")).alias("canon"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    flagged = rows.join(stats, "fp", "left").withColumn(
+        "keep",
+        F.col("canon").isNull()
+        | (F.lit(keep_first) & (F.struct("id", "idx") == F.col("canon"))),
+    )
+    return _reassemble_segments(flagged, id_col, text_col, sep, n_alias="n_lines")

@@ -320,3 +320,62 @@ def strip_html(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"\n{2,}", "\n")
     # trim ALL edge whitespace (F.trim strips spaces only, not \n)
     return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def normalize_unicode(
+    df,
+    cols: str | list[str],
+    *,
+    form: str = "NFC",
+):
+    """Unicode-normalize string columns (NFC by default) — the first
+    cleanup pass of a multilingual web corpus: composed vs decomposed
+    accent sequences ("é" as U+00E9 vs "e"+U+0301) are byte-different,
+    so they defeat md5 fingerprints, exact dedup, and tokenizer vocab
+    lookups until the corpus is on one normal form. NFKC additionally
+    folds compatibility characters (ligatures, full-width forms) and
+    is the common choice before tokenizer training.
+
+    The ONE irreducible Python boundary in the text stack: Spark has
+    no built-in normalization expression (as of 4.1), so this runs as
+    an Arrow-batched ``mapInPandas`` over pandas'
+    ``Series.str.normalize`` — a narrow per-partition map with zero
+    shuffle, pipelined with whatever scan feeds it; every other
+    operator in this module stays whole-stage codegen. NULLs pass
+    through; non-listed columns are untouched; the schema is
+    preserved, so the transform composes anywhere in a pipeline.
+    DuckDB's ``nfc_normalize`` states the NFC oracle."""
+    import unicodedata
+
+    if isinstance(cols, str):
+        cols = [cols]
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    by_name = {f.name: f for f in df.schema.fields}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"no column {c!r} in frame")
+        if by_name[c].dataType.simpleString() != "string":
+            raise ValueError(
+                f"column {c!r} is {by_name[c].dataType.simpleString()}, "
+                "expected string"
+            )
+    # quick-check fast path: unicodedata.is_normalized is O(1) for
+    # strings whose characters all carry quick-check=YES (almost all
+    # real text) — the Series map only re-encodes the rare rest
+    def _norm_batches(batches):
+        for pdf in batches:
+            for c in cols:
+                s = pdf[c]
+                qc = s.map(
+                    lambda v: unicodedata.is_normalized(form, v),
+                    na_action="ignore",
+                )
+                # NaN (NULL text) compares unequal → stays unmasked
+                mask = qc.eq(False)
+                if mask.any():
+                    pdf = pdf.copy()
+                    pdf.loc[mask, c] = s[mask].str.normalize(form)
+            yield pdf
+
+    return df.mapInPandas(_norm_batches, schema=df.schema)

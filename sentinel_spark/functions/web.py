@@ -226,3 +226,63 @@ def apply_domain_blocklist(
         tmp,
         "left_anti",
     ).drop(tmp)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    *,
+    prefer: Column | None = None,
+) -> DataFrame:
+    """Exact-URL deduplication — RefinedWeb's FIRST dedup stage: the
+    same page crawled many times (tracking-param variants, http/https,
+    fragment anchors) collapses to one kept document per
+    :func:`canonical_url`. Runs before any content-keyed dedup because
+    it needs no text at all — at crawl scale most duplicates fall here
+    for the cost of one short-string shuffle.
+
+    The winner per canonical URL is deterministic: the row with the
+    highest ``prefer`` value (a numeric keep-best score — text length,
+    fetch recency, quality), ties and the default ``prefer=None``
+    falling to the smallest ``id_col``. Rows whose URL column is NULL
+    carry no key and pass through unexamined.
+
+    Output: the winning input rows, all original columns preserved,
+    plus ``n_url_copies`` (total rows sharing the canonical URL; 1 for
+    uniques and NULL-URL pass-throughs).
+
+    Scale shape: one aggregate on the canonical-URL key (map-side
+    combined: min over a struct), then a re-attach join on the same
+    key — co-partitioned with the aggregate, so one real shuffle of
+    the slim (curl, winner) frame plus one of the input keyed the same
+    way. No window over the corpus, no broadcast assumption (AQE
+    broadcasts the winner frame when it IS small)."""
+    if prefer is not None:
+        pref_ord = (-prefer.cast("double")).alias("p")
+    else:
+        pref_ord = F.lit(0.0).alias("p")
+    tmp = "__sentinel_curl__"
+    if tmp in df.columns or "n_url_copies" in df.columns:
+        raise ValueError(
+            f"input frame already has a {tmp!r} or 'n_url_copies' column"
+        )
+    keyed = df.withColumn(tmp, canonical_url(F.col(url_col)))
+    ordk = F.struct(pref_ord, F.col(id_col).alias("i"))
+    winners = (
+        keyed.where(F.col(tmp).isNotNull())
+        .groupBy(tmp)
+        .agg(
+            F.min(ordk).alias("__win"),
+            F.count(F.lit(1)).alias("n_url_copies"),
+        )
+    )
+    kept = (
+        keyed.join(winners, tmp)
+        .where(ordk == F.col("__win"))
+        .drop(tmp, "__win")
+    )
+    passthrough = keyed.where(F.col(tmp).isNull()).drop(tmp).withColumn(
+        "n_url_copies", F.lit(1).cast("long")
+    )
+    return kept.unionByName(passthrough)

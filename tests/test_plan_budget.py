@@ -50,7 +50,10 @@ BUDGET = {
                            # pass + three funnel aggregates — each
                            # exchange audited as a stage of its
                            # standalone gate
-    "line_clean": 0,
+    "line_clean": 3,       # r8 boilerplate branch: line-fingerprint
+                           # frequency aggregate, frequent-set
+                           # re-attach join, per-doc reassembly; the
+                           # column branches stay exchange-free
     "doc_repetition": 2,
     "split_report": 5,
     "chunk_shards": 4,     # + FFD pack bucket exchange + the bucket-
@@ -93,7 +96,11 @@ BUDGET = {
     "lm_perplexity": 0,
     "trainer_suite": 0,
     "pca_covariance": 0,
-    "web_domains": 3,      # two-phase count_distinct + r6 blocklist-evidence aggregate
+    "web_domains": 5,      # two-phase count_distinct + r6 blocklist-
+                           # evidence aggregate + r8 url_dedup branch
+                           # (canonical-URL winner aggregate reuses its
+                           # partitioning into the re-attach join; +1
+                           # domain rollup of the winners)
     "rejects_channel": 0,
 }
 

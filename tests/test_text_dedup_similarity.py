@@ -830,3 +830,123 @@ def test_dedup_paragraphs_null_text(spark):
     assert set(out) == {1, 2}
     assert out[1].text == "" and out[1].n_paragraphs == 1 and out[1].n_removed == 0
     assert out[2].text == "real\nbody"
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency boilerplate lines
+
+
+def _bp_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Cookie notice\nreal content one\n\nCookie   NOTICE\nAll rights reserved"),
+            (2, "cookie notice\nreal content two\nall rights  Reserved"),
+            (3, "Refrain\nRefrain\nRefrain\nreal content three"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_boilerplate_lines_doc_frequency_not_occurrences(spark):
+    from sentinel_spark.functions.dedup import remove_boilerplate_lines
+
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            _bp_corpus(spark), "text", "doc_id", min_docs=2
+        ).collect()
+    }
+    # both cross-doc lines removed EVERYWHERE (normalization folds
+    # case/whitespace): doc 1 loses both cookie occurrences AND the
+    # rights line; the blank line is structure and survives
+    assert out[1].text == "real content one\n"
+    assert out[1].n_lines == 5 and out[1].n_removed == 3
+    assert out[2].text == "real content two" and out[2].n_removed == 2
+    # 'Refrain' x3 is ONE document's internal structure: doc-frequency
+    # 1, kept in full — the distinction from dedup_paragraphs
+    assert out[3].text == "Refrain\nRefrain\nRefrain\nreal content three"
+    assert out[3].n_removed == 0
+    # NULL text document keeps its row (empty text, nothing removed)
+    assert out[4].text == "" and out[4].n_removed == 0
+
+
+def test_boilerplate_lines_keep_first_and_max_words(spark):
+    from sentinel_spark.functions.dedup import remove_boilerplate_lines
+
+    df = _bp_corpus(spark)
+    kf = {
+        r.doc_id: r.n_removed
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=2, keep_first=True
+        ).collect()
+    }
+    # canonical (min doc, idx) occurrence of each boilerplate line
+    # survives: doc 1 keeps 'Cookie notice'@0 and 'All rights
+    # reserved'@4, loses only the repeat
+    assert kf == {1: 1, 2: 2, 3: 0, 4: 0}
+    mw = {
+        r.doc_id: r.n_removed
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=2, max_words=2
+        ).collect()
+    }
+    # 3-word 'all rights reserved' exceeds the cap -> only the 2-word
+    # cookie line is candidate boilerplate
+    assert mw == {1: 2, 2: 1, 3: 0, 4: 0}
+
+
+def test_boilerplate_lines_string_ids(spark):
+    from sentinel_spark.functions.dedup import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [("u-b", "shared line\nkeep b"), ("u-a", "shared line\nkeep a")],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=2, keep_first=True
+        ).collect()
+    }
+    # struct-min canonical key orders string ids lexicographically
+    assert out == {"u-a": "shared line\nkeep a", "u-b": "keep b"}
+
+
+def test_normalize_unicode_forms(spark):
+    from sentinel_spark.functions.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [
+            (1, "cafe\u0301"),  # decomposed e + combining acute
+            (2, "\ufb01ne"),  # ligature fi
+            (3, None),
+            (4, "plain ascii"),
+        ],
+        "doc_id long, text string",
+    )
+    nfc = {r.doc_id: r.text for r in normalize_unicode(df, "text").collect()}
+    assert nfc[1] == "caf\u00e9"
+    assert nfc[2] == "\ufb01ne"  # NFC keeps compatibility chars
+    assert nfc[3] is None and nfc[4] == "plain ascii"
+    nfkc = {
+        r.doc_id: r.text
+        for r in normalize_unicode(df, ["text"], form="NFKC").collect()
+    }
+    assert nfkc[1] == "caf\u00e9" and nfkc[2] == "fine"
+    # schema is preserved exactly
+    assert normalize_unicode(df, "text").schema == df.schema
+
+
+def test_normalize_unicode_validates(spark):
+    import pytest
+
+    from sentinel_spark.functions.text import normalize_unicode
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown normalization form"):
+        normalize_unicode(df, "text", form="NFX")
+    with pytest.raises(ValueError, match="no column"):
+        normalize_unicode(df, "missing")
+    with pytest.raises(ValueError, match="expected string"):
+        normalize_unicode(df, "doc_id")

@@ -107,3 +107,60 @@ def test_domain_blocklist_and_apply(spark):
     assert doms == {"good.org", "tiny.net"}
     assert kept.count() == 15
     assert kept.columns == docs.columns  # schema untouched
+
+
+def test_url_dedup_default_min_id(spark):
+    from sentinel_spark.functions.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            # one page, three crawl variants: tracking param, default
+            # port, fragment — all one canonical URL
+            (10, "http://A.com/x?utm_source=z", "v1"),
+            (7, "http://a.com:80/x", "v2"),
+            (12, "http://a.com/x#frag", "v3"),
+            (3, "https://b.com/y", "unique"),
+            (5, None, "no url"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = {r.doc_id: r for r in url_dedup(df, "url", "doc_id").collect()}
+    assert sorted(out) == [3, 5, 7]
+    assert out[7].n_url_copies == 3  # min id wins the 3-variant group
+    assert out[3].n_url_copies == 1
+    assert out[5].n_url_copies == 1  # NULL URL passes through
+    assert out[7].text == "v2"  # original columns preserved
+
+
+def test_url_dedup_prefer_and_ties(spark):
+    from sentinel_spark.functions.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x", "long text wins"),
+            (2, "http://a.com/x?utm_source=s", "short"),
+            (9, "http://b.com/z", "same"),
+            (4, "http://b.com/z#f", "same"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = {
+        r.doc_id: r.n_url_copies
+        for r in url_dedup(
+            df, "url", "doc_id", prefer=F.length("text")
+        ).collect()
+    }
+    # a.com/x: longer text wins; b.com/z: equal prefer -> min id
+    assert out == {1: 2, 4: 2}
+
+
+def test_url_dedup_rejects_column_collision(spark):
+    import pytest
+
+    from sentinel_spark.functions.web import url_dedup
+
+    df = spark.createDataFrame(
+        [(1, "http://a.com", 2)], "doc_id long, url string, n_url_copies int"
+    )
+    with pytest.raises(ValueError, match="n_url_copies"):
+        url_dedup(df, "url", "doc_id")
