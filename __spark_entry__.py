@@ -1523,7 +1523,23 @@ def q_dedup_clusters_report(spark, sf_dir):
             F.count_distinct("cluster_id").alias("n_clusters"),
         )
     )
-    out = clusters.crossJoin(F.broadcast(summary))
+    # quality-aware representative branch (cluster_representatives):
+    # keep the LONGEST member per cluster, not the min id — the policy
+    # a corpus builder ships; the min-id is_canonical column stays as
+    # the baseline for comparison
+    from sentinel_spark.functions.cluster import cluster_representatives
+
+    reps = cluster_representatives(
+        clusters,
+        d.select("doc_id", T.token_count("text").alias("score")),
+        "doc_id",
+        "score",
+    ).select(
+        "doc_id",
+        "cluster_size",
+        F.col("is_representative").alias("is_rep_quality"),
+    )
+    out = clusters.join(reps, "doc_id").crossJoin(F.broadcast(summary))
     return with_release(out, getattr(cand, "_sentinel_cached", []) + [clusters])
 
 
@@ -1769,6 +1785,26 @@ def q_ann_methods(spark, sf_dir):
             F.lit(m).alias("method"), "q_id", "c_id", "sim", "rank"
         )
         out = tagged if out is None else out.unionByName(tagged)
+    # hybrid-retrieval branch: reciprocal-rank fusion of the exact and
+    # LSH rankings per query (keywords.rrf_fuse); sim carries the
+    # fused score so the 1/(k+rank) vote arithmetic is value-checked
+    from sentinel_spark.functions.keywords import rrf_fuse
+
+    fused = rrf_fuse(
+        [branches[0][1].select("q_id", "c_id", "rank"),
+         branches[1][1].select("q_id", "c_id", "rank")],
+        "c_id",
+        by="q_id",
+        k=60,
+        top_k=5,
+    ).select(
+        F.lit("rrf").alias("method"),
+        "q_id",
+        "c_id",
+        F.col("rrf_score").alias("sim"),
+        "rank",
+    )
+    out = out.unionByName(fused)
     # the tagging selects drop each branch's persisted-frame handles —
     # carry them so the caller's release() reaches the lsh/ivf/
     # quantized intermediates (leaked before round 5).
@@ -3221,11 +3257,24 @@ def oracle_sql() -> dict[str, str]:
             ),
             comp AS (
               SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u
+            ),
+            cl AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS cluster_id,
+                     coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical,
+                     len({_WORDS}) AS n_tok
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
             )
-            SELECT d.doc_id,
-                   coalesce(c.component, d.doc_id) AS cluster_id,
-                   coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
-            FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+            -- quality-aware representative replay: longest member per
+            -- cluster wins, ties to min doc_id
+            SELECT doc_id, cluster_id, is_canonical,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                     AS cluster_size,
+                   row_number() OVER (
+                     PARTITION BY cluster_id
+                     ORDER BY n_tok DESC, doc_id ASC
+                   ) = 1 AS is_rep_quality
+            FROM cl
         """,
         "minhash_verified": f"""
             WITH mh AS ({_minhash_oracle()}),
@@ -3920,6 +3969,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'ivf' AS method, q_id, c_id, sim, rank FROM ({base["ivf_topk"]})
         UNION ALL
         SELECT 'quantized' AS method, q_id, c_id, sim, rank FROM ({base["quantized_topk"]})
+        UNION ALL
+        -- reciprocal-rank fusion of the exact and LSH lists: each
+        -- contributes 1/(60+rank); fused top-5 per query
+        SELECT 'rrf' AS method, q_id, c_id, rrf_score AS sim,
+               CAST(rk AS INTEGER) AS rank
+        FROM (
+          SELECT q_id, c_id, rrf_score,
+                 row_number() OVER (
+                   PARTITION BY q_id ORDER BY rrf_score DESC, c_id ASC
+                 ) AS rk
+          FROM (
+            SELECT q_id, c_id, round(sum(contrib), 6) AS rrf_score
+            FROM (
+              SELECT q_id, c_id, 1.0 / (60 + rank) AS contrib
+              FROM ({base["ann_topk"]})
+              UNION ALL
+              SELECT q_id, c_id, 1.0 / (60 + rank)
+              FROM ({base["lsh_topk"]})
+            ) GROUP BY q_id, c_id
+          )
+        ) WHERE rk <= 5
     """
     out["semantic_dedup"] = f"""
         SELECT * FROM ({base["semantic_dedup"]}) s

@@ -200,3 +200,60 @@ def dedup_clusters(
             (cluster == F.col(id_col)).alias("is_canonical"),
         )
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection per duplicate cluster — the
+    policy layer over :func:`dedup_clusters`: instead of keeping the
+    min-id member (an arbitrary crawl-order artifact), keep the member
+    with the highest ``score_col`` (token count, quality-classifier
+    score, fetch recency), ties falling to the smallest id. This is
+    what corpus builders actually ship: near-dup clusters keep their
+    LONGEST or highest-quality exemplar, not whichever URL was crawled
+    first.
+
+    ``clusters`` is (id_col, cluster_id, ...) — ``dedup_clusters``
+    output or any assignment; ``scores`` is (id_col, score_col) with a
+    NUMERIC score (the negation that makes the winner a single
+    ``min(struct)`` needs arithmetic). Missing scores rank below every
+    scored member (NULL negates to NULL → sorts last in the struct
+    min... so they are coalesced to -inf explicitly).
+
+    Output: (id_col, cluster_id, cluster_size, is_representative) —
+    exactly one representative per cluster, every input row preserved.
+    Ids are assumed unique per row (they are document keys); the
+    winner is re-identified by id equality, so the corpus-side attach
+    never needs the score again.
+
+    Scale shape: one slim (id, cluster, score) join + algebraic
+    per-cluster ``min(struct(-score, id))`` + size aggregate, then ONE
+    re-attach join on cluster_id (co-partitioned with the aggregate).
+    No window over the corpus, no broadcast assumption (AQE broadcasts
+    the per-cluster frame when clusters are few)."""
+    j = clusters.select(id_col, "cluster_id").join(
+        scores.select(id_col, score_col), id_col
+    )
+    neg = -F.coalesce(
+        F.col(score_col).cast("double"), F.lit(float("-inf"))
+    )
+    per_cluster = j.groupBy("cluster_id").agg(
+        F.min(F.struct(neg.alias("s"), F.col(id_col).alias("i"))).alias(
+            "__win"
+        ),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        clusters.select(id_col, "cluster_id")
+        .join(per_cluster, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(id_col) == F.col("__win.i")).alias("is_representative"),
+        )
+    )

@@ -151,3 +151,62 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "n_terms_matched", "score", "rank"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    *,
+    rank_col: str = "rank",
+    by: str | None = None,
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N
+    ranked retrieval lists — the standard way to combine a lexical
+    ranking (:func:`bm25_topk`) with a dense one (ANN cosine top-k)
+    without score calibration: each list contributes ``1 / (k +
+    rank)`` per document and the fused score is the sum, so systems
+    with incomparable score scales still vote fairly. ``k`` (60 in the
+    paper) damps the head; a document missing from a list simply
+    contributes nothing.
+
+    Each frame in ``rankings`` carries ([``by``,] ``id_col``,
+    ``rank_col``) with rank 1 = best. ``by`` (e.g. a query id) fuses
+    per group. Output: ([by,] id_col, n_systems, rrf_score, rank) —
+    the fused top_k, rank 1 = best, score ties broken by ascending id.
+
+    Scale shape: a union of the (already small: systems emit top-k
+    lists, not corpora) ranked frames, one fused-score aggregate on
+    ([by,] id) and a per-group rank window over at most
+    N_systems × depth rows per group — never over a corpus. rrf_score
+    is rounded to 6dp AFTER the sum (engine-portable for the small
+    summand counts involved)."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking frame")
+    keys = ([by] if by else []) + [id_col]
+    parts = []
+    for r in rankings:
+        contrib = F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))
+        parts.append(r.select(*keys, contrib.alias("__contrib")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        F.round(F.sum("__contrib"), 6).alias("rrf_score"),
+    )
+    order = [F.col("rrf_score").desc(), F.col(id_col).asc()]
+    if by is None:
+        topk = fused.orderBy(*order).limit(top_k)
+        w = Window.partitionBy(
+            F.pmod(F.xxhash64(id_col), F.lit(1))
+        ).orderBy(*order)
+    else:
+        w = Window.partitionBy(by).orderBy(*order)
+        topk = fused.withColumn(
+            "__rk", F.row_number().over(w)
+        ).where(F.col("__rk") <= top_k).drop("__rk")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        *keys, "n_systems", "rrf_score", "rank"
+    )

@@ -149,3 +149,46 @@ def test_distributed_and_driver_paths_agree(spark):
     assert all(comp[i] == 0 for i in range(11))
     assert comp[20] == comp[21] == comp[22] == 20
     assert comp[30] == 30 and comp[31] == 30
+
+
+def test_cluster_representatives_policy(spark):
+    from sentinel_spark.functions.cluster import cluster_representatives
+
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 1), (3, 3), (9, 7), (7, 7)],
+        "doc_id long, cluster_id long",
+    )
+    sc = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (4, 9.0), (3, 1.0), (9, 2.0), (7, None)],
+        "doc_id long, score double",
+    )
+    out = {
+        r.doc_id: r
+        for r in cluster_representatives(cl, sc).collect()
+    }
+    # highest score wins; 2 vs 4 tie at 9.0 -> min id
+    assert out[2].is_representative and not out[4].is_representative
+    assert not out[1].is_representative
+    # singleton is its own representative
+    assert out[3].is_representative and out[3].cluster_size == 1
+    # NULL score ranks below any scored member
+    assert out[9].is_representative and not out[7].is_representative
+    assert out[1].cluster_size == 3 and out[9].cluster_size == 2
+    # exactly one representative per cluster
+    reps = [r for r in out.values() if r.is_representative]
+    assert sorted(r.cluster_id for r in reps) == [1, 3, 7]
+
+
+def test_cluster_representatives_integer_scores_and_all_rows(spark):
+    from sentinel_spark.functions.cluster import cluster_representatives
+
+    cl = spark.createDataFrame(
+        [(10, 10), (11, 10)], "doc_id long, cluster_id long"
+    )
+    sc = spark.createDataFrame(
+        [(10, 3), (11, 30)], "doc_id long, score int"
+    )
+    rows = cluster_representatives(cl, sc).collect()
+    assert len(rows) == 2  # every input row preserved
+    win = {r.doc_id: r.is_representative for r in rows}
+    assert win == {10: False, 11: True}

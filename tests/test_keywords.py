@@ -90,3 +90,51 @@ def test_bm25_topk(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(docs, "text", "doc_id", [])
+
+
+def test_rrf_fuse_per_query(spark):
+    from sentinel_spark.functions.keywords import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q2", 20, 1)],
+        "q string, doc long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 12, 2), ("q2", 20, 1)],
+        "q string, doc long, rank int",
+    )
+    out = rrf_fuse([a, b], "doc", by="q", k=60, top_k=2)
+    rows = [tuple(r) for r in out.orderBy("q", "rank").collect()]
+    # doc 11 (rank 2 + rank 1) outvotes doc 10 (rank 1 alone):
+    # 1/62 + 1/61 > 1/61
+    assert rows[0][:3] == ("q1", 11, 2) and rows[0][4] == 1
+    assert rows[1][:3] == ("q1", 10, 1) and rows[1][4] == 2
+    assert rows[2] == ("q2", 20, 2, round(2 / 61, 6), 1)
+    # scores are the literal reciprocal-rank sums, rounded at 6dp
+    assert rows[0][3] == round(1 / 62 + 1 / 61, 6)
+
+
+def test_rrf_fuse_global_and_ties(spark):
+    from sentinel_spark.functions.keywords import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1), (3, 2)], "doc long, rank int")
+    b = spark.createDataFrame([(3, 1), (5, 2)], "doc long, rank int")
+    rows = [
+        tuple(r)
+        for r in rrf_fuse([a, b], "doc", k=60, top_k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # symmetric votes -> equal scores -> ascending id breaks the tie
+    assert [r[0] for r in rows] == [3, 5]
+    assert rows[0][1] == 2  # n_systems
+    assert rows[0][2] == rows[1][2]
+
+
+def test_rrf_fuse_validates(spark):
+    import pytest
+
+    from sentinel_spark.functions.keywords import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], "doc")

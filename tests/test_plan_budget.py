@@ -67,7 +67,11 @@ BUDGET = {
                            # exchange (appearing on both of its two
                            # lineage references) + its tiny per-source
                            # range-totals window
-    "dedup_clusters": 1,   # driver-path CC: just the candidate pipeline
+    "dedup_clusters": 5,   # driver-path CC: just the candidate pipeline
+                           # + r8 representative branch: slim
+                           # (id, cluster, score) join, per-cluster
+                           # winner aggregate, cluster_id re-attach —
+                           # 3-column frames only, never doc text
     "tfidf_keywords": 8,   # + r6 bm25 branch: query-hits tf, per-term
                            # df, doc-length frame, scored aggregate,
                            # distributed top-k
@@ -87,7 +91,9 @@ BUDGET = {
     "typed_tags": 0,
     "media_suite": 0,      # Arrow fan-out, no shuffle
     "cosine_near_dup": 0,
-    "ann_methods": 7,
+    "ann_methods": 9,      # + r8 rrf branch: fused-vote aggregate over
+                           # the two top-k lists (≤ 2·k·|queries| rows)
+                           # + its per-query rank window
     "semantic_dedup": 6,
     "ann_recall": 6,
     # round-5 trainer-family gates: training runs eagerly at gate
