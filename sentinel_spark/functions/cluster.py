@@ -220,9 +220,11 @@ def cluster_representatives(
     ``clusters`` is (id_col, cluster_id, ...) — ``dedup_clusters``
     output or any assignment; ``scores`` is (id_col, score_col) with a
     NUMERIC score (the negation that makes the winner a single
-    ``min(struct)`` needs arithmetic). Missing scores rank below every
-    scored member (NULL negates to NULL → sorts last in the struct
-    min... so they are coalesced to -inf explicitly).
+    ``min(struct)`` needs arithmetic). A member whose score is NULL —
+    or who has NO row in ``scores`` at all (left join) — still counts
+    toward cluster_size and appears in the output, ranking below every
+    scored member (coalesced to -inf; NULL would otherwise sort FIRST
+    in the struct min and win).
 
     Output: (id_col, cluster_id, cluster_size, is_representative) —
     exactly one representative per cluster, every input row preserved.
@@ -235,8 +237,12 @@ def cluster_representatives(
     re-attach join on cluster_id (co-partitioned with the aggregate).
     No window over the corpus, no broadcast assumption (AQE broadcasts
     the per-cluster frame when clusters are few)."""
+    # LEFT join from the clusters side: a member with no score row at
+    # all must still be counted, output, and eligible (losing to any
+    # scored member) — an inner join would silently delete it, and
+    # with it possibly its whole cluster
     j = clusters.select(id_col, "cluster_id").join(
-        scores.select(id_col, score_col), id_col
+        scores.select(id_col, score_col), id_col, "left"
     )
     neg = -F.coalesce(
         F.col(score_col).cast("double"), F.lit(float("-inf"))

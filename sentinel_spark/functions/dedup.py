@@ -1164,11 +1164,18 @@ def remove_boilerplate_lines(
     rows = _segment_rows(df, text_col, id_col, sep)
     if max_words is not None:
         # long lines drop out of candidacy at the fingerprint, so they
-        # neither pay the aggregate nor match the re-attach join
+        # neither pay the aggregate nor match the re-attach join.
+        # Count \S+ runs (NOT split-on-\s+, whose edge-whitespace
+        # empties would inflate the count): the count must agree with
+        # the fp normalization, or a tab-indented copy of a line would
+        # leave the cap-decision and the fingerprint in conflict
         rows = rows.withColumn(
             "fp",
             F.when(
-                F.size(F.split(F.trim(F.col("para")), r"\s+")) <= max_words,
+                F.size(
+                    F.regexp_extract_all(F.col("para"), F.lit(r"\S+"), F.lit(0))
+                )
+                <= max_words,
                 F.col("fp"),
             ),
         )

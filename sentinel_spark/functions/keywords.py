@@ -198,15 +198,18 @@ def rrf_fuse(
     )
     order = [F.col("rrf_score").desc(), F.col(id_col).asc()]
     if by is None:
+        # distributed top-k first (TakeOrderedAndProject), THEN the
+        # rank window over only the k survivors
         topk = fused.orderBy(*order).limit(top_k)
         w = Window.partitionBy(
             F.pmod(F.xxhash64(id_col), F.lit(1))
         ).orderBy(*order)
+        topk = topk.withColumn("rank", F.row_number().over(w))
     else:
+        # one window does both jobs: filtering to rank <= top_k leaves
+        # ranks 1..top_k already final
         w = Window.partitionBy(by).orderBy(*order)
-        topk = fused.withColumn(
-            "__rk", F.row_number().over(w)
-        ).where(F.col("__rk") <= top_k).drop("__rk")
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        *keys, "n_systems", "rrf_score", "rank"
-    )
+        topk = fused.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= top_k
+        )
+    return topk.select(*keys, "n_systems", "rrf_score", "rank")

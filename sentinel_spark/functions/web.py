@@ -245,8 +245,9 @@ def url_dedup(
     The winner per canonical URL is deterministic: the row with the
     highest ``prefer`` value (a numeric keep-best score — text length,
     fetch recency, quality), ties and the default ``prefer=None``
-    falling to the smallest ``id_col``. Rows whose URL column is NULL
-    carry no key and pass through unexamined.
+    falling to the smallest ``id_col``; a NULL prefer value loses to
+    every scored copy. Rows whose URL column is NULL carry no key and
+    pass through unexamined.
 
     Output: the winning input rows, all original columns preserved,
     plus ``n_url_copies`` (total rows sharing the canonical URL; 1 for
@@ -259,14 +260,20 @@ def url_dedup(
     way. No window over the corpus, no broadcast assumption (AQE
     broadcasts the winner frame when it IS small)."""
     if prefer is not None:
-        pref_ord = (-prefer.cast("double")).alias("p")
+        # NULL scores must LOSE, not win: min(struct) sorts a NULL
+        # field first, so an un-coalesced NULL-prefer row would beat
+        # every scored copy of its URL
+        pref_ord = (
+            -F.coalesce(prefer.cast("double"), F.lit(float("-inf")))
+        ).alias("p")
     else:
         pref_ord = F.lit(0.0).alias("p")
     tmp = "__sentinel_curl__"
-    if tmp in df.columns or "n_url_copies" in df.columns:
-        raise ValueError(
-            f"input frame already has a {tmp!r} or 'n_url_copies' column"
-        )
+    for reserved in (tmp, "n_url_copies", "__win"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"input frame already has a {reserved!r} column"
+            )
     keyed = df.withColumn(tmp, canonical_url(F.col(url_col)))
     ordk = F.struct(pref_ord, F.col(id_col).alias("i"))
     winners = (

@@ -188,7 +188,11 @@ def stateful_dedup_stream(
     from a pre-ttl checkpoint pass the state-store schema check.
     Setting a ttl switches the state to ``emitted_at long`` — enabling
     a horizon on an existing checkpoint is a schema-breaking change
-    and needs a fresh checkpoint directory.
+    and needs a fresh checkpoint directory. (One release briefly wrote
+    forever-mode state as ``emitted_at long`` too; a forever-mode
+    checkpoint created on that interim schema also needs a fresh
+    checkpoint directory — the boolean schema is the stable long-term
+    form, matching every pre-ttl deployment.)
     """
     import pandas as pd  # noqa: F401  (workers need pandas for the UDF)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -205,8 +209,16 @@ def stateful_dedup_stream(
     def emit_first(key, pdfs, state):
         import time as _time
 
+        import pandas as _pd
+
         if state.hasTimedOut:
             state.remove()
+            return
+        if ttl_ms is None and state.exists:
+            # forever-mode suppressed duplicate: no timeout to re-arm,
+            # no event time to track — return before touching pdfs so
+            # the group's Arrow chunks are never deserialized (the hot
+            # path of a duplicate-heavy stream)
             return
         now_ms = int(_time.time() * 1000)
         first = None
@@ -216,29 +228,40 @@ def stateful_dedup_stream(
                 if first is None:
                     first = pdf.iloc[[0]][[key_col, *payload_cols]]
                 if ttl_ms is not None:
-                    m = int(pdf[ts_col].max().timestamp() * 1000)
-                    ev_ms = m if ev_ms is None else max(ev_ms, m)
+                    m = pdf[ts_col].max()
+                    # an all-NULL event-time chunk (caller-supplied
+                    # event_time_col) maxes to NaT; .timestamp() on it
+                    # would raise and kill the query
+                    if _pd.notna(m):
+                        m = int(m.timestamp() * 1000)
+                        ev_ms = m if ev_ms is None else max(ev_ms, m)
 
         def rearm():
             # storage GC at 2x the horizon past this batch's event
             # time; fires on a later trigger once the watermark passes
             # it. max() keeps the timestamp strictly beyond the current
-            # watermark (Spark rejects timeouts at or before it).
+            # watermark (Spark rejects timeouts at or before it). With
+            # no usable event time in the batch (all NULLs), anchor to
+            # the watermark — later than strictly needed is always
+            # safe; correctness lives in the arrival-time check.
+            base = (
+                ev_ms
+                if ev_ms is not None
+                else state.getCurrentWatermarkMs()
+            )
             state.setTimeoutTimestamp(
-                max(ev_ms + 2 * ttl_ms, state.getCurrentWatermarkMs() + 1)
+                max(base + 2 * ttl_ms, state.getCurrentWatermarkMs() + 1)
             )
 
-        if state.exists and (
-            ttl_ms is None or now_ms - state.get[0] <= ttl_ms
-        ):
-            # suppressed duplicate. Spark clears the group's timeout on
+        if state.exists and now_ms - state.get[0] <= ttl_ms:
+            # suppressed duplicate (a ttl is set — forever mode
+            # returned above). Spark clears the group's timeout on
             # every invocation, so the GC timer MUST be re-armed here
             # too — otherwise any key that keeps receiving duplicates
             # inside the horizon loses its timeout and its state row is
             # never reclaimed (unbounded growth on exactly the
             # duplicate-heavy keys the ttl exists to bound).
-            if ttl_ms is not None and ev_ms is not None:
-                rearm()
+            rearm()
             return
         if first is not None:
             state.update((now_ms,) if ttl_ms is not None else (True,))

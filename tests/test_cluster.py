@@ -192,3 +192,19 @@ def test_cluster_representatives_integer_scores_and_all_rows(spark):
     assert len(rows) == 2  # every input row preserved
     win = {r.doc_id: r.is_representative for r in rows}
     assert win == {10: False, 11: True}
+
+
+def test_cluster_representatives_unscored_members_kept(spark):
+    from sentinel_spark.functions.cluster import cluster_representatives
+
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    # doc 1 and singleton doc 3 have NO score row at all
+    sc = spark.createDataFrame([(2, 7.0)], "doc_id long, score double")
+    out = {r.doc_id: r for r in cluster_representatives(cl, sc).collect()}
+    assert sorted(out) == [1, 2, 3]  # every input row preserved
+    assert out[1].cluster_size == 2 and not out[1].is_representative
+    assert out[2].is_representative
+    # a fully unscored singleton still elects itself
+    assert out[3].is_representative and out[3].cluster_size == 1

@@ -604,3 +604,47 @@ def test_interval_join_guards(spark):
             left.drop("r_amount").withColumn("__user_id", F.lit(1)),
             right, "user_id", "ts", "pts",
         )
+
+
+def test_stateful_dedup_null_event_times_survive(spark, tmp_path):
+    """A micro-batch whose rows carry NULL event times (caller-supplied
+    event_time_col) must not kill the query: pandas maxes the chunk to
+    NaT, and an unguarded NaT.timestamp() raises. NULL-time rows still
+    dedup on arrival time; GC anchors to the watermark instead."""
+    from sentinel_spark.streaming.ingest_stream import stateful_dedup_stream
+
+    src = tmp_path / "nat_src"
+    src.mkdir()
+    batches = [
+        [{"fingerprint": "n", "content": "no-time", "ev": None}],
+        [
+            {"fingerprint": "n", "content": "no-time-dup", "ev": None},
+            {"fingerprint": "t", "content": "timed",
+             "ev": "2024-01-01 10:00:00"},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    stream = (
+        spark.readStream.schema(
+            "fingerprint string, content string, ev timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stateful_dedup_stream(stream, ttl_ms=600_000, event_time_col="ev")
+        .writeStream.format("memory")
+        .queryName("nat_sink")
+        .option("checkpointLocation", str(tmp_path / "nat_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = sorted(
+        r.fingerprint for r in spark.sql("SELECT * FROM nat_sink").collect()
+    )
+    assert out == ["n", "t"]

@@ -950,3 +950,24 @@ def test_normalize_unicode_validates(spark):
         normalize_unicode(df, "missing")
     with pytest.raises(ValueError, match="expected string"):
         normalize_unicode(df, "doc_id")
+
+
+def test_boilerplate_lines_max_words_ignores_edge_whitespace(spark):
+    from sentinel_spark.functions.dedup import remove_boilerplate_lines
+
+    # the tab-indented copy normalizes to the same fingerprint as the
+    # plain one; the word-count cap must agree (3 words, not 4), or
+    # the pair would fall under min_docs and both would survive
+    df = spark.createDataFrame(
+        [(1, "\tall rights reserved\nkeep one"),
+         (2, "all  rights reserved\nkeep two")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=2, max_words=3
+        ).collect()
+    }
+    assert out[1].text == "keep one" and out[1].n_removed == 1
+    assert out[2].text == "keep two" and out[2].n_removed == 1

@@ -164,3 +164,18 @@ def test_url_dedup_rejects_column_collision(spark):
     )
     with pytest.raises(ValueError, match="n_url_copies"):
         url_dedup(df, "url", "doc_id")
+
+
+def test_url_dedup_null_prefer_loses(spark):
+    from sentinel_spark.functions.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x", "content-bearing copy"),
+            (2, "http://a.com/x?utm_source=s", None),
+        ],
+        "doc_id long, url string, text string",
+    )
+    out = url_dedup(df, "url", "doc_id", prefer=F.length("text")).collect()
+    # the NULL-scored crawl must lose to the scored one
+    assert [r.doc_id for r in out] == [1]
