@@ -1194,3 +1194,60 @@ def remove_boilerplate_lines(
         | (F.lit(keep_first) & (F.struct("id", "idx") == F.col("canon"))),
     )
     return _reassemble_segments(flagged, id_col, text_col, sep, n_alias="n_lines")
+
+
+def refresh_band_index(
+    index_table,
+    changes: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    change_type_col: str = "_change_type",
+    max_collect_ids: int = 65536,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> None:
+    """CDF-driven incremental maintenance of a persisted
+    :func:`minhash_band_index` table: after a corpus patch, feed the
+    :meth:`~sentinel_spark.sources.store.ParquetTable.diff` frame here
+    and the index converges to exactly what a full rebuild over the
+    current corpus would produce — while the shingle pass touches ONLY
+    the changed documents. Stale rows (every changed id — updates,
+    deletes, and inserts alike) leave the index; fresh rows re-derive
+    from the diff's ``insert`` / ``update_postimage`` rows, so the
+    corpus itself is never re-read, let alone re-shingled.
+
+    The signature parameters MUST match the ones the index was built
+    with — band keys from a different (shingle_n, num_hashes,
+    num_bands) silently partition the key space differently.
+
+    Scale shape: the changed-id set is collected ONLY when it fits
+    ``max_collect_ids`` (the partition-prunable ``delete(isin)`` fast
+    path — a patch-sized diff, the overwhelmingly common case). A
+    larger diff switches to one distributed anti-join + full index
+    overwrite — never an unbounded driver collect. The two commits
+    (delete + append) are each atomic but not jointly: a reader
+    between them sees the index without the changed ids, which for a
+    candidate index means missed candidates, never wrong pairs.
+    """
+    ids = changes.select(F.col(id_col).alias("id")).distinct()
+    fresh = changes.where(
+        F.col(change_type_col).isin("insert", "update_postimage")
+    ).select(id_col, text_col)
+    new_rows = minhash_band_index(
+        fresh,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+    )
+    sample = [r.id for r in ids.limit(max_collect_ids + 1).collect()]
+    if len(sample) <= max_collect_ids:
+        if sample:
+            index_table.delete(F.col("id").isin(sample))
+        index_table.append(new_rows)
+    else:
+        kept = index_table.read().join(ids, "id", "left_anti")
+        index_table.overwrite(kept.unionByName(new_rows))

@@ -182,17 +182,28 @@ def test_cdf_drives_incremental_index_maintenance(spark, tmp_path):
     )
     changes = docs_t.diff(v1, keys=["doc_id"])
 
-    # consumer: stale rows out (every changed id), fresh rows in
-    # (current text = postimage/insert rows only)
+    # the first-class consumer: stale rows out (every changed id),
+    # fresh rows in (postimage/insert rows only)
     changed_ids = [r.doc_id for r in changes.select("doc_id").distinct().collect()]
     assert sorted(changed_ids) == [2, 3, 50]  # only the diff's ids
-    index_t.delete(F.col("id").isin(changed_ids))
-    fresh = changes.where(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select("doc_id", "text")
-    index_t.append(D.minhash_band_index(fresh, "text", "doc_id"))
+    D.refresh_band_index(index_t, changes, "text", "doc_id")
 
     rebuilt = D.minhash_band_index(docs_t.read(), "text", "doc_id")
     got = sorted(map(tuple, index_t.read().select("band_key", "id").collect()))
     want = sorted(map(tuple, rebuilt.select("band_key", "id").collect()))
     assert got == want and len(got) > 0
+
+    # oversized-diff path: force the distributed anti-join + overwrite
+    # branch and land on the same converged index
+    docs_t.update(
+        F.col("doc_id") == 4,
+        {"text": F.lit("a second patch rewrites the fourth document")},
+    )
+    v2_changes = docs_t.diff(v1, keys=["doc_id"])
+    D.refresh_band_index(
+        index_t, v2_changes, "text", "doc_id", max_collect_ids=1
+    )
+    rebuilt2 = D.minhash_band_index(docs_t.read(), "text", "doc_id")
+    got2 = sorted(map(tuple, index_t.read().select("band_key", "id").collect()))
+    want2 = sorted(map(tuple, rebuilt2.select("band_key", "id").collect()))
+    assert got2 == want2 and len(got2) > 0
