@@ -1,0 +1,65 @@
+"""Zero-cost pipeline observability via Spark's ``Dataset.observe``:
+named aggregate metrics collected DURING whatever action materializes
+the frame — no second pass, no extra job, no cached intermediate. The
+production counterpart of running a separate count per stage: at
+100 TB a corpus build cannot afford one extra scan per funnel row,
+but CollectMetrics nodes ride the existing exchange-free plan for
+free.
+
+Batch: metrics are available on the returned
+:class:`~pyspark.sql.Observation` after the first action over the
+observed frame. Streaming: the same node surfaces per-batch under
+``StreamingQueryProgress.observedMetrics`` (an Observation object is
+batch-only — pass ``name=`` instead and read the progress feed).
+
+Only aggregate expressions are legal in a metric (Spark enforces:
+aggregates over the observed frame's rows, no further references).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def stage_metrics(
+    df: DataFrame, name: str, **metrics: Column
+) -> tuple[DataFrame, Observation]:
+    """Attach named aggregate ``metrics`` to ``df``. Returns the
+    observed frame (use it in place of ``df``) and the Observation —
+    read ``obs.get`` after the action that materializes the frame.
+
+    >>> df, obs = stage_metrics(df, "ingest", rows=F.count(F.lit(1)))
+    >>> df.write.parquet(...)   # the write IS the metrics pass
+    >>> obs.get["rows"]
+    """
+    if not metrics:
+        raise ValueError("stage_metrics requires at least one metric")
+    obs = Observation(name)
+    observed = df.observe(obs, *(m.alias(k) for k, m in metrics.items()))
+    return observed, obs
+
+
+def funnel_metrics(
+    df: DataFrame, name: str, **flags: Column
+) -> tuple[DataFrame, Observation]:
+    """Selection-funnel counters over boolean ``flags``: total rows
+    plus, per flag, how many rows pass — the per-stage survivor counts
+    of a filter pipeline, measured on the SAME pass that materializes
+    the output. NULL flags count as not passing.
+
+    >>> df, obs = funnel_metrics(df, "gates",
+    ...     quality=T.gopher_pass("text"), lang=lang_id("text") == "en")
+    >>> df.where(...).write...; obs.get  # {'total': n, 'quality': k, ...}
+
+    Place the observe node UPSTREAM of the filters it describes —
+    metrics see exactly the rows that flow through the observed node
+    during the action."""
+    counters: dict[str, Column] = {"total": F.count(F.lit(1))}
+    for k, flag in flags.items():
+        if k == "total":
+            raise ValueError("'total' is reserved for the row count")
+        counters[k] = F.sum(
+            F.when(flag, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long")
+    return stage_metrics(df, name, **counters)

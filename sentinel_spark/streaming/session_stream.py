@@ -1,0 +1,70 @@
+"""Streaming gap-based sessionization on Spark's NATIVE session
+windows — the engine-managed counterpart of the batch
+:func:`sentinel_spark.operators.timeseries.sessionize` (reference
+parity: the session analytics the events surface feeds; see
+timeseries.py for the reference citations).
+
+``F.session_window(ts, gap)`` keeps session state inside Spark's
+stateful aggregation machinery: windows extend while events keep
+arriving within ``gap`` of the session's end, merge when late events
+bridge two open sessions, and emit exactly once — when the watermark
+passes a session's close — with state evicted right after. That is
+the whole point of using the built-in operator instead of porting the
+batch lag/cumsum window: no applyInPandasWithState, no hand-rolled
+merge logic, and the state store size tracks OPEN sessions only, not
+the stream's history.
+
+Boundary semantics: the native operator starts a NEW session when an
+event lands exactly ``gap`` after the previous one (merge requires
+``diff < gap``), whereas the batch ``sessionize`` keeps it in the old
+session (split requires ``diff > gap``). The two agree on every
+non-boundary gap; the equivalence test constructs its gaps strictly
+off the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def session_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | list[str] = "user_id",
+    *,
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-(key, session) rollup over a (possibly streaming) events
+    frame: event count and first/last event time, with the session
+    extent from the native window struct (``session_end`` is the last
+    event + gap — the window's close, per Spark's definition).
+
+    Works identically on a batch frame (session_window is a regular
+    grouping expression there — the watermark is a no-op), so batch
+    backfills and the live stream share one code path.
+
+    Scale shape: one shuffle on (key, session-window); state is
+    per-open-session and watermark-evicted. Late events inside the
+    watermark merge sessions engine-side."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    win = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        events.groupBy(*[F.col(k) for k in keys], win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )

@@ -1,0 +1,149 @@
+"""Native session-window streaming sessionization and df.observe
+pipeline metrics."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark):
+    # three users; gaps strictly off the boundary (gap = 60 s) so the
+    # batch (split on diff > gap) and native (merge on diff < gap)
+    # semantics agree on every edge
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:00:30"),   # same session (30 < 60)
+        ("u1", "2024-01-01 10:02:00"),   # new session (90 > 60)
+        ("u2", "2024-01-01 10:00:10"),
+        ("u2", "2024-01-01 10:03:00"),   # new session
+        ("u2", "2024-01-01 10:03:59"),   # same session (59 < 60)
+        ("u3", "2024-01-01 09:59:00"),   # singleton
+    ]
+    return spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+def _expected(spark):
+    """Ground truth via the batch sessionize operator: per (user,
+    session) event count and first event."""
+    from sentinel_spark.operators.timeseries import sessionize
+
+    s = sessionize(_events(spark), "ts", "user_id", gap_seconds=60)
+    return {
+        (r.user_id, str(r.first_event), r.n_events)
+        for r in s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_event"),
+        )
+        .collect()
+    }
+
+
+def test_session_rollup_batch_equivalence(spark):
+    from sentinel_spark.streaming.session_stream import session_rollup_stream
+
+    out = session_rollup_stream(
+        _events(spark), "ts", "user_id", gap_seconds=60
+    )
+    got = {
+        (r.user_id, str(r.first_event), r.n_events) for r in out.collect()
+    }
+    assert got == _expected(spark)
+    # the native window's extent: start = first event, end = last + gap
+    row = {
+        (r.user_id, str(r.first_event)): r
+        for r in out.collect()
+    }[("u2", "2024-01-01 10:03:00")]
+    assert str(row.session_start) == "2024-01-01 10:03:00"
+    assert str(row.session_end) == "2024-01-01 10:04:59"
+
+
+def test_session_rollup_true_stream(spark, tmp_path):
+    """availableNow streaming run over file batches lands on exactly
+    the batch-mode sessions, with sessions emitted once (append mode:
+    only watermark-closed sessions emit; the 10-minute watermark delay
+    plus a final empty trigger closes everything here)."""
+    from sentinel_spark.streaming.session_stream import session_rollup_stream
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:00:30"),
+        ("u1", "2024-01-01 10:02:00"),
+        ("u2", "2024-01-01 10:00:10"),
+        ("u2", "2024-01-01 10:03:00"),
+        ("u2", "2024-01-01 10:03:59"),
+        ("u3", "2024-01-01 09:59:00"),
+        # watermark pusher: far-future event closes every session above
+        ("wm", "2024-01-01 12:00:00"),
+    ]
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        p = src / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "ts": t}) for u, t in chunk
+            )
+            + "\n"
+        )
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = session_rollup_stream(stream, "ts", "user_id", gap_seconds=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_sink")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.first_event), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+        if r.user_id != "wm"
+    }
+    assert got == _expected(spark)
+
+
+def test_stage_metrics_free_pass(spark):
+    from sentinel_spark.observe import stage_metrics
+
+    df = spark.range(100).withColumn("v", F.col("id") % 10)
+    observed, obs = stage_metrics(
+        df,
+        "stage",
+        rows=F.count(F.lit(1)),
+        v_sum=F.sum("v"),
+    )
+    # the write IS the metrics pass — no separate count job
+    observed.where(F.col("v") < 5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    got = obs.get
+    # the observe node sits upstream of the filter: sees every row
+    assert got["rows"] == 100 and got["v_sum"] == 450
+
+
+def test_funnel_metrics_counts_and_validation(spark):
+    from sentinel_spark.observe import funnel_metrics, stage_metrics
+
+    df = spark.range(10).withColumn(
+        "flag", F.when(F.col("id") % 2 == 0, F.col("id") > 3)
+    )  # NULL for odd ids: 0,2 -> false; 4,6,8 -> true; odds NULL
+    observed, obs = funnel_metrics(df, "gates", passed=F.col("flag"))
+    observed.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"total": 10, "passed": 3}  # NULLs don't pass
+    with pytest.raises(ValueError, match="reserved"):
+        funnel_metrics(df, "x", total=F.col("flag"))
+    with pytest.raises(ValueError, match="at least one"):
+        stage_metrics(df, "y")
