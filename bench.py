@@ -97,6 +97,17 @@ def main():
     dedup_paragraphs(tiny_para, "text", "doc_id").write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the r8 line_clean branch shapes: the corpus-frequency
+    # boilerplate aggregate (count_distinct + re-attach + reassembly)
+    # and the normalize_unicode mapInPandas (Arrow python-runner
+    # startup), which otherwise land on line_clean's cold run.
+    from sentinel_spark.functions.dedup import remove_boilerplate_lines
+    from sentinel_spark.functions.text import normalize_unicode
+
+    warm_bp = normalize_unicode(
+        remove_boilerplate_lines(tiny_para, "text", "doc_id"), "text"
+    )
+    warm_bp.write.format("noop").mode("overwrite").save()
     # ... and the ingest shred shape (JSON-schema validation mapInPandas
     # → shred multi-join → rollup): the gate is fixture-sized, so its
     # 2.9 s cold vs 1.7 s median (r7) is almost entirely this one-time
