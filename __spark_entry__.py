@@ -937,24 +937,67 @@ def q_range_join(spark, sf_dir):
 
 
 def q_sessionize(spark, sf_dir):
-    """Gap sessionization (10-min inactivity) + per-session rollup.
-    The window and the groupBy share the user_id hash partitioning —
-    one exchange end to end."""
+    """Gap sessionization (10-min inactivity) + per-session rollup,
+    via BOTH implementations, tagged by ``kind``: the batch lag/cumsum
+    operator ('lag' — window and groupBy share the user_id hash
+    partitioning, one exchange) and the native ``session_window``
+    streaming operator run in batch mode ('native' — one exchange on
+    (user, window), state machinery engine-side; see
+    streaming/session_stream.py). The two branches' boundary semantics
+    differ by design (lag splits on diff > gap, native on diff >= gap)
+    so each is oracle-checked against its own gaps-and-islands SQL;
+    the native skey embeds the window extent (start|end epochs), so
+    Spark's session-window close (last event + gap) is value-checked
+    too."""
     from sentinel_spark.operators.timeseries import sessionize
+    from sentinel_spark.streaming.session_stream import session_rollup_stream
 
     ev = _t(spark, sf_dir, "events")
+    n_purch = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
     s = sessionize(ev, "ts", "user_id", gap_seconds=600, tiebreak="event_id")
-    return s.groupBy("user_id", "session_seq", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("start_ts"),
-        F.max("ts").alias("end_ts"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+    lag = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            n_purch.alias("n_purchases"),
+        )
+        .select(
+            F.lit("lag").alias("kind"),
+            "user_id",
+            F.col("session_id").alias("skey"),
+            "n_events",
+            "start_ts",
+            "end_ts",
+            (F.unix_micros("end_ts") - F.unix_micros("start_ts")).alias(
+                "duration_us"
+            ),
+            "n_purchases",
+        )
+    )
+    nat = session_rollup_stream(
+        ev, "ts", "user_id", gap_seconds=600,
+        extra_aggs={"n_purchases": n_purch},
+    ).select(
+        F.lit("native").alias("kind"),
+        "user_id",
+        F.concat_ws(
+            "|",
+            F.unix_micros("session_start").cast("string"),
+            F.unix_micros("session_end").cast("string"),
+        ).alias("skey"),
+        "n_events",
+        F.col("first_event").alias("start_ts"),
+        F.col("last_event").alias("end_ts"),
+        (F.unix_micros("last_event") - F.unix_micros("first_event")).alias(
             "duration_us"
         ),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
-            "n_purchases"
-        ),
+        "n_purchases",
     )
+    return lag.unionByName(nat)
 
 
 def q_decontam(spark, sf_dir):
@@ -3226,16 +3269,43 @@ def oracle_sql() -> dict[str, str]:
                                            ROWS UNBOUNDED PRECEDING)
                              AS BIGINT) AS session_seq
               FROM f
+            ),
+            -- native session_window semantics: a new session starts at
+            -- diff >= gap (merge requires diff < gap), ties irrelevant
+            -- (diff 0 always merges); window close = last event + gap
+            fn AS (
+              SELECT user_id, ts, event_type,
+                     CASE WHEN pts IS NULL
+                            OR epoch_us(ts) - epoch_us(pts) >= 600000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM o
+            ),
+            sn AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id
+                                      ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+              FROM fn
             )
-            SELECT user_id, session_seq,
-                   user_id || '#' || session_seq AS session_id,
+            SELECT 'lag' AS kind, user_id,
+                   user_id || '#' || session_seq AS skey,
                    CAST(count(*) AS BIGINT) AS n_events,
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
                      AS duration_us,
                    CAST(sum(CASE WHEN event_type = 'purchase'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
-            FROM s GROUP BY 1, 2, 3
+            FROM s GROUP BY user_id, session_seq
+            UNION ALL
+            SELECT 'native' AS kind, user_id,
+                   CAST(epoch_us(min(ts)) AS VARCHAR) || '|' ||
+                   CAST(epoch_us(max(ts)) + 600000000 AS VARCHAR) AS skey,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+                     AS duration_us,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+            FROM sn GROUP BY user_id, grp
         """,
         "exact_dedup": f"""
             SELECT md5({norm_text}) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -24,7 +24,7 @@ off the boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,11 +35,14 @@ def session_rollup_stream(
     *,
     gap_seconds: int = 1800,
     watermark: str = "0 seconds",
+    extra_aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Per-(key, session) rollup over a (possibly streaming) events
     frame: event count and first/last event time, with the session
     extent from the native window struct (``session_end`` is the last
     event + gap — the window's close, per Spark's definition).
+    ``extra_aggs`` appends caller-named aggregate columns (e.g. a
+    per-session purchase count) to the same single aggregation.
 
     Works identically on a batch frame (session_window is a regular
     grouping expression there — the watermark is a no-op), so batch
@@ -52,12 +55,17 @@ def session_rollup_stream(
     if events.isStreaming:
         events = events.withWatermark(ts_col, watermark)
     win = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    extras = extra_aggs or {}
+    reserved = {"n_events", "first_event", "last_event"}
+    if reserved & extras.keys():
+        raise ValueError(f"extra_aggs may not override {sorted(reserved)}")
     return (
         events.groupBy(*[F.col(k) for k in keys], win)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min(ts_col).alias("first_event"),
             F.max(ts_col).alias("last_event"),
+            *(m.alias(k) for k, m in extras.items()),
         )
         .select(
             *keys,
@@ -66,5 +74,6 @@ def session_rollup_stream(
             "n_events",
             "first_event",
             "last_event",
+            *extras.keys(),
         )
     )

@@ -77,7 +77,9 @@ BUDGET = {
                            # distributed top-k
     "asof_join": 1,        # union-trick: ONE user_id exchange
     "range_join": 0,       # bucketed equi-join broadcasts at this size
-    "sessionize": 1,       # window + session rollup share one exchange
+    "sessionize": 2,       # lag branch: window + rollup share one
+                           # exchange; r8 native branch: its own single
+                           # (user, session_window) exchange
     "decontam": 13,        # + r6 scrub branch (token/window/fingerprint
                            # aggregates + coverage anti-join + per-doc
                            # reassembly) + r6 paragraph-dedup branch

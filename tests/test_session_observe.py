@@ -62,6 +62,27 @@ def test_session_rollup_batch_equivalence(spark):
     assert str(row.session_end) == "2024-01-01 10:04:59"
 
 
+def test_session_rollup_extra_aggs(spark):
+    from sentinel_spark.streaming.session_stream import session_rollup_stream
+
+    ev = _events(spark).withColumn(
+        "is_u1", (F.col("user_id") == "u1").cast("int")
+    )
+    out = session_rollup_stream(
+        ev, "ts", "user_id", gap_seconds=60,
+        extra_aggs={"n_u1": F.sum("is_u1")},
+    )
+    by_first = {
+        (r.user_id, str(r.first_event)): r.n_u1 for r in out.collect()
+    }
+    assert by_first[("u1", "2024-01-01 10:00:00")] == 2
+    assert by_first[("u2", "2024-01-01 10:03:00")] == 0
+    with pytest.raises(ValueError, match="n_events"):
+        session_rollup_stream(
+            ev, extra_aggs={"n_events": F.count(F.lit(1))}
+        )
+
+
 def test_session_rollup_true_stream(spark, tmp_path):
     """availableNow streaming run over file batches lands on exactly
     the batch-mode sessions, with sessions emitted once (append mode:
