@@ -1533,7 +1533,42 @@ def q_sample_suite(spark, sf_dir):
         "source",
         F.col("budget").cast("double").alias("weight"),
     )
-    return st.unionByName(wt).unionByName(gp).unionByName(mx).unionByName(tb)
+    # epochs branch (sampling.mixture_sample_epochs — UPSAMPLING
+    # mixture): budgets derived scale-free from the per-source totals
+    # (a tiny driver-side collect, the temperature-branch precedent) —
+    # src1 gets 2.5× its own size (two full copies + a half prefix at
+    # every sf), src2 half its size (prefix-only sanity leg). One
+    # (doc, epoch) row per repetition; epoch rides the weight slot.
+    from sentinel_spark.functions.sampling import mixture_sample_epochs
+
+    d2 = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.token_count("text").alias("n_tok")
+    ).where(F.col("source").isin("src1", "src2"))
+    sizes = {
+        r[0]: int(r[1])
+        for r in d2.groupBy("source").agg(F.sum("n_tok")).collect()
+    }
+    ep_budgets = {
+        "src1": (5 * sizes.get("src1", 0)) // 2,
+        "src2": sizes.get("src2", 0) // 2,
+    }
+    ep = mixture_sample_epochs(
+        d2, "source", "n_tok", ep_budgets,
+        key=F.col("doc_id").cast("string"), salt="mx",
+    ).select(
+        F.lit("epochs").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.col("epoch").cast("double").alias("weight"),
+    )
+    return (
+        st.unionByName(wt)
+        .unionByName(gp)
+        .unionByName(mx)
+        .unionByName(tb)
+        .unionByName(ep)
+    )
 
 
 def q_dedup_clusters_report(spark, sf_dir):
@@ -3861,6 +3896,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(sum(len({_WORDS})) AS BIGINT) AS s
             FROM documents GROUP BY source
           ) WHERE s > 0
+        )
+        UNION ALL
+        -- mixture_sample_epochs replay: per-source budget is a pure
+        -- integer function of the source's own total (2.5x for src1,
+        -- 0.5x for src2); floor(budget/total) full copies + the same
+        -- hash-order token prefix for the remainder, one row per
+        -- (doc, epoch), epoch in the weight slot
+        SELECT 'epochs' AS method, doc_id, CAST(NULL AS VARCHAR) AS lang,
+               source, CAST(unnest(range(0, n_epochs)) AS DOUBLE) AS weight
+        FROM (
+          WITH mxe AS (
+            SELECT doc_id, source, len({_WORDS}) AS n_tok,
+                   {_md5_bucket_sql("'mx' || CAST(doc_id AS VARCHAR)", 16 ** 15)} AS h
+            FROM documents WHERE source IN ('src1', 'src2')
+          ),
+          tot AS (
+            SELECT source, CAST(sum(n_tok) AS BIGINT) AS st,
+                   CASE source WHEN 'src1'
+                               THEN (5 * CAST(sum(n_tok) AS BIGINT)) // 2
+                               ELSE CAST(sum(n_tok) AS BIGINT) // 2 END AS b
+            FROM mxe GROUP BY source
+          ),
+          c AS (
+            SELECT *,
+                   SUM(n_tok) OVER (
+                     PARTITION BY source
+                     ORDER BY h, CAST(doc_id AS VARCHAR)
+                   ) - n_tok AS tok_before
+            FROM mxe
+          )
+          SELECT c.doc_id, c.source,
+                 b // st + CASE WHEN tok_before < b - (b // st) * st
+                                THEN 1 ELSE 0 END AS n_epochs
+          FROM c JOIN tot USING (source) WHERE st > 0
         )
     """
     out["dedup_clusters"] = f"""

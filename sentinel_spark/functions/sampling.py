@@ -211,6 +211,28 @@ def mixture_sample(
     within-range prefix. A hot source fans out across all its hash
     ranges, so source skew never serializes.
     """
+    joined, before = _mixture_prefix(
+        df, source_col, token_col, key=key, salt=salt, caller="mixture_sample"
+    )
+    budget = _budget_case(budgets, source_col)
+    return joined.where(before < budget).drop(
+        "_mix_h", "_mix_rng", "_mix_key", "_mix_cum", "_mix_base",
+        "_src_total",
+    )
+
+
+def _mixture_prefix(df, source_col, token_col, *, key, salt, caller):
+    """(internal) The two-level salted-hash-order prefix sum shared by
+    :func:`mixture_sample` and :func:`mixture_sample_epochs`. Returns
+    ``(joined, before)``: the input frame joined with its
+    per-(source, hash-range) bases (helper ``_mix_*`` columns still
+    attached), and the Column of summed tokens strictly BEFORE each
+    row in its source's hash order. The bases frame also carries each
+    source's TOTAL token count as ``_src_total`` — a second window
+    function over the same (source) partitioning of the tiny range-
+    totals frame, so it rides the existing broadcast join instead of
+    costing its own aggregate subtree (which, un-persisted, would
+    recompute the whole scan lineage a third time)."""
     from pyspark.sql.window import Window
 
     if key is None:
@@ -220,7 +242,7 @@ def mixture_sample(
         # Spark's unstable intra-partition order, silently breaking
         # the determinism and monotonicity guarantees above.
         raise ValueError(
-            "mixture_sample requires a unique per-row key column "
+            f"{caller} requires a unique per-row key column "
             "(document id or content fingerprint)"
         )
     k = F.col(key) if isinstance(key, str) else key
@@ -257,7 +279,16 @@ def mixture_sample(
         source_col,
         "_mix_rng",
         (F.sum("_rt").over(w_src) - F.col("_rt")).alias("_mix_base"),
+        F.sum("_rt").over(Window.partitionBy(source_col)).alias("_src_total"),
     )
+    joined = within.join(F.broadcast(bases), [source_col, "_mix_rng"])
+    before = F.col("_mix_base") + F.col("_mix_cum") - t
+    return joined, before
+
+
+def _budget_case(budgets: dict[str, int], source_col: str):
+    """(internal) ``budgets`` as a CASE Column over ``source_col``;
+    unlisted sources get 0."""
     budget = None
     for name, b in budgets.items():
         cond = F.col(source_col) == name
@@ -266,11 +297,87 @@ def mixture_sample(
             if budget is None
             else budget.when(cond, F.lit(int(b)))
         )
-    budget = F.lit(0) if budget is None else budget.otherwise(F.lit(0))
-    joined = within.join(F.broadcast(bases), [source_col, "_mix_rng"])
-    before = F.col("_mix_base") + F.col("_mix_cum") - t
-    return joined.where(before < budget).drop(
-        "_mix_h", "_mix_rng", "_mix_key", "_mix_cum", "_mix_base"
+    return F.lit(0) if budget is None else budget.otherwise(F.lit(0))
+
+
+def mixture_sample_epochs(
+    df,
+    source_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    *,
+    key: Column | str,
+    salt: str = "",
+    max_epochs: int = 64,
+):
+    """Token-budgeted mixture WITH upsampling: where
+    :func:`mixture_sample` caps a source at its actual size, this
+    operator repeats a scarce source whole until its budget is met —
+    the "books for 3 epochs, web for 0.4" step of every real
+    pretraining mix (and the natural consumer of
+    :func:`temperature_budgets` with ``cap=False``, whose
+    temperature-scaled budgets routinely exceed a tail source's size).
+
+    Each output row carries an ``epoch`` column (0-based). A source
+    with budget B and total size T contributes ``floor(B/T)`` full
+    copies (epochs ``0 .. floor(B/T)-1``) plus, for the remainder
+    ``B mod T``, the same deterministic salted-hash-order prefix
+    mixture_sample would select — as epoch ``floor(B/T)``. Epoch 0 of
+    a source with B ≤ T is therefore EXACTLY ``mixture_sample``'s
+    selection; raising a budget only adds rows (the nested-prefix
+    monotonicity extends across the epoch boundary). The repetition is
+    row fan-out via ``explode(sequence(...))`` — no self-union per
+    epoch, no driver loop — so the plan is one prefix-sum pipeline
+    plus a width-``epochs`` explode.
+
+    ``max_epochs`` is a loud distributed guard (``assert_true``)
+    against a misconfigured budget fanning a tiny source out
+    thousandsfold; a source whose total token count is 0 cannot reach
+    a positive budget and is dropped. Downstream shuffling/packing
+    should treat (``key``, ``epoch``) as the row identity."""
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    joined, before = _mixture_prefix(
+        df, source_col, token_col, key=key, salt=salt,
+        caller="mixture_sample_epochs",
+    )
+    budget = _budget_case(budgets, source_col)
+    # double division is floor-exact here: both operands are integers
+    # < 2^52 (a 4.5-quadrillion-token budget), where IEEE correctly-
+    # rounded division cannot cross an integer boundary — and DuckDB's
+    # floor(a/b) on BIGINTs computes the identical double, so the
+    # oracle replays this exactly.
+    n_full = F.floor(budget / F.col("_src_total")).cast("long")
+    rem = budget - n_full * F.col("_src_total")
+    last = n_full - F.lit(1) + F.when(before < rem, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    guard = F.assert_true(
+        n_full <= F.lit(int(max_epochs)),
+        F.concat(
+            F.lit("mixture_sample_epochs: budget for source "),
+            F.col(source_col).cast("string"),
+            F.lit(" needs more than max_epochs="),
+            F.lit(str(int(max_epochs))),
+            F.lit(" full copies"),
+        ),
+    )
+    out = (
+        joined.where(F.col("_src_total") > 0)
+        .withColumn("_mix_last", F.when(guard.isNull(), last))
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(
+                    F.col("_mix_last") >= 0,
+                    F.sequence(F.lit(0).cast("long"), F.col("_mix_last")),
+                ).otherwise(F.lit(None).cast("array<long>"))
+            ),
+        )
+    )
+    return out.drop(
+        "_mix_h", "_mix_rng", "_mix_key", "_mix_cum", "_mix_base",
+        "_mix_last", "_src_total",
     )
 
 
@@ -281,6 +388,7 @@ def temperature_budgets(
     *,
     total_tokens: int,
     alpha: float = 0.7,
+    cap: bool = True,
 ) -> dict[str, int]:
     """Per-source token budgets for :func:`mixture_sample` under
     temperature-scaled mixing — the standard multilingual/multi-source
@@ -291,12 +399,14 @@ def temperature_budgets(
     One tiny aggregate (rows = number of sources) collects to the
     driver; the returned dict feeds ``mixture_sample``'s budgets, so
     the actual selection inherits its deterministic hash-order and
-    monotonicity guarantees. A source's budget is capped at its actual
-    size (oversampling/repetition is a loader concern, not a
-    selection concern — mixture_sample cannot select a document
-    twice); the leftover budget from capped sources is NOT
-    redistributed, keeping budgets a pure closed-form function of the
-    size vector (rerun-stable, auditable)."""
+    monotonicity guarantees. With ``cap=True`` (default) a source's
+    budget is capped at its actual size (``mixture_sample`` cannot
+    select a document twice); the leftover budget from capped sources
+    is NOT redistributed, keeping budgets a pure closed-form function
+    of the size vector (rerun-stable, auditable). ``cap=False``
+    returns the raw temperature shares — the form
+    :func:`mixture_sample_epochs` consumes, where a tail source's
+    over-size budget means repeating it for multiple epochs."""
     # coalesce: a source whose token_col is all-NULL sums to NULL —
     # treat it as size 0 (it then drops at the n > 0 weight filter)
     sizes = {
@@ -315,7 +425,10 @@ def temperature_budgets(
     # closed form exactly when a share lands on .5
     import math
 
-    return {
-        s: min(int(math.floor(total_tokens * w / z + 0.5)), sizes[s])
+    shares = {
+        s: int(math.floor(total_tokens * w / z + 0.5))
         for s, w in weights.items()
     }
+    if not cap:
+        return shares
+    return {s: min(b, sizes[s]) for s, b in shares.items()}

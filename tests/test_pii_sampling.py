@@ -252,3 +252,119 @@ def test_temperature_budgets_all_null_source(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
     b = temperature_budgets(df, "source", "n_tok", total_tokens=30, alpha=1.0)
     assert b == {"real": 30}
+
+
+class TestMixtureEpochs:
+    """mixture_sample_epochs: token-budgeted mixture with whole-corpus
+    repetition for budgets beyond a source's size."""
+
+    @pytest.fixture()
+    def corpus(self, spark):
+        # web: 30 docs x 10 tok = 300; books: 5 docs x 10 tok = 50
+        rows = [(i, "web", 10) for i in range(30)] + [
+            (100 + i, "books", 10) for i in range(5)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok int"
+        )
+
+    def test_epochs_and_remainder(self, spark, corpus):
+        from sentinel_spark.functions.sampling import (
+            mixture_sample,
+            mixture_sample_epochs,
+        )
+
+        budgets = {"web": 100, "books": 170}
+        out = mixture_sample_epochs(
+            corpus, "source", "n_tok", budgets, key="doc_id"
+        ).collect()
+        web = [r for r in out if r.source == "web"]
+        books = [r for r in out if r.source == "books"]
+        # web under-budget: epoch 0 only, identical to mixture_sample
+        assert {r.epoch for r in web} == {0}
+        plain = {
+            r.doc_id
+            for r in mixture_sample(
+                corpus, "source", "n_tok", budgets, key="doc_id"
+            ).collect()
+            if r.source == "web"
+        }
+        assert {r.doc_id for r in web} == plain
+        # books 170 over total 50: 3 full copies + a 20-token prefix
+        by_epoch = {}
+        for r in books:
+            by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+        all_books = {100 + i for i in range(5)}
+        assert by_epoch[0] == by_epoch[1] == by_epoch[2] == all_books
+        assert len(by_epoch[3]) == 2  # 20 tokens = 2 docs
+        assert set(by_epoch) == {0, 1, 2, 3}
+        assert by_epoch[3] < all_books
+        total = sum(r.n_tok for r in books)
+        assert 170 <= total < 180  # overshoot < one doc
+
+    def test_exact_multiple_budget(self, corpus):
+        from sentinel_spark.functions.sampling import mixture_sample_epochs
+
+        out = mixture_sample_epochs(
+            corpus, "source", "n_tok", {"books": 100}, key="doc_id"
+        ).collect()
+        assert len(out) == 10  # exactly two full copies, no remainder
+        assert {r.epoch for r in out} == {0, 1}
+
+    def test_monotone_in_budget(self, corpus):
+        from sentinel_spark.functions.sampling import mixture_sample_epochs
+
+        def ids(b):
+            return {
+                (r.doc_id, r.epoch)
+                for r in mixture_sample_epochs(
+                    corpus, "source", "n_tok", {"books": b}, key="doc_id"
+                ).collect()
+            }
+
+        assert ids(120) < ids(170)
+
+    def test_zero_total_source_dropped(self, spark):
+        from sentinel_spark.functions.sampling import mixture_sample_epochs
+
+        df = spark.createDataFrame(
+            [(1, "empty", 0), (2, "empty", 0)],
+            "doc_id long, source string, n_tok int",
+        )
+        out = mixture_sample_epochs(
+            df, "source", "n_tok", {"empty": 100}, key="doc_id"
+        )
+        assert out.count() == 0
+
+    def test_max_epochs_guard(self, corpus):
+        from sentinel_spark.functions.sampling import mixture_sample_epochs
+
+        with pytest.raises(Exception, match="max_epochs"):
+            mixture_sample_epochs(
+                corpus, "source", "n_tok", {"books": 10**6},
+                key="doc_id", max_epochs=64,
+            ).collect()
+        with pytest.raises(ValueError, match="max_epochs"):
+            mixture_sample_epochs(
+                corpus, "source", "n_tok", {}, key="doc_id", max_epochs=0
+            )
+
+    def test_uncapped_temperature_feeds_epochs(self, spark, corpus):
+        from sentinel_spark.functions.sampling import (
+            mixture_sample_epochs,
+            temperature_budgets,
+        )
+
+        raw = temperature_budgets(
+            corpus, "source", "n_tok", total_tokens=700, alpha=0.0, cap=False
+        )
+        assert raw == {"web": 350, "books": 350}  # NOT capped at 50
+        out = mixture_sample_epochs(
+            corpus, "source", "n_tok", raw, key="doc_id"
+        )
+        got = {
+            r[0]: r[1]
+            for r in out.groupBy("source").agg(F.sum("n_tok")).collect()
+        }
+        # books repeats to reach its uncapped share; web stays within
+        assert 350 <= got["books"] < 360 and 350 <= got["web"] < 360

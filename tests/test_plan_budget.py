@@ -62,11 +62,13 @@ BUDGET = {
                            # frame; keyed so the WindowExec WARN about
                            # an empty partition spec never fires)
     "pii_redact": 0,
-    "sample_suite": 4,     # per-group rank window + the mixture
+    "sample_suite": 7,     # per-group rank window + the mixture
                            # branch's (source, hash-range) prefix-sum
                            # exchange (appearing on both of its two
                            # lineage references) + its tiny per-source
-                           # range-totals window
+                           # range-totals window + r8 epochs branch:
+                           # the same 3-exchange prefix-sum shape over
+                           # its own (src1, src2)-filtered scan
     "dedup_clusters": 5,   # driver-path CC: just the candidate pipeline
                            # + r8 representative branch: slim
                            # (id, cluster, score) join, per-cluster
