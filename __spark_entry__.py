@@ -3309,15 +3309,20 @@ def oracle_sql() -> dict[str, str]:
             -- diff >= gap (merge requires diff < gap), ties irrelevant
             -- (diff 0 always merges); window close = last event + gap
             fn AS (
-              SELECT user_id, ts, event_type,
+              SELECT user_id, ts, event_id, event_type,
                      CASE WHEN pts IS NULL
                             OR epoch_us(ts) - epoch_us(pts) >= 600000000
                           THEN 1 ELSE 0 END AS ns
               FROM o
             ),
+            -- the running sum MUST use the same (ts, event_id) order
+            -- as the lag above: with a bare ORDER BY ts, a tied-ts
+            -- peer of the ns=1 boundary row could be enumerated
+            -- before it and land in the previous session, whereas
+            -- session_window merges the whole tie group (diff 0)
             sn AS (
               SELECT *, sum(ns) OVER (PARTITION BY user_id
-                                      ORDER BY ts
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS grp
               FROM fn
             )

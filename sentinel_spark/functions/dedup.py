@@ -1231,23 +1231,31 @@ def refresh_band_index(
     between them sees the index without the changed ids, which for a
     candidate index means missed candidates, never wrong pairs.
     """
-    ids = changes.select(F.col(id_col).alias("id")).distinct()
-    fresh = changes.where(
-        F.col(change_type_col).isin("insert", "update_postimage")
-    ).select(id_col, text_col)
-    new_rows = minhash_band_index(
-        fresh,
-        text_col,
-        id_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-        num_bands=num_bands,
-    )
-    sample = [r.id for r in ids.limit(max_collect_ids + 1).collect()]
-    if len(sample) <= max_collect_ids:
-        if sample:
-            index_table.delete(F.col("id").isin(sample))
-        index_table.append(new_rows)
-    else:
-        kept = index_table.read().join(ids, "id", "left_anti")
-        index_table.overwrite(kept.unionByName(new_rows))
+    # the diff frame's lineage is a two-version full-outer join — the
+    # expensive part of the whole operation — and it is consumed up to
+    # three times below (id collect, shingle pass, anti-join path);
+    # persist it for the duration so the join runs once
+    changes = changes.persist()
+    try:
+        ids = changes.select(F.col(id_col).alias("id")).distinct()
+        fresh = changes.where(
+            F.col(change_type_col).isin("insert", "update_postimage")
+        ).select(id_col, text_col)
+        new_rows = minhash_band_index(
+            fresh,
+            text_col,
+            id_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+        )
+        sample = [r.id for r in ids.limit(max_collect_ids + 1).collect()]
+        if len(sample) <= max_collect_ids:
+            if sample:
+                index_table.delete(F.col("id").isin(sample))
+            index_table.append(new_rows)
+        else:
+            kept = index_table.read().join(ids, "id", "left_anti")
+            index_table.overwrite(kept.unionByName(new_rows))
+    finally:
+        changes.unpersist()

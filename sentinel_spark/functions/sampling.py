@@ -217,7 +217,7 @@ def mixture_sample(
     budget = _budget_case(budgets, source_col)
     return joined.where(before < budget).drop(
         "_mix_h", "_mix_rng", "_mix_key", "_mix_cum", "_mix_base",
-        "_src_total",
+        "_mix_src_total",
     )
 
 
@@ -228,7 +228,7 @@ def _mixture_prefix(df, source_col, token_col, *, key, salt, caller):
     per-(source, hash-range) bases (helper ``_mix_*`` columns still
     attached), and the Column of summed tokens strictly BEFORE each
     row in its source's hash order. The bases frame also carries each
-    source's TOTAL token count as ``_src_total`` — a second window
+    source's TOTAL token count as ``_mix_src_total`` — a second window
     function over the same (source) partitioning of the tiny range-
     totals frame, so it rides the existing broadcast join instead of
     costing its own aggregate subtree (which, un-persisted, would
@@ -279,7 +279,7 @@ def _mixture_prefix(df, source_col, token_col, *, key, salt, caller):
         source_col,
         "_mix_rng",
         (F.sum("_rt").over(w_src) - F.col("_rt")).alias("_mix_base"),
-        F.sum("_rt").over(Window.partitionBy(source_col)).alias("_src_total"),
+        F.sum("_rt").over(Window.partitionBy(source_col)).alias("_mix_src_total"),
     )
     joined = within.join(F.broadcast(bases), [source_col, "_mix_rng"])
     before = F.col("_mix_base") + F.col("_mix_cum") - t
@@ -347,8 +347,8 @@ def mixture_sample_epochs(
     # rounded division cannot cross an integer boundary — and DuckDB's
     # floor(a/b) on BIGINTs computes the identical double, so the
     # oracle replays this exactly.
-    n_full = F.floor(budget / F.col("_src_total")).cast("long")
-    rem = budget - n_full * F.col("_src_total")
+    n_full = F.floor(budget / F.col("_mix_src_total")).cast("long")
+    rem = budget - n_full * F.col("_mix_src_total")
     last = n_full - F.lit(1) + F.when(before < rem, F.lit(1)).otherwise(
         F.lit(0)
     )
@@ -363,7 +363,7 @@ def mixture_sample_epochs(
         ),
     )
     out = (
-        joined.where(F.col("_src_total") > 0)
+        joined.where(F.col("_mix_src_total") > 0)
         .withColumn("_mix_last", F.when(guard.isNull(), last))
         .withColumn(
             "epoch",
@@ -377,7 +377,7 @@ def mixture_sample_epochs(
     )
     return out.drop(
         "_mix_h", "_mix_rng", "_mix_key", "_mix_cum", "_mix_base",
-        "_mix_last", "_src_total",
+        "_mix_last", "_mix_src_total",
     )
 
 

@@ -8,9 +8,11 @@ free.
 
 Batch: metrics are available on the returned
 :class:`~pyspark.sql.Observation` after the first action over the
-observed frame. Streaming: the same node surfaces per-batch under
-``StreamingQueryProgress.observedMetrics`` (an Observation object is
-batch-only — pass ``name=`` instead and read the progress feed).
+observed frame. Streaming: an Observation object is batch-only, so
+for a streaming frame these helpers attach the metrics by NAME
+(``df.observe(name, ...)``), return ``None`` in the Observation slot,
+and the per-batch values surface under
+``StreamingQueryProgress.observedMetrics[name]``.
 
 Only aggregate expressions are legal in a metric (Spark enforces:
 aggregates over the observed frame's rows, no further references).
@@ -24,10 +26,14 @@ from pyspark.sql import functions as F
 
 def stage_metrics(
     df: DataFrame, name: str, **metrics: Column
-) -> tuple[DataFrame, Observation]:
+) -> tuple[DataFrame, Observation | None]:
     """Attach named aggregate ``metrics`` to ``df``. Returns the
-    observed frame (use it in place of ``df``) and the Observation —
-    read ``obs.get`` after the action that materializes the frame.
+    observed frame (use it in place of ``df``) and, for a batch frame,
+    the Observation — read ``obs.get`` after the action that
+    materializes the frame. For a STREAMING frame the Observation slot
+    is ``None`` (Spark's Observation is batch-only): read the
+    per-batch values from ``StreamingQueryProgress.observedMetrics``
+    under ``name``.
 
     >>> df, obs = stage_metrics(df, "ingest", rows=F.count(F.lit(1)))
     >>> df.write.parquet(...)   # the write IS the metrics pass
@@ -35,14 +41,16 @@ def stage_metrics(
     """
     if not metrics:
         raise ValueError("stage_metrics requires at least one metric")
+    exprs = [m.alias(k) for k, m in metrics.items()]
+    if df.isStreaming:
+        return df.observe(name, *exprs), None
     obs = Observation(name)
-    observed = df.observe(obs, *(m.alias(k) for k, m in metrics.items()))
-    return observed, obs
+    return df.observe(obs, *exprs), obs
 
 
 def funnel_metrics(
     df: DataFrame, name: str, **flags: Column
-) -> tuple[DataFrame, Observation]:
+) -> tuple[DataFrame, Observation | None]:
     """Selection-funnel counters over boolean ``flags``: total rows
     plus, per flag, how many rows pass — the per-stage survivor counts
     of a filter pipeline, measured on the SAME pass that materializes

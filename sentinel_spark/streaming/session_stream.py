@@ -56,9 +56,15 @@ def session_rollup_stream(
         events = events.withWatermark(ts_col, watermark)
     win = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
     extras = extra_aggs or {}
-    reserved = {"n_events", "first_event", "last_event"}
-    if reserved & extras.keys():
-        raise ValueError(f"extra_aggs may not override {sorted(reserved)}")
+    reserved = {
+        "n_events", "first_event", "last_event",
+        "session_start", "session_end", *keys,
+    }
+    clash = reserved & extras.keys()
+    if clash:
+        raise ValueError(
+            f"extra_aggs may not use the output column names {sorted(clash)}"
+        )
     return (
         events.groupBy(*[F.col(k) for k in keys], win)
         .agg(

@@ -168,3 +168,45 @@ def test_funnel_metrics_counts_and_validation(spark):
         funnel_metrics(df, "x", total=F.col("flag"))
     with pytest.raises(ValueError, match="at least one"):
         stage_metrics(df, "y")
+
+
+def test_stage_metrics_streaming_by_name(spark, tmp_path):
+    """On a streaming frame the helpers attach the metrics by name
+    (Observation objects are batch-only — the returned slot is None)
+    and the values surface per-batch in the query progress feed."""
+    from sentinel_spark.observe import funnel_metrics
+
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps({"v": i}) for i in range(10)) + "\n"
+    )
+    stream = spark.readStream.schema("v long").json(str(src))
+    observed, obs = funnel_metrics(stream, "gates", big=F.col("v") >= 7)
+    assert obs is None
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        p["observedMetrics"]["gates"]
+        for p in (json.loads(pj) for pj in (pr.json for pr in q.recentProgress))
+        if p.get("observedMetrics", {}).get("gates")
+    ]
+    assert {"total": 10, "big": 3} in [
+        {"total": m["total"], "big": m["big"]} for m in got
+    ]
+
+
+def test_session_rollup_reserved_window_names(spark):
+    from sentinel_spark.streaming.session_stream import session_rollup_stream
+
+    ev = _events(spark)
+    for bad in ("session_start", "session_end", "user_id"):
+        with pytest.raises(ValueError, match=bad):
+            session_rollup_stream(
+                ev, extra_aggs={bad: F.count(F.lit(1))}
+            )
