@@ -165,3 +165,100 @@ def export_training_shards(
     finally:
         assigned.unpersist()
     return ExportResult(out_dir, manifest_back)
+
+
+def read_training_shards(
+    spark,
+    out_dir: str,
+    *,
+    file_format: str = "json",
+    schema=None,
+):
+    """Read an exported shard layout back as one DataFrame with its
+    ``shard_id`` partition column restored (Spark partition
+    discovery). Pass ``schema`` in production — JSON inference costs
+    an extra scan and can widen types; the manifest directory is
+    excluded either way (it lives under ``_manifest``, which
+    partition discovery already ignores as a non-``shard_id=`` path)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format(file_format).load(out_dir)
+
+
+def validate_export(
+    spark,
+    out_dir: str,
+    *,
+    token_col: str,
+    order_col: str,
+    file_format: str = "json",
+    schema=None,
+) -> DataFrame:
+    """Audit an export against its own manifest — the "did the corpus
+    land intact" check run before handing shards to training. Recounts
+    every shard from the DATA files (docs, summed tokens, first/last
+    order key) and full-outer-joins the recount with the written
+    manifest, so the report catches both directions of loss: a shard
+    directory that is missing/truncated/extra, and a manifest row that
+    lies about its shard.
+
+    Returns one row per shard id seen on either side:
+    ``shard_id, ok, in_data, in_manifest, n_docs/n_tokens/first_key/
+    last_key`` (recounted) and the ``m_``-prefixed manifest values.
+    ``ok`` is true iff the shard exists on both sides and every pair
+    matches (keys compared as strings — JSON round-trips key types
+    through text anyway).
+
+    One data scan + one per-shard aggregate + a join against the
+    shard-count-sized manifest (full-outer — both missing directions
+    matter — so it sort-merges rather than broadcasts; both sides are
+    one row per shard); scales with the export, never funnels rows
+    through the driver."""
+    data = read_training_shards(
+        spark, out_dir, file_format=file_format, schema=schema
+    )
+    # min/max run on the ORIGINAL key type (a string cast first would
+    # make them lexicographic — '9' > '26'); only the comparison with
+    # the text-round-tripped manifest happens on strings
+    recount = data.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+        F.min(F.col(order_col)).cast("string").alias("first_key"),
+        F.max(F.col(order_col)).cast("string").alias("last_key"),
+    )
+    manifest = (
+        spark.read.json(out_dir + "/_manifest")
+        .select(
+            F.col("shard_id").cast("long").alias("shard_id"),
+            F.col("n_docs").cast("long").alias("m_n_docs"),
+            F.col("n_tokens").cast("long").alias("m_n_tokens"),
+            F.col("first_key").cast("string").alias("m_first_key"),
+            F.col("last_key").cast("string").alias("m_last_key"),
+        )
+    )
+    joined = recount.join(manifest, "shard_id", "full_outer")
+    in_data = F.col("n_docs").isNotNull()
+    in_manifest = F.col("m_n_docs").isNotNull()
+    ok = (
+        in_data
+        & in_manifest
+        & (F.col("n_docs") == F.col("m_n_docs"))
+        & (F.col("n_tokens") == F.col("m_n_tokens"))
+        & (F.col("first_key") == F.col("m_first_key"))
+        & (F.col("last_key") == F.col("m_last_key"))
+    )
+    return joined.select(
+        "shard_id",
+        F.coalesce(ok, F.lit(False)).alias("ok"),
+        in_data.alias("in_data"),
+        in_manifest.alias("in_manifest"),
+        "n_docs",
+        "n_tokens",
+        "first_key",
+        "last_key",
+        "m_n_docs",
+        "m_n_tokens",
+        "m_first_key",
+        "m_last_key",
+    )

@@ -136,3 +136,62 @@ def test_pack_rekey_avoids_pack_set_bottleneck(spark, corpus):
     for r in rows:
         totals[r.shard_id] = totals.get(r.shard_id, 0) + r.n_tokens
     assert all(t <= 120 for t in totals.values())
+
+
+def test_validate_export_intact_and_tampered(spark, corpus, tmp_path):
+    """validate_export: all-ok on an intact export; a deleted shard
+    directory and a manifest lie are both flagged, in the right
+    direction."""
+    import json
+    import shutil
+
+    from sentinel_spark.sources.export import (
+        read_training_shards,
+        validate_export,
+    )
+
+    out = str(tmp_path / "vshards")
+    export_training_shards(
+        corpus, out, token_col="n_tokens", order_col="doc_id",
+        shard_tokens=400, mode="concat",
+    )
+    rep = validate_export(
+        spark, out, token_col="n_tokens", order_col="doc_id"
+    ).collect()
+    assert rep and all(r.ok and r.in_data and r.in_manifest for r in rep)
+    # the reader restores shard_id and every doc exactly once
+    back = read_training_shards(spark, out)
+    assert back.count() == 200 and "shard_id" in back.columns
+
+    # tamper 1: drop one shard directory -> in_data False for it
+    victim = sorted(r.shard_id for r in rep)[0]
+    shutil.rmtree(os.path.join(out, f"shard_id={victim}"))
+    # tamper 2: manifest lies about another shard's token count
+    liar = sorted(r.shard_id for r in rep)[1]
+    [mpath] = glob.glob(os.path.join(out, "_manifest", "part-*"))
+    lines = []
+    with open(mpath) as fh:
+        for line in fh:
+            row = json.loads(line)
+            if row["shard_id"] == liar:
+                row["n_tokens"] += 1
+            lines.append(json.dumps(row))
+    with open(mpath, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    # drop the Hadoop local-FS checksum shadow, or the tampered file
+    # fails the CRC check instead of parsing
+    crc = os.path.join(
+        os.path.dirname(mpath), "." + os.path.basename(mpath) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    rep2 = {r.shard_id: r for r in validate_export(
+        spark, out, token_col="n_tokens", order_col="doc_id"
+    ).collect()}
+    assert not rep2[victim].ok and not rep2[victim].in_data
+    assert rep2[victim].in_manifest
+    assert not rep2[liar].ok and rep2[liar].in_data
+    assert rep2[liar].m_n_tokens == rep2[liar].n_tokens + 1
+    others = [r for sid, r in rep2.items() if sid not in (victim, liar)]
+    assert others and all(r.ok for r in others)
