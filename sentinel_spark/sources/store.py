@@ -1216,6 +1216,104 @@ class ParquetTable:
             )
         return compacted
 
+    def report(
+        self,
+        *,
+        columns: list[str] | None = None,
+        version: int | None = None,
+    ) -> dict:
+        """Operational health report from METADATA only — the manifest
+        plus local file sizes; zero data pages read, no Spark job.
+        Returns::
+
+            {"version", "n_files", "total_bytes",
+             "file_bytes": {"min", "median", "max"},
+             "directories": {"n_dirs", "max_files_per_dir"},
+             "columns": {col: {"n_with_stats", "avg_overlap",
+                               "max_depth"}}}
+
+        ``avg_overlap`` is the mean number of OTHER files whose
+        recorded [min, max] range for ``col`` intersects a file's own
+        range (~0 on a well-clustered table, ``n_files - 1`` when
+        every file spans the key space); ``max_depth`` is the largest
+        number of files covering any single point of the key space —
+        the worst-case fan-in of a point probe. These are the
+        compaction decision inputs: ``read_pruned``'s skip rate
+        degrades exactly as overlap grows, and
+        ``compact(cluster_by=[col])`` resets both. Each is an
+        O(n log n) sweep over the manifest stats — the pair COUNT via
+        active-set sizes and the depth via an event walk, never an
+        enumeration of the (potentially quadratic) pair set. Files
+        without recorded stats for the column are excluded from the
+        sweep (visible as ``n_with_stats``). Mixed stat types across
+        files (a schema evolution that retyped the column) raise a
+        descriptive ``ValueError`` rather than a bare comparison
+        error."""
+        import heapq
+        import statistics
+
+        snap = self._snapshot(version)
+        files = list(snap.get("files") or [])
+        stats = snap.get("stats") or {}
+        sizes = []
+        dir_counts: dict[str, int] = {}
+        for rel in files:
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
+                sizes.append(os.path.getsize(p))
+            d = os.path.dirname(rel)
+            dir_counts[d] = dir_counts.get(d, 0) + 1
+        out: dict = {
+            "version": snap.get("version", 0),
+            "n_files": len(files),
+            "total_bytes": sum(sizes),
+            "file_bytes": {
+                "min": min(sizes) if sizes else 0,
+                "median": int(statistics.median(sizes)) if sizes else 0,
+                "max": max(sizes) if sizes else 0,
+            },
+            "directories": {
+                "n_dirs": len(dir_counts),
+                "max_files_per_dir": max(dir_counts.values(), default=0),
+            },
+            "columns": {},
+        }
+        for col in columns or []:
+            ranges = []
+            for rel in files:
+                ent = (stats.get(rel) or {}).get(col)
+                if ent is not None:
+                    ranges.append((ent[0], ent[1]))
+            pairs = 0
+            max_depth = 0
+            if ranges:
+                try:
+                    # pair count: in start order, each interval
+                    # overlaps exactly the already-started intervals
+                    # whose end hasn't passed its start
+                    ends: list = []  # heap of active ends
+                    for lo, hi in sorted(ranges):
+                        while ends and ends[0] < lo:
+                            heapq.heappop(ends)
+                        pairs += len(ends)
+                        heapq.heappush(ends, hi)
+                        max_depth = max(max_depth, len(ends))
+                except TypeError:
+                    raise ValueError(
+                        f"column {col!r} has stats of mixed types across "
+                        "files (schema evolution retyped it); range "
+                        "analysis is undefined — compact() to rewrite "
+                        "old files under the current schema"
+                    ) from None
+            out["columns"][col] = {
+                "n_with_stats": len(ranges),
+                "avg_overlap": (
+                    2.0 * pairs / len(ranges) if ranges else 0.0
+                ),
+                "max_depth": max_depth,
+            }
+        return out
+
     def update(self, cond: Column, assignments: dict[str, Column]) -> None:
         """``UPDATE SET ... WHERE cond`` via conditional projection —
         copy-on-write over only the partitions containing matching rows

@@ -832,3 +832,43 @@ def test_bloom_probe_beyond_float_range(spark, tmp_path):
     # mixed probe set: the present value still keeps the file
     got = t.read_pruned("v", values=[huge, 7])
     assert got.where(F.col("v") == 7.0).count() == 1
+
+
+def test_report_metadata_only_health(spark, tmp_path):
+    """ParquetTable.report(): file/size/directory facts from the
+    manifest, and a clustering-health sweep over the recorded per-file
+    ranges — interleaved appends read as fully overlapping, a
+    cluster_by compaction resets the overlap to ~0. No Spark job."""
+    t = ParquetTable(spark, str(tmp_path / "rep"))
+    for off in (0, 1, 2):
+        t.append(
+            spark.range(300)
+            .select((F.col("id") * 3 + off).alias("k"))
+            .coalesce(1)
+        )
+    rep = t.report(columns=["k"])
+    assert rep["n_files"] == 3
+    assert rep["total_bytes"] == sum(
+        os.path.getsize(os.path.join(t.path, f))
+        for f in t._snapshot()["files"]
+    )
+    assert rep["file_bytes"]["min"] <= rep["file_bytes"]["median"] <= rep["file_bytes"]["max"]
+    assert rep["directories"] == {"n_dirs": 1, "max_files_per_dir": 3}
+    k = rep["columns"]["k"]
+    # every file spans ~the whole domain: all pairs overlap, any
+    # point is covered by all three files
+    assert k == {"n_with_stats": 3, "avg_overlap": 2.0, "max_depth": 3}
+
+    total = rep["total_bytes"]
+    t.compact(target_file_bytes=total // 3 + 1, cluster_by=["k"])
+    rep2 = t.report(columns=["k"])
+    k2 = rep2["columns"]["k"]
+    assert rep2["n_files"] >= 2
+    assert k2["n_with_stats"] == rep2["n_files"]
+    # disjoint ranges: no pair overlaps, depth 1 everywhere
+    assert k2["avg_overlap"] == 0.0 and k2["max_depth"] == 1
+    # a column with no recorded stats reports an empty sweep
+    rep3 = t.report(columns=["nope"])
+    assert rep3["columns"]["nope"] == {
+        "n_with_stats": 0, "avg_overlap": 0.0, "max_depth": 0
+    }
