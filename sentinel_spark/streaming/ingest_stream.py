@@ -382,8 +382,22 @@ def run_document_pipeline(
         .trigger(availableNow=True)
         .start()
     )
+    # Per-batch intake metrics ride the query itself (observe.py —
+    # CollectMetrics nodes, no extra pass): "intake" counts every
+    # arriving doc + the quality survivors upstream of the filter,
+    # "admitted" counts what the stateful dedup actually let through.
+    # Read them from StreamingQueryProgress.observedMetrics.
+    from sentinel_spark.observe import funnel_metrics, stage_metrics
+
+    gated, _ = funnel_metrics(source(), "intake", quality=F.col("keep"))
+    deduped = stateful_dedup_stream(
+        gated.filter(F.col("keep")), ttl_ms=ttl_ms
+    )
+    deduped, _ = stage_metrics(
+        deduped, "admitted", docs=F.count(F.lit(1))
+    )
     unique = (
-        stateful_dedup_stream(source().filter(F.col("keep")), ttl_ms=ttl_ms)
+        deduped
         .writeStream.format("parquet")
         .option("path", os.path.join(out_dir, "unique"))
         .option("checkpointLocation", checkpoint_dir + "_unique")

@@ -341,11 +341,25 @@ def test_streaming_document_pipeline(spark, tmp_path):
     good_b = "every good document has enough plain words to pass"
     junk = "#### ### ##"
     (inbox / "b1.txt").write_text(f"{good_a}\n{junk}\n{good_a}\n{good_b}\n")
-    run_document_pipeline(spark, str(inbox), out)
+    q = run_document_pipeline(spark, str(inbox), out)
     uniq = {r.content for r in spark.read.parquet(out + "/unique").collect()}
     rej = {r.content for r in spark.read.parquet(out + "/rejected").collect()}
     assert uniq == {good_a, good_b}
     assert rej == {junk}
+    # the per-batch observe metrics rode the query: 4 docs in, 3 past
+    # the quality gate, 2 admitted after in-batch dedup
+    import json as _json
+
+    metrics = [
+        p.get("observedMetrics", {})
+        for p in (_json.loads(pr.json) for pr in q.recentProgress)
+    ]
+    assert {"total": 4, "quality": 3} in [
+        {k: m["intake"][k] for k in ("total", "quality")}
+        for m in metrics
+        if m.get("intake")
+    ]
+    assert 2 in [m["admitted"]["docs"] for m in metrics if m.get("admitted")]
     # later arrival: a duplicate of good_a and one new doc
     good_c = "a completely new document arrives in the second batch"
     (inbox / "b2.txt").write_text(f"{good_a}\n{good_c}\n")
