@@ -63,6 +63,7 @@ def build_training_corpus(
     id_col: str = "doc_id",
     source_col: str | None = None,
     budgets: dict[str, int] | None = None,
+    allow_repeat: bool = False,
     shingle_n: int = 3,
     decontam_n: int = 8,
     decontam_max_frac: float = 0.05,
@@ -79,7 +80,17 @@ def build_training_corpus(
     """Run the full recipe over ``docs`` (and ``benchmark`` for
     decontamination — pass None to skip that stage, and ``out_dir``
     None to skip the export). ``budgets`` + ``source_col`` enable the
-    mixture stage. ``min_est_jaccard`` thresholds the LSH candidate
+    mixture stage; ``allow_repeat=True`` switches it to
+    :func:`~sentinel_spark.functions.sampling.mixture_sample_epochs`,
+    so a budget beyond a source's cleaned size repeats that source
+    whole (the books-for-N-epochs upsampling move — pair with
+    ``temperature_budgets(cap=False)``): the selected/export frames
+    then carry one row per (document, ``epoch``), the funnel's final
+    counts include the repeats (that is what the budget buys), every
+    text-keyed stage (scrub, redaction) runs once per DISTINCT
+    document and re-attaches to the epoch rows, and the export orders
+    by an ``id#epoch`` composite so shard assignment stays
+    deterministic under the repeated ids. ``min_est_jaccard`` thresholds the LSH candidate
     pairs before clustering — raw band collisions include ~1%-chance
     low-similarity pairs, and clustering those would chain-drop
     documents no other path in this library considers duplicates.
@@ -185,13 +196,25 @@ def build_training_corpus(
     stage3 = stage3.persist()
 
     clean = stage3.where(F.col("is_canonical") & ~F.col("contaminated"))
+    if allow_repeat and budgets is None:
+        raise ValueError("allow_repeat requires budgets")
     if budgets is not None:
         if source_col is None:
             raise ValueError("budgets require source_col")
-        final = mixture_sample(
-            clean, source_col, "n_tok", budgets,
-            key=F.col(id_col).cast("string"), salt="corpus",
-        )
+        if allow_repeat:
+            from sentinel_spark.functions.sampling import (
+                mixture_sample_epochs,
+            )
+
+            final = mixture_sample_epochs(
+                clean, source_col, "n_tok", budgets,
+                key=F.col(id_col).cast("string"), salt="corpus",
+            )
+        else:
+            final = mixture_sample(
+                clean, source_col, "n_tok", budgets,
+                key=F.col(id_col).cast("string"), salt="corpus",
+            )
     else:
         final = clean
 
@@ -239,16 +262,19 @@ def build_training_corpus(
         if redact
         else F.col(text_col)
     )
+    epoch_cols = ["epoch"] if allow_repeat else []
     selected = (
         final.select(
             id_col,
             *([source_col] if source_col else []),
+            *epoch_cols,
             "n_tok",
         )
         .join(texts, id_col)
         .select(
             id_col,
             *([source_col] if source_col else []),
+            *epoch_cols,
             "n_tok",
             out_text,
         )
@@ -266,9 +292,21 @@ def build_training_corpus(
     if scrub_n is not None:
         from sentinel_spark.functions.decontam import remove_duplicate_passages
 
-        meta_cols = [id_col] + ([source_col] if source_col else [])
+        meta_cols = (
+            [id_col] + ([source_col] if source_col else []) + epoch_cols
+        )
+        # under allow_repeat the same document appears once per epoch;
+        # the scrub (keyed on unique doc ids, and counting occurrences
+        # corpus-wide) must see each document ONCE — an epoch repeat is
+        # not a duplicated passage — so it runs over the distinct-id
+        # projection and re-attaches to every epoch row.
+        scrub_in = (
+            selected.select(id_col, text_col).dropDuplicates([id_col])
+            if allow_repeat
+            else selected
+        )
         scrub_out = remove_duplicate_passages(
-            selected, text_col, id_col, n=scrub_n
+            scrub_in, text_col, id_col, n=scrub_n
         ).select(
             id_col,
             F.col(text_col).alias("__scrub_text"),
@@ -286,11 +324,25 @@ def build_training_corpus(
 
     export = None
     if out_dir is not None:
+        order_key = id_col
+        if allow_repeat:
+            # repeated ids would tie the shard-assignment sort; a
+            # unique id#epoch key keeps the export deterministic (and
+            # gives the loader a per-ROW sample key)
+            selected = selected.withColumn(
+                "sample_key",
+                F.concat_ws(
+                    "#",
+                    F.col(id_col).cast("string"),
+                    F.col("epoch").cast("string"),
+                ),
+            )
+            order_key = "sample_key"
         export = export_training_shards(
             selected,
             out_dir,
             token_col="n_tok",
-            order_col=id_col,
+            order_col=order_key,
             shard_tokens=shard_tokens,
             mode=export_mode,
             file_format=file_format,

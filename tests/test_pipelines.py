@@ -200,3 +200,92 @@ def test_recipe_rescore_stars_recovers_borderline_dups(spark):
     assert sel_u <= sel_p
     assert sel_r == sel_u
     assert len(sel_p) - len(sel_r) >= 1
+
+
+def test_allow_repeat_epochs_export(spark, tmp_path):
+    """allow_repeat: an over-size budget repeats the scarce source with
+    epoch ids; the funnel counts the repeats; the export is keyed by
+    the unique id#epoch sample_key and round-trips intact."""
+    docs, bench = _mk_docs(spark)
+    # clean corpus after the gates: web doc 1, books doc 6
+    base = build_training_corpus(
+        docs, bench, None, source_col="source", quality_kwargs=QKW
+    )
+    totals = {
+        r.source: r.t
+        for r in base.selected.groupBy("source")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    release(base.selected)
+
+    out = str(tmp_path / "rep_corpus")
+    budgets = {"books": totals["books"] * 3, "web": totals["web"]}
+    res = build_training_corpus(
+        docs, bench, out,
+        source_col="source",
+        budgets=budgets,
+        allow_repeat=True,
+        quality_kwargs=QKW,
+        shard_tokens=10_000,
+    )
+    rows = res.selected.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    assert sorted(by_doc[6]) == [0, 1, 2]   # books x3 epochs
+    assert sorted(by_doc[1]) == [0]         # web budget == size: 1 epoch
+    f = res.funnel.collect()[0]
+    assert f.docs_final == 4                # repeats counted
+    assert f.tokens_final == totals["books"] * 3 + totals["web"]
+    # export: unique per-row sample_key, every epoch row shipped
+    assert {r.sample_key for r in rows} == {"1#0", "6#0", "6#1", "6#2"}
+    from sentinel_spark.sources.export import validate_export
+
+    rep = validate_export(
+        spark, out, token_col="n_tok", order_col="sample_key"
+    ).collect()
+    assert rep and all(r.ok for r in rep)
+    assert sum(r.n_docs for r in rep) == 4
+    release(res.selected)
+
+    with pytest.raises(ValueError, match="allow_repeat requires budgets"):
+        build_training_corpus(
+            docs, bench, None, source_col="source", allow_repeat=True
+        )
+
+
+def test_allow_repeat_scrub_runs_once_per_doc(spark):
+    """scrub + allow_repeat: the corpus-wide occurrence counting sees
+    each document ONCE (an epoch repeat is not a duplicated passage) —
+    every epoch row of a doc carries the identical scrubbed text, and
+    that text equals the no-repeat scrub of the same corpus."""
+    docs, bench = _mk_docs(spark)
+    kw = dict(
+        source_col="source", quality_kwargs=QKW, scrub_n=16, shingle_n=3
+    )
+    plain = build_training_corpus(docs, bench, None, **kw)
+    plain_text = {r.doc_id: r.text for r in plain.selected.collect()}
+    release(plain.selected)
+
+    base = build_training_corpus(
+        docs, bench, None, source_col="source", quality_kwargs=QKW
+    )
+    totals = {
+        r.source: r.t
+        for r in base.selected.groupBy("source")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    release(base.selected)
+    res = build_training_corpus(
+        docs, bench, None,
+        budgets={"books": totals["books"] * 2, "web": totals["web"]},
+        allow_repeat=True,
+        **kw,
+    )
+    rows = res.selected.collect()
+    for r in rows:
+        assert r.text == plain_text[r.doc_id], (r.doc_id, r.epoch)
+    assert len([r for r in rows if r.doc_id == 6]) == 2
+    release(res.selected)
