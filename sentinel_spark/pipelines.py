@@ -86,11 +86,13 @@ def build_training_corpus(
     whole (the books-for-N-epochs upsampling move — pair with
     ``temperature_budgets(cap=False)``): the selected/export frames
     then carry one row per (document, ``epoch``), the funnel's final
-    counts include the repeats (that is what the budget buys), every
-    text-keyed stage (scrub, redaction) runs once per DISTINCT
-    document and re-attaches to the epoch rows, and the export orders
-    by an ``id#epoch`` composite so shard assignment stays
-    deterministic under the repeated ids. ``min_est_jaccard`` thresholds the LSH candidate
+    counts include the repeats (that is what the budget buys), the
+    corpus-wide scrub runs once per DISTINCT document and re-attaches
+    to the epoch rows (an epoch repeat is not a duplicated passage;
+    redaction, a pure per-row projection, is simply identical across
+    repeats), and the export adds and orders by a unique ``id#epoch``
+    ``sample_key`` column so shard assignment stays deterministic
+    under the repeated ids (exported rows carry that column). ``min_est_jaccard`` thresholds the LSH candidate
     pairs before clustering — raw band collisions include ~1%-chance
     low-similarity pairs, and clustering those would chain-drop
     documents no other path in this library considers duplicates.
