@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as TY
 from pyspark.sql.window import Window
 
 from sentinel_spark.functions.text import WORD_RE
@@ -68,24 +69,51 @@ def token_offsets(
     every ``shard_tokens`` (documents may straddle — GPT-style).
 
     Scalable prefix sum, not a single-partition global window: rows
-    prefix-sum *within* coarse ``bucket`` ranges (a monotone function
-    of the order key — default ``order_col div 8192``), bucket totals
-    are a tiny frame whose exclusive running sum broadcasts back, and
-    the global offset is bucket base + within-bucket prefix. The only
-    full-data exchange is the hash partition on the bucket key; the
-    per-bucket windows sort locally.
+    prefix-sum *within* coarse ``bucket`` ranges (any MONOTONE
+    function of the order key), bucket totals are a tiny frame whose
+    exclusive running sum broadcasts back, and the global offset is
+    bucket base + within-bucket prefix. The only full-data exchange
+    is the hash partition on the bucket key; the per-bucket windows
+    sort locally.
+
+    The default bucket is type-aware (a numeric ``col / 8192`` over a
+    STRING key would cast non-numeric keys to NULL and silently
+    funnel the whole corpus into one bucket): numeric keys divide
+    down, timestamps bucket on coarse ``unix_micros`` ranges, and
+    strings take the 2-character prefix — monotone in lexicographic
+    order (an adversarial corpus whose keys share one prefix degrades
+    to fewer buckets but stays CORRECT; pass an explicit ``bucket``
+    for such keys). Any other key type raises.
 
     Output adds ``token_offset`` (first token's global position),
     ``shard_id``, and ``n_shards`` (how many shard boundaries the
     document spans)."""
-    b = bucket if bucket is not None else F.floor(F.col(order_col) / 8192)
+    if bucket is not None:
+        b = bucket
+    else:
+        dt = df.schema[order_col].dataType
+        if isinstance(dt, (TY.NumericType,)):
+            b = F.floor(F.col(order_col) / 8192)
+        elif isinstance(dt, (TY.TimestampType, TY.TimestampNTZType)):
+            # ~2.3-hour ranges: monotone, coarse, bounded cardinality
+            b = F.floor(F.unix_micros(F.col(order_col)) / (8192 * 1_000_000))
+        elif isinstance(dt, TY.StringType):
+            b = F.substring(F.col(order_col), 1, 2)
+        else:
+            raise ValueError(
+                f"order_col {order_col!r} has type {dt.simpleString()}; "
+                "pass an explicit monotone `bucket` expression"
+            )
     t = F.col(tokens_col).cast("long")
     w_in = (
         Window.partitionBy("__bucket")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = df.withColumn("__bucket", b.cast("long")).withColumn(
+    # no long cast on the bucket: the default string-prefix bucket (and
+    # any caller-supplied non-numeric monotone bucket) must keep its
+    # own type — a forced numeric cast would NULL it out
+    within = df.withColumn("__bucket", b).withColumn(
         "__cum_in", F.sum(t).over(w_in)
     )
     totals = within.groupBy("__bucket").agg(F.sum(t).alias("__total"))

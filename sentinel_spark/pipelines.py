@@ -300,10 +300,16 @@ def build_training_corpus(
         # under allow_repeat the same document appears once per epoch;
         # the scrub (keyed on unique doc ids, and counting occurrences
         # corpus-wide) must see each document ONCE — an epoch repeat is
-        # not a duplicated passage — so it runs over the distinct-id
-        # projection and re-attaches to every epoch row.
+        # not a duplicated passage. Deduplicate on the NARROW id frame
+        # (distinct over final's ids, then one join back to the source
+        # text) rather than dropDuplicates over the joined selected
+        # frame, which would shuffle epochs× copies of the full text;
+        # out_text re-applies so the scrub sees exactly the text
+        # selected carries (redacted when redact=True).
         scrub_in = (
-            selected.select(id_col, text_col).dropDuplicates([id_col])
+            texts.join(
+                final.select(id_col).dropDuplicates([id_col]), id_col
+            ).select(id_col, out_text)
             if allow_repeat
             else selected
         )

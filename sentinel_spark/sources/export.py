@@ -177,9 +177,12 @@ def read_training_shards(
     """Read an exported shard layout back as one DataFrame with its
     ``shard_id`` partition column restored (Spark partition
     discovery). Pass ``schema`` in production — JSON inference costs
-    an extra scan and can widen types; the manifest directory is
-    excluded either way (it lives under ``_manifest``, which
-    partition discovery already ignores as a non-``shard_id=`` path)."""
+    an extra scan and can widen types. The manifest directory is
+    skipped because underscore-prefixed paths are HIDDEN to Spark's
+    file index (the ``_SUCCESS`` rule) — NOT because arbitrary
+    sibling directories are tolerated: a plain-named extra directory
+    under ``out_dir`` fails partition discovery with a conflicting-
+    directory-structure error, so keep metadata under ``_``-names."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -207,26 +210,49 @@ def validate_export(
     ``shard_id, ok, in_data, in_manifest, n_docs/n_tokens/first_key/
     last_key`` (recounted) and the ``m_``-prefixed manifest values.
     ``ok`` is true iff the shard exists on both sides and every pair
-    matches (keys compared as strings — JSON round-trips key types
-    through text anyway).
+    matches. Keys are compared in the DATA's key type: the manifest
+    (always JSON text) is cast back to that type before comparing, so
+    a timestamp or decimal key whose native string form differs from
+    its JSON rendering still matches on an intact export — and a
+    manifest value that fails the cast (corruption) compares NULL and
+    flags the shard. The report columns render both sides as strings.
+
+    A fully lost export (every shard directory gone, only the
+    manifest left) is itself a finding, not a crash: the recount side
+    degrades to empty and every manifest row reports
+    ``in_data=False``.
 
     One data scan + one per-shard aggregate + a join against the
     shard-count-sized manifest (full-outer — both missing directions
     matter — so it sort-merges rather than broadcasts; both sides are
     one row per shard); scales with the export, never funnels rows
     through the driver."""
-    data = read_training_shards(
-        spark, out_dir, file_format=file_format, schema=schema
-    )
-    # min/max run on the ORIGINAL key type (a string cast first would
-    # make them lexicographic — '9' > '26'); only the comparison with
-    # the text-round-tripped manifest happens on strings
-    recount = data.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
-        F.min(F.col(order_col)).cast("string").alias("first_key"),
-        F.max(F.col(order_col)).cast("string").alias("last_key"),
-    )
+    from pyspark.errors import AnalysisException
+
+    key_type = "string"
+    try:
+        data = read_training_shards(
+            spark, out_dir, file_format=file_format, schema=schema
+        )
+        key_type = dict(data.dtypes)[order_col]
+        # min/max run on the ORIGINAL key type (a string cast first
+        # would make them lexicographic — '9' > '26')
+        recount = data.groupBy(
+            F.col("shard_id").cast("long").alias("shard_id")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+            F.min(F.col(order_col)).alias("first_key_t"),
+            F.max(F.col(order_col)).alias("last_key_t"),
+        )
+    except AnalysisException:
+        # zero visible data files -> schema inference fails before any
+        # row is read; the audit's answer is "everything is missing"
+        recount = spark.createDataFrame(
+            [],
+            "shard_id long, n_docs long, n_tokens long, "
+            "first_key_t string, last_key_t string",
+        )
     manifest = (
         spark.read.json(out_dir + "/_manifest")
         .select(
@@ -245,8 +271,8 @@ def validate_export(
         & in_manifest
         & (F.col("n_docs") == F.col("m_n_docs"))
         & (F.col("n_tokens") == F.col("m_n_tokens"))
-        & (F.col("first_key") == F.col("m_first_key"))
-        & (F.col("last_key") == F.col("m_last_key"))
+        & (F.col("first_key_t") == F.col("m_first_key").cast(key_type))
+        & (F.col("last_key_t") == F.col("m_last_key").cast(key_type))
     )
     return joined.select(
         "shard_id",
@@ -255,8 +281,8 @@ def validate_export(
         in_manifest.alias("in_manifest"),
         "n_docs",
         "n_tokens",
-        "first_key",
-        "last_key",
+        F.col("first_key_t").cast("string").alias("first_key"),
+        F.col("last_key_t").cast("string").alias("last_key"),
         "m_n_docs",
         "m_n_tokens",
         "m_first_key",

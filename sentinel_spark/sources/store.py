@@ -1226,11 +1226,17 @@ class ParquetTable:
         plus local file sizes; zero data pages read, no Spark job.
         Returns::
 
-            {"version", "n_files", "total_bytes",
+            {"version", "n_files", "n_missing_on_disk", "total_bytes",
              "file_bytes": {"min", "median", "max"},
              "directories": {"n_dirs", "max_files_per_dir"},
              "columns": {col: {"n_with_stats", "avg_overlap",
                                "max_depth"}}}
+
+        ``n_missing_on_disk`` counts manifest files absent from the
+        filesystem (an out-of-band deletion, or a pinned old version
+        whose files were reclaimed) — when it is non-zero the byte
+        statistics describe only the surviving files, and the report
+        says so instead of silently blending the two sets.
 
         ``avg_overlap`` is the mean number of OTHER files whose
         recorded [min, max] range for ``col`` intersects a file's own
@@ -1256,16 +1262,20 @@ class ParquetTable:
         files = list(snap.get("files") or [])
         stats = snap.get("stats") or {}
         sizes = []
+        missing = 0
         dir_counts: dict[str, int] = {}
         for rel in files:
             p = os.path.join(self.path, rel)
             if os.path.exists(p):
                 sizes.append(os.path.getsize(p))
+            else:
+                missing += 1
             d = os.path.dirname(rel)
             dir_counts[d] = dir_counts.get(d, 0) + 1
         out: dict = {
             "version": snap.get("version", 0),
             "n_files": len(files),
+            "n_missing_on_disk": missing,
             "total_bytes": sum(sizes),
             "file_bytes": {
                 "min": min(sizes) if sizes else 0,

@@ -125,3 +125,33 @@ def test_pack_sequences_validity_and_determinism(spark):
 
     again = pack_sequences(df, "n_tok", "doc_id", capacity=1024, num_buckets=8)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_token_offsets_string_and_unsupported_keys(spark):
+    """Type-aware default bucket: a STRING order key prefix-buckets
+    (monotone, never NULL-funneled into one bucket) and produces the
+    same global offsets as the numeric form of the same order; an
+    unsupported key type asks for an explicit bucket."""
+    import pytest as _pytest
+
+    from sentinel_spark.functions.chunking import token_offsets
+
+    rows = [(f"{i:04d}#0", i, 10 + (i % 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "skey string, num long, n_tok int")
+    s = {
+        r.skey: (r.token_offset, r.shard_id)
+        for r in token_offsets(df, "n_tok", "skey", shard_tokens=128).collect()
+    }
+    n = {
+        f"{r.num:04d}#0": (r.token_offset, r.shard_id)
+        for r in token_offsets(df, "n_tok", "num", shard_tokens=128).collect()
+    }
+    assert s == n  # zero-padded string order == numeric order
+    # multiple prefix buckets actually formed (no single-bucket funnel)
+    buckets = {k[:2] for k in s}
+    assert len(buckets) > 1
+    with _pytest.raises(ValueError, match="monotone"):
+        token_offsets(
+            df.select(F.array("num").alias("k"), "n_tok"),
+            "n_tok", "k", shard_tokens=128,
+        )

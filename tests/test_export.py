@@ -195,3 +195,49 @@ def test_validate_export_intact_and_tampered(spark, corpus, tmp_path):
     assert rep2[liar].m_n_tokens == rep2[liar].n_tokens + 1
     others = [r for sid, r in rep2.items() if sid not in (victim, liar)]
     assert others and all(r.ok for r in others)
+
+
+def test_validate_export_total_loss_reports_not_crashes(spark, corpus, tmp_path):
+    """Every shard directory gone, only _manifest left: the audit must
+    ANSWER (all shards in_data=False), not crash on schema inference."""
+    import shutil
+
+    from sentinel_spark.sources.export import validate_export
+
+    out = str(tmp_path / "lost")
+    export_training_shards(
+        corpus, out, token_col="n_tokens", order_col="doc_id",
+        shard_tokens=400, mode="concat",
+    )
+    for d in glob.glob(os.path.join(out, "shard_id=*")):
+        shutil.rmtree(d)
+    rep = validate_export(
+        spark, out, token_col="n_tokens", order_col="doc_id"
+    ).collect()
+    assert rep and all(
+        (not r.ok) and (not r.in_data) and r.in_manifest for r in rep
+    )
+
+
+def test_validate_export_parquet_timestamp_key(spark, tmp_path):
+    """Typed key comparison: a parquet export ordered by a timestamp
+    column validates ok even though the manifest's JSON rendering of
+    the key differs from the native cast-to-string form."""
+    from sentinel_spark.sources.export import validate_export
+
+    rows = [
+        (i, f"2024-01-01 10:{i:02d}:00", 5 + (i % 7)) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts string, n_tokens int"
+    ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "n_tokens")
+    out = str(tmp_path / "ts_shards")
+    export_training_shards(
+        df, out, token_col="n_tokens", order_col="ts",
+        shard_tokens=80, mode="concat", file_format="parquet",
+    )
+    rep = validate_export(
+        spark, out, token_col="n_tokens", order_col="ts",
+        file_format="parquet",
+    ).collect()
+    assert rep and all(r.ok for r in rep)

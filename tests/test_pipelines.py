@@ -289,3 +289,38 @@ def test_allow_repeat_scrub_runs_once_per_doc(spark):
         assert r.text == plain_text[r.doc_id], (r.doc_id, r.epoch)
     assert len([r for r in rows if r.doc_id == 6]) == 2
     release(res.selected)
+
+
+def test_allow_repeat_concat_export(spark, tmp_path):
+    """allow_repeat + concat-mode export: the string sample_key order
+    column must prefix-bucket (not NULL-cast into a single bucket) and
+    the audit passes end to end."""
+    docs, bench = _mk_docs(spark)
+    base = build_training_corpus(
+        docs, bench, None, source_col="source", quality_kwargs=QKW
+    )
+    totals = {
+        r.source: r.t
+        for r in base.selected.groupBy("source")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    release(base.selected)
+    out = str(tmp_path / "rep_concat")
+    res = build_training_corpus(
+        docs, bench, out,
+        source_col="source",
+        budgets={"books": totals["books"] * 2, "web": totals["web"]},
+        allow_repeat=True,
+        quality_kwargs=QKW,
+        shard_tokens=10_000,
+        export_mode="concat",
+    )
+    from sentinel_spark.sources.export import validate_export
+
+    rep = validate_export(
+        spark, out, token_col="n_tok", order_col="sample_key"
+    ).collect()
+    assert rep and all(r.ok for r in rep)
+    assert sum(r.n_docs for r in rep) == 3  # web x1 + books x2
+    release(res.selected)
