@@ -108,6 +108,24 @@ def main():
         remove_boilerplate_lines(tiny_para, "text", "doc_id"), "text"
     )
     warm_bp.write.format("noop").mode("overwrite").save()
+    # ... and the r8 sessionize/epochs branch shapes: the native
+    # session_window aggregate and the epochs explode(sequence) over
+    # the mixture prefix sum — both otherwise first-JIT on their
+    # gates' cold runs.
+    from sentinel_spark.functions.sampling import mixture_sample_epochs
+    from sentinel_spark.streaming.session_stream import session_rollup_stream
+
+    tiny_ev = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:0%d" % i) for i in range(3)],
+        "user_id string, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    session_rollup_stream(tiny_ev, "ts", "user_id", gap_seconds=60).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    mixture_sample_epochs(
+        tiny.withColumn("src", F.lit("a")).withColumn("n_tok", F.lit(5)),
+        "src", "n_tok", {"a": 40}, key="doc_id",
+    ).write.format("noop").mode("overwrite").save()
     # ... and the ingest shred shape (JSON-schema validation mapInPandas
     # → shred multi-join → rollup): the gate is fixture-sized, so its
     # 2.9 s cold vs 1.7 s median (r7) is almost entirely this one-time
