@@ -1842,11 +1842,12 @@ def q_cosine_norms(spark, sf_dir):
 
 
 def q_ann_methods(spark, sf_dir):
-    """All four ANN serving strategies over the same query set, tagged
+    """All five ANN serving strategies over the same query set, tagged
     by ``method``: exact brute force (the baseline), sign-LSH buckets
-    with multiprobe, IVF cell-restricted probing, and the two-stage
-    int8-quantized scan. One union — each branch keeps its own
-    (broadcast queries → scan → per-query top-k) plan."""
+    with multiprobe, IVF cell-restricted probing, the two-stage
+    int8-quantized scan, and the PQ-ADC codes-table scan (r8). One
+    union — each branch keeps its own (broadcast queries → scan →
+    per-query top-k) plan."""
     from sentinel_spark.cache import carry
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1856,6 +1857,7 @@ def q_ann_methods(spark, sf_dir):
         ("lsh", SIM.lsh_topk(e, qids, k=5, bits=4, dim=64)),
         ("ivf", SIM.ivf_topk(e, qids, k=5, n_cells=16, nprobe=4)),
         ("quantized", SIM.quantized_topk(e, qids, k=5, rerank=4)),
+        ("pq", SIM.pq_topk(e, qids, k=5, m=4, pq_k=16, rerank=4)),
     ]
     out = None
     for m, df in branches:
@@ -2583,6 +2585,113 @@ def _quantized_topk_oracle(k: int = 5, rerank: int = 4) -> str:
           JOIN embeddings qe ON qe.vec_id = s.q_id
           JOIN embeddings ce ON ce.vec_id = s.c_id
         )
+    """
+
+
+def _pq_topk_oracle(m: int = 4, d: int = 16, pq_k: int = 16, k: int = 5,
+                    rerank: int = 4) -> str:
+    """DuckDB mirror of SIM.pq_topk with the stand-in codebooks: per
+    subspace the codebook is the subvector slices of the pq_k lowest-id
+    vectors (rounded to 6), encoding is L2² argmin with ties to the
+    lower cell, ADC approx-cosine = Σ_sub LUT/(‖q‖·pq_norm), then exact
+    re-rank of the k·rerank survivors. Every float fold is a sequential
+    list_sum over the same doubles Spark folds, and the cross-sub sums
+    run over list(... ORDER BY sub) — bit-identical to pq_encode/
+    pq_topk's zip_with+aggregate order, so survivor sets and ranks
+    match without rounding the intermediate scores."""
+    subs = ", ".join(str(s) for s in range(m))
+    return f"""
+        WITH pq_cb AS (
+          SELECT s.s AS sub, r.cell,
+                 list_transform(list_slice(r.emb_l, s.s * {d} + 1, s.s * {d} + {d}),
+                                x -> round(CAST(x AS DOUBLE), 6)) AS c_vec
+          FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                       embedding AS emb_l
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT {pq_k})) r
+          CROSS JOIN (SELECT unnest([{subs}]) AS s) s
+        ),
+        pq_cbn AS (
+          SELECT sub, cell, c_vec,
+                 list_sum(list_transform(c_vec, x -> x * x)) AS cn2
+          FROM pq_cb
+        ),
+        pq_dists AS (
+          SELECT e.vec_id, b.sub, b.cell,
+                 list_sum(list_transform(
+                   list_zip(list_slice(e.embedding, b.sub * {d} + 1, b.sub * {d} + {d}), b.c_vec),
+                   p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) AS dist
+          FROM embeddings e CROSS JOIN pq_cb b
+        ),
+        pq_enc AS (
+          SELECT vec_id, sub, cell FROM (
+            SELECT vec_id, sub, cell,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist ASC, cell ASC) AS rn
+            FROM pq_dists
+          ) WHERE rn = 1
+        ),
+        pq_norms AS (
+          SELECT e.vec_id, sqrt(list_sum(list(n.cn2 ORDER BY e.sub))) AS pq_norm
+          FROM pq_enc e JOIN pq_cbn n ON n.sub = e.sub AND n.cell = e.cell
+          GROUP BY e.vec_id
+        ),
+        pq_qs AS (
+          SELECT vec_id AS q_id, embedding AS q_vec,
+                 sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS q_norm
+          FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+        ),
+        pq_lut AS (
+          SELECT q.q_id, b.sub, b.cell,
+                 list_sum(list_transform(
+                   list_zip(list_slice(q.q_vec, b.sub * {d} + 1, b.sub * {d} + {d}), b.c_vec),
+                   p -> CAST(p[1] AS DOUBLE) * p[2])) AS ipc
+          FROM pq_qs q CROSS JOIN pq_cb b
+        ),
+        pq_adc AS (
+          SELECT l.q_id, e.vec_id AS c_id,
+                 list_sum(list(l.ipc ORDER BY e.sub)) AS ip
+          FROM pq_enc e JOIN pq_lut l ON l.sub = e.sub AND l.cell = e.cell
+          GROUP BY l.q_id, e.vec_id
+        ),
+        pq_approx AS (
+          SELECT a.q_id, a.c_id, a.ip / (q.q_norm * p.pq_norm) AS sim_q
+          FROM pq_adc a
+          JOIN pq_qs q ON q.q_id = a.q_id
+          JOIN pq_norms p ON p.vec_id = a.c_id
+          WHERE a.c_id != a.q_id
+        ),
+        pq_survivors AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim_q DESC, c_id) AS cand_rank
+            FROM pq_approx
+          ) WHERE cand_rank <= {k * rerank}
+        ),
+        pq_reranked AS (
+          SELECT s.q_id, s.c_id,
+                 list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS sim_exact,
+                 row_number() OVER (
+                   PARTITION BY s.q_id
+                   ORDER BY
+                     list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     DESC, s.c_id
+                 ) AS rank
+          FROM pq_survivors s
+          JOIN embeddings qe ON qe.vec_id = s.q_id
+          JOIN embeddings ce ON ce.vec_id = s.c_id
+        )
+        SELECT q_id, c_id, round(sim_exact, 6) AS sim, CAST(rank AS INTEGER) AS rank
+        FROM pq_reranked WHERE rank <= {k}
     """
 
 
@@ -3600,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp c ON c.u = e.vec_id
         """,
         "lsh_topk": _lsh_topk_oracle(),
+        "pq_topk": _pq_topk_oracle(),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id IN (0,1,2,3,4)
@@ -4113,6 +4223,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'ivf' AS method, q_id, c_id, sim, rank FROM ({base["ivf_topk"]})
         UNION ALL
         SELECT 'quantized' AS method, q_id, c_id, sim, rank FROM ({base["quantized_topk"]})
+        UNION ALL
+        SELECT 'pq' AS method, q_id, c_id, sim, rank FROM ({base["pq_topk"]})
         UNION ALL
         -- reciprocal-rank fusion of the exact and LSH lists: each
         -- contributes 1/(60+rank); fused top-5 per query

@@ -791,3 +791,343 @@ def load_centroids(spark, path: str, version: int | None = None) -> DataFrame:
     from sentinel_spark.sources.store import load_model_frame
 
     return load_model_frame(spark, path, version)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the FAISS IVF-PQ code path re-expressed as
+# DataFrame ops. Vectors are split into ``m`` contiguous subvectors; each
+# subspace gets its own k-entry codebook; a vector is stored as ``m`` small
+# integer codes. At 100 TB this is the embedding-scan lever beyond int8:
+# the ADC candidate stage reads only the codes table (m ints per vector —
+# 64× smaller than float32×64) plus a broadcast per-query lookup table,
+# and the float vectors are touched only by the bounded re-rank join.
+# Reference parity: sentinel has no PQ; this extends the §2.12 ANN surface
+# alongside ivf_topk/quantized_topk (SURVEY.md §2.12).
+# ---------------------------------------------------------------------------
+
+
+def _pq_dims(emb: DataFrame, m: int, vec_col: str) -> int:
+    """Subvector width d = dim/m from one bounded first() probe; loud on
+    indivisible or ragged dims (PQ needs equal-width subspaces)."""
+    row = emb.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is None:
+        raise ValueError("pq: empty embedding frame")
+    dim = int(row.n)
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    return dim // m
+
+
+def pq_codebooks_standin(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-only codebook stand-in (the :func:`ivf_topk` first-k-by-id
+    precedent): per subspace, the codebook is the subvectors of the ``k``
+    lowest-id vectors, components rounded to 6 decimals — deterministic,
+    engine-portable, and therefore oracle-replayable. Production training
+    is :func:`pq_fit`. Returns (sub, cell, c_vec)."""
+    d = _pq_dims(emb, m, vec_col)
+    w = Window.partitionBy(F.pmod(F.xxhash64(id_col), F.lit(1))).orderBy(id_col)
+    base = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+    )
+    return base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "cell",
+        "v",
+    ).select(
+        "sub",
+        "cell",
+        F.transform(
+            F.slice(F.col("v"), F.col("sub") * d + 1, d),
+            lambda x: F.round(x.cast("double"), 6),
+        ).alias("c_vec"),
+    )
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    *,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks: per-subspace Lloyd's k-means over the
+    subvector slices, all ``m`` subspaces in ONE pass per iteration
+    (the subspace id rides as a group key — never m separate scans).
+    Returns (sub, cell, c_vec).
+
+    Deterministic and engine-portable by the same rules as
+    :func:`kmeans_fit` (init = subvectors of the k lowest-id vectors,
+    L2² assignment with ties toward the lower cell, means rounded to 6
+    decimals, fixed ``n_iter``), so a fixed run is reproducible across
+    engines. Distance is L2 (the PQ literature's metric) rather than
+    kmeans_fit's cosine: codes must reconstruct the subvector, not its
+    direction.
+
+    Plan per iteration: one broadcast (m·k rows) join onto the exploded
+    (id, sub, subvec) frame with map-side min_by partials, one
+    (sub, cell, dim) sum/count aggregate, a k·m-row rebuild; centroids
+    localCheckpoint'ed so iteration i+1 doesn't replay iteration i."""
+    from sentinel_spark.functions.cluster import _materialize
+
+    d = _pq_dims(emb, m, vec_col)
+    ex = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            F.col(vec_col).alias("v"),
+        )
+        .select(
+            "id",
+            "sub",
+            F.slice(F.col("v"), F.col("sub") * d + 1, d).alias("sv"),
+        )
+    )
+    cents = _materialize(pq_codebooks_standin(emb, m, k, id_col, vec_col))
+    sq = lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)  # noqa: E731
+    for _ in range(n_iter):
+        scored = ex.join(F.broadcast(cents), "sub").select(
+            "id",
+            "sub",
+            "cell",
+            "sv",
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("c_vec"), sq),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        best = scored.groupBy("id", "sub").agg(
+            F.min_by(
+                F.struct(F.col("cell"), F.col("sv")),
+                F.struct(F.col("dist"), F.col("cell")),
+            ).alias("b")
+        )
+        means = (
+            best.select("sub", F.col("b.cell").alias("cell"),
+                        F.posexplode("b.sv").alias("pos", "x"))
+            .groupBy("sub", "cell", "pos")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .select(
+                "sub", "cell", "pos",
+                F.round(F.col("s") / F.col("c"), 6).alias("mu"),
+            )
+        )
+        newc = means.groupBy("sub", "cell").agg(
+            F.sort_array(F.collect_list(F.struct("pos", "mu")))
+            .getField("mu")
+            .alias("c_vec")
+        )
+        cents = _materialize(
+            cents.select("sub", "cell", F.col("c_vec").alias("old"))
+            .join(newc, ["sub", "cell"], "left")
+            .select("sub", "cell", F.coalesce("c_vec", "old").alias("c_vec"))
+        )
+    return cents
+
+
+def _collect_codebooks(cents: DataFrame, m: int, k: int) -> list[list[list[float]]]:
+    """Bounded m·k-row collect of a (sub, cell, c_vec) codebook frame
+    into nested lists cb[sub][cell] — model-scale, never corpus-scale."""
+    rows = cents.select("sub", "cell", "c_vec").collect()
+    cb: list[list[list[float] | None]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        if not (0 <= r.sub < m and 0 <= r.cell < k):
+            raise ValueError(f"pq: codebook entry (sub={r.sub}, cell={r.cell}) out of range for m={m}, k={k}")
+        cb[r.sub][r.cell] = list(r.c_vec)
+    for s in range(m):
+        for c in range(k):
+            if cb[s][c] is None:
+                raise ValueError(f"pq: codebook missing (sub={s}, cell={c})")
+    return cb  # type: ignore[return-value]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against collected codebooks: (id, codes array<int>,
+    pq_norm double). Pure codegen — per subspace the m·k L2² folds run
+    as literal-array expressions (no UDF, no join, no shuffle), and
+    ``array_position(dists, array_min(dists))`` picks the FIRST minimum,
+    i.e. ties break toward the lower cell exactly like :func:`pq_fit`'s
+    assignment. ``pq_norm`` is the reconstruction-norm
+    sqrt(Σ_sub ‖cent[code]‖²) used by ADC cosine; the per-centroid ‖·‖²
+    are driver-computed left-to-right over the same rounded doubles both
+    engines hold, so it is bit-identical to an in-engine fold."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d = len(codebooks[0][0])
+    v = F.col(vec_col)
+
+    def sub_code(s: int) -> Column:
+        sv = F.slice(v, s * d + 1, d)
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    sv,
+                    F.array(*[F.lit(float(x)) for x in codebooks[s][c]]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(k)
+        ])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    cn2 = [
+        [sum(x * x for x in codebooks[s][c]) for c in range(k)] for s in range(m)
+    ]
+    codes = F.array(*[sub_code(s) for s in range(m)])
+    lit_cn2 = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in cn2
+    ])
+    out = emb.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    codes,
+                    lit_cn2,
+                    lambda code, arr: F.element_at(arr, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("pq_norm"),
+    )
+    return out
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    *,
+    m: int = 4,
+    pq_k: int = 16,
+    rerank: int = 4,
+    codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ-ADC ANN: stage 1 scores every candidate from its
+    ``m`` codes alone — approx cosine = Σ_sub LUT[sub][code] /
+    (‖q‖ · pq_norm), where each query's LUT (its dot product against
+    every codebook entry) is computed once on the tiny query frame and
+    broadcast — and keeps the top ``k·rerank`` per query; stage 2
+    re-ranks survivors with exact float cosine and emits the top ``k``
+    as (q_id, c_id, sim, rank), ties → lower c_id.
+
+    This is asymmetric distance computation (Jégou et al. 2011) as
+    DataFrame ops: the corpus-wide scan touches only the codes table
+    (m ints + one double per vector); codebooks ride as literal arrays
+    inside whole-stage codegen; the float table is read once through a
+    broadcast-survivor semi-join. ``codebooks=None`` uses the
+    deterministic :func:`pq_codebooks_standin` (oracle-replayable);
+    pass a :func:`pq_fit` result for trained serving."""
+    cb_frame = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks_standin(emb, m, pq_k, id_col, vec_col)
+    )
+    cb = _collect_codebooks(cb_frame, m, pq_k)
+    d = len(cb[0][0])
+
+    codes = pq_encode(emb, cb, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), "codes", "pq_norm"
+    )
+    codes = codes.persist()
+
+    # Per-query LUTs: luts[sub][cell] = dot(q_sub, cent) — computed on
+    # the |query_ids|-row frame, broadcast with it.
+    qv = F.col(vec_col)
+    luts = F.array(*[
+        F.array(*[
+            dot(
+                F.slice(qv, s * d + 1, d),
+                F.array(*[F.lit(float(x)) for x in cb[s][c]]),
+            )
+            for c in range(pq_k)
+        ])
+        for s in range(len(cb))
+    ])
+    queries = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"),
+        luts.alias("luts"),
+        l2_norm(qv).alias("q_norm"),
+    )
+    approx = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("luts"),
+                        lambda code, lut: F.element_at(lut, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("q_norm") * F.col("pq_norm"))
+            ).alias("sim_q"),
+        )
+    )
+    w_approx = Window.partitionBy("q_id").orderBy(F.col("sim_q").desc(), F.col("c_id"))
+    survivors = (
+        approx.withColumn("cand_rank", F.row_number().over(w_approx))
+        .filter(F.col("cand_rank") <= k * rerank)
+        .select("q_id", "c_id")
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("vnrm"),
+    )
+    q_vecs = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("vnrm").alias("q_nrm"),
+    )
+    scored = (
+        vecs.join(F.broadcast(survivors), vecs.vid == survivors.c_id)
+        .join(F.broadcast(q_vecs), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("vnrm"))
+            ).alias("sim_exact"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    )
+    return with_release(out, [codes])

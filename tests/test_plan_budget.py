@@ -95,9 +95,15 @@ BUDGET = {
     "typed_tags": 0,
     "media_suite": 0,      # Arrow fan-out, no shuffle
     "cosine_near_dup": 0,
-    "ann_methods": 9,      # + r8 rrf branch: fused-vote aggregate over
+    "ann_methods": 11,     # + r8 rrf branch: fused-vote aggregate over
                            # the two top-k lists (≤ 2·k·|queries| rows)
-                           # + its per-query rank window
+                           # + its per-query rank window; + r8 pq
+                           # branch: the same minimal 2-window shape as
+                           # quantized (ADC survivor cut + exact
+                           # re-rank, both partitioned by q_id) — the
+                           # codes scan, codebooks, LUTs, and survivor
+                           # joins are all broadcast/codegen, no other
+                           # shuffle
     "semantic_dedup": 6,
     "ann_recall": 6,
     # round-5 trainer-family gates: training runs eagerly at gate

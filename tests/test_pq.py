@@ -1,0 +1,113 @@
+"""Product-quantization ANN laws (similarity.pq_fit / pq_encode /
+pq_topk): codebook determinism, per-subspace clustering, argmin
+encoding with lower-cell ties, perfect-reconstruction ADC equivalence
+with brute force, and the trained-codebook serving path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # dim 8, m=2 → two 4-wide subspaces. First subspace clusters around
+    # A=(1,0,0,0) / B=(0,1,0,0); second around C=(0,0,2,0) / D=(0,0,0,2).
+    rows = []
+    for i in range(12):
+        a = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        b = [0.0, 0.0, 2.0, 0.0] if i % 3 == 0 else [0.0, 0.0, 0.0, 2.0]
+        # small deterministic jitter so cells have distinct members
+        a = [x + 0.01 * (i % 4) if x else x for x in a]
+        rows.append((i, a + b))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_fit_shape_and_determinism(emb):
+    c1 = SIM.pq_fit(emb, m=2, k=2, n_iter=2)
+    c2 = SIM.pq_fit(emb, m=2, k=2, n_iter=2)
+    r1 = sorted((r.sub, r.cell, tuple(r.c_vec)) for r in c1.collect())
+    r2 = sorted((r.sub, r.cell, tuple(r.c_vec)) for r in c2.collect())
+    assert r1 == r2
+    assert len(r1) == 4
+    assert all(len(v) == 4 for _, _, v in r1)
+
+
+def test_pq_fit_separates_subspace_clusters(emb):
+    cents = SIM.pq_fit(emb, m=2, k=2, n_iter=3)
+    by_sub = {}
+    for r in cents.collect():
+        by_sub.setdefault(r.sub, []).append(list(r.c_vec))
+    # second subspace: one centroid near C, the other near D
+    axes = set()
+    for v in by_sub[1]:
+        axes.add(max(range(4), key=lambda i: abs(v[i])))
+    assert axes == {2, 3}
+
+
+def test_pq_encode_argmin_and_tiebreak(spark):
+    # codebook: sub 0 has cells at x=0 and x=2; vector at x=1 is
+    # equidistant → tie breaks to the LOWER cell (0).
+    cb = [[[0.0, 0.0], [2.0, 0.0]]]
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.9, 0.0]), (2, [0.1, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: list(r.codes) for r in SIM.pq_encode(df, cb).collect()}
+    assert out[0] == [0]  # tie → lower cell
+    assert out[1] == [1]
+    assert out[2] == [0]
+
+
+def test_pq_encode_norm_is_reconstruction_norm(spark):
+    cb = [[[3.0, 0.0], [0.0, 0.0]], [[0.0, 4.0], [0.0, 0.0]]]
+    df = spark.createDataFrame(
+        [(0, [3.1, 0.0, 0.0, 3.9])], "vec_id long, embedding array<float>"
+    )
+    r = SIM.pq_encode(df, cb).collect()[0]
+    assert list(r.codes) == [0, 0]
+    assert r.pq_norm == pytest.approx(5.0)  # sqrt(3² + 4²)
+
+
+def test_pq_topk_perfect_reconstruction_matches_brute(spark):
+    # every vector IS a codebook entry (the 4 lowest ids span all
+    # combinations) → ADC scores equal exact scores → identical top-k.
+    vecs = {
+        0: [1.0, 0.0, 0.0, 2.0],
+        1: [1.0, 0.0, 5.0, 0.0],
+        2: [0.0, 3.0, 0.0, 2.0],
+        3: [0.0, 3.0, 5.0, 0.0],
+    }
+    rows = [(i, vecs[i % 4]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 1]
+    pq = SIM.pq_topk(df, qids, k=3, m=2, pq_k=4, rerank=4)
+    brute = SIM.brute_force_topk(df, qids, k=3)
+    got = sorted((r.q_id, r.c_id, r.sim, r.rank) for r in pq.collect())
+    want = sorted((r.q_id, r.c_id, r.sim, r.rank) for r in brute.collect())
+    assert got == want
+
+
+def test_pq_topk_trained_codebooks_path(emb):
+    cents = SIM.pq_fit(emb, m=2, k=2, n_iter=2)
+    out = SIM.pq_topk(emb, [0, 1], k=3, m=2, pq_k=2, rerank=2, codebooks=cents)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert set(per_q) == {0, 1}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        SIM.pq_topk(df, [0], k=1, m=2, pq_k=1)
+
+
+def test_pq_incomplete_codebook_raises(spark, emb):
+    cents = SIM.pq_fit(emb, m=2, k=2, n_iter=1).filter("cell = 0")
+    with pytest.raises(ValueError, match="missing"):
+        SIM.pq_topk(emb, [0], k=1, m=2, pq_k=2, codebooks=cents)
