@@ -963,6 +963,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Encode vectors against collected codebooks: (id, codes array<int>,
     pq_norm double). Pure codegen — per subspace the m·k L2² folds run
@@ -1003,6 +1004,7 @@ def pq_encode(
     ])
     out = emb.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         codes.alias("codes"),
         F.sqrt(
             F.aggregate(
@@ -1131,3 +1133,244 @@ def pq_topk(
         .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
     )
     return with_release(out, [codes])
+
+
+def _ivf_residuals(scored_cells: DataFrame, cents: DataFrame) -> DataFrame:
+    """(rid, cell, residual) from the scored (vector × centroid) frame:
+    argmax-cosine assignment (map-side max_by partials, ties → lower
+    cell — :func:`ivf_topk`'s rule), then v − c_cell via one broadcast
+    join + codegen zip_with subtract."""
+    best = scored_cells.groupBy("id").agg(
+        F.max_by(
+            F.struct(F.col("cell"), F.col("v")),
+            F.struct(F.col("c_sim"), (-F.col("cell")).alias("neg_cell")),
+        ).alias("best")
+    )
+    return (
+        best.select(
+            F.col("id").alias("rid"),
+            F.col("best.cell").alias("cell"),
+            F.col("best.v").alias("v"),
+        )
+        .join(F.broadcast(cents.select("cell", "c_vec")), "cell")
+        .select(
+            "rid",
+            "cell",
+            F.zip_with(
+                F.col("v"),
+                F.col("c_vec"),
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ).alias("residual"),
+        )
+    )
+
+
+def _ivf_scored_cells(
+    emb: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("vn"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id", "v", "vn", "cell",
+            (dot(F.col("v"), F.col("c_vec")) / (F.col("vn") * F.col("cn"))).alias(
+                "c_sim"
+            ),
+        )
+    )
+
+
+def ivfpq_fit(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    *,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train RESIDUAL-space PQ codebooks against a coarse centroid
+    frame (:func:`kmeans_fit` output) — the artifact
+    :func:`ivfpq_topk`'s ``pq_codebooks`` argument wants. Assignment
+    here is the same argmax-cosine rule serving uses, so training and
+    serving see identical residual distributions. Returns
+    (sub, cell, c_vec); persist with :func:`save_pq_codebooks`."""
+    cents = centroids.select(
+        "cell", "c_vec", l2_norm(F.col("c_vec")).alias("cn")
+    )
+    resid = _ivf_residuals(
+        _ivf_scored_cells(emb, cents, id_col, vec_col), cents
+    )
+    return pq_fit(resid, m, k, n_iter=n_iter, id_col="rid", vec_col="residual")
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    *,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    pq_k: int = 16,
+    rerank: int = 4,
+    centroids: DataFrame | None = None,
+    pq_codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ, the FAISS composite that serves billion-vector indexes:
+    coarse cells restrict WHICH vectors a query scores (inverted-file
+    pruning), residual product codes decide HOW they are scored
+    (m-int ADC instead of a float read). Stage 1 assigns every vector
+    to its nearest coarse cell (cosine argmax, ties → lower cell —
+    :func:`ivf_topk`'s rule) and encodes the RESIDUAL v − c_cell
+    against shared PQ codebooks; stage 2 scores each query's ``nprobe``
+    probed cells from the codes table alone — approximate inner
+    product = dot(q, c_cell) + Σ_sub LUT[sub][code], the per-cell bias
+    and per-query LUTs broadcast with the probe list — and stage 3
+    exact-cosine re-ranks the ``k·rerank`` survivors.
+
+    The ADC stage ranks by approximate INNER PRODUCT (what PQ residual
+    tables can express — Jégou et al. 2011 §IV); on L2-normalized
+    embeddings that ordering is cosine's. The exact re-rank emits true
+    cosine, so the output contract (q_id, c_id, sim, rank) matches the
+    other ANN servers. Candidates outside the probed cells are never
+    scored — the IVF recall/latency trade, measured by the pytest
+    recall law rather than hidden.
+
+    At 100 TB: the corpus-wide scan in stage 2 reads (cell, m codes)
+    per vector — the float column is touched by exactly two bounded
+    reads (assignment-time encoding, survivor re-rank). ``centroids``
+    and ``pq_codebooks`` default to the deterministic stand-ins
+    (first-ids / lowest-id residual slices); pass :func:`kmeans_fit` /
+    :func:`pq_fit` outputs for trained serving."""
+    if centroids is not None:
+        cents = centroids.select(
+            "cell", "c_vec", l2_norm(F.col("c_vec")).alias("cn")
+        )
+    else:
+        cents = emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+        )
+    scored_cells = _ivf_scored_cells(emb, cents, id_col, vec_col)
+    resid = _ivf_residuals(scored_cells, cents)
+    cb_frame = (
+        pq_codebooks
+        if pq_codebooks is not None
+        else pq_codebooks_standin(resid, m, pq_k, "rid", "residual")
+    )
+    cb = _collect_codebooks(cb_frame, m, pq_k)
+    d = len(cb[0][0])
+    codes = pq_encode(resid, cb, "rid", "residual", keep_cols=["cell"]).select(
+        F.col("rid").alias("c_id"), "cell", "codes"
+    )
+    codes = codes.persist()
+
+    # Query probe lists: top-nprobe cells by cosine, each probe row
+    # carrying its cell's IP bias dot(q, c_cell) and the query's LUTs.
+    qv = F.col("v")
+    luts = F.array(*[
+        F.array(*[
+            dot(
+                F.slice(qv, s * d + 1, d),
+                F.array(*[F.lit(float(x)) for x in cb[s][c]]),
+            )
+            for c in range(pq_k)
+        ])
+        for s in range(len(cb))
+    ])
+    by_sim = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    probes = (
+        scored_cells.filter(F.col("id").isin(list(query_ids)))
+        .withColumn("cell_rank", F.row_number().over(by_sim))
+        .filter(F.col("cell_rank") <= nprobe)
+        .join(F.broadcast(cents.select("cell", "c_vec")), "cell")
+        .select(
+            F.col("id").alias("q_id"),
+            "cell",
+            dot(F.col("v"), F.col("c_vec")).alias("bias_ip"),
+            luts.alias("luts"),
+        )
+    )
+    approx = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                F.col("bias_ip")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("luts"),
+                        lambda code, lut: F.element_at(lut, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("ip_q"),
+        )
+    )
+    w_approx = Window.partitionBy("q_id").orderBy(F.col("ip_q").desc(), F.col("c_id"))
+    survivors = (
+        approx.withColumn("cand_rank", F.row_number().over(w_approx))
+        .filter(F.col("cand_rank") <= k * rerank)
+        .select("q_id", "c_id")
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("vnrm"),
+    )
+    q_vecs = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("vnrm").alias("q_nrm"),
+    )
+    scored = (
+        vecs.join(F.broadcast(survivors), vecs.vid == survivors.c_id)
+        .join(F.broadcast(q_vecs), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("vnrm"))
+            ).alias("sim_exact"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    )
+    return with_release(out, [codes])
+
+
+def save_pq_codebooks(
+    spark, cents: DataFrame, path: str, *, retain_versions: int = 2
+) -> None:
+    """Persist trained PQ codebooks (:func:`pq_fit` output:
+    (sub, cell, c_vec)) through the shared model store — same atomic
+    replace / version-pinned rollout contract as :func:`save_centroids`
+    and tokenize.save_bpe_merges."""
+    from sentinel_spark.sources.store import save_model_frame
+
+    save_model_frame(spark, cents, path, retain_versions=retain_versions)
+
+
+def load_pq_codebooks(spark, path: str, version: int | None = None) -> DataFrame:
+    """Reload persisted PQ codebooks (optionally version-pinned); feed
+    to :func:`pq_topk` / :func:`ivfpq_topk`'s codebook argument."""
+    from sentinel_spark.sources.store import load_model_frame
+
+    return load_model_frame(spark, path, version)

@@ -111,3 +111,82 @@ def test_pq_incomplete_codebook_raises(spark, emb):
     cents = SIM.pq_fit(emb, m=2, k=2, n_iter=1).filter("cell = 0")
     with pytest.raises(ValueError, match="missing"):
         SIM.pq_topk(emb, [0], k=1, m=2, pq_k=2, codebooks=cents)
+
+
+def test_ivfpq_exhaustive_probe_large_rerank_equals_brute(spark):
+    # nprobe = n_cells (every cell probed) and rerank·k ≥ n−1 → the
+    # exact re-rank sees every candidate, so the output IS the exact
+    # cosine top-k no matter how lossy the ADC stage was.
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) + 0.1 * j for j in range(8)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.ivfpq_topk(
+        df, [0, 1], k=3, n_cells=4, nprobe=4, m=2, pq_k=4, rerank=3
+    )
+    brute = SIM.brute_force_topk(df, [0, 1], k=3)
+    got = sorted((r.q_id, r.c_id, r.sim, r.rank) for r in out.collect())
+    want = sorted((r.q_id, r.c_id, r.sim, r.rank) for r in brute.collect())
+    assert got == want
+
+
+def test_ivfpq_candidates_restricted_to_probed_cells(spark):
+    # two well-separated clusters; nprobe=1 → a query only ever
+    # returns members of its own (nearest) cell.
+    rows = [(i, [10.0 + 0.01 * i, 0.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(i, [0.0, 10.0 + 0.01 * i, 0.0, 0.0]) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.ivfpq_topk(
+        df, [0], k=4, n_cells=2, nprobe=1, m=2, pq_k=2, rerank=4
+    )
+    ids = {r.c_id for r in out.collect()}
+    assert ids and ids <= {1, 2, 3, 4}  # own-cluster members only
+
+
+def test_ivfpq_trained_artifacts_roundtrip(spark, emb, tmp_path):
+    cents = SIM.kmeans_fit(emb, 2, n_iter=1)
+    cb = SIM.pq_fit(emb, m=2, k=2, n_iter=1)
+    SIM.save_pq_codebooks(spark, cb, str(tmp_path / "pq"))
+    cb2 = SIM.load_pq_codebooks(spark, str(tmp_path / "pq"))
+    assert sorted((r.sub, r.cell, tuple(r.c_vec)) for r in cb.collect()) == \
+           sorted((r.sub, r.cell, tuple(r.c_vec)) for r in cb2.collect())
+    # NOTE: ivfpq pq_codebooks are residual-space; reusing raw-space
+    # codebooks here only checks the serving path runs end-to-end with
+    # persisted artifacts, not recall quality.
+    out = SIM.ivfpq_topk(
+        emb, [0, 1], k=2, n_cells=2, nprobe=2, m=2, pq_k=2, rerank=6,
+        centroids=cents, pq_codebooks=cb2,
+    )
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert set(per_q) == {0, 1}
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_ivfpq_deterministic(emb):
+    a = SIM.ivfpq_topk(emb, [0, 1], k=3, n_cells=4, nprobe=2, m=2, pq_k=4)
+    b = SIM.ivfpq_topk(emb, [0, 1], k=3, n_cells=4, nprobe=2, m=2, pq_k=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_fit_residual_codebooks_improve_reconstruction(spark):
+    # clustered data: coarse cells capture the cluster means, so
+    # residual codebooks trained by ivfpq_fit should let the full
+    # trained pipeline find each query's true nearest neighbors when
+    # every cell is probed (rerank covers all candidates).
+    rows = [(i, [5.0 + 0.1 * (i % 3), 0.0, 0.0, 1.0]) for i in range(6)]
+    rows += [(i, [0.0, 5.0 + 0.1 * (i % 3), 1.0, 0.0]) for i in range(6, 12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = SIM.kmeans_fit(df, 2, n_iter=2)
+    cb = SIM.ivfpq_fit(df, cents, m=2, k=2, n_iter=2)
+    assert cb.count() == 4  # m·k residual codebook entries
+    out = SIM.ivfpq_topk(
+        df, [0], k=3, n_cells=2, nprobe=2, m=2, pq_k=2, rerank=4,
+        centroids=cents, pq_codebooks=cb,
+    )
+    brute = SIM.brute_force_topk(df, [0], k=3)
+    got = sorted((r.q_id, r.c_id, r.rank) for r in out.collect())
+    want = sorted((r.q_id, r.c_id, r.rank) for r in brute.collect())
+    assert got == want
