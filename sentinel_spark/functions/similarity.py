@@ -449,6 +449,48 @@ def quantize_int8(
     )
 
 
+def _exact_rerank(
+    emb: DataFrame,
+    survivors: DataFrame,
+    query_ids: Sequence[int],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared stage-2 of every two-stage ANN server: exact-cosine
+    re-rank of a (q_id, c_id) survivor frame against the float table,
+    emitting (q_id, c_id, sim, rank) with ties → lower c_id. The float
+    vectors are read once here, through the broadcast-survivor
+    semi-join — only k·rerank rows per query reach the dot folds."""
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("vnrm"),
+    )
+    q_vecs = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("vnrm").alias("q_nrm"),
+    )
+    scored = (
+        vecs.join(F.broadcast(survivors), vecs.vid == survivors.c_id)
+        .join(F.broadcast(q_vecs), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("vnrm"))
+            ).alias("sim_exact"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    )
+
+
 def quantized_topk(
     emb: DataFrame,
     query_ids: Sequence[int],
@@ -499,34 +541,7 @@ def quantized_topk(
         .filter(F.col("cand_rank") <= k * rerank)
         .select("q_id", "c_id")
     )
-    # Exact re-rank: only k·rerank rows per query touch float vectors.
-    vecs = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("vnrm"),
-    )
-    q_vecs = vecs.filter(F.col("vid").isin(list(query_ids))).select(
-        F.col("vid").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("vnrm").alias("q_nrm"),
-    )
-    scored = (
-        vecs.join(F.broadcast(survivors), vecs.vid == survivors.c_id)
-        .join(F.broadcast(q_vecs), "q_id")
-        .select(
-            "q_id",
-            "c_id",
-            (
-                dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("vnrm"))
-            ).alias("sim_exact"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
-    )
+    out = _exact_rerank(emb, survivors, query_ids, k, id_col, vec_col)
     return with_release(out, [q8])
 
 
@@ -942,14 +957,26 @@ def pq_fit(
     return cents
 
 
-def _collect_codebooks(cents: DataFrame, m: int, k: int) -> list[list[list[float]]]:
+def _collect_codebooks(
+    cents: DataFrame, m: int, k: int, d: int | None = None
+) -> list[list[list[float]]]:
     """Bounded m·k-row collect of a (sub, cell, c_vec) codebook frame
-    into nested lists cb[sub][cell] — model-scale, never corpus-scale."""
+    into nested lists cb[sub][cell] — model-scale, never corpus-scale.
+    With ``d`` (the vector dim ÷ m the serving frame implies), every
+    entry's width is checked so a stale artifact from before an
+    embedding-dim migration fails loudly instead of encoding against
+    null-padded slices (silently wrong codes)."""
     rows = cents.select("sub", "cell", "c_vec").collect()
     cb: list[list[list[float] | None]] = [[None] * k for _ in range(m)]
     for r in rows:
         if not (0 <= r.sub < m and 0 <= r.cell < k):
             raise ValueError(f"pq: codebook entry (sub={r.sub}, cell={r.cell}) out of range for m={m}, k={k}")
+        if d is not None and len(r.c_vec) != d:
+            raise ValueError(
+                f"pq: codebook entry (sub={r.sub}, cell={r.cell}) has width "
+                f"{len(r.c_vec)} but the embedding column implies {d} "
+                f"(dim/m) — wrong or stale codebook artifact for this table"
+            )
         cb[r.sub][r.cell] = list(r.c_vec)
     for s in range(m):
         for c in range(k):
@@ -1105,33 +1132,7 @@ def pq_topk(
         .filter(F.col("cand_rank") <= k * rerank)
         .select("q_id", "c_id")
     )
-    vecs = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("vnrm"),
-    )
-    q_vecs = vecs.filter(F.col("vid").isin(list(query_ids))).select(
-        F.col("vid").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("vnrm").alias("q_nrm"),
-    )
-    scored = (
-        vecs.join(F.broadcast(survivors), vecs.vid == survivors.c_id)
-        .join(F.broadcast(q_vecs), "q_id")
-        .select(
-            "q_id",
-            "c_id",
-            (
-                dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("vnrm"))
-            ).alias("sim_exact"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
-    )
+    out = _exact_rerank(emb, survivors, query_ids, k, id_col, vec_col)
     return with_release(out, [codes])
 
 
@@ -1326,34 +1327,8 @@ def ivfpq_topk(
         .filter(F.col("cand_rank") <= k * rerank)
         .select("q_id", "c_id")
     )
-    vecs = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        l2_norm(F.col(vec_col)).alias("vnrm"),
-    )
-    q_vecs = vecs.filter(F.col("vid").isin(list(query_ids))).select(
-        F.col("vid").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        F.col("vnrm").alias("q_nrm"),
-    )
-    scored = (
-        vecs.join(F.broadcast(survivors), vecs.vid == survivors.c_id)
-        .join(F.broadcast(q_vecs), "q_id")
-        .select(
-            "q_id",
-            "c_id",
-            (
-                dot(F.col("q_vec"), F.col("vec")) / (F.col("q_nrm") * F.col("vnrm"))
-            ).alias("sim_exact"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
-    )
-    return with_release(out, [codes])
+    out = _exact_rerank(emb, survivors, query_ids, k, id_col, vec_col)
+    return with_release(out, [codes, resid])
 
 
 def save_pq_codebooks(
