@@ -1842,22 +1842,31 @@ def q_cosine_norms(spark, sf_dir):
 
 
 def q_ann_methods(spark, sf_dir):
-    """All five ANN serving strategies over the same query set, tagged
+    """All six ANN serving strategies over the same query set, tagged
     by ``method``: exact brute force (the baseline), sign-LSH buckets
     with multiprobe, IVF cell-restricted probing, the two-stage
-    int8-quantized scan, and the PQ-ADC codes-table scan (r8). One
-    union — each branch keeps its own (broadcast queries → scan →
-    per-query top-k) plan."""
-    from sentinel_spark.cache import carry
+    int8-quantized scan, the PQ-ADC codes-table scan (r8), and the
+    IVF-PQ composite (r9: cell-pruned residual-code ADC with stand-in
+    centroids/codebooks, fully SQL-replayed). One union — each branch
+    keeps its own (broadcast queries → scan → two-level per-query
+    top-k) plan. The brute and LSH top-k frames (25 rows each) are
+    persisted because two consumers read them — the union and the RRF
+    fusion — so neither corpus scan runs twice."""
+    from sentinel_spark.cache import carry, with_release
 
     e = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
+    brute = SIM.brute_force_topk(e, qids, k=5).persist()
+    lsh = SIM.lsh_topk(e, qids, k=5, bits=4, dim=64).persist()
     branches = [
-        ("brute", SIM.brute_force_topk(e, qids, k=5)),
-        ("lsh", SIM.lsh_topk(e, qids, k=5, bits=4, dim=64)),
+        ("brute", brute),
+        ("lsh", lsh),
         ("ivf", SIM.ivf_topk(e, qids, k=5, n_cells=16, nprobe=4)),
         ("quantized", SIM.quantized_topk(e, qids, k=5, rerank=4)),
         ("pq", SIM.pq_topk(e, qids, k=5, m=4, pq_k=16, rerank=4)),
+        ("ivfpq", SIM.ivfpq_topk(
+            e, qids, k=5, n_cells=8, nprobe=2, m=4, pq_k=8, rerank=4
+        )),
     ]
     out = None
     for m, df in branches:
@@ -1867,12 +1876,14 @@ def q_ann_methods(spark, sf_dir):
         out = tagged if out is None else out.unionByName(tagged)
     # hybrid-retrieval branch: reciprocal-rank fusion of the exact and
     # LSH rankings per query (keywords.rrf_fuse); sim carries the
-    # fused score so the 1/(k+rank) vote arithmetic is value-checked
+    # fused score so the 1/(k+rank) vote arithmetic is value-checked.
+    # Reads the PERSISTED top-k frames — before r9 this re-derived the
+    # two unpersisted lineages, i.e. two extra corpus scans per run.
     from sentinel_spark.functions.keywords import rrf_fuse
 
     fused = rrf_fuse(
-        [branches[0][1].select("q_id", "c_id", "rank"),
-         branches[1][1].select("q_id", "c_id", "rank")],
+        [brute.select("q_id", "c_id", "rank"),
+         lsh.select("q_id", "c_id", "rank")],
         "c_id",
         by="q_id",
         k=60,
@@ -1887,8 +1898,10 @@ def q_ann_methods(spark, sf_dir):
     out = out.unionByName(fused)
     # the tagging selects drop each branch's persisted-frame handles —
     # carry them so the caller's release() reaches the lsh/ivf/
-    # quantized intermediates (leaked before round 5).
-    return carry(out, *[df for _, df in branches])
+    # quantized/pq/ivfpq intermediates (leaked before round 5), and
+    # register the two gate-level top-k caches alongside them.
+    out = carry(out, *[df for _, df in branches])
+    return with_release(out, [brute, lsh])
 
 
 def q_semantic_dedup_cells(spark, sf_dir):
@@ -2692,6 +2705,134 @@ def _pq_topk_oracle(m: int = 4, d: int = 16, pq_k: int = 16, k: int = 5,
         )
         SELECT q_id, c_id, round(sim_exact, 6) AS sim, CAST(rank AS INTEGER) AS rank
         FROM pq_reranked WHERE rank <= {k}
+    """
+
+
+def _ivfpq_topk_oracle(n_cells: int = 8, nprobe: int = 2, m: int = 4,
+                       d: int = 16, pq_k: int = 8, k: int = 5,
+                       rerank: int = 4) -> str:
+    """DuckDB mirror of SIM.ivfpq_topk with the default stand-ins:
+    coarse cells are the first ``n_cells`` vectors by id (ivf_topk's
+    rule), assignment is argmax cosine with ties to the lower cell,
+    residuals v − c_cell are encoded against residual codebooks built
+    from the ``pq_k`` lowest-rid residual rows (components rounded to
+    6 — pq_codebooks_standin), and each query scores only its
+    ``nprobe`` best cells' codes by bias + LUT inner product before the
+    exact k·rerank re-rank. Every fold is a sequential list_sum over
+    the same doubles Spark folds (cross-sub sums via
+    list(... ORDER BY sub), bias added OUTSIDE the fold exactly as
+    ivfpq_topk's ``bias_ip + aggregate(...)``), so survivor sets and
+    ranks match bit-for-bit."""
+    subs = ", ".join(str(s) for s in range(m))
+    return f"""
+        WITH iv_cents AS (
+          SELECT vec_id AS cell, embedding AS c_vec,
+                 sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+          FROM embeddings WHERE vec_id < {n_cells}
+        ),
+        iv_sc AS (
+          SELECT e.vec_id AS id, e.embedding AS v, c.cell, c.c_vec,
+                 list_sum(list_transform(list_zip(e.embedding, c.c_vec),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * c.cn)
+                 AS c_sim
+          FROM embeddings e CROSS JOIN iv_cents c
+        ),
+        iv_resid AS (
+          SELECT id AS rid, cell,
+                 list_transform(list_zip(v, c_vec),
+                     p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS residual
+          FROM (
+            SELECT id, v, cell, c_vec,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY c_sim DESC, cell ASC) AS rn
+            FROM iv_sc
+          ) WHERE rn = 1
+        ),
+        iv_cb AS (
+          SELECT s.s AS sub, r.code_cell,
+                 list_transform(list_slice(r.residual, s.s * {d} + 1, s.s * {d} + {d}),
+                                x -> round(x, 6)) AS c_vec
+          FROM (SELECT row_number() OVER (ORDER BY rid) - 1 AS code_cell, residual
+                FROM (SELECT rid, residual FROM iv_resid
+                      ORDER BY rid LIMIT {pq_k})) r
+          CROSS JOIN (SELECT unnest([{subs}]) AS s) s
+        ),
+        iv_enc AS (
+          SELECT rid, sub, code_cell FROM (
+            SELECT r.rid, b.sub, b.code_cell,
+                   row_number() OVER (
+                     PARTITION BY r.rid, b.sub
+                     ORDER BY list_sum(list_transform(
+                       list_zip(list_slice(r.residual, b.sub * {d} + 1, b.sub * {d} + {d}), b.c_vec),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, b.code_cell ASC
+                   ) AS rn
+            FROM iv_resid r CROSS JOIN iv_cb b
+          ) WHERE rn = 1
+        ),
+        iv_probes AS (
+          SELECT id AS q_id, cell, v AS q_vec,
+                 list_sum(list_transform(list_zip(v, c_vec),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS bias_ip
+          FROM (
+            SELECT id, v, cell, c_vec,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY c_sim DESC, cell ASC) AS cell_rank
+            FROM iv_sc WHERE id IN (0,1,2,3,4)
+          ) WHERE cell_rank <= {nprobe}
+        ),
+        iv_lut AS (
+          SELECT q.vec_id AS q_id, b.sub, b.code_cell,
+                 list_sum(list_transform(
+                   list_zip(list_slice(q.embedding, b.sub * {d} + 1, b.sub * {d} + {d}), b.c_vec),
+                   p -> CAST(p[1] AS DOUBLE) * p[2])) AS ipc
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id IN (0,1,2,3,4)) q
+          CROSS JOIN iv_cb b
+        ),
+        iv_adc AS (
+          SELECT p.q_id, r.rid AS c_id,
+                 p.bias_ip + list_sum(list(l.ipc ORDER BY e.sub)) AS ip_q
+          FROM iv_probes p
+          JOIN iv_resid r ON r.cell = p.cell
+          JOIN iv_enc e ON e.rid = r.rid
+          JOIN iv_lut l ON l.q_id = p.q_id AND l.sub = e.sub
+                        AND l.code_cell = e.code_cell
+          WHERE r.rid != p.q_id
+          GROUP BY p.q_id, r.rid, p.bias_ip
+        ),
+        iv_surv AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY ip_q DESC, c_id ASC) AS cand_rank
+            FROM iv_adc
+          ) WHERE cand_rank <= {k * rerank}
+        ),
+        iv_rr AS (
+          SELECT s.q_id, s.c_id,
+                 list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                 AS sim_exact,
+                 row_number() OVER (
+                   PARTITION BY s.q_id
+                   ORDER BY
+                     list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+                                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     DESC, s.c_id
+                 ) AS rank
+          FROM iv_surv s
+          JOIN embeddings qe ON qe.vec_id = s.q_id
+          JOIN embeddings ce ON ce.vec_id = s.c_id
+        )
+        SELECT q_id, c_id, round(sim_exact, 6) AS sim, CAST(rank AS INTEGER) AS rank
+        FROM iv_rr WHERE rank <= {k}
     """
 
 
@@ -3710,6 +3851,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_topk": _lsh_topk_oracle(),
         "pq_topk": _pq_topk_oracle(),
+        "ivfpq_topk": _ivfpq_topk_oracle(),
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id IN (0,1,2,3,4)
@@ -4225,6 +4367,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'quantized' AS method, q_id, c_id, sim, rank FROM ({base["quantized_topk"]})
         UNION ALL
         SELECT 'pq' AS method, q_id, c_id, sim, rank FROM ({base["pq_topk"]})
+        UNION ALL
+        SELECT 'ivfpq' AS method, q_id, c_id, sim, rank FROM ({base["ivfpq_topk"]})
         UNION ALL
         -- reciprocal-rank fusion of the exact and LSH lists: each
         -- contributes 1/(60+rank); fused top-5 per query

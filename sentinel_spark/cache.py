@@ -50,8 +50,13 @@ def carry(out: DataFrame, *sources: DataFrame) -> DataFrame:
 
 
 def release(df: DataFrame) -> None:
-    """Unpersist every intermediate recorded on ``df`` (no-op if none)."""
+    """Unpersist every intermediate recorded on ``df`` (no-op if none).
+
+    ``blocking=True``: the default async unpersist lets a released
+    entry linger in the CacheManager past the call, so a subsequent
+    "cache is empty" probe (or a memory-pressure-sensitive job) races
+    the cleanup — the registry tripwire flaked exactly this way."""
     for cached in getattr(df, _ATTR, []):
-        cached.unpersist()
+        cached.unpersist(blocking=True)
     if hasattr(df, _ATTR):
         setattr(df, _ATTR, [])

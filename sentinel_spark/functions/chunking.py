@@ -95,8 +95,14 @@ def token_offsets(
         if isinstance(dt, (TY.NumericType,)):
             b = F.floor(F.col(order_col) / 8192)
         elif isinstance(dt, (TY.TimestampType, TY.TimestampNTZType)):
-            # ~2.3-hour ranges: monotone, coarse, bounded cardinality
-            b = F.floor(F.unix_micros(F.col(order_col)) / (8192 * 1_000_000))
+            # ~2.3-hour ranges: monotone, coarse, bounded cardinality.
+            # unix_micros only accepts TIMESTAMP, so NTZ keys cast first
+            # (monotone under the fixed session timezone; sessions here
+            # are pinned UTC, see session.py).
+            b = F.floor(
+                F.unix_micros(F.col(order_col).cast("timestamp"))
+                / (8192 * 1_000_000)
+            )
         elif isinstance(dt, TY.StringType):
             b = F.substring(F.col(order_col), 1, 2)
         else:

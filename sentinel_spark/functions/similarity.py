@@ -1,12 +1,12 @@
 """Similarity search over embedding columns (``array<float>``).
 
 * Brute-force cosine top-k: broadcast the (small) query set, compute
-  dot/norms with ``zip_with`` + ``aggregate`` (JVM-side, no UDF), rank
-  per query with a window. At scale the candidate scan is
-  embarrassingly parallel; the window partitions by query id so the
-  only shuffle is (n_queries × n_candidates) scored rows → per-query
-  top-k. For large k×q use ``TakeOrderedAndProject``-shaped limits per
-  query instead.
+  dot/norms with ``zip_with`` + ``aggregate`` (JVM-side, no UDF), then
+  pick per-query winners with :func:`grouped_topk` — a two-level
+  partial top-k (rank within (query, salt-bucket), final rank over
+  survivors only), so no window partition ever holds a full corpus
+  scan. The candidate scan stays embarrassingly parallel; the one
+  full-frame exchange lands in |queries|·buckets balanced sorts.
 * LSH-bucketed variant (random-hyperplane signs derived from md5 bit
   parity — deterministic and engine-portable): candidates are scored
   only within matching sign-buckets, cutting the scored set by ~2^bits.
@@ -50,6 +50,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def grouped_topk(
+    scored: DataFrame,
+    n: int,
+    score_col: str,
+    *,
+    group_col: str = "q_id",
+    tie_col: str = "c_id",
+    buckets: int = 32,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Distributed per-group top-n over a scored frame — the two-level
+    TakeOrderedAndProject shape (:func:`keywords.bm25_topk`'s idiom),
+    generalized per group.
+
+    A single ``Window.partitionBy(group)`` rank funnels the ENTIRE
+    scored scan into |groups| window partitions — at 100 TB that is a
+    handful of tasks each sorting billions of rows. Level 1 here ranks
+    within (group, xxhash64-salt bucket): the same one full-frame
+    exchange, but into |groups|·``buckets`` balanced spill-safe sorts,
+    each emitting ≤ n rows. Level 2 ranks only those
+    ≤ |groups|·buckets·n survivors. Because the per-group top-n under
+    a total order is contained in the union of per-bucket top-n under
+    the same order, the output is row- and rank-identical to the
+    single-window form — ordering is (``score_col`` desc, ``tie_col``
+    asc) at both levels, so oracle SQL replays are unchanged."""
+    order = [F.col(score_col).desc(), F.col(tie_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(tie_col)), F.lit(buckets))
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+    part = (
+        scored.withColumn("__prank", F.row_number().over(w1))
+        .filter(F.col("__prank") <= n)
+        .drop("__prank")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return part.withColumn(rank_name, F.row_number().over(w2)).filter(
+        F.col(rank_name) <= n
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_ids: Sequence[int],
@@ -88,11 +127,8 @@ def brute_force_topk(
             ).alias("sim_exact"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    return grouped_topk(scored, k, "sim_exact").select(
+        "q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank"
     )
 
 
@@ -335,11 +371,8 @@ def ivf_topk(
             ).alias("sim_exact"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    return grouped_topk(scored, k, "sim_exact").select(
+        "q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank"
     )
 
 
@@ -409,11 +442,8 @@ def lsh_topk(
             ).alias("sim_exact"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim_exact").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank")
+    return grouped_topk(scored, k, "sim_exact").select(
+        "q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank"
     )
 
 
@@ -535,12 +565,9 @@ def quantized_topk(
             ).alias("sim_q"),
         )
     )
-    w_approx = Window.partitionBy("q_id").orderBy(F.col("sim_q").desc(), F.col("c_id"))
-    survivors = (
-        approx.withColumn("cand_rank", F.row_number().over(w_approx))
-        .filter(F.col("cand_rank") <= k * rerank)
-        .select("q_id", "c_id")
-    )
+    survivors = grouped_topk(
+        approx, k * rerank, "sim_q", rank_name="cand_rank"
+    ).select("q_id", "c_id")
     out = _exact_rerank(emb, survivors, query_ids, k, id_col, vec_col)
     return with_release(out, [q8])
 
@@ -1126,12 +1153,9 @@ def pq_topk(
             ).alias("sim_q"),
         )
     )
-    w_approx = Window.partitionBy("q_id").orderBy(F.col("sim_q").desc(), F.col("c_id"))
-    survivors = (
-        approx.withColumn("cand_rank", F.row_number().over(w_approx))
-        .filter(F.col("cand_rank") <= k * rerank)
-        .select("q_id", "c_id")
-    )
+    survivors = grouped_topk(
+        approx, k * rerank, "sim_q", rank_name="cand_rank"
+    ).select("q_id", "c_id")
     out = _exact_rerank(emb, survivors, query_ids, k, id_col, vec_col)
     return with_release(out, [codes])
 
@@ -1262,7 +1286,11 @@ def ivfpq_topk(
             l2_norm(F.col(vec_col)).alias("cn"),
         )
     scored_cells = _ivf_scored_cells(emb, cents, id_col, vec_col)
-    resid = _ivf_residuals(scored_cells, cents)
+    # resid's lineage (corpus × n_cells scored-cells join + argmax
+    # window + subtract) feeds two consumers — the codebook collect and
+    # pq_encode — so persist it or pay that join twice; with_release
+    # below hands the cache back to the caller's release() chain.
+    resid = _ivf_residuals(scored_cells, cents).persist()
     cb_frame = (
         pq_codebooks
         if pq_codebooks is not None
@@ -1321,12 +1349,9 @@ def ivfpq_topk(
             ).alias("ip_q"),
         )
     )
-    w_approx = Window.partitionBy("q_id").orderBy(F.col("ip_q").desc(), F.col("c_id"))
-    survivors = (
-        approx.withColumn("cand_rank", F.row_number().over(w_approx))
-        .filter(F.col("cand_rank") <= k * rerank)
-        .select("q_id", "c_id")
-    )
+    survivors = grouped_topk(
+        approx, k * rerank, "ip_q", rank_name="cand_rank"
+    ).select("q_id", "c_id")
     out = _exact_rerank(emb, survivors, query_ids, k, id_col, vec_col)
     return with_release(out, [codes, resid])
 

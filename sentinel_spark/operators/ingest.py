@@ -120,8 +120,10 @@ class IngestResult:
     cached: list[DataFrame] = field(default_factory=list, repr=False)
 
     def unpersist(self) -> None:
+        # blocking: callers (and the registry tripwire) probe the
+        # CacheManager right after this; async cleanup races the probe
         for df in self.cached:
-            df.unpersist()
+            df.unpersist(blocking=True)
 
 
 def _labels(run_name, sample_name=None, read_group_name=None):

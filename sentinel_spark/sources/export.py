@@ -234,6 +234,20 @@ def validate_export(
         data = read_training_shards(
             spark, out_dir, file_format=file_format, schema=schema
         )
+        missing = [
+            c
+            for c in (order_col, token_col, "shard_id")
+            if c not in data.columns
+        ]
+        if missing:
+            # partial/corrupted export (or wrong schema argument): the
+            # rediscovered data can't be recounted, but the audit must
+            # still produce its per-shard report — degrade to the same
+            # "everything missing" path an empty export takes
+            raise AnalysisException(
+                f"rediscovered export lacks column(s) {missing}; "
+                "treating all shards as unrecountable"
+            )
         key_type = dict(data.dtypes)[order_col]
         # min/max run on the ORIGINAL key type (a string cast first
         # would make them lexicographic — '9' > '26')

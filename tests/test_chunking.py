@@ -155,3 +155,35 @@ def test_token_offsets_string_and_unsupported_keys(spark):
             df.select(F.array("num").alias("k"), "n_tok"),
             "n_tok", "k", shard_tokens=128,
         )
+
+
+def test_token_offsets_timestamp_keys(spark):
+    """TIMESTAMP and TIMESTAMP_NTZ order keys both bucket through
+    unix_micros (NTZ via an explicit cast — unix_micros alone rejects
+    NTZ at analysis time) and yield the same offsets as the numeric
+    form of the same order."""
+    from sentinel_spark.functions.chunking import token_offsets
+
+    base = spark.createDataFrame(
+        [(i, 10 + (i % 5)) for i in range(300)], "num long, n_tok int"
+    )
+    df = base.select(
+        "num",
+        "n_tok",
+        F.timestamp_seconds(F.col("num") * 3600).alias("ts"),
+        F.timestamp_seconds(F.col("num") * 3600)
+        .cast("timestamp_ntz")
+        .alias("ts_ntz"),
+    )
+    want = {
+        r.num: (r.token_offset, r.shard_id)
+        for r in token_offsets(df, "n_tok", "num", shard_tokens=128).collect()
+    }
+    for key in ("ts", "ts_ntz"):
+        got = {
+            r.num: (r.token_offset, r.shard_id)
+            for r in token_offsets(df, "n_tok", key, shard_tokens=128)
+            .select("num", "token_offset", "shard_id")
+            .collect()
+        }
+        assert got == want, key

@@ -219,6 +219,28 @@ def test_validate_export_total_loss_reports_not_crashes(spark, corpus, tmp_path)
     )
 
 
+def test_validate_export_missing_columns_reports_not_crashes(
+    spark, corpus, tmp_path
+):
+    """Wrong audit arguments (or a corrupted export whose rediscovered
+    schema lacks the order/token column): the audit must still produce
+    the per-shard report — everything unrecountable — not raise a
+    KeyError."""
+    from sentinel_spark.sources.export import validate_export
+
+    out = str(tmp_path / "wrongcol")
+    export_training_shards(
+        corpus, out, token_col="n_tokens", order_col="doc_id",
+        shard_tokens=400, mode="concat",
+    )
+    rep = validate_export(
+        spark, out, token_col="n_tokens", order_col="no_such_col"
+    ).collect()
+    assert rep and all(
+        (not r.ok) and (not r.in_data) and r.in_manifest for r in rep
+    )
+
+
 def test_validate_export_parquet_timestamp_key(spark, tmp_path):
     """Typed key comparison: a parquet export ordered by a timestamp
     column validates ok even though the manifest's JSON rendering of

@@ -1,0 +1,104 @@
+"""grouped_topk (similarity.py) laws: row/rank equivalence with the
+single-window form, tie handling, small-group degeneracy — and plan
+pins asserting every ANN server's scored scan goes through the
+two-level partial top-k (rank within (q_id, salt-bucket), final rank
+over survivors only), never a per-query window over the full scan.
+Mirrors the scale contract in VERDICT r8 "What's wrong #2"."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sentinel_spark.cache import release
+from sentinel_spark.functions import similarity as SIM
+
+
+def _naive_topk(scored, n, score_col):
+    w = Window.partitionBy("q_id").orderBy(
+        F.col(score_col).desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # 3 queries x 40 candidates; scores collide across candidates
+    # (i % 7) so ties exercise the c_id tiebreak at bucket boundaries
+    rows = [
+        (q, c, float((c * q + c) % 7))
+        for q in range(3)
+        for c in range(40)
+    ]
+    return spark.createDataFrame(rows, "q_id int, c_id int, score double")
+
+
+@pytest.mark.parametrize("n", [1, 5, 17])
+@pytest.mark.parametrize("buckets", [1, 4, 32])
+def test_grouped_topk_equals_single_window(scored, n, buckets):
+    got = sorted(
+        (r.q_id, r.c_id, r.score, r.rank)
+        for r in SIM.grouped_topk(scored, n, "score", buckets=buckets).collect()
+    )
+    want = sorted(
+        (r.q_id, r.c_id, r.score, r.rank)
+        for r in _naive_topk(scored, n, "score").collect()
+    )
+    assert got == want
+
+
+def test_grouped_topk_n_exceeds_group_size(spark):
+    # n far larger than any group: every row survives with its full rank
+    df = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 2.0), (1, 3, 3.0)],
+        "q_id int, c_id int, score double",
+    )
+    rows = sorted(
+        (r.q_id, r.c_id, r.rank)
+        for r in SIM.grouped_topk(df, 100, "score").collect()
+    )
+    assert rows == [(0, 1, 2), (0, 2, 1), (1, 3, 1)]
+
+
+def test_grouped_topk_custom_rank_name(scored):
+    out = SIM.grouped_topk(scored, 3, "score", rank_name="cand_rank")
+    assert "cand_rank" in out.columns and "__prank" not in out.columns
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) + 0.1 * j for j in range(8)])
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ann_servers_use_two_level_topk(emb):
+    """Each serving path's scored scan must feed the SALTED partial
+    window (pmod(xxhash64(c_id), buckets)) — a revert to a bare
+    Window.partitionBy(q_id) over the scan drops the salt expression
+    from the plan and fails here."""
+    servers = {
+        "brute": lambda: SIM.brute_force_topk(emb, [0, 1], k=3),
+        "lsh": lambda: SIM.lsh_topk(emb, [0, 1], k=3, bits=2),
+        "ivf": lambda: SIM.ivf_topk(emb, [0, 1], k=3, n_cells=4, nprobe=4),
+        "quantized": lambda: SIM.quantized_topk(emb, [0, 1], k=3, rerank=2),
+        "pq": lambda: SIM.pq_topk(emb, [0, 1], k=3, m=2, pq_k=4, rerank=2),
+        "ivfpq": lambda: SIM.ivfpq_topk(
+            emb, [0, 1], k=3, n_cells=4, nprobe=4, m=2, pq_k=4, rerank=2
+        ),
+    }
+    for name, build in servers.items():
+        df = build()
+        assert "pmod(xxhash64(c_id" in _plan(df), (
+            f"{name}: scored scan is ranked by a per-query window "
+            "without the two-level salt — reverts the r9 scale fix"
+        )
+        release(df)

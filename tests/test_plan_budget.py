@@ -95,17 +95,24 @@ BUDGET = {
     "typed_tags": 0,
     "media_suite": 0,      # Arrow fan-out, no shuffle
     "cosine_near_dup": 0,
-    "ann_methods": 11,     # + r8 rrf branch: fused-vote aggregate over
-                           # the two top-k lists (≤ 2·k·|queries| rows)
-                           # + its per-query rank window; + r8 pq
-                           # branch: the same minimal 2-window shape as
-                           # quantized (ADC survivor cut + exact
-                           # re-rank, both partitioned by q_id) — the
-                           # codes scan, codebooks, LUTs, and survivor
-                           # joins are all broadcast/codegen, no other
-                           # shuffle
+    "ann_methods": 26,     # r9: every scored-scan top-k is now the
+                           # TWO-LEVEL grouped_topk (rank within
+                           # (q_id, salt-bucket), final rank over only
+                           # ≤ |q|·buckets·n survivors) — +1 tiny
+                           # exchange per site (brute, lsh, ivf,
+                           # quantized + pq + ivfpq survivor cuts) in
+                           # trade for no window partition ever holding
+                           # a full corpus scan; + the r9 ivfpq branch
+                           # (coarse max_by assignment agg, probe-list
+                           # window, residual codebook standin, ADC
+                           # survivor cut, exact re-rank); brute/lsh
+                           # persist also re-prints their cached plans
+                           # inside InMemoryRelation, double-counting
+                           # those exchanges in the text scan
     "semantic_dedup": 6,
-    "ann_recall": 6,
+    "ann_recall": 8,       # r9: brute + quantized each gained the
+                           # grouped_topk second (survivor-only) window
+                           # exchange
     # round-5 trainer-family gates: training runs eagerly at gate
     # construction (bounded model-scale collects); the returned scoring
     # plans are scans with broadcast models

@@ -6,6 +6,7 @@ with brute force, and the trained-codebook serving path."""
 import pytest
 from pyspark.sql import functions as F
 
+from sentinel_spark.cache import release
 from sentinel_spark.functions import similarity as SIM
 
 
@@ -84,6 +85,7 @@ def test_pq_topk_perfect_reconstruction_matches_brute(spark):
     pq = SIM.pq_topk(df, qids, k=3, m=2, pq_k=4, rerank=4)
     brute = SIM.brute_force_topk(df, qids, k=3)
     got = sorted((r.q_id, r.c_id, r.sim, r.rank) for r in pq.collect())
+    release(pq)
     want = sorted((r.q_id, r.c_id, r.sim, r.rank) for r in brute.collect())
     assert got == want
 
@@ -92,6 +94,7 @@ def test_pq_topk_trained_codebooks_path(emb):
     cents = SIM.pq_fit(emb, m=2, k=2, n_iter=2)
     out = SIM.pq_topk(emb, [0, 1], k=3, m=2, pq_k=2, rerank=2, codebooks=cents)
     rows = out.collect()
+    release(out)
     per_q = {}
     for r in rows:
         per_q.setdefault(r.q_id, []).append(r.rank)
@@ -128,6 +131,7 @@ def test_ivfpq_exhaustive_probe_large_rerank_equals_brute(spark):
     brute = SIM.brute_force_topk(df, [0, 1], k=3)
     got = sorted((r.q_id, r.c_id, r.sim, r.rank) for r in out.collect())
     want = sorted((r.q_id, r.c_id, r.sim, r.rank) for r in brute.collect())
+    release(out)
     assert got == want
 
 
@@ -141,6 +145,7 @@ def test_ivfpq_candidates_restricted_to_probed_cells(spark):
         df, [0], k=4, n_cells=2, nprobe=1, m=2, pq_k=2, rerank=4
     )
     ids = {r.c_id for r in out.collect()}
+    release(out)
     assert ids and ids <= {1, 2, 3, 4}  # own-cluster members only
 
 
@@ -161,6 +166,7 @@ def test_ivfpq_trained_artifacts_roundtrip(spark, emb, tmp_path):
     per_q = {}
     for r in out.collect():
         per_q.setdefault(r.q_id, []).append(r.rank)
+    release(out)
     assert set(per_q) == {0, 1}
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
@@ -168,7 +174,10 @@ def test_ivfpq_trained_artifacts_roundtrip(spark, emb, tmp_path):
 def test_ivfpq_deterministic(emb):
     a = SIM.ivfpq_topk(emb, [0, 1], k=3, n_cells=4, nprobe=2, m=2, pq_k=4)
     b = SIM.ivfpq_topk(emb, [0, 1], k=3, n_cells=4, nprobe=2, m=2, pq_k=4)
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    got_a, got_b = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    release(a)
+    release(b)
+    assert got_a == got_b
 
 
 def test_ivfpq_fit_residual_codebooks_improve_reconstruction(spark):
@@ -189,4 +198,5 @@ def test_ivfpq_fit_residual_codebooks_improve_reconstruction(spark):
     brute = SIM.brute_force_topk(df, [0], k=3)
     got = sorted((r.q_id, r.c_id, r.rank) for r in out.collect())
     want = sorted((r.q_id, r.c_id, r.rank) for r in brute.collect())
+    release(out)
     assert got == want

@@ -29,6 +29,10 @@ def test_registry_fits_driver_window():
 
 @pytest.mark.parametrize("name", sorted(E.queries()))
 def test_gate_schema_is_scalar(spark, name):
+    # Start from an empty CacheManager so the persist-leak tripwire
+    # below attributes leaks to THIS gate, not to whatever earlier test
+    # module last touched the shared session (the pre-r9 flake).
+    spark.catalog.clearCache()
     df = E.queries()[name](spark, SF_DIR)
     bad = [
         f.name
@@ -51,10 +55,22 @@ def test_gate_schema_is_scalar(spark, name):
     # cosine_norms, semantic_dedup all did).
     cm = spark._jsparkSession.sharedState().cacheManager()
     leaked = not cm.isEmpty()
+    survivors = ""
     if leaked:
+        # name the surviving entries so a flake attributes itself to the
+        # leaking gate instead of whichever test probes the cache next
+        try:
+            cd = cm.cachedData()
+            heads = []
+            for i in range(min(cd.size(), 4)):
+                plan = cd.apply(i).plan().toString()
+                heads.append(plan.strip().splitlines()[0][:200])
+            survivors = " surviving plans: " + " | ".join(heads)
+        except Exception as exc:  # introspection is best-effort
+            survivors = f" (could not list surviving plans: {exc!r})"
         spark.catalog.clearCache()  # isolate the failure to this gate
     assert not leaked, (
         f"{name}: persisted frames survive release() — harvest the "
         "operator's _sentinel_cached handles (sentinel_spark.cache.carry) "
-        "before projecting its output"
+        f"before projecting its output.{survivors}"
     )
