@@ -1012,25 +1012,57 @@ def _collect_codebooks(
     return cb  # type: ignore[return-value]
 
 
+# Literal-codegen budget for PQ codebooks, in total floats (m·k·d).
+# Above this, encode/LUT construction switches from inlined literal
+# arrays to the broadcast-codebook join shape: the literal program is
+# recompiled on EVERY plan construction (generated source embeds the
+# values), measured at ~3 s per run already at m=4/k=16/d=16 (1024
+# floats, ~1.2 MiB task binaries) — while the join shape is
+# value-independent, compiles small, and is arithmetic-identical
+# (pytest-pinned bit-equality).
+PQ_LITERAL_MAX_FLOATS = 256
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: Sequence[str] = (),
+    max_literal_floats: int | None = None,
 ) -> DataFrame:
     """Encode vectors against collected codebooks: (id, codes array<int>,
-    pq_norm double). Pure codegen — per subspace the m·k L2² folds run
-    as literal-array expressions (no UDF, no join, no shuffle), and
-    ``array_position(dists, array_min(dists))`` picks the FIRST minimum,
-    i.e. ties break toward the lower cell exactly like :func:`pq_fit`'s
-    assignment. ``pq_norm`` is the reconstruction-norm
-    sqrt(Σ_sub ‖cent[code]‖²) used by ADC cosine; the per-centroid ‖·‖²
-    are driver-computed left-to-right over the same rounded doubles both
-    engines hold, so it is bit-identical to an in-engine fold."""
+    pq_norm double).
+
+    Small codebooks (m·k·d ≤ ``max_literal_floats``) run pure codegen —
+    per subspace the m·k L2² folds are literal-array expressions (no
+    UDF, no join, no shuffle), and ``array_position(dists,
+    array_min(dists))`` picks the FIRST minimum, i.e. ties break toward
+    the lower cell exactly like :func:`pq_fit`'s assignment. ``pq_norm``
+    is the reconstruction-norm sqrt(Σ_sub ‖cent[code]‖²) used by ADC
+    cosine; the per-centroid ‖·‖² are driver-computed left-to-right over
+    the same rounded doubles both engines hold, so it is bit-identical
+    to an in-engine fold.
+
+    Production codebooks (FAISS-typical m=16/k=256 is 4096 literal
+    arrays) would blow up the generated class — Janino either chokes or
+    falls back interpreted, every task ships a MiB-scale binary, and
+    because the literals are data-derived the program is recompiled on
+    every plan construction — so past the threshold encoding switches
+    to :func:`pq_fit`'s broadcast-join shape: the m·k codebook rows broadcast onto the
+    exploded (id, sub, subvector) frame, ``min_by(struct(cell, cn2),
+    struct(dist, cell))`` picks the same first-minimum code with
+    map-side partials, and one (id)-grouped ``sort_array`` rebuilds the
+    sub-ordered codes array. The distance folds, tie rule, and the
+    sub-ordered pq_norm fold are arithmetic-identical on both paths, so
+    codes and norms are bit-equal (pytest-pinned)."""
+    if max_literal_floats is None:
+        max_literal_floats = PQ_LITERAL_MAX_FLOATS
     m = len(codebooks)
     k = len(codebooks[0])
     d = len(codebooks[0][0])
+    if m * k * d > max_literal_floats:
+        return _pq_encode_join(emb, codebooks, id_col, vec_col, keep_cols)
     v = F.col(vec_col)
 
     def sub_code(s: int) -> Column:
@@ -1075,6 +1107,166 @@ def pq_encode(
     return out
 
 
+def _pq_encode_join(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    keep_cols: Sequence[str],
+) -> DataFrame:
+    """Broadcast-join PQ encode (the large-codebook path of
+    :func:`pq_encode`; see its docstring for the arithmetic-identity
+    contract). The codebook ships ONCE as an m·k-row broadcast frame —
+    not as m·k literal arrays inside the generated class — so task
+    binaries stay small and whole-stage codegen keeps compiling at
+    production m=16/k=256."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    spark = emb.sparkSession
+    # per-centroid ‖·‖² driver-computed with the SAME left-to-right
+    # Python fold the literal path inlines — bit-equal pq_norm summands
+    cb_rows = [
+        (s, c, [float(x) for x in codebooks[s][c]],
+         float(sum(x * x for x in codebooks[s][c])))
+        for s in range(m)
+        for c in range(len(codebooks[s]))
+    ]
+    # internal __cb_*/__sub names: keep_cols may legitimately contain
+    # "cell" (ivfpq keeps the coarse cell), which must not collide with
+    # the codebook's own cell index
+    cb = spark.createDataFrame(
+        cb_rows, "__sub int, __cb_cell int, __cb_vec array<double>, __cb_cn2 double"
+    )
+    ex = emb.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("__sub"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        id_col,
+        *keep_cols,
+        "__sub",
+        F.slice(F.col("__v"), F.col("__sub") * d + 1, d).alias("sv"),
+    )
+    scored = ex.join(F.broadcast(cb), "__sub").select(
+        id_col,
+        *keep_cols,
+        "__sub",
+        "__cb_cell",
+        "__cb_cn2",
+        F.aggregate(
+            F.zip_with(
+                F.col("sv"),
+                F.col("__cb_vec"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    # first minimum = min over (dist, cell): ties break to the lower
+    # cell, exactly the literal path's array_position(array_min) pick;
+    # min_by runs with map-side partials, so the m·k candidate rows per
+    # vector reduce before any shuffle
+    per_sub = scored.groupBy(id_col, *keep_cols, "__sub").agg(
+        F.min_by(
+            F.struct(F.col("__cb_cell"), F.col("__cb_cn2")),
+            F.struct(F.col("dist"), F.col("__cb_cell")),
+        ).alias("b")
+    )
+    picked = per_sub.groupBy(id_col, *keep_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__sub"),
+                    F.col("b.__cb_cell").alias("cell"),
+                    F.col("b.__cb_cn2").alias("cn2"),
+                )
+            )
+        ).alias("a")
+    )
+    return picked.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.transform(F.col("a"), lambda s: s["cell"].cast("int")).alias("codes"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("a"), lambda s: s["cn2"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("pq_norm"),
+    )
+
+
+def _pq_luts_frame(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    q_vec_col: str = "q_vec",
+    max_literal_floats: int | None = None,
+) -> DataFrame:
+    """Attach ``luts`` (array<array<double>>: luts[sub][cell] =
+    dot(q_sub, cent)) to a (q_id, q_vec, ...) query frame. Small
+    codebooks inline literal arrays (oracle-replayable codegen); past
+    ``max_literal_floats`` the LUTs are built by joining the broadcast
+    m·k-row codebook frame and regrouping with sub/cell-ordered
+    ``sort_array`` — the same dot arithmetic in the same order, so the
+    LUT doubles are bit-equal on both paths (pytest-pinned). The query
+    frame is |query_ids| rows, so the two regroup exchanges are
+    trivial; what matters is that the value-dependent literal program
+    (recompiled per plan construction) stays off the serving path."""
+    if max_literal_floats is None:
+        max_literal_floats = PQ_LITERAL_MAX_FLOATS
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d = len(codebooks[0][0])
+    qv = F.col(q_vec_col)
+    if m * k * d <= max_literal_floats:
+        luts = F.array(*[
+            F.array(*[
+                dot(
+                    F.slice(qv, s * d + 1, d),
+                    F.array(*[F.lit(float(x)) for x in codebooks[s][c]]),
+                )
+                for c in range(k)
+            ])
+            for s in range(m)
+        ])
+        return queries.withColumn("luts", luts)
+    spark = queries.sparkSession
+    cbf = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in codebooks[s][c]])
+            for s in range(m)
+            for c in range(len(codebooks[s]))
+        ],
+        "sub int, cell int, c_vec array<double>",
+    )
+    scored = queries.select(F.col("q_id"), qv).crossJoin(
+        F.broadcast(cbf)
+    ).select(
+        "q_id",
+        "sub",
+        "cell",
+        dot(F.slice(qv, F.col("sub") * d + 1, d), F.col("c_vec")).alias("ipc"),
+    )
+    per_sub = (
+        scored.groupBy("q_id", "sub")
+        .agg(F.sort_array(F.collect_list(F.struct("cell", "ipc"))).alias("a"))
+        .select(
+            "q_id", "sub", F.transform(F.col("a"), lambda s: s["ipc"]).alias("lut")
+        )
+    )
+    lutsf = (
+        per_sub.groupBy("q_id")
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "lut"))).alias("b"))
+        .select(
+            "q_id", F.transform(F.col("b"), lambda s: s["lut"]).alias("luts")
+        )
+    )
+    return queries.join(F.broadcast(lutsf), "q_id")
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: Sequence[int],
@@ -1116,22 +1308,13 @@ def pq_topk(
     codes = codes.persist()
 
     # Per-query LUTs: luts[sub][cell] = dot(q_sub, cent) — computed on
-    # the |query_ids|-row frame, broadcast with it.
-    qv = F.col(vec_col)
-    luts = F.array(*[
-        F.array(*[
-            dot(
-                F.slice(qv, s * d + 1, d),
-                F.array(*[F.lit(float(x)) for x in cb[s][c]]),
-            )
-            for c in range(pq_k)
-        ])
-        for s in range(len(cb))
-    ])
-    queries = emb.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("q_id"),
-        luts.alias("luts"),
-        l2_norm(qv).alias("q_norm"),
+    # the |query_ids|-row frame (literal codegen or broadcast-codebook
+    # join past the literal budget), broadcast with it.
+    q_raw = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    queries = _pq_luts_frame(q_raw, cb).select(
+        "q_id", "luts", l2_norm(F.col("q_vec")).alias("q_norm")
     )
     approx = (
         codes.crossJoin(F.broadcast(queries))
@@ -1304,18 +1487,15 @@ def ivfpq_topk(
     codes = codes.persist()
 
     # Query probe lists: top-nprobe cells by cosine, each probe row
-    # carrying its cell's IP bias dot(q, c_cell) and the query's LUTs.
-    qv = F.col("v")
-    luts = F.array(*[
-        F.array(*[
-            dot(
-                F.slice(qv, s * d + 1, d),
-                F.array(*[F.lit(float(x)) for x in cb[s][c]]),
-            )
-            for c in range(pq_k)
-        ])
-        for s in range(len(cb))
-    ])
+    # carrying its cell's IP bias dot(q, c_cell) and the query's LUTs
+    # (joined in per q_id so they're computed once per query, not once
+    # per probe row — and built join-side past the literal budget).
+    lutsf = _pq_luts_frame(
+        emb.filter(F.col(id_col).isin(list(query_ids))).select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ),
+        cb,
+    ).select("q_id", "luts")
     by_sim = Window.partitionBy("id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     probes = (
         scored_cells.filter(F.col("id").isin(list(query_ids)))
@@ -1326,8 +1506,8 @@ def ivfpq_topk(
             F.col("id").alias("q_id"),
             "cell",
             dot(F.col("v"), F.col("c_vec")).alias("bias_ip"),
-            luts.alias("luts"),
         )
+        .join(F.broadcast(lutsf), "q_id")
     )
     approx = (
         codes.join(F.broadcast(probes), "cell")

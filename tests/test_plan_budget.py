@@ -95,7 +95,7 @@ BUDGET = {
     "typed_tags": 0,
     "media_suite": 0,      # Arrow fan-out, no shuffle
     "cosine_near_dup": 0,
-    "ann_methods": 26,     # r9: every scored-scan top-k is now the
+    "ann_methods": 32,     # r9: every scored-scan top-k is now the
                            # TWO-LEVEL grouped_topk (rank within
                            # (q_id, salt-bucket), final rank over only
                            # ≤ |q|·buckets·n survivors) — +1 tiny
@@ -108,7 +108,12 @@ BUDGET = {
                            # survivor cut, exact re-rank); brute/lsh
                            # persist also re-prints their cached plans
                            # inside InMemoryRelation, double-counting
-                           # those exchanges in the text scan
+                           # those exchanges in the text scan; + the r9
+                           # broadcast-join PQ encode/LUT paths (their
+                           # tiny per-sub/per-query regroup aggregates
+                           # replace the per-construction recompile of
+                           # MiB-scale literal codegen — measured 3 s
+                           # per run at m=4/k=16)
     "semantic_dedup": 6,
     "ann_recall": 8,       # r9: brute + quantized each gained the
                            # grouped_topk second (survivor-only) window

@@ -200,3 +200,82 @@ def test_ivfpq_fit_residual_codebooks_improve_reconstruction(spark):
     want = sorted((r.q_id, r.c_id, r.rank) for r in brute.collect())
     release(out)
     assert got == want
+
+
+def test_pq_encode_join_path_bit_equals_literal(spark):
+    """Past the literal-floats threshold pq_encode must switch to the
+    broadcast-join shape and still produce bit-identical codes and
+    pq_norm — the production m=16/k=256 codebook can't be inlined as
+    4096 literal arrays without blowing up codegen."""
+    import math
+
+    m, k, d = 4, 8, 4
+    # deterministic synthetic codebook with irrational-ish spreads so
+    # distance ties are real float comparisons, not round numbers
+    cb = [
+        [
+            [math.sin(s * 31 + c * 7 + j) * (1 + 0.1 * j) for j in range(d)]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+    rows = [
+        (i, [math.cos(i * 13 + j) * 2.0 for j in range(m * d)], f"g{i % 3}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, grp string"
+    )
+    lit = {
+        r.vec_id: (list(r.codes), r.pq_norm, r.grp)
+        for r in SIM.pq_encode(
+            df, cb, keep_cols=["grp"], max_literal_floats=10**9
+        ).collect()
+    }
+    joined = SIM.pq_encode(df, cb, keep_cols=["grp"], max_literal_floats=0)
+    got = {
+        r.vec_id: (list(r.codes), r.pq_norm, r.grp) for r in joined.collect()
+    }
+    assert got == lit  # bit-equal norms, identical codes, kept cols ride
+
+
+def test_pq_encode_large_codebook_joins_not_inlines(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    cb = [[[0.1 * c + 0.01 * j for j in range(4)] for c in range(4)]
+          for _ in range(2)]
+    big = SIM.pq_encode(df, cb, max_literal_floats=0)
+    small = SIM.pq_encode(df, cb, max_literal_floats=10**9)
+    big_plan = big._jdf.queryExecution().optimizedPlan().toString()
+    small_plan = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in big_plan and "min_by" in big_plan
+    assert "Join" not in small_plan  # literal path stays join-free
+
+
+def test_pq_topk_join_luts_equals_literal(spark):
+    """pq_topk / ivfpq_topk output is identical whether the encode+LUT
+    programs are inlined literals or broadcast-codebook joins — the
+    threshold switch must never change a serving result."""
+    import math
+
+    rows = [
+        (i, [math.cos(i * 13 + j) * 2.0 for j in range(16)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    import sentinel_spark.functions.similarity as sim
+
+    orig = sim.PQ_LITERAL_MAX_FLOATS
+    results = {}
+    try:
+        for label, thresh in (("literal", 10**9), ("join", 0)):
+            # the threshold global is read at call time, so patching it
+            # flips every encode/LUT site the serving call touches
+            sim.PQ_LITERAL_MAX_FLOATS = thresh
+            out = sim.pq_topk(df, [0, 1], k=3, m=4, pq_k=4, rerank=2)
+            results[label] = sorted(map(tuple, out.collect()))
+            release(out)
+    finally:
+        sim.PQ_LITERAL_MAX_FLOATS = orig
+    assert results["literal"] == results["join"]
