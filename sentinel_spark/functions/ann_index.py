@@ -1,0 +1,284 @@
+"""Persisted IVF-PQ index lifecycle: build once, serve many, refresh
+incrementally.
+
+FAISS serves billion-vector indexes from a prebuilt artifact; the
+in-session :func:`similarity.ivfpq_topk` re-encodes the corpus on
+every call, which is the right shape for oracle replay but not for
+production serving. This module persists the three artifacts —
+
+* the coarse centroids and the residual PQ codebooks through the
+  shared model store (atomic replace, version-pinned rollout — the
+  same contract as BPE merges and k-means centroids), and
+* the codes table ``(c_id, cell, codes, pq_norm)`` as a
+  cell-PARTITIONED :class:`~sentinel_spark.sources.store.ParquetTable`
+
+— so serving reads ONLY the probed cells' partitions
+(``PartitionFilters`` prune whole directories at the scan; the codes
+row is m ints + one double, 64× under the float column it replaces),
+and refresh re-encodes ONLY changed vectors against the pinned
+artifacts (assignment/encode rules frozen at build time, so refreshed
+rows are bit-identical to what a full rebuild under the same
+artifacts would produce — pytest-pinned).
+
+Scale shape at 100 TB: build is the one corpus-wide pass (assignment
+join + encode, both broadcast-driven); serving touches
+|probed cells| partitions of the codes table plus one bounded
+survivor re-rank against the float table; refresh is
+|changed| × (n_cells + m·k) broadcast arithmetic plus a
+copy-on-write delete of the affected ids and one append. The probe
+list (|queries|·nprobe rows) is collected driver-side — that bounded
+collect is exactly what turns the probe set into literal partition
+filters.
+
+Reference parity note: the reference has no vector serving; this is
+§2.12 extension surface (SURVEY.md), composed from audited pieces
+(similarity.py serving math, sources/store.py mutation layer).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import with_release
+from sentinel_spark.functions.similarity import (
+    _collect_codebooks,
+    _exact_rerank,
+    _ivf_residuals,
+    _ivf_scored_cells,
+    _pq_luts_frame,
+    dot,
+    grouped_topk,
+    l2_norm,
+    pq_codebooks_standin,
+    pq_encode,
+)
+from sentinel_spark.sources.store import (
+    ParquetTable,
+    load_model_frame,
+    save_model_frame,
+)
+
+_CODES = "codes"
+_CENTROIDS = "centroids"
+_CODEBOOKS = "codebooks"
+
+
+def _codes_table(spark: SparkSession, path: str) -> ParquetTable:
+    return ParquetTable(
+        spark,
+        os.path.join(path, _CODES),
+        partition_cols=["cell"],
+        retain_versions=2,
+    )
+
+
+def _with_norm(centroids: DataFrame) -> DataFrame:
+    return centroids.select("cell", "c_vec", l2_norm(F.col("c_vec")).alias("cn"))
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    *,
+    n_cells: int = 16,
+    m: int = 4,
+    pq_k: int = 16,
+    centroids: DataFrame | None = None,
+    pq_codebooks: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Full (re)build: assign every vector to its argmax-cosine cell
+    (ties → lower cell, :func:`similarity.ivf_topk`'s rule), encode the
+    residual v − c_cell against the PQ codebooks, and commit the codes
+    table plus the pinned model artifacts. ``centroids`` /
+    ``pq_codebooks`` default to the deterministic stand-ins (first-ids
+    coarse cells, lowest-rid residual slices — the oracle-replayable
+    serving path); pass :func:`similarity.kmeans_fit` /
+    :func:`similarity.ivfpq_fit` outputs for trained serving. One
+    corpus-wide pass; rebuild replaces the previous version in one
+    atomic manifest flip per artifact (readers pinned at the prior
+    version keep serving it)."""
+    spark = emb.sparkSession
+    if centroids is not None:
+        cents = _with_norm(centroids)
+    else:
+        cents = emb.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("cn"),
+        )
+    resid = _ivf_residuals(
+        _ivf_scored_cells(emb, cents, id_col, vec_col), cents
+    ).persist()
+    try:
+        cb_frame = (
+            pq_codebooks
+            if pq_codebooks is not None
+            else pq_codebooks_standin(resid, m, pq_k, "rid", "residual")
+        )
+        cb = _collect_codebooks(cb_frame, m, pq_k)
+        codes = pq_encode(resid, cb, "rid", "residual", keep_cols=["cell"]).select(
+            F.col("rid").alias("c_id"), "cell", "codes", "pq_norm"
+        )
+        t = _codes_table(spark, path)
+        if t.exists():
+            t.overwrite(codes)
+        else:
+            t.append(codes)
+        # persist the PINNED artifacts serve/refresh must agree on —
+        # centroids stored without the derived norm (recomputed on load,
+        # same fold both times)
+        save_model_frame(
+            spark, cents.select("cell", "c_vec"), os.path.join(path, _CENTROIDS)
+        )
+        cb_lit = spark.createDataFrame(
+            [
+                (s, c, [float(x) for x in cb[s][c]])
+                for s in range(len(cb))
+                for c in range(len(cb[s]))
+            ],
+            "sub int, cell int, c_vec array<double>",
+        )
+        save_model_frame(spark, cb_lit, os.path.join(path, _CODEBOOKS))
+    finally:
+        resid.unpersist(blocking=True)
+
+
+def refresh_ivfpq_index(
+    emb_changed: DataFrame,
+    path: str,
+    *,
+    deleted_ids: Sequence | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance: re-encode ONLY ``emb_changed``
+    (inserted or updated vectors) against the index's pinned
+    centroids/codebooks — never retraining, so refreshed rows are
+    bit-identical to a full rebuild under the same artifacts — then
+    copy-on-write delete the affected ids (changed ∪ deleted) and
+    append the fresh codes. A vector whose nearest cell moved migrates
+    partitions through the same delete+append, so cell pruning stays
+    correct. Two commits (delete, append); ``retain_versions=2`` keeps
+    a reader pinned pre-refresh consistent until vacuum."""
+    spark = emb_changed.sparkSession
+    cents = _with_norm(load_model_frame(spark, os.path.join(path, _CENTROIDS)))
+    cb_frame = load_model_frame(spark, os.path.join(path, _CODEBOOKS))
+    m = cb_frame.agg(F.max("sub")).collect()[0][0] + 1
+    pq_k = cb_frame.agg(F.max("cell")).collect()[0][0] + 1
+    cb = _collect_codebooks(cb_frame, m, pq_k)
+    resid = _ivf_residuals(
+        _ivf_scored_cells(emb_changed, cents, id_col, vec_col), cents
+    )
+    fresh = pq_encode(resid, cb, "rid", "residual", keep_cols=["cell"]).select(
+        F.col("rid").alias("c_id"), "cell", "codes", "pq_norm"
+    )
+    # the changed-id set is the refresh batch's key column — bounded by
+    # the batch, not the corpus; deletes prune to affected partitions
+    changed = [
+        r.c_id for r in emb_changed.select(F.col(id_col).alias("c_id")).collect()
+    ]
+    doomed = list(changed) + list(deleted_ids or [])
+    t = _codes_table(spark, path)
+    if doomed:
+        t.delete(F.col("c_id").isin(doomed))
+    t.append(fresh)
+
+
+def ivfpq_topk_index(
+    emb: DataFrame,
+    path: str,
+    query_ids: Sequence[int],
+    k: int = 5,
+    *,
+    nprobe: int = 4,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Serve from the persisted index: identical output contract (and,
+    under the same artifacts/parameters, identical rows) to
+    :func:`similarity.ivfpq_topk`, but the corpus-wide work is a scan
+    of ONLY the probed cells' partitions of the codes table — the
+    probe list is computed on the |query_ids|-row frame, collected
+    (bounded: |q|·nprobe rows), and pushed down as literal partition
+    filters. The float column is touched once, by the survivor
+    re-rank. ``version`` pins a codes-table snapshot (mid-refresh
+    readers)."""
+    spark = emb.sparkSession
+    cents = _with_norm(load_model_frame(spark, os.path.join(path, _CENTROIDS)))
+    cb_frame = load_model_frame(spark, os.path.join(path, _CODEBOOKS))
+    m = cb_frame.agg(F.max("sub")).collect()[0][0] + 1
+    pq_k = cb_frame.agg(F.max("cell")).collect()[0][0] + 1
+    cb = _collect_codebooks(cb_frame, m, pq_k)
+
+    queries = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    scored = queries.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "q_vec",
+        "cell",
+        "c_vec",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (l2_norm(F.col("q_vec")) * F.col("cn"))
+        ).alias("c_sim"),
+    )
+    # bounded probe-list rank + collect: |q|·n_cells rows in, |q|·nprobe
+    # out — the collect is what turns probes into partition literals
+    ranked = grouped_topk(
+        scored, nprobe, "c_sim", tie_col="cell", rank_name="cell_rank"
+    ).select(
+        "q_id",
+        "cell",
+        dot(F.col("q_vec"), F.col("c_vec")).alias("bias_ip"),
+    )
+    probe_rows = ranked.collect()
+    if not probe_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, sim double, rank int"
+        )
+    probe_cells = sorted({r.cell for r in probe_rows})
+    probes = spark.createDataFrame(
+        [(r.q_id, r.cell, float(r.bias_ip)) for r in probe_rows],
+        "q_id long, cell long, bias_ip double",
+    ).join(F.broadcast(_pq_luts_frame(queries, cb).select("q_id", "luts")), "q_id")
+
+    codes = (
+        _codes_table(spark, path)
+        .read(version)
+        .filter(F.col("cell").isin([int(c) for c in probe_cells]))
+    )
+    approx = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                F.col("bias_ip")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("luts"),
+                        lambda code, lut: F.element_at(lut, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("ip_q"),
+        )
+    )
+    survivors = grouped_topk(
+        approx, k * rerank, "ip_q", rank_name="cand_rank"
+    ).select("q_id", "c_id")
+    out = _exact_rerank(emb, survivors, query_ids, k, id_col, vec_col)
+    return with_release(out, [])

@@ -1,0 +1,120 @@
+"""Persisted IVF-PQ index lifecycle laws (functions/ann_index.py):
+build→serve equals the in-session server under the same artifacts,
+refresh (upsert + delete) converges to a full rebuild, serving reads
+only the probed cells' partitions, and version pinning keeps a
+pre-refresh reader consistent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import release
+from sentinel_spark.functions import ann_index as AI
+from sentinel_spark.functions import similarity as SIM
+
+
+def _emb(spark, n=12, dim=8, off=0):
+    rows = [
+        (i, [float(((i + off) * 7 + j * 3) % 5 - 2) + 0.1 * j for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _rows(df):
+    return sorted((r.q_id, r.c_id, r.sim, r.rank) for r in df.collect())
+
+
+def test_build_then_serve_equals_in_session_server(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    served = AI.ivfpq_topk_index(emb, path, [0, 1], k=3, nprobe=2, rerank=2)
+    direct = SIM.ivfpq_topk(
+        emb, [0, 1], k=3, n_cells=4, nprobe=2, m=2, pq_k=4, rerank=2
+    )
+    got, want = _rows(served), _rows(direct)
+    release(served)
+    release(direct)
+    assert got == want
+
+
+def test_serve_reads_only_probed_partitions(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    served = AI.ivfpq_topk_index(emb, path, [0], k=2, nprobe=1, rerank=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # nprobe=1, one query -> the scan's partition filter pins ONE cell
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and m.group(1).strip(), plan
+    release(served)
+
+
+def test_refresh_upsert_and_delete_converges_to_rebuild(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    # pin the BUILD-time artifacts: a rebuild on the new corpus must use
+    # the same centroids/codebooks refresh serves under, or the
+    # comparison would conflate retraining with maintenance
+    from sentinel_spark.sources.store import load_model_frame
+
+    cents = load_model_frame(spark, str(tmp_path / "idx" / "centroids"))
+    cb = load_model_frame(spark, str(tmp_path / "idx" / "codebooks"))
+
+    # update vectors 3 and 5, insert 12 and 13, delete 7
+    changed = _emb(spark, n=14, off=3).filter(
+        F.col("vec_id").isin([3, 5, 12, 13])
+    )
+    AI.refresh_ivfpq_index(changed, path, deleted_ids=[7])
+
+    new_corpus = (
+        _emb(spark)
+        .filter(~F.col("vec_id").isin([3, 5, 7]))
+        .unionByName(changed)
+    )
+    path2 = str(tmp_path / "rebuilt")
+    AI.build_ivfpq_index(
+        new_corpus, path2, m=2, pq_k=4, centroids=cents, pq_codebooks=cb
+    )
+    a = AI._codes_table(spark, path).read()
+    b = AI._codes_table(spark, path2).read()
+    ra = sorted((r.c_id, int(r.cell), tuple(r.codes), r.pq_norm) for r in a.collect())
+    rb = sorted((r.c_id, int(r.cell), tuple(r.codes), r.pq_norm) for r in b.collect())
+    assert ra == rb
+    assert all(cid != 7 for cid, *_ in ra)
+    assert {12, 13} <= {cid for cid, *_ in ra}
+
+
+def test_version_pinning_survives_refresh(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    t = AI._codes_table(spark, path)
+    v0 = t.version()
+    n0 = t.read(v0).count()
+    AI.refresh_ivfpq_index(
+        _emb(spark, n=16, off=1).filter(F.col("vec_id") >= 12), path
+    )
+    assert t.read(v0).count() == n0  # pinned snapshot unchanged
+    assert t.read().count() == n0 + 4
+
+
+def test_rebuild_replaces_atomically(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    AI.build_ivfpq_index(_emb(spark, n=6), path, n_cells=4, m=2, pq_k=4)
+    assert AI._codes_table(spark, path).read().count() == 6
+
+
+def test_empty_query_set_returns_empty(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    out = AI.ivfpq_topk_index(emb, path, [999], k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["q_id", "c_id", "sim", "rank"]
