@@ -12,9 +12,10 @@ scans.
 
 Registered-domain extraction is the standard public-suffix-list
 problem; carrying the full PSL is out of scope, so a built-in set of
-the common two-level public suffixes (co.uk, com.au, …) backs an
-approximation, documented as such — the operator accepts a custom
-suffix set for callers with the real PSL.
+the common multi-level public suffixes (co.uk, com.au, nsw.edu.au, …)
+backs an approximation, documented as such — the operator accepts a
+custom suffix set (any depth; deepest listed suffix wins) for callers
+carrying the real PSL.
 """
 
 from __future__ import annotations
@@ -22,11 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Well-known two-level public suffixes (the high-traffic subset of the
-# Mozilla PSL's ccTLD second-level registrations); extend or replace
-# via the `suffixes` argument for callers carrying the full PSL.
-# Three-and-more-level suffixes (e.g. Japanese prefecture domains)
-# remain out of the approximation, as documented above.
+# Well-known multi-level public suffixes (the high-traffic subset of
+# the Mozilla PSL's ccTLD registrations, plus exemplar deeper
+# entries); extend or replace via the `suffixes` argument for callers
+# carrying the full PSL — matching is deepest-suffix-first, so entries
+# of any depth compose. PSL wildcard rules (*.ck) stay out of the
+# approximation, as documented above.
 TWO_LEVEL_SUFFIXES = (
     # United Kingdom
     "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "ltd.uk", "plc.uk",
@@ -71,6 +73,12 @@ TWO_LEVEL_SUFFIXES = (
     "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
     "co.ke", "or.ke", "go.ke", "ac.ke", "ne.ke",
     "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za", "edu.za",
+    # Multi-label public suffixes beyond two levels (PSL wildcard-free
+    # examples; registered_domain matches the DEEPEST listed suffix
+    # first, so these coexist with any two-level entries above)
+    "pvt.k12.ma.us", "chtr.k12.ma.us", "paroch.k12.ma.us",
+    "act.edu.au", "nsw.edu.au", "qld.edu.au", "vic.edu.au",
+    "act.gov.au", "nsw.gov.au", "qld.gov.au", "vic.gov.au",
 )
 
 _SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*):\/\/"
@@ -118,16 +126,23 @@ def registered_domain(
 ) -> Column:
     """Registrable domain of the URL's host: the label left of the
     public suffix plus the suffix (``news.bbc.co.uk`` → ``bbc.co.uk``,
-    ``a.b.example.com`` → ``example.com``). Approximation backed by
-    the built-in two-level suffix set (see module docstring)."""
+    ``a.b.example.com`` → ``example.com``, ``x.school.nsw.edu.au`` →
+    ``school.nsw.edu.au``). Approximation backed by the built-in
+    suffix set (see module docstring); matching is deepest-listed-
+    suffix-first, so custom sets may mix depths freely."""
     host = url_host(url)
-    two_level = F.regexp_extract(
+    # deepest suffix first: Java regex alternation is first-match, so
+    # without the sort a host under a three-level suffix (school under
+    # nsw.edu.au) would stop at the shallower edu.au entry and emit the
+    # state registry as the "domain"
+    ordered = sorted(suffixes, key=lambda s: (-s.count("."), -len(s), s))
+    listed = F.regexp_extract(
         host,
-        r"([^.]+\.(?:" + "|".join(s.replace(".", r"\.") for s in suffixes) + r"))$",
+        r"([^.]+\.(?:" + "|".join(s.replace(".", r"\.") for s in ordered) + r"))$",
         1,
     )
     generic = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(two_level != "", two_level).otherwise(generic)
+    return F.when(listed != "", listed).otherwise(generic)
 
 
 def domain_report(

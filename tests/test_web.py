@@ -61,6 +61,12 @@ def test_registered_domain(spark):
         "https://portal.stat.go.jp/": "stat.go.jp",
         "https://beehive.govt.nz/release": "beehive.govt.nz",
         "http://okul.meb.k12.tr/": "meb.k12.tr",
+        # deepest-listed-suffix-first (r9): three-level entries beat
+        # their two-level prefixes, and hosts directly under the
+        # shallower suffix still resolve through it
+        "https://www.school.nsw.edu.au/x": "school.nsw.edu.au",
+        "https://law.unimelb.edu.au/": "unimelb.edu.au",
+        "http://hs.pvt.k12.ma.us/": "hs.pvt.k12.ma.us",
     }
     for u, want in cases.items():
         assert _one(spark, registered_domain, u) == want, u
