@@ -1562,13 +1562,41 @@ def q_sample_suite(spark, sf_dir):
         "source",
         F.col("epoch").cast("double").alias("weight"),
     )
-    return (
+    # dsir branch (functions/dsir.py — Gumbel-top-n hashed-n-gram
+    # importance resampling toward src1-like documents): the full
+    # pipeline (feature hash, smoothed ln-ratio model, deterministic
+    # Gumbel, rounded-score ranking) replays in SQL; the selection
+    # score rides the weight slot, the draw order the lang slot.
+    from sentinel_spark.cache import carry
+    from sentinel_spark.functions.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    ds_raw = dsir_select(
+        docs,
+        docs.where(F.col("source") == "src1"),
+        "text",
+        "doc_id",
+        n=20,
+        buckets=4096,
+    )
+    ds = ds_raw.select(
+        F.lit("dsir").alias("method"),
+        F.col("id").alias("doc_id"),
+        F.col("rank").cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("score").alias("weight"),
+    )
+    out = (
         st.unionByName(wt)
         .unionByName(gp)
         .unionByName(mx)
         .unionByName(tb)
         .unionByName(ep)
+        .unionByName(ds)
     )
+    # the tagging select drops ds_raw's persisted-frame handles —
+    # carry them so the caller's release() reaches the DSIR caches
+    return carry(out, ds_raw)
 
 
 def q_dedup_clusters_report(spark, sf_dir):
@@ -2833,6 +2861,96 @@ def _ivfpq_topk_oracle(n_cells: int = 8, nprobe: int = 2, m: int = 4,
         )
         SELECT q_id, c_id, round(sim_exact, 6) AS sim, CAST(rank AS INTEGER) AS rank
         FROM iv_rr WHERE rank <= {k}
+    """
+
+
+def _dsir_select_sql(
+    *,
+    raw_src: str,
+    target_src: str,
+    target_where: str = "",
+    n: int = 20,
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+    salt: str = "",
+) -> str:
+    """DuckDB mirror of dsir.dsir_select over (doc_id, text) sources:
+    identical md5-int60 bucket hash, add-alpha smoothed
+    ln-ratio composed in the same term order, the same md5-derived
+    Gumbel draw, and ordering by the ROUNDED score (ties → doc_id) so
+    the selection boundary agrees across engines. log-weight sums are
+    rounded to 6 only at exposure (repo float policy)."""
+
+    def md5parse(expr: str) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (14 - i)}"
+            for i in range(15)
+        )
+
+    def grams(src: str, where: str) -> str:
+        return f"""
+          SELECT doc_id, unnest(list_concat(t,
+                   list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                  i -> t[i] || ' ' || t[i + 1]))) AS g
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS t
+                FROM {src} {where})
+        """
+
+    a = float(alpha)
+    ab = a * buckets
+    two60 = float((1 << 60) + 2)
+    return f"""
+        WITH raw_grams AS ({grams(raw_src, "")}),
+        tgt_grams AS ({grams(target_src, target_where)}),
+        dbc AS (
+          SELECT doc_id, ({md5parse('g')}) % {buckets} AS bucket,
+                 count(*) AS cnt
+          FROM raw_grams GROUP BY 1, 2
+        ),
+        rawb AS (SELECT bucket, sum(cnt) AS cr FROM dbc GROUP BY 1),
+        tgtb AS (
+          SELECT ({md5parse('g')}) % {buckets} AS bucket, count(*) AS ct
+          FROM tgt_grams GROUP BY 1
+        ),
+        tot AS (
+          SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tgtb) AS Ct,
+                 (SELECT CAST(sum(cr) AS DOUBLE) FROM rawb) AS Cr
+        ),
+        ratio AS (
+          SELECT r.bucket,
+                 ln(CAST(coalesce(t.ct, 0) AS DOUBLE) + {a})
+                 - ln(tot.Ct + {ab})
+                 - ln(CAST(r.cr AS DOUBLE) + {a})
+                 + ln(tot.Cr + {ab}) AS log_ratio
+          FROM rawb r LEFT JOIN tgtb t USING (bucket) CROSS JOIN tot
+        ),
+        per_doc AS (
+          SELECT d.doc_id, sum(d.cnt) AS ng,
+                 sum(d.cnt * r.log_ratio) AS lw
+          FROM dbc d JOIN ratio r USING (bucket) GROUP BY 1
+        ),
+        all_docs AS (
+          SELECT doc_id,
+                 coalesce(p.ng, 0) AS n_grams,
+                 coalesce(p.lw, 0.0) AS lw
+          FROM (SELECT DISTINCT doc_id FROM {raw_src}) ids
+          LEFT JOIN per_doc p USING (doc_id)
+        ),
+        scored AS (
+          SELECT doc_id AS id, CAST(n_grams AS BIGINT) AS n_grams,
+                 round(lw, 6) AS log_w,
+                 round(lw + (-ln(-ln(
+                   (({md5parse(f"'{salt}' || CAST(doc_id AS VARCHAR)")}) + 1.0)
+                   / {two60}))), 6) AS score
+          FROM all_docs
+        )
+        SELECT id, n_grams, log_w, score,
+               CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INTEGER)
+                 AS rank
+        FROM scored ORDER BY score DESC, id ASC LIMIT {n}
     """
 
 
@@ -4188,6 +4306,16 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 ELSE 0 END AS n_epochs
           FROM c JOIN tot USING (source) WHERE st > 0
         )
+        UNION ALL
+        -- dsir_select replay (shared builder — the same SQL the
+        -- pytest portability law runs): selection score in the weight
+        -- slot, draw order in the lang slot
+        SELECT 'dsir' AS method, id AS doc_id, CAST(rank AS VARCHAR) AS lang,
+               CAST(NULL AS VARCHAR) AS source, score AS weight
+        FROM ({_dsir_select_sql(raw_src="documents",
+                                target_src="documents",
+                                target_where="WHERE source = 'src1'",
+                                n=20, buckets=4096, alpha=1.0)})
     """
     out["dedup_clusters"] = f"""
         SELECT * FROM ({base["dedup_clusters"]}) CROSS JOIN ({base["dedup_report"]})

@@ -1,0 +1,205 @@
+"""DSIR data selection (Xie et al. 2023, *Data Selection for Language
+Models via Importance Resampling*): pick raw-corpus documents whose
+hashed-n-gram distribution looks like a small TARGET corpus — the
+standard "make CommonCrawl look like Wikipedia+books" pretraining
+selection step.
+
+Method, re-expressed as DataFrame ops end to end:
+
+1. Featurize every document as counts over ``buckets`` hashed unigram
+   + bigram buckets (the paper's 10k-bucket hashed n-gram model).
+2. Fit two smoothed categorical bag-of-buckets models — target and
+   raw — and score each raw document with its log importance weight
+   ``Σ_gram log p_target(bucket) − log p_raw(bucket)``.
+3. Resample without replacement via the Gumbel-top-k trick on the log
+   weights (the paper's sampled-without-replacement variant): add a
+   per-document Gumbel noise term and take the global top-n.
+
+Determinism/portability: the bucket hash is the repo's md5-int60
+(``conv(substring(md5(g),1,15),16,10)``) and the "noise" is a Gumbel
+transform of an md5-derived uniform — both reproducible in any SQL
+engine, so the whole selection (features, weights, noise, ranking) is
+oracle-replayable. Log-weight sums round to 6 decimals only at
+exposure, per the repo float policy.
+
+Scale shape at 100 TB: the raw corpus is touched once — a per-doc
+id-spread exchange whose partitioning the (id, bucket) count, the
+per-doc weight sum, and the gumbel scoring all reuse in place
+(:func:`dedup._spread`'s contract); the bucket-ratio model is a
+≤ ``buckets``-row broadcast; the target corpus (small by definition)
+aggregates to the same ≤ ``buckets`` rows; the final top-n is a
+distributed TakeOrderedAndProject, never a global rank window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sentinel_spark.cache import carry, with_release
+from sentinel_spark.functions.dedup import _md5_int60, _spread
+from sentinel_spark.functions.text import WORD_RE
+
+
+def _grams(text_col: str) -> Column:
+    """Unigrams + bigrams WITH multiplicity (DSIR features are counts,
+    not the dedup operators' distinct shingle sets): all array ops, no
+    window, NULL text → no grams."""
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(WORD_RE),
+        F.lit(0),
+    )
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, n_bi),
+        F.slice(toks, 2, n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(toks, bi)
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """(id, bucket, cnt): each document's hashed unigram+bigram counts
+    — DSIR's feature extractor. One id-spread exchange; the (id,
+    bucket) aggregate runs in place on it."""
+    base = _spread(df, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.explode(_grams(text_col)).alias("g")
+    )
+    return (
+        base.select("id", F.pmod(_md5_int60("g"), F.lit(buckets)).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-raw-document DSIR log importance weight:
+    (id, n_grams, log_w) with ``log_w = Σ cnt·log_ratio(bucket)``
+    (UNROUNDED — selection consumes it; round at exposure). Documents
+    with no grams (empty/NULL text) keep a row with n_grams=0 and
+    log_w=0 — the weight of an empty product, not a dropped document."""
+    # the featurized corpus feeds TWO consumers (the raw bucket model
+    # and the per-doc weight sums) — persist it so the corpus is
+    # tokenized/exploded exactly once; raw_b and tgt (≤ buckets rows
+    # each) persist too because their totals AND the ratio join both
+    # read them. All three ride the output's release chain.
+    counts = hashed_ngram_counts(raw, text_col, id_col, buckets=buckets).persist()
+    raw_b = (
+        counts.groupBy("bucket").agg(F.sum("cnt").alias("cr")).persist()
+    )
+    tgt = (
+        target.select(F.explode(_grams(text_col)).alias("g"))
+        .select(F.pmod(_md5_int60("g"), F.lit(buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .persist()
+    )
+    # distinct total names: Spark resolves case-insensitively, so "Ct"
+    # would collide with the per-bucket "ct"
+    tot_t = tgt.agg(F.sum("ct").cast("double").alias("t_total"))
+    tot_r = raw_b.agg(F.sum("cr").cast("double").alias("r_total"))
+    a = float(alpha)
+    ab = a * buckets
+    # (bucket, log_ratio) over every bucket the RAW corpus realizes:
+    # buckets absent from raw appear in no raw document, so they can't
+    # contribute to any weight — the left join is complete, not a
+    # truncation. Composed as ln(c+α) − ln(C+αB) terms in a fixed
+    # order so the oracle reproduces the same doubles.
+    ratio = (
+        raw_b.join(F.broadcast(tgt), "bucket", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)).cast("double") + a)
+                - F.log(F.col("t_total") + ab)
+                - F.log(F.col("cr").cast("double") + a)
+                + F.log(F.col("r_total") + ab)
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        counts.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_w"),
+        )
+    )
+    # no _spread here: distinct() is itself an id-hash exchange (of
+    # the column-pruned id scan only), and the join against scored
+    # (already id-partitioned by its groupBy) co-locates without
+    # another one
+    ids = raw.select(F.col(id_col).alias("id")).distinct()
+    out = ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w"),
+    )
+    return with_release(out, [counts, raw_b, tgt])
+
+
+def gumbel_noise(id_col: str | Column, *, salt: str = "") -> Column:
+    """Deterministic standard-Gumbel draw per key: u = md5-uniform in
+    (0, 1), g = −ln(−ln(u)). Engine-portable (md5 + ln only), so the
+    resampling is oracle-replayable; ``salt`` re-draws the noise."""
+    k = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    # (h+1)/(2^60+2) ∈ (0,1) strictly — both ln() calls stay finite
+    u = (h.cast("double") + 1.0) / float((1 << 60) + 2)
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    *,
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Gumbel-top-``n`` importance resampling: (id, n_grams, log_w,
+    score, rank) for the ``n`` selected documents, rank 1 = first
+    draw. ``score = round(log_w + gumbel, 6)``; ordering uses the
+    ROUNDED score (ties → ascending id) so both engines agree at the
+    selection boundary. The top-n is a distributed
+    TakeOrderedAndProject; the rank window runs over only the n
+    survivors (bm25_topk's idiom)."""
+    w = dsir_log_weights(
+        raw, target, text_col, id_col, buckets=buckets, alpha=alpha
+    )
+    scored = w.select(
+        "id",
+        "n_grams",
+        F.round("log_w", 6).alias("log_w"),
+        F.round(F.col("log_w") + gumbel_noise("id", salt=salt), 6).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    topn = scored.orderBy(*order).limit(n)
+    rank_w = Window.partitionBy(F.pmod(F.xxhash64("id"), F.lit(1))).orderBy(*order)
+    # carry the weight stage's persisted handles past the projections
+    return carry(topn.withColumn("rank", F.row_number().over(rank_w)), w)

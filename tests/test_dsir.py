@@ -1,0 +1,123 @@
+"""DSIR importance-resampling laws (functions/dsir.py): feature
+counts carry multiplicity, weights move toward target-like documents,
+empty documents keep zero-weight rows, Gumbel selection is
+deterministic and budget-monotone in expectation shape, and the whole
+pipeline is bit-reproducible (the gate oracle replays it in SQL)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import release
+from sentinel_spark.functions import dsir as D
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    # target: cooking-like; raw: half cooking-like, half finance-like
+    target = spark.createDataFrame(
+        [
+            (100, "bake the bread with flour and water"),
+            (101, "simmer the soup add salt and pepper"),
+            (102, "knead the dough bake until golden"),
+        ],
+        "doc_id long, text string",
+    )
+    raw_rows = [
+        (0, "bake fresh bread add flour water and salt"),
+        (1, "the soup needs salt pepper and water"),
+        (2, "stock market prices fell as bond yields rose"),
+        (3, "quarterly earnings beat analyst estimates again"),
+        (4, "knead dough rest it then bake the bread"),
+        (5, "interest rates and inflation moved the market"),
+        (6, None),
+        (7, ""),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    return raw, target
+
+
+def test_hashed_counts_multiplicity(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    # grams: a, b, a (unigrams) + "a b", "b a" -> the two 'a' unigrams
+    # land in ONE bucket with cnt=2 (counts, not the dedup distinct set)
+    out = D.hashed_ngram_counts(df, "text", "doc_id", buckets=1 << 20)
+    rows = {r.bucket: r.cnt for r in out.collect()}
+    assert sorted(rows.values()) == [1, 1, 1, 2]
+    assert sum(rows.values()) == 5
+
+
+def test_log_weights_separate_target_like_docs(corpora):
+    raw, target = corpora
+    lw = D.dsir_log_weights(raw, target, "text", "doc_id", buckets=4096)
+    w = {r.id: r.log_w for r in lw.collect()}
+    release(lw)
+    cooking = [w[0], w[1], w[4]]
+    finance = [w[2], w[3], w[5]]
+    assert min(cooking) > max(finance)
+    assert w[6] == 0.0 and w[7] == 0.0  # empty/NULL keep zero-weight rows
+
+
+def test_log_weights_row_per_document(corpora):
+    raw, target = corpora
+    out = D.dsir_log_weights(raw, target, "text", "doc_id")
+    n = out.count()
+    release(out)
+    assert n == raw.count()
+
+
+def test_gumbel_noise_is_deterministic_and_salted(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    a = df.select("id", D.gumbel_noise("id").alias("g"))
+    b = df.select("id", D.gumbel_noise("id").alias("g"))
+    assert a.collect() == b.collect()
+    c = {r.id: r.g for r in df.select("id", D.gumbel_noise("id", salt="x").alias("g")).collect()}
+    base = {r.id: r.g for r in a.collect()}
+    assert any(abs(c[i] - base[i]) > 1e-9 for i in base)
+    # standard Gumbel location: median of -ln(-ln(u)) is -ln(ln 2) ~ .37
+    med = sorted(base.values())[25]
+    assert -2.0 < med < 3.0
+
+
+def test_dsir_select_contract(corpora):
+    raw, target = corpora
+    out = D.dsir_select(raw, target, "text", "doc_id", n=4, buckets=4096)
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4]
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    again = D.dsir_select(raw, target, "text", "doc_id", n=4, buckets=4096)
+    got_a, got_b = sorted(map(tuple, out.collect())), sorted(map(tuple, again.collect()))
+    release(out)
+    release(again)
+    assert got_a == got_b
+
+
+def test_dsir_select_oracle_replay(spark, corpora):
+    """End-to-end SQL replay in DuckDB over the same rows — the same
+    check the driver gate runs, kept here so the portability claim is
+    pinned even at pytest scale."""
+    duckdb = pytest.importorskip("duckdb")
+    raw, target = corpora
+    import __spark_entry__ as E
+
+    sql = E._dsir_select_sql(
+        raw_src="raw_docs",
+        target_where="",
+        target_src="target_docs",
+        n=4,
+        buckets=4096,
+        alpha=1.0,
+    )
+    con = duckdb.connect()
+    con.register("raw_docs", raw.toPandas())
+    con.register("target_docs", target.toPandas())
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    sel = D.dsir_select(raw, target, "text", "doc_id", n=4, buckets=4096)
+    from sentinel_spark.cache import carry
+
+    proj = carry(sel.select("id", "n_grams", "log_w", "score", "rank"), sel)
+    got = sorted(map(tuple, proj.collect()))
+    release(proj)
+    assert got == want

@@ -62,7 +62,15 @@ BUDGET = {
                            # frame; keyed so the WindowExec WARN about
                            # an empty partition spec never fires)
     "pii_redact": 0,
-    "sample_suite": 7,     # per-group rank window + the mixture
+    "sample_suite": 16,    # + r9 dsir branch: one corpus id-spread
+                           # (the featurize pass, persisted for its
+                           # two consumers), ≤buckets-row model
+                           # aggregates (bucket counts on both
+                           # corpora), the id-distinct/weight-join
+                           # pair, and the persisted frames' plans
+                           # re-printed inside InMemoryRelation
+                           # (double-counted by this text scan);
+                           # pre-r9 audit: per-group rank window + the mixture
                            # branch's (source, hash-range) prefix-sum
                            # exchange (appearing on both of its two
                            # lineage references) + its tiny per-source
