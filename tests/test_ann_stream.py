@@ -1,0 +1,93 @@
+"""Streaming vector search (streaming/ann_stream.py): availableNow
+round trip over the persisted index, exact top-1 on corpus-identical
+queries, incremental drain of newly arriving query files, and
+(q_id, rank)-keyed replay idempotence of the results sink."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions import ann_index as AI
+from sentinel_spark.sources.store import ParquetTable
+from sentinel_spark.streaming.ann_stream import serve_ann_stream
+
+
+def _emb(spark, n=12, dim=8):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) + 0.1 * j for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, idx, n_cells=4, m=2, pq_k=4)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    results = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    def push(qrows, name):
+        spark.createDataFrame(
+            qrows, "q_id long, q_vec array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(inbox / name)
+        )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "q_id long, q_vec array<float>"
+        ).option("recursiveFileLookup", "true").parquet(str(inbox))
+        serve_ann_stream(
+            stream, idx, emb, results, ckpt,
+            k=3, nprobe=4, rerank=4, available_now=True,
+        )
+        return ParquetTable(spark, results)
+
+    return emb, push, drain
+
+
+def test_stream_round_trip_and_exact_top1(spark, served):
+    emb, push, drain = served
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    # queries reuse corpus vectors under a fresh id namespace — the
+    # stream has no self-exclusion, so rank 1 must be the identical
+    # corpus vector at cosine 1.0 (nprobe covers every cell)
+    push([(1000, vecs[2]), (1001, vecs[9])], "b1")
+    t = drain()
+    rows = {(r.q_id, r.rank): r for r in t.read().collect()}
+    assert rows[(1000, 1)].c_id == 2 and rows[(1000, 1)].sim == 1.0
+    # the generator repeats vectors with period 5 (vec 9 ≡ vec 4), so
+    # the cosine-1.0 tie resolves to the LOWER corpus id — the same
+    # tie rule every batch server pins
+    assert rows[(1001, 1)].c_id == 4 and rows[(1001, 1)].sim == 1.0
+    assert {r for r in rows} == {(q, r) for q in (1000, 1001) for r in (1, 2, 3)}
+
+
+def test_stream_incremental_and_replay_idempotent(spark, served):
+    emb, push, drain = served
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    push([(1000, vecs[2])], "b1")
+    t = drain()
+    assert t.read().count() == 3
+    # second drain with nothing new: checkpoint advances, no rewrites
+    t = drain()
+    assert t.read().count() == 3
+    # new file arrives -> only its queries are served
+    push([(2000, vecs[5])], "b2")
+    t = drain()
+    got = {(r.q_id, r.rank) for r in t.read().collect()}
+    assert got == {(1000, 1), (1000, 2), (1000, 3),
+                   (2000, 1), (2000, 2), (2000, 3)}
+    # at-least-once replay simulation: wipe the CHECKPOINT (not the
+    # results) and drain everything again — the (q_id, rank) merge
+    # inserts nothing new
+    import shutil
+
+    shutil.rmtree(os.path.join(os.path.dirname(t.path), "ckpt"))
+    t = drain()
+    assert t.read().count() == 6
