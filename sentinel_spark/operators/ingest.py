@@ -54,9 +54,43 @@ UPLOAD_SCHEMA = TY.StructType(
 )
 
 
+# package.scala:35 DefaultMaxRunSummarySize — the reference's default
+# multipart upload cap (overridable via sentinel.maxUploadByteSize)
+DEFAULT_MAX_UPLOAD_BYTES = 16 * 1024 * 1024
+
+
+def screen_upload_sizes(
+    paths: Sequence[str],
+    max_bytes: int = DEFAULT_MAX_UPLOAD_BYTES,
+) -> tuple[list[str], list[tuple[str, int]]]:
+    """Transport-layer size gate (S1): split upload paths into
+    (admissible, oversized [(path, size)]) by AS-UPLOADED byte size —
+    the compressed size for ``.gz``, exactly what the reference's
+    multipart ``maxFileSize`` sees (RunsController.scala:69-76; the
+    413 RunSummaryTooLargeError of ApiPayload.scala:210). Runs
+    driver-side BEFORE any cluster work, mirroring the reference
+    rejecting at the HTTP layer before processing; feed the admissible
+    list to :func:`read_uploads` and surface the oversized list as
+    rejects. A missing file raises (same contract as the read)."""
+    import os
+
+    ok: list[str] = []
+    too_big: list[tuple[str, int]] = []
+    for p in paths:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        size = os.path.getsize(local)
+        if size > max_bytes:
+            too_big.append((p, size))
+        else:
+            ok.append(p)
+    return ok, too_big
+
+
 def read_uploads(spark: SparkSession, paths: Sequence[str]) -> DataFrame:
     """One row per upload file; `.gz` inputs decompress transparently
-    (S1, utils/package.scala:103-113 → Spark codec handling)."""
+    (S1, utils/package.scala:103-113 → Spark codec handling).
+    Size-screen the paths first with :func:`screen_upload_sizes` to
+    keep the reference's 16 MiB upload contract."""
     df = spark.read.text(list(paths), wholetext=True)
     return df.select(
         F.input_file_name().alias("uploadPath"), F.col("value").alias("content")

@@ -168,3 +168,35 @@ def test_pann_annotation_dedup(spark):
     assert len(runs["Pann_01"]) == 2 and len(runs["Pann_02"]) == 2
     shared = set(runs["Pann_01"]) & set(runs["Pann_02"])
     assert len(shared) == 1  # the common bed annotation
+
+
+def test_screen_upload_sizes(tmp_path):
+    """S1 transport gate: the reference caps uploads at 16 MiB
+    (package.scala:35, RunsController.scala:69-76 -> HTTP 413); the
+    screen splits on AS-UPLOADED bytes (compressed for .gz) before any
+    cluster work."""
+    import gzip
+
+    from sentinel_spark.operators.ingest import screen_upload_sizes
+
+    small = tmp_path / "small.json"
+    small.write_bytes(b"{}" * 10)
+    big = tmp_path / "big.json"
+    big.write_bytes(b"x" * 2048)
+    # highly compressible: large decompressed, tiny as uploaded
+    gz = tmp_path / "c.json.gz"
+    gz.write_bytes(gzip.compress(b"y" * 100_000))
+
+    ok, too_big = screen_upload_sizes(
+        [str(small), str(big), str(gz)], max_bytes=1024
+    )
+    assert ok == [str(small), str(gz)]  # gz judged on compressed size
+    assert too_big == [(str(big), 2048)]
+
+    ok2, tb2 = screen_upload_sizes([f"file:{big}"], max_bytes=1024)
+    assert ok2 == [] and tb2 == [(f"file:{big}", 2048)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        screen_upload_sizes([str(tmp_path / "missing.json")])
