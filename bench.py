@@ -182,6 +182,14 @@ def main():
         w.write.format("noop").mode("overwrite").save()
         release(w)
     warm_brute.unpersist(blocking=True)
+    # ... and the r9 dsir shape (zip_with bigram featurize, md5-int60
+    # bucket model joins, gumbel ranking), whose first-JIT otherwise
+    # lands on sample_suite's cold run.
+    from sentinel_spark.functions.dsir import dsir_select
+
+    warm_ds = dsir_select(tiny, tiny, "text", "doc_id", n=2, buckets=64)
+    warm_ds.write.format("noop").mode("overwrite").save()
+    release(warm_ds)
 
     # Three repetitions per gate: run 1 = cold (codegen/JIT included,
     # comparable across rounds), runs 2-3 = warm recomputes. The
