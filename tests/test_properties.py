@@ -563,3 +563,84 @@ def test_read_pruned_range_superset_law(spark, tmp_path_factory, file_ranges, q)
         for r in t.read().where(F.col("k").between(qlo, qhi)).collect()
     )
     assert pruned == full
+
+
+@SLOW
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # q_id
+            st.integers(min_value=0, max_value=200),      # c_id
+            st.integers(min_value=-5, max_value=5),       # score (ties!)
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    n=st.integers(min_value=1, max_value=12),
+    buckets=st.sampled_from([1, 3, 32]),
+)
+def test_grouped_topk_equals_naive_window(spark, scores, n, buckets):
+    """grouped_topk's two-level form is row- and rank-identical to the
+    single q_id window under arbitrary groups, duplicate-heavy score
+    ties, and any bucket count — the invariant the r9 ANN scale fix
+    rests on. Duplicate (q, c) rows are deduplicated first (the
+    serving frames key candidates uniquely per query)."""
+    from sentinel_spark.functions.similarity import grouped_topk
+    from pyspark.sql.window import Window
+
+    uniq = {(q, c): s for q, c, s in scores}
+    rows = [(q, c, float(s)) for (q, c), s in sorted(uniq.items())]
+    df = spark.createDataFrame(rows, "q_id int, c_id int, score double")
+    got = sorted(
+        (r.q_id, r.c_id, r.rank)
+        for r in grouped_topk(df, n, "score", buckets=buckets).collect()
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id").asc()
+    )
+    want = sorted(
+        (r.q_id, r.c_id, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .collect()
+    )
+    assert got == want
+
+
+@SLOW
+@given(
+    dim=st.sampled_from([4, 8]),
+    m=st.sampled_from([2, 4]),
+    k=st.integers(min_value=2, max_value=5),
+    n_vec=st.integers(min_value=3, max_value=12),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_pq_encode_paths_bit_equal(spark, dim, m, k, n_vec, seed):
+    """Literal-codegen and broadcast-join PQ encode agree bit-for-bit
+    on codes AND reconstruction norms for arbitrary codebook/corpus
+    shapes — the invariant that lets the serving path switch on size
+    without changing a single result."""
+    import math as _math
+
+    from sentinel_spark.functions import similarity as SIM
+
+    if dim % m:
+        dim = m * (dim // m or 1)
+    d = dim // m
+    rng = lambda a, b: _math.sin(seed * 31 + a * 7 + b * 3) * 2  # noqa: E731
+    cb = [[[rng(s * k + c, j) for j in range(d)] for c in range(k)]
+          for s in range(m)]
+    rows = [
+        (i, [float(rng(i + 1000, j)) for j in range(dim)])
+        for i in range(n_vec)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = {
+        r.vec_id: (list(r.codes), r.pq_norm)
+        for r in SIM.pq_encode(df, cb, max_literal_floats=10**9).collect()
+    }
+    joined = {
+        r.vec_id: (list(r.codes), r.pq_norm)
+        for r in SIM.pq_encode(df, cb, max_literal_floats=0).collect()
+    }
+    assert joined == lit
