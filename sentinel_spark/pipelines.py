@@ -76,6 +76,10 @@ def build_training_corpus(
     export_mode: str = "pack",
     file_format: str = "json",
     quality_kwargs: dict | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
+    dsir_buckets: int = 10_000,
+    dsir_alpha: float = 1.0,
 ) -> CorpusBuildResult:
     """Run the full recipe over ``docs`` (and ``benchmark`` for
     decontamination — pass None to skip that stage, and ``out_dir``
@@ -101,7 +105,14 @@ def build_training_corpus(
     guard's measured borderline-recall loss at the cost of one exact
     verification pass over the star pairs only (see
     minhash_candidate_pairs' measured-bound citation).
-    ``scrub_n`` adds exact-substring scrubbing of the exported text as
+    ``dsir_target`` (+ ``dsir_n``) inserts a DSIR importance-resampling
+    stage (:func:`~sentinel_spark.functions.dsir.dsir_select`) between
+    decontamination and the mixture: the clean survivors are
+    Gumbel-top-``dsir_n`` resampled toward the target corpus's hashed
+    n-gram distribution, the funnel gains ``docs_dsir``/``tokens_dsir``
+    columns (appended only when the stage runs, so the default funnel
+    schema is unchanged), and the budgets then act on the resampled
+    set. ``scrub_n`` adds exact-substring scrubbing of the exported text as
     the final stage (repeated ``scrub_n``-token windows keep one
     canonical occurrence corpus-wide; removal cuts the duplicated
     spans out of the ORIGINAL text, so formatting outside removed
@@ -198,6 +209,31 @@ def build_training_corpus(
     stage3 = stage3.persist()
 
     clean = stage3.where(F.col("is_canonical") & ~F.col("contaminated"))
+    # optional DSIR stage (functions/dsir.py): resample the clean
+    # survivors toward ``dsir_target``'s n-gram distribution BEFORE the
+    # per-source budgets — select for target-likeness, then budget.
+    # Scoring needs text, so the survivor ids re-join the source scan
+    # (the narrow-frames caching contract); the Gumbel draw is salted
+    # per-recipe so reruns are stable.
+    dsir_picked = None
+    if dsir_target is not None:
+        if dsir_n is None:
+            raise ValueError("dsir_target requires dsir_n")
+        from sentinel_spark.functions.dsir import dsir_select
+
+        dsir_picked = dsir_select(
+            texts.join(clean.select(id_col), id_col),
+            dsir_target,
+            text_col,
+            id_col,
+            dsir_n,
+            buckets=dsir_buckets,
+            alpha=dsir_alpha,
+            salt="corpus-dsir",
+        )
+        clean = clean.join(
+            dsir_picked.select(F.col("id").alias(id_col)), id_col
+        )
     if allow_repeat and budgets is None:
         raise ValueError("allow_repeat requires budgets")
     if budgets is not None:
@@ -253,6 +289,14 @@ def build_training_corpus(
         F.sum("n_tok").alias("tokens_final"),
     )
     funnel = f0.crossJoin(f1).crossJoin(f2)
+    if dsir_picked is not None:
+        # dsir columns append only when the stage ran, so the default
+        # recipe's funnel schema (and its gate oracle) is unchanged
+        f_dsir = clean.agg(
+            F.count(F.lit(1)).alias("docs_dsir"),
+            F.sum("n_tok").alias("tokens_dsir"),
+        )
+        funnel = funnel.crossJoin(f_dsir)
 
     # ``redact`` masks PII in the exported text (C4/Dolma-style) — a
     # pure regexp projection on the already-selected rows, after every
@@ -357,4 +401,6 @@ def build_training_corpus(
         )
     out = with_release(selected, [narrow, stage3])
     out = with_release(out, getattr(cand_raw, "_sentinel_cached", []))
+    if dsir_picked is not None:
+        out = with_release(out, getattr(dsir_picked, "_sentinel_cached", []))
     return CorpusBuildResult(funnel, out, export)

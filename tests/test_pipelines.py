@@ -324,3 +324,47 @@ def test_allow_repeat_concat_export(spark, tmp_path):
     assert rep and all(r.ok for r in rep)
     assert sum(r.n_docs for r in rep) == 3  # web x1 + books x2
     release(res.selected)
+
+
+def test_dsir_stage_selects_target_like_survivors(spark):
+    """dsir_target + dsir_n insert importance resampling between
+    decontamination and the funnel's final stage: only clean survivors
+    compete, the funnel gains docs_dsir/tokens_dsir (appended — the
+    default schema is untouched), and with n=1 the surviving document
+    most like the target wins."""
+    docs, bench = _mk_docs(spark)
+    # target looks like doc 6 (nautical prose), not doc 1 (fox runs)
+    target = spark.createDataFrame(
+        [(200, "sailing ships in harbor towns with lanterns maps and tides "
+               "crews on voyages carrying cargo spices and silks by the stars")],
+        "doc_id long, text string",
+    )
+    res = build_training_corpus(
+        docs, bench, None,
+        quality_kwargs=QKW,
+        decontam_max_frac=0.05,
+        dsir_target=target,
+        dsir_n=1,
+    )
+    kept = {r.doc_id for r in res.selected.collect()}
+    assert kept == {6}
+    f = res.funnel.collect()[0]
+    assert f.docs_clean == 2      # both 1 and 6 reached the dsir stage
+    assert f.docs_dsir == 1       # resampling kept one
+    assert f.docs_final == 1
+    assert f.tokens_dsir == f.tokens_final
+    release(res.selected)
+    # default recipe's funnel schema is unchanged (no dsir columns)
+    res0 = build_training_corpus(
+        docs, bench, None, quality_kwargs=QKW, decontam_max_frac=0.05
+    )
+    assert "docs_dsir" not in res0.funnel.columns
+    release(res0.selected)
+
+
+def test_dsir_stage_requires_n(spark):
+    docs, bench = _mk_docs(spark)
+    with pytest.raises(ValueError, match="dsir_n"):
+        build_training_corpus(
+            docs, bench, None, quality_kwargs=QKW, dsir_target=docs
+        )
