@@ -46,7 +46,6 @@ from pyspark.sql import functions as F
 from sentinel_spark.cache import with_release
 from sentinel_spark.functions.similarity import (
     _collect_codebooks,
-    _exact_rerank,
     _ivf_residuals,
     _ivf_scored_cells,
     _pq_luts_frame,
@@ -190,39 +189,53 @@ def refresh_ivfpq_index(
     t.append(fresh)
 
 
-def ivfpq_topk_index(
-    emb: DataFrame,
-    path: str,
-    query_ids: Sequence[int],
-    k: int = 5,
-    *,
-    nprobe: int = 4,
-    rerank: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    version: int | None = None,
-) -> DataFrame:
-    """Serve from the persisted index: identical output contract (and,
-    under the same artifacts/parameters, identical rows) to
-    :func:`similarity.ivfpq_topk`, but the corpus-wide work is a scan
-    of ONLY the probed cells' partitions of the codes table — the
-    probe list is computed on the |query_ids|-row frame, collected
-    (bounded: |q|·nprobe rows), and pushed down as literal partition
-    filters. The float column is touched once, by the survivor
-    re-rank. ``version`` pins a codes-table snapshot (mid-refresh
-    readers)."""
-    spark = emb.sparkSession
+def load_ivfpq_artifacts(spark: SparkSession, path: str):
+    """Load the index's pinned serving artifacts once:
+    (centroids-with-norm frame, collected codebooks, codes
+    ParquetTable). Callers that serve many times under one model
+    version (the streaming server) hold this tuple; single-shot
+    callers let the search functions load it themselves."""
     cents = _with_norm(load_model_frame(spark, os.path.join(path, _CENTROIDS)))
     cb_frame = load_model_frame(spark, os.path.join(path, _CODEBOOKS))
     m = cb_frame.agg(F.max("sub")).collect()[0][0] + 1
     pq_k = cb_frame.agg(F.max("cell")).collect()[0][0] + 1
     cb = _collect_codebooks(cb_frame, m, pq_k)
+    return cents, cb, _codes_table(spark, path)
 
-    queries = emb.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-    )
-    scored = queries.crossJoin(F.broadcast(cents)).select(
+
+def search_ivfpq_index(
+    queries: DataFrame,
+    emb: DataFrame,
+    path: str | None = None,
+    *,
+    artifacts=None,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 4,
+    exclude_self: bool = False,
+    version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The core index searcher every serving surface shares: a
+    (q_id, q_vec) QUERY FRAME — external vectors, not corpus ids — is
+    ranked against the pinned centroids, the bounded probe list
+    collects into literal partition filters on the codes scan, the
+    probed cells ADC-score against the broadcast LUT frame, and the
+    two-level survivor cut exact-re-ranks against ``emb``. Returns
+    (q_id, c_id, sim, rank 1..k, exact cosine, ties → lower c_id).
+    ``exclude_self`` drops c_id == q_id (for corpus-member queries,
+    matching :func:`similarity.ivfpq_topk`'s contract); pass
+    ``artifacts`` from :func:`load_ivfpq_artifacts` to pin a model
+    across many calls, else ``path`` loads them per call."""
+    spark = emb.sparkSession
+    if artifacts is None:
+        if path is None:
+            raise ValueError("search_ivfpq_index needs path or artifacts")
+        artifacts = load_ivfpq_artifacts(spark, path)
+    cents, cb, codes_t = artifacts
+    q = queries.select(F.col("q_id"), F.col("q_vec"))
+    scored = q.crossJoin(F.broadcast(cents)).select(
         "q_id",
         "q_vec",
         "cell",
@@ -243,42 +256,99 @@ def ivfpq_topk_index(
     )
     probe_rows = ranked.collect()
     if not probe_rows:
-        return emb.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "q_id long, c_id long, sim double, rank int"
         )
-    probe_cells = sorted({r.cell for r in probe_rows})
+    probe_cells = sorted({int(r.cell) for r in probe_rows})
     probes = spark.createDataFrame(
-        [(r.q_id, r.cell, float(r.bias_ip)) for r in probe_rows],
+        [(r.q_id, int(r.cell), float(r.bias_ip)) for r in probe_rows],
         "q_id long, cell long, bias_ip double",
-    ).join(F.broadcast(_pq_luts_frame(queries, cb).select("q_id", "luts")), "q_id")
+    ).join(F.broadcast(_pq_luts_frame(q, cb).select("q_id", "luts")), "q_id")
 
-    codes = (
-        _codes_table(spark, path)
-        .read(version)
-        .filter(F.col("cell").isin([int(c) for c in probe_cells]))
-    )
-    approx = (
-        codes.join(F.broadcast(probes), "cell")
-        .filter(F.col("c_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "c_id",
-            (
-                F.col("bias_ip")
-                + F.aggregate(
-                    F.zip_with(
-                        F.col("codes"),
-                        F.col("luts"),
-                        lambda code, lut: F.element_at(lut, code + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("ip_q"),
-        )
+    codes = codes_t.read(version).filter(F.col("cell").isin(probe_cells))
+    approx = codes.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        approx = approx.filter(F.col("c_id") != F.col("q_id"))
+    approx = approx.select(
+        "q_id",
+        "c_id",
+        (
+            F.col("bias_ip")
+            + F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("luts"),
+                    lambda code, lut: F.element_at(lut, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("ip_q"),
     )
     survivors = grouped_topk(
         approx, k * rerank, "ip_q", rank_name="cand_rank"
     ).select("q_id", "c_id")
-    out = _exact_rerank(emb, survivors, query_ids, k, id_col, vec_col)
+    # exact re-rank: candidate floats via the broadcast-survivor
+    # semi-join, query floats via the broadcast query frame — both
+    # sides bounded, the same arithmetic as similarity._exact_rerank
+    cand = emb.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec_f"),
+        l2_norm(F.col(vec_col)).alias("c_norm_f"),
+    )
+    q_norms = q.select("q_id", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm"))
+    reranked = (
+        cand.join(F.broadcast(survivors), "c_id")
+        .join(F.broadcast(q_norms), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec_f"))
+                / (F.col("q_norm") * F.col("c_norm_f"))
+            ).alias("sim_exact"),
+        )
+    )
+    return grouped_topk(reranked, k, "sim_exact").select(
+        "q_id",
+        "c_id",
+        F.round("sim_exact", 6).alias("sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def ivfpq_topk_index(
+    emb: DataFrame,
+    path: str,
+    query_ids: Sequence[int],
+    k: int = 5,
+    *,
+    nprobe: int = 4,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Serve corpus-member queries from the persisted index: identical
+    output contract (and, under the same artifacts/parameters,
+    identical rows) to :func:`similarity.ivfpq_topk` — a thin wrapper
+    that derives the (q_id, q_vec) frame from ``emb`` and searches
+    with self-exclusion. ``version`` pins a codes-table snapshot
+    (mid-refresh readers)."""
+    queries = emb.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    out = search_ivfpq_index(
+        queries,
+        emb,
+        path,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        exclude_self=True,
+        version=version,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
     return with_release(out, [])

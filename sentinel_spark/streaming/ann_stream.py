@@ -2,45 +2,42 @@
 of (query id, embedding) rows is served micro-batch by micro-batch
 from the cell-partitioned codes table — the online-retrieval
 counterpart of :mod:`sentinel_spark.functions.ann_index`'s batch
-server, sharing its artifacts and its math.
+servers, sharing their one core searcher
+(:func:`~sentinel_spark.functions.ann_index.search_ivfpq_index`) and
+therefore their math verbatim.
 
 Shape per micro-batch (``foreachBatch`` re-using batch logic, the
-:mod:`ingest_stream` precedent): rank the batch's queries against the
-broadcast pinned centroids (a |batch|·n_cells frame), collect the
-bounded probe list so the probed cells become literal partition
-filters on the codes scan, ADC-score those cells' codes against the
-broadcast per-query LUT frame, two-level top-(k·rerank) survivor cut,
+:mod:`ingest_stream` precedent): the shared searcher ranks the batch's
+queries against the broadcast pinned centroids, collects the bounded
+probe list so the probed cells become literal partition filters on
+the codes scan, ADC-scores those cells' codes against the broadcast
+per-query LUT frame, two-level top-(k·rerank) survivor cut,
 exact-cosine re-rank against the float table. Results land through
 ``merge_insert_not_matched`` on (q_id, rank) — Structured Streaming's
 ``foreachBatch`` is at-least-once, so a replayed batch recomputes the
 same deterministic rows and the merge inserts none of them twice.
 
-Model pinning: centroids/codebooks load ONCE at stream start and ride
-the closure — a serving stream answers under one model version by
-design (restart the stream to roll the model; the model store keeps
-the previous version alive for readers pinned there). Query ids are
-assumed unique across the stream (the retrieval-log convention); a
-re-submitted id would collide with its earlier answer on (q_id, rank)
-and keep the FIRST answer — replay-idempotence and resubmission are
-indistinguishable to an at-least-once sink.
+Model pinning: centroids/codebooks load ONCE at stream start
+(:func:`~sentinel_spark.functions.ann_index.load_ivfpq_artifacts`)
+and ride the closure — a serving stream answers under one model
+version by design (restart the stream to roll the model; the model
+store keeps the previous version alive for readers pinned there).
+Query ids are assumed unique across the stream (the retrieval-log
+convention); a re-submitted id would collide with its earlier answer
+on (q_id, rank) and keep the FIRST answer — replay-idempotence and
+resubmission are indistinguishable to an at-least-once sink.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sentinel_spark.functions.ann_index import _CENTROIDS, _CODEBOOKS, _codes_table
-from sentinel_spark.functions.similarity import (
-    _collect_codebooks,
-    _pq_luts_frame,
-    dot,
-    grouped_topk,
-    l2_norm,
+from sentinel_spark.functions.ann_index import (
+    load_ivfpq_artifacts,
+    search_ivfpq_index,
 )
-from sentinel_spark.sources.store import ParquetTable, load_model_frame
+from sentinel_spark.sources.store import ParquetTable
 
 RESULT_SCHEMA = (
     "q_id long, c_id long, sim double, rank int"
@@ -71,92 +68,22 @@ def serve_ann_stream(
     the StreamingQuery; ``available_now=True`` drains and blocks (the
     test/backfill mode)."""
     spark = emb.sparkSession
-    cents = load_model_frame(spark, os.path.join(index_path, _CENTROIDS)).select(
-        "cell", "c_vec", l2_norm(F.col("c_vec")).alias("cn")
-    )
-    cb_frame = load_model_frame(spark, os.path.join(index_path, _CODEBOOKS))
-    m = cb_frame.agg(F.max("sub")).collect()[0][0] + 1
-    pq_k = cb_frame.agg(F.max("cell")).collect()[0][0] + 1
-    cb = _collect_codebooks(cb_frame, m, pq_k)
-    codes_t = _codes_table(spark, index_path)
+    artifacts = load_ivfpq_artifacts(spark, index_path)
     results_t = ParquetTable(spark, results_path)
-    cand = emb.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec_f"),
-        l2_norm(F.col(vec_col)).alias("c_norm_f"),
-    )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         q = batch.select(
             F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
         )
-        scored = q.crossJoin(F.broadcast(cents)).select(
-            "q_id",
-            "q_vec",
-            "cell",
-            "c_vec",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (l2_norm(F.col("q_vec")) * F.col("cn"))
-            ).alias("c_sim"),
-        )
-        ranked = grouped_topk(
-            scored, nprobe, "c_sim", tie_col="cell", rank_name="cell_rank"
-        ).select(
-            "q_id", "cell", dot(F.col("q_vec"), F.col("c_vec")).alias("bias_ip")
-        )
-        probe_rows = ranked.collect()  # bounded: |batch| · nprobe
-        if not probe_rows:
-            return
-        probes = spark.createDataFrame(
-            [(r.q_id, int(r.cell), float(r.bias_ip)) for r in probe_rows],
-            "q_id long, cell long, bias_ip double",
-        ).join(F.broadcast(_pq_luts_frame(q, cb).select("q_id", "luts")), "q_id")
-        codes = codes_t.read().filter(
-            F.col("cell").isin(sorted({int(r.cell) for r in probe_rows}))
-        )
-        approx = codes.join(F.broadcast(probes), "cell").select(
-            "q_id",
-            "c_id",
-            (
-                F.col("bias_ip")
-                + F.aggregate(
-                    F.zip_with(
-                        F.col("codes"),
-                        F.col("luts"),
-                        lambda code, lut: F.element_at(lut, code + 1),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("ip_q"),
-        )
-        survivors = grouped_topk(
-            approx, k * rerank, "ip_q", rank_name="cand_rank"
-        ).select("q_id", "c_id")
-        # exact re-rank: candidate floats via the broadcast-survivor
-        # semi-join, query floats via the broadcast batch — both sides
-        # bounded, same arithmetic as similarity._exact_rerank
-        q_norms = q.select(
-            "q_id", "q_vec", l2_norm(F.col("q_vec")).alias("q_norm")
-        )
-        reranked = (
-            cand.join(F.broadcast(survivors), "c_id")
-            .join(F.broadcast(q_norms), "q_id")
-            .select(
-                "q_id",
-                "c_id",
-                (
-                    dot(F.col("q_vec"), F.col("c_vec_f"))
-                    / (F.col("q_norm") * F.col("c_norm_f"))
-                ).alias("sim_exact"),
-            )
-        )
-        out = grouped_topk(reranked, k, "sim_exact").select(
-            "q_id",
-            "c_id",
-            F.round("sim_exact", 6).alias("sim"),
-            F.col("rank").cast("int").alias("rank"),
+        out = search_ivfpq_index(
+            q,
+            emb,
+            artifacts=artifacts,
+            k=k,
+            nprobe=nprobe,
+            rerank=rerank,
+            id_col=id_col,
+            vec_col=vec_col,
         )
         results_t.merge_insert_not_matched(out, ["q_id", "rank"])
 

@@ -118,3 +118,30 @@ def test_empty_query_set_returns_empty(spark, tmp_path):
     out = AI.ivfpq_topk_index(emb, path, [999], k=3)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["q_id", "c_id", "sim", "rank"]
+
+
+def test_search_index_external_query_vectors(spark, tmp_path):
+    """search_ivfpq_index serves EXTERNAL (q_id, q_vec) frames — ids
+    outside the corpus namespace, no self-exclusion: a query equal to
+    a corpus vector finds it at cosine 1.0 (lower-id tie rule), and
+    preloaded artifacts serve repeated calls under one pinned model."""
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    q = spark.createDataFrame(
+        [(5000, vecs[3])], "q_id long, q_vec array<float>"
+    )
+    arts = AI.load_ivfpq_artifacts(spark, path)
+    out = AI.search_ivfpq_index(
+        q, emb, artifacts=arts, k=2, nprobe=4, rerank=4
+    )
+    rows = sorted((r.q_id, r.rank, r.c_id, r.sim) for r in out.collect())
+    assert rows[0][:2] == (5000, 1) and rows[0][3] == 1.0
+    # identical second call under the same artifacts tuple
+    again = AI.search_ivfpq_index(
+        q, emb, artifacts=arts, k=2, nprobe=4, rerank=4
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="path or artifacts"):
+        AI.search_ivfpq_index(q, emb)
