@@ -2901,7 +2901,8 @@ def _dsir_select_sql(
 
     a = float(alpha)
     ab = a * buckets
-    two60 = float((1 << 60) + 2)
+    clamp = (1 << 60) - 128  # mirror gumbel_noise's strict-(0,1) clamp
+    two60 = float(1 << 60)
     return f"""
         WITH raw_grams AS ({grams(raw_src, "")}),
         tgt_grams AS ({grams(target_src, target_where)}),
@@ -2943,7 +2944,8 @@ def _dsir_select_sql(
           SELECT doc_id AS id, CAST(n_grams AS BIGINT) AS n_grams,
                  round(lw, 6) AS log_w,
                  round(lw + (-ln(-ln(
-                   (({md5parse(f"'{salt}' || CAST(doc_id AS VARCHAR)")}) + 1.0)
+                   (least(({md5parse(f"'{salt}' || CAST(doc_id AS VARCHAR)")}),
+                          {clamp}) + 1.0)
                    / {two60}))), 6) AS score
           FROM all_docs
         )

@@ -65,13 +65,20 @@ _CODES = "codes"
 _CENTROIDS = "centroids"
 _CODEBOOKS = "codebooks"
 
+# serving output contract shared by every IVF-PQ surface (batch by id,
+# batch by vector, streaming)
+RESULT_SCHEMA = "q_id long, c_id long, sim double, rank int"
+
 
 def _codes_table(spark: SparkSession, path: str) -> ParquetTable:
+    # retain 3 versions: a refresh is TWO commits (delete, append), so
+    # 2 would vacuum a pre-refresh pinned snapshot at the append — the
+    # window the pin exists for
     return ParquetTable(
         spark,
         os.path.join(path, _CODES),
         partition_cols=["cell"],
-        retain_versions=2,
+        retain_versions=3,
     )
 
 
@@ -163,14 +170,11 @@ def refresh_ivfpq_index(
     copy-on-write delete the affected ids (changed ∪ deleted) and
     append the fresh codes. A vector whose nearest cell moved migrates
     partitions through the same delete+append, so cell pruning stays
-    correct. Two commits (delete, append); ``retain_versions=2`` keeps
-    a reader pinned pre-refresh consistent until vacuum."""
+    correct. A refresh is TWO commits (delete, append); the codes
+    table retains 3 versions so a reader pinned pre-refresh survives
+    both (2 would vacuum its snapshot at the append commit)."""
     spark = emb_changed.sparkSession
-    cents = _with_norm(load_model_frame(spark, os.path.join(path, _CENTROIDS)))
-    cb_frame = load_model_frame(spark, os.path.join(path, _CODEBOOKS))
-    m = cb_frame.agg(F.max("sub")).collect()[0][0] + 1
-    pq_k = cb_frame.agg(F.max("cell")).collect()[0][0] + 1
-    cb = _collect_codebooks(cb_frame, m, pq_k)
+    cents, cb, t, _pinned = load_ivfpq_artifacts(spark, path)
     resid = _ivf_residuals(
         _ivf_scored_cells(emb_changed, cents, id_col, vec_col), cents
     )
@@ -183,7 +187,6 @@ def refresh_ivfpq_index(
         r.c_id for r in emb_changed.select(F.col(id_col).alias("c_id")).collect()
     ]
     doomed = list(changed) + list(deleted_ids or [])
-    t = _codes_table(spark, path)
     if doomed:
         t.delete(F.col("c_id").isin(doomed))
     t.append(fresh)
@@ -192,15 +195,24 @@ def refresh_ivfpq_index(
 def load_ivfpq_artifacts(spark: SparkSession, path: str):
     """Load the index's pinned serving artifacts once:
     (centroids-with-norm frame, collected codebooks, codes
-    ParquetTable). Callers that serve many times under one model
-    version (the streaming server) hold this tuple; single-shot
+    ParquetTable, pinned codes VERSION). The version pin matters as
+    much as the model pin: a rebuild or refresh landing mid-lifetime
+    must not let a holder rank probes against OLD centroids while
+    scanning NEW codes (codebook indices into the wrong codebook
+    produce plausible but wrong neighbors) — a holder serves one
+    consistent snapshot and reloads to roll forward. Codes-table
+    retention (3 versions) must cover the holder's lifetime across
+    concurrent refreshes. Callers that serve many times under one
+    model version (the streaming server) hold this tuple; single-shot
     callers let the search functions load it themselves."""
     cents = _with_norm(load_model_frame(spark, os.path.join(path, _CENTROIDS)))
     cb_frame = load_model_frame(spark, os.path.join(path, _CODEBOOKS))
-    m = cb_frame.agg(F.max("sub")).collect()[0][0] + 1
-    pq_k = cb_frame.agg(F.max("cell")).collect()[0][0] + 1
-    cb = _collect_codebooks(cb_frame, m, pq_k)
-    return cents, cb, _codes_table(spark, path)
+    mk = cb_frame.agg(
+        F.max("sub").alias("m"), F.max("cell").alias("k")
+    ).collect()[0]
+    cb = _collect_codebooks(cb_frame, mk.m + 1, mk.k + 1)
+    t = _codes_table(spark, path)
+    return cents, cb, t, t.version()
 
 
 def search_ivfpq_index(
@@ -233,7 +245,9 @@ def search_ivfpq_index(
         if path is None:
             raise ValueError("search_ivfpq_index needs path or artifacts")
         artifacts = load_ivfpq_artifacts(spark, path)
-    cents, cb, codes_t = artifacts
+    cents, cb, codes_t, pinned = artifacts
+    if version is None:
+        version = pinned
     q = queries.select(F.col("q_id"), F.col("q_vec"))
     scored = q.crossJoin(F.broadcast(cents)).select(
         "q_id",
@@ -256,9 +270,7 @@ def search_ivfpq_index(
     )
     probe_rows = ranked.collect()
     if not probe_rows:
-        return spark.createDataFrame(
-            [], "q_id long, c_id long, sim double, rank int"
-        )
+        return spark.createDataFrame([], RESULT_SCHEMA)
     probe_cells = sorted({int(r.cell) for r in probe_rows})
     probes = spark.createDataFrame(
         [(r.q_id, int(r.cell), float(r.bias_ip)) for r in probe_rows],

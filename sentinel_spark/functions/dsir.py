@@ -166,8 +166,14 @@ def gumbel_noise(id_col: str | Column, *, salt: str = "") -> Column:
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15), 16, 10
     ).cast("long")
-    # (h+1)/(2^60+2) ∈ (0,1) strictly — both ln() calls stay finite
-    u = (h.cast("double") + 1.0) / float((1 << 60) + 2)
+    # Clamp BEFORE the double cast: h near 2^60 would round UP to
+    # exactly 2^60 and make u == 1.0 → ln(-0.0) is NULL in Spark but
+    # +inf/error in SQL engines. The clamped top (2^60−128, one double
+    # ulp below 2^60 in this range) keeps u in (0, 1) STRICTLY on both
+    # engines; the 2^-53-probability distortion is far below the
+    # noise's own granularity.
+    h_c = F.least(h, F.lit((1 << 60) - 128))
+    u = (h_c.cast("double") + 1.0) / float(1 << 60)
     return -F.log(-F.log(u))
 
 

@@ -1131,9 +1131,11 @@ def _pq_encode_join(
         for s in range(m)
         for c in range(len(codebooks[s]))
     ]
-    # internal __cb_*/__sub names: keep_cols may legitimately contain
-    # "cell" (ivfpq keeps the coarse cell), which must not collide with
-    # the codebook's own cell index
+    # internal __cb_*/__sub/__sv/__dist names: keep_cols may
+    # legitimately contain "cell" (ivfpq keeps the coarse cell) — or
+    # any other bare name — and must never collide with this path's
+    # intermediates, or the same pq_encode call would work on the
+    # literal path and throw AMBIGUOUS_REFERENCE on the join path
     cb = spark.createDataFrame(
         cb_rows, "__sub int, __cb_cell int, __cb_vec array<double>, __cb_cn2 double"
     )
@@ -1146,7 +1148,7 @@ def _pq_encode_join(
         id_col,
         *keep_cols,
         "__sub",
-        F.slice(F.col("__v"), F.col("__sub") * d + 1, d).alias("sv"),
+        F.slice(F.col("__v"), F.col("__sub") * d + 1, d).alias("__sv"),
     )
     scored = ex.join(F.broadcast(cb), "__sub").select(
         id_col,
@@ -1156,13 +1158,13 @@ def _pq_encode_join(
         "__cb_cn2",
         F.aggregate(
             F.zip_with(
-                F.col("sv"),
+                F.col("__sv"),
                 F.col("__cb_vec"),
                 lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ).alias("dist"),
+        ).alias("__dist"),
     )
     # first minimum = min over (dist, cell): ties break to the lower
     # cell, exactly the literal path's array_position(array_min) pick;
@@ -1171,7 +1173,7 @@ def _pq_encode_join(
     per_sub = scored.groupBy(id_col, *keep_cols, "__sub").agg(
         F.min_by(
             F.struct(F.col("__cb_cell"), F.col("__cb_cn2")),
-            F.struct(F.col("dist"), F.col("__cb_cell")),
+            F.struct(F.col("__dist"), F.col("__cb_cell")),
         ).alias("b")
     )
     picked = per_sub.groupBy(id_col, *keep_cols).agg(

@@ -131,14 +131,15 @@ def registered_domain(
     suffix set (see module docstring); matching is deepest-listed-
     suffix-first, so custom sets may mix depths freely."""
     host = url_host(url)
-    # deepest suffix first: Java regex alternation is first-match, so
-    # without the sort a host under a three-level suffix (school under
-    # nsw.edu.au) would stop at the shallower edu.au entry and emit the
-    # state registry as the "domain"
-    ordered = sorted(suffixes, key=lambda s: (-s.count("."), -len(s), s))
+    # Mixed-depth suffixes need no ordering: the pattern anchors at $
+    # and `[^.]+\.` consumes exactly one label, so at any start
+    # position at most one listed suffix can match the fixed remaining
+    # tail — and regex's LEFTMOST-match rule already prefers the
+    # earliest start, i.e. the DEEPEST suffix ("x.school.nsw.edu.au"
+    # matches at "school." via nsw.edu.au before edu.au could apply).
     listed = F.regexp_extract(
         host,
-        r"([^.]+\.(?:" + "|".join(s.replace(".", r"\.") for s in ordered) + r"))$",
+        r"([^.]+\.(?:" + "|".join(s.replace(".", r"\.") for s in suffixes) + r"))$",
         1,
     )
     generic = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)

@@ -34,14 +34,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sentinel_spark.functions.ann_index import (
+    RESULT_SCHEMA,  # noqa: F401 — the serving contract, re-exported
     load_ivfpq_artifacts,
     search_ivfpq_index,
 )
 from sentinel_spark.sources.store import ParquetTable
-
-RESULT_SCHEMA = (
-    "q_id long, c_id long, sim double, rank int"
-)
 
 
 def serve_ann_stream(

@@ -145,3 +145,44 @@ def test_search_index_external_query_vectors(spark, tmp_path):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     with pytest.raises(ValueError, match="path or artifacts"):
         AI.search_ivfpq_index(q, emb)
+
+
+def test_artifacts_pin_codes_version_across_refresh(spark, tmp_path):
+    """A held artifacts tuple serves ONE consistent snapshot: a
+    refresh landing mid-lifetime must not leak into an old holder's
+    answers (old centroids + new codes decode through the wrong
+    codebook), and the pre-refresh snapshot must survive a full
+    delete+append refresh — i.e. BOTH of its commits, the case
+    retain_versions=2 would vacuum at the second."""
+    emb = _emb(spark)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    arts = AI.load_ivfpq_artifacts(spark, path)
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    q = spark.createDataFrame([(9000, vecs[3])], "q_id long, q_vec array<float>")
+    before = sorted(
+        map(tuple, AI.search_ivfpq_index(
+            q, emb, artifacts=arts, k=3, nprobe=4, rerank=4
+        ).collect())
+    )
+    assert any(r[1] == 3 and r[2] == 1.0 for r in before)  # exact hit
+    # delete vector 3 and upsert a new vector 12: TWO commits — the
+    # held tuple must still answer from its pinned snapshot, exact hit
+    # on the deleted vector included
+    AI.refresh_ivfpq_index(
+        _emb(spark, n=13).filter(F.col("vec_id") == 12), path,
+        deleted_ids=[3],
+    )
+    after_pinned = sorted(
+        map(tuple, AI.search_ivfpq_index(
+            q, emb, artifacts=arts, k=3, nprobe=4, rerank=4
+        ).collect())
+    )
+    assert after_pinned == before
+    # the pinned codes snapshot still READS (three retained versions
+    # cover the two refresh commits) and differs from latest
+    t = AI._codes_table(spark, path)
+    assert t.version() >= arts[3] + 2
+    assert t.read(arts[3]).count() == 12   # pre-refresh rows intact
+    latest_ids = {r.c_id for r in t.read().collect()}
+    assert 3 not in latest_ids and 12 in latest_ids
