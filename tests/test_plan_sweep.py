@@ -34,7 +34,12 @@ SF_DIR = "/root/testdata/sf0.001"
 #    cluster frame as a broadcast constant (1 × N).
 #  - corpus_funnel: the three single-row funnel aggregates assemble by
 #    cross join (1 × 1 × 1) — same shape as fragment_agg.
+#  - sample_suite (r9): the dsir branch attaches the two single-row
+#    corpus-total aggregates (t_total, r_total) to the ≤ buckets-row
+#    ratio frame by broadcast cross join (1 × B, B ≤ 4096) — the
+#    tfidf_keywords corpus-size-scalar shape.
 ALLOW_NESTED_LOOP = {
+    "sample_suite",
     "corpus_funnel",
     "ann_methods",
     "cosine_near_dup",
