@@ -624,7 +624,46 @@ def q_corpus_report(spark, sf_dir):
         F.col("min_tok").cast("double").alias("stat1"),
         F.col("max_tok").cast("double").alias("stat2"),
     )
-    return cube.unionByName(hist)
+    # drift branch (functions/drift.py — r9): PSI/KL snapshot
+    # monitoring between the even- and odd-id halves of the corpus
+    # over three bucketed features; per-bucket terms AND the
+    # per-feature summary are value-hash-checked. The tiny drift table
+    # persists because two branches (terms + summary) consume it —
+    # released through the gate's handle.
+    from sentinel_spark.cache import with_release
+    from sentinel_spark.functions.drift import drift_summary, drift_table
+
+    d = _t(spark, sf_dir, "documents")
+    feats = {
+        "source": F.col("source"),
+        "lang": F.col("lang"),
+        "len256": F.floor(F.length("text") / 256),
+    }
+    dt = drift_table(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 != 0),
+        feats,
+    ).persist()
+    drows = dt.select(
+        F.lit("drift").alias("kind"),
+        F.col("feature").alias("key1"),
+        F.col("bucket").alias("key2"),
+        F.col("n_a").alias("n_docs"),
+        F.col("n_b").alias("n_tokens"),
+        F.col("psi_term").alias("stat1"),
+        F.col("kl_term").alias("stat2"),
+    )
+    srows = drift_summary(dt).select(
+        F.lit("drift_sum").alias("kind"),
+        F.col("feature").alias("key1"),
+        F.col("n_buckets").cast("string").alias("key2"),
+        F.col("n_a").alias("n_docs"),
+        F.col("n_b").alias("n_tokens"),
+        F.col("psi").alias("stat1"),
+        F.col("kl_ab").alias("stat2"),
+    )
+    out = cube.unionByName(hist).unionByName(drows).unionByName(srows)
+    return with_release(out, [dt])
 
 
 def q_corpus_funnel(spark, sf_dir):
@@ -4061,6 +4100,72 @@ def oracle_sql() -> dict[str, str]:
     # its family's composed SQL, so the per-operator checks are intact —
     # they just land in one registry row (see the consolidation note on
     # the Spark side).
+    # drift-branch replay: same (feature, bucket) count pipeline over
+    # the even/odd snapshot halves, add-0.5 smoothing over each
+    # feature's realized buckets, terms rounded to 6, summary sums the
+    # ROUNDED terms (drift_summary's reproducible-from-the-report rule)
+    drift_sql = """
+        WITH dr_j AS (
+          SELECT coalesce(a.feature, b.feature) AS feature,
+                 coalesce(a.bucket, b.bucket) AS bucket,
+                 coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b
+          FROM (
+            SELECT feature, bucket, count(*) AS n_a FROM (
+              SELECT 'source' AS feature,
+                     coalesce(CAST(source AS VARCHAR), '(null)') AS bucket
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'lang', coalesce(CAST(lang AS VARCHAR), '(null)')
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'len256',
+                     coalesce(CAST(CAST(floor(length(text) / 256) AS BIGINT)
+                                   AS VARCHAR), '(null)')
+              FROM documents WHERE doc_id % 2 = 0
+            ) GROUP BY 1, 2
+          ) a
+          FULL OUTER JOIN (
+            SELECT feature, bucket, count(*) AS n_b FROM (
+              SELECT 'source' AS feature,
+                     coalesce(CAST(source AS VARCHAR), '(null)') AS bucket
+              FROM documents WHERE doc_id % 2 <> 0
+              UNION ALL
+              SELECT 'lang', coalesce(CAST(lang AS VARCHAR), '(null)')
+              FROM documents WHERE doc_id % 2 <> 0
+              UNION ALL
+              SELECT 'len256',
+                     coalesce(CAST(CAST(floor(length(text) / 256) AS BIGINT)
+                                   AS VARCHAR), '(null)')
+              FROM documents WHERE doc_id % 2 <> 0
+            ) GROUP BY 1, 2
+          ) b ON a.feature = b.feature AND a.bucket = b.bucket
+        ),
+        dr_t AS (
+          SELECT feature, sum(n_a) AS tot_a, sum(n_b) AS tot_b,
+                 count(*) AS k FROM dr_j GROUP BY 1
+        ),
+        dr_terms AS (
+          SELECT feature, bucket, n_a, n_b,
+                 round(sa, 6) AS share_a, round(sb, 6) AS share_b,
+                 round((sa - sb) * ln(sa / sb), 6) AS psi_term,
+                 round(sa * ln(sa / sb), 6) AS kl_term
+          FROM (
+            SELECT j.*,
+                   (j.n_a + 0.5) / (t.tot_a + 0.5 * t.k) AS sa,
+                   (j.n_b + 0.5) / (t.tot_b + 0.5 * t.k) AS sb
+            FROM dr_j j JOIN dr_t t USING (feature)
+          )
+        )
+        SELECT 'drift' AS kind, feature AS key1, bucket AS key2,
+               n_a AS n_docs, n_b AS n_tokens,
+               psi_term AS stat1, kl_term AS stat2
+        FROM dr_terms
+        UNION ALL
+        SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
+               sum(n_a), sum(n_b),
+               round(sum(psi_term), 6), round(sum(kl_term), 6)
+        FROM dr_terms GROUP BY feature
+    """
     out["corpus_report"] = f"""
         SELECT 'cube' AS kind, source AS key1, lang AS key2, n_docs, n_tokens,
                CAST(avg_chars AS DOUBLE) AS stat1, CAST(NULL AS DOUBLE) AS stat2
@@ -4070,6 +4175,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(bucket_lo AS VARCHAR) AS key2, n_docs, n_tokens,
                CAST(min_tok AS DOUBLE) AS stat1, CAST(max_tok AS DOUBLE) AS stat2
         FROM ({base["length_histogram"]})
+        UNION ALL
+        SELECT * FROM ({drift_sql})
     """
     # Full SQL replay of pipelines.build_training_corpus (no export /
     # mixture): Gopher gate -> fingerprint exact dedup -> MinHash-LSH

@@ -1,0 +1,119 @@
+"""Corpus distribution drift between two snapshots: the monitoring
+operator a continuously ingested training corpus needs — "did this
+week's crawl shift the language / source / length mix?" — computed as
+Population Stability Index, KL divergence, and total variation over
+caller-declared bucketed features.
+
+Standard data-quality practice (PSI is the banking/feature-monitoring
+metric; KL the information-theoretic one; TVD the worst-case share
+shift), re-expressed as DataFrame ops:
+
+* ONE pass per snapshot: every feature's bucket expression evaluates
+  inside a single projected struct-array that explodes to
+  (feature, bucket) rows — F features never cost F scans.
+* counts full-outer join on (feature, bucket) — both one-sided
+  buckets matter — with add-``alpha`` smoothing over each feature's
+  realized bucket set, so a bucket present in only one snapshot
+  contributes a finite, well-defined term instead of ±inf.
+* per-bucket terms and the per-feature summary are exact functions of
+  the integer counts (division/ln applied in a fixed form, rounded to
+  6 at exposure), so the whole report is engine-portable and
+  oracle-replayable.
+
+Scale shape at 100 TB: two map-side-combined count aggregates (one
+per snapshot, keyed on (feature, bucket) — cardinality = Σ realized
+buckets, NOT rows), then arithmetic on that tiny frame. Nothing else
+touches the corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _feature_counts(df: DataFrame, features: dict[str, Column]) -> DataFrame:
+    # NULL feature values bucket under a sentinel label: NULL join
+    # keys never match (SQL three-valued logic), so a literal NULL
+    # bucket would split into two half-joined rows in the full-outer
+    # count join and double-count itself in K
+    pairs = F.array(*[
+        F.struct(
+            F.lit(name).alias("feature"),
+            F.coalesce(col.cast("string"), F.lit("(null)")).alias("bucket"),
+        )
+        for name, col in features.items()
+    ])
+    return (
+        df.select(F.explode(pairs).alias("fb"))
+        .select("fb.feature", "fb.bucket")
+        .groupBy("feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_table(
+    a: DataFrame,
+    b: DataFrame,
+    features: dict[str, Column],
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-(feature, bucket) drift terms between snapshot ``a`` (the
+    baseline) and ``b`` (the candidate): (feature, bucket, n_a, n_b,
+    share_a, share_b, psi_term, kl_term), shares smoothed
+    (n + α) / (N + α·K) over the feature's realized buckets K and
+    rounded to 6 at exposure. ``psi_term = (share_a − share_b) ·
+    ln(share_a / share_b)`` (symmetric, ≥ 0); ``kl_term = share_a ·
+    ln(share_a / share_b)`` (KL(a‖b) contribution). NULL feature
+    values bucket under the ``"(null)"`` label — a real bucket, since
+    missing values drifting IS drift."""
+    ca = _feature_counts(a, features).withColumnRenamed("n", "n_a")
+    cb = _feature_counts(b, features).withColumnRenamed("n", "n_b")
+    joined = ca.join(cb, ["feature", "bucket"], "full_outer").select(
+        "feature",
+        "bucket",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+    )
+    per_feat = joined.groupBy("feature").agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("k_buckets"),
+    )
+    al = float(alpha)
+    sa = (F.col("n_a").cast("double") + al) / (
+        F.col("tot_a").cast("double") + al * F.col("k_buckets")
+    )
+    sb = (F.col("n_b").cast("double") + al) / (
+        F.col("tot_b").cast("double") + al * F.col("k_buckets")
+    )
+    return joined.join(F.broadcast(per_feat), "feature").select(
+        "feature",
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(sa, 6).alias("share_a"),
+        F.round(sb, 6).alias("share_b"),
+        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi_term"),
+        F.round(sa * F.log(sa / sb), 6).alias("kl_term"),
+    )
+
+
+def drift_summary(table: DataFrame) -> DataFrame:
+    """Per-feature roll-up of a :func:`drift_table` frame: (feature,
+    n_buckets, n_a, n_b, psi, kl_ab, tvd). Sums run over the table's
+    ROUNDED terms, so summary values are reproducible from the
+    published per-bucket report alone (no hidden precision). Reading
+    rule: PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+    investigate — the conventional thresholds."""
+    return table.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.round(F.sum("kl_term"), 6).alias("kl_ab"),
+        F.round(
+            F.sum(F.abs(F.col("share_a") - F.col("share_b"))) / 2, 6
+        ).alias("tvd"),
+    )

@@ -1,0 +1,82 @@
+"""Corpus drift monitoring laws (functions/drift.py): identical
+snapshots read zero drift, a known share shift moves PSI/KL/TVD in
+the right direction and magnitude, one-sided buckets stay finite
+through smoothing, NULLs bucket as real values, and multiple features
+ride one pass."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import release
+from sentinel_spark.functions.drift import drift_summary, drift_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, src string")
+
+
+def FEATS():
+    return {"src": F.col("src")}
+
+
+def test_identical_snapshots_zero_drift(spark):
+    a = _docs(spark, [(i, "x" if i % 3 else "y") for i in range(30)])
+    t = drift_table(a, a, FEATS())
+    s = drift_summary(t).collect()[0]
+    assert s.psi == 0.0 and s.kl_ab == 0.0 and s.tvd == 0.0
+    assert all(r.psi_term == 0.0 for r in t.collect())
+
+
+def test_share_shift_matches_closed_form(spark):
+    # a: 20/10 split; b: 10/20 — PSI computable by hand with alpha=0.5
+    a = _docs(spark, [(i, "x" if i < 20 else "y") for i in range(30)])
+    b = _docs(spark, [(i, "x" if i < 10 else "y") for i in range(30)])
+    t = drift_table(a, b, FEATS(), alpha=0.5)
+    rows = {r.bucket: r for r in t.collect()}
+    sa_x = (20 + 0.5) / (30 + 0.5 * 2)
+    sb_x = (10 + 0.5) / (30 + 0.5 * 2)
+    want = round((sa_x - sb_x) * math.log(sa_x / sb_x), 6)
+    assert rows["x"].psi_term == want
+    assert rows["x"].n_a == 20 and rows["x"].n_b == 10
+    s = drift_summary(t).collect()[0]
+    assert s.psi == pytest.approx(rows["x"].psi_term + rows["y"].psi_term)
+    assert s.psi > 0.1  # a 33-point share swap is a flagged shift
+    assert s.tvd == pytest.approx(
+        round((abs(rows["x"].share_a - rows["x"].share_b)
+               + abs(rows["y"].share_a - rows["y"].share_b)) / 2, 6)
+    )
+
+
+def test_one_sided_bucket_is_finite(spark):
+    a = _docs(spark, [(1, "x"), (2, "x"), (3, "y")])
+    b = _docs(spark, [(1, "x"), (2, "z")])  # z unseen in a, y unseen in b
+    t = drift_table(a, b, FEATS())
+    rows = {r.bucket: r for r in t.collect()}
+    assert set(rows) == {"x", "y", "z"}
+    assert rows["z"].n_a == 0 and rows["y"].n_b == 0
+    for r in rows.values():
+        assert r.psi_term is not None and math.isfinite(r.psi_term)
+        assert r.psi_term >= 0  # (sa-sb)·ln(sa/sb) is always ≥ 0
+
+
+def test_null_values_bucket_as_real(spark):
+    a = _docs(spark, [(1, None), (2, "x")])
+    b = _docs(spark, [(1, "x"), (2, "x")])
+    t = drift_table(a, b, FEATS())
+    rows = {r.bucket: r for r in t.collect()}
+    assert rows["(null)"].n_a == 1 and rows["(null)"].n_b == 0
+
+
+def test_multi_feature_single_pass(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y", i % 3) for i in range(12)],
+        "doc_id long, src string, grp int",
+    )
+    feats = {"src": F.col("src"), "grp": F.col("grp")}
+    t = drift_table(df, df, feats)
+    assert {r.feature for r in t.collect()} == {"src", "grp"}
+    s = {r.feature: r for r in drift_summary(t).collect()}
+    assert s["src"].n_buckets == 2 and s["grp"].n_buckets == 3
+    assert all(r.psi == 0.0 for r in s.values())

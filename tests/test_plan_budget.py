@@ -44,7 +44,16 @@ BUDGET = {
     "events_report": 5,   # + heavy-hitters MG partials + exact recount
     "events_windows": 2,
     "doc_profile": 0,      # ONE scan, pure projection
-    "corpus_report": 2,    # CUBE (expand + shuffle) + histogram agg
+    "corpus_report": 13,   # CUBE (expand + shuffle) + histogram agg;
+                           # + r9 drift branch: two map-side-combined
+                           # (feature, bucket) count aggregates (one
+                           # per snapshot half — the only corpus-width
+                           # work), then join/regroup exchanges on the
+                           # Σ-buckets-sized frame; the persisted drift
+                           # table's lineage re-prints inside
+                           # InMemoryRelation for both consuming
+                           # branches, double-counting in this text
+                           # scan
     "corpus_funnel": 16,   # the whole recipe: featurize/winners/LSH
                            # pipeline over survivors + decontam shingle
                            # pass + three funnel aggregates — each
