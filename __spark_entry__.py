@@ -630,6 +630,12 @@ def q_corpus_report(spark, sf_dir):
     # per-feature summary are value-hash-checked. The tiny drift table
     # persists because two branches (terms + summary) consume it —
     # released through the gate's handle.
+    # r10: the hash-checked stats are the *_ppm scaled-integer forms
+    # (round(raw·1e6) AS BIGINT, cast to DOUBLE only for union-schema
+    # harmony — integral doubles are bit-exact), not round(double, 6):
+    # the r9 driver run proved rounded transcendental doubles are not
+    # engine-portable (CORRECTNESS_r09 corpus_report hash_match=false
+    # while bit-exact under local DuckDB 1.0.0).
     from sentinel_spark.cache import with_release
     from sentinel_spark.functions.drift import drift_summary, drift_table
 
@@ -650,8 +656,8 @@ def q_corpus_report(spark, sf_dir):
         F.col("bucket").alias("key2"),
         F.col("n_a").alias("n_docs"),
         F.col("n_b").alias("n_tokens"),
-        F.col("psi_term").alias("stat1"),
-        F.col("kl_term").alias("stat2"),
+        F.col("psi_term_ppm").cast("double").alias("stat1"),
+        F.col("kl_term_ppm").cast("double").alias("stat2"),
     )
     srows = drift_summary(dt).select(
         F.lit("drift_sum").alias("kind"),
@@ -659,8 +665,8 @@ def q_corpus_report(spark, sf_dir):
         F.col("n_buckets").cast("string").alias("key2"),
         F.col("n_a").alias("n_docs"),
         F.col("n_b").alias("n_tokens"),
-        F.col("psi").alias("stat1"),
-        F.col("kl_ab").alias("stat2"),
+        F.col("psi_ppm").cast("double").alias("stat1"),
+        F.col("kl_ppm").cast("double").alias("stat2"),
     )
     out = cube.unionByName(hist).unionByName(drows).unionByName(srows)
     return with_release(out, [dt])
@@ -914,12 +920,14 @@ def q_tfidf_keywords(spark, sf_dir):
     from sentinel_spark.functions.keywords import bm25_topk, tfidf_topk
 
     d = _t(spark, sf_dir, "documents")
+    # hash-checked score form: ppm BIGINT cast to double (r10
+    # portability policy — ln-derived doubles are libm-build fragile)
     t = tfidf_topk(d, "text", "doc_id", top_k=5).select(
         F.lit("tfidf").alias("kind"),
         "doc_id",
         "term",
         F.col("tf").cast("long").alias("tf"),
-        "score",
+        F.col("score_ppm").cast("double").alias("score"),
         "kw_rank",
     )
     bm = bm25_topk(d, "text", "doc_id", BM25_QUERY, top_k=20).select(
@@ -927,7 +935,7 @@ def q_tfidf_keywords(spark, sf_dir):
         "doc_id",
         F.lit(None).cast("string").alias("term"),
         F.col("n_terms_matched").cast("long").alias("tf"),
-        "score",
+        F.col("score_ppm").cast("double").alias("score"),
         F.col("rank").alias("kw_rank"),
     )
     return t.unionByName(bm)
@@ -1623,7 +1631,9 @@ def q_sample_suite(spark, sf_dir):
         F.col("id").alias("doc_id"),
         F.col("rank").cast("string").alias("lang"),
         F.lit(None).cast("string").alias("source"),
-        F.col("score").alias("weight"),
+        # hash-checked form: ppm BIGINT cast to the slot's double —
+        # integral doubles are bit-exact (r10 portability policy)
+        F.col("score_ppm").cast("double").alias("weight"),
     )
     out = (
         st.unionByName(wt)
@@ -2029,12 +2039,20 @@ def q_lm_perplexity(spark, sf_dir):
     batches. The oracle replays the ENTIRE train+score pipeline in SQL
     — vocab cut, <unk> fold, bigram counts, and the per-token
     -log2 P(b|a) average — so both the training counts and the scoring
-    math are hash-checked, not just row counts."""
+    math are hash-checked, not just row counts. Hash-checked stat form:
+    the *_ppm scaled integers (r10 portability policy — log2/pow are
+    libm-fragile, and the oracle's avg() sums in join order while the
+    Spark side sums in token order)."""
     from sentinel_spark.functions import lm as LM
 
     d = _t(spark, sf_dir, "documents")
     model = LM.train_bigram_lm(d, "text", max_vocab=200, add_k=0.1)
-    return LM.perplexity_table(d, "text", "doc_id", model)
+    return LM.perplexity_table(d, "text", "doc_id", model).select(
+        "doc_id",
+        "n_tokens",
+        F.col("mean_nll_ppm").cast("double").alias("mean_nll"),
+        F.col("perplexity_ppm").cast("double").alias("perplexity"),
+    )
 
 
 def q_trainer_suite(spark, sf_dir):
@@ -2045,9 +2063,11 @@ def q_trainer_suite(spark, sf_dir):
     The logistic regression trains INSIDE the gate (3 full-batch GD
     iterations, lr=1.0, zero init, label = token_count >= 56) and the
     oracle unrolls the same 3 iterations as DuckDB CTEs over the
-    identical feature expressions — gradient aggregates and the final
-    sigmoid scores are engine-portable to the 1e-6 rounding because
-    every feature is a rounded rational of integer counts.
+    identical feature expressions. The exposed sigmoid score is the
+    scaled-BIGINT ppm form (r10 policy): sigmoid is exp-derived and
+    the gradient avg() sums in engine-chosen order, so the rounded
+    double is not guaranteed bit-portable even though the features
+    are rounded rationals of integer counts.
 
     BPE trains its merge table on the deterministic doc_id < 200 slice
     (tokenizer-on-a-sample, the production shape) and tokenizes every
@@ -2075,7 +2095,12 @@ def q_trainer_suite(spark, sf_dir):
         "doc_id",
         *[F.col("x")[j].alias(f"x{j}") for j in range(5)],
         F.col("y").cast("boolean").alias("y"),
-        F.round(QM.score(F.col("x"), model), 6).alias("q_score"),
+        # hash-checked form: sigmoid is exp-derived (libm class), so
+        # the exposed value is the scaled BIGINT (r10 policy)
+        F.round(QM.score(F.col("x"), model) * 1e6)
+        .cast("bigint")
+        .cast("double")
+        .alias("q_score"),
     )
     merges = TK.train_bpe_merges(
         d.filter(F.col("doc_id") < 200), "text", num_merges=40
@@ -2982,16 +3007,21 @@ def _dsir_select_sql(
         scored AS (
           SELECT doc_id AS id, CAST(n_grams AS BIGINT) AS n_grams,
                  round(lw, 6) AS log_w,
-                 round(lw + (-ln(-ln(
+                 round(lw + g, 6) AS score,
+                 CAST(round(lw * 1e6) AS BIGINT) AS log_w_ppm,
+                 CAST(round((lw + g) * 1e6) AS BIGINT) AS score_ppm
+          FROM (
+            SELECT *, -ln(-ln(
                    (least(({md5parse(f"'{salt}' || CAST(doc_id AS VARCHAR)")}),
                           {clamp}) + 1.0)
-                   / {two60}))), 6) AS score
-          FROM all_docs
+                   / {two60})) AS g
+            FROM all_docs
+          )
         )
-        SELECT id, n_grams, log_w, score,
-               CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INTEGER)
-                 AS rank
-        FROM scored ORDER BY score DESC, id ASC LIMIT {n}
+        SELECT id, n_grams, log_w, score, log_w_ppm, score_ppm,
+               CAST(row_number() OVER (ORDER BY score_ppm DESC, id ASC)
+                    AS INTEGER) AS rank
+        FROM scored ORDER BY score_ppm DESC, id ASC LIMIT {n}
     """
 
 
@@ -3629,13 +3659,13 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT count(*) AS n_docs FROM documents),
             sc AS (
               SELECT doc_id, term, tf,
-                     round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1),
-                           6) AS score
+                     CAST(round(tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+                                      + 1) * 1e6) AS BIGINT) AS score_ppm
               FROM tf JOIN dft USING (term) CROSS JOIN n
             ),
             r AS (
               SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-                                                ORDER BY score DESC, term)
+                                                ORDER BY score_ppm DESC, term)
                              AS INT) AS kw_rank
               FROM sc
             ),
@@ -3650,24 +3680,27 @@ def oracle_sql() -> dict[str, str]:
             bscored AS (
               SELECT q.doc_id,
                      CAST(count(*) AS BIGINT) AS n_matched,
-                     round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     CAST(round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
                                * qtf * (1.2 + 1)
-                               / (qtf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
-                           6) AS score
+                               / (qtf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                               * 1e6) AS BIGINT) AS score_ppm
               FROM qhits q JOIN qdf USING (term) JOIN lens USING (doc_id)
               CROSS JOIN bconst
               GROUP BY q.doc_id
             ),
             bm AS (
-              SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+              SELECT *, CAST(row_number() OVER (ORDER BY score_ppm DESC,
+                                                doc_id)
                              AS INT) AS rank
               FROM bscored
             )
-            SELECT 'tfidf' AS kind, doc_id, term, tf, score, kw_rank
+            SELECT 'tfidf' AS kind, doc_id, term, tf,
+                   CAST(score_ppm AS DOUBLE) AS score, kw_rank
             FROM r WHERE kw_rank <= 5
             UNION ALL
             SELECT 'bm25' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
-                   n_matched AS tf, score, rank AS kw_rank
+                   n_matched AS tf, CAST(score_ppm AS DOUBLE) AS score,
+                   rank AS kw_rank
             FROM bm WHERE rank <= 20
         """,
         "range_join": """
@@ -4102,8 +4135,10 @@ def oracle_sql() -> dict[str, str]:
     # the Spark side).
     # drift-branch replay: same (feature, bucket) count pipeline over
     # the even/odd snapshot halves, add-0.5 smoothing over each
-    # feature's realized buckets, terms rounded to 6, summary sums the
-    # ROUNDED terms (drift_summary's reproducible-from-the-report rule)
+    # feature's realized buckets. Hash-checked stats are the scaled
+    # BIGINT ppm forms (round(raw·1e6) AS BIGINT — engine-portable;
+    # see the r10 note in q_corpus_report); the summary sums the ppm
+    # INTEGER terms (reproducible-from-the-report rule, now exact).
     drift_sql = """
         WITH dr_j AS (
           SELECT coalesce(a.feature, b.feature) AS feature,
@@ -4146,9 +4181,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         dr_terms AS (
           SELECT feature, bucket, n_a, n_b,
-                 round(sa, 6) AS share_a, round(sb, 6) AS share_b,
-                 round((sa - sb) * ln(sa / sb), 6) AS psi_term,
-                 round(sa * ln(sa / sb), 6) AS kl_term
+                 CAST(round((sa - sb) * ln(sa / sb) * 1e6) AS BIGINT)
+                   AS psi_ppm,
+                 CAST(round(sa * ln(sa / sb) * 1e6) AS BIGINT) AS kl_ppm
           FROM (
             SELECT j.*,
                    (j.n_a + 0.5) / (t.tot_a + 0.5 * t.k) AS sa,
@@ -4158,12 +4193,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT 'drift' AS kind, feature AS key1, bucket AS key2,
                n_a AS n_docs, n_b AS n_tokens,
-               psi_term AS stat1, kl_term AS stat2
+               CAST(psi_ppm AS DOUBLE) AS stat1,
+               CAST(kl_ppm AS DOUBLE) AS stat2
         FROM dr_terms
         UNION ALL
         SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
                sum(n_a), sum(n_b),
-               round(sum(psi_term), 6), round(sum(kl_term), 6)
+               CAST(sum(psi_ppm) AS DOUBLE), CAST(sum(kl_ppm) AS DOUBLE)
         FROM dr_terms GROUP BY feature
     """
     out["corpus_report"] = f"""
@@ -4420,7 +4456,8 @@ def oracle_sql() -> dict[str, str]:
         -- pytest portability law runs): selection score in the weight
         -- slot, draw order in the lang slot
         SELECT 'dsir' AS method, id AS doc_id, CAST(rank AS VARCHAR) AS lang,
-               CAST(NULL AS VARCHAR) AS source, score AS weight
+               CAST(NULL AS VARCHAR) AS source,
+               CAST(score_ppm AS DOUBLE) AS weight
         FROM ({_dsir_select_sql(raw_src="documents",
                                 target_src="documents",
                                 target_where="WHERE source = 'src1'",
@@ -4684,8 +4721,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.doc_id,
                CAST(coalesce(nll.n_tok, 0) AS INTEGER) AS n_tokens,
-               round(nll.m, 6) AS mean_nll,
-               round(pow(2, nll.m), 6) AS perplexity
+               CAST(CAST(round(nll.m * 1e6) AS BIGINT) AS DOUBLE)
+                 AS mean_nll,
+               CAST(CAST(round(pow(2, nll.m) * 1e6) AS BIGINT) AS DOUBLE)
+                 AS perplexity
         FROM toks t LEFT JOIN nll ON nll.doc_id = t.doc_id
     """
     # Unrolled 3-iteration full-batch GD for the quality logreg
@@ -4743,7 +4782,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.doc_id,
                x0, x1, x2, x3, x4,
                CAST(y AS BOOLEAN) AS y,
-               round({_sig("w")}, 6) AS q_score,
+               CAST(CAST(round({_sig("w")} * 1e6) AS BIGINT) AS DOUBLE)
+                 AS q_score,
                n_words,
                CAST(wchars + 4 * n_words AS BIGINT) AS bpe_chars,
                TRUE AS bpe_ok

@@ -16,9 +16,16 @@ shift), re-expressed as DataFrame ops:
   realized bucket set, so a bucket present in only one snapshot
   contributes a finite, well-defined term instead of ±inf.
 * per-bucket terms and the per-feature summary are exact functions of
-  the integer counts (division/ln applied in a fixed form, rounded to
-  6 at exposure), so the whole report is engine-portable and
-  oracle-replayable.
+  the integer counts.  Two exposure forms per statistic: a human
+  double (rounded to 6) and an engine-portable scaled integer
+  (``*_ppm`` = round(raw·1e6) as BIGINT).  The ppm form is what
+  cross-engine replays should hash: a rounded DOUBLE like 0.000123 has
+  no exact binary representation, so two engines can legitimately
+  produce different nearest-doubles (and hash canonicalizations of
+  doubles differ further on ±0.0/repr), while a BIGINT is bit-exact
+  everywhere.  The remaining risk — the raw ln(...) term sitting
+  within libm cross-build error (~1e-13 in ppm units) of a .5
+  boundary — is measured per-dataset by ``tools/float_margins.py``.
 
 Scale shape at 100 TB: two map-side-combined count aggregates (one
 per snapshot, keyed on (feature, bucket) — cardinality = Σ realized
@@ -88,6 +95,12 @@ def drift_table(
     sb = (F.col("n_b").cast("double") + al) / (
         F.col("tot_b").cast("double") + al * F.col("k_buckets")
     )
+    psi_raw = (sa - sb) * F.log(sa / sb)
+    kl_raw = sa * F.log(sa / sb)
+
+    def _ppm(col: Column) -> Column:
+        return F.round(col * F.lit(1e6)).cast("bigint")
+
     return joined.join(F.broadcast(per_feat), "feature").select(
         "feature",
         "bucket",
@@ -95,18 +108,26 @@ def drift_table(
         "n_b",
         F.round(sa, 6).alias("share_a"),
         F.round(sb, 6).alias("share_b"),
-        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi_term"),
-        F.round(sa * F.log(sa / sb), 6).alias("kl_term"),
+        F.round(psi_raw, 6).alias("psi_term"),
+        F.round(kl_raw, 6).alias("kl_term"),
+        _ppm(sa).alias("share_a_ppm"),
+        _ppm(sb).alias("share_b_ppm"),
+        _ppm(psi_raw).alias("psi_term_ppm"),
+        _ppm(kl_raw).alias("kl_term_ppm"),
     )
 
 
 def drift_summary(table: DataFrame) -> DataFrame:
     """Per-feature roll-up of a :func:`drift_table` frame: (feature,
-    n_buckets, n_a, n_b, psi, kl_ab, tvd). Sums run over the table's
-    ROUNDED terms, so summary values are reproducible from the
-    published per-bucket report alone (no hidden precision). Reading
-    rule: PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
-    investigate — the conventional thresholds."""
+    n_buckets, n_a, n_b, psi, kl_ab, tvd, psi_ppm, kl_ppm, tvd2_ppm).
+    Sums run over the table's ROUNDED terms, so summary values are
+    reproducible from the published per-bucket report alone (no hidden
+    precision); the ``*_ppm`` forms are pure BIGINT sums of the
+    table's ppm columns — engine-portable exactly (``tvd2_ppm`` is
+    2·TVD in micro-units, kept doubled so it stays an integer
+    without a /2 rounding step). Reading rule: PSI < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 investigate — the conventional
+    thresholds."""
     return table.groupBy("feature").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum("n_a").alias("n_a"),
@@ -116,4 +137,9 @@ def drift_summary(table: DataFrame) -> DataFrame:
         F.round(
             F.sum(F.abs(F.col("share_a") - F.col("share_b"))) / 2, 6
         ).alias("tvd"),
+        F.sum("psi_term_ppm").alias("psi_ppm"),
+        F.sum("kl_term_ppm").alias("kl_ppm"),
+        F.sum(F.abs(F.col("share_a_ppm") - F.col("share_b_ppm"))).alias(
+            "tvd2_ppm"
+        ),
     )

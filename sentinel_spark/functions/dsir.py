@@ -189,22 +189,29 @@ def dsir_select(
     salt: str = "",
 ) -> DataFrame:
     """Gumbel-top-``n`` importance resampling: (id, n_grams, log_w,
-    score, rank) for the ``n`` selected documents, rank 1 = first
-    draw. ``score = round(log_w + gumbel, 6)``; ordering uses the
-    ROUNDED score (ties → ascending id) so both engines agree at the
-    selection boundary. The top-n is a distributed
+    score, log_w_ppm, score_ppm, rank) for the ``n`` selected
+    documents, rank 1 = first draw. ``score = round(log_w + gumbel,
+    6)`` is the human double; ``score_ppm = round(raw·1e6)`` as
+    BIGINT is the engine-portable form (the r10 portability policy —
+    rounded transcendental DOUBLEs are not bit-stable across
+    engine/libm builds, scaled BIGINTs are). Ordering uses the ppm
+    INTEGER (ties → ascending id) so both engines agree exactly at
+    the selection boundary. The top-n is a distributed
     TakeOrderedAndProject; the rank window runs over only the n
     survivors (bm25_topk's idiom)."""
     w = dsir_log_weights(
         raw, target, text_col, id_col, buckets=buckets, alpha=alpha
     )
+    score_raw = F.col("log_w") + gumbel_noise("id", salt=salt)
     scored = w.select(
         "id",
         "n_grams",
         F.round("log_w", 6).alias("log_w"),
-        F.round(F.col("log_w") + gumbel_noise("id", salt=salt), 6).alias("score"),
+        F.round(score_raw, 6).alias("score"),
+        F.round(F.col("log_w") * 1e6).cast("bigint").alias("log_w_ppm"),
+        F.round(score_raw * 1e6).cast("bigint").alias("score_ppm"),
     )
-    order = [F.col("score").desc(), F.col("id").asc()]
+    order = [F.col("score_ppm").desc(), F.col("id").asc()]
     topn = scored.orderBy(*order).limit(n)
     rank_w = Window.partitionBy(F.pmod(F.xxhash64("id"), F.lit(1))).orderBy(*order)
     # carry the weight stage's persisted handles past the projections

@@ -45,6 +45,10 @@ def tfidf_topk(
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score_raw = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)))
+        + F.lit(1)
+    )
     scored = (
         tf.join(dft, "term")
         .join(F.broadcast(n))
@@ -52,22 +56,22 @@ def tfidf_topk(
             "id",
             "term",
             "tf",
-            F.round(
-                F.col("tf")
-                * (
-                    F.log((F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)))
-                    + F.lit(1)
-                ),
-                6,
-            ).alias("score"),
+            F.round(score_raw, 6).alias("score"),
+            # engine-portable form (r10 policy): ln() is libm-build
+            # dependent, so the hash-checked/ranked value is the
+            # scaled BIGINT, not the rounded double
+            F.round(score_raw * 1e6).cast("bigint").alias("score_ppm"),
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
     return (
         scored.withColumn("kw_rank", F.row_number().over(w))
         .where(F.col("kw_rank") <= top_k)
         .select(
-            F.col("id").alias(id_col), "term", "tf", "score", "kw_rank"
+            F.col("id").alias(id_col), "term", "tf", "score", "score_ppm",
+            "kw_rank",
         )
     )
 
@@ -135,21 +139,25 @@ def bm25_topk(
         .agg(
             F.count(F.lit(1)).alias("n_terms_matched"),
             F.round(F.sum(idf * tf_part), 6).alias("score"),
+            # engine-portable form (r10 policy): the idf is ln-derived
+            F.round(F.sum(idf * tf_part) * 1e6).cast("bigint").alias(
+                "score_ppm"
+            ),
         )
     )
     # Distributed top-k (TakeOrderedAndProject: per-partition partial
     # top-k, then merge) — NOT a global rank window, which would drag
     # the whole scored frame through one task for a common query term.
     # The rank window then runs over only the k surviving rows.
-    topk = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(top_k)
+    order = [F.col("score_ppm").desc(), F.col("id").asc()]
+    topk = scored.orderBy(*order).limit(top_k)
     # column-derived constant partition: the window runs over only the
     # k surviving rows, and a DEFINED partition avoids WindowExec's
     # move-everything warning (same idiom as chunking.token_offsets)
-    w = Window.partitionBy(F.pmod(F.xxhash64("id"), F.lit(1))).orderBy(
-        F.col("score").desc(), F.col("id").asc()
-    )
+    w = Window.partitionBy(F.pmod(F.xxhash64("id"), F.lit(1))).orderBy(*order)
     return topk.withColumn("rank", F.row_number().over(w)).select(
-        F.col("id").alias(id_col), "n_terms_matched", "score", "rank"
+        F.col("id").alias(id_col), "n_terms_matched", "score", "score_ppm",
+        "rank",
     )
 
 

@@ -166,9 +166,16 @@ def perplexity_table(
     lm: BigramLM,
 ) -> DataFrame:
     """Per-document perplexity under the model. Output: (id_col,
-    n_tokens int, mean_nll double, perplexity double). The model
-    dictionaries broadcast in the Arrow-batched closure; empty
-    documents score null."""
+    n_tokens int, mean_nll double, perplexity double, mean_nll_ppm
+    bigint, perplexity_ppm bigint). The ``*_ppm`` forms are the
+    engine-portable exposure (r10 policy: log2/pow are libm-build
+    dependent, so cross-engine hash checks must compare scaled
+    BIGINTs — ``floor(raw·1e6 + 0.5)``, i.e. SQL half-up rounding,
+    NOT Python's banker's ``round`` — while the doubles stay for
+    humans). The model dictionaries broadcast in the Arrow-batched
+    closure; empty documents score null."""
+    import math
+
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -177,12 +184,15 @@ def perplexity_table(
     def score(batches):
         for pdf in batches:
             ids, ns, nlls, ppls = [], [], [], []
+            nll_ppm, ppl_ppm = [], []
             for rid, toks in zip(pdf[id_col], pdf["__t"]):
                 ids.append(rid)
                 if toks is None or not len(toks):
                     ns.append(0)
                     nlls.append(None)
                     ppls.append(None)
+                    nll_ppm.append(None)
+                    ppl_ppm.append(None)
                     continue
                 prev = BOS
                 s = 0.0
@@ -190,15 +200,21 @@ def perplexity_table(
                     s += nll_word(lm, prev, w)
                     prev = w
                 mean = s / len(toks)
+                ppl = 2.0 ** mean
                 ns.append(len(toks))
                 nlls.append(round(mean, 6))
-                ppls.append(round(2.0 ** mean, 6))
+                ppls.append(round(ppl, 6))
+                # half-up (SQL round semantics); both stats are ≥ 0
+                nll_ppm.append(int(math.floor(mean * 1e6 + 0.5)))
+                ppl_ppm.append(int(math.floor(ppl * 1e6 + 0.5)))
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "n_tokens": ns,
                     "mean_nll": nlls,
                     "perplexity": ppls,
+                    "mean_nll_ppm": pd.Series(nll_ppm, dtype="Int64"),
+                    "perplexity_ppm": pd.Series(ppl_ppm, dtype="Int64"),
                 }
             )
 
@@ -206,6 +222,7 @@ def perplexity_table(
         score,
         schema=(
             f"{id_col} {id_type}, n_tokens int, "
-            "mean_nll double, perplexity double"
+            "mean_nll double, perplexity double, "
+            "mean_nll_ppm bigint, perplexity_ppm bigint"
         ),
     )

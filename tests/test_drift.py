@@ -69,6 +69,30 @@ def test_null_values_bucket_as_real(spark):
     assert rows["(null)"].n_a == 1 and rows["(null)"].n_b == 0
 
 
+def test_ppm_columns_are_exact_integer_forms(spark):
+    # the engine-portable exposure: *_ppm BIGINTs equal round(raw·1e6)
+    # and agree with the rounded-double form to the last ppm digit
+    a = _docs(spark, [(i, "x" if i < 20 else "y") for i in range(30)])
+    b = _docs(spark, [(i, "x" if i < 10 else "y") for i in range(30)])
+    t = drift_table(a, b, FEATS(), alpha=0.5)
+    types = dict(t.dtypes)
+    for c in ("share_a_ppm", "share_b_ppm", "psi_term_ppm", "kl_term_ppm"):
+        assert types[c] == "bigint"
+    for r in t.collect():
+        assert r.psi_term_ppm == round(r.psi_term * 1e6)
+        assert r.kl_term_ppm == round(r.kl_term * 1e6)
+        assert r.share_a_ppm == round(r.share_a * 1e6)
+    s = drift_summary(t).collect()[0]
+    rows = {r.bucket: r for r in t.collect()}
+    assert s.psi_ppm == rows["x"].psi_term_ppm + rows["y"].psi_term_ppm
+    assert s.kl_ppm == rows["x"].kl_term_ppm + rows["y"].kl_term_ppm
+    # tvd2_ppm is 2·TVD in micro-units — an exact integer sum
+    assert s.tvd2_ppm == sum(
+        abs(r.share_a_ppm - r.share_b_ppm) for r in rows.values()
+    )
+    assert s.tvd == pytest.approx(s.tvd2_ppm / 2e6, abs=2e-6)
+
+
 def test_multi_feature_single_pass(spark):
     df = spark.createDataFrame(
         [(i, "x" if i % 2 else "y", i % 3) for i in range(12)],

@@ -117,7 +117,12 @@ def test_dsir_select_oracle_replay(spark, corpora):
     sel = D.dsir_select(raw, target, "text", "doc_id", n=4, buckets=4096)
     from sentinel_spark.cache import carry
 
-    proj = carry(sel.select("id", "n_grams", "log_w", "score", "rank"), sel)
+    proj = carry(
+        sel.select(
+            "id", "n_grams", "log_w", "score", "log_w_ppm", "score_ppm", "rank"
+        ),
+        sel,
+    )
     got = sorted(map(tuple, proj.collect()))
     release(proj)
     assert got == want

@@ -1,0 +1,182 @@
+"""Rounding-boundary margin report for every float stat a driver gate
+hash-checks — the measurement half of the r10 float-exposure
+portability policy (PLANS.md).
+
+Why: CORRECTNESS_r09 proved that ``round(<ln-derived double>, 6)`` is
+not engine-portable (corpus_report hash_match=false on the driver,
+bit-exact locally). The fix is structural for the libm class (expose
+scaled BIGINTs), but BOTH exposure forms still share one residual
+hazard: if the RAW value sits within cross-engine libm error
+(~1e-13 in ppm units) of a rounding boundary, even the integer form
+can disagree. This tool measures that distance per gate.
+
+Method: for each oracle whose SQL contains a rounded exposure, rewrite
+(balanced-paren scan — the SQL is our own, the patterns are uniform):
+
+* ``CAST(round(X * 1e6) AS BIGINT)``  ->  ``__margin(X * 1e6)``
+* ``round(X, 6)``                     ->  ``__margin(X * 1e6)``
+
+where ``__margin(v) = abs(v - floor(v) - 0.5)`` is the distance from
+the nearest half-integer (the round-half-up decision boundary), in
+ppm units. Run original + rewritten SQL in DuckDB over the same
+parquet; any column whose values changed is a margin column; report
+the minimum margin per gate. Reading rule: margins are uniform-ish in
+(0, 0.5); anything above ~1e-6 dwarfs cross-libm error by 10^7 —
+green. A margin under 1e-9 would mean the dataset genuinely straddles
+a boundary — re-scale that stat or change its exposure.
+
+Usage: python tools/float_margins.py [sf_dir] [gate ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from sentinel_spark.sources.tables import TABLE_NAMES
+
+MARGIN_MACRO = (
+    "CREATE OR REPLACE MACRO __margin(v) AS "
+    "abs(v - floor(v) - 0.5)"
+)
+
+
+def _matching_paren(s: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at ``open_idx``."""
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parens")
+
+
+def rewrite_ppm_casts(sql: str) -> tuple[str, int]:
+    """``CAST(round(EXPR) AS BIGINT)`` -> ``__margin((EXPR))``."""
+    out, n, i = [], 0, 0
+    pat = "CAST(round("
+    while True:
+        j = sql.find(pat, i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        ropen = j + len(pat) - 1  # the '(' of round(
+        rclose = _matching_paren(sql, ropen)
+        tail = sql[rclose + 1 :]
+        suffix = " AS BIGINT)"
+        if not tail.lstrip().startswith("AS BIGINT)"):
+            # some other CAST(round(...) AS <type>) — leave it alone
+            out.append(sql[i : rclose + 1])
+            i = rclose + 1
+            continue
+        # consume up to and including the ')' that closes the CAST(
+        k = rclose + 1 + tail.index("AS BIGINT)") + len("AS BIGINT)")
+        inner = sql[ropen + 1 : rclose]
+        out.append(sql[i:j])
+        out.append(f"__margin(({inner}))")
+        n += 1
+        i = k
+    return "".join(out), n
+
+
+def rewrite_round6(sql: str) -> tuple[str, int]:
+    """``round(EXPR, 6)`` -> ``__margin((EXPR) * 1e6)``."""
+    out, n, i = [], 0, 0
+    while True:
+        j = sql.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        ropen = j + len("round(") - 1
+        rclose = _matching_paren(sql, ropen)
+        inner = sql[ropen + 1 : rclose]
+        # split on the top-level comma (if any)
+        depth, split = 0, -1
+        for k, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                split = k
+        if split < 0 or inner[split + 1 :].strip() != "6":
+            out.append(sql[i : rclose + 1])
+            i = rclose + 1
+            continue
+        expr = inner[:split]
+        out.append(sql[i:j])
+        out.append(f"__margin(({expr}) * 1e6)")
+        n += 1
+        i = rclose + 1
+    return "".join(out), n
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    con.execute(MARGIN_MACRO)
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    report = []
+    for name, sql in entrymod.oracle_sql().items():
+        if only and name not in only:
+            continue
+        rewritten, n1 = rewrite_ppm_casts(sql)
+        rewritten, n2 = rewrite_round6(rewritten)
+        if n1 + n2 == 0:
+            continue
+        try:
+            base = con.sql(sql)
+            brows = base.fetchall()
+            bcols = base.columns
+            probe = con.sql(rewritten)
+            prows = probe.fetchall()
+        except Exception as e:  # pragma: no cover - diagnostic tool
+            print(f"SKIP {name}: {type(e).__name__}: {e}")
+            continue
+        if len(brows) != len(prows):
+            print(f"SKIP {name}: row count changed under rewrite")
+            continue
+        # margin columns = columns whose values changed under rewrite
+        changed = set()
+        for b, p in zip(sorted(map(tuple, brows)), sorted(map(tuple, prows))):
+            for ci, (bv, pv) in enumerate(zip(b, p)):
+                if bv != pv:
+                    changed.add(ci)
+        mins: dict[str, float] = {}
+        for p in prows:
+            for ci in changed:
+                v = p[ci]
+                if v is None or not isinstance(v, float) or math.isnan(v):
+                    continue
+                c = bcols[ci]
+                if c not in mins or v < mins[c]:
+                    mins[c] = v
+        if not mins:
+            print(f"ok   {name}: {n1 + n2} sites, no float margin columns")
+            continue
+        worst = min(mins.values())
+        cols = ", ".join(f"{c}={m:.3g}" for c, m in sorted(mins.items()))
+        report.append((worst, name, cols))
+        print(f"gate {name}: min_margin={worst:.3g} ppm  ({cols})")
+    print()
+    for worst, name, _ in sorted(report):
+        flag = "RED" if worst < 1e-9 else ("watch" if worst < 1e-6 else "ok")
+        print(f"{flag:5s} {name}: {worst:.3g}")
+
+
+if __name__ == "__main__":
+    main()
