@@ -64,6 +64,7 @@ from sentinel_spark.sources.store import (
 _CODES = "codes"
 _CENTROIDS = "centroids"
 _CODEBOOKS = "codebooks"
+_MANIFEST = "index_manifest"
 
 # serving output contract shared by every IVF-PQ surface (batch by id,
 # batch by vector, streaming)
@@ -86,6 +87,28 @@ def _with_norm(centroids: DataFrame) -> DataFrame:
     return centroids.select("cell", "c_vec", l2_norm(F.col("c_vec")).alias("cn"))
 
 
+def _commit_manifest(
+    spark: SparkSession,
+    path: str,
+    codes_version: int,
+    centroids_version: int,
+    codebooks_version: int,
+) -> None:
+    """Commit the ONE-ROW top-level index manifest — the single
+    source of truth binding a codes-table version to the model
+    versions it was encoded under. Written LAST by every mutation
+    (build, refresh, compact), so a loader that resolves through it
+    can never capture mixed generations — e.g. new codes with old
+    codebooks, the 'plausible but wrong neighbors' hazard. A crash
+    before the manifest commit leaves the previous consistent state
+    visible; re-running the mutation heals."""
+    row = spark.createDataFrame(
+        [(int(codes_version), int(centroids_version), int(codebooks_version))],
+        "codes_version long, centroids_version long, codebooks_version long",
+    )
+    save_model_frame(spark, row, os.path.join(path, _MANIFEST))
+
+
 def build_ivfpq_index(
     emb: DataFrame,
     path: str,
@@ -106,9 +129,12 @@ def build_ivfpq_index(
     coarse cells, lowest-rid residual slices — the oracle-replayable
     serving path); pass :func:`similarity.kmeans_fit` /
     :func:`similarity.ivfpq_fit` outputs for trained serving. One
-    corpus-wide pass; rebuild replaces the previous version in one
-    atomic manifest flip per artifact (readers pinned at the prior
-    version keep serving it)."""
+    corpus-wide pass. The three artifact commits are bound by the
+    top-level index manifest committed LAST: loaders resolve every
+    artifact version through it, so a load racing a rebuild sees
+    either the complete old generation or the complete new one, never
+    a mix (readers pinned at the prior versions keep serving them —
+    retention keeps the files alive)."""
     spark = emb.sparkSession
     if centroids is not None:
         cents = _with_norm(centroids)
@@ -151,6 +177,13 @@ def build_ivfpq_index(
             "sub int, cell int, c_vec array<double>",
         )
         save_model_frame(spark, cb_lit, os.path.join(path, _CODEBOOKS))
+        _commit_manifest(
+            spark,
+            path,
+            t.version(),
+            ParquetTable(spark, os.path.join(path, _CENTROIDS)).version(),
+            ParquetTable(spark, os.path.join(path, _CODEBOOKS)).version(),
+        )
     finally:
         resid.unpersist(blocking=True)
 
@@ -162,6 +195,7 @@ def refresh_ivfpq_index(
     deleted_ids: Sequence | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact: bool = False,
 ) -> None:
     """Incremental maintenance: re-encode ONLY ``emb_changed``
     (inserted or updated vectors) against the index's pinned
@@ -170,9 +204,14 @@ def refresh_ivfpq_index(
     copy-on-write delete the affected ids (changed ∪ deleted) and
     append the fresh codes. A vector whose nearest cell moved migrates
     partitions through the same delete+append, so cell pruning stays
-    correct. A refresh is TWO commits (delete, append); the codes
-    table retains 3 versions so a reader pinned pre-refresh survives
-    both (2 would vacuum its snapshot at the append commit)."""
+    correct. A refresh is TWO codes commits (delete, append) plus the
+    index-manifest update LAST; the codes table retains 3 versions so
+    a reader pinned pre-refresh survives both (2 would vacuum its
+    snapshot at the append commit). ``compact=True`` runs
+    :func:`maintain_ivfpq_index` afterwards — refresh appends
+    per-batch files into cell partitions forever, and a serving index
+    that degrades with every refresh is the first thing a production
+    user notices."""
     spark = emb_changed.sparkSession
     cents, cb, t, _pinned = load_ivfpq_artifacts(spark, path)
     resid = _ivf_residuals(
@@ -190,29 +229,104 @@ def refresh_ivfpq_index(
     if doomed:
         t.delete(F.col("c_id").isin(doomed))
     t.append(fresh)
+    man = _read_manifest(spark, path)
+    _commit_manifest(
+        spark,
+        path,
+        t.version(),
+        man[1] if man else ParquetTable(
+            spark, os.path.join(path, _CENTROIDS)
+        ).version(),
+        man[2] if man else ParquetTable(
+            spark, os.path.join(path, _CODEBOOKS)
+        ).version(),
+    )
+    if compact:
+        maintain_ivfpq_index(spark, path)
+
+
+def _read_manifest(
+    spark: SparkSession, path: str
+) -> tuple[int, int, int] | None:
+    """(codes_version, centroids_version, codebooks_version) from the
+    top-level index manifest, or None for a pre-manifest index."""
+    mt = ParquetTable(spark, os.path.join(path, _MANIFEST))
+    if not mt.exists():
+        return None
+    r = mt.read().collect()[0]
+    return (
+        int(r.codes_version),
+        int(r.centroids_version),
+        int(r.codebooks_version),
+    )
 
 
 def load_ivfpq_artifacts(spark: SparkSession, path: str):
     """Load the index's pinned serving artifacts once:
     (centroids-with-norm frame, collected codebooks, codes
-    ParquetTable, pinned codes VERSION). The version pin matters as
-    much as the model pin: a rebuild or refresh landing mid-lifetime
-    must not let a holder rank probes against OLD centroids while
-    scanning NEW codes (codebook indices into the wrong codebook
-    produce plausible but wrong neighbors) — a holder serves one
-    consistent snapshot and reloads to roll forward. Codes-table
-    retention (3 versions) must cover the holder's lifetime across
-    concurrent refreshes. Callers that serve many times under one
-    model version (the streaming server) hold this tuple; single-shot
-    callers let the search functions load it themselves."""
-    cents = _with_norm(load_model_frame(spark, os.path.join(path, _CENTROIDS)))
-    cb_frame = load_model_frame(spark, os.path.join(path, _CODEBOOKS))
+    ParquetTable, pinned codes VERSION). Every artifact resolves
+    through the ONE-ROW index manifest (committed last by
+    build/refresh/compact), so the tuple is a consistent generation
+    even when the load races a rebuild: a holder must never rank
+    probes against OLD centroids while scanning NEW codes (codebook
+    indices into the wrong codebook produce plausible but wrong
+    neighbors) — a holder serves one consistent snapshot and reloads
+    to roll forward. Codes-table retention (3 versions) must cover
+    the holder's lifetime across concurrent refreshes. Callers that
+    serve many times under one model version (the streaming server)
+    hold this tuple; single-shot callers let the search functions load
+    it themselves. Pre-manifest indexes (built before r10) fall back
+    to latest-of-each-artifact — the old, unguarded behavior."""
+    man = _read_manifest(spark, path)
+    cv = man[1] if man else None
+    bv = man[2] if man else None
+    cents = _with_norm(
+        load_model_frame(spark, os.path.join(path, _CENTROIDS), version=cv)
+    )
+    cb_frame = load_model_frame(
+        spark, os.path.join(path, _CODEBOOKS), version=bv
+    )
     mk = cb_frame.agg(
         F.max("sub").alias("m"), F.max("cell").alias("k")
     ).collect()[0]
     cb = _collect_codebooks(cb_frame, mk.m + 1, mk.k + 1)
     t = _codes_table(spark, path)
-    return cents, cb, t, t.version()
+    return cents, cb, t, (man[0] if man else t.version())
+
+
+def maintain_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[str]:
+    """Small-file maintenance for the serving index: compact every
+    cell partition of the codes table whose file count exceeds
+    ``min_files`` (refreshes append per-batch files into cell
+    partitions forever; at scale the probed-cell scan cost becomes
+    file-open overhead), then re-point the index manifest at the
+    compacted codes version. Content-preserving — serving results are
+    bit-identical before/after (pytest-pinned) — and safe under
+    concurrent readers: a holder pinned pre-compaction keeps scanning
+    the original files (retention ≥ 2). Returns the partition dirs
+    compacted."""
+    t = _codes_table(spark, path)
+    done = t.compact(target_file_bytes=target_file_bytes, min_files=min_files)
+    if done:
+        man = _read_manifest(spark, path)
+        _commit_manifest(
+            spark,
+            path,
+            t.version(),
+            man[1] if man else ParquetTable(
+                spark, os.path.join(path, _CENTROIDS)
+            ).version(),
+            man[2] if man else ParquetTable(
+                spark, os.path.join(path, _CODEBOOKS)
+            ).version(),
+        )
+    return done
 
 
 def search_ivfpq_index(
@@ -239,7 +353,17 @@ def search_ivfpq_index(
     ``exclude_self`` drops c_id == q_id (for corpus-member queries,
     matching :func:`similarity.ivfpq_topk`'s contract); pass
     ``artifacts`` from :func:`load_ivfpq_artifacts` to pin a model
-    across many calls, else ``path`` loads them per call."""
+    across many calls, else ``path`` loads them per call.
+
+    Snapshot caveat: the version pin covers the CODES side only — the
+    exact re-rank inner-joins ADC survivors against the caller's live
+    ``emb`` float table. Under a pinned pre-refresh snapshot, a vector
+    deleted from ``emb`` still wins the ADC cut but then vanishes at
+    the re-rank join, so a query's result can hold fewer than ``k``
+    rows. Callers that pin ``version`` must pass an ``emb`` frame
+    snapshot-consistent with that codes version (e.g. a versioned
+    ParquetTable read); serving at latest with a live ``emb`` is
+    always consistent."""
     spark = emb.sparkSession
     if artifacts is None:
         if path is None:

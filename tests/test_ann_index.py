@@ -147,6 +147,94 @@ def test_search_index_external_query_vectors(spark, tmp_path):
         AI.search_ivfpq_index(q, emb)
 
 
+def _codes_file_count(spark, path):
+    import os
+
+    t = AI._codes_table(spark, path)
+    return len(t._snapshot()["files"])
+
+
+def test_maintain_compacts_refresh_debris_bit_identically(spark, tmp_path):
+    """The index-maintenance law (VERDICT r9 #5): build → k refreshes
+    accumulate per-batch small files in the cell partitions; compact
+    rewrites them in one commit, serving results are bit-identical
+    before/after, the manifest re-points at the compacted version, and
+    the live file count drops."""
+    emb = _emb(spark, n=16)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    # three refresh batches touching overlapping cells
+    for batch in ([0, 4], [1, 5, 8], [2, 9]):
+        AI.refresh_ivfpq_index(
+            _emb(spark, n=16, off=2).filter(F.col("vec_id").isin(batch)), path
+        )
+    before_files = _codes_file_count(spark, path)
+    served_before = AI.ivfpq_topk_index(emb, path, [0, 1, 2], k=3, nprobe=4)
+    rows_before = _rows(served_before)
+    release(served_before)
+
+    done = AI.maintain_ivfpq_index(spark, path, min_files=1)
+    assert done, "refresh debris should trigger at least one compaction"
+    after_files = _codes_file_count(spark, path)
+    assert after_files < before_files
+
+    # manifest re-pointed at the compacted codes version
+    man = AI._read_manifest(spark, path)
+    t = AI._codes_table(spark, path)
+    assert man is not None and man[0] == t.version()
+
+    served_after = AI.ivfpq_topk_index(emb, path, [0, 1, 2], k=3, nprobe=4)
+    rows_after = _rows(served_after)
+    release(served_after)
+    assert rows_after == rows_before
+
+    # compacting an already-compact table is a no-op (no manifest churn)
+    v = t.version()
+    assert AI.maintain_ivfpq_index(spark, path, min_files=1) == []
+    assert AI._read_manifest(spark, path)[0] == v
+
+
+def test_refresh_compact_flag_runs_maintenance(spark, tmp_path):
+    emb = _emb(spark, n=12)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    AI.refresh_ivfpq_index(
+        _emb(spark, n=12, off=1).filter(F.col("vec_id").isin([0, 1])), path
+    )
+    before = _codes_file_count(spark, path)
+    AI.refresh_ivfpq_index(
+        _emb(spark, n=12, off=2).filter(F.col("vec_id").isin([2, 3])),
+        path,
+        compact=True,
+    )
+    assert _codes_file_count(spark, path) < before + 2  # debris collapsed
+
+
+def test_manifest_binds_artifact_generations(spark, tmp_path):
+    """Loaders resolve every artifact through the manifest committed
+    LAST: after a rebuild with different centroids, a loader sees the
+    complete new generation (manifest versions == artifact latests),
+    and a pre-manifest index (manifest dir absent) falls back to
+    latest-of-each."""
+    import shutil
+
+    emb = _emb(spark, n=12)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    man1 = AI._read_manifest(spark, path)
+    assert man1 is not None
+    AI.build_ivfpq_index(emb, path, n_cells=2, m=2, pq_k=4)  # rebuild
+    man2 = AI._read_manifest(spark, path)
+    assert man2[1] > man1[1] and man2[2] > man1[2]
+    cents, cb, t, pinned = AI.load_ivfpq_artifacts(spark, path)
+    assert cents.count() == 2  # new generation's centroids
+    assert pinned == man2[0] == t.version()
+    # pre-manifest fallback: wipe the manifest dir, load still works
+    shutil.rmtree(str(tmp_path / "idx" / "index_manifest"))
+    cents_fb, _, t_fb, pinned_fb = AI.load_ivfpq_artifacts(spark, path)
+    assert cents_fb.count() == 2 and pinned_fb == t_fb.version()
+
+
 def test_artifacts_pin_codes_version_across_refresh(spark, tmp_path):
     """A held artifacts tuple serves ONE consistent snapshot: a
     refresh landing mid-lifetime must not leak into an old holder's
