@@ -11,6 +11,8 @@ surface.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as TY
@@ -96,9 +98,24 @@ def token_offsets(
             b = F.floor(F.col(order_col) / 8192)
         elif isinstance(dt, (TY.TimestampType, TY.TimestampNTZType)):
             # ~2.3-hour ranges: monotone, coarse, bounded cardinality.
-            # unix_micros only accepts TIMESTAMP, so NTZ keys cast first
-            # (monotone under the fixed session timezone; sessions here
-            # are pinned UTC, see session.py).
+            # unix_micros only accepts TIMESTAMP, so NTZ keys cast
+            # first. The cast is only MONOTONE under a fixed-offset
+            # session timezone — a DST zone's fall-back hour makes it
+            # non-injective and bucket boundaries can locally invert —
+            # so enforce the fixed-offset contract here instead of
+            # silently relying on session.py's UTC pin.
+            if isinstance(dt, TY.TimestampNTZType):
+                tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+                if tz not in ("UTC", "GMT", "Z") and not re.fullmatch(
+                    r"(Etc/(UTC|GMT([+-]\d{1,2})?))|[+-]\d{2}:\d{2}", tz or ""
+                ):
+                    raise ValueError(
+                        f"NTZ order_col {order_col!r} needs a fixed-offset "
+                        f"session timezone for monotone bucketing; session "
+                        f"has {tz!r} (DST zones invert fall-back buckets) — "
+                        "pin the session to UTC or pass an explicit "
+                        "`bucket` expression"
+                    )
             b = F.floor(
                 F.unix_micros(F.col(order_col).cast("timestamp"))
                 / (8192 * 1_000_000)

@@ -129,7 +129,10 @@ def registered_domain(
     ``a.b.example.com`` → ``example.com``, ``x.school.nsw.edu.au`` →
     ``school.nsw.edu.au``). Approximation backed by the built-in
     suffix set (see module docstring); matching is deepest-listed-
-    suffix-first, so custom sets may mix depths freely."""
+    suffix-first, so custom sets may mix depths freely. A host that IS
+    a listed suffix (``edu.au`` itself) has no registrable domain
+    under PSL semantics and yields NULL — without the guard it would
+    self-match and inflate per-domain aggregates."""
     host = url_host(url)
     # Mixed-depth suffixes need no ordering: the pattern anchors at $
     # and `[^.]+\.` consumes exactly one label, so at any start
@@ -143,7 +146,11 @@ def registered_domain(
         1,
     )
     generic = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(listed != "", listed).otherwise(generic)
+    return (
+        F.when(host.isin(*suffixes), F.lit(None).cast("string"))
+        .when(listed != "", listed)
+        .otherwise(generic)
+    )
 
 
 def domain_report(

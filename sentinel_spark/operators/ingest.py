@@ -71,13 +71,29 @@ def screen_upload_sizes(
     driver-side BEFORE any cluster work, mirroring the reference
     rejecting at the HTTP layer before processing; feed the admissible
     list to :func:`read_uploads` and surface the oversized list as
-    rejects. A missing file raises (same contract as the read)."""
+    rejects. A missing file raises (same contract as the read).
+
+    ``file:`` URIs parse through urllib (``file:/p``, ``file:///p``,
+    ``file://localhost/p`` all resolve to ``/p``); a non-local
+    authority (``file://host/p``) raises rather than silently
+    stat-ing ``//host/p`` — a two-leading-slash path POSIX leaves
+    implementation-defined and ``spark.read.text`` would not open."""
     import os
+    from urllib.parse import urlparse
+    from urllib.request import url2pathname
 
     ok: list[str] = []
     too_big: list[tuple[str, int]] = []
     for p in paths:
-        local = p[len("file:"):] if p.startswith("file:") else p
+        if p.startswith("file:"):
+            parsed = urlparse(p)
+            if parsed.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"file URI with non-local authority {parsed.netloc!r}: {p!r}"
+                )
+            local = url2pathname(parsed.path)
+        else:
+            local = p
         size = os.path.getsize(local)
         if size > max_bytes:
             too_big.append((p, size))

@@ -187,3 +187,32 @@ def test_token_offsets_timestamp_keys(spark):
             .collect()
         }
         assert got == want, key
+
+    # the NTZ->TIMESTAMP bucket cast is only monotone under a
+    # fixed-offset session timezone: a DST zone must raise (fall-back
+    # hour inverts bucket boundaries), fixed offsets are accepted,
+    # and an explicit bucket bypasses the session-zone dependence
+    import pytest as _pytest
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Amsterdam")
+        with _pytest.raises(ValueError, match="fixed-offset"):
+            token_offsets(df, "n_tok", "ts_ntz", shard_tokens=128)
+        explicit = {
+            r.num: (r.token_offset, r.shard_id)
+            for r in token_offsets(
+                df,
+                "n_tok",
+                "ts_ntz",
+                shard_tokens=128,
+                bucket=F.floor(F.col("num") / 8),
+            )
+            .select("num", "token_offset", "shard_id")
+            .collect()
+        }
+        assert explicit == want
+        spark.conf.set("spark.sql.session.timeZone", "+05:30")
+        token_offsets(df, "n_tok", "ts_ntz", shard_tokens=128)  # no raise
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

@@ -196,7 +196,18 @@ def test_screen_upload_sizes(tmp_path):
     ok2, tb2 = screen_upload_sizes([f"file:{big}"], max_bytes=1024)
     assert ok2 == [] and tb2 == [(f"file:{big}", 2048)]
 
+    # every local file-URI form resolves to the same path (urllib
+    # parse, not naive prefix-strip): file:/p, file:///p,
+    # file://localhost/p
+    for form in (f"file:{big}", f"file://{big}", f"file://localhost{big}"):
+        _, tb = screen_upload_sizes([form], max_bytes=1024)
+        assert tb == [(form, 2048)], form
+
     import pytest as _pytest
+
+    # a non-local authority must raise, not stat //host/path
+    with _pytest.raises(ValueError, match="non-local authority"):
+        screen_upload_sizes([f"file://remotehost{big}"], max_bytes=1024)
 
     with _pytest.raises(OSError):
         screen_upload_sizes([str(tmp_path / "missing.json")])

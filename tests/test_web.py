@@ -67,6 +67,11 @@ def test_registered_domain(spark):
         "https://www.school.nsw.edu.au/x": "school.nsw.edu.au",
         "https://law.unimelb.edu.au/": "unimelb.edu.au",
         "http://hs.pvt.k12.ma.us/": "hs.pvt.k12.ma.us",
+        # a host that IS a listed suffix has no registrable domain
+        # (PSL semantics) -> NULL, at any listed depth
+        "https://nsw.edu.au/x": None,
+        "http://edu.au/": None,
+        "https://co.uk": None,
     }
     for u, want in cases.items():
         assert _one(spark, registered_domain, u) == want, u
