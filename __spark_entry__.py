@@ -676,19 +676,27 @@ def q_corpus_funnel(spark, sf_dir):
     """The flagship composition end-to-end:
     :func:`sentinel_spark.pipelines.build_training_corpus` — Gopher
     quality gate → exact fingerprint dedup → MinHash-LSH near-dup
-    clustering → benchmark decontamination — over the documents table,
-    returning the single-row stage funnel (docs/tokens surviving each
-    stage). Benchmark = every 10th doc (the decontam gate's split);
-    corpus = the rest. Export and mixture are off here — those sinks
-    are gated by chunk_shards / sample_suite; the funnel row is what
-    every corpus-build log line reports."""
+    clustering → benchmark decontamination → DSIR importance
+    resampling — over the documents table, returning the single-row
+    stage funnel (docs/tokens surviving each stage). Benchmark = every
+    10th doc (the decontam gate's split); corpus = the rest; DSIR
+    target = the doc_id % 17 == 3 slice standing in for the
+    "make-it-look-like-this" reference corpus (r10: the stage is ON so
+    its funnel arithmetic — docs_dsir/tokens_dsir and the resampled
+    final counts — is driver value-checked, not pytest-only). Export
+    and mixture are off here — those sinks are gated by chunk_shards /
+    sample_suite; the funnel row is what every corpus-build log line
+    reports."""
     from sentinel_spark.cache import carry
     from sentinel_spark.pipelines import build_training_corpus
 
     d = _t(spark, sf_dir, "documents")
     bench = d.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
     corpus = d.where(F.col("doc_id") % 10 != 0)
-    res = build_training_corpus(corpus, bench, None)
+    target = d.where(F.col("doc_id") % 17 == 3).select("doc_id", "text")
+    res = build_training_corpus(
+        corpus, bench, None, dsir_target=target, dsir_n=200
+    )
     return carry(res.funnel, res.selected)
 
 
@@ -4291,12 +4299,32 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(CASE WHEN is_canonical AND NOT contaminated THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_clean
           FROM stage3
         ),
+        cleantext AS (
+          SELECT c.doc_id, c.text
+          FROM stage3 s JOIN corpus c USING (doc_id)
+          WHERE s.is_canonical AND NOT s.contaminated
+        ),
+        -- DSIR stage replay (shared builder — the same SQL the
+        -- sample_suite dsir branch hashes): Gumbel-top-200 resample of
+        -- the clean survivors toward the doc_id % 17 = 3 target slice
+        dsel AS (
+          SELECT id FROM ({_dsir_select_sql(
+              raw_src="cleantext",
+              target_src="documents",
+              target_where="WHERE doc_id % 17 = 3",
+              n=200, salt="corpus-dsir")})
+        ),
         f2 AS (
           SELECT CAST(count(*) AS BIGINT) AS docs_final,
                  CAST(sum(n_tok) AS BIGINT) AS tokens_final
-          FROM stage3 WHERE is_canonical AND NOT contaminated
+          FROM stage3 JOIN dsel ON stage3.doc_id = dsel.id
+        ),
+        f_dsir AS (
+          SELECT CAST(count(*) AS BIGINT) AS docs_dsir,
+                 CAST(sum(n_tok) AS BIGINT) AS tokens_dsir
+          FROM stage3 JOIN dsel ON stage3.doc_id = dsel.id
         )
-        SELECT * FROM f0, f1, f2
+        SELECT * FROM f0, f1, f2, f_dsir
     """
     out["fragment_agg"] = f"""
         SELECT * FROM ({base["fragment_agg"]}) CROSS JOIN ({base["fragment_struct_agg"]})

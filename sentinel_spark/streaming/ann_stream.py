@@ -56,6 +56,7 @@ def serve_ann_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     available_now: bool = False,
+    processing_time: str = "10 seconds",
 ):
     """Serve a STREAMING (q_id, q_vec) frame from the persisted IVF-PQ
     index at ``index_path``; answers (q_id, c_id, sim, rank 1..k,
@@ -63,7 +64,9 @@ def serve_ann_stream(
     :class:`ParquetTable` at ``results_path``. ``emb`` is the static
     float table the exact re-rank reads (survivor-bounded). Returns
     the StreamingQuery; ``available_now=True`` drains and blocks (the
-    test/backfill mode)."""
+    test/backfill mode), otherwise the query runs continuously on a
+    ``processing_time`` wall-clock trigger (the serving mode) and the
+    caller owns its lifecycle."""
     spark = emb.sparkSession
     artifacts = load_ivfpq_artifacts(spark, index_path)
     results_t = ParquetTable(spark, results_path)
@@ -91,4 +94,4 @@ def serve_ann_stream(
         sq = writer.trigger(availableNow=True).start()
         sq.awaitTermination()
         return sq
-    return writer.trigger(processingTime="10 seconds").start()
+    return writer.trigger(processingTime=processing_time).start()

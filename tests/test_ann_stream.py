@@ -91,3 +91,71 @@ def test_stream_incremental_and_replay_idempotent(spark, served):
     shutil.rmtree(os.path.join(os.path.dirname(t.path), "ckpt"))
     t = drain()
     assert t.read().count() == 6
+
+
+def test_stream_wall_clock_matches_available_now(spark, tmp_path):
+    """The serving mode a user actually runs (VERDICT r9 #7): a
+    continuous processingTime-trigger stream serves queries as their
+    files arrive — including a file landing mid-stream — and its
+    results are row-identical to an availableNow drain of the same
+    inbox through a separate checkpoint."""
+    import time
+
+    emb = _emb(spark)
+    idx = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, idx, n_cells=4, m=2, pq_k=4)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def push(qrows, name):
+        spark.createDataFrame(
+            qrows, "q_id long, q_vec array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(inbox / name))
+
+    def stream_src():
+        return spark.readStream.schema(
+            "q_id long, q_vec array<float>"
+        ).option("recursiveFileLookup", "true").parquet(str(inbox))
+
+    def rows_in(path):
+        t = ParquetTable(spark, path)
+        if not t.exists():
+            return {}
+        return {
+            (r.q_id, r.rank): (r.c_id, r.sim) for r in t.read().collect()
+        }
+
+    def wait_for(path, n, deadline):
+        while time.time() < deadline:
+            got = rows_in(path)
+            if len(got) >= n:
+                return got
+            time.sleep(1.0)
+        raise AssertionError(
+            f"stream produced {len(rows_in(path))} rows, wanted {n}"
+        )
+
+    wall_results = str(tmp_path / "wall_results")
+    push([(1000, vecs[2]), (1001, vecs[9])], "b1")
+    sq = serve_ann_stream(
+        stream_src(), idx, emb, wall_results, str(tmp_path / "wall_ckpt"),
+        k=3, nprobe=4, rerank=4, processing_time="1 second",
+    )
+    try:
+        deadline = time.time() + 180
+        wait_for(wall_results, 6, deadline)
+        # a file landing while the query runs is picked up by a later
+        # wall-clock trigger — the part availableNow never exercises
+        push([(2000, vecs[5])], "b2")
+        wall = wait_for(wall_results, 9, deadline)
+    finally:
+        sq.stop()
+        sq.awaitTermination()
+
+    serve_ann_stream(
+        stream_src(), idx, emb, str(tmp_path / "an_results"),
+        str(tmp_path / "an_ckpt"),
+        k=3, nprobe=4, rerank=4, available_now=True,
+    )
+    assert wall == rows_in(str(tmp_path / "an_results"))

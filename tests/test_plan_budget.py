@@ -54,11 +54,22 @@ BUDGET = {
                            # InMemoryRelation for both consuming
                            # branches, double-counting in this text
                            # scan
-    "corpus_funnel": 16,   # the whole recipe: featurize/winners/LSH
+    "corpus_funnel": 106,  # the whole recipe: featurize/winners/LSH
                            # pipeline over survivors + decontam shingle
-                           # pass + three funnel aggregates — each
-                           # exchange audited as a stage of its
-                           # standalone gate
+                           # pass + funnel aggregates — each exchange
+                           # audited as a stage of its standalone gate.
+                           # r10: +DSIR stage (driver-gated). Audited
+                           # deduplicated shape: SEVEN distinct
+                           # exchange signatures (_bench_id spread,
+                           # doc_id spread + ensure, dup_key agg,
+                           # shingle s agg, dsir bucket agg, dsir id
+                           # agg); the raw text count explodes because
+                           # the dsir stage persists three frames whose
+                           # InMemoryRelation re-prints the ENTIRE
+                           # upstream recipe lineage at every
+                           # reference — one real new exchange would
+                           # multiply the same way, so the tripwire
+                           # still trips
     "line_clean": 3,       # r8 boilerplate branch: line-fingerprint
                            # frequency aggregate, frequent-set
                            # re-attach join, per-doc reassembly; the
