@@ -1901,9 +1901,13 @@ def q_media_suite(spark, sf_dir):
 
 
 def q_cosine_norms(spark, sf_dir):
-    """Embedding plumbing ∪ exact cosine pair mining: per-vector L2
-    norms (full corpus) and the exact near-dup pairs on the bounded
-    baseline range, tagged by ``kind``."""
+    """Embedding plumbing ∪ exact cosine pair mining ∪ cross-table ANN
+    join: per-vector L2 norms (full corpus), the exact near-dup pairs
+    on the bounded baseline range, and (r10) the ``ann_join`` branch —
+    top-3 neighbors in the rest of the corpus for every
+    vec_id % 100 == 7 query row (the hard-negative-mining /
+    cross-snapshot shape: query side is a TABLE, broadcast against the
+    corpus scan; rank rides the ``label`` slot), tagged by ``kind``."""
     from sentinel_spark.cache import carry
 
     raw_pairs = q_cosine_near_dup(spark, sf_dir)
@@ -1921,9 +1925,21 @@ def q_cosine_norms(spark, sf_dir):
         F.col("l2").alias("score"),
         "label",
     )
+    e = _t(spark, sf_dir, "embeddings")
+    xj = SIM.ann_join(
+        e.where(F.col("vec_id") % 100 == 7),
+        e.where(F.col("vec_id") % 100 != 7),
+        k=3,
+    ).select(
+        F.lit("xjoin").alias("kind"),
+        F.col("q_id").alias("id_a"),
+        F.col("c_id").alias("id_b"),
+        F.col("sim").alias("score"),
+        F.col("rank").alias("label"),
+    )
     # carry the cosine operator's persisted-assignment handle past the
     # tagging select (leaked before round 5)
-    return carry(pairs.unionByName(norms), raw_pairs)
+    return carry(pairs.unionByName(norms).unionByName(xj), raw_pairs)
 
 
 def ann_union(e):
@@ -4672,6 +4688,29 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'norm' AS kind, vec_id, CAST(NULL AS BIGINT), l2, label
         FROM ({base["embed_norm"]})
+        UNION ALL
+        -- ann_join replay: top-3 corpus neighbors for EVERY query-table
+        -- row (vec_id % 100 = 7 vs the rest); ranking on the raw
+        -- sequential-fold cosine (bit-identical across engines), round
+        -- only at exposure; ties -> lower c_id; rank rides `label`
+        SELECT 'xjoin' AS kind, q_id AS id_a, c_id AS id_b,
+               round(sim_exact, 6) AS score, CAST(rank AS INTEGER) AS label
+        FROM (
+          SELECT q_id, c_id, sim_exact,
+                 row_number() OVER (
+                   PARTITION BY q_id ORDER BY sim_exact DESC, c_id
+                 ) AS rank
+          FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS sim_exact
+            FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 7) q,
+                 (SELECT * FROM embeddings WHERE vec_id % 100 <> 7) c
+          )
+        ) WHERE rank <= 3
     """
     out["ann_methods"] = f"""
         SELECT 'brute' AS method, q_id, c_id, sim, rank FROM ({base["ann_topk"]})

@@ -75,8 +75,26 @@ def drift_table(
     ln(share_a / share_b)`` (KL(a‖b) contribution). NULL feature
     values bucket under the ``"(null)"`` label — a real bucket, since
     missing values drifting IS drift."""
-    ca = _feature_counts(a, features).withColumnRenamed("n", "n_a")
-    cb = _feature_counts(b, features).withColumnRenamed("n", "n_b")
+    return drift_from_counts(
+        _feature_counts(a, features).withColumnRenamed("n", "n_a"),
+        _feature_counts(b, features).withColumnRenamed("n", "n_b"),
+        alpha=alpha,
+    )
+
+
+def drift_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """:func:`drift_table` from pre-aggregated (feature, bucket, n_a) /
+    (feature, bucket, n_b) count frames — the entry point when one side
+    is a PERSISTED baseline (the streaming monitor's shape: the
+    reference snapshot aggregates once, every micro-batch joins its own
+    tiny counts against it) or when counts come from another system.
+    Same smoothing/exposure contract as :func:`drift_table` — that
+    function is now this one over two :func:`_feature_counts` frames."""
     joined = ca.join(cb, ["feature", "bucket"], "full_outer").select(
         "feature",
         "bucket",

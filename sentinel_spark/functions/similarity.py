@@ -132,6 +132,94 @@ def brute_force_topk(
     )
 
 
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    *,
+    method: str = "exact",
+    bits: int = 8,
+    multiprobe: bool = True,
+    left_id_col: str = "vec_id",
+    left_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_left: bool = True,
+) -> DataFrame:
+    """Top-``k`` cosine neighbors in ``right`` for EVERY ``left`` row
+    — the cross-corpus retrieval primitive (hard-negative mining,
+    cross-snapshot dedup, corpus alignment). Unlike the query-id
+    servers (:func:`brute_force_topk` …), the query side is a full
+    table, not a bounded id list; unlike
+    :func:`cosine_near_dup_pairs`, the two sides are different tables
+    and the output is ranked per query, (q_id, c_id, sim, rank) with
+    rank 1..k and ties → lower c_id.
+
+    ``method='exact'``: the all-pairs baseline. ``broadcast_left``
+    (default) broadcasts the query side — the right call when a
+    bounded query batch scans a large corpus; set it False only if
+    neither side is broadcastable, which degrades to a cartesian — at
+    that size use ``method='lsh'`` instead.
+
+    ``method='lsh'``: sign-LSH bucket EQUI-join (the left side
+    explodes its multiprobe set — own bucket + ``bits`` Hamming-1
+    neighbors — against the right side's single bucket), exact cosine
+    on the survivors, per-left top-k. The big×big scale path: one
+    shuffle on the bucket key, never a cartesian; recall < 1 by
+    design (a neighbor differing in ≥ 2 bucket bits is unreachable).
+
+    Rows sharing an id across tables are NOT excluded (cross-table
+    semantics) — filter ``q_id != c_id`` downstream when the sides
+    overlap. Both paths rank through :func:`grouped_topk`, so no
+    window partition ever sorts more than one (query, salt) bucket."""
+    q = left.select(
+        F.col(left_id_col).alias("q_id"),
+        F.col(left_vec_col).alias("q_vec"),
+        l2_norm(F.col(left_vec_col)).alias("qn"),
+    )
+    c = right.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("cn"),
+    )
+    if method == "exact":
+        qs = F.broadcast(q) if broadcast_left else q
+        cand = c.crossJoin(qs)
+    elif method == "lsh":
+        qb = q.select(
+            "q_id", "q_vec", "qn",
+            hyperplane_bucket(F.col("q_vec"), bits).alias("bucket"),
+        )
+        if multiprobe:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+            )
+            qb = qb.select(
+                "q_id", "q_vec", "qn", F.explode(probes).alias("bucket")
+            )
+        cb = c.select(
+            "c_id", "c_vec", "cn",
+            hyperplane_bucket(F.col("c_vec"), bits).alias("bucket"),
+        )
+        # a (q, c) pair meets on at most ONE bucket (the probe set's
+        # values are pairwise distinct and c has a single bucket), so
+        # no dedup pass is needed after the equi-join
+        cand = qb.join(cb, "bucket")
+    else:
+        raise ValueError(f"unknown ann_join method {method!r}")
+    scored = cand.select(
+        "q_id",
+        "c_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("qn") * F.col("cn"))).alias(
+            "sim_exact"
+        ),
+    )
+    return grouped_topk(scored, k, "sim_exact").select(
+        "q_id", "c_id", F.round("sim_exact", 6).alias("sim"), "rank"
+    )
+
+
 def hyperplane_bucket(vec: Column, bits: int) -> Column:
     """Deterministic sign-LSH bucket id in [0, 2^bits): bit i is the
     sign of Σ_j w_ij·v_j with w_ij ∈ {-1,+1} derived from

@@ -1,0 +1,138 @@
+"""Streaming corpus drift monitoring: the alerting loop on top of
+:mod:`sentinel_spark.functions.drift` — every micro-batch of arriving
+documents is scored for distribution shift (PSI / KL / TVD per
+feature) against a PERSISTED reference baseline, and the per-batch
+summaries accumulate in a drift-history table a dashboard or alert
+rule reads.
+
+Design choices, stated because they ARE the semantics:
+
+* **The baseline is static.** Drift is measured against the reference
+  window the operator was armed with (:func:`build_drift_baseline`),
+  not against "everything so far": a slow continuous shift must keep
+  registering against the original reference rather than being
+  absorbed batch by batch into a moving average. Re-arm by rebuilding
+  the baseline (an atomic ParquetTable overwrite; the ``feature``
+  column set is the contract between baseline and monitor).
+* **Per-batch bucket counts persist too** (keyed by batch), so a later
+  re-baselining or windowed re-analysis can re-aggregate raw counts
+  without the original text — counts are a few rows per (feature,
+  bucket), regardless of batch size.
+* **Replay-idempotent** (the :mod:`ingest_stream` contract): both
+  sinks write through ``merge_insert_not_matched`` on
+  (batch_id, feature[, bucket]) keys, so an at-least-once ``foreachBatch``
+  replay of a crashed batch recomputes identical deterministic rows
+  and inserts none of them twice.
+
+Scale shape: the only corpus-width work per batch is ONE map-side-
+combined (feature, bucket) count aggregate over the batch (the
+explode-struct pass of ``drift._feature_counts``); the baseline joins
+in as a Σ-realized-buckets frame, and all PSI/KL arithmetic runs on
+that tiny frame. The baseline table is read once per batch —
+broadcast-sized by construction (bounded by realized buckets, not
+corpus rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.drift import (
+    _feature_counts,
+    drift_from_counts,
+    drift_summary,
+)
+from sentinel_spark.sources.store import ParquetTable
+
+
+def build_drift_baseline(
+    reference: DataFrame,
+    path: str,
+    features: dict[str, Column],
+) -> None:
+    """Arm the monitor: aggregate the reference snapshot's
+    (feature, bucket, n_a) counts and persist them at ``path`` (atomic
+    overwrite on re-arm; readers pinned at the prior baseline keep
+    scoring against it until reload). One pass over the reference,
+    F features in a single exploded projection."""
+    counts = _feature_counts(reference, features).withColumnRenamed("n", "n_a")
+    t = ParquetTable(reference.sparkSession, path)
+    if t.exists():
+        t.overwrite(counts)
+    else:
+        t.append(counts)
+
+
+def batch_drift(
+    batch: DataFrame,
+    baseline: DataFrame,
+    features: dict[str, Column],
+    *,
+    alpha: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """(per-feature summary, batch bucket counts) of one batch against
+    a baseline counts frame — the batch-equivalent core the stream
+    wraps, exposed for backfills and tests. The summary is
+    :func:`~sentinel_spark.functions.drift.drift_summary` over
+    :func:`~sentinel_spark.functions.drift.drift_from_counts`
+    (baseline = side a, batch = side b, so ``kl_ab`` reads
+    KL(baseline‖batch) and PSI is symmetric as always)."""
+    cb = _feature_counts(batch, features).withColumnRenamed("n", "n_b")
+    table = drift_from_counts(baseline, cb, alpha=alpha)
+    return drift_summary(table), cb
+
+
+def run_drift_monitor(
+    docs: DataFrame,
+    baseline_path: str,
+    history_path: str,
+    counts_path: str,
+    checkpoint_dir: str,
+    features: dict[str, Column],
+    *,
+    alpha: float = 0.5,
+    available_now: bool = False,
+    processing_time: str = "60 seconds",
+):
+    """Monitor a STREAMING documents frame for distribution drift:
+    each micro-batch appends one row per feature to the history table
+    at ``history_path`` (batch_id, feature, n_buckets, n_a, n_b, psi,
+    kl_ab, tvd + the engine-portable ``*_ppm`` forms) and its raw
+    (batch_id, feature, bucket, n_b) counts to ``counts_path``.
+    Returns the StreamingQuery; ``available_now=True`` drains and
+    blocks (the test/backfill mode), otherwise the query runs on a
+    ``processing_time`` wall-clock trigger.
+
+    The baseline loads ONCE at stream start and rides the closure —
+    a monitor scores against one reference by design (restart the
+    stream after :func:`build_drift_baseline` to re-arm)."""
+    spark = docs.sparkSession
+    baseline = ParquetTable(spark, baseline_path).read()
+    history_t = ParquetTable(spark, history_path)
+    counts_t = ParquetTable(spark, counts_path)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # an empty trigger is "no data", not "total drift": scoring it
+        # would emit a max-PSI row for every feature (all baseline
+        # buckets one-sided). Skip it.
+        if batch.isEmpty():
+            return
+        summary, cb = batch_drift(batch, baseline, features, alpha=alpha)
+        bid = F.lit(int(batch_id)).alias("batch_id")
+        counts_t.merge_insert_not_matched(
+            cb.select(bid, "feature", "bucket", "n_b"),
+            ["batch_id", "feature", "bucket"],
+        )
+        history_t.merge_insert_not_matched(
+            summary.select(bid, "*"), ["batch_id", "feature"]
+        )
+
+    writer = docs.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        sq = writer.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return sq
+    return writer.trigger(processingTime=processing_time).start()

@@ -1,0 +1,151 @@
+"""Streaming drift monitor (streaming/drift_stream.py): per-batch
+PSI/KL/TVD vs a persisted static baseline, batch-equivalence with the
+library's batch drift operators, replay idempotence of both sinks,
+and the empty-trigger guard."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.drift import drift_summary, drift_table
+from sentinel_spark.sources.store import ParquetTable
+from sentinel_spark.streaming.drift_stream import (
+    batch_drift,
+    build_drift_baseline,
+    run_drift_monitor,
+)
+
+FEATURES = lambda: {  # noqa: E731 — fresh Column objects per use
+    "lang": F.col("lang"),
+    "len_bucket": F.floor(F.length("text") / 8).cast("string"),
+}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _ref_rows(n=60):
+    # 2/3 english, 1/3 german; lengths cycle over three buckets
+    return [
+        (i, "en" if i % 3 else "de", "token " * (4 + (i % 3) * 2))
+        for i in range(n)
+    ]
+
+
+def _drifted_rows(n=30, off=1000):
+    # all-german, one length bucket — a real shift on both features
+    return [(off + i, "de", "tok " * 2) for i in range(n)]
+
+
+@pytest.fixture()
+def armed(spark, tmp_path):
+    ref = _docs(spark, _ref_rows())
+    paths = {
+        "baseline": str(tmp_path / "baseline"),
+        "history": str(tmp_path / "history"),
+        "counts": str(tmp_path / "counts"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    build_drift_baseline(ref, paths["baseline"], FEATURES())
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+
+    def push(rows, name):
+        _docs(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(inbox / name)
+        )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, lang string, text string"
+        ).option("recursiveFileLookup", "true").parquet(str(inbox))
+        run_drift_monitor(
+            stream, paths["baseline"], paths["history"], paths["counts"],
+            paths["ckpt"], FEATURES(), available_now=True,
+        )
+
+    return spark, ref, paths, push, drain
+
+
+def _history(spark, paths):
+    t = ParquetTable(spark, paths["history"])
+    if not t.exists():
+        return {}
+    return {
+        (r.batch_id, r.feature): r.asDict() for r in t.read().collect()
+    }
+
+
+def test_monitor_matches_batch_operator_and_flags_drift(spark, armed):
+    spark, ref, paths, push, drain = armed
+    like_ref = _ref_rows(30)
+    push(like_ref, "b0")
+    drain()
+    push(_drifted_rows(), "b1")
+    drain()
+
+    hist = _history(spark, paths)
+    assert {k[1] for k in hist} == {"lang", "len_bucket"}
+    assert {k[0] for k in hist} == {0, 1}
+
+    # batch equivalence: each history row equals drift_summary over
+    # drift_table(reference, that batch) computed directly
+    for bid, batch_rows in ((0, like_ref), (1, _drifted_rows())):
+        want = {
+            r.feature: r.asDict()
+            for r in drift_summary(
+                drift_table(ref, _docs(spark, batch_rows), FEATURES())
+            ).collect()
+        }
+        for feat, row in want.items():
+            got = dict(hist[(bid, feat)])
+            got.pop("batch_id")
+            assert got == row, (bid, feat)
+
+    # the baseline-like batch is quiet, the engineered shift is loud,
+    # on BOTH features and in both exposure forms
+    for feat in ("lang", "len_bucket"):
+        assert hist[(1, feat)]["psi"] > hist[(0, feat)]["psi"]
+        assert hist[(1, feat)]["psi_ppm"] > hist[(0, feat)]["psi_ppm"]
+        assert hist[(0, feat)]["psi"] < 0.1  # conventional "stable"
+
+    # batch counts persisted per (batch, feature, bucket), replayable
+    counts = ParquetTable(spark, paths["counts"]).read()
+    assert counts.where("batch_id = 1 AND feature = 'lang'").count() == 1
+
+
+def test_monitor_replay_idempotent_and_empty_trigger(spark, armed):
+    spark, ref, paths, push, drain = armed
+    push(_ref_rows(30), "b0")
+    drain()
+    before = _history(spark, paths)
+    n_counts = ParquetTable(spark, paths["counts"]).read().count()
+
+    # nothing new: no rows added
+    drain()
+    assert _history(spark, paths) == before
+
+    # at-least-once replay: wipe the checkpoint, drain everything
+    # again — both merges insert nothing new
+    shutil.rmtree(paths["ckpt"])
+    drain()
+    assert _history(spark, paths) == before
+    assert ParquetTable(spark, paths["counts"]).read().count() == n_counts
+
+
+def test_rearm_baseline_overwrites_atomically(spark, armed):
+    spark, ref, paths, push, drain = armed
+    t = ParquetTable(spark, paths["baseline"])
+    v0 = t.version()
+    build_drift_baseline(_docs(spark, _drifted_rows()), paths["baseline"],
+                         FEATURES())
+    assert t.version() > v0
+    # re-armed baseline now sees the drifted distribution as quiet
+    summary, _ = batch_drift(
+        _docs(spark, _drifted_rows(n=10, off=5000)), t.read(), FEATURES()
+    )
+    for r in summary.collect():
+        assert r.psi < 0.1, r.feature

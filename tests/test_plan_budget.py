@@ -122,7 +122,12 @@ BUDGET = {
     "salted_agg": 5,       # two salted phases x two paths + join
     "typed_tags": 0,
     "media_suite": 0,      # Arrow fan-out, no shuffle
-    "cosine_near_dup": 0,
+    "cosine_near_dup": 2,  # r10 xjoin branch: grouped_topk's two
+                           # window exchanges ((q_id, salt) level-1
+                           # rank + q_id level-2 over survivors) —
+                           # the same two-level top-k shape every ANN
+                           # server pins; pair/norm branches stay
+                           # exchange-free
     "ann_methods": 32,     # r9: every scored-scan top-k is now the
                            # TWO-LEVEL grouped_topk (rank within
                            # (q_id, salt-bucket), final rank over only

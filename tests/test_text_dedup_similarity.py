@@ -971,3 +971,114 @@ def test_boilerplate_lines_max_words_ignores_edge_whitespace(spark):
     }
     assert out[1].text == "keep one" and out[1].n_removed == 1
     assert out[2].text == "keep two" and out[2].n_removed == 1
+
+
+# ---------------------------------------------------------------------------
+# ann_join: cross-table top-k (r10)
+# ---------------------------------------------------------------------------
+
+
+def _bigger_emb(spark, n=40, dim=8):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) + 0.1 * j for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _py_ann_join(left_rows, right_rows, k):
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    out = {}
+    for qid, qv in left_rows:
+        scored = sorted(
+            ((cos(qv, cv), -cid) for cid, cv in right_rows), reverse=True
+        )
+        out[qid] = [(-ncid, rank + 1) for rank, (_, ncid) in enumerate(scored[:k])]
+    return out
+
+
+def test_ann_join_exact_matches_python_reference(spark):
+    e = _bigger_emb(spark)
+    left = e.where("vec_id % 10 = 3")
+    right = e.where("vec_id % 10 <> 3")
+    got = {}
+    for r in SIM.ann_join(left, right, k=3).collect():
+        got.setdefault(r.q_id, []).append((r.c_id, r.rank))
+    for q in got:
+        got[q].sort(key=lambda t: t[1])
+    lrows = [(r.vec_id, list(r.embedding)) for r in left.collect()]
+    rrows = [(r.vec_id, list(r.embedding)) for r in right.collect()]
+    assert got == _py_ann_join(lrows, rrows, 3)
+
+
+def test_ann_join_unbroadcast_and_lsh_full_probe_agree(spark):
+    e = _bigger_emb(spark)
+    left = e.where("vec_id % 10 = 3")
+    right = e.where("vec_id % 10 <> 3")
+
+    def rows(df):
+        return {(r.q_id, r.c_id, r.sim, r.rank) for r in df.collect()}
+
+    base = rows(SIM.ann_join(left, right, k=3))
+    # cartesian fallback is row-identical to the broadcast plan
+    assert rows(SIM.ann_join(left, right, k=3, broadcast_left=False)) == base
+    # bits=1 multiprobe covers BOTH buckets -> lsh recalls everything
+    assert rows(SIM.ann_join(left, right, k=3, method="lsh", bits=1)) == base
+
+
+def test_ann_join_lsh_candidates_confined_to_probed_buckets(spark):
+    e = _bigger_emb(spark)
+    left = e.where("vec_id % 10 = 3")
+    right = e.where("vec_id % 10 <> 3")
+    bits = 4
+    out = SIM.ann_join(
+        left, right, k=5, method="lsh", bits=bits, multiprobe=False
+    )
+    bucket = {
+        r.vec_id: r.b
+        for r in e.select(
+            "vec_id", SIM.hyperplane_bucket(F.col("embedding"), bits).alias("b")
+        ).collect()
+    }
+    got = out.collect()
+    assert got, "engineered corpus must produce same-bucket candidates"
+    for r in got:
+        assert bucket[r.q_id] == bucket[r.c_id], (r.q_id, r.c_id)
+    # approximate-by-design: results are a subset of exact, scored
+    # identically where present
+    exact = {
+        (r.q_id, r.c_id): r.sim for r in SIM.ann_join(left, right, k=5).collect()
+    }
+    for r in got:
+        if (r.q_id, r.c_id) in exact:
+            assert exact[(r.q_id, r.c_id)] == r.sim
+
+
+def test_ann_join_plans(spark):
+    e = _bigger_emb(spark)
+    left = e.where("vec_id % 10 = 3")
+    right = e.where("vec_id % 10 <> 3")
+    exact_plan = (
+        SIM.ann_join(left, right, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # broadcast query side + the two-level grouped_topk salt
+    assert "BroadcastNestedLoopJoin" in exact_plan
+    assert "xxhash64" in exact_plan
+    # the lsh path is an EQUI-join on the bucket key - no cartesian
+    lsh_plan = (
+        SIM.ann_join(left, right, k=3, method="lsh", bits=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in lsh_plan
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+
+    with pytest.raises(ValueError, match="method"):
+        SIM.ann_join(left, right, method="bogus")
