@@ -2282,7 +2282,24 @@ def q_web_domains(spark, sf_dir):
         )
         .select(F.lit("urldedup").alias("kind"), "domain", "n_docs", "n2", "frac")
     )
-    return rep.unionByName(bl).unionByName(ud)
+    # per-domain cap branch (web.cap_per_domain, r10): keep ≤3 docs per
+    # domain by the salted-hash uniform draw; n2 = sum of KEPT ids, so
+    # the hash-ranked selection itself is value-checked
+    cp = W.cap_per_domain(
+        d.select(F.col("doc_id").alias("id"), url.alias("url")), "url", "id", 3
+    )
+    cap = (
+        cp.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("id").alias("n2"))
+        .select(
+            F.lit("capped").alias("kind"),
+            "domain",
+            "n_docs",
+            "n2",
+            F.lit(None).cast("double").alias("frac"),
+        )
+    )
+    return rep.unionByName(bl).unionByName(ud).unionByName(cap)
 
 
 def q_rejects_channel(spark, sf_dir):
@@ -4890,7 +4907,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # The three URL templates' canonical forms and registered domains,
     # stated analytically (ground truth, not a parallel regexp dialect).
-    out["web_domains"] = """
+    out["web_domains"] = f"""
         WITH u AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 3 = 0 THEN lower(source) || '.co.uk'
@@ -4926,6 +4943,22 @@ def oracle_sql() -> dict[str, str]:
                round(sum(n - 1) / sum(n), 6) AS frac
         FROM (SELECT domain, curl, min(doc_id) AS wid, count(*) AS n
               FROM u GROUP BY domain, curl) w
+        GROUP BY domain
+        UNION ALL
+        -- cap_per_domain replay: keep <=3 per domain by the md5-int60
+        -- hash draw (DESC, ties doc_id ASC); n2 = sum of kept ids
+        -- checks the hash-ranked selection itself
+        SELECT 'capped' AS kind, domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS frac
+        FROM (
+          SELECT domain, doc_id,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY ({_duck_hex60("md5(CAST(doc_id AS VARCHAR))")}) DESC,
+                            doc_id ASC
+                 ) AS rk
+          FROM u
+        ) WHERE rk <= 3
         GROUP BY domain
     """
     # Literal golden for the deterministic tabular fixtures (same

@@ -180,6 +180,73 @@ def domain_report(
     )
 
 
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    max_docs: int,
+    *,
+    prefer: Column | None = None,
+    salt: str = "",
+    suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
+) -> DataFrame:
+    """Per-registered-domain document cap — the FineWeb-style curation
+    step after URL dedup and blocklisting: no single domain may
+    contribute more than ``max_docs`` documents to the corpus, so a
+    template-heavy megasite can't dominate the mixture.
+
+    Deterministic selection: rows rank by ``prefer`` DESC (a numeric
+    keep-best score; NULL loses to every scored copy — url_dedup's
+    rule), then by a salted md5 hash of the id — a stable uniform draw,
+    so the kept subset is an unbiased per-domain SAMPLE rather than an
+    id-order prefix (crawl ids correlate with crawl time; a prefix
+    would keep only the oldest pages) — final ties → lower id. Rows
+    whose URL yields no registrable domain (NULL url, bare public
+    suffix) carry no cap key and pass through unexamined.
+
+    Output: the kept rows, all original columns preserved, plus
+    ``domain`` and ``domain_rank`` (1..max_docs within the domain).
+
+    Scale shape: ranking runs through
+    :func:`~sentinel_spark.functions.similarity.grouped_topk` on the
+    domain key — a hot domain (the exact case the cap exists for)
+    never funnels into a single sort partition; NULL-domain rows never
+    enter the exchange."""
+    from sentinel_spark.functions.similarity import grouped_topk
+
+    for reserved in ("domain", "domain_rank", "__cap_ord"):
+        if reserved in df.columns:
+            raise ValueError(f"input frame already has a {reserved!r} column")
+    if prefer is not None:
+        pref_ord = F.coalesce(prefer.cast("double"), F.lit(float("-inf")))
+    else:
+        pref_ord = F.lit(0.0)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.withColumn(
+        "domain", registered_domain(F.col(url_col), suffixes)
+    ).withColumn("__cap_ord", F.struct(pref_ord.alias("p"), h.alias("h")))
+    capped = grouped_topk(
+        keyed.where(F.col("domain").isNotNull() & (F.col("domain") != "")),
+        max_docs,
+        "__cap_ord",
+        group_col="domain",
+        tie_col=id_col,
+        rank_name="domain_rank",
+    ).drop("__cap_ord")
+    passthrough = (
+        keyed.where(F.col("domain").isNull() | (F.col("domain") == ""))
+        .drop("__cap_ord")
+        .withColumn("domain_rank", F.lit(None).cast("integer"))
+    )
+    return capped.unionByName(passthrough)
+
+
 def domain_blocklist(
     df: DataFrame,
     url_col: str,

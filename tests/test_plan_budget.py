@@ -157,11 +157,14 @@ BUDGET = {
     "lm_perplexity": 0,
     "trainer_suite": 0,
     "pca_covariance": 0,
-    "web_domains": 5,      # two-phase count_distinct + r6 blocklist-
+    "web_domains": 8,      # two-phase count_distinct + r6 blocklist-
                            # evidence aggregate + r8 url_dedup branch
                            # (canonical-URL winner aggregate reuses its
                            # partitioning into the re-attach join; +1
-                           # domain rollup of the winners)
+                           # domain rollup of the winners) + r10
+                           # cap_per_domain branch: grouped_topk's two
+                           # window exchanges ((domain, salt) + domain)
+                           # + the per-domain kept-count aggregate
     "rejects_channel": 0,
 }
 

@@ -190,3 +190,70 @@ def test_url_dedup_null_prefer_loses(spark):
     out = url_dedup(df, "url", "doc_id", prefer=F.length("text")).collect()
     # the NULL-scored crawl must lose to the scored one
     assert [r.doc_id for r in out] == [1]
+
+
+def test_cap_per_domain_hash_draw_and_passthrough(spark):
+    from sentinel_spark.functions.web import cap_per_domain
+
+    rows = [(i, f"https://site{'a' if i < 10 else 'b'}.com/p/{i}")
+            for i in range(14)]
+    rows.append((100, None))                       # NULL url
+    rows.append((101, "https://edu.au/x"))         # bare listed suffix
+    df = spark.createDataFrame(rows, "id long, url string")
+
+    out = cap_per_domain(df, "url", "id", 3).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    # cap respected per domain; sitea had 10 candidates, siteb 4
+    assert len(by_dom["sitea.com"]) == 3
+    assert len(by_dom["siteb.com"]) == 3
+    # ranks are 1..k in hash order; selection is the md5-int60 draw
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    want_a = sorted(range(10), key=lambda i: (-h(i), i))[:3]
+    got_a = [r.id for r in sorted(by_dom["sitea.com"], key=lambda r: r.domain_rank)]
+    assert got_a == want_a
+    # keyless rows pass through uncapped with NULL rank
+    passthrough = {r.id for r in out if r.domain_rank is None}
+    assert passthrough == {100, 101}
+    # deterministic across reruns; a different salt changes the draw
+    again = {(r.id, r.domain_rank) for r in cap_per_domain(df, "url", "id", 3).collect()}
+    assert again == {(r.id, r.domain_rank) for r in out}
+    salted = [r.id for r in sorted(
+        (r for r in cap_per_domain(df, "url", "id", 3, salt="s2").collect()
+         if r.domain == "sitea.com"),
+        key=lambda r: r.domain_rank)]
+    want_s2 = sorted(
+        range(10),
+        key=lambda i: (-int(hashlib.md5(f"s2{i}".encode()).hexdigest()[:15], 16), i),
+    )[:3]
+    assert salted == want_s2
+
+
+def test_cap_per_domain_prefer_and_collisions(spark):
+    import pytest as _pytest
+
+    from sentinel_spark.functions.web import cap_per_domain
+
+    rows = [
+        (1, "https://x.com/a", 0.9),
+        (2, "https://x.com/b", None),   # NULL prefer loses
+        (3, "https://x.com/c", 0.5),
+        (4, "https://x.com/d", 0.5),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string, q double")
+    kept = {
+        r.id: r.domain_rank
+        for r in cap_per_domain(df, "url", "id", 2, prefer=F.col("q")).collect()
+    }
+    assert kept[1] == 1 and 2 not in kept  # best score first, NULL lost
+    assert len(kept) == 2                  # one of the 0.5 ties made the cut
+
+    with _pytest.raises(ValueError, match="domain"):
+        cap_per_domain(
+            df.withColumn("domain", F.lit("x")), "url", "id", 2
+        )
