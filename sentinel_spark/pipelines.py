@@ -221,6 +221,11 @@ def build_training_corpus(
             raise ValueError("dsir_target requires dsir_n")
         from sentinel_spark.functions.dsir import dsir_select
 
+        # the ≤ dsir_n-row picked frame persists because THREE consumers
+        # read the post-dsir clean frame (the final-counts aggregate,
+        # the dsir funnel columns, and the selected/export path) — an
+        # unpersisted top-n would re-run the selection chain (counts ⨝
+        # ratio → weight agg → TakeOrdered) once per consumer
         dsir_picked = dsir_select(
             texts.join(clean.select(id_col), id_col),
             dsir_target,
@@ -230,7 +235,7 @@ def build_training_corpus(
             buckets=dsir_buckets,
             alpha=dsir_alpha,
             salt="corpus-dsir",
-        )
+        ).persist()
         clean = clean.join(
             dsir_picked.select(F.col("id").alias(id_col)), id_col
         )
@@ -292,11 +297,20 @@ def build_training_corpus(
     if dsir_picked is not None:
         # dsir columns append only when the stage ran, so the default
         # recipe's funnel schema (and its gate oracle) is unchanged
-        f_dsir = clean.agg(
-            F.count(F.lit(1)).alias("docs_dsir"),
-            F.sum("n_tok").alias("tokens_dsir"),
-        )
-        funnel = funnel.crossJoin(f_dsir)
+        if budgets is None:
+            # final IS the dsir-resampled clean frame — expose the one
+            # aggregate twice instead of aggregating the same rows again
+            funnel = funnel.select(
+                "*",
+                F.col("docs_final").alias("docs_dsir"),
+                F.col("tokens_final").alias("tokens_dsir"),
+            )
+        else:
+            f_dsir = clean.agg(
+                F.count(F.lit(1)).alias("docs_dsir"),
+                F.sum("n_tok").alias("tokens_dsir"),
+            )
+            funnel = funnel.crossJoin(f_dsir)
 
     # ``redact`` masks PII in the exported text (C4/Dolma-style) — a
     # pure regexp projection on the already-selected rows, after every
@@ -402,5 +416,8 @@ def build_training_corpus(
     out = with_release(selected, [narrow, stage3])
     out = with_release(out, getattr(cand_raw, "_sentinel_cached", []))
     if dsir_picked is not None:
-        out = with_release(out, getattr(dsir_picked, "_sentinel_cached", []))
+        out = with_release(
+            out,
+            [dsir_picked] + list(getattr(dsir_picked, "_sentinel_cached", [])),
+        )
     return CorpusBuildResult(funnel, out, export)

@@ -54,7 +54,7 @@ BUDGET = {
                            # InMemoryRelation for both consuming
                            # branches, double-counting in this text
                            # scan
-    "corpus_funnel": 106,  # the whole recipe: featurize/winners/LSH
+    "corpus_funnel": 57,   # the whole recipe: featurize/winners/LSH
                            # pipeline over survivors + decontam shingle
                            # pass + funnel aggregates — each exchange
                            # audited as a stage of its standalone gate.
@@ -64,12 +64,13 @@ BUDGET = {
                            # doc_id spread + ensure, dup_key agg,
                            # shingle s agg, dsir bucket agg, dsir id
                            # agg); the raw text count explodes because
-                           # the dsir stage persists three frames whose
-                           # InMemoryRelation re-prints the ENTIRE
-                           # upstream recipe lineage at every
-                           # reference — one real new exchange would
-                           # multiply the same way, so the tripwire
-                           # still trips
+                           # the dsir stage persists four frames
+                           # (counts/model sides + the ≤n-row picked
+                           # frame) whose InMemoryRelation re-prints
+                           # the ENTIRE upstream recipe lineage at
+                           # every reference — one real new exchange
+                           # would multiply the same way, so the
+                           # tripwire still trips
     "line_clean": 3,       # r8 boilerplate branch: line-fingerprint
                            # frequency aggregate, frequent-set
                            # re-attach join, per-doc reassembly; the
