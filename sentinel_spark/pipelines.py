@@ -52,6 +52,11 @@ class CorpusBuildResult:
     funnel: DataFrame  # one row: docs/tokens per stage
     selected: DataFrame  # the final per-document frame (id, tokens, flags)
     export: ExportResult | None
+    # per-document drop attribution (with_drop_report=True): one row
+    # per INPUT document — (id, stage, dup_winner_id, n_tok) with
+    # stage ∈ quality | exact_dup | near_dup | contaminated | dsir |
+    # mixture | kept. The debugging view the funnel's counts summarize.
+    drop_report: DataFrame | None = None
 
 
 def build_training_corpus(
@@ -80,6 +85,7 @@ def build_training_corpus(
     dsir_n: int | None = None,
     dsir_buckets: int = 10_000,
     dsir_alpha: float = 1.0,
+    with_drop_report: bool = False,
 ) -> CorpusBuildResult:
     """Run the full recipe over ``docs`` (and ``benchmark`` for
     decontamination — pass None to skip that stage, and ``out_dir``
@@ -413,6 +419,61 @@ def build_training_corpus(
             mode=export_mode,
             file_format=file_format,
         )
+    # Optional per-document drop attribution — the debugging view the
+    # funnel's counts summarize ("WHY did doc X not make it?"). Pure
+    # composition of the already-persisted narrow frames (flagged reads
+    # the cached flags, stage3/dsir_picked are cached), so the report
+    # costs joins over id-keyed slim frames, never a re-featurize.
+    # Attribution order mirrors the pipeline: the FIRST stage that
+    # dropped the document names it.
+    report = None
+    if with_drop_report:
+        surv_flags = stage3.select(id_col, "is_canonical", "contaminated")
+        final_ids = (
+            final.select(id_col)
+            .dropDuplicates([id_col])
+            .withColumn("__in_final", F.lit(True))
+        )
+        rep = (
+            flagged.select(
+                id_col,
+                "n_tok",
+                "quality_ok",
+                "exact_canonical",
+                F.col("keep_id").alias("__winner"),
+            )
+            .join(surv_flags, id_col, "left")
+            .join(final_ids, id_col, "left")
+        )
+        if dsir_picked is not None:
+            rep = rep.join(
+                dsir_picked.select(F.col("id").alias(id_col)).withColumn(
+                    "__in_dsir", F.lit(True)
+                ),
+                id_col,
+                "left",
+            )
+        stage = (
+            F.when(~F.col("quality_ok"), F.lit("quality"))
+            .when(~F.col("exact_canonical"), F.lit("exact_dup"))
+            .when(~F.col("is_canonical"), F.lit("near_dup"))
+            .when(F.col("contaminated"), F.lit("contaminated"))
+        )
+        if dsir_picked is not None:
+            stage = stage.when(F.col("__in_dsir").isNull(), F.lit("dsir"))
+        if budgets is not None:
+            stage = stage.when(F.col("__in_final").isNull(), F.lit("mixture"))
+        stage = stage.otherwise(F.lit("kept"))
+        report = rep.select(
+            id_col,
+            stage.alias("stage"),
+            F.when(
+                ~F.col("exact_canonical") & F.col("quality_ok"),
+                F.col("__winner"),
+            ).alias("dup_winner_id"),
+            "n_tok",
+        )
+
     out = with_release(selected, [narrow, stage3])
     out = with_release(out, getattr(cand_raw, "_sentinel_cached", []))
     if dsir_picked is not None:
@@ -420,4 +481,4 @@ def build_training_corpus(
             out,
             [dsir_picked] + list(getattr(dsir_picked, "_sentinel_cached", [])),
         )
-    return CorpusBuildResult(funnel, out, export)
+    return CorpusBuildResult(funnel, out, export, report)

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from sentinel_spark.functions.ann_index import (
     RESULT_SCHEMA,  # noqa: F401 — the serving contract, re-exported
     load_ivfpq_artifacts,
+    maintain_ivfpq_index,
+    refresh_ivfpq_index,
     search_ivfpq_index,
 )
 from sentinel_spark.sources.store import ParquetTable
@@ -88,6 +90,80 @@ def serve_ann_stream(
         results_t.merge_insert_not_matched(out, ["q_id", "rank"])
 
     writer = queries.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        sq = writer.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return sq
+    return writer.trigger(processingTime=processing_time).start()
+
+
+def refresh_ann_index_stream(
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str | None = None,
+    compact_every: int | None = None,
+    available_now: bool = False,
+    processing_time: str = "60 seconds",
+):
+    """Keep the persisted IVF-PQ index FRESH as vectors arrive: each
+    micro-batch re-encodes only its own rows against the index's
+    pinned model artifacts
+    (:func:`~sentinel_spark.functions.ann_index.refresh_ivfpq_index` —
+    copy-on-write delete + append, cell migration included), so the
+    maintenance cost per trigger is O(batch), never O(index). The
+    serving side (:func:`serve_ann_stream`, batch searchers) rolls
+    forward by reloading through the index manifest.
+
+    ``op_col`` names an optional string column: rows marked
+    ``'delete'`` drop their ids from the index, everything else
+    upserts; without it every row upserts. ``compact_every=N`` runs
+    :func:`~sentinel_spark.functions.ann_index.maintain_ivfpq_index`
+    after every Nth batch — per-batch refreshes are exactly the
+    small-file accumulation the compactor exists for.
+
+    Replay semantics (at-least-once ``foreachBatch``): a replayed
+    batch deletes the same ids and appends byte-identical code rows —
+    encoding is deterministic under the PINNED artifacts — so the
+    index CONTENT converges to the same state; only the version
+    history records the replay. Empty triggers are skipped. Artifacts
+    reload per batch BY DESIGN (unlike the serving stream's pinned
+    closure): a concurrent compaction moves the manifest, and the
+    refresher must follow it."""
+    spark = vectors.sparkSession
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if op_col is not None:
+            deleted = [
+                r.i
+                for r in batch.where(F.col(op_col) == "delete")
+                .select(F.col(id_col).alias("i"))
+                .collect()
+            ]
+            upserts = batch.where(
+                F.coalesce(F.col(op_col), F.lit("upsert")) != "delete"
+            )
+        else:
+            deleted = []
+            upserts = batch
+        refresh_ivfpq_index(
+            upserts.select(id_col, vec_col),
+            index_path,
+            deleted_ids=deleted or None,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            maintain_ivfpq_index(spark, index_path)
+
+    writer = vectors.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

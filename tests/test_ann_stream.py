@@ -8,14 +8,15 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from sentinel_spark.cache import release
 from sentinel_spark.functions import ann_index as AI
 from sentinel_spark.sources.store import ParquetTable
 from sentinel_spark.streaming.ann_stream import serve_ann_stream
 
 
-def _emb(spark, n=12, dim=8):
+def _emb(spark, n=12, dim=8, off=0):
     rows = [
-        (i, [float((i * 7 + j * 3) % 5 - 2) + 0.1 * j for j in range(dim)])
+        (i, [float(((i + off) * 7 + j * 3) % 5 - 2) + 0.1 * j for j in range(dim)])
         for i in range(n)
     ]
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
@@ -159,3 +160,101 @@ def test_stream_wall_clock_matches_available_now(spark, tmp_path):
         k=3, nprobe=4, rerank=4, available_now=True,
     )
     assert wall == rows_in(str(tmp_path / "an_results"))
+
+
+def test_refresh_stream_converges_to_rebuild_and_replays_clean(spark, tmp_path):
+    """Streaming index maintenance: arriving vector batches (upserts,
+    deletes via op_col, one delete-only batch) keep the persisted
+    IVF-PQ index content-identical to a from-scratch rebuild of the
+    final corpus under the pinned artifacts; a checkpoint-wipe replay
+    converges to the same content; compact_every collapses the
+    per-batch small files with serving unchanged."""
+    from sentinel_spark.sources.store import load_model_frame
+    from sentinel_spark.streaming.ann_stream import refresh_ann_index_stream
+
+    emb = _emb(spark, n=10)
+    idx = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, idx, n_cells=4, m=2, pq_k=4)
+    cents = load_model_frame(spark, str(tmp_path / "idx" / "centroids"))
+    cb = load_model_frame(spark, str(tmp_path / "idx" / "codebooks"))
+
+    inbox = tmp_path / "vec_inbox"
+    inbox.mkdir()
+    changed = {r.vec_id: list(r.embedding)
+               for r in _emb(spark, n=14, off=3).collect()}
+
+    def push(rows, name):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, op string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(inbox / name))
+
+    def drain():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>, op string"
+        ).option("recursiveFileLookup", "true").parquet(str(inbox))
+        refresh_ann_index_stream(
+            stream, idx, str(tmp_path / "ckpt"), op_col="op",
+            available_now=True,
+        )
+
+    def codes():
+        return sorted(
+            (r.c_id, int(r.cell), tuple(r.codes), r.pq_norm)
+            for r in AI._codes_table(spark, idx).read().collect()
+        )
+
+    # b1: update 2 existing + insert 2 new; b2: delete-only batch
+    push([(3, changed[3], "upsert"), (5, changed[5], None),
+          (12, changed[12], "upsert"), (13, changed[13], "upsert")], "b1")
+    drain()
+    push([(7, [0.0] * 8, "delete")], "b2")
+    drain()
+
+    new_corpus = (
+        emb.filter(~F.col("vec_id").isin([3, 5, 7]))
+        .unionByName(spark.createDataFrame(
+            [(i, changed[i]) for i in (3, 5, 12, 13)],
+            "vec_id long, embedding array<float>",
+        ))
+    )
+    AI.build_ivfpq_index(
+        new_corpus, str(tmp_path / "rebuilt"), m=2, pq_k=4,
+        centroids=cents, pq_codebooks=cb,
+    )
+    want = sorted(
+        (r.c_id, int(r.cell), tuple(r.codes), r.pq_norm)
+        for r in AI._codes_table(spark, str(tmp_path / "rebuilt")).read().collect()
+    )
+    assert codes() == want
+
+    # at-least-once replay: wipe the checkpoint and drain everything
+    # again — content converges to the same state
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    drain()
+    assert codes() == want
+
+    # compaction rider: a fresh upsert with compact_every=1 collapses
+    # the refresh debris, serving rows unchanged
+    before_files = len(AI._codes_table(spark, idx)._snapshot()["files"])
+    served_before = AI.ivfpq_topk_index(new_corpus, idx, [0, 1], k=3, nprobe=4)
+    rows_before = sorted(
+        (r.q_id, r.rank, r.c_id, r.sim) for r in served_before.collect()
+    )
+    release(served_before)
+    push([(13, changed[13], "upsert")], "b3")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, op string"
+    ).option("recursiveFileLookup", "true").parquet(str(inbox))
+    refresh_ann_index_stream(
+        stream, idx, str(tmp_path / "ckpt"), op_col="op",
+        compact_every=1, available_now=True,
+    )
+    assert len(AI._codes_table(spark, idx)._snapshot()["files"]) <= before_files
+    served_after = AI.ivfpq_topk_index(new_corpus, idx, [0, 1], k=3, nprobe=4)
+    rows_after = sorted(
+        (r.q_id, r.rank, r.c_id, r.sim) for r in served_after.collect()
+    )
+    release(served_after)
+    assert rows_after == rows_before

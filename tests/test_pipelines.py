@@ -368,3 +368,60 @@ def test_dsir_stage_requires_n(spark):
         build_training_corpus(
             docs, bench, None, quality_kwargs=QKW, dsir_target=docs
         )
+
+
+def test_drop_report_attributes_every_document(spark):
+    """with_drop_report=True: one row per INPUT document naming the
+    FIRST stage that dropped it; per-stage counts reconcile exactly
+    with the funnel arithmetic; exact-dups carry their winner id."""
+    docs, bench = _mk_docs(spark)
+    target = spark.createDataFrame(
+        [(200, "sailing ships in harbor towns with lanterns maps and tides "
+               "crews on voyages carrying cargo spices and silks by the stars")],
+        "doc_id long, text string",
+    )
+    res = build_training_corpus(
+        docs, bench, None,
+        quality_kwargs=QKW,
+        decontam_max_frac=0.05,
+        dsir_target=target,
+        dsir_n=1,
+        with_drop_report=True,
+    )
+    rep = {r.doc_id: r for r in res.drop_report.collect()}
+    assert set(rep) == {1, 2, 3, 4, 5, 6}  # every input attributed once
+    assert rep[4].stage == "quality"
+    assert rep[2].stage == "exact_dup" and rep[2].dup_winner_id == 1
+    assert rep[3].stage == "near_dup"
+    assert rep[5].stage == "contaminated"
+    assert rep[1].stage == "dsir"        # target prefers the nautical doc
+    assert rep[6].stage == "kept"
+    assert rep[6].dup_winner_id is None
+
+    f = res.funnel.collect()[0]
+    by_stage = {}
+    for r in rep.values():
+        by_stage[r.stage] = by_stage.get(r.stage, 0) + 1
+    assert by_stage.get("quality", 0) == f.docs_in - f.docs_quality
+    assert by_stage.get("exact_dup", 0) == f.docs_quality - f.docs_exact
+    assert by_stage.get("near_dup", 0) == f.docs_exact - f.docs_neardup
+    assert by_stage.get("contaminated", 0) == f.docs_neardup - f.docs_clean
+    assert by_stage.get("dsir", 0) == f.docs_clean - f.docs_dsir
+    assert by_stage.get("kept", 0) == f.docs_final
+    release(res.selected)
+
+    # mixture attribution (budgets drop the books source); default
+    # call keeps drop_report None
+    res2 = build_training_corpus(
+        docs, bench, None,
+        source_col="source",
+        budgets={"web": 10_000},
+        quality_kwargs=QKW,
+        with_drop_report=True,
+    )
+    rep2 = {r.doc_id: r.stage for r in res2.drop_report.collect()}
+    assert rep2[6] == "mixture" and rep2[1] == "kept"
+    release(res2.selected)
+    res3 = build_training_corpus(docs, bench, None, quality_kwargs=QKW)
+    assert res3.drop_report is None
+    release(res3.selected)
