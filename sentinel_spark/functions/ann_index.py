@@ -72,14 +72,16 @@ RESULT_SCHEMA = "q_id long, c_id long, sim double, rank int"
 
 
 def _codes_table(spark: SparkSession, path: str) -> ParquetTable:
-    # retain 3 versions: a refresh is TWO commits (delete, append), so
-    # 2 would vacuum a pre-refresh pinned snapshot at the append — the
-    # window the pin exists for
+    # retain 4 versions: a refresh is TWO commits (delete, append) and
+    # refresh(compact=True) chains a THIRD (the compaction rewrite) —
+    # a pre-refresh pinned snapshot must survive all three, so 3 would
+    # vacuum it at the compaction commit (and 2 at the append), the
+    # exact window the pin exists for
     return ParquetTable(
         spark,
         os.path.join(path, _CODES),
         partition_cols=["cell"],
-        retain_versions=3,
+        retain_versions=4,
     )
 
 
@@ -205,9 +207,10 @@ def refresh_ivfpq_index(
     append the fresh codes. A vector whose nearest cell moved migrates
     partitions through the same delete+append, so cell pruning stays
     correct. A refresh is TWO codes commits (delete, append) plus the
-    index-manifest update LAST; the codes table retains 3 versions so
-    a reader pinned pre-refresh survives both (2 would vacuum its
-    snapshot at the append commit). ``compact=True`` runs
+    index-manifest update LAST; the codes table retains 4 versions so
+    a reader pinned pre-refresh survives both — and the third commit
+    ``compact=True`` chains (3 would vacuum the pinned snapshot at the
+    compaction rewrite, 2 already at the append). ``compact=True`` runs
     :func:`maintain_ivfpq_index` afterwards — refresh appends
     per-batch files into cell partitions forever, and a serving index
     that degrades with every refresh is the first thing a production

@@ -106,8 +106,14 @@ def token_offsets(
             # silently relying on session.py's UTC pin.
             if isinstance(dt, TY.TimestampNTZType):
                 tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-                if tz not in ("UTC", "GMT", "Z") and not re.fullmatch(
-                    r"(Etc/(UTC|GMT([+-]\d{1,2})?))|[+-]\d{2}:\d{2}", tz or ""
+                # every fixed-offset ZoneId form Java accepts: Z/UTC/
+                # GMT/UT, the same with an offset suffix (GMT+05:30),
+                # Etc/ variants, and bare ±HH[:MM[:SS]] offsets —
+                # region zones (DST-capable) are what must raise
+                if not re.fullmatch(
+                    r"Z|(Etc/)?(UTC|GMT|UT)([+-]\d{1,2}(:\d{2}){0,2})?"
+                    r"|[+-]\d{1,2}(:\d{2}){0,2}",
+                    tz or "",
                 ):
                     raise ValueError(
                         f"NTZ order_col {order_col!r} needs a fixed-offset "

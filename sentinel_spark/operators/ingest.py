@@ -73,25 +73,31 @@ def screen_upload_sizes(
     list to :func:`read_uploads` and surface the oversized list as
     rejects. A missing file raises (same contract as the read).
 
-    ``file:`` URIs parse through urllib (``file:/p``, ``file:///p``,
-    ``file://localhost/p`` all resolve to ``/p``); a non-local
-    authority (``file://host/p``) raises rather than silently
-    stat-ing ``//host/p`` — a two-leading-slash path POSIX leaves
+    ``file:`` URIs resolve like Hadoop ``Path`` does — ``file:/p``,
+    ``file:///p``, ``file://localhost/p`` all mean ``/p``, and the
+    path BYTES are taken verbatim (no %XX decoding: Hadoop paths are
+    not percent-encoded, so a file literally named ``a%20b.json``
+    screens and reads as itself). A non-local authority
+    (``file://host/p``) raises rather than silently stat-ing
+    ``//host/p`` — a two-leading-slash path POSIX leaves
     implementation-defined and ``spark.read.text`` would not open."""
     import os
-    from urllib.parse import urlparse
-    from urllib.request import url2pathname
 
     ok: list[str] = []
     too_big: list[tuple[str, int]] = []
     for p in paths:
         if p.startswith("file:"):
-            parsed = urlparse(p)
-            if parsed.netloc not in ("", "localhost"):
-                raise ValueError(
-                    f"file URI with non-local authority {parsed.netloc!r}: {p!r}"
-                )
-            local = url2pathname(parsed.path)
+            rest = p[len("file:"):]
+            if rest.startswith("//"):
+                authority, sep, tail = rest[2:].partition("/")
+                if authority not in ("", "localhost"):
+                    raise ValueError(
+                        f"file URI with non-local authority "
+                        f"{authority!r}: {p!r}"
+                    )
+                local = sep + tail
+            else:
+                local = rest
         else:
             local = p
         size = os.path.getsize(local)

@@ -422,10 +422,11 @@ def build_training_corpus(
     # Optional per-document drop attribution — the debugging view the
     # funnel's counts summarize ("WHY did doc X not make it?"). Pure
     # composition of the already-persisted narrow frames (flagged reads
-    # the cached flags, stage3/dsir_picked are cached), so the report
-    # costs joins over id-keyed slim frames, never a re-featurize.
-    # Attribution order mirrors the pipeline: the FIRST stage that
-    # dropped the document names it.
+    # the cached flags, stage3/dsir_picked are cached), so consuming it
+    # WHILE the recipe's caches are held costs joins over id-keyed slim
+    # frames; after release() it recomputes the featurize lineage
+    # (correct, just slow). Attribution order mirrors the pipeline:
+    # the FIRST stage that dropped the document names it.
     report = None
     if with_drop_report:
         surv_flags = stage3.select(id_col, "is_canonical", "contaminated")
@@ -481,4 +482,12 @@ def build_training_corpus(
             out,
             [dsir_picked] + list(getattr(dsir_picked, "_sentinel_cached", [])),
         )
+    if report is not None:
+        # the report reads the SAME persisted frames the selected path
+        # releases — carry the handles onto it too, so either frame can
+        # be released last; consuming the report AFTER release() is
+        # still correct but recomputes the featurize lineage
+        from sentinel_spark.cache import carry
+
+        report = carry(report, out)
     return CorpusBuildResult(funnel, out, export, report)

@@ -17,11 +17,14 @@ exact-cosine re-rank against the float table. Results land through
 ``foreachBatch`` is at-least-once, so a replayed batch recomputes the
 same deterministic rows and the merge inserts none of them twice.
 
-Model pinning: centroids/codebooks load ONCE at stream start
-(:func:`~sentinel_spark.functions.ann_index.load_ivfpq_artifacts`)
+Model pinning: by default centroids/codebooks load ONCE at stream
+start (:func:`~sentinel_spark.functions.ann_index.load_ivfpq_artifacts`)
 and ride the closure — a serving stream answers under one model
-version by design (restart the stream to roll the model; the model
-store keeps the previous version alive for readers pinned there).
+version (restart the stream to roll the model; the model store keeps
+the previous version alive for readers pinned there). When the index
+itself is continuously refreshed, pass ``reload_each_batch=True`` so
+each micro-batch re-resolves the artifacts through the index manifest
+instead of racing the refresher's vacuum horizon.
 Query ids are assumed unique across the stream (the retrieval-log
 convention); a re-submitted id would collide with its earlier answer
 on (q_id, rank) and keep the FIRST answer — replay-idempotence and
@@ -59,6 +62,7 @@ def serve_ann_stream(
     vec_col: str = "embedding",
     available_now: bool = False,
     processing_time: str = "10 seconds",
+    reload_each_batch: bool = False,
 ):
     """Serve a STREAMING (q_id, q_vec) frame from the persisted IVF-PQ
     index at ``index_path``; answers (q_id, c_id, sim, rank 1..k,
@@ -68,9 +72,22 @@ def serve_ann_stream(
     the StreamingQuery; ``available_now=True`` drains and blocks (the
     test/backfill mode), otherwise the query runs continuously on a
     ``processing_time`` wall-clock trigger (the serving mode) and the
-    caller owns its lifecycle."""
+    caller owns its lifecycle.
+
+    ``reload_each_batch=False`` (default) pins the artifacts tuple for
+    the stream's whole lifetime — one consistent model + codes
+    snapshot; the codes-table retention must then cover every refresh
+    that lands while the stream runs (a continuously refreshing index
+    vacuums a long-lived pin after retention is exhausted — restart
+    the stream to roll forward). Set ``reload_each_batch=True`` when
+    pairing with :func:`refresh_ann_index_stream`: each micro-batch
+    re-resolves the artifacts through the index manifest (a cheap
+    two-small-frame read), so serving follows refreshes and
+    compactions instead of racing their vacuum horizon."""
     spark = emb.sparkSession
-    artifacts = load_ivfpq_artifacts(spark, index_path)
+    artifacts = None if reload_each_batch else load_ivfpq_artifacts(
+        spark, index_path
+    )
     results_t = ParquetTable(spark, results_path)
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -80,7 +97,11 @@ def serve_ann_stream(
         out = search_ivfpq_index(
             q,
             emb,
-            artifacts=artifacts,
+            artifacts=(
+                load_ivfpq_artifacts(spark, index_path)
+                if reload_each_batch
+                else artifacts
+            ),
             k=k,
             nprobe=nprobe,
             rerank=rerank,
@@ -117,8 +138,12 @@ def refresh_ann_index_stream(
     (:func:`~sentinel_spark.functions.ann_index.refresh_ivfpq_index` —
     copy-on-write delete + append, cell migration included), so the
     maintenance cost per trigger is O(batch), never O(index). The
-    serving side (:func:`serve_ann_stream`, batch searchers) rolls
-    forward by reloading through the index manifest.
+    serving side rolls forward by reloading through the index
+    manifest — batch searchers reload per call, and a concurrent
+    :func:`serve_ann_stream` must run with ``reload_each_batch=True``
+    (or be restarted periodically): a serving stream's default
+    lifetime pin races this refresher's vacuum horizon once more
+    refreshes land than the codes-table retention covers.
 
     ``op_col`` names an optional string column: rows marked
     ``'delete'`` drop their ids from the index, everything else
@@ -139,6 +164,12 @@ def refresh_ann_index_stream(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
+            # no refresh work, but a compaction boundary landing on an
+            # empty trigger must still fire (maintain is a no-op on a
+            # debris-free table) — skipping it would let a low-traffic
+            # stream defer compaction indefinitely
+            if compact_every and (int(batch_id) + 1) % compact_every == 0:
+                maintain_ivfpq_index(spark, index_path)
             return
         if op_col is not None:
             deleted = [

@@ -43,7 +43,11 @@ from sentinel_spark.functions.drift import (
     drift_from_counts,
     drift_summary,
 )
-from sentinel_spark.sources.store import ParquetTable
+from sentinel_spark.sources.store import (
+    ParquetTable,
+    load_model_frame,
+    save_model_frame,
+)
 
 
 def build_drift_baseline(
@@ -52,16 +56,15 @@ def build_drift_baseline(
     features: dict[str, Column],
 ) -> None:
     """Arm the monitor: aggregate the reference snapshot's
-    (feature, bucket, n_a) counts and persist them at ``path`` (atomic
-    overwrite on re-arm; readers pinned at the prior baseline keep
-    scoring against it until reload). One pass over the reference,
-    F features in a single exploded projection."""
+    (feature, bucket, n_a) counts and persist them at ``path`` through
+    the shared model store (``save_model_frame``: atomic overwrite on
+    re-arm, and its retain_versions ≥ 2 keeps the PRIOR baseline's
+    files alive so a monitor pinned at stream start keeps scoring
+    against it until restart — a default-retention table would vacuum
+    the running monitor's snapshot at the re-arm commit). One pass
+    over the reference, F features in a single exploded projection."""
     counts = _feature_counts(reference, features).withColumnRenamed("n", "n_a")
-    t = ParquetTable(reference.sparkSession, path)
-    if t.exists():
-        t.overwrite(counts)
-    else:
-        t.append(counts)
+    save_model_frame(reference.sparkSession, counts, path)
 
 
 def batch_drift(
@@ -108,7 +111,7 @@ def run_drift_monitor(
     a monitor scores against one reference by design (restart the
     stream after :func:`build_drift_baseline` to re-arm)."""
     spark = docs.sparkSession
-    baseline = ParquetTable(spark, baseline_path).read()
+    baseline = load_model_frame(spark, baseline_path)
     history_t = ParquetTable(spark, history_path)
     counts_t = ParquetTable(spark, counts_path)
 

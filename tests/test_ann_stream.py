@@ -258,3 +258,46 @@ def test_refresh_stream_converges_to_rebuild_and_replays_clean(spark, tmp_path):
     )
     release(served_after)
     assert rows_after == rows_before
+
+
+def test_serve_reload_each_batch_survives_refresh_vacuum(spark, tmp_path):
+    """A serving pin taken BEFORE refreshes dies once more refreshes
+    land than the codes-table retention covers (the vacuum horizon the
+    code-review flagged); reload_each_batch=True re-resolves artifacts
+    per micro-batch and keeps serving — returning the REFRESHED vector
+    at cosine 1.0."""
+    emb0 = _emb(spark, n=10)
+    idx = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb0, idx, n_cells=4, m=2, pq_k=4)
+    stale = AI.load_ivfpq_artifacts(spark, idx)  # pin at the build
+
+    # 3 refreshes = 6 codes commits > retention(4): the build-time
+    # snapshot's rewritten files are vacuumed
+    for off in (1, 2, 3):
+        AI.refresh_ivfpq_index(
+            _emb(spark, n=10, off=off).where(F.col("vec_id") < 4), idx
+        )
+    final_emb = (
+        _emb(spark, n=10).where("vec_id >= 4")
+        .unionByName(_emb(spark, n=10, off=3).where("vec_id < 4"))
+    )
+    q = spark.createDataFrame(
+        [(9000, [list(r.embedding) for r in
+                 final_emb.where("vec_id = 2").collect()][0])],
+        "q_id long, q_vec array<float>",
+    )
+    with pytest.raises(Exception):
+        AI.search_ivfpq_index(q, final_emb, artifacts=stale, k=1).collect()
+
+    inbox = tmp_path / "q_inbox"
+    inbox.mkdir()
+    q.coalesce(1).write.mode("overwrite").parquet(str(inbox / "b1"))
+    stream = spark.readStream.schema(
+        "q_id long, q_vec array<float>"
+    ).option("recursiveFileLookup", "true").parquet(str(inbox))
+    serve_ann_stream(
+        stream, idx, final_emb, str(tmp_path / "res"), str(tmp_path / "ck"),
+        k=1, nprobe=4, rerank=4, available_now=True, reload_each_batch=True,
+    )
+    rows = ParquetTable(spark, str(tmp_path / "res")).read().collect()
+    assert len(rows) == 1 and rows[0].c_id == 2 and rows[0].sim == 1.0

@@ -212,7 +212,11 @@ def test_token_offsets_timestamp_keys(spark):
             .collect()
         }
         assert explicit == want
-        spark.conf.set("spark.sql.session.timeZone", "+05:30")
-        token_offsets(df, "n_tok", "ts_ntz", shard_tokens=128)  # no raise
+        # every fixed-offset ZoneId form must pass — prefixed offsets
+        # (GMT+05:30) are legal Spark session zones and DST-free
+        for fixed in ("+05:30", "GMT+05:30", "UTC+02:00", "UT+01:00",
+                      "Etc/GMT-7", "Z"):
+            spark.conf.set("spark.sql.session.timeZone", fixed)
+            token_offsets(df, "n_tok", "ts_ntz", shard_tokens=128)  # no raise
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)

@@ -140,9 +140,14 @@ def test_rearm_baseline_overwrites_atomically(spark, armed):
     spark, ref, paths, push, drain = armed
     t = ParquetTable(spark, paths["baseline"])
     v0 = t.version()
+    n0 = t.read().count()
     build_drift_baseline(_docs(spark, _drifted_rows()), paths["baseline"],
                          FEATURES())
     assert t.version() > v0
+    # the shared model store's retention keeps the PRIOR baseline's
+    # files alive: a monitor pinned at stream start survives a re-arm
+    # (a default-retention table would vacuum its snapshot here)
+    assert t.read(v0).count() == n0
     # re-armed baseline now sees the drifted distribution as quiet
     summary, _ = batch_drift(
         _docs(spark, _drifted_rows(n=10, off=5000)), t.read(), FEATURES()

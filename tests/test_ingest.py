@@ -209,5 +209,12 @@ def test_screen_upload_sizes(tmp_path):
     with _pytest.raises(ValueError, match="non-local authority"):
         screen_upload_sizes([f"file://remotehost{big}"], max_bytes=1024)
 
+    # path bytes are VERBATIM (Hadoop-Path semantics, no %XX decode):
+    # a file literally named with a percent escape screens as itself
+    pct = tmp_path / "a%20b.json"
+    pct.write_bytes(b"z" * 10)
+    ok3, _ = screen_upload_sizes([f"file:{pct}"], max_bytes=1024)
+    assert ok3 == [f"file:{pct}"]
+
     with _pytest.raises(OSError):
         screen_upload_sizes([str(tmp_path / "missing.json")])
