@@ -1426,7 +1426,12 @@ def q_doc_profile(spark, sf_dir):
     """The per-document text-analysis profile in ONE scan: token/char/
     stopword counts and ratios, quality score, language-ID, the Gopher
     rule columns, the content fingerprint, and binary metadata — every
-    column a JVM-side expression, zero shuffles, zero joins."""
+    column a JVM-side expression, zero shuffles, zero joins. (The r10
+    winnowing fingerprints stay OUT of this gate by budget: the
+    interpreted HOF pipeline costs ~1 ms/doc — 4.5 s at sf0.1, 6× this
+    whole gate — and its selection is already exactly pinned by a
+    Python-reference pytest replay of the md5 values and window
+    minima.)"""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

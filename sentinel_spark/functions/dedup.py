@@ -1259,3 +1259,145 @@ def refresh_band_index(
             index_table.overwrite(kept.unionByName(new_rows))
     finally:
         changes.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local document-fingerprinting scheme)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint set per document: hash every ``k``-gram of
+    the lowercased token stream (md5-int60 — the repo's engine-portable
+    hash, so an oracle replays the selection exactly), slide a window
+    of ``window`` consecutive k-gram hashes, record each window's
+    MINIMUM, and emit the distinct selected hashes as (id, fp) rows.
+
+    The scheme's guarantee (the reason it beats "every j-th hash"
+    sampling): any token run of length ≥ ``window + k − 1`` shared by
+    two documents contributes at least one SHARED fingerprint — local
+    sampling, position-independent — while expected density stays
+    2/(window+1) of the k-grams. This is the rolling-hash document
+    fingerprint of plagiarism/overlap detection (MOSS), complementing
+    :func:`~sentinel_spark.functions.text.fingerprint`'s whole-document
+    exact-dup digest.
+
+    Scale shape: entirely per-row array expressions inside whole-stage
+    codegen (tokens → k-gram hashes → per-window minima → distinct) on
+    an id-spread scan; the only exchange is the explode consumer's.
+    Documents shorter than ``k`` tokens emit no rows."""
+    base = _spread(df, by=F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        winnow_fp_array(text_col, k=k, window=window).alias("fps"),
+    )
+    return base.select("id", F.explode("fps").alias("fp"))
+
+
+def winnow_fp_array(
+    text_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> Column:
+    """The distinct winnowing-fingerprint ARRAY as a per-row column —
+    the form single-scan profile consumers aggregate inline
+    (``size``/``array_min``) without an explode or shuffle; see
+    :func:`winnow_fingerprints` for the scheme and guarantee.
+
+    Expression-shape note (the O(n²) trap): a lambda body re-evaluates
+    every captured non-lambda subtree PER ELEMENT — ``transform(seq,
+    i -> slice(toks, i, k))`` re-runs the tokenizer once per gram and
+    ``slice(hashes, p, w)`` re-hashes the whole document per window.
+    Both stages are therefore built as zips of k (resp. ``window``)
+    SHIFTED top-level slices — the :func:`dsir._grams` bigram idiom
+    generalized — so every captured array is evaluated a constant
+    number of times per row and the lambdas touch only their own
+    variables."""
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1 (got {k}, {window})")
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(WORD_RE),
+        F.lit(0),
+    )
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    gram_zip = F.arrays_zip(
+        *[F.slice(toks, j + 1, n_grams).alias(f"t{j}") for j in range(k)]
+    )
+    grams = F.transform(
+        gram_zip,
+        lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    # windows clamp to the gram count: with fewer grams than `window`
+    # the single partial window still fingerprints the document.
+    # arrays_zip pads the shorter shifted slices with NULL struct
+    # fields and least() skips NULLs, so the partial tail windows (and
+    # the single sub-`window` case) reduce over the hashes that exist.
+    n_windows = F.greatest(n_grams - (window - 1), F.least(n_grams, F.lit(1)))
+    if window == 1:
+        minima = F.array_distinct(hashes)  # every k-gram is its own window
+    else:
+        win_zip = F.arrays_zip(
+            *[
+                F.slice(hashes, j + 1, n_windows).alias(f"h{j}")
+                for j in range(window)
+            ]
+        )
+        minima = F.array_distinct(
+            F.transform(
+                win_zip,
+                lambda s: F.least(*[s[f"h{j}"] for j in range(window)]),
+            )
+        )
+    return F.when(n_grams > 0, minima).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
+    (id_a < id_b, n_shared) — the MOSS plagiarism-candidate join over
+    :func:`winnow_fingerprints`. By the winnowing guarantee a shared
+    run of ``window + k − 1`` tokens yields a shared fingerprint, so
+    ``min_shared`` counts independent(ish) shared regions.
+
+    Scale shape: the classic inverted-index self-join — explode to
+    (fp, id), equi-join on fp, count per pair; fan-out is Σ df(fp)²,
+    so ``max_df`` drops boilerplate fingerprints shared by more than
+    ``max_df`` documents from candidate generation (the Zipf guard
+    precedent: ubiquitous license headers/navigation chrome would
+    otherwise dominate the join and the match signal alike)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    if max_df is not None:
+        hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") > max_df
+        )
+        fps = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1082,3 +1082,84 @@ def test_ann_join_plans(spark):
 
     with pytest.raises(ValueError, match="method"):
         SIM.ann_join(left, right, method="bogus")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (r10)
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text, k=5, window=4):
+    import hashlib
+    import re as _re
+
+    toks = _re.findall(r"[a-z0-9]+", text.lower())
+    if len(toks) < k:
+        return set()
+    hashes = [
+        int(hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(toks) - k + 1)
+    ]
+    n_w = max(len(hashes) - window + 1, 1)
+    return {min(hashes[p:p + window]) for p in range(n_w)}
+
+
+def test_winnow_matches_python_reference_and_guarantee(spark):
+    from sentinel_spark.functions.dedup import winnow_fingerprints
+
+    shared = "the winnowing guarantee covers any run of window plus k tokens"
+    rows = [
+        (1, "leading prose before the common region " + shared + " tail one"),
+        (2, shared + " entirely different continuation text here after"),
+        (3, "no overlap with anything alpha beta gamma delta epsilon zeta"),
+        (4, "tiny"),            # < k tokens -> no fingerprints
+        (5, None),              # NULL text -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id").collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    # exact replay of the selection (hash values AND window minima)
+    for i, text in rows:
+        want = _py_winnow(text or "")
+        assert got.get(i, set()) == want, i
+    # the MOSS guarantee: docs 1 and 2 share a run >= window+k-1
+    # tokens, so they MUST share a fingerprint; doc 3 shares none
+    assert got[1] & got[2]
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+    # density: far fewer fingerprints than k-grams
+    n_grams_1 = len(rows[0][1].split()) - 4
+    assert 0 < len(got[1]) < n_grams_1
+
+
+def test_winnow_overlap_pairs_and_zipf_guard(spark):
+    from sentinel_spark.functions.dedup import winnow_overlap_pairs
+
+    boiler = "all rights reserved copyright notice applies to every page here"
+    plag = ("original research paragraph that was lifted verbatim into the "
+            "second document without attribution by the copying author")
+    rows = [
+        (1, plag + " plus the first author's own framing around it"),
+        (2, "unrelated opening sentence and then " + plag),
+        (3, "independent document about something else entirely with no "
+            "copied text at all beyond common words"),
+    ]
+    # every doc carries the same boilerplate footer
+    df = spark.createDataFrame(
+        [(i, t + " " + boiler) for i, t in rows], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap_pairs(df, "text", "doc_id",
+                                      min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    # the boilerplate footer alone must not pair doc 3 once ubiquitous
+    # fingerprints (df > 2) are dropped by the guard
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(df, "text", "doc_id", min_shared=1,
+                                      max_df=2).collect()
+    }
+    assert (1, 2) in guarded
+    assert (1, 3) not in guarded and (2, 3) not in guarded
