@@ -16,16 +16,31 @@ shift), re-expressed as DataFrame ops:
   realized bucket set, so a bucket present in only one snapshot
   contributes a finite, well-defined term instead of ±inf.
 * per-bucket terms and the per-feature summary are exact functions of
-  the integer counts.  Two exposure forms per statistic: a human
-  double (rounded to 6) and an engine-portable scaled integer
-  (``*_ppm`` = round(raw·1e6) as BIGINT).  The ppm form is what
-  cross-engine replays should hash: a rounded DOUBLE like 0.000123 has
-  no exact binary representation, so two engines can legitimately
-  produce different nearest-doubles (and hash canonicalizations of
-  doubles differ further on ±0.0/repr), while a BIGINT is bit-exact
-  everywhere.  The remaining risk — the raw ln(...) term sitting
-  within libm cross-build error (~1e-13 in ppm units) of a .5
-  boundary — is measured per-dataset by ``tools/float_margins.py``.
+  the integer counts.  THREE exposure tiers per statistic, by
+  portability class:
+
+  1. human doubles rounded to 6 (``psi_term``, ``share_a`` …) — for
+     people and dashboards;
+  2. scaled integers ``*_ppm`` = round(raw·1e6) as BIGINT — portable
+     across engines *except* where ``raw`` contains a transcendental:
+     two libm builds can round ``ln(x)`` to different nearest-doubles,
+     and r9+r10 driver runs proved that this difference survives the
+     ·1e6-and-round narrowing often enough to flip a hash;
+  3. exact-rational integers ``ratio_ppm`` / ``dshare_ppm`` — computed
+     ENTIRELY in BIGINT arithmetic (integer-division rounding trick:
+     round(a/b) = (2a + b) div (2b) for a, b > 0), so they are
+     bit-identical on every engine by construction, with no dependence
+     on libm, IEEE rounding mode, FMA contraction, or the engine's
+     round() tie rule.  Cross-engine hash checks must expose ONLY
+     tier 3 (plus the raw counts); tier-2 ``psi/kl_ppm`` stay as
+     library columns validated in pytest and local-oracle replicas.
+
+  Exactness bound for tier 3: with alpha = p/q the intermediate
+  products are ≤ 2e6·(q·n+p)·(q·N+p·K); for the default alpha = 0.5
+  that stays inside BIGINT up to ~1e6 rows per (feature, snapshot).
+  Beyond that (the 100-TB monitor), pre-scale the counts (drift is
+  share-based, so dividing both snapshots' counts by a common factor
+  preserves every share to the published precision) or read tier 2.
 
 Scale shape at 100 TB: two map-side-combined count aggregates (one
 per snapshot, keyed on (feature, bucket) — cardinality = Σ realized
@@ -34,6 +49,8 @@ touches the corpora.
 """
 
 from __future__ import annotations
+
+from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -74,7 +91,9 @@ def drift_table(
     ln(share_a / share_b)`` (symmetric, ≥ 0); ``kl_term = share_a ·
     ln(share_a / share_b)`` (KL(a‖b) contribution). NULL feature
     values bucket under the ``"(null)"`` label — a real bucket, since
-    missing values drifting IS drift."""
+    missing values drifting IS drift. Also carries the exact-rational
+    tier (module docstring): ``ratio_ppm`` = round(1e6 · sa/sb) and
+    ``dshare_ppm`` = round(1e6·sa) − round(1e6·sb), both pure-BIGINT."""
     return drift_from_counts(
         _feature_counts(a, features).withColumnRenamed("n", "n_a"),
         _feature_counts(b, features).withColumnRenamed("n", "n_b"),
@@ -119,7 +138,28 @@ def drift_from_counts(
     def _ppm(col: Column) -> Column:
         return F.round(col * F.lit(1e6)).cast("bigint")
 
-    return joined.join(F.broadcast(per_feat), "feature").select(
+    # exact-rational tier (module docstring tier 3): alpha as a small
+    # rational p/q makes the smoothed shares sa = _na2/_da, sb = _nb2/_db
+    # exact BIGINT fractions; round-half-up division never touches a
+    # double, so ratio_ppm / dshare_ppm are engine-portable by
+    # construction — the only drift stats a cross-engine hash may cover
+    fr = Fraction(al).limit_denominator(1_000_000)
+    p, q = fr.numerator, fr.denominator
+    base = joined.join(F.broadcast(per_feat), "feature").select(
+        "*",
+        (F.lit(q) * F.col("n_a") + F.lit(p)).alias("_na2"),
+        (F.lit(q) * F.col("n_b") + F.lit(p)).alias("_nb2"),
+        (F.lit(q) * F.col("tot_a") + F.lit(p) * F.col("k_buckets")).alias(
+            "_da"
+        ),
+        (F.lit(q) * F.col("tot_b") + F.lit(p) * F.col("k_buckets")).alias(
+            "_db"
+        ),
+    )
+    share_ax = F.expr("(2000000 * _na2 + _da) div (2 * _da)")
+    share_bx = F.expr("(2000000 * _nb2 + _db) div (2 * _db)")
+    ratio_x = F.expr("(2000000 * _na2 * _db + _nb2 * _da) div (2 * _nb2 * _da)")
+    return base.select(
         "feature",
         "bucket",
         "n_a",
@@ -132,18 +172,26 @@ def drift_from_counts(
         _ppm(sb).alias("share_b_ppm"),
         _ppm(psi_raw).alias("psi_term_ppm"),
         _ppm(kl_raw).alias("kl_term_ppm"),
+        ratio_x.alias("ratio_ppm"),
+        (share_ax - share_bx).alias("dshare_ppm"),
     )
 
 
 def drift_summary(table: DataFrame) -> DataFrame:
     """Per-feature roll-up of a :func:`drift_table` frame: (feature,
-    n_buckets, n_a, n_b, psi, kl_ab, tvd, psi_ppm, kl_ppm, tvd2_ppm).
+    n_buckets, n_a, n_b, psi, kl_ab, tvd, psi_ppm, kl_ppm, tvd2_ppm,
+    tvd2x_ppm, ratio_sum_ppm).
     Sums run over the table's ROUNDED terms, so summary values are
     reproducible from the published per-bucket report alone (no hidden
     precision); the ``*_ppm`` forms are pure BIGINT sums of the
     table's ppm columns — engine-portable exactly (``tvd2_ppm`` is
     2·TVD in micro-units, kept doubled so it stays an integer
-    without a /2 rounding step). Reading rule: PSI < 0.1 stable,
+    without a /2 rounding step). ``tvd2x_ppm`` (= Σ|dshare_ppm|, the
+    same 2·TVD micro-units built from the exact-rational tier) and
+    ``ratio_sum_ppm`` (= Σ ratio_ppm, a libm-free divergence proxy:
+    exactly 1e6·K when the snapshots agree, grows as shares diverge)
+    are the two summary stats a cross-engine hash may cover — see the
+    module docstring's tier rules. Reading rule: PSI < 0.1 stable,
     0.1–0.25 moderate shift, > 0.25 investigate — the conventional
     thresholds."""
     return table.groupBy("feature").agg(
@@ -160,4 +208,6 @@ def drift_summary(table: DataFrame) -> DataFrame:
         F.sum(F.abs(F.col("share_a_ppm") - F.col("share_b_ppm"))).alias(
             "tvd2_ppm"
         ),
+        F.sum(F.abs(F.col("dshare_ppm"))).alias("tvd2x_ppm"),
+        F.sum("ratio_ppm").alias("ratio_sum_ppm"),
     )

@@ -93,6 +93,72 @@ def test_ppm_columns_are_exact_integer_forms(spark):
     assert s.tvd == pytest.approx(s.tvd2_ppm / 2e6, abs=2e-6)
 
 
+def test_exact_rational_tier_matches_fraction_ground_truth(spark):
+    # the r11 engine-portable tier: ratio_ppm / dshare_ppm computed in
+    # pure BIGINT arithmetic must equal round-half-up of the EXACT
+    # rational values (python Fraction ground truth) — no libm, no
+    # double, no engine round() tie rule anywhere
+    from fractions import Fraction
+
+    a = _docs(spark, [(i, "x" if i < 20 else "y") for i in range(30)])
+    b = _docs(spark, [(i, "x" if i < 10 else "y") for i in range(31)])
+    t = drift_table(a, b, FEATS(), alpha=0.5)
+    types = dict(t.dtypes)
+    assert types["ratio_ppm"] == "bigint"
+    assert types["dshare_ppm"] == "bigint"
+
+    def rhu(fr):  # round half-up of a positive Fraction
+        return (2 * 1_000_000 * fr.numerator + fr.denominator) // (
+            2 * fr.denominator
+        )
+
+    tot_a, tot_b, k = 30, 31, 2
+    for r in t.collect():
+        sa = Fraction(2 * r.n_a + 1, 2 * tot_a + k)
+        sb = Fraction(2 * r.n_b + 1, 2 * tot_b + k)
+        assert r.ratio_ppm == rhu(sa / sb)
+        assert r.dshare_ppm == rhu(sa) - rhu(sb)
+        # and the exact tier tracks the double tier to the last ppm
+        assert abs(r.dshare_ppm - (r.share_a_ppm - r.share_b_ppm)) <= 1
+    s = drift_summary(t).collect()[0]
+    rows = t.collect()
+    assert s.tvd2x_ppm == sum(abs(r.dshare_ppm) for r in rows)
+    assert s.ratio_sum_ppm == sum(r.ratio_ppm for r in rows)
+
+
+def test_exact_tier_identical_snapshots(spark):
+    # agreement reads exactly 1e6 per bucket ratio and zero dshare —
+    # the portable analog of psi == 0
+    a = _docs(spark, [(i, "x" if i % 3 else "y") for i in range(30)])
+    t = drift_table(a, a, FEATS())
+    for r in t.collect():
+        assert r.ratio_ppm == 1_000_000 and r.dshare_ppm == 0
+    s = drift_summary(t).collect()[0]
+    assert s.tvd2x_ppm == 0
+    assert s.ratio_sum_ppm == 1_000_000 * s.n_buckets
+
+
+def test_psi_kl_ppm_match_duckdb_ln_locally(spark):
+    # psi/kl stay OUT of driver-hashed projections (r11 policy) but
+    # remain validated against an independent engine's ln() here: the
+    # local-oracle replica the VERDICT asked to keep
+    import duckdb
+
+    a = _docs(spark, [(i, "x" if i < 20 else "y") for i in range(30)])
+    b = _docs(spark, [(i, "x" if i < 10 else "y") for i in range(30)])
+    t = drift_table(a, b, FEATS(), alpha=0.5)
+    got = {r.bucket: (r.psi_term_ppm, r.kl_term_ppm) for r in t.collect()}
+    con = duckdb.connect()
+    for bucket, n_a, n_b in (("x", 20, 10), ("y", 10, 20)):
+        duck = con.execute(
+            f"""SELECT CAST(round((sa - sb) * ln(sa / sb) * 1e6) AS BIGINT),
+                       CAST(round(sa * ln(sa / sb) * 1e6) AS BIGINT)
+                FROM (SELECT ({n_a} + 0.5) / (30 + 0.5 * 2) AS sa,
+                             ({n_b} + 0.5) / (30 + 0.5 * 2) AS sb)"""
+        ).fetchone()
+        assert got[bucket] == duck
+
+
 def test_multi_feature_single_pass(spark):
     df = spark.createDataFrame(
         [(i, "x" if i % 2 else "y", i % 3) for i in range(12)],

@@ -1,0 +1,123 @@
+"""Cross-libm portability matrix for transcendental-derived gate
+exposures — the standing pre-commit check the r10/r11 corpus_report
+incident demanded (PLANS.md r11 entry).
+
+Why a PERTURBATION matrix and not a version matrix: the driver's
+engine build is not instantiable here (no installs; exactly one
+DuckDB release is baked in), and r9+r10 proved the divergence lives
+in exactly the gap a single-version check cannot see — corpus_report
+hashed bit-exact under local DuckDB while the driver's run flipped.
+What IS measurable locally is the *mechanism*: different ln()
+implementations return different nearest-doubles (probe result,
+2026-08-15: numpy's vectorized log and glibc/DuckDB's scalar log
+disagree by 1 ulp on 15 of the 28 drift rows of the sf0.01 gate
+data). So instead of enumerating engine versions, this tool models
+the whole class: rewrite every ``ln(`` / ``exp(`` in each gate's
+oracle SQL to a macro that multiplies the result by (1 ± 1e-15) —
+≈ 4.5 ulp, comfortably covering any correctly-rounded-to-faithful
+libm spread plus FMA contraction — and compares the gate's final
+rowset (the exact values the driver hashes) against the unperturbed
+run.  A gate that is rowset-stable under ±4.5 ulp of every
+transcendental it computes cannot be flipped by a conforming engine's
+libm; a gate that flips is exposing a transcendental too close to a
+rounding/selection boundary and must move that stat out of the hashed
+projection (the corpus_report r11 fix: hash only exact-rational
+BIGINT tiers — see functions/drift.py).
+
+Usage: python tools/ln_matrix.py [sf_dir] [gate ...]
+Exit 1 if any gate's hashed rowset flips under perturbation.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from sentinel_spark.sources.tables import TABLE_NAMES
+
+# 2**-50 ~ 4.5 ulp relative bump; applied multiplicatively so the
+# perturbation scales with the value like a real libm error does
+EPS = 8.881784197001252e-16
+
+# every not-correctly-rounded libm entry point our oracle SQL uses.
+# sqrt is deliberately ABSENT: IEEE 754 requires sqrt (like +-*/) to
+# be correctly rounded, so it is in the exact class and cannot vary
+# across conforming engines. pow/log2/log10 are faithful-at-best in
+# real libms — same class as ln/exp.
+_FUNCS = ("ln", "exp", "log2", "log10", "log", "pow", "power")
+_PATS = {
+    f: re.compile(r"(?<![A-Za-z0-9_])" + f + r"\s*\(", re.IGNORECASE)
+    for f in _FUNCS
+}
+
+
+def perturb(sql: str) -> tuple[str, int]:
+    """Rewrite bare transcendental calls to the perturbed macros;
+    returns the rewritten SQL and the number of rewrites (0 = gate is
+    transcendental-free and trivially portable)."""
+    n = 0
+    for f in _FUNCS:
+        sql, k = _PATS[f].subn(f"__{f}p(", sql)
+        n += k
+    return sql, n
+
+
+def _rowset(rel) -> Counter:
+    cols = [d[0] for d in rel.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(r[i] for i in order) for r in rel.fetchall())
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for gate, sql in sorted(oracles.items()):
+        if only and gate not in only:
+            continue
+        psql, n = perturb(sql)
+        if n == 0:
+            print(f"SKIP  {gate}: no transcendentals in oracle")
+            continue
+        base = _rowset(con.sql(sql))
+        flips = 0
+        for sgn in (1.0, -1.0):
+            bump = f"* (1 + ({EPS!r}) * ({sgn!r}))"
+            for f in ("ln", "exp", "log2", "log10", "log"):
+                con.execute(
+                    f"CREATE OR REPLACE MACRO __{f}p(x) AS {f}(x) {bump}"
+                )
+            for f in ("pow", "power"):
+                con.execute(
+                    f"CREATE OR REPLACE MACRO __{f}p(x, y) AS "
+                    f"{f}(x, y) {bump}"
+                )
+            if _rowset(con.sql(psql)) != base:
+                flips += 1
+        tag = "FLIP " if flips else "STABLE"
+        print(f"{tag} {gate}: {n} transcendental site(s), "
+              f"{flips}/2 perturbation directions flipped the rowset")
+        if flips:
+            failed.append(gate)
+    if failed:
+        print("NON-PORTABLE HASHED EXPOSURES:", ", ".join(failed))
+        sys.exit(1)
+    print("all gates rowset-stable under ±4.5 ulp transcendental error")
+
+
+if __name__ == "__main__":
+    main()
