@@ -136,7 +136,18 @@ def build_ivfpq_index(
     artifact version through it, so a load racing a rebuild sees
     either the complete old generation or the complete new one, never
     a mix (readers pinned at the prior versions keep serving them —
-    retention keeps the files alive)."""
+    retention keeps the files alive).
+
+    SINGLE-WRITER CONTRACT: manifest updates are a read-modify-write
+    (``_read_manifest`` → ``_commit_manifest``), atomic against
+    READERS but not against each other — exactly one mutator (build /
+    refresh / :func:`refresh_ann_index_stream` / maintain) may run per
+    index path at a time. Two interleaved writers could publish a
+    manifest binding a codes version to model versions from a
+    different generation — the mixed-generation hazard the manifest
+    exists to prevent. Serialize mutations externally (the streaming
+    refresher already is serial; don't run an out-of-band rebuild
+    while it is up)."""
     spark = emb.sparkSession
     if centroids is not None:
         cents = _with_norm(centroids)
@@ -214,7 +225,9 @@ def refresh_ivfpq_index(
     :func:`maintain_ivfpq_index` afterwards — refresh appends
     per-batch files into cell partitions forever, and a serving index
     that degrades with every refresh is the first thing a production
-    user notices."""
+    user notices. Subject to the index's SINGLE-WRITER CONTRACT (see
+    :func:`build_ivfpq_index`): never run concurrently with another
+    mutator on the same path."""
     spark = emb_changed.sparkSession
     cents, cb, t, _pinned = load_ivfpq_artifacts(spark, path)
     resid = _ivf_residuals(
@@ -274,8 +287,13 @@ def load_ivfpq_artifacts(spark: SparkSession, path: str):
     probes against OLD centroids while scanning NEW codes (codebook
     indices into the wrong codebook produce plausible but wrong
     neighbors) — a holder serves one consistent snapshot and reloads
-    to roll forward. Codes-table retention (3 versions) must cover
-    the holder's lifetime across concurrent refreshes. Callers that
+    to roll forward. Codes-table retention (4 versions) must cover
+    the holder's lifetime across ONE full concurrent
+    delete+append+compact chain (refresh(compact=True) commits three
+    codes versions: delete, append, compaction rewrite — a holder
+    pinned at the pre-refresh version needs all three plus its own to
+    stay readable); a second refresh before the holder reloads can
+    still vacuum it, which is the documented reload cadence contract. Callers that
     serve many times under one model version (the streaming server)
     hold this tuple; single-shot callers let the search functions load
     it themselves. Pre-manifest indexes (built before r10) fall back
@@ -312,7 +330,9 @@ def maintain_ivfpq_index(
     compacted codes version. Content-preserving — serving results are
     bit-identical before/after (pytest-pinned) — and safe under
     concurrent readers: a holder pinned pre-compaction keeps scanning
-    the original files (retention ≥ 2). Returns the partition dirs
+    the original files (retention ≥ 2). NOT safe under concurrent
+    WRITERS — subject to the index's SINGLE-WRITER CONTRACT (see
+    :func:`build_ivfpq_index`). Returns the partition dirs
     compacted."""
     t = _codes_table(spark, path)
     done = t.compact(target_file_bytes=target_file_bytes, min_files=min_files)

@@ -107,11 +107,16 @@ def token_offsets(
             if isinstance(dt, TY.TimestampNTZType):
                 tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
                 # every fixed-offset ZoneId form Java accepts: Z/UTC/
-                # GMT/UT, the same with an offset suffix (GMT+05:30),
-                # Etc/ variants, and bare ±HH[:MM[:SS]] offsets —
-                # region zones (DST-capable) are what must raise
+                # GMT/UT, the fixed UTC aliases (GMT0, UCT, Zulu,
+                # Greenwich, Universal), the same with an offset
+                # suffix (GMT+05:30), Etc/ variants, and bare
+                # ±HH[:MM[:SS]] offsets — region zones (DST-capable)
+                # are what must raise. Over-matching strings that are
+                # not valid zone ids at all is harmless: the session
+                # conf only ever holds ids Java already accepted.
                 if not re.fullmatch(
-                    r"Z|(Etc/)?(UTC|GMT|UT)([+-]\d{1,2}(:\d{2}){0,2})?"
+                    r"Z|(Etc/)?(UTC|GMT0|GMT|UT|UCT|Zulu|Greenwich"
+                    r"|Universal)([+-]\d{1,2}(:\d{2}){0,2})?"
                     r"|[+-]\d{1,2}(:\d{2}){0,2}",
                     tz or "",
                 ):

@@ -132,7 +132,13 @@ def registered_domain(
     suffix-first, so custom sets may mix depths freely. A host that IS
     a listed suffix (``edu.au`` itself) has no registrable domain
     under PSL semantics and yields NULL — without the guard it would
-    self-match and inflate per-domain aggregates."""
+    self-match and inflate per-domain aggregates. NOTE for per-domain
+    CONTROLS: that NULL means such hosts carry no key here, so the
+    control operators (:func:`cap_per_domain`, :func:`domain_blocklist`,
+    :func:`apply_domain_blocklist`) key on :func:`_control_domain`
+    instead — registrable domain with a fall-back to the raw host — so
+    a site serving directly off a bare listed suffix cannot escape
+    every cap and blocklist through the PSL technicality."""
     host = url_host(url)
     # Mixed-depth suffixes need no ordering: the pattern anchors at $
     # and `[^.]+\.` consumes exactly one label, so at any start
@@ -151,6 +157,23 @@ def registered_domain(
         .when(listed != "", listed)
         .otherwise(generic)
     )
+
+
+def _control_domain(
+    url: Column | str,
+    suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
+) -> Column:
+    """Key column for per-domain CONTROLS (caps, blocklists):
+    :func:`registered_domain`, falling back to the raw host when the
+    registrable domain is NULL but the host is non-empty — i.e. a host
+    that IS a bare public suffix still gets capped and remains
+    blockable under its own name. Hostless/unparseable URLs still key
+    to '' (excluded from blocklists, passed through caps — dropping
+    every malformed-URL document wholesale is never the intent).
+    Analytics (:func:`domain_report`) stay PSL-pure on
+    :func:`registered_domain`."""
+    host = url_host(url)
+    return F.coalesce(registered_domain(url, suffixes), host)
 
 
 def domain_report(
@@ -200,9 +223,11 @@ def cap_per_domain(
     rule), then by a salted md5 hash of the id — a stable uniform draw,
     so the kept subset is an unbiased per-domain SAMPLE rather than an
     id-order prefix (crawl ids correlate with crawl time; a prefix
-    would keep only the oldest pages) — final ties → lower id. Rows
-    whose URL yields no registrable domain (NULL url, bare public
-    suffix) carry no cap key and pass through unexamined.
+    would keep only the oldest pages) — final ties → lower id. The cap
+    key is :func:`_control_domain`: registrable domain, falling back
+    to the raw host for a bare-public-suffix host (which would
+    otherwise escape the cap entirely); only hostless/unparseable URLs
+    carry no cap key and pass through unexamined.
 
     Output: the kept rows, all original columns preserved, plus
     ``domain`` and ``domain_rank`` (1..max_docs within the domain).
@@ -229,7 +254,7 @@ def cap_per_domain(
         10,
     ).cast("long")
     keyed = df.withColumn(
-        "domain", registered_domain(F.col(url_col), suffixes)
+        "domain", _control_domain(F.col(url_col), suffixes)
     ).withColumn("__cap_ord", F.struct(pref_ord.alias("p"), h.alias("h")))
     capped = grouped_topk(
         keyed.where(F.col("domain").isNotNull() & (F.col("domain") != "")),
@@ -269,12 +294,14 @@ def domain_blocklist(
     ``max_bad_frac``.
 
     Output: (domain, n_docs, n_bad, bad_frac) — one row per BLOCKED
-    domain; apply with a broadcast anti-join on
-    :func:`registered_domain`. One map-side-combined aggregate on the
-    domain key; the blocklist itself is tiny (the point of the
-    operator) and broadcasts.
+    domain; apply with :func:`apply_domain_blocklist` (broadcast
+    anti-join on the same key). The key is :func:`_control_domain` —
+    registrable domain with raw-host fallback, so a spam site serving
+    directly off a bare listed suffix is still blockable. One
+    map-side-combined aggregate on the domain key; the blocklist
+    itself is tiny (the point of the operator) and broadcasts.
     """
-    dom = registered_domain(F.col(url_col), suffixes)
+    dom = _control_domain(F.col(url_col), suffixes)
     return (
         df.select(dom.alias("domain"), bad.cast("int").alias("__bad"))
         # hostless/malformed URLs all map to domain '' — one pseudo-
@@ -304,13 +331,16 @@ def apply_domain_blocklist(
     *,
     suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES,
 ) -> DataFrame:
-    """Drop every document whose registered domain is on ``blocklist``
-    (a frame with a ``domain`` column) — broadcast LEFT ANTI join, so
-    at corpus scale this is a scan-side filter, not a shuffle."""
+    """Drop every document whose control domain
+    (:func:`_control_domain` — registrable domain with raw-host
+    fallback, matching :func:`domain_blocklist`'s key) is on
+    ``blocklist`` (a frame with a ``domain`` column) — broadcast LEFT
+    ANTI join, so at corpus scale this is a scan-side filter, not a
+    shuffle."""
     tmp = "__sentinel_blocklist_dom__"
     if tmp in df.columns:
         raise ValueError(f"input frame already has a {tmp!r} column")
-    dom = registered_domain(F.col(url_col), suffixes)
+    dom = _control_domain(F.col(url_col), suffixes)
     return df.withColumn(tmp, dom).join(
         F.broadcast(blocklist.select(F.col("domain").alias(tmp))),
         tmp,

@@ -215,7 +215,13 @@ def test_token_offsets_timestamp_keys(spark):
         # every fixed-offset ZoneId form must pass — prefixed offsets
         # (GMT+05:30) are legal Spark session zones and DST-free
         for fixed in ("+05:30", "GMT+05:30", "UTC+02:00", "UT+01:00",
-                      "Etc/GMT-7", "Z"):
+                      "Etc/GMT-7", "Z",
+                      # the fixed-offset UTC aliases (r11 ADVICE fix):
+                      # all valid DST-free Java zone ids that the
+                      # allowlist used to reject
+                      "GMT0", "UCT", "Zulu", "Greenwich", "Universal",
+                      "Etc/GMT0", "Etc/UCT", "Etc/Zulu", "Etc/Greenwich",
+                      "Etc/Universal"):
             spark.conf.set("spark.sql.session.timeZone", fixed)
             token_offsets(df, "n_tok", "ts_ntz", shard_tokens=128)  # no raise
     finally:

@@ -120,6 +120,28 @@ def test_domain_blocklist_and_apply(spark):
     assert kept.columns == docs.columns  # schema untouched
 
 
+def test_blocklist_bare_suffix_host_is_blockable(spark):
+    # r11 ADVICE fix: a site serving directly off a bare listed public
+    # suffix has no PSL registrable domain, but the per-domain CONTROLS
+    # key on the control domain (host fallback) — it must not escape
+    from sentinel_spark.functions.web import (
+        apply_domain_blocklist,
+        domain_blocklist,
+    )
+
+    rows = [(i, f"https://edu.au/spam{i}", True) for i in range(12)]
+    rows += [(100 + i, f"https://real.edu.au/ok{i}", False) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, bad boolean")
+    bl = domain_blocklist(
+        docs, "url", F.col("bad"), min_docs=10, max_bad_frac=0.5
+    )
+    assert {r.domain for r in bl.collect()} == {"edu.au"}
+    kept = apply_domain_blocklist(docs, "url", bl)
+    # the bare-suffix spam site is gone; real.edu.au (its own
+    # registrable domain) is untouched by the block on the suffix host
+    assert {r.doc_id for r in kept.collect()} == {100, 101, 102, 103}
+
+
 def test_url_dedup_default_min_id(spark):
     from sentinel_spark.functions.web import url_dedup
 
@@ -217,9 +239,13 @@ def test_cap_per_domain_hash_draw_and_passthrough(spark):
     want_a = sorted(range(10), key=lambda i: (-h(i), i))[:3]
     got_a = [r.id for r in sorted(by_dom["sitea.com"], key=lambda r: r.domain_rank)]
     assert got_a == want_a
-    # keyless rows pass through uncapped with NULL rank
+    # keyless (hostless) rows pass through uncapped with NULL rank;
+    # a bare-listed-suffix host does NOT bypass the cap (r11 ADVICE
+    # fix): it caps under its own host as the control key
     passthrough = {r.id for r in out if r.domain_rank is None}
-    assert passthrough == {100, 101}
+    assert passthrough == {100}
+    assert by_dom["edu.au"][0].id == 101
+    assert by_dom["edu.au"][0].domain_rank == 1
     # deterministic across reruns; a different salt changes the draw
     again = {(r.id, r.domain_rank) for r in cap_per_domain(df, "url", "id", 3).collect()}
     assert again == {(r.id, r.domain_rank) for r in out}
