@@ -1084,6 +1084,64 @@ def test_ann_join_plans(spark):
         SIM.ann_join(left, right, method="bogus")
 
 
+def _clustered_emb(spark, n, base, dim=16, rad=0.6):
+    # 8 tight-ish clusters: center[j][d] = ((j*5+d*3) % 7) - 3, member
+    # offsets scale with rad — the geometry ann_join's lsh path is FOR
+    rows = []
+    for i in range(n):
+        j = i % 8
+        vec = [
+            float(((j * 5 + d * 3) % 7) - 3)
+            + rad * (((i * 13 + d * 7) % 11) - 5) / 5.0
+            for d in range(dim)
+        ]
+        rows.append((base + i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_join_lsh_recall_golden(spark):
+    # r11 VERDICT #5: the lsh path's default-parameter recall, measured
+    # and pinned the way MinHash's star-recall bound is. Everything is
+    # deterministic (xxhash64 hyperplanes), so these are goldens, not
+    # approx bounds — the docstring numbers come from here.
+    left = _clustered_emb(spark, 64, 10_000)
+    right = _clustered_emb(spark, 256, 0)
+    r = SIM.ann_join_recall(left, right, k=5, bits=8, multiprobe=True).collect()
+    assert len(r) == 64
+    assert round(sum(x.recall for x in r) / len(r), 6) == 0.9625
+    assert min(x.recall for x in r) == 0.6
+    single = SIM.ann_join_recall(
+        left, right, k=5, bits=8, multiprobe=False
+    ).collect()
+    assert round(sum(x.recall for x in single) / len(single), 6) == 0.8875
+    # recall is hits/k with hits from the exact∩lsh join — self-consistent
+    for x in r:
+        assert x.recall == round(x.hits / 5.0, 6)
+
+
+def test_ann_join_exact_guards_unbounded_left_broadcast(spark):
+    # r11 VERDICT #4: the docstring promised "a bounded query batch";
+    # now the bound is enforced — a left side over max_broadcast_rows
+    # raises (pointing at method='lsh') instead of silently shipping a
+    # multi-GB broadcast
+    e = _bigger_emb(spark)
+    left = e.where("vec_id % 10 = 3")  # 4 rows
+    right = e.where("vec_id % 10 <> 3")
+    with pytest.raises(ValueError, match="lsh"):
+        SIM.ann_join(left, right, k=3, max_broadcast_rows=3)
+    # at/below the bound: same result, same broadcast plan as ever
+    out = SIM.ann_join(left, right, k=3, max_broadcast_rows=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert out.count() == 4 * 3
+    # the guard is exact-path only: lsh takes no count job and no bound
+    SIM.ann_join(left, right, k=3, method="lsh", max_broadcast_rows=0)
+    # cartesian fallback opts out of the broadcast, so no bound either
+    SIM.ann_join(
+        left, right, k=3, broadcast_left=False, max_broadcast_rows=0
+    )
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprints (r10)
 # ---------------------------------------------------------------------------
