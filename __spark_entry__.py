@@ -630,12 +630,15 @@ def q_corpus_report(spark, sf_dir):
     # per-feature summary are value-hash-checked. The tiny drift table
     # persists because two branches (terms + summary) consume it —
     # released through the gate's handle.
-    # r10: the hash-checked stats are the *_ppm scaled-integer forms
-    # (round(raw·1e6) AS BIGINT, cast to DOUBLE only for union-schema
-    # harmony — integral doubles are bit-exact), not round(double, 6):
-    # the r9 driver run proved rounded transcendental doubles are not
-    # engine-portable (CORRECTNESS_r09 corpus_report hash_match=false
-    # while bit-exact under local DuckDB 1.0.0).
+    # r11: the hash-checked stats are the EXACT-RATIONAL tier only
+    # (drift.py module docstring): ratio_ppm / dshare_ppm per bucket,
+    # tvd2x_ppm / ratio_sum_ppm per feature — pure BIGINT arithmetic,
+    # no ln() anywhere in the hashed projection. r9 hashed rounded
+    # doubles (red), r10 hashed round(ln·1e6) BIGINTs (still red —
+    # the driver's engine rounds ln() differently from local DuckDB
+    # 1.0.0 somewhere the margin model missed, see PLANS.md r11).
+    # psi/kl stay library columns, validated in tests/test_drift.py
+    # against DuckDB's ln() locally.
     from sentinel_spark.cache import with_release
     from sentinel_spark.functions.drift import drift_summary, drift_table
 
@@ -656,8 +659,8 @@ def q_corpus_report(spark, sf_dir):
         F.col("bucket").alias("key2"),
         F.col("n_a").alias("n_docs"),
         F.col("n_b").alias("n_tokens"),
-        F.col("psi_term_ppm").cast("double").alias("stat1"),
-        F.col("kl_term_ppm").cast("double").alias("stat2"),
+        F.col("ratio_ppm").cast("double").alias("stat1"),
+        F.col("dshare_ppm").cast("double").alias("stat2"),
     )
     srows = drift_summary(dt).select(
         F.lit("drift_sum").alias("kind"),
@@ -665,8 +668,8 @@ def q_corpus_report(spark, sf_dir):
         F.col("n_buckets").cast("string").alias("key2"),
         F.col("n_a").alias("n_docs"),
         F.col("n_b").alias("n_tokens"),
-        F.col("psi_ppm").cast("double").alias("stat1"),
-        F.col("kl_ppm").cast("double").alias("stat2"),
+        F.col("tvd2x_ppm").cast("double").alias("stat1"),
+        F.col("ratio_sum_ppm").cast("double").alias("stat2"),
     )
     out = cube.unionByName(hist).unionByName(drows).unionByName(srows)
     return with_release(out, [dt])
@@ -695,9 +698,28 @@ def q_corpus_funnel(spark, sf_dir):
     corpus = d.where(F.col("doc_id") % 10 != 0)
     target = d.where(F.col("doc_id") % 17 == 3).select("doc_id", "text")
     res = build_training_corpus(
-        corpus, bench, None, dsir_target=target, dsir_n=200
+        corpus, bench, None, dsir_target=target, dsir_n=200,
+        with_drop_report=True,
     )
-    return carry(res.funnel, res.selected)
+    # r11 (VERDICT #6): the per-document drop attribution — the
+    # recipe's debugging surface — reconciles against the funnel AT THE
+    # DRIVER: each stage's attribution count, summed from the
+    # drop_report frame, is appended to the funnel row; the oracle
+    # states each as the DELTA of adjacent (already-proven) funnel
+    # columns. Near-zero added compute: the report reads the same
+    # persisted flag frames the funnel already holds.
+    st = F.col("stage")
+    rep = res.drop_report.agg(
+        *[
+            F.sum((st == s).cast("long")).alias(f"rep_{s}")
+            for s in ("quality", "exact_dup", "near_dup",
+                      "contaminated", "dsir", "kept")
+        ],
+        F.sum(
+            F.when(st == "kept", F.col("n_tok")).otherwise(F.lit(0))
+        ).cast("long").alias("rep_kept_tok"),
+    )
+    return carry(res.funnel.crossJoin(rep), res.selected, res.drop_report)
 
 
 def q_line_clean(spark, sf_dir):
@@ -1771,7 +1793,7 @@ def q_decontam_suite(spark, sf_dir):
 
 
 def near_dup_union(d):
-    """The six-branch near-dup union over a documents frame — shared
+    """The seven-branch near-dup union over a documents frame — shared
     by :func:`q_near_dup_pairs` and the bench warmup, which runs this
     exact plan shape on a 3-row frame so the union's one-time codegen
     (~4.4 s measured at any data size) is charged to warmup, not to
@@ -1856,15 +1878,46 @@ def near_dup_union(d):
         F.col("id_old").alias("id_b"),
         F.col("est_jaccard").alias("score"),
     )
+    # Winnowing overlap mining (r11, VERDICT r10 #3): the MOSS
+    # fingerprint family's driver gate — previously the only operator
+    # family with zero oracle-checked rows. Budget-capped to the
+    # doc_id % 10 == 0 subset (the interpreted-HOF fingerprint pass is
+    # ~1 ms/doc), and — the synthesized-evidence precedent
+    # (web_domains URLs, line_clean footers) — each subset doc is
+    # paired with a 200-char TRUNCATION of itself under id + 10^6: the
+    # corpus's organic dup families have arbitrary id deltas, so an
+    # id-residue subset alone strands dup partners and the branch
+    # would hash an empty (vacuous) frame at sf0.01. The truncation
+    # guarantees a long shared token run per doc, i.e. real positive
+    # pairs at every SF, exercising the winnowing guarantee itself
+    # (shared run >= window+k-1 tokens => shared fingerprint) plus the
+    # k-gram hash, partial-window clamp, df guard, and shared-count
+    # join — all value-hashed (score = n_shared).
+    wsub = d.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    wtr = wsub.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    wn_raw = D.winnow_overlap_pairs(
+        wsub.unionByName(wtr), "text", "doc_id",
+        k=5, window=4, min_shared=2, max_df=50,
+    )
+    wn = wn_raw.select(
+        F.lit("winnow").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("n_shared").cast("double").alias("score"),
+    )
     out = (
         mh.unionByName(ver)
         .unionByName(ng)
         .unionByName(zp)
         .unionByName(sh)
         .unionByName(inc)
+        .unionByName(wn)
     )
     cached = list(getattr(cand, "_sentinel_cached", []))
-    for raw in (ng_raw, zp_raw, sh_raw, inc_raw):
+    for raw in (ng_raw, zp_raw, sh_raw, inc_raw, wn_raw):
         cached += getattr(raw, "_sentinel_cached", [])
     return with_release(out, cached)
 
@@ -1873,8 +1926,10 @@ def q_near_dup_pairs(spark, sf_dir):
     """Every text near-dup pairing operator in one frame, tagged by
     ``method``: MinHash+LSH candidates, their exact-Jaccard-verified
     survivors (sharing ONE candidate computation), exact inverted-index
-    n-gram Jaccard, its Zipf-guarded variant, and banded SimHash —
-    score is est/exact Jaccard or the Hamming distance as a double."""
+    n-gram Jaccard, its Zipf-guarded variant, banded SimHash, the
+    incremental new×old candidates, and (r11) winnowing overlap pairs
+    on a capped subset — score is est/exact Jaccard, the Hamming
+    distance, or the shared-fingerprint count as a double."""
     return near_dup_union(_t(spark, sf_dir, "documents"))
 
 
@@ -4195,10 +4250,14 @@ def oracle_sql() -> dict[str, str]:
     # the Spark side).
     # drift-branch replay: same (feature, bucket) count pipeline over
     # the even/odd snapshot halves, add-0.5 smoothing over each
-    # feature's realized buckets. Hash-checked stats are the scaled
-    # BIGINT ppm forms (round(raw·1e6) AS BIGINT — engine-portable;
-    # see the r10 note in q_corpus_report); the summary sums the ppm
-    # INTEGER terms (reproducible-from-the-report rule, now exact).
+    # feature's realized buckets. Hash-checked stats are the
+    # exact-rational tier ONLY (see the r11 note in q_corpus_report):
+    # with alpha = 1/2 the smoothed shares are sa = na2/da,
+    # sb = nb2/db over na2 = 2·n_a+1, da = 2·tot_a+k — round(1e6·x)
+    # for a positive rational x = A/B is (2e6·A + B) // (2·B) in pure
+    # BIGINT arithmetic (// is DuckDB integer division, `div` on the
+    # Spark side). No ln(), no double, no engine round() tie rule
+    # anywhere in the hashed projection.
     drift_sql = """
         WITH dr_j AS (
           SELECT coalesce(a.feature, b.feature) AS feature,
@@ -4241,25 +4300,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         dr_terms AS (
           SELECT feature, bucket, n_a, n_b,
-                 CAST(round((sa - sb) * ln(sa / sb) * 1e6) AS BIGINT)
-                   AS psi_ppm,
-                 CAST(round(sa * ln(sa / sb) * 1e6) AS BIGINT) AS kl_ppm
+                 (2000000 * na2 * db + nb2 * da) // (2 * nb2 * da)
+                   AS ratio_ppm,
+                 (2000000 * na2 + da) // (2 * da)
+                   - (2000000 * nb2 + db) // (2 * db) AS dshare_ppm
           FROM (
             SELECT j.*,
-                   (j.n_a + 0.5) / (t.tot_a + 0.5 * t.k) AS sa,
-                   (j.n_b + 0.5) / (t.tot_b + 0.5 * t.k) AS sb
+                   2 * j.n_a + 1 AS na2, 2 * j.n_b + 1 AS nb2,
+                   2 * t.tot_a + t.k AS da, 2 * t.tot_b + t.k AS db
             FROM dr_j j JOIN dr_t t USING (feature)
           )
         )
         SELECT 'drift' AS kind, feature AS key1, bucket AS key2,
                n_a AS n_docs, n_b AS n_tokens,
-               CAST(psi_ppm AS DOUBLE) AS stat1,
-               CAST(kl_ppm AS DOUBLE) AS stat2
+               CAST(ratio_ppm AS DOUBLE) AS stat1,
+               CAST(dshare_ppm AS DOUBLE) AS stat2
         FROM dr_terms
         UNION ALL
         SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
                sum(n_a), sum(n_b),
-               CAST(sum(psi_ppm) AS DOUBLE), CAST(sum(kl_ppm) AS DOUBLE)
+               CAST(sum(abs(dshare_ppm)) AS DOUBLE),
+               CAST(sum(ratio_ppm) AS DOUBLE)
         FROM dr_terms GROUP BY feature
     """
     out["corpus_report"] = f"""
@@ -4376,7 +4437,23 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(n_tok) AS BIGINT) AS tokens_dsir
           FROM stage3 JOIN dsel ON stage3.doc_id = dsel.id
         )
-        SELECT * FROM f0, f1, f2, f_dsir
+        -- r11 drop-report reconciliation: the Spark side sums the
+        -- per-document attribution frame; the oracle states each
+        -- stage's count as the DELTA of adjacent funnel columns (the
+        -- attribution contract: the FIRST stage that dropped a doc
+        -- names it, so stage counts telescope through the funnel)
+        SELECT f0.*, f1.*, f2.*, f_dsir.*,
+               CAST(f0.docs_in - f0.docs_quality AS BIGINT) AS rep_quality,
+               CAST(f0.docs_quality - f1.docs_exact AS BIGINT)
+                 AS rep_exact_dup,
+               CAST(f1.docs_exact - f1.docs_neardup AS BIGINT)
+                 AS rep_near_dup,
+               CAST(f1.docs_neardup - f1.docs_clean AS BIGINT)
+                 AS rep_contaminated,
+               CAST(f1.docs_clean - f_dsir.docs_dsir AS BIGINT) AS rep_dsir,
+               CAST(f_dsir.docs_dsir AS BIGINT) AS rep_kept,
+               CAST(f_dsir.tokens_dsir AS BIGINT) AS rep_kept_tok
+        FROM f0, f1, f2, f_dsir
     """
     out["fragment_agg"] = f"""
         SELECT * FROM ({base["fragment_agg"]}) CROSS JOIN ({base["fragment_struct_agg"]})
@@ -4693,6 +4770,63 @@ def oracle_sql() -> dict[str, str]:
                est_jaccard
         FROM ({_minhash_oracle(where="WHERE doc_id % 2 = 0")})
         WHERE id_a % 10 = 0 OR id_b % 10 = 0
+        UNION ALL
+        -- winnowing replay (dedup.winnow_overlap_pairs, k=5 window=4):
+        -- 5-gram md5-int60 hashes, per-window minima with the partial-
+        -- window clamp (n_win = greatest(n-3, least(n,1)); least()
+        -- over the slice skips the missing tail the Spark arrays_zip
+        -- pads with NULL), distinct per doc, df<=50 guard, shared>=2;
+        -- input = doc_id % 10 subset ∪ its 200-char truncations under
+        -- id + 1e6 (guaranteed positive pairs at every SF — see the
+        -- Spark-side note)
+        SELECT 'winnow' AS method, id_a, id_b,
+               CAST(n_shared AS DOUBLE) AS score
+        FROM (
+          WITH wtok AS (
+            SELECT doc_id, {_WORDS} AS toks
+            FROM (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, substr(text, 1, 200)
+              FROM documents WHERE doc_id % 10 = 0
+            )
+          ),
+          wg AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 5 + 2),
+                       i -> array_to_string(list_slice(toks, i, i + 4), ' ')
+                   ) AS grams
+            FROM wtok WHERE len(toks) >= 5
+          ),
+          wm AS (
+            SELECT doc_id, list_transform(grams, g -> md5(g)) AS ms,
+                   len(grams) AS n
+            FROM wg
+          ),
+          wh AS (
+            SELECT doc_id,
+                   list_transform(ms, m -> ({_duck_hex60("m")})) AS hs, n
+            FROM wm
+          ),
+          ww AS (
+            SELECT doc_id, hs, n,
+                   unnest(range(1, greatest(n - 3, least(n, 1)) + 1)) AS w
+            FROM wh
+          ),
+          wfp AS (
+            SELECT DISTINCT doc_id,
+                   list_min(list_slice(hs, w, least(w + 3, n))) AS fp
+            FROM ww
+          ),
+          wdf AS (SELECT fp FROM wfp GROUP BY fp HAVING count(*) <= 50),
+          wkept AS (SELECT wfp.doc_id, wfp.fp FROM wfp JOIN wdf USING (fp))
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS n_shared
+          FROM wkept a JOIN wkept b USING (fp)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 2
+        )
     """
     out["media_suite"] = f"""
         SELECT 'media' AS kind, media_id, CAST(NULL AS INTEGER) AS frame_idx,

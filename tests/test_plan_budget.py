@@ -54,7 +54,7 @@ BUDGET = {
                            # InMemoryRelation for both consuming
                            # branches, double-counting in this text
                            # scan
-    "corpus_funnel": 57,   # the whole recipe: featurize/winners/LSH
+    "corpus_funnel": 109,  # the whole recipe: featurize/winners/LSH
                            # pipeline over survivors + decontam shingle
                            # pass + funnel aggregates — each exchange
                            # audited as a stage of its standalone gate.
@@ -70,7 +70,18 @@ BUDGET = {
                            # the ENTIRE upstream recipe lineage at
                            # every reference — one real new exchange
                            # would multiply the same way, so the
-                           # tripwire still trips
+                           # tripwire still trips.
+                           # r11 (57 -> 109): with_drop_report=True +
+                           # the reconciliation agg — the attribution
+                           # frame joins flagged/stage3/final/
+                           # dsir_picked, ALL persisted by the recipe,
+                           # so at runtime the branch is one winners
+                           # re-agg over the cached narrow frame plus
+                           # a 1-row crossJoin; the raw text count
+                           # nearly doubles only because those four
+                           # InMemoryRelations re-print the recipe
+                           # lineage again (runtime cost priced in
+                           # BASELINE.md's r11 section)
     "line_clean": 3,       # r8 boilerplate branch: line-fingerprint
                            # frequency aggregate, frequent-set
                            # re-attach join, per-doc reassembly; the
@@ -115,10 +126,16 @@ BUDGET = {
                            # aggregates + coverage anti-join + per-doc
                            # reassembly) + r6 paragraph-dedup branch
                            # (split/fingerprint aggregate + reassembly)
-    "near_dup_pairs": 36,  # six pairing pipelines, each bucket-bounded
-                           # (r5 adds the incremental new-vs-index
-                           # branch: one batch shingle pipeline + the
-                           # subset index build)
+    "near_dup_pairs": 42,  # seven pairing pipelines, each
+                           # bucket-bounded (r5 adds the incremental
+                           # new-vs-index branch: one batch shingle
+                           # pipeline + the subset index build;
+                           # r11 +6: the winnow branch — fingerprint
+                           # lineage recomputed per join side + the
+                           # df-guard agg (recompute-per-branch is the
+                           # audited scale choice, r5), the fp
+                           # equi-join's two sides, and the pair-count
+                           # agg, all on the doc_id % 5 subset)
     "ingest_rollup": 11,
     "salted_agg": 5,       # two salted phases x two paths + join
     "typed_tags": 0,
