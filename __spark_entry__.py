@@ -1254,11 +1254,28 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """Recall@k harness: quantized two-stage ANN vs the exact
-    brute-force baseline, per query — the measurement every
-    approximate index needs before being trusted at scale."""
+    """Recall@k harness, two branches tagged by ``kind``: the
+    quantized two-stage ANN vs the exact brute-force baseline
+    (id-list server shape), and — r11 — ``ann_join``'s big×big LSH
+    path vs its exact path (cross-table join shape: every
+    vec_id % 100 == 7 row queries the rest of the corpus; bits=4
+    md5-parity FIXED buckets so the oracle replays bucket assignment
+    exactly, multiprobe on). The per-query recall of each approximate
+    method is the measurement it needs before being trusted at
+    scale — now both serving shapes carry it under the driver."""
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.ann_recall(e, [0, 1, 2, 3, 4], k=5, rerank=4)
+    qr = SIM.ann_recall(e, [0, 1, 2, 3, 4], k=5, rerank=4)
+    base = qr.select(
+        F.lit("quantized").alias("kind"), "q_id", "hits", "recall"
+    )
+    xr = SIM.ann_join_recall(
+        e.where(F.col("vec_id") % 100 == 7),
+        e.where(F.col("vec_id") % 100 != 7),
+        k=5, bits=4, multiprobe=True, dim=64,
+    ).select(F.lit("xjoin_lsh").alias("kind"), "q_id", "hits", "recall")
+    from sentinel_spark.cache import carry
+
+    return carry(base.unionByName(xr), qr)
 
 
 # --------------------------------------------------------------------------
@@ -3140,10 +3157,10 @@ def _dsir_select_sql(
     """
 
 
-def _lsh_topk_oracle(bits: int = 4, dim: int = 64, k: int = 5) -> str:
-    """DuckDB mirror of SIM.lsh_topk(bits=4, dim=64, multiprobe): the
-    same literal md5-parity hyperplane weights are inlined, so bucket
-    assignment (and therefore the approximate result set) is identical."""
+def _duck_fixed_bucket(bits: int, dim: int, vec: str = "embedding") -> str:
+    """DuckDB rendering of SIM.hyperplane_bucket_fixed over column
+    ``vec``: the same literal md5-parity hyperplane weights are
+    inlined, so bucket assignment is identical to the Spark side."""
     from sentinel_spark.functions.similarity import hyperplane_weights
 
     weights = hyperplane_weights(bits, dim)
@@ -3151,14 +3168,21 @@ def _lsh_topk_oracle(bits: int = 4, dim: int = 64, k: int = 5) -> str:
     def dot_w(i: int) -> str:
         lits = ", ".join(str(x) for x in weights[i])
         return (
-            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            f"list_sum(list_transform(list_zip({vec}, [{lits}]), "
             "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
         )
 
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {dot_w(i)} > 0 THEN {1 << (bits - 1 - i)} ELSE 0 END)"
         for i in range(bits)
     )
+
+
+def _lsh_topk_oracle(bits: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB mirror of SIM.lsh_topk(bits=4, dim=64, multiprobe): the
+    same literal md5-parity hyperplane weights are inlined, so bucket
+    assignment (and therefore the approximate result set) is identical."""
+    bucket = _duck_fixed_bucket(bits, dim)
     cos = (
         "list_sum(list_transform(list_zip(q.q_vec, c.c_vec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
         " / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
@@ -4187,7 +4211,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT q_id, c_id, round(sim_exact, 6) AS sim, CAST(rank AS INTEGER) AS rank
             FROM reranked WHERE rank <= 5
         """,
-        "ann_recall": _quantized_topk_oracle() + """,
+        "ann_recall": _quantized_topk_oracle() + f""",
             approx_top AS (
               SELECT q_id, c_id FROM reranked WHERE rank <= 5
             ),
@@ -4206,13 +4230,73 @@ def oracle_sql() -> dict[str, str]:
                     WHERE vec_id IN (0,1,2,3,4)) q,
                    embeddings e
               WHERE e.vec_id != q.q_id
+            ),
+            -- r11 xjoin_lsh branch: ann_join(method='lsh', bits=4,
+            -- dim=64, multiprobe) vs ann_join(method='exact') recall
+            -- per query; fixed md5-parity buckets replayed literally,
+            -- left multiprobe = own bucket + 4 Hamming-1 neighbors,
+            -- no q!=c exclusion (cross-table semantics; the %100
+            -- split makes the sides disjoint anyway)
+            xwb AS (
+              SELECT vec_id, embedding,
+                     {_duck_fixed_bucket(4, 64)} AS bucket
+              FROM embeddings
+            ),
+            xq AS (
+              SELECT vec_id AS q_id, embedding AS q_vec,
+                     xor(bucket, x.x) AS q_bucket
+              FROM xwb CROSS JOIN (SELECT unnest([0,1,2,4,8]) AS x) x
+              WHERE vec_id % 100 = 7
+            ),
+            xc AS (
+              SELECT vec_id AS c_id, embedding AS c_vec, bucket
+              FROM xwb WHERE vec_id % 100 <> 7
+            ),
+            xcos_lsh AS (
+              SELECT q_id, c_id,
+                     list_sum(list_transform(list_zip(q_vec, c_vec),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     AS sim_exact
+              FROM xc c JOIN xq q ON c.bucket = q.q_bucket
+            ),
+            xlsh AS (
+              SELECT q_id, c_id FROM (
+                SELECT q_id, c_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY sim_exact DESC, c_id
+                ) AS rank FROM xcos_lsh
+              ) WHERE rank <= 5
+            ),
+            xexact AS (
+              SELECT q_id, c_id FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       row_number() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY
+                           list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                           DESC, c.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 7) q,
+                     (SELECT * FROM embeddings WHERE vec_id % 100 <> 7) c
+              ) WHERE rank <= 5
             )
-            SELECT ex.q_id,
+            SELECT 'quantized' AS kind, ex.q_id,
                    CAST(sum(CASE WHEN ap.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
                    round(sum(CASE WHEN ap.c_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
             FROM exact_scored ex
             LEFT JOIN approx_top ap ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
             WHERE ex.rank <= 5
+            GROUP BY ex.q_id
+            UNION ALL
+            SELECT 'xjoin_lsh', ex.q_id,
+                   CAST(sum(CASE WHEN ap.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN ap.c_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6)
+            FROM xexact ex
+            LEFT JOIN xlsh ap ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
             GROUP BY ex.q_id
         """,
     }

@@ -146,6 +146,7 @@ def ann_join(
     vec_col: str = "embedding",
     broadcast_left: bool = True,
     max_broadcast_rows: int = 500_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-``k`` cosine neighbors in ``right`` for EVERY ``left`` row
     — the cross-corpus retrieval primitive (hard-negative mining,
@@ -177,6 +178,13 @@ def ann_join(
     shuffle on the bucket key, never a cartesian; recall < 1 by
     design (a neighbor differing in ≥ 2 bucket bits is unreachable).
 
+    With ``dim`` given (a property of the embedding tables), the lsh
+    path buckets with the literal md5-parity weights
+    (:func:`hyperplane_bucket_fixed`) — deterministic AND
+    engine-portable, so the approximate join is oracle-checkable
+    (:func:`lsh_topk`'s convention); without it, the dimension-free
+    xxhash64 bucket function is used.
+
     Rows sharing an id across tables are NOT excluded (cross-table
     semantics) — filter ``q_id != c_id`` downstream when the sides
     overlap. Both paths rank through :func:`grouped_topk`, so no
@@ -206,9 +214,14 @@ def ann_join(
         qs = F.broadcast(q) if broadcast_left else q
         cand = c.crossJoin(qs)
     elif method == "lsh":
+        def _bucket(col: Column) -> Column:
+            if dim is not None:
+                return hyperplane_bucket_fixed(col, bits, dim)
+            return hyperplane_bucket(col, bits)
+
         qb = q.select(
             "q_id", "q_vec", "qn",
-            hyperplane_bucket(F.col("q_vec"), bits).alias("bucket"),
+            _bucket(F.col("q_vec")).alias("bucket"),
         )
         if multiprobe:
             probes = F.array(
@@ -220,7 +233,7 @@ def ann_join(
             )
         cb = c.select(
             "c_id", "c_vec", "cn",
-            hyperplane_bucket(F.col("c_vec"), bits).alias("bucket"),
+            _bucket(F.col("c_vec")).alias("bucket"),
         )
         # a (q, c) pair meets on at most ONE bucket (the probe set's
         # values are pairwise distinct and c has a single bucket), so
@@ -721,12 +734,17 @@ def ann_join_recall(
     left_vec_col: str = "embedding",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Recall@k of :func:`ann_join`'s LSH path against its exact path,
     per query: ``(q_id, hits, recall)`` — the :func:`ann_recall`
     harness for the cross-table join (run it on a sampled left slice
     before trusting the lsh path at full scale; the exact side
     broadcasts, so keep the sample inside ``max_broadcast_rows``).
+    Pass ``dim`` to bucket with the md5-parity literal weights — the
+    engine-portable form the driver gate replays (ann_recall's
+    xjoin_lsh branch); the measured numbers below use the default
+    xxhash64 buckets.
 
     Measured bound (tests/test_text_dedup_similarity.py,
     ``test_ann_join_lsh_recall_golden``): on an 8-cluster family
@@ -749,7 +767,7 @@ def ann_join_recall(
         left, right, k,
         method="lsh", bits=bits, multiprobe=multiprobe,
         left_id_col=left_id_col, left_vec_col=left_vec_col,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
     return (
         exact.join(

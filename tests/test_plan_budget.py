@@ -166,9 +166,16 @@ BUDGET = {
                            # MiB-scale literal codegen — measured 3 s
                            # per run at m=4/k=16)
     "semantic_dedup": 6,
-    "ann_recall": 8,       # r9: brute + quantized each gained the
+    "ann_recall": 15,      # r9: brute + quantized each gained the
                            # grouped_topk second (survivor-only) window
-                           # exchange
+                           # exchange. r11 +7: the xjoin_lsh branch —
+                           # its exact reference path (2 grouped_topk
+                           # window exchanges), the lsh bucket
+                           # equi-join (both sides hash on bucket) +
+                           # its own grouped_topk pair, and the
+                           # per-query recall agg; all bounded by the
+                           # query slice × k, the audited two-level
+                           # top-k shape every ANN server pins
     # round-5 trainer-family gates: training runs eagerly at gate
     # construction (bounded model-scale collects); the returned scoring
     # plans are scans with broadcast models

@@ -1031,6 +1031,11 @@ def test_ann_join_unbroadcast_and_lsh_full_probe_agree(spark):
     assert rows(SIM.ann_join(left, right, k=3, broadcast_left=False)) == base
     # bits=1 multiprobe covers BOTH buckets -> lsh recalls everything
     assert rows(SIM.ann_join(left, right, k=3, method="lsh", bits=1)) == base
+    # same law on the md5-fixed-weight buckets (the oracle-replayable
+    # family the r11 driver gate uses)
+    assert rows(
+        SIM.ann_join(left, right, k=3, method="lsh", bits=1, dim=8)
+    ) == base
 
 
 def test_ann_join_lsh_candidates_confined_to_probed_buckets(spark):
