@@ -1909,10 +1909,13 @@ def near_dup_union(d):
     # pairs at every SF, exercising the winnowing guarantee itself
     # (shared run >= window+k-1 tokens => shared fingerprint) plus the
     # k-gram hash, partial-window clamp, df guard, and shared-count
-    # join — all value-hashed (score = n_shared).
+    # join — all value-hashed (score = n_shared). Truncations live in
+    # the NEGATIVE id namespace (-doc_id - 1): a fixed positive offset
+    # would collide with real doc ids once the corpus passes it, and a
+    # collision dedups differently on the two engines (review r11).
     wsub = d.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
     wtr = wsub.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.substring("text", 1, 200).alias("text"),
     )
     wn_raw = D.winnow_overlap_pairs(
@@ -4861,8 +4864,8 @@ def oracle_sql() -> dict[str, str]:
         -- over the slice skips the missing tail the Spark arrays_zip
         -- pads with NULL), distinct per doc, df<=50 guard, shared>=2;
         -- input = doc_id % 10 subset ∪ its 200-char truncations under
-        -- id + 1e6 (guaranteed positive pairs at every SF — see the
-        -- Spark-side note)
+        -- -doc_id - 1 (guaranteed positive pairs at every SF, ids in
+        -- a collision-free namespace — see the Spark-side note)
         SELECT 'winnow' AS method, id_a, id_b,
                CAST(n_shared AS DOUBLE) AS score
         FROM (
@@ -4871,7 +4874,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
               UNION ALL
-              SELECT doc_id + 1000000, substr(text, 1, 200)
+              SELECT -doc_id - 1, substr(text, 1, 200)
               FROM documents WHERE doc_id % 10 = 0
             )
           ),

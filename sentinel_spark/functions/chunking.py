@@ -108,15 +108,18 @@ def token_offsets(
                 tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
                 # every fixed-offset ZoneId form Java accepts: Z/UTC/
                 # GMT/UT, the fixed UTC aliases (GMT0, UCT, Zulu,
-                # Greenwich, Universal), the same with an offset
+                # Greenwich, Universal), the three SHORT_IDS that map
+                # to fixed offsets (EST -05:00, HST -10:00, MST
+                # -07:00 — CST/PST/EDT etc. resolve to DST REGIONS
+                # and must keep raising), the same with an offset
                 # suffix (GMT+05:30), Etc/ variants, and bare
                 # ±HH[:MM[:SS]] offsets — region zones (DST-capable)
                 # are what must raise. Over-matching strings that are
                 # not valid zone ids at all is harmless: the session
                 # conf only ever holds ids Java already accepted.
                 if not re.fullmatch(
-                    r"Z|(Etc/)?(UTC|GMT0|GMT|UT|UCT|Zulu|Greenwich"
-                    r"|Universal)([+-]\d{1,2}(:\d{2}){0,2})?"
+                    r"Z|EST|HST|MST|(Etc/)?(UTC|GMT0|GMT|UT|UCT|Zulu"
+                    r"|Greenwich|Universal)([+-]\d{1,2}(:\d{2}){0,2})?"
                     r"|[+-]\d{1,2}(:\d{2}){0,2}",
                     tz or "",
                 ):

@@ -40,7 +40,10 @@ shift), re-expressed as DataFrame ops:
   that stays inside BIGINT up to ~1e6 rows per (feature, snapshot).
   Beyond that (the 100-TB monitor), pre-scale the counts (drift is
   share-based, so dividing both snapshots' counts by a common factor
-  preserves every share to the published precision) or read tier 2.
+  preserves every share to the published precision) or read tier 2;
+  the operator RAISES past the bound (a guarded ``raise_error``)
+  instead of letting Spark's non-ANSI arithmetic wrap silently while
+  a replaying engine errors.
 
 Scale shape at 100 TB: two map-side-combined count aggregates (one
 per snapshot, keyed on (feature, bucket) — cardinality = Σ realized
@@ -156,9 +159,36 @@ def drift_from_counts(
             "_db"
         ),
     )
+    # loud-failure bound (review r11): past this, 2e6·na2·db + nb2·da
+    # exceeds int64 — Spark (non-ANSI) would WRAP silently while
+    # DuckDB errors, i.e. the "portable by construction" claim would
+    # die quietly on exactly one engine. 2e6·K² + K² < 2^63 holds for
+    # K = 2_100_000, so bounding every smoothed term keeps every
+    # product exact; the guard is one branch per row on a
+    # Σ-realized-buckets-sized frame. Remedy at monitor scale:
+    # pre-scale both snapshots' counts by a common factor (shares are
+    # scale-invariant) or read the *_ppm double tier.
+    lim = 2_100_000
+    ok = (
+        (F.col("_na2") <= lim)
+        & (F.col("_nb2") <= lim)
+        & (F.col("_da") <= lim)
+        & (F.col("_db") <= lim)
+    )
+    boom = F.raise_error(
+        F.lit(
+            "drift exact-rational tier would overflow BIGINT at these "
+            f"counts (a smoothed term exceeds {lim}); pre-scale both "
+            "snapshots' counts by a common factor (shares are "
+            "scale-invariant) or read the *_ppm double tier"
+        )
+    )
     share_ax = F.expr("(2000000 * _na2 + _da) div (2 * _da)")
     share_bx = F.expr("(2000000 * _nb2 + _db) div (2 * _db)")
-    ratio_x = F.expr("(2000000 * _na2 * _db + _nb2 * _da) div (2 * _nb2 * _da)")
+    ratio_x = F.when(
+        ok, F.expr("(2000000 * _na2 * _db + _nb2 * _da) div (2 * _nb2 * _da)")
+    ).otherwise(boom)
+    dshare_x = F.when(ok, share_ax - share_bx).otherwise(boom)
     return base.select(
         "feature",
         "bucket",
@@ -173,7 +203,7 @@ def drift_from_counts(
         _ppm(psi_raw).alias("psi_term_ppm"),
         _ppm(kl_raw).alias("kl_term_ppm"),
         ratio_x.alias("ratio_ppm"),
-        (share_ax - share_bx).alias("dshare_ppm"),
+        dshare_x.alias("dshare_ppm"),
     )
 
 

@@ -693,6 +693,28 @@ def quantized_topk(
     return with_release(out, [q8])
 
 
+def _recall_vs(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query ``(q_id, hits, recall)`` of an approximate (q_id,
+    c_id) result set against the exact reference set — the one
+    hits/recall arithmetic both recall harnesses (:func:`ann_recall`,
+    :func:`ann_join_recall`) share, so a change to the denominator or
+    tie policy lands in exactly one place."""
+    return (
+        exact.join(
+            approx.select("q_id", "c_id", F.lit(1).alias("hit")),
+            ["q_id", "c_id"],
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        .select(
+            "q_id",
+            "hits",
+            F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
+
+
 def ann_recall(
     emb: DataFrame,
     query_ids: Sequence[int],
@@ -709,17 +731,7 @@ def ann_recall(
         "q_id", "c_id"
     )
     approx = quantized_topk(emb, query_ids, k, rerank, id_col, vec_col)
-    hits = (
-        exact.join(approx.select("q_id", "c_id", F.lit(1).alias("hit")),
-                   ["q_id", "c_id"], "left")
-        .groupBy("q_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
-        .select(
-            "q_id",
-            "hits",
-            F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
-        )
-    )
+    hits = _recall_vs(exact, approx, k)
     return with_release(hits, getattr(approx, "_sentinel_cached", []))
 
 
@@ -769,20 +781,7 @@ def ann_join_recall(
         left_id_col=left_id_col, left_vec_col=left_vec_col,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
-    return (
-        exact.join(
-            approx.select("q_id", "c_id", F.lit(1).alias("hit")),
-            ["q_id", "c_id"],
-            "left",
-        )
-        .groupBy("q_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
-        .select(
-            "q_id",
-            "hits",
-            F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
-        )
-    )
+    return _recall_vs(exact, approx, k)
 
 
 def assign_cells(

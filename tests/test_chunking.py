@@ -221,7 +221,9 @@ def test_token_offsets_timestamp_keys(spark):
                       # allowlist used to reject
                       "GMT0", "UCT", "Zulu", "Greenwich", "Universal",
                       "Etc/GMT0", "Etc/UCT", "Etc/Zulu", "Etc/Greenwich",
-                      "Etc/Universal"):
+                      "Etc/Universal",
+                      # SHORT_IDS that resolve to fixed offsets
+                      "EST", "HST", "MST"):
             spark.conf.set("spark.sql.session.timeZone", fixed)
             token_offsets(df, "n_tok", "ts_ntz", shard_tokens=128)  # no raise
     finally:

@@ -159,6 +159,37 @@ def test_psi_kl_ppm_match_duckdb_ln_locally(spark):
         assert got[bucket] == duck
 
 
+def test_exact_tier_overflow_raises_loudly(spark):
+    # review r11: past the BIGINT-exactness bound Spark's non-ANSI
+    # arithmetic would WRAP silently while a replaying engine errors —
+    # the guard must turn that into a loud, actionable failure
+    from sentinel_spark.functions.drift import drift_from_counts
+
+    ca = spark.createDataFrame(
+        [("f", "x", 3_000_000), ("f", "y", 1_000_000)],
+        "feature string, bucket string, n_a long",
+    )
+    cb = spark.createDataFrame(
+        [("f", "x", 2_000_000), ("f", "y", 2_000_000)],
+        "feature string, bucket string, n_b long",
+    )
+    t = drift_from_counts(ca, cb)
+    with pytest.raises(Exception, match="pre-scale|overflow"):
+        t.select("ratio_ppm").collect()
+    # the double tiers keep working at any scale — only the exact
+    # tier refuses
+    rows = {r.bucket: r for r in t.select(
+        "bucket", "share_a", "psi_term_ppm"
+    ).collect()}
+    assert rows["x"].share_a == pytest.approx(0.75, abs=1e-6)
+    # and counts inside the bound still produce the exact tier
+    small = drift_from_counts(
+        ca.withColumn("n_a", (F.col("n_a") / 1000).cast("long")),
+        cb.withColumn("n_b", (F.col("n_b") / 1000).cast("long")),
+    )
+    assert all(r.ratio_ppm is not None for r in small.collect())
+
+
 def test_multi_feature_single_pass(spark):
     df = spark.createDataFrame(
         [(i, "x" if i % 2 else "y", i % 3) for i in range(12)],
