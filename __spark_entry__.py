@@ -1898,7 +1898,7 @@ def near_dup_union(d):
     # Winnowing overlap mining (r11, VERDICT r10 #3): the MOSS
     # fingerprint family's driver gate — previously the only operator
     # family with zero oracle-checked rows. Budget-capped to the
-    # doc_id % 10 == 0 subset (the interpreted-HOF fingerprint pass is
+    # doc_id % 20 == 0 subset (the interpreted-HOF fingerprint pass is
     # ~1 ms/doc), and — the synthesized-evidence precedent
     # (web_domains URLs, line_clean footers) — each subset doc is
     # paired with a 200-char TRUNCATION of itself under id + 10^6: the
@@ -1913,7 +1913,7 @@ def near_dup_union(d):
     # the NEGATIVE id namespace (-doc_id - 1): a fixed positive offset
     # would collide with real doc ids once the corpus passes it, and a
     # collision dedups differently on the two engines (review r11).
-    wsub = d.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    wsub = d.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     wtr = wsub.select(
         (-F.col("doc_id") - 1).alias("doc_id"),
         F.substring("text", 1, 200).alias("text"),
@@ -4863,7 +4863,7 @@ def oracle_sql() -> dict[str, str]:
         -- window clamp (n_win = greatest(n-3, least(n,1)); least()
         -- over the slice skips the missing tail the Spark arrays_zip
         -- pads with NULL), distinct per doc, df<=50 guard, shared>=2;
-        -- input = doc_id % 10 subset ∪ its 200-char truncations under
+        -- input = doc_id % 20 subset ∪ its 200-char truncations under
         -- -doc_id - 1 (guaranteed positive pairs at every SF, ids in
         -- a collision-free namespace — see the Spark-side note)
         SELECT 'winnow' AS method, id_a, id_b,
@@ -4872,10 +4872,10 @@ def oracle_sql() -> dict[str, str]:
           WITH wtok AS (
             SELECT doc_id, {_WORDS} AS toks
             FROM (
-              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
               UNION ALL
               SELECT -doc_id - 1, substr(text, 1, 200)
-              FROM documents WHERE doc_id % 10 = 0
+              FROM documents WHERE doc_id % 20 = 0
             )
           ),
           wg AS (
