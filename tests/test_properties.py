@@ -644,3 +644,58 @@ def test_pq_encode_paths_bit_equal(spark, dim, m, k, n_vec, seed):
         for r in SIM.pq_encode(df, cb, max_literal_floats=0).collect()
     }
     assert joined == lit
+
+
+@SLOW
+@given(
+    # per-bucket counts capped so the snapshot TOTAL stays inside the
+    # exact tier's guarded bound for every alpha here (worst case
+    # alpha=0.25 -> q=4: 6 x 80k x 4 = 1.92M < the 2.1M guard; the
+    # guard itself has a dedicated loud-failure test in test_drift.py)
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=80_000),
+            st.integers(min_value=0, max_value=80_000),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    alpha=st.sampled_from([0.5, 1.0, 0.25, 2.0]),
+)
+def test_drift_exact_tier_matches_fraction(spark, counts, alpha):
+    """The engine-portable drift tier (r11): ratio_ppm / dshare_ppm
+    computed in pure BIGINT arithmetic must equal round-half-up of the
+    exact rational values for ARBITRARY counts and (small-rational)
+    alpha — the law the corpus_report hash rests on. Ground truth is
+    python Fraction, which never touches a float."""
+    from fractions import Fraction
+
+    from sentinel_spark.functions.drift import drift_from_counts
+
+    ca = spark.createDataFrame(
+        [(f"b{i}", a) for i, (a, _) in enumerate(counts)],
+        "bucket string, n_a long",
+    ).withColumn("feature", F.lit("f")).select("feature", "bucket", "n_a")
+    cb = spark.createDataFrame(
+        [(f"b{i}", b) for i, (_, b) in enumerate(counts)],
+        "bucket string, n_b long",
+    ).withColumn("feature", F.lit("f")).select("feature", "bucket", "n_b")
+    t = {r.bucket: r for r in drift_from_counts(ca, cb, alpha=alpha).collect()}
+
+    fr = Fraction(str(alpha))
+    p, q = fr.numerator, fr.denominator
+    k = len(counts)
+    tot_a = sum(a for a, _ in counts)
+    tot_b = sum(b for _, b in counts)
+
+    def rhu(x: Fraction) -> int:  # round half-up of a positive rational
+        return (2 * 1_000_000 * x.numerator + x.denominator) // (
+            2 * x.denominator
+        )
+
+    for i, (a, b) in enumerate(counts):
+        sa = Fraction(q * a + p, q * tot_a + p * k)
+        sb = Fraction(q * b + p, q * tot_b + p * k)
+        r = t[f"b{i}"]
+        assert r.ratio_ppm == rhu(sa / sb), (a, b, alpha)
+        assert r.dshare_ppm == rhu(sa) - rhu(sb), (a, b, alpha)
