@@ -1226,3 +1226,25 @@ def test_winnow_overlap_pairs_and_zipf_guard(spark):
     }
     assert (1, 2) in guarded
     assert (1, 3) not in guarded and (2, 3) not in guarded
+
+
+def test_winnow_overlap_pairs_negative_id_namespace(spark):
+    # the r11 driver gate pairs each doc with a truncation under
+    # -doc_id - 1; the operator must treat negative ids as ordinary
+    # keys (id_a < id_b orientation, counts, guard) with no positivity
+    # assumption anywhere
+    from sentinel_spark.functions.dedup import winnow_overlap_pairs
+
+    text = ("a long enough shared document body that winnowing selects "
+            "several fingerprints from the common token run they share")
+    df = spark.createDataFrame(
+        [(7, text + " original tail section with extra words"),
+         (-8, text)],  # the truncation-style copy under a negative id
+        "doc_id long, text string",
+    )
+    got = winnow_overlap_pairs(df, "text", "doc_id", min_shared=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # orientation: id_a < id_b puts the negative id first
+    assert (r.id_a, r.id_b) == (-8, 7)
+    assert r.n_shared >= 2

@@ -283,3 +283,24 @@ def test_cap_per_domain_prefer_and_collisions(spark):
         cap_per_domain(
             df.withColumn("domain", F.lit("x")), "url", "id", 2
         )
+
+
+def test_control_domain_edges(spark):
+    # the r11 control key: registrable domain, host fallback for a
+    # bare listed suffix, '' for hostless, NULL for NULL url
+    from sentinel_spark.functions.web import _control_domain
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x"),   # normal registrable
+         (2, "https://edu.au/x"),          # bare listed suffix -> host
+         (3, "not a url at all"),          # hostless -> ''
+         (4, None)],                       # NULL url -> NULL
+        "id long, url string",
+    )
+    got = {r.id: r.d for r in df.select(
+        "id", _control_domain(F.col("url")).alias("d")
+    ).collect()}
+    assert got[1] == "example.com"
+    assert got[2] == "edu.au"
+    assert got[3] == ""
+    assert got[4] is None
