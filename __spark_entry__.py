@@ -4256,12 +4256,7 @@ def oracle_sql() -> dict[str, str]:
               FROM xwb WHERE vec_id % 100 <> 7
             ),
             xcos_lsh AS (
-              SELECT q_id, c_id,
-                     list_sum(list_transform(list_zip(q_vec, c_vec),
-                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(c_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-                     AS sim_exact
+              SELECT q_id, c_id, {cos("q_vec", "c_vec")} AS sim_exact
               FROM xc c JOIN xq q ON c.bucket = q.q_bucket
             ),
             xlsh AS (
@@ -4276,11 +4271,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                        row_number() OVER (
                          PARTITION BY q.vec_id
-                         ORDER BY
-                           list_sum(list_transform(list_zip(q.embedding, c.embedding),
-                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-                           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                         ORDER BY {cos("q.embedding", "c.embedding")}
                            DESC, c.vec_id
                        ) AS rank
                 FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 7) q,
