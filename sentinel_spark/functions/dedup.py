@@ -1231,31 +1231,65 @@ def refresh_band_index(
     between them sees the index without the changed ids, which for a
     candidate index means missed candidates, never wrong pairs.
     """
-    # the diff frame's lineage is a two-version full-outer join — the
-    # expensive part of the whole operation — and it is consumed up to
-    # three times below (id collect, shingle pass, anti-join path);
-    # persist it for the duration so the join runs once
-    changes = changes.persist()
-    try:
-        ids = changes.select(F.col(id_col).alias("id")).distinct()
-        fresh = changes.where(
-            F.col(change_type_col).isin("insert", "update_postimage")
-        ).select(id_col, text_col)
-        new_rows = minhash_band_index(
+    _refresh_id_keyed_index(
+        index_table,
+        changes,
+        lambda fresh: minhash_band_index(
             fresh,
             text_col,
             id_col,
             shingle_n=shingle_n,
             num_hashes=num_hashes,
             num_bands=num_bands,
-        )
+        ),
+        id_col,
+        text_col,
+        change_type_col=change_type_col,
+        max_collect_ids=max_collect_ids,
+    )
+
+
+def _refresh_id_keyed_index(
+    index_table,
+    changes: DataFrame,
+    build_rows,
+    id_col: str,
+    text_col: str,
+    *,
+    change_type_col: str = "_change_type",
+    max_collect_ids: int = 65536,
+) -> None:
+    """The CDF-driven delete+rebuild core every id-keyed derived index
+    shares (:func:`refresh_band_index`, :func:`refresh_winnow_index`):
+    drop every changed id's rows, append ``build_rows(fresh_docs)``
+    for the diff's insert/update_postimage documents. Small diffs take
+    the collected-isin partition-prunable delete; large diffs switch
+    to one distributed anti-join + overwrite — never an unbounded
+    driver collect. The index frame must carry the doc key as ``id``."""
+    # the diff frame's lineage is a two-version full-outer join — the
+    # expensive part of the whole operation — and it is consumed up to
+    # three times below (id collect, fingerprint pass, anti-join
+    # path); persist it for the duration so the join runs once
+    changes = changes.persist()
+    try:
+        ids = changes.select(F.col(id_col).alias("id")).distinct()
+        fresh = changes.where(
+            F.col(change_type_col).isin("insert", "update_postimage")
+        ).select(id_col, text_col)
+        new_rows = build_rows(fresh)
         sample = [r.id for r in ids.limit(max_collect_ids + 1).collect()]
         if len(sample) <= max_collect_ids:
             if sample:
                 index_table.delete(F.col("id").isin(sample))
             index_table.append(new_rows)
         else:
-            kept = index_table.read().join(ids, "id", "left_anti")
+            existing = index_table.read()
+            # the anti-join moves the join key to the front; restore
+            # the table's declared column order so the overwrite
+            # leaves the physical schema stable across refreshes
+            kept = existing.join(ids, "id", "left_anti").select(
+                *existing.columns
+            )
             index_table.overwrite(kept.unionByName(new_rows))
     finally:
         changes.unpersist()
@@ -1400,4 +1434,139 @@ def winnow_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """(fp, id) rows for a corpus — the persistable inverted index
+    that makes winnowing overlap mining *incremental* (the
+    :func:`minhash_band_index` move for the MOSS family): build it
+    once over the existing corpus (write through
+    :class:`sentinel_spark.sources.store.ParquetTable`, clustered on
+    ``fp`` so index-side reads prune), then check each new batch with
+    :func:`incremental_winnow_overlap` — the corpus text is never
+    re-fingerprinted. Storage is ~2/(window+1) of the corpus k-grams,
+    one (BIGINT, id) row each — the winnowing density bound is what
+    makes the index affordable where a full k-gram posting list is
+    not."""
+    return winnow_fingerprints(
+        df, text_col, id_col, k=k, window=window
+    ).select("fp", "id")
+
+
+def incremental_winnow_overlap(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    include_new_new: bool = True,
+    new_index_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Winnowing overlap candidates of a NEW batch against an indexed
+    corpus *without touching the corpus text*: only the batch is
+    fingerprinted; the corpus participates through its
+    :func:`winnow_index` (fp, id) rows. Output (id_new, id_old,
+    n_shared, source) with ``source`` = ``'index'`` for new↔old pairs
+    and ``'batch'`` for new↔new pairs (ordered id_new < id_old);
+    ``new_index_rows`` injects the batch's own index frame when the
+    caller has already built it (to persist afterwards — the
+    :func:`incremental_candidate_pairs` contract).
+
+    Equivalence law (pytest-pinned): the output equals
+    :func:`winnow_overlap_pairs` over old ∪ new restricted to pairs
+    involving at least one new document, with identical ``n_shared`` —
+    including under ``max_df``, because the document frequency that
+    drives the Zipf guard is computed over index ∪ batch rows (one
+    map-side-combined aggregate over the index SCAN — no text), which
+    is exactly the combined corpus's df.
+
+    Scale shape: the batch is typically ≪ the corpus, so its
+    fingerprint rows BROADCAST against the index scan (guard join and
+    overlap join both); the only corpus-sized work is scanning the
+    (fp, id) index, pruned to matching fp ranges when the table is
+    stored clustered on fp. No corpus text is read anywhere."""
+    if new_index_rows is not None:
+        batch = new_index_rows
+    else:
+        batch = winnow_index(new_docs, text_col, id_col, k=k, window=window)
+    if max_df is not None:
+        # df over the COMBINED corpus = index rows + batch rows — the
+        # quantity the full-recompute guard would use. Hot fps are the
+        # Zipf head: few, broadcastable.
+        hot = (
+            index.select("fp")
+            .unionByName(batch.select("fp"))
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fp")
+        )
+        index = index.join(F.broadcast(hot), "fp", "left_anti")
+        batch = batch.join(F.broadcast(hot), "fp", "left_anti")
+    vs_index = (
+        index.alias("o")
+        .join(
+            F.broadcast(batch.alias("n")),
+            (F.col("n.fp") == F.col("o.fp")) & (F.col("n.id") != F.col("o.id")),
+        )
+        .groupBy(F.col("n.id").alias("id_new"), F.col("o.id").alias("id_old"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("id_new", "id_old", "n_shared", F.lit("index").alias("source"))
+    )
+    if not include_new_new:
+        return vs_index
+    a = batch.select(F.col("id").alias("id_new"), "fp")
+    b = batch.select(F.col("id").alias("id_old"), "fp")
+    vs_batch = (
+        a.join(b, "fp")
+        .where(F.col("id_new") < F.col("id_old"))
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("id_new", "id_old", "n_shared", F.lit("batch").alias("source"))
+    )
+    return vs_index.unionByName(vs_batch)
+
+
+def refresh_winnow_index(
+    index_table,
+    changes: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    change_type_col: str = "_change_type",
+    max_collect_ids: int = 65536,
+    k: int = 5,
+    window: int = 4,
+) -> None:
+    """CDF-driven incremental maintenance of a persisted
+    :func:`winnow_index` table — :func:`refresh_band_index`'s contract
+    for the MOSS family, running through the same shared
+    delete+rebuild core (:func:`_refresh_id_keyed_index`): after a
+    corpus patch, feed the table's diff frame here and the index
+    converges to exactly what a full rebuild over the current corpus
+    would produce, while the fingerprint pass touches ONLY the changed
+    documents. The (k, window) parameters MUST match the build's —
+    fingerprints from a different scheme silently miss every overlap."""
+    _refresh_id_keyed_index(
+        index_table,
+        changes,
+        lambda fresh: winnow_index(fresh, text_col, id_col, k=k, window=window),
+        id_col,
+        text_col,
+        change_type_col=change_type_col,
+        max_collect_ids=max_collect_ids,
     )

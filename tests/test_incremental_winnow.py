@@ -1,0 +1,178 @@
+"""Incremental winnowing overlap: winnow_index +
+incremental_winnow_overlap + refresh_winnow_index (the MOSS family's
+analog of the minhash incremental machinery, r11).
+
+Contract: checking a new batch against a prebuilt (fp, id) index
+finds exactly the overlap pairs a full-corpus recompute would report
+between (new × old) and (new × new) — with identical n_shared, and
+identically under the max_df Zipf guard — without re-fingerprinting
+the corpus; and the index converges under CDF-driven maintenance.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions import dedup as D
+
+RUN = ("the original research paragraph that was lifted verbatim "
+       "into another document without attribution by the author")
+BOILER = "all rights reserved copyright notice applies to every page"
+
+OLD_DOCS = [
+    (1, RUN + " framed by the first author's own commentary " + BOILER),
+    (2, "an unrelated old document about entirely different topics "
+        "with its own distinct vocabulary and phrasing " + BOILER),
+    (3, "a third independent record that shares nothing of substance "
+        "with anything else in the corpus beyond stopwords " + BOILER),
+]
+NEW_DOCS = [
+    # lifts the shared run from old doc 1
+    (10, "new framing sentence and then " + RUN + " " + BOILER),
+    # intra-batch copy of 10's lifted run
+    (11, RUN + " with a different new-document tail section " + BOILER),
+    # novel
+    (12, "completely novel content whose token stream overlaps "
+         "nothing except the ubiquitous footer " + BOILER),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    old = spark.createDataFrame(OLD_DOCS, "doc_id long, text string")
+    new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+    return old, new
+
+
+def _want_from_full(full_rows, new_ids):
+    want = {}
+    for r in full_rows:
+        a, b = r.id_a, r.id_b
+        if a in new_ids and b in new_ids:
+            want[(a, b, "batch")] = r.n_shared
+        elif a in new_ids:
+            want[(a, b, "index")] = r.n_shared
+        elif b in new_ids:
+            want[(b, a, "index")] = r.n_shared
+    return want
+
+
+@pytest.mark.parametrize("max_df", [None, 4])
+def test_incremental_matches_full_recompute(spark, frames, max_df):
+    old, new = frames
+    index = D.winnow_index(old, "text", "doc_id")
+    inc = D.incremental_winnow_overlap(
+        new, index, "text", "doc_id", min_shared=2, max_df=max_df
+    )
+    got = {(r.id_new, r.id_old, r.source): r.n_shared for r in inc.collect()}
+
+    full = D.winnow_overlap_pairs(
+        old.unionByName(new), "text", "doc_id", min_shared=2, max_df=max_df
+    )
+    want = _want_from_full(full.collect(), {i for i, _ in NEW_DOCS})
+    assert got == want and got
+    # the engineered lifts are present: 10-1 and 11-1 via the index,
+    # 10-11 inside the batch
+    keys = set(got)
+    assert (10, 1, "index") in keys
+    assert (11, 1, "index") in keys
+    assert (10, 11, "batch") in keys
+    if max_df == 4:
+        # the shared footer (df = 6 > 4) must not pair the novel doc
+        assert not any(12 in (a, b) for a, b, _ in keys)
+
+
+def test_new_new_toggle_and_injected_rows(spark, frames):
+    old, new = frames
+    index = D.winnow_index(old, "text", "doc_id")
+    only_idx = D.incremental_winnow_overlap(
+        new, index, "text", "doc_id", min_shared=2, include_new_new=False
+    )
+    assert {r.source for r in only_idx.collect()} == {"index"}
+    # caller-built batch rows short-circuit the fingerprint pass and
+    # produce identical output (the persist-afterwards contract)
+    pre = D.winnow_index(new, "text", "doc_id")
+    a = {(r.id_new, r.id_old, r.source, r.n_shared)
+         for r in D.incremental_winnow_overlap(
+             new, index, "text", "doc_id", min_shared=2).collect()}
+    b = {(r.id_new, r.id_old, r.source, r.n_shared)
+         for r in D.incremental_winnow_overlap(
+             new, index, "text", "doc_id", min_shared=2,
+             new_index_rows=pre).collect()}
+    assert a == b
+
+
+def test_index_roundtrip_and_cdf_maintenance(spark, tmp_path):
+    from sentinel_spark.sources.store import ParquetTable
+
+    docs_t = ParquetTable(spark, str(tmp_path / "docs"), retain_versions=10)
+    docs_t.append(
+        spark.createDataFrame(OLD_DOCS + NEW_DOCS, "doc_id long, text string")
+    )
+    v1 = docs_t.version()
+    index_t = ParquetTable(spark, str(tmp_path / "index"))
+    index_t.append(D.winnow_index(docs_t.read(), "text", "doc_id"))
+
+    # patch: rewrite doc 2, drop doc 3, add doc 50
+    docs_t.update(
+        F.col("doc_id") == 2,
+        {"text": F.lit("a wholly rewritten second document body appears")},
+    )
+    docs_t.delete(F.col("doc_id") == 3)
+    docs_t.append(
+        spark.createDataFrame(
+            [(50, "a brand new appended document arrives in the corpus")],
+            "doc_id long, text string",
+        )
+    )
+    D.refresh_winnow_index(
+        index_t, docs_t.diff(v1, keys=["doc_id"]), "text", "doc_id"
+    )
+    rebuilt = D.winnow_index(docs_t.read(), "text", "doc_id")
+    got = sorted(map(tuple, index_t.read().collect()))
+    want = sorted(map(tuple, rebuilt.collect()))
+    assert got == want and got
+
+    # oversized-diff path: the distributed anti-join + overwrite branch
+    # converges to the same index
+    docs_t.update(
+        F.col("doc_id") == 1,
+        {"text": F.lit("a second patch rewrites the first document too")},
+    )
+    D.refresh_winnow_index(
+        index_t, docs_t.diff(v1, keys=["doc_id"]), "text", "doc_id",
+        max_collect_ids=1,
+    )
+    rebuilt2 = D.winnow_index(docs_t.read(), "text", "doc_id")
+    got2 = sorted(map(tuple, index_t.read().collect()))
+    want2 = sorted(map(tuple, rebuilt2.collect()))
+    assert got2 == want2 and got2
+
+
+def test_no_corpus_text_in_incremental_plan(spark, frames, tmp_path):
+    # the point of the index: corpus text is fingerprinted ZERO times
+    # in the incremental plan — the corpus participates only as a
+    # (fp, id) parquet scan. With the index materialized and
+    # include_new_new off, the batch's single fingerprint chain is the
+    # only regexp tokenization anywhere in the plan.
+    old, new = frames
+    D.winnow_index(old, "text", "doc_id").write.parquet(
+        str(tmp_path / "widx")
+    )
+    index = spark.read.parquet(str(tmp_path / "widx"))
+    inc = D.incremental_winnow_overlap(
+        new, index, "text", "doc_id", min_shared=2, include_new_new=False
+    )
+    plan = inc._jdf.queryExecution().analyzed().toString()
+    # exactly ONE text-bearing source in the whole plan (the batch);
+    # the corpus contributes a (fp, id) parquet scan only. Attribute
+    # ids, not expression occurrences: the winnow expression chain
+    # legitimately references its tokens array many times.
+    import re
+
+    assert len(set(re.findall(r"\btext#(\d+)", plan))) == 1
+    assert "parquet" in plan  # the corpus side really is the file scan
+    # and the result still finds the engineered lifts through the scan
+    got = {(r.id_new, r.id_old) for r in inc.collect()}
+    assert {(10, 1), (11, 1)} <= got
