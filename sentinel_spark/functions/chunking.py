@@ -21,6 +21,34 @@ from pyspark.sql.window import Window
 from sentinel_spark.functions.text import WORD_RE
 
 
+def _is_fixed_offset_zone(spark, tz: str | None) -> bool:
+    """Whether the session timezone is DST-free, per the JVM's OWN
+    zone rules — the authoritative answer, since the JVM is the engine
+    that will evaluate the NTZ→TIMESTAMP cast whose monotonicity is at
+    stake. ``ZoneId.of(id, SHORT_IDS)`` is exactly Spark's session-TZ
+    resolution, so EST/HST/MST (fixed SHORT_IDS) pass and CST/PST
+    (SHORT_IDS onto DST regions) fail, with no allowlist to curate.
+    Falls back to the documented fixed-offset-form pattern when the
+    py4j gateway isn't reachable (Spark Connect): Z/UTC/GMT/UT + the
+    fixed aliases, optionally with an offset suffix, Etc/ variants,
+    the three fixed SHORT_IDS, and bare ±HH[:MM[:SS]] offsets —
+    over-matching non-zone strings is harmless, the session conf only
+    ever holds ids the JVM already accepted."""
+    try:
+        jvm = spark._jvm
+        zid = jvm.java.time.ZoneId.of(tz, jvm.java.time.ZoneId.SHORT_IDS)
+        return bool(zid.getRules().isFixedOffset())
+    except AttributeError:  # no JVM gateway (Spark Connect)
+        return bool(
+            re.fullmatch(
+                r"Z|EST|HST|MST|(Etc/)?(UTC|GMT0|GMT|UT|UCT|Zulu"
+                r"|Greenwich|Universal)([+-]\d{1,2}(:\d{2}){0,2})?"
+                r"|[+-]\d{1,2}(:\d{2}){0,2}",
+                tz or "",
+            )
+        )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,
@@ -106,23 +134,7 @@ def token_offsets(
             # silently relying on session.py's UTC pin.
             if isinstance(dt, TY.TimestampNTZType):
                 tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-                # every fixed-offset ZoneId form Java accepts: Z/UTC/
-                # GMT/UT, the fixed UTC aliases (GMT0, UCT, Zulu,
-                # Greenwich, Universal), the three SHORT_IDS that map
-                # to fixed offsets (EST -05:00, HST -10:00, MST
-                # -07:00 — CST/PST/EDT etc. resolve to DST REGIONS
-                # and must keep raising), the same with an offset
-                # suffix (GMT+05:30), Etc/ variants, and bare
-                # ±HH[:MM[:SS]] offsets — region zones (DST-capable)
-                # are what must raise. Over-matching strings that are
-                # not valid zone ids at all is harmless: the session
-                # conf only ever holds ids Java already accepted.
-                if not re.fullmatch(
-                    r"Z|EST|HST|MST|(Etc/)?(UTC|GMT0|GMT|UT|UCT|Zulu"
-                    r"|Greenwich|Universal)([+-]\d{1,2}(:\d{2}){0,2})?"
-                    r"|[+-]\d{1,2}(:\d{2}){0,2}",
-                    tz or "",
-                ):
+                if not _is_fixed_offset_zone(df.sparkSession, tz):
                     raise ValueError(
                         f"NTZ order_col {order_col!r} needs a fixed-offset "
                         f"session timezone for monotone bucketing; session "

@@ -226,5 +226,25 @@ def test_token_offsets_timestamp_keys(spark):
                       "EST", "HST", "MST"):
             spark.conf.set("spark.sql.session.timeZone", fixed)
             token_offsets(df, "n_tok", "ts_ntz", shard_tokens=128)  # no raise
+        # SHORT_IDS that resolve to DST REGIONS must raise — the JVM
+        # zone-rules check (r11 deep fix) needs no allowlist curation
+        for dst in ("CST", "PST", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", dst)
+            with _pytest.raises(ValueError, match="fixed-offset"):
+                token_offsets(df, "n_tok", "ts_ntz", shard_tokens=128)
+        # the no-JVM fallback path (Spark Connect): the documented
+        # pattern gives the same verdicts on the named forms
+        from sentinel_spark.functions.chunking import _is_fixed_offset_zone
+
+        class _NoJvm:
+            @property
+            def _jvm(self):
+                raise AttributeError("no gateway")
+
+        nj = _NoJvm()
+        assert _is_fixed_offset_zone(nj, "EST")
+        assert _is_fixed_offset_zone(nj, "Etc/GMT-7")
+        assert not _is_fixed_offset_zone(nj, "Europe/Amsterdam")
+        assert not _is_fixed_offset_zone(nj, "CST")
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
