@@ -173,6 +173,20 @@ def test_no_corpus_text_in_incremental_plan(spark, frames, tmp_path):
 
     assert len(set(re.findall(r"\btext#(\d+)", plan))) == 1
     assert "parquet" in plan  # the corpus side really is the file scan
+    # join-strategy pin: the index participates through BROADCAST
+    # joins only (batch side built); with new-new off there is no
+    # sort-merge anywhere — the corpus is scanned, never shuffled
+    phys = inc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    assert "SortMergeJoin" not in phys
+    # with new-new ON, the one permitted SMJ is the batch self-join
+    # (batch-sized by construction; broadcasting an arbitrary batch
+    # would be the unguarded-broadcast trap ann_join guards against)
+    both = D.incremental_winnow_overlap(
+        new, index, "text", "doc_id", min_shared=2
+    )
+    phys2 = both._jdf.queryExecution().executedPlan().toString()
+    assert phys2.count("SortMergeJoin") <= 1
     # and the result still finds the engineered lifts through the scan
     got = {(r.id_new, r.id_old) for r in inc.collect()}
     assert {(10, 1), (11, 1)} <= got
