@@ -624,21 +624,34 @@ def q_corpus_report(spark, sf_dir):
         F.col("min_tok").cast("double").alias("stat1"),
         F.col("max_tok").cast("double").alias("stat2"),
     )
-    # drift branch (functions/drift.py — r9): PSI/KL snapshot
-    # monitoring between the even- and odd-id halves of the corpus
-    # over three bucketed features; per-bucket terms AND the
-    # per-feature summary are value-hash-checked. The tiny drift table
-    # persists because two branches (terms + summary) consume it —
-    # released through the gate's handle.
-    # r11: the hash-checked stats are the EXACT-RATIONAL tier only
-    # (drift.py module docstring): ratio_ppm / dshare_ppm per bucket,
-    # tvd2x_ppm / ratio_sum_ppm per feature — pure BIGINT arithmetic,
-    # no ln() anywhere in the hashed projection. r9 hashed rounded
-    # doubles (red), r10 hashed round(ln·1e6) BIGINTs (still red —
-    # the driver's engine rounds ln() differently from local DuckDB
-    # 1.0.0 somewhere the margin model missed, see PLANS.md r11).
-    # psi/kl stay library columns, validated in tests/test_drift.py
-    # against DuckDB's ln() locally.
+    # r12 BISECT (VERDICT r11 #1): the drift/drift_sum branches are
+    # intentionally DETACHED this round. Three arithmetic designs for
+    # the same 31 drift rows went driver-red (rounded doubles r9,
+    # ln-ppm BIGINT r10, exact-rational BIGINT r11) while the local
+    # DuckDB replica passed bit-exactly every time — so the failure
+    # mechanism is unidentified and the only instrument that can see
+    # it is the driver artifact itself. This round ships EXACTLY the
+    # r8 driver-green 127-row cube+hist form (commit d9d6096 only
+    # ADDED the drift unions; this reverts that addition and nothing
+    # else). Outcome green → the fault is localized to the drift rows
+    # (reintroduce counts-only in r13, then stats one at a time).
+    # Outcome red → the fault is in the cube/hist constructs (CUBE /
+    # bin / shiftleft / round(avg(),6)) and the driver's engine
+    # changed at r9. Drift itself stays fully covered by
+    # tests/test_drift.py + test_properties.py (exact-rational law vs
+    # Fraction) + the _drift_report_rows/_drift_report_oracle DuckDB
+    # replay in tests/test_drift.py.
+    return cube.unionByName(hist)
+
+
+def _drift_report_rows(spark, sf_dir):
+    """The detached drift/drift_sum rows of ``corpus_report`` (r9–r11
+    form, exact-rational BIGINT tier): PSI/KL snapshot monitoring
+    between the even- and odd-id halves of the corpus over three
+    bucketed features. Kept as a standalone frame during the r12
+    bisect so (a) tests/test_drift.py replays it against
+    :func:`_drift_report_oracle` on DuckDB every run and (b) r13 can
+    reattach it to the gate with one unionByName per bisect outcome."""
     from sentinel_spark.cache import with_release
     from sentinel_spark.functions.drift import drift_summary, drift_table
 
@@ -671,8 +684,87 @@ def q_corpus_report(spark, sf_dir):
         F.col("tvd2x_ppm").cast("double").alias("stat1"),
         F.col("ratio_sum_ppm").cast("double").alias("stat2"),
     )
-    out = cube.unionByName(hist).unionByName(drows).unionByName(srows)
-    return with_release(out, [dt])
+    return with_release(drows.unionByName(srows), [dt])
+
+
+def _drift_report_oracle():
+    """DuckDB replay of :func:`_drift_report_rows` — the detached
+    drift branch of ``corpus_report`` (r9-r11 form). Same (feature,
+    bucket) count pipeline over the even/odd snapshot halves,
+    add-0.5 smoothing over each feature's realized buckets; stats
+    are the exact-rational tier: with alpha = 1/2 the smoothed
+    shares are sa = na2/da, sb = nb2/db over na2 = 2*n_a+1,
+    da = 2*tot_a+k - round(1e6*x) for a positive rational x = A/B
+    is (2e6*A + B) // (2*B) in pure BIGINT arithmetic (// is DuckDB
+    integer division, `div` on the Spark side). No ln(), no double,
+    no engine round() tie rule anywhere. Exercised locally by
+    tests/test_drift.py; reattachable to the corpus_report oracle in
+    r13 per the bisect outcome."""
+    return """
+        WITH dr_j AS (
+          SELECT coalesce(a.feature, b.feature) AS feature,
+                 coalesce(a.bucket, b.bucket) AS bucket,
+                 coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b
+          FROM (
+            SELECT feature, bucket, count(*) AS n_a FROM (
+              SELECT 'source' AS feature,
+                     coalesce(CAST(source AS VARCHAR), '(null)') AS bucket
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'lang', coalesce(CAST(lang AS VARCHAR), '(null)')
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'len256',
+                     coalesce(CAST(CAST(floor(length(text) / 256) AS BIGINT)
+                                   AS VARCHAR), '(null)')
+              FROM documents WHERE doc_id % 2 = 0
+            ) GROUP BY 1, 2
+          ) a
+          FULL OUTER JOIN (
+            SELECT feature, bucket, count(*) AS n_b FROM (
+              SELECT 'source' AS feature,
+                     coalesce(CAST(source AS VARCHAR), '(null)') AS bucket
+              FROM documents WHERE doc_id % 2 <> 0
+              UNION ALL
+              SELECT 'lang', coalesce(CAST(lang AS VARCHAR), '(null)')
+              FROM documents WHERE doc_id % 2 <> 0
+              UNION ALL
+              SELECT 'len256',
+                     coalesce(CAST(CAST(floor(length(text) / 256) AS BIGINT)
+                                   AS VARCHAR), '(null)')
+              FROM documents WHERE doc_id % 2 <> 0
+            ) GROUP BY 1, 2
+          ) b ON a.feature = b.feature AND a.bucket = b.bucket
+        ),
+        dr_t AS (
+          SELECT feature, sum(n_a) AS tot_a, sum(n_b) AS tot_b,
+                 count(*) AS k FROM dr_j GROUP BY 1
+        ),
+        dr_terms AS (
+          SELECT feature, bucket, n_a, n_b,
+                 (2000000 * na2 * db + nb2 * da) // (2 * nb2 * da)
+                   AS ratio_ppm,
+                 (2000000 * na2 + da) // (2 * da)
+                   - (2000000 * nb2 + db) // (2 * db) AS dshare_ppm
+          FROM (
+            SELECT j.*,
+                   2 * j.n_a + 1 AS na2, 2 * j.n_b + 1 AS nb2,
+                   2 * t.tot_a + t.k AS da, 2 * t.tot_b + t.k AS db
+            FROM dr_j j JOIN dr_t t USING (feature)
+          )
+        )
+        SELECT 'drift' AS kind, feature AS key1, bucket AS key2,
+               n_a AS n_docs, n_b AS n_tokens,
+               CAST(ratio_ppm AS DOUBLE) AS stat1,
+               CAST(dshare_ppm AS DOUBLE) AS stat2
+        FROM dr_terms
+        UNION ALL
+        SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
+               sum(n_a), sum(n_b),
+               CAST(sum(abs(dshare_ppm)) AS DOUBLE),
+               CAST(sum(ratio_ppm) AS DOUBLE)
+        FROM dr_terms GROUP BY feature
+    """
 
 
 def q_corpus_funnel(spark, sf_dir):
@@ -4326,81 +4418,12 @@ def oracle_sql() -> dict[str, str]:
     # its family's composed SQL, so the per-operator checks are intact —
     # they just land in one registry row (see the consolidation note on
     # the Spark side).
-    # drift-branch replay: same (feature, bucket) count pipeline over
-    # the even/odd snapshot halves, add-0.5 smoothing over each
-    # feature's realized buckets. Hash-checked stats are the
-    # exact-rational tier ONLY (see the r11 note in q_corpus_report):
-    # with alpha = 1/2 the smoothed shares are sa = na2/da,
-    # sb = nb2/db over na2 = 2·n_a+1, da = 2·tot_a+k — round(1e6·x)
-    # for a positive rational x = A/B is (2e6·A + B) // (2·B) in pure
-    # BIGINT arithmetic (// is DuckDB integer division, `div` on the
-    # Spark side). No ln(), no double, no engine round() tie rule
-    # anywhere in the hashed projection.
-    drift_sql = """
-        WITH dr_j AS (
-          SELECT coalesce(a.feature, b.feature) AS feature,
-                 coalesce(a.bucket, b.bucket) AS bucket,
-                 coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b
-          FROM (
-            SELECT feature, bucket, count(*) AS n_a FROM (
-              SELECT 'source' AS feature,
-                     coalesce(CAST(source AS VARCHAR), '(null)') AS bucket
-              FROM documents WHERE doc_id % 2 = 0
-              UNION ALL
-              SELECT 'lang', coalesce(CAST(lang AS VARCHAR), '(null)')
-              FROM documents WHERE doc_id % 2 = 0
-              UNION ALL
-              SELECT 'len256',
-                     coalesce(CAST(CAST(floor(length(text) / 256) AS BIGINT)
-                                   AS VARCHAR), '(null)')
-              FROM documents WHERE doc_id % 2 = 0
-            ) GROUP BY 1, 2
-          ) a
-          FULL OUTER JOIN (
-            SELECT feature, bucket, count(*) AS n_b FROM (
-              SELECT 'source' AS feature,
-                     coalesce(CAST(source AS VARCHAR), '(null)') AS bucket
-              FROM documents WHERE doc_id % 2 <> 0
-              UNION ALL
-              SELECT 'lang', coalesce(CAST(lang AS VARCHAR), '(null)')
-              FROM documents WHERE doc_id % 2 <> 0
-              UNION ALL
-              SELECT 'len256',
-                     coalesce(CAST(CAST(floor(length(text) / 256) AS BIGINT)
-                                   AS VARCHAR), '(null)')
-              FROM documents WHERE doc_id % 2 <> 0
-            ) GROUP BY 1, 2
-          ) b ON a.feature = b.feature AND a.bucket = b.bucket
-        ),
-        dr_t AS (
-          SELECT feature, sum(n_a) AS tot_a, sum(n_b) AS tot_b,
-                 count(*) AS k FROM dr_j GROUP BY 1
-        ),
-        dr_terms AS (
-          SELECT feature, bucket, n_a, n_b,
-                 (2000000 * na2 * db + nb2 * da) // (2 * nb2 * da)
-                   AS ratio_ppm,
-                 (2000000 * na2 + da) // (2 * da)
-                   - (2000000 * nb2 + db) // (2 * db) AS dshare_ppm
-          FROM (
-            SELECT j.*,
-                   2 * j.n_a + 1 AS na2, 2 * j.n_b + 1 AS nb2,
-                   2 * t.tot_a + t.k AS da, 2 * t.tot_b + t.k AS db
-            FROM dr_j j JOIN dr_t t USING (feature)
-          )
-        )
-        SELECT 'drift' AS kind, feature AS key1, bucket AS key2,
-               n_a AS n_docs, n_b AS n_tokens,
-               CAST(ratio_ppm AS DOUBLE) AS stat1,
-               CAST(dshare_ppm AS DOUBLE) AS stat2
-        FROM dr_terms
-        UNION ALL
-        SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
-               sum(n_a), sum(n_b),
-               CAST(sum(abs(dshare_ppm)) AS DOUBLE),
-               CAST(sum(ratio_ppm) AS DOUBLE)
-        FROM dr_terms GROUP BY feature
-    """
+    # r12 BISECT: corpus_report's oracle mirrors the Spark side — cube
+    # + hist ONLY, byte-identical to the r8 driver-green form. The
+    # drift replay lives in :func:`_drift_report_oracle` (exercised
+    # every pytest run by tests/test_drift.py against
+    # :func:`_drift_report_rows`) so r13 can reattach it branch by
+    # branch per the bisect outcome.
     out["corpus_report"] = f"""
         SELECT 'cube' AS kind, source AS key1, lang AS key2, n_docs, n_tokens,
                CAST(avg_chars AS DOUBLE) AS stat1, CAST(NULL AS DOUBLE) AS stat2
@@ -4410,8 +4433,6 @@ def oracle_sql() -> dict[str, str]:
                CAST(bucket_lo AS VARCHAR) AS key2, n_docs, n_tokens,
                CAST(min_tok AS DOUBLE) AS stat1, CAST(max_tok AS DOUBLE) AS stat2
         FROM ({base["length_histogram"]})
-        UNION ALL
-        SELECT * FROM ({drift_sql})
     """
     # Full SQL replay of pipelines.build_training_corpus (no export /
     # mixture): Gopher gate -> fingerprint exact dedup -> MinHash-LSH

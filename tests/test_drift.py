@@ -190,6 +190,34 @@ def test_exact_tier_overflow_raises_loudly(spark):
     assert all(r.ratio_ppm is not None for r in small.collect())
 
 
+def test_detached_drift_report_matches_duckdb_oracle(spark):
+    # r12 bisect: the drift/drift_sum rows are detached from the
+    # corpus_report driver gate while the fault is localized (VERDICT
+    # r11 #1), so this replay IS their correctness evidence: the full
+    # 31-row branch (exact-rational ppm stats included) must match the
+    # DuckDB oracle bit-exactly on the real sf0.001 corpus — the same
+    # comparison the driver would run, minus the driver.
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in E._drift_report_rows(spark, sf)
+        .select("kind", "key1", "key2", "n_docs", "n_tokens",
+                "stat1", "stat2")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = set(map(tuple, con.execute(E._drift_report_oracle()).fetchall()))
+    assert got == want and len(got) >= 6
+
+
 def test_multi_feature_single_pass(spark):
     df = spark.createDataFrame(
         [(i, "x" if i % 2 else "y", i % 3) for i in range(12)],

@@ -44,16 +44,14 @@ BUDGET = {
     "events_report": 5,   # + heavy-hitters MG partials + exact recount
     "events_windows": 2,
     "doc_profile": 0,      # ONE scan, pure projection
-    "corpus_report": 13,   # CUBE (expand + shuffle) + histogram agg;
-                           # + r9 drift branch: two map-side-combined
-                           # (feature, bucket) count aggregates (one
-                           # per snapshot half — the only corpus-width
-                           # work), then join/regroup exchanges on the
-                           # Σ-buckets-sized frame; the persisted drift
-                           # table's lineage re-prints inside
-                           # InMemoryRelation for both consuming
-                           # branches, double-counting in this text
-                           # scan
+    "corpus_report": 2,    # r12 bisect: back to the r8 driver-green
+                           # form — CUBE (expand + shuffle) + histogram
+                           # agg, one exchange each. The r9-r11 drift
+                           # branch (11 more exchanges) is detached
+                           # while the driver fault is localized; its
+                           # plan is still pinned via
+                           # _drift_report_rows in test_drift.py's
+                           # DuckDB replay
     "corpus_funnel": 109,  # the whole recipe: featurize/winners/LSH
                            # pipeline over survivors + decontam shingle
                            # pass + funnel aggregates — each exchange
@@ -135,7 +133,9 @@ BUDGET = {
                            # df-guard agg (recompute-per-branch is the
                            # audited scale choice, r5), the fp
                            # equi-join's two sides, and the pair-count
-                           # agg, all on the doc_id % 5 subset)
+                           # agg, all on the doc_id % 20 == 0 subset
+                           # (narrowed from % 5 in e15dc3e; matches
+                           # near_dup_union and the oracle))
     "ingest_rollup": 11,
     "salted_agg": 5,       # two salted phases x two paths + join
     "typed_tags": 0,
