@@ -2010,14 +2010,33 @@ def near_dup_union(d):
         (-F.col("doc_id") - 1).alias("doc_id"),
         F.substring("text", 1, 200).alias("text"),
     )
-    wn_raw = D.winnow_overlap_pairs(
-        wsub.unionByName(wtr), "text", "doc_id",
-        k=5, window=4, min_shared=2, max_df=50,
+    # r12 (VERDICT r11 #4): the branch now runs through the
+    # INCREMENTAL lineage — winnow_index over the %20 docs (the
+    # "already-indexed corpus"), incremental_winnow_overlap for the
+    # truncation batch — so the index build, the combined-df Zipf
+    # guard, and the batch-vs-index join are what the driver
+    # value-checks, not just the batch recompute. By the pytest-pinned
+    # equivalence law the output is the full recompute restricted to
+    # truncation-involving pairs; the oracle states exactly that (same
+    # winnow SQL + the negative-id restriction — the inc_ minhash
+    # precedent). At sf0.01 the %20 subset strands every organic dup
+    # partner (zero old-old pairs, measured), so the driver-hashed row
+    # set is IDENTICAL to r11's batch form — the r12 bisect freeze
+    # holds. hash_fn='md5' is the engine-portable gate path; the
+    # library default is the cheaper xxhash64 (VERDICT r11 #3).
+    # Ordering: truncation ids are negative, so id_new < id_old on
+    # the index side matches the id_a < id_b contract; batch-side
+    # pairs are ordered by construction.
+    widx = D.winnow_index(wsub, "text", "doc_id", k=5, window=4,
+                          hash_fn="md5")
+    wn_raw = D.incremental_winnow_overlap(
+        wtr, widx, "text", "doc_id",
+        k=5, window=4, min_shared=2, max_df=50, hash_fn="md5",
     )
     wn = wn_raw.select(
         F.lit("winnow").alias("method"),
-        "id_a",
-        "id_b",
+        F.col("id_new").alias("id_a"),
+        F.col("id_old").alias("id_b"),
         F.col("n_shared").cast("double").alias("score"),
     )
     out = (
@@ -4870,14 +4889,21 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_minhash_oracle(where="WHERE doc_id % 2 = 0")})
         WHERE id_a % 10 = 0 OR id_b % 10 = 0
         UNION ALL
-        -- winnowing replay (dedup.winnow_overlap_pairs, k=5 window=4):
+        -- winnowing replay (r12: dedup.incremental_winnow_overlap over
+        -- a winnow_index of the %20 docs, k=5 window=4, hash_fn=md5):
         -- 5-gram md5-int60 hashes, per-window minima with the partial-
         -- window clamp (n_win = greatest(n-3, least(n,1)); least()
         -- over the slice skips the missing tail the Spark arrays_zip
-        -- pads with NULL), distinct per doc, df<=50 guard, shared>=2;
-        -- input = doc_id % 20 subset ∪ its 200-char truncations under
-        -- -doc_id - 1 (guaranteed positive pairs at every SF, ids in
-        -- a collision-free namespace — see the Spark-side note)
+        -- pads with NULL), distinct per doc, df<=50 guard (over the
+        -- COMBINED index ∪ batch rows — the incremental law), shared
+        -- >=2; input = doc_id % 20 subset ∪ its 200-char truncations
+        -- under -doc_id - 1 (guaranteed positive pairs at every SF,
+        -- ids in a collision-free namespace — see the Spark-side
+        -- note). The incremental operator returns only batch-involving
+        -- pairs (the equivalence law), so the full recompute is
+        -- restricted to pairs with a negative (truncation) id — the
+        -- inc_ minhash precedent one branch up. Zero old-old pairs
+        -- exist at sf0.01, so the driver row set matches r11 exactly.
         SELECT 'winnow' AS method, id_a, id_b,
                CAST(n_shared AS DOUBLE) AS score
         FROM (
@@ -4923,6 +4949,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n_shared
           FROM wkept a JOIN wkept b USING (fp)
           WHERE a.doc_id < b.doc_id
+            AND (a.doc_id < 0 OR b.doc_id < 0)
           GROUP BY 1, 2
           HAVING count(*) >= 2
         )

@@ -33,12 +33,24 @@ def _is_fixed_offset_zone(spark, tz: str | None) -> bool:
     fixed aliases, optionally with an offset suffix, Etc/ variants,
     the three fixed SHORT_IDS, and bare ±HH[:MM[:SS]] offsets —
     over-matching non-zone strings is harmless, the session conf only
-    ever holds ids the JVM already accepted."""
+    ever holds ids the JVM already accepted. The same fallback covers
+    a gateway that is up but errors on the call itself (review r12:
+    tz=None reaching Java as null → NPE, or a py4j protocol error) —
+    the raw Py4JJavaError must not replace the operator's documented
+    answer."""
+    fallback_errors: tuple = (AttributeError,)
+    try:
+        from py4j.protocol import Py4JError
+        fallback_errors = (AttributeError, Py4JError)
+    except ImportError:  # Connect-only install: no py4j at all
+        pass
     try:
         jvm = spark._jvm
+        if jvm is None or tz is None:
+            raise AttributeError("no JVM gateway or no tz")
         zid = jvm.java.time.ZoneId.of(tz, jvm.java.time.ZoneId.SHORT_IDS)
         return bool(zid.getRules().isFixedOffset())
-    except AttributeError:  # no JVM gateway (Spark Connect)
+    except fallback_errors:  # no gateway / no tz / JVM-side error
         return bool(
             re.fullmatch(
                 r"Z|EST|HST|MST|(Etc/)?(UTC|GMT0|GMT|UT|UCT|Zulu"

@@ -169,18 +169,30 @@ def drift_from_counts(
     # pre-scale both snapshots' counts by a common factor (shares are
     # scale-invariant) or read the *_ppm double tier.
     lim = 2_100_000
+    # the >= 1 legs (review r12): alpha = 0 (or any alpha whose
+    # rational limit has p = 0) makes a zero-count bucket's smoothed
+    # numerator 0, so ratio_ppm's divisor 2·_nb2·_da is 0 — Spark's
+    # non-ANSI div would yield NULL silently while DuckDB errors,
+    # exactly the cross-engine divergence class the overflow legs
+    # guard. Folding the bound into `ok` makes the failure loud on
+    # both engines; unsmoothed drift over fully-realized buckets
+    # (every count > 0) still works.
     ok = (
         (F.col("_na2") <= lim)
         & (F.col("_nb2") <= lim)
         & (F.col("_da") <= lim)
         & (F.col("_db") <= lim)
+        & (F.col("_na2") >= 1)
+        & (F.col("_nb2") >= 1)
     )
     boom = F.raise_error(
         F.lit(
             "drift exact-rational tier would overflow BIGINT at these "
-            f"counts (a smoothed term exceeds {lim}); pre-scale both "
+            f"counts (a smoothed term exceeds {lim}) or divide by zero "
+            "(alpha = 0 with an empty bucket); pre-scale both "
             "snapshots' counts by a common factor (shares are "
-            "scale-invariant) or read the *_ppm double tier"
+            "scale-invariant), use alpha > 0, or read the *_ppm "
+            "double tier"
         )
     )
     share_ax = F.expr("(2000000 * _na2 + _da) div (2 * _da)")

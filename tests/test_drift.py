@@ -190,6 +190,22 @@ def test_exact_tier_overflow_raises_loudly(spark):
     assert all(r.ratio_ppm is not None for r in small.collect())
 
 
+def test_exact_tier_alpha_zero_empty_bucket_raises_loudly(spark):
+    # review r12: with alpha = 0 a bucket absent from one snapshot has
+    # a zero smoothed numerator, making ratio_ppm's divisor zero —
+    # Spark's non-ANSI div would return NULL silently while a
+    # replaying engine errors. The ok-guard must make that loud here.
+    a = _docs(spark, [(i, "x") for i in range(10)]
+              + [(i + 10, "y") for i in range(10)])
+    b = _docs(spark, [(i, "x") for i in range(10)])  # 'y' absent
+    t = drift_table(a, b, FEATS(), alpha=0.0)
+    with pytest.raises(Exception, match="alpha = 0|divide by zero"):
+        t.select("ratio_ppm").collect()
+    # fully-realized buckets still compute exactly under alpha = 0
+    t2 = drift_table(a, a, FEATS(), alpha=0.0)
+    assert all(r.ratio_ppm == 1_000_000 for r in t2.collect())
+
+
 def test_detached_drift_report_matches_duckdb_oracle(spark):
     # r12 bisect: the drift/drift_sum rows are detached from the
     # corpus_report driver gate while the fault is localized (VERDICT

@@ -124,18 +124,27 @@ BUDGET = {
                            # aggregates + coverage anti-join + per-doc
                            # reassembly) + r6 paragraph-dedup branch
                            # (split/fingerprint aggregate + reassembly)
-    "near_dup_pairs": 42,  # seven pairing pipelines, each
+    "near_dup_pairs": 75,  # seven pairing pipelines, each
                            # bucket-bounded (r5 adds the incremental
                            # new-vs-index branch: one batch shingle
                            # pipeline + the subset index build;
-                           # r11 +6: the winnow branch — fingerprint
-                           # lineage recomputed per join side + the
-                           # df-guard agg (recompute-per-branch is the
-                           # audited scale choice, r5), the fp
-                           # equi-join's two sides, and the pair-count
-                           # agg, all on the doc_id % 20 == 0 subset
-                           # (narrowed from % 5 in e15dc3e; matches
-                           # near_dup_union and the oracle))
+                           # r11 +6: the winnow branch on the
+                           # doc_id % 20 == 0 subset (narrowed from
+                           # % 5 in e15dc3e; matches near_dup_union
+                           # and the oracle).
+                           # r12 42 -> 75: the winnow branch now runs
+                           # the INCREMENTAL lineage (winnow_index +
+                           # incremental_winnow_overlap), which
+                           # persists the batch fingerprint frame and
+                           # the hot-fp guard frame (each feeds 3-5
+                           # plan branches); 15 InMemoryRelations
+                           # re-print those lineages, inflating the
+                           # TEXT count while the deduplicated plan
+                           # has exactly THREE exchange keys (two
+                           # id-spreads + the fp equi-join) — audited
+                           # r12, the corpus_funnel precedent. A real
+                           # new exchange would multiply through the
+                           # same re-prints, so the tripwire holds.
     "ingest_rollup": 11,
     "salted_agg": 5,       # two salted phases x two paths + join
     "typed_tags": 0,

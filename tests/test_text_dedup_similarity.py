@@ -1145,6 +1145,20 @@ def test_ann_join_exact_guards_unbounded_left_broadcast(spark):
     SIM.ann_join(
         left, right, k=3, broadcast_left=False, max_broadcast_rows=0
     )
+    # r12 (VERDICT r11 #6): the verdict memoizes on the left object —
+    # a repeated exact call with a covered bound consults the memo
+    # instead of re-running the CollectLimit job (provable: a planted
+    # memo drives the decision with no job at all)
+    assert left._sentinel_guard_count == (5, 4)
+    left._sentinel_guard_count = (10**9, 10**6)
+    with pytest.raises(ValueError, match="lsh"):
+        SIM.ann_join(left, right, k=3, max_broadcast_rows=500_000)
+    del left._sentinel_guard_count
+    # max_broadcast_rows=None skips the guard entirely (caller-enforced
+    # bound); no memo is written
+    out2 = SIM.ann_join(left, right, k=3, max_broadcast_rows=None)
+    assert out2.count() == 4 * 3
+    assert not hasattr(left, "_sentinel_guard_count")
 
 
 # ---------------------------------------------------------------------------
@@ -1180,19 +1194,29 @@ def test_winnow_matches_python_reference_and_guarantee(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {}
-    for r in winnow_fingerprints(df, "text", "doc_id").collect():
+    for r in winnow_fingerprints(df, "text", "doc_id", hash_fn="md5").collect():
         got.setdefault(r.id, set()).add(r.fp)
-    # exact replay of the selection (hash values AND window minima)
+    # exact replay of the md5 selection (hash values AND window minima)
     for i, text in rows:
         want = _py_winnow(text or "")
         assert got.get(i, set()) == want, i
-    # the MOSS guarantee: docs 1 and 2 share a run >= window+k-1
-    # tokens, so they MUST share a fingerprint; doc 3 shares none
-    assert got[1] & got[2]
-    assert not (got[1] & got[3]) and not (got[2] & got[3])
-    # density: far fewer fingerprints than k-grams
-    n_grams_1 = len(rows[0][1].split()) - 4
-    assert 0 < len(got[1]) < n_grams_1
+    # the same laws must hold under BOTH hash schemes (r12: xxhash64 is
+    # the cheap production default, md5 the oracle-replayable gate
+    # path) — values differ, structure doesn't
+    for hash_fn in ("md5", "xxhash64"):
+        hgot = {}
+        rs = winnow_fingerprints(df, "text", "doc_id", hash_fn=hash_fn)
+        for r in rs.collect():
+            hgot.setdefault(r.id, set()).add(r.fp)
+        # the MOSS guarantee: docs 1 and 2 share a run >= window+k-1
+        # tokens, so they MUST share a fingerprint; doc 3 shares none
+        assert hgot[1] & hgot[2], hash_fn
+        assert not (hgot[1] & hgot[3]) and not (hgot[2] & hgot[3]), hash_fn
+        # short/NULL docs emit nothing under either scheme
+        assert 4 not in hgot and 5 not in hgot, hash_fn
+        # density: far fewer fingerprints than k-grams
+        n_grams_1 = len(rows[0][1].split()) - 4
+        assert 0 < len(hgot[1]) < n_grams_1, hash_fn
 
 
 def test_winnow_overlap_pairs_and_zipf_guard(spark):
@@ -1248,3 +1272,64 @@ def test_winnow_overlap_pairs_negative_id_namespace(spark):
     # orientation: id_a < id_b puts the negative id first
     assert (r.id_a, r.id_b) == (-8, 7)
     assert r.n_shared >= 2
+
+
+def test_winnow_pair_sets_agree_across_hash_fns(spark):
+    # r12 laws for the xxhash64 production path vs the md5 oracle path.
+    # (1) window=1 selects EVERY k-gram hash, so on a collision-free
+    #     fixture the fingerprint STRUCTURE is hash-independent: pair
+    #     sets AND n_shared must be bit-identical across schemes.
+    # (2) window>1 selects hash-dependent window minima, so pair sets
+    #     near the min_shared boundary legitimately differ (measured:
+    #     ~doc/truncation pairs flip at min_shared=2); the portable law
+    #     is the winnowing GUARANTEE — every doc↔truncation pair whose
+    #     truncation carries ≥ window+k-1 tokens must appear under BOTH
+    #     schemes at min_shared=1.
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+    from sentinel_spark.functions.text import token_count
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("doc_id % 10 = 0")
+        .select("doc_id", "text")
+    )
+    trunc = d.select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    corpus = d.unionByName(trunc)
+    exact = {}
+    guaranteed_hits = {}
+    for hash_fn in ("md5", "xxhash64"):
+        # collision-free precondition per scheme on this slice
+        fps = winnow_fingerprints(corpus, "text", "doc_id", hash_fn=hash_fn)
+        assert fps.count() == fps.distinct().count(), hash_fn
+        exact[hash_fn] = {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in winnow_overlap_pairs(
+                corpus, "text", "doc_id",
+                k=5, window=1, min_shared=2, max_df=50, hash_fn=hash_fn,
+            ).collect()
+        }
+        guaranteed_hits[hash_fn] = {
+            (r.id_a, r.id_b)
+            for r in winnow_overlap_pairs(
+                corpus, "text", "doc_id",
+                k=5, window=4, min_shared=1, max_df=50, hash_fn=hash_fn,
+            ).collect()
+        }
+    assert exact["md5"] == exact["xxhash64"] and len(exact["md5"]) > 0
+    must_pair = {
+        (-r.doc_id - 1, r.doc_id)
+        for r in trunc.where(token_count("text") >= 8)
+        .select((-F.col("doc_id") - 1).alias("doc_id"))
+        .collect()
+    }
+    assert must_pair
+    for hash_fn, hits in guaranteed_hits.items():
+        assert must_pair <= hits, hash_fn
