@@ -1368,11 +1368,15 @@ def winnow_fp_array(
     variables.
 
     ``hash_fn='xxhash64'`` (default) hashes each k-gram with one
-    codegen'd xxhash64 call — measured several× cheaper than the
-    ``'md5'`` replayable chain (md5 → substring → conv, three
-    interpreted calls per gram), which exists so a SQL oracle can
-    reproduce the selected minima bit-exactly (the driver-gate path).
-    Same winnowing guarantee and density either way."""
+    codegen'd xxhash64 call instead of the ``'md5'`` replayable chain
+    (md5 → substring → conv, three interpreted calls per gram), which
+    exists so a SQL oracle can reproduce the selected minima
+    bit-exactly (the driver-gate path). Measured (sf0.1 corpus,
+    local[32], solo steady-state): full fingerprint pass 5.7 s md5 →
+    4.5 s xxhash64 (~1.25×) — the hash step itself is several×
+    cheaper but the pass is dominated by tokenization + k-gram
+    concat, which both schemes share. Same winnowing guarantee and
+    density either way."""
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1 (got {k}, {window})")
     if hash_fn not in ("xxhash64", "md5"):
