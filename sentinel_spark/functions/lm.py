@@ -226,3 +226,109 @@ def perplexity_table(
             "mean_nll_ppm bigint, perplexity_ppm bigint"
         ),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lm: BigramLM,
+    *,
+    cuts: tuple = (1 / 3, 2 / 3),
+    by: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score
+    every document's perplexity under the clean-corpus model, compute
+    the ``cuts`` quantiles of the corpus's perplexity distribution,
+    and bucket each document — ``head`` (most fluent), ``middle``,
+    ``tail`` (boilerplate/gibberish). Output:
+    :func:`perplexity_table`'s columns + ``bucket`` (+ ``by``).
+
+    ``by`` computes the cuts PER GROUP (CCNet buckets per language —
+    a tail-of-English cut applied to German would misclassify
+    systematically); None uses one corpus-wide pair. The cut values
+    come from the engine-exact ``perplexity_ppm`` integers;
+    ``approx=True`` swaps exact ``percentile`` for
+    ``approx_percentile`` — the 100-TB path, where an exact percentile
+    means a per-group sort of every score. Empty/NULL documents score
+    NULL and bucket as ``tail`` (they carry no fluent text by
+    definition; the quantiles ignore NULLs).
+
+    Scale shape: one Arrow-batched scoring pass (the model broadcasts
+    in the closure; the slim scored frame PERSISTS because both the
+    quantile aggregate and the flag projection consume it — the
+    handle rides the result for :func:`sentinel_spark.cache.release`),
+    one tiny quantile aggregate (≤ groups rows, broadcast back), one
+    flag projection — no corpus-wide sort or window anywhere."""
+    from sentinel_spark.cache import with_release
+
+    if not (0 < cuts[0] < cuts[1] < 1):
+        raise ValueError(f"cuts must satisfy 0 < c1 < c2 < 1 (got {cuts})")
+    scored = perplexity_table(df, text_col, id_col, lm).persist()
+    if by is not None:
+        scored = scored.join(df.select(id_col, by), id_col)
+    key = F.col(by) if by is not None else F.lit(0).alias("__g")
+    pct = "approx_percentile" if approx else "percentile"
+    cut_frame = (
+        scored.groupBy(key.alias("__g") if by is None else F.col(by))
+        .agg(
+            F.expr(
+                f"{pct}(perplexity_ppm, array({cuts[0]}, {cuts[1]}))"
+            ).alias("__cuts")
+        )
+        .select(
+            *([by] if by is not None else ["__g"]),
+            F.col("__cuts")[0].alias("__q1"),
+            F.col("__cuts")[1].alias("__q2"),
+        )
+    )
+    joined = (
+        scored.join(F.broadcast(cut_frame), by)
+        if by is not None
+        else scored.crossJoin(F.broadcast(cut_frame.drop("__g")))
+    )
+    bucket = (
+        F.when(F.col("perplexity_ppm").isNull(), F.lit("tail"))
+        .when(F.col("perplexity_ppm") <= F.col("__q1"), F.lit("head"))
+        .when(F.col("perplexity_ppm") <= F.col("__q2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    out = joined.select(
+        id_col,
+        *([by] if by is not None else []),
+        "n_tokens",
+        "mean_nll",
+        "perplexity",
+        "mean_nll_ppm",
+        "perplexity_ppm",
+        bucket.alias("bucket"),
+    )
+    return with_release(out, [scored])
+
+
+def perplexity_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lm: BigramLM,
+    *,
+    keep: tuple = ("head", "middle"),
+    cuts: tuple = (1 / 3, 2 / 3),
+    by: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Keep only the documents whose CCNet perplexity bucket is in
+    ``keep`` (default: drop the tail — the standard CCNet quality
+    gate). Returns ``df``'s own rows (all columns) via a semi-join on
+    the kept ids; see :func:`perplexity_buckets` for the split."""
+    from sentinel_spark.cache import carry
+
+    bad = set(keep) - {"head", "middle", "tail"}
+    if bad:
+        raise ValueError(f"unknown buckets in keep: {sorted(bad)}")
+    buckets = perplexity_buckets(
+        df, text_col, id_col, lm, cuts=cuts, by=by, approx=approx
+    )
+    kept = buckets.where(F.col("bucket").isin(*keep))
+    return carry(df.join(kept.select(id_col), id_col, "left_semi"), buckets)

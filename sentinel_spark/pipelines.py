@@ -85,6 +85,9 @@ def build_training_corpus(
     dsir_n: int | None = None,
     dsir_buckets: int = 10_000,
     dsir_alpha: float = 1.0,
+    ppl_lm=None,
+    ppl_keep: tuple = ("head", "middle"),
+    ppl_cuts: tuple = (1 / 3, 2 / 3),
     with_drop_report: bool = False,
 ) -> CorpusBuildResult:
     """Run the full recipe over ``docs`` (and ``benchmark`` for
@@ -111,6 +114,13 @@ def build_training_corpus(
     guard's measured borderline-recall loss at the cost of one exact
     verification pass over the star pairs only (see
     minhash_candidate_pairs' measured-bound citation).
+    ``ppl_lm`` (a :class:`~sentinel_spark.functions.lm.BigramLM`
+    trained on a CLEAN reference corpus) inserts the CCNet perplexity
+    gate alongside the Gopher rules: documents bucket head/middle/tail
+    by the corpus's own perplexity quantiles (``ppl_cuts``) and only
+    ``ppl_keep`` buckets survive; the funnel gains
+    ``docs_ppl``/``tokens_ppl`` (appended, like the dsir columns) and
+    the drop report a ``perplexity`` stage.
     ``dsir_target`` (+ ``dsir_n``) inserts a DSIR importance-resampling
     stage (:func:`~sentinel_spark.functions.dsir.dsir_select`) between
     decontamination and the mixture: the clean survivors are
@@ -143,8 +153,35 @@ def build_training_corpus(
         T.token_count(text_col).alias("n_tok"),
         T.gopher_pass(text_col, **(quality_kwargs or {})).alias("quality_ok"),
         T.fingerprint(text_col).alias("fp"),
-    ).persist()
+    )
     texts = docs.select(id_col, text_col)
+    # Optional CCNet perplexity gate (``ppl_lm``: a pre-trained
+    # lm.BigramLM — train it on a CLEAN reference corpus, not on
+    # ``docs``): score every document, bucket head/middle/tail by the
+    # corpus's own perplexity quantiles (``ppl_cuts``), keep
+    # ``ppl_keep``. The flag joins the featurize lineage BEFORE the
+    # persist, so it rides the cached narrow frame like quality_ok;
+    # the bucket operator's own persisted scored frame joins the
+    # release list. Applied as a second quality-style gate: cut values
+    # are computed over ALL input docs (CCNet buckets the raw crawl),
+    # and the survivor gate becomes quality ∧ perplexity.
+    ppl_buckets_frame = None
+    if ppl_lm is not None:
+        from sentinel_spark.functions.lm import perplexity_buckets
+
+        ppl_buckets_frame = perplexity_buckets(
+            texts, text_col, id_col, ppl_lm, cuts=ppl_cuts
+        )
+        narrow = narrow.join(
+            ppl_buckets_frame.select(
+                id_col,
+                F.col("bucket").isin(*ppl_keep).alias("ppl_ok"),
+            ),
+            id_col,
+        )
+    else:
+        narrow = narrow.withColumn("ppl_ok", F.lit(True))
+    narrow = narrow.persist()
 
     # exact dedup: canonical = min id per fingerprint; a window would
     # serialize hot fingerprints, so reuse the groupBy operator and
@@ -160,7 +197,7 @@ def build_training_corpus(
     # expensive stage runs on the reduced set); text re-attaches from
     # the source scan, flags come from the cache.
     survivor_meta = flagged.where(
-        F.col("quality_ok") & F.col("exact_canonical")
+        F.col("quality_ok") & F.col("ppl_ok") & F.col("exact_canonical")
     )
     survivors = texts.join(survivor_meta, id_col)
     cand_raw = D.minhash_candidate_pairs(
@@ -300,6 +337,20 @@ def build_training_corpus(
         F.sum("n_tok").alias("tokens_final"),
     )
     funnel = f0.crossJoin(f1).crossJoin(f2)
+    if ppl_lm is not None:
+        # appended only when the stage ran (the dsir precedent), so
+        # the default funnel schema — and its gate oracle — never moves
+        f_ppl = narrow.agg(
+            F.sum(
+                F.when(F.col("quality_ok") & F.col("ppl_ok"), 1).otherwise(0)
+            ).alias("docs_ppl"),
+            F.sum(
+                F.when(
+                    F.col("quality_ok") & F.col("ppl_ok"), F.col("n_tok")
+                ).otherwise(0)
+            ).alias("tokens_ppl"),
+        )
+        funnel = funnel.crossJoin(f_ppl)
     if dsir_picked is not None:
         # dsir columns append only when the stage ran, so the default
         # recipe's funnel schema (and its gate oracle) is unchanged
@@ -440,6 +491,7 @@ def build_training_corpus(
                 id_col,
                 "n_tok",
                 "quality_ok",
+                "ppl_ok",
                 "exact_canonical",
                 F.col("keep_id").alias("__winner"),
             )
@@ -456,6 +508,7 @@ def build_training_corpus(
             )
         stage = (
             F.when(~F.col("quality_ok"), F.lit("quality"))
+            .when(~F.col("ppl_ok"), F.lit("perplexity"))
             .when(~F.col("exact_canonical"), F.lit("exact_dup"))
             .when(~F.col("is_canonical"), F.lit("near_dup"))
             .when(F.col("contaminated"), F.lit("contaminated"))
@@ -477,6 +530,10 @@ def build_training_corpus(
 
     out = with_release(selected, [narrow, stage3])
     out = with_release(out, getattr(cand_raw, "_sentinel_cached", []))
+    if ppl_buckets_frame is not None:
+        out = with_release(
+            out, getattr(ppl_buckets_frame, "_sentinel_cached", [])
+        )
     if dsir_picked is not None:
         out = with_release(
             out,

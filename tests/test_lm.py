@@ -77,3 +77,103 @@ def test_vocab_cap_folds_to_unk(spark):
         _df(spark, ["completely novel words here"]), "text", "doc_id", lm
     ).collect()[0]
     assert out.perplexity is not None
+
+
+def test_perplexity_buckets_ccnet_split(spark):
+    # r12: CCNet head/middle/tail — bucket membership follows the
+    # corpus's own perplexity terciles; fluent docs land in head,
+    # gibberish in tail, empties in tail by definition
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.lm import (
+        perplexity_buckets,
+        perplexity_filter,
+    )
+
+    lm = train_bigram_lm(_df(spark, CLEAN), "text", max_vocab=100)
+    corpus = _df(
+        spark,
+        [
+            "the cat sat on the mat",            # 0 in-distribution
+            "the dog sat on the rug",            # 1 in-distribution
+            "the cat ran to the dog",            # 2 in-distribution
+            "a dog and a cat sat together",      # 3 recombination
+            "mat the on sat cat rug dog the",    # 4 shuffled (worse)
+            "zq xv qqq plok wrrt mnbv",          # 5 gibberish
+            "qqq zq wrrt xv mnbv plok zq xv",    # 6 gibberish
+            "",                                  # 7 empty -> tail
+        ],
+    )
+    out = perplexity_buckets(corpus, "text", "doc_id", lm)
+    rows = {r.doc_id: r for r in out.collect()}
+    # independent check: recompute the terciles from the scored ppms
+    # and re-derive every bucket
+    ppms = sorted(
+        r.perplexity_ppm for r in rows.values() if r.perplexity_ppm is not None
+    )
+    import statistics
+
+    q1, q2 = (
+        statistics.quantiles(ppms, n=3, method="inclusive")
+        if len(ppms) >= 2
+        else (ppms[0], ppms[0])
+    )
+    for r in rows.values():
+        if r.perplexity_ppm is None:
+            want = "tail"
+        elif r.perplexity_ppm <= q1:
+            want = "head"
+        elif r.perplexity_ppm <= q2:
+            want = "middle"
+        else:
+            want = "tail"
+        assert r.bucket == want, r
+    # structural expectations (note the add-k property: all-<unk>
+    # gibberish scores ~ -log2(k/(kV)) while SEEN unigrams followed by
+    # unseen bigrams score WORSE — bigger denominator — so "tail"
+    # means worst-scoring, not necessarily all-unknown): empty -> tail,
+    # the worst-scoring doc -> tail, no gibberish in head, and at
+    # least one in-distribution doc in head
+    assert rows[7].bucket == "tail"
+    worst = max(
+        (r for r in rows.values() if r.perplexity_ppm is not None),
+        key=lambda r: r.perplexity_ppm,
+    )
+    assert worst.bucket == "tail"
+    assert rows[5].bucket != "head" and rows[6].bucket != "head"
+    assert "head" in {rows[i].bucket for i in (0, 1, 2)}
+    # filter drops exactly the tail under the default keep
+    kept = perplexity_filter(corpus, "text", "doc_id", lm)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == {
+        i for i, r in rows.items() if r.bucket in ("head", "middle")
+    }
+    # df's own columns come back (semi-join contract)
+    assert set(kept.columns) == {"doc_id", "text"}
+    release(kept)
+    release(out)
+    with pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(corpus, "text", "doc_id", lm, cuts=(0.5, 0.4))
+    with pytest.raises(ValueError, match="unknown buckets"):
+        perplexity_filter(corpus, "text", "doc_id", lm, keep=("head", "body"))
+    # per-group cuts: a 'lang' column with a systematically
+    # higher-perplexity group must still yield heads INSIDE that group
+    # (the CCNet per-language motivation)
+    two = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog sat on the rug"),
+            (3, "en", "zq xv qqq plok wrrt mnbv"),
+            (4, "xx", "plok wrrt the mnbv zq cat"),
+            (5, "xx", "wrrt plok zq the mnbv dog"),
+            (6, "xx", "qqq qqq zq zq wrrt wrrt xv"),
+        ],
+        "doc_id int, lang string, text string",
+    )
+    grouped = perplexity_buckets(two, "text", "doc_id", lm, by="lang")
+    g = {r.doc_id: r for r in grouped.collect()}
+    assert {g[i].bucket for i in (4, 5, 6)} >= {"head"}  # xx has a head
+    assert g[3].bucket == "tail"
+    release(grouped)

@@ -425,3 +425,65 @@ def test_drop_report_attributes_every_document(spark):
     res3 = build_training_corpus(docs, bench, None, quality_kwargs=QKW)
     assert res3.drop_report is None
     release(res3.selected)
+
+
+def test_perplexity_stage_gates_and_reports(spark):
+    # r12: the CCNet perplexity gate — train the LM on clean prose,
+    # bucket the recipe's corpus by its own perplexity terciles, and
+    # drop the tail. Laws: (a) the survivor set equals the default
+    # recipe's survivors minus the ppl-tail docs, (b) the funnel gains
+    # docs_ppl/tokens_ppl only when the stage runs, (c) the drop
+    # report attributes ppl-dropped docs to 'perplexity' AFTER
+    # quality but BEFORE exact_dup.
+    from sentinel_spark.functions.lm import train_bigram_lm
+
+    docs, bench = _mk_docs(spark)
+    # a long shuffled-prose doc: passes the Gopher gate (length, word
+    # shape, alpha frac all fine) but every BIGRAM is unseen while the
+    # unigrams are common — under add-k smoothing that is the
+    # worst-scoring shape (seen-unigram denominators dwarf the <unk>
+    # floor), i.e. exactly the word-salad the rule gates cannot see
+    # and the LM gate exists for
+    gib = " ".join(["fox brown quick over jumps lazy"] * 8)
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(7, "web", gib)], "doc_id long, source string, text string"
+        )
+    )
+    lm = train_bigram_lm(
+        docs.where("doc_id in (1, 6)"), "text", max_vocab=1000
+    )
+    base = build_training_corpus(
+        docs, bench, None, source_col="source", quality_kwargs=QKW,
+        with_drop_report=True,
+    )
+    base_kept = {r.doc_id for r in base.selected.collect()}
+    res = build_training_corpus(
+        docs, bench, None, source_col="source", quality_kwargs=QKW,
+        ppl_lm=lm, with_drop_report=True,
+    )
+    kept = {r.doc_id for r in res.selected.collect()}
+    assert 7 in base_kept          # gibberish passes the rule gate...
+    assert 7 not in kept           # ...and only the LM gate drops it
+    assert kept <= base_kept
+    f = res.funnel.collect()[0]
+    fb = base.funnel.collect()[0]
+    assert not hasattr(fb, "docs_ppl")           # default schema unmoved
+    # quality passes all but doc 4; the LM tail drops doc 7 from the
+    # quality survivors (doc 4 is also tail, but quality already owns
+    # it — the conjunction counts quality ∧ ppl)
+    assert f.docs_ppl == f.docs_quality - 1
+    n7 = docs.where("doc_id = 7").select(
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    ).collect()[0][0]
+    assert f.tokens_ppl == f.tokens_quality - n7
+    rep = {r.doc_id: r.stage for r in res.drop_report.collect()}
+    assert rep[7] == "perplexity"
+    assert rep[4] == "quality"     # quality attributes first
+    assert rep[2] == "exact_dup"
+    assert set(rep.values()) <= {
+        "quality", "perplexity", "exact_dup", "near_dup",
+        "contaminated", "kept",
+    }
+    release(res.selected)
+    release(base.selected)
