@@ -79,6 +79,7 @@ def build_training_corpus(
     redact: bool = False,
     shard_tokens: int = 1 << 22,
     export_mode: str = "pack",
+    export_shuffle_seed: int | None = None,
     file_format: str = "json",
     quality_kwargs: dict | None = None,
     dsir_target: DataFrame | None = None,
@@ -469,6 +470,10 @@ def build_training_corpus(
             shard_tokens=shard_tokens,
             mode=export_mode,
             file_format=file_format,
+            # training-order shuffle at the sink (seeded, total,
+            # repeatable); composes with allow_repeat because the hash
+            # runs over the unique id#epoch sample_key
+            shuffle_seed=export_shuffle_seed,
         )
     # Optional per-document drop attribution — the debugging view the
     # funnel's counts summarize ("WHY did doc X not make it?"). Pure

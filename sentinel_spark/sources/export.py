@@ -108,6 +108,7 @@ def export_training_shards(
     mode: str = "concat",
     file_format: str = "json",
     compression: str | None = None,
+    shuffle_seed: int | None = None,
 ) -> ExportResult:
     """Write ``df`` as token-budgeted training shards under
     ``out_dir`` (``shard_id=N/`` directories, one data file each,
@@ -116,7 +117,38 @@ def export_training_shards(
     (``json`` → JSON Lines, the interchange default; ``parquet`` for
     typed reload). Deterministic end to end: same input → same shard
     membership, same in-file order.
-    """
+
+    ``shuffle_seed`` applies the global training-order shuffle at
+    export time: the effective order key becomes
+    ``hex(xxhash64(order_col, seed)) || '#' || order_col`` — a
+    deterministic pseudo-random total order (the original key suffix
+    breaks hash-collision ties, so the order is total and repeatable),
+    carried on the exported rows as ``sample_key`` so the loader and
+    ``validate_export`` audit the same key the shards were cut on.
+    Same seed → identical shards; a different seed → an independent
+    order, the "reshuffle between epochs without rewriting the
+    corpus reader" move. The shuffle costs nothing beyond the sort
+    the export already does — the hash replaces the key, it does not
+    add a pass."""
+    if shuffle_seed is not None:
+        df = df.withColumn(
+            "sample_key",
+            F.concat_ws(
+                "#",
+                F.lpad(
+                    F.hex(
+                        F.xxhash64(
+                            F.col(order_col).cast("string"),
+                            F.lit(int(shuffle_seed)),
+                        )
+                    ),
+                    16,
+                    "0",
+                ),
+                F.col(order_col).cast("string"),
+            ),
+        )
+        order_col = "sample_key"
     # Persist the assignment: it feeds BOTH the data write and the
     # manifest aggregate, and recomputing it (in pack mode: the hash
     # bucketing shuffle + FFD + two joins) would double the sink's

@@ -263,3 +263,47 @@ def test_validate_export_parquet_timestamp_key(spark, tmp_path):
         file_format="parquet",
     ).collect()
     assert rep and all(r.ok for r in rep)
+
+
+def test_export_shuffle_seed_total_repeatable_order(spark, corpus, tmp_path):
+    # r12: the global training-order shuffle at the sink. Laws:
+    # (a) every doc present exactly once, (b) same seed twice -> same
+    # shard membership AND in-file order, (c) a different seed gives a
+    # different order (independent epoch reshuffle), (d) the order is
+    # NOT the plain key order, (e) the exported rows carry the
+    # sample_key the shards were cut on, and it is the hash#key form.
+    import re
+
+    from sentinel_spark.sources.export import read_training_shards
+
+    outs = {}
+    for tag, seed in (("a1", 7), ("a2", 7), ("b", 8)):
+        d = str(tmp_path / tag)
+        export_training_shards(
+            corpus, d, token_col="n_tokens", order_col="doc_id",
+            shard_tokens=300, shuffle_seed=seed,
+        )
+        back = read_training_shards(spark, d).collect()
+        assert {r.doc_id for r in back} == set(range(200))
+        outs[tag] = sorted(
+            ((r.shard_id, r.sample_key, r.doc_id) for r in back)
+        )
+        assert all(
+            re.fullmatch(r"[0-9A-F]{16}#\d+", r.sample_key) for r in back
+        )
+    assert outs["a1"] == outs["a2"]            # repeatable
+    assert outs["a1"] != outs["b"]             # seed-independent orders
+    # the shuffle actually shuffles: shard 0 under the seed is not the
+    # contiguous doc_id prefix the unshuffled export would cut
+    shard0 = {doc for sid, _, doc in outs["a1"] if sid == 0}
+    assert shard0 != set(range(len(shard0)))
+    # in-file order follows sample_key: re-read one shard's file and
+    # compare physical line order with the key order
+    files = sorted(glob.glob(str(tmp_path / "a1" / "shard_id=0" / "part-*")))
+    keys = []
+    import json as _json
+
+    for fn in files:
+        with open(fn) as f:
+            keys += [_json.loads(line)["sample_key"] for line in f if line.strip()]
+    assert keys == sorted(keys) and keys

@@ -177,3 +177,9 @@ def test_perplexity_buckets_ccnet_split(spark):
     assert {g[i].bucket for i in (4, 5, 6)} >= {"head"}  # xx has a head
     assert g[3].bucket == "tail"
     release(grouped)
+    # the approx scale path: approx_percentile is exact at this size,
+    # so buckets must agree with the exact-percentile run
+    approx = perplexity_buckets(corpus, "text", "doc_id", lm, approx=True)
+    got = {r.doc_id: r.bucket for r in approx.collect()}
+    assert got == {i: r.bucket for i, r in rows.items()}
+    release(approx)
