@@ -365,6 +365,8 @@ def search_ivfpq_index(
     version: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """The core index searcher every serving surface shares: a
     (q_id, q_vec) QUERY FRAME — external vectors, not corpus ids — is
@@ -377,6 +379,21 @@ def search_ivfpq_index(
     matching :func:`similarity.ivfpq_topk`'s contract); pass
     ``artifacts`` from :func:`load_ivfpq_artifacts` to pin a model
     across many calls, else ``path`` loads them per call.
+
+    ``allowed_ids`` is FILTERED search (the "ANN + metadata predicate"
+    serving shape): a one-column frame of permitted candidate ids —
+    the caller evaluates its attribute predicate (lang = 'en',
+    source = 'web', date range…) into ids once, this searcher
+    semi-joins it into the ADC stage BEFORE the survivor cut, so the
+    whole ``k·rerank`` budget is spent on permitted candidates (a
+    post-filter would return fewer than ``k`` whenever filtered-out
+    neighbors won the cut). The frame broadcasts when it counts within
+    ``max_broadcast_rows``; larger sets fall back to a shuffle
+    semi-join on the probed-cell scan (still bounded by the probed
+    cells, never the corpus). Recall caveat: probing is
+    predicate-blind — when the allowed set is small and concentrated
+    in cells the query does not probe, raise ``nprobe`` (the standard
+    filtered-IVF trade, same as FAISS's IDSelector).
 
     Snapshot caveat: the version pin covers the CODES side only — the
     exact re-rank inner-joins ADC survivors against the caller's live
@@ -428,6 +445,14 @@ def search_ivfpq_index(
     approx = codes.join(F.broadcast(probes), "cell")
     if exclude_self:
         approx = approx.filter(F.col("c_id") != F.col("q_id"))
+    if allowed_ids is not None:
+        ids = allowed_ids.select(
+            F.col(allowed_ids.columns[0]).cast("long").alias("c_id")
+        )
+        n = ids.limit(max_broadcast_rows + 1).count()
+        if n <= max_broadcast_rows:
+            ids = F.broadcast(ids)
+        approx = approx.join(ids, "c_id", "left_semi")
     approx = approx.select(
         "q_id",
         "c_id",

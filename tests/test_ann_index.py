@@ -274,3 +274,41 @@ def test_artifacts_pin_codes_version_across_refresh(spark, tmp_path):
     assert t.read(arts[3]).count() == 12   # pre-refresh rows intact
     latest_ids = {r.c_id for r in t.read().collect()}
     assert 3 not in latest_ids and 12 in latest_ids
+
+
+def test_filtered_search_allowed_ids(spark, tmp_path):
+    # r12: filtered ANN ("predicate + vector search"). Laws: every
+    # result id is allowed; results equal the exact brute-force top-k
+    # RESTRICTED to the allowed set whenever the allowed winners live
+    # in probed cells (nprobe=n_cells makes probing exhaustive, so the
+    # equality is unconditional here); the filter lands BEFORE the
+    # survivor cut so k results still arrive when permitted neighbors
+    # exist; an empty allowed set returns zero rows, not an error.
+    emb = _emb(spark, n=24)
+    path = str(tmp_path / "idx")
+    AI.build_ivfpq_index(emb, path, n_cells=4, m=2, pq_k=4)
+    queries = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    allowed = emb.where("vec_id % 2 = 0").select("vec_id")
+    got = AI.search_ivfpq_index(
+        queries, emb, path, k=3, nprobe=4, rerank=8, allowed_ids=allowed,
+    )
+    rows = got.collect()
+    assert rows and all(r.c_id % 2 == 0 for r in rows)
+    assert {r.q_id for r in rows} == {0, 1}
+    # exact reference restricted to the allowed set
+    ref = SIM.ann_join(
+        emb.where("vec_id < 2"), emb.where("vec_id % 2 = 0"), k=3,
+    )
+    want = _rows(ref)
+    assert _rows(got) == want
+    release(got)
+    release(ref)
+    # empty allowed set -> empty result frame, schema intact
+    nothing = AI.search_ivfpq_index(
+        queries, emb, path, k=3, nprobe=4, rerank=8,
+        allowed_ids=emb.where("vec_id < 0").select("vec_id"),
+    )
+    assert nothing.count() == 0
+    release(nothing)
