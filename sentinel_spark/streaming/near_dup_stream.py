@@ -147,15 +147,17 @@ def pruned_index_scan(
     batch_index: DataFrame,
     *,
     max_keys: int = 65_536,
+    key: str = "band_key",
 ) -> DataFrame:
-    """The admission join's index scan, pruned by the batch's band
-    keys: collect the batch's distinct ``band_key`` values (bounded by
-    |batch| × num_bands) and open only the index files whose per-file
-    [min, max] band_key stats overlap that key set
-    (``ParquetTable.read_pruned(values=...)``). On a band_key-
-    CLUSTERED index (the streaming loop's ``compact_every``
-    maintenance), per-batch scan cost then tracks the batch's bucket
-    footprint, not total corpus size.
+    """The admission join's index scan, pruned by the batch's index
+    keys: collect the batch's distinct ``key`` values (bounded by
+    |batch| × keys-per-doc) and open only the index files whose
+    per-file [min, max] stats overlap that key set
+    (``ParquetTable.read_pruned(values=...)``). On a ``key``-CLUSTERED
+    index (the streaming loops' ``compact_every`` maintenance),
+    per-batch scan cost then tracks the batch's bucket footprint, not
+    total corpus size. ``key`` defaults to the MinHash family's
+    ``band_key``; the winnow family prunes on ``fp`` (r12).
 
     ``max_keys`` bounds the driver-side collect: a backlog-sized first
     micro-batch can carry millions of distinct keys, at which point an
@@ -166,18 +168,16 @@ def pruned_index_scan(
     skips files wholly outside the batch's key span, so even backlog
     batches never silently degrade to a full-manifest read."""
     keys = [
-        r.band_key
-        for r in batch_index.select("band_key")
+        r[0]
+        for r in batch_index.select(key)
         .distinct()
         .limit(max_keys + 1)
         .collect()
     ]
     if len(keys) > max_keys:
-        lo, hi = batch_index.agg(
-            F.min("band_key"), F.max("band_key")
-        ).first()
-        return index_t.read_pruned("band_key", lower=lo, upper=hi)
-    return index_t.read_pruned("band_key", values=keys)
+        lo, hi = batch_index.agg(F.min(key), F.max(key)).first()
+        return index_t.read_pruned(key, lower=lo, upper=hi)
+    return index_t.read_pruned(key, values=keys)
 
 
 def run_near_dup_stream(
@@ -304,6 +304,191 @@ def run_near_dup_stream(
             )
             docs_t.compact(**ckw)
             index_t.compact(cluster_by=["band_key"], **ckw)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
+
+
+def winnow_overlap_admission(
+    batch: DataFrame,
+    index: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    hash_fn: str = "xxhash64",
+    batch_index: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """:func:`near_dup_admission`'s PARTIAL-overlap sibling (r12): the
+    MinHash gate rejects whole-document near-duplicates; this one
+    rejects documents that SHARE ≥ ``min_shared`` winnowing-fingerprint
+    regions with anything admitted so far — the quote/plagiarism/
+    boilerplate-passage admission control, via the corpus's persisted
+    :func:`~sentinel_spark.functions.dedup.winnow_index` (never its
+    text).
+
+    Split one batch into (admitted, rejected, new_index_rows).
+    Rejection rule, deterministic and mirroring the MinHash family's
+    canonical-min greedy: a document is rejected iff it has an overlap
+    pair with the existing index, or with a SMALLER-id batch document
+    (of an intra-batch chain A~B~C only A survives). ``rejected``
+    carries the best partner by shared-fingerprint count as evidence.
+
+    ``batch_index`` injects the batch's own (fp, id) frame when the
+    caller built it already (the streaming loop does, to collect the
+    fp keys for index-scan pruning); ownership of its persist
+    transfers here and releases with the returned ``admitted`` frame.
+    ``hash_fn`` must match the index's build scheme
+    (:func:`~sentinel_spark.functions.dedup.winnow_index`)."""
+    from sentinel_spark.cache import with_release
+
+    if batch_index is None:
+        batch_index = D.winnow_index(
+            batch, text_col, id_col, k=k, window=window, hash_fn=hash_fn
+        ).persist()
+    if index is None:
+        index = batch.sparkSession.createDataFrame([], batch_index.schema)
+
+    pairs = D.incremental_winnow_overlap(
+        batch, index, text_col, id_col,
+        k=k, window=window, min_shared=min_shared, max_df=max_df,
+        hash_fn=hash_fn, new_index_rows=batch_index,
+    )
+    batch_losers = pairs.where(F.col("source") == "batch").select(
+        # id_new < id_old by construction: id_old is the rejected one
+        F.col("id_old").alias("rid"),
+        F.col("id_new").alias("match_id"),
+        "n_shared",
+        "source",
+    )
+    index_losers = pairs.where(F.col("source") == "index").select(
+        F.col("id_new").alias("rid"),
+        F.col("id_old").alias("match_id"),
+        "n_shared",
+        "source",
+    )
+    evidence = (
+        index_losers.unionByName(batch_losers)
+        .groupBy("rid")
+        .agg(F.max(F.struct("n_shared", "match_id", "source")).alias("best"))
+        .select(
+            F.col("rid").alias(id_col),
+            F.col("best.match_id").alias("match_id"),
+            F.col("best.n_shared").alias("n_shared"),
+            F.col("best.source").alias("match_source"),
+        )
+    )
+    rejected = batch.join(evidence, id_col)
+    admitted = batch.join(evidence.select(id_col), id_col, "left_anti")
+    new_index_rows = batch_index.join(
+        evidence.select(F.col(id_col).alias("id")), "id", "left_anti"
+    )
+    cached = [batch_index] + list(getattr(pairs, "_sentinel_cached", []))
+    return with_release(admitted, cached), rejected, new_index_rows
+
+
+def run_winnow_stream(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    hash_fn: str = "xxhash64",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    compact_every: int | None = 8,
+    compact_target_bytes: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming face of :func:`winnow_overlap_admission`: JSONL
+    documents under ``input_dir`` → admitted docs at
+    ``corpus_dir``/docs, (fp, id) winnow index at ``corpus_dir``/index,
+    rejects (with shared-fingerprint evidence) at ``corpus_dir``/
+    rejects. Same replay contract as :func:`run_near_dup_stream`
+    (every write is ``merge_insert_not_matched`` on content-derived
+    keys → exactly-once in effect under at-least-once foreachBatch),
+    same maintenance discipline (every ``compact_every`` batches the
+    index fp-CLUSTERS, which is what makes :func:`pruned_index_scan`'s
+    per-file fp stats selective; fp blooms cover the unclustered
+    appends in between)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(corpus_dir, "_checkpoint")
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.load(input_dir)
+        .select(
+            F.from_json(
+                F.col("value"), f"{id_col} long, {text_col} string"
+            ).alias("r")
+        )
+        .select("r.*")
+        .where(F.col(id_col).isNotNull())
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from sentinel_spark.cache import release
+
+        sess = batch_df.sparkSession
+        docs_t = ParquetTable(sess, os.path.join(corpus_dir, "docs"))
+        index_t = ParquetTable(
+            sess,
+            os.path.join(corpus_dir, "index"),
+            bloom_stats_cols=["fp"],
+        )
+        rejects_t = ParquetTable(sess, os.path.join(corpus_dir, "rejects"))
+
+        batch_index = D.winnow_index(
+            batch_df, text_col, id_col, k=k, window=window, hash_fn=hash_fn
+        ).persist()
+        try:
+            index = (
+                pruned_index_scan(index_t, batch_index, key="fp")
+                if index_t.exists()
+                else None
+            )
+            admitted, rejected, new_rows = winnow_overlap_admission(
+                batch_df, index, text_col, id_col,
+                k=k, window=window, min_shared=min_shared, max_df=max_df,
+                hash_fn=hash_fn, batch_index=batch_index,
+            )
+        except Exception:
+            batch_index.unpersist()
+            raise
+        # write order + replay reasoning identical to
+        # run_near_dup_stream: admission before its index rows, and a
+        # replay against a partially-written index can only see FEWER
+        # overlap candidates for already-admitted docs — never a
+        # different split for the batch being replayed, whose writes
+        # merge_insert_not_matched skips anyway.
+        try:
+            docs_t.merge_insert_not_matched(admitted, [id_col])
+            index_t.merge_insert_not_matched(new_rows, ["id", "fp"])
+            rejects_t.merge_insert_not_matched(rejected, [id_col])
+        finally:
+            release(admitted)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            ckw = (
+                {"target_file_bytes": compact_target_bytes}
+                if compact_target_bytes is not None
+                else {}
+            )
+            docs_t.compact(**ckw)
+            index_t.compact(cluster_by=["fp"], **ckw)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

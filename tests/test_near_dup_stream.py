@@ -356,3 +356,112 @@ def test_stream_end_to_end_with_pruning_guard_compaction(spark, tmp_path, monkey
     assert 501 in admitted2 and 500 not in admitted2
     rej = {r.doc_id: r.match_id for r in rejects_t.read().collect()}
     assert rej[500] == 7
+
+
+# ---------------------------------------------------------------------------
+# winnow-overlap admission (r12): the partial-overlap sibling
+# ---------------------------------------------------------------------------
+
+_RUN = ("shared passage of prose that winnowing fingerprints will select "
+        "several stable minima from across its long token run")
+W1 = [
+    (1, _RUN + " with an original tail section of extra words"),
+    (2, "a distinct preamble comes first then " + _RUN),      # overlaps 1
+    (3, "entirely different content about unrelated topics with no "
+        "common passage anywhere in this text at all today"),
+]
+W2 = [
+    (10, "yet another framing around " + _RUN + " and more"),  # overlaps idx 1
+    (11, "fresh novel document with wholly distinct vocabulary streaming "
+         "through every single one of its tokens"),
+]
+
+
+def test_winnow_admission_split(spark):
+    from sentinel_spark.streaming.near_dup_stream import (
+        winnow_overlap_admission,
+    )
+
+    batch = spark.createDataFrame(W1, "doc_id long, text string")
+    admitted, rejected, new_rows = winnow_overlap_admission(
+        batch, None, "text", "doc_id", min_shared=2
+    )
+    adm = {r.doc_id for r in admitted.collect()}
+    rej = {r.doc_id: r for r in rejected.collect()}
+    assert adm == {1, 3}
+    assert set(rej) == {2}
+    assert rej[2].match_id == 1 and rej[2].match_source == "batch"
+    assert rej[2].n_shared >= 2
+    # index rows only for admitted docs; each admitted doc contributes
+    # its own distinct fingerprint set
+    idx_ids = {r.id for r in new_rows.select("id").distinct().collect()}
+    assert idx_ids == {1, 3}
+    release(admitted)
+
+
+def test_winnow_admission_against_existing_index(spark):
+    from sentinel_spark.functions import dedup as D
+    from sentinel_spark.streaming.near_dup_stream import (
+        winnow_overlap_admission,
+    )
+
+    old = spark.createDataFrame(W1[:1] + W1[2:], "doc_id long, text string")
+    index = D.winnow_index(old, "text", "doc_id")
+    batch = spark.createDataFrame(W2, "doc_id long, text string")
+    admitted, rejected, new_rows = winnow_overlap_admission(
+        batch, index, "text", "doc_id", min_shared=2
+    )
+    assert {r.doc_id for r in admitted.collect()} == {11}
+    rej = {r.doc_id: r for r in rejected.collect()}
+    assert rej[10].match_id == 1 and rej[10].match_source == "index"
+    assert rej[10].n_shared >= 2
+    release(admitted)
+
+
+def test_winnow_streaming_rounds_and_replay(spark, tmp_path):
+    from sentinel_spark.functions import dedup as D
+    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.streaming.near_dup_stream import run_winnow_stream
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+
+    _write_jsonl(inbox / "b1.jsonl", W1)
+    run_winnow_stream(spark, str(inbox), corpus, min_shared=2)
+
+    docs_t = ParquetTable(spark, os.path.join(corpus, "docs"))
+    index_t = ParquetTable(spark, os.path.join(corpus, "index"))
+    rejects_t = ParquetTable(spark, os.path.join(corpus, "rejects"))
+    assert {r.doc_id for r in docs_t.read().collect()} == {1, 3}
+    assert {r.doc_id for r in rejects_t.read().collect()} == {2}
+
+    _write_jsonl(inbox / "b2.jsonl", W2)
+    run_winnow_stream(spark, str(inbox), corpus, min_shared=2)
+    assert {r.doc_id for r in docs_t.read().collect()} == {1, 3, 11}
+    rej = {r.doc_id: r.match_source for r in rejects_t.read().collect()}
+    assert rej == {2: "batch", 10: "index"}
+    # the index holds exactly the admitted docs' winnow fingerprints
+    # (the same rows a from-scratch index over the admitted docs gives)
+    want_idx = D.winnow_index(
+        docs_t.read(), "text", "doc_id"
+    ).count()
+    assert index_t.read().count() == want_idx
+
+    # replay after checkpoint wipe: at-least-once redelivery must not
+    # change any of the three tables
+    import shutil
+
+    shutil.rmtree(os.path.join(corpus, "_checkpoint"))
+    before = (
+        docs_t.read().count(),
+        index_t.read().count(),
+        rejects_t.read().count(),
+    )
+    run_winnow_stream(spark, str(inbox), corpus, min_shared=2)
+    after = (
+        docs_t.read().count(),
+        index_t.read().count(),
+        rejects_t.read().count(),
+    )
+    assert before == after
