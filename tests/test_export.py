@@ -307,3 +307,23 @@ def test_export_shuffle_seed_total_repeatable_order(spark, corpus, tmp_path):
         with open(fn) as f:
             keys += [_json.loads(line)["sample_key"] for line in f if line.strip()]
     assert keys == sorted(keys) and keys
+
+
+def test_validate_export_audits_shuffled_layout(spark, corpus, tmp_path):
+    # r12: a seeded-shuffle export audits on the SAME sample_key the
+    # shards were cut on — validate_export(order_col="sample_key")
+    # reads all-ok, and the manifest's first/last keys are the shuffle
+    # keys, not the raw doc ids
+    from sentinel_spark.sources.export import validate_export
+
+    out = str(tmp_path / "shuffled")
+    res = export_training_shards(
+        corpus, out, token_col="n_tokens", order_col="doc_id",
+        shard_tokens=400, shuffle_seed=99,
+    )
+    rep = validate_export(
+        spark, out, token_col="n_tokens", order_col="sample_key"
+    ).collect()
+    assert rep and all(r.ok and r.in_data and r.in_manifest for r in rep)
+    man = res.manifest.collect()
+    assert all("#" in r.first_key and "#" in r.last_key for r in man)

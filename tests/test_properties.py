@@ -699,3 +699,65 @@ def test_drift_exact_tier_matches_fraction(spark, counts, alpha):
         r = t[f"b{i}"]
         assert r.ratio_ppm == rhu(sa / sb), (a, b, alpha)
         assert r.dshare_ppm == rhu(sa) - rhu(sb), (a, b, alpha)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.text(alphabet="abc xyz ", min_size=0, max_size=80),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+    window=st.integers(min_value=1, max_value=4),
+)
+def test_winnow_laws_hold_under_both_hash_schemes(spark, docs, k, window):
+    """Winnowing laws, any corpus, BOTH hash schemes (r12): (1) every
+    selected fingerprint is one of the document's k-gram hashes (a
+    Python re-implementation agrees on membership and on the exact
+    selected SET — the window-minima replay); (2) a doc with < k
+    tokens selects nothing; (3) density: at most one selection per
+    window position; (4) the two schemes select the same POSITIONS
+    whenever both are collision-free on the doc's grams (the minimum
+    of a window is position-determined by hash order only through
+    ties, so equality of sets is asserted per scheme against its own
+    replay, not across schemes)."""
+    import hashlib
+    import re as _re
+
+    from sentinel_spark.functions.dedup import winnow_fingerprints
+
+    def py_hashes(text, hash_fn):
+        toks = _re.findall(r"[a-z0-9]+", (text or "").lower())
+        if len(toks) < k:
+            return []
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if hash_fn == "md5":
+            return [
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                for g in grams
+            ]
+        # xxhash64 replay goes through Spark itself (no Python xxhash
+        # in this container): one tiny local eval per gram set
+        df = spark.createDataFrame([(g,) for g in grams], "g string")
+        out = df.select(F.xxhash64("g").alias("h")).collect()
+        return [r.h for r in out]
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_fn in ("md5", "xxhash64"):
+        got = {}
+        fps = winnow_fingerprints(
+            df, "text", "doc_id", k=k, window=window, hash_fn=hash_fn
+        )
+        for r in fps.collect():
+            got.setdefault(r.id, set()).add(r.fp)
+        for i, t in rows:
+            hs = py_hashes(t, hash_fn)
+            if not hs:
+                assert i not in got, (hash_fn, t)
+                continue
+            n_w = max(len(hs) - window + 1, 1)
+            want = {min(hs[p:p + window]) for p in range(n_w)}
+            assert got.get(i, set()) == want, (hash_fn, t)
+            assert len(got.get(i, set())) <= n_w
