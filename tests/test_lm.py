@@ -183,3 +183,38 @@ def test_perplexity_buckets_ccnet_split(spark):
     got = {r.doc_id: r.bucket for r in approx.collect()}
     assert got == {i: r.bucket for i, r in rows.items()}
     release(approx)
+
+
+def test_perplexity_buckets_on_real_corpus_per_lang(spark):
+    # smoke on the real documents table: per-language cuts cover every
+    # scored doc, each language gets all three buckets (its own
+    # terciles), and tail docs score no better than that language's
+    # head docs
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.lm import perplexity_buckets
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("doc_id % 4 = 0")
+        .select("doc_id", "lang", "text")
+    )
+    lm = train_bigram_lm(d.where("doc_id % 8 = 0"), "text", max_vocab=5000)
+    out = perplexity_buckets(d, "text", "doc_id", lm, by="lang")
+    rows = out.collect()
+    assert len(rows) == d.count()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        scored = [r for r in rs if r.perplexity_ppm is not None]
+        if len(scored) >= 3:
+            buckets = {r.bucket for r in scored}
+            assert "head" in buckets and "tail" in buckets, lang
+            worst_head = max(
+                r.perplexity_ppm for r in scored if r.bucket == "head"
+            )
+            best_tail = min(
+                r.perplexity_ppm for r in scored if r.bucket == "tail"
+            )
+            assert worst_head <= best_tail, lang
+    release(out)

@@ -465,3 +465,49 @@ def test_winnow_streaming_rounds_and_replay(spark, tmp_path):
         rejects_t.read().count(),
     )
     assert before == after
+
+
+def test_winnow_streaming_with_compaction_and_pruning(spark, tmp_path):
+    """The winnow stream's maintenance leg: compact_every=1 folds each
+    generation's index appends into ONE fp-clustered file without
+    changing any table's contents, and a subsequent batch's admission
+    scan prunes on fp (the clustered per-file stats make the pruned
+    read a strict subset on disjoint fingerprint sets)."""
+    from sentinel_spark.functions import dedup as D
+    from sentinel_spark.sources.store import ParquetTable
+    from sentinel_spark.streaming.near_dup_stream import (
+        pruned_index_scan,
+        run_winnow_stream,
+    )
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    _write_jsonl(inbox / "b1.jsonl", W1)
+    run_winnow_stream(spark, str(inbox), corpus, min_shared=2,
+                      compact_every=1)
+    _write_jsonl(inbox / "b2.jsonl", W2)
+    run_winnow_stream(spark, str(inbox), corpus, min_shared=2,
+                      compact_every=1)
+
+    docs_t = ParquetTable(spark, os.path.join(corpus, "docs"))
+    index_t = ParquetTable(spark, os.path.join(corpus, "index"))
+    assert {r.doc_id for r in docs_t.read().collect()} == {1, 3, 11}
+    # contents equal a from-scratch index; layout is ONE clustered file
+    want = D.winnow_index(docs_t.read(), "text", "doc_id").count()
+    assert index_t.read().count() == want
+    assert len(index_t._snapshot()["files"]) == 1
+    # a new batch disjoint from the corpus prunes to an empty (or
+    # strictly smaller) index read than the full scan
+    novel = spark.createDataFrame(
+        [(99, "totally disjoint vocabulary cluster mapping geodesic "
+              "polytopes through quaternion manifolds tonight")],
+        "doc_id long, text string",
+    )
+    bi = D.winnow_index(novel, "text", "doc_id").persist()
+    try:
+        pruned = pruned_index_scan(index_t, bi, key="fp")
+        assert pruned.count() <= index_t.read().count()
+        assert pruned.count() == 0  # disjoint fps, clustered stats
+    finally:
+        bi.unpersist()
