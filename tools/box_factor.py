@@ -1,0 +1,80 @@
+"""Box-window normalization factor between two bench artifacts.
+
+Bench totals on this host vary by ±15-30% between windows (measured
+r12: five same-code runs read 94-109 s median; CPU microbenchmarks
+stay healthy, so the drift is host-side). Cross-round comparisons
+must therefore normalize by the throughput ratio measured on gates
+whose CODE AND LINEAGE did not change between the two artifacts —
+any residual per-gate delta after dividing by that factor is
+code-attributable.
+
+Usage:
+    python tools/box_factor.py OLD.json NEW.json [gate ...]
+
+OLD/NEW are bench artifacts (BENCH_r*.json driver form with
+``results`` or the local ``bench_out.json`` form); the optional gate
+list overrides the default stable set. Prints the per-gate cold
+ratios, their geometric mean (the factor), and each remaining gate's
+normalized delta.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+# Gates with no lineage change across recent rounds — update this list
+# when one of them changes (the round's BASELINE per-addition table is
+# the source of truth for what changed).
+STABLE = [
+    "decontam",
+    "dedup_clusters",
+    "semantic_dedup",
+    "tfidf_keywords",
+    "events_report",
+    "agg_stats",
+    "labels_join",
+    "sessionize",
+    "chunk_shards",
+    "lm_perplexity",
+]
+
+
+def _queries(doc: dict) -> dict:
+    if "queries" in doc:
+        return doc["queries"]
+    # driver artifact form: the bench line lives under "parsed"
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        return doc["parsed"]["queries"]
+    raise SystemExit(f"no per-query section found (keys: {list(doc)})")
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    old = _queries(json.load(open(sys.argv[1])))
+    new = _queries(json.load(open(sys.argv[2])))
+    gates = sys.argv[3:] or STABLE
+    ratios = []
+    print(f"{'stable gate':18s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
+    for g in gates:
+        if g in old and g in new and old[g] > 0:
+            r = new[g] / old[g]
+            ratios.append(r)
+            print(f"{g:18s} {old[g]:7.2f} {new[g]:7.2f} {r:6.2f}")
+    if not ratios:
+        raise SystemExit("no overlapping stable gates")
+    factor = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    print(f"\nbox factor (geomean of {len(ratios)} stable gates): "
+          f"{factor:.3f}")
+    print(f"\n{'gate':18s} {'old':>7s} {'new':>7s} {'norm_new':>8s} "
+          f"{'delta':>7s}")
+    for g in sorted(set(old) & set(new)):
+        norm = new[g] / factor
+        print(f"{g:18s} {old[g]:7.2f} {new[g]:7.2f} {norm:8.2f} "
+              f"{norm - old[g]:+7.2f}")
+
+
+if __name__ == "__main__":
+    main()
