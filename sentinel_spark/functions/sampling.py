@@ -432,3 +432,603 @@ def temperature_budgets(
     if not cap:
         return shares
     return {s: min(b, sizes[s]) for s, b in shares.items()}
+
+
+def unimax_budgets(
+    df,
+    source_col: str,
+    token_col: str,
+    *,
+    total_tokens: int,
+    max_epochs: float = 4.0,
+) -> dict[str, int]:
+    """Per-source token budgets under UniMax allocation (Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): split the total budget as
+    uniformly as possible across sources, subject to a per-source
+    repetition cap of ``max_epochs`` epochs — the published
+    alternative to temperature scaling that removes the tail-language
+    over-repetition temperature mixes suffer from.
+
+    Water-filling closed form: every source's capacity is
+    ``max_epochs * size_s``; walking sources in ascending-capacity
+    order, each takes ``min(capacity, remaining / sources_left)`` —
+    a source below the current uniform share saturates at its cap and
+    its unused share is redistributed among the larger sources (the
+    redistribution temperature_budgets deliberately does NOT do,
+    because there the un-redistributed form is the closed-form
+    contract; here redistribution IS the published algorithm).
+
+    Same plan shape as :func:`temperature_budgets`: one tiny
+    per-source aggregate (rows = number of sources) collects to the
+    driver; the returned dict feeds :func:`mixture_sample_epochs`
+    (budgets may exceed a source's size by up to ``max_epochs``×, the
+    epoch fan-out's job) or, with ``max_epochs <= 1``,
+    :func:`mixture_sample`. Integerization is floor(x + 0.5) half-UP
+    per source (temperature_budgets' portability note), applied after
+    the exact float water-fill, so the result is a deterministic pure
+    function of the size vector. Ties in capacity are broken by source
+    name so the walk order — and therefore the rounding — is
+    rerun-stable."""
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    sizes = {
+        r[0]: int(r[1])
+        for r in df.groupBy(source_col)
+        .agg(F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0)))
+        .collect()
+    }
+    caps = {s: float(max_epochs) * n for s, n in sizes.items() if n > 0}
+    if not caps or total_tokens <= 0:
+        return {}
+    import math
+
+    remaining = float(total_tokens)
+    alloc: dict[str, float] = {}
+    ordered = sorted(caps.items(), key=lambda kv: (kv[1], str(kv[0])))
+    for i, (s, c) in enumerate(ordered):
+        share = remaining / (len(ordered) - i)
+        take = min(c, share)
+        alloc[s] = take
+        remaining -= take
+    return {
+        s: int(math.floor(a + 0.5)) for s, a in alloc.items() if a > 0
+    }
+
+
+def budget_select(
+    df,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    *,
+    key: Column | str,
+    salt: str = "",
+    bins: int = 4096,
+    max_levels: int = 6,
+    max_window_rows: int = 1 << 18,
+):
+    """Greedy best-first corpus selection under a global token budget:
+    keep the highest-``score_col`` documents until their summed
+    ``token_col`` reaches ``budget`` — the "take the best N billion
+    tokens" step of a data-constrained pretraining recipe (quality
+    scores from :mod:`quality_model` / :mod:`lm` perplexity /
+    :mod:`dsir` log-weights all fit).
+
+    Semantics (the :func:`mixture_sample` conventions, quality-ordered
+    instead of hash-ordered): rows are ordered by (``score_col`` desc,
+    salted-md5(``key``) asc, ``key`` asc) and a row is kept iff the
+    summed tokens strictly BEFORE it are < ``budget`` — so the
+    selection overshoots by at most one document, is rerun- and
+    engine-stable, and is *monotone in the budget* (raising the budget
+    only adds documents). The hash tie-break makes the choice among
+    equal-score documents uniform — independent of id assignment
+    order — and is what lets the all-one-score case scale (below).
+    Rows with NULL score are never selected (unknown quality ranks
+    below every known score); NULL token counts weigh 0.
+
+    Scale shape — a global sort-and-cumsum would be the classic
+    100-TB anti-pattern (one totally-ordered corpus-wide sort), so the
+    score threshold is found by histogram refinement instead: each
+    level bins the (persisted, 3-column) score scan into ``bins``
+    uniform-width buckets with ONE map-side-combined aggregate
+    (≤ ``bins`` rows to the driver), the driver walks buckets from the
+    top accumulating token sums, buckets that fit whole become pure
+    filter predicates, and only the single boundary bucket descends to
+    the next level. ``max_levels`` levels separate scores to one part
+    in ``bins^max_levels`` (default 2^72 — past double resolution), so
+    the loop exits early in practice; the exact boundary is then
+    resolved by a cumsum window over ONLY the boundary rows (bounded
+    by ``max_window_rows``, the dsir_select rank-over-survivors
+    idiom). If the boundary set exceeds the bound because it is one
+    exact score value repeated (discrete quality scores do this), the
+    within-tie order is pure hash order and the boundary resolves
+    through :func:`_mixture_prefix`'s two-level prefix sum instead —
+    no single-task sort at any size. A boundary that exceeds the bound
+    with DISTINCT scores after ``max_levels`` levels raises loudly
+    (raise ``bins``/``max_levels``) rather than degrading into an
+    unbounded window.
+
+    Returns the selected rows with ``df``'s columns; internal persists
+    ride the result's release handle
+    (:func:`sentinel_spark.cache.release`)."""
+    from sentinel_spark.cache import with_release
+
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if key is None:
+        raise ValueError(
+            "budget_select requires a unique per-row key column "
+            "(document id or content fingerprint)"
+        )
+    k = F.col(key) if isinstance(key, str) else key
+    if budget <= 0:
+        return df.where(F.lit(False))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    score = F.col(score_col).cast("double")
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    base_pred = score.isNotNull()
+
+    slim = (
+        df.where(base_pred)
+        .select(score.alias("_bs_s"), tok.alias("_bs_t"))
+        .persist()
+    )
+    lo, hi, total, n_rows = slim.agg(
+        F.min("_bs_s"), F.max("_bs_s"), F.sum("_bs_t"), F.count(F.lit(1))
+    ).collect()[0]
+    if n_rows == 0:
+        return with_release(df.where(F.lit(False)), [slim])
+    if int(total) <= budget:
+        return with_release(df.where(base_pred), [slim])
+
+    def bin_of(col, lo_, width_):
+        # identical formula on the slim scan and on df, so bucket
+        # membership is decided once per row however it is probed
+        raw = F.floor((col - F.lit(lo_)) / F.lit(width_) * F.lit(bins))
+        return F.least(
+            F.lit(bins - 1), F.greatest(F.lit(0), raw)
+        ).cast("int")
+
+    # descend: sel accumulates whole buckets that fit the budget,
+    # bound narrows to the one bucket the budget boundary is in —
+    # each maintained twice, over slim's _bs_s and over df's score
+    sel_df = F.lit(False)
+    bound_slim, bound_df = F.lit(True), base_pred
+    remaining = int(budget)
+    n_boundary = int(n_rows)
+    lo_f, hi_f = float(lo), float(hi)
+    for _level in range(max_levels):
+        width = hi_f - lo_f
+        if not (width > 0.0) or n_boundary <= max_window_rows:
+            break
+        hist = {
+            int(r[0]): (int(r[1]), int(r[2]))
+            for r in slim.where(bound_slim)
+            .groupBy(bin_of(F.col("_bs_s"), lo_f, width).alias("_b"))
+            .agg(F.sum("_bs_t"), F.count(F.lit(1)))
+            .collect()
+        }
+        boundary_bin = None
+        for b in sorted(hist, reverse=True):
+            s_b, _c_b = hist[b]
+            if s_b <= remaining:
+                remaining -= s_b
+            else:
+                boundary_bin = b
+                break
+        if boundary_bin is None:  # unreachable (sums are exact longs
+            # and remaining < the scanned total), kept as defense
+            sel_df = sel_df | bound_df
+            n_boundary = 0
+            break
+        # buckets that fit whole are the CONTIGUOUS top range, so one
+        # `bin > boundary` term per level covers them all — a per-
+        # bucket OR chain (4096 terms x levels) overflows the JVM
+        # expression-conversion stack
+        if boundary_bin < max(hist):
+            sel_df = sel_df | (
+                bound_df & (bin_of(score, lo_f, width) > boundary_bin)
+            )
+        n_boundary = hist[boundary_bin][1]
+        bound_slim = bound_slim & (
+            bin_of(F.col("_bs_s"), lo_f, width) == boundary_bin
+        )
+        bound_df = bound_df & (bin_of(score, lo_f, width) == boundary_bin)
+        step = width / bins
+        lo_f, hi_f = (
+            lo_f + boundary_bin * step,
+            lo_f + (boundary_bin + 1) * step,
+        )
+
+    selected = df.where(sel_df)
+    if n_boundary > 0 and remaining > 0:
+        boundary = df.where(bound_df)
+        if n_boundary <= max_window_rows:
+            from pyspark.sql.window import Window
+
+            w = (
+                Window.partitionBy(F.lit(0))
+                .orderBy(score.desc(), h.asc(), k.cast("string").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            before = F.sum(tok).over(w) - tok
+            picked = (
+                boundary.withColumn("_bs_before", before)
+                .where(F.col("_bs_before") < remaining)
+                .drop("_bs_before")
+            )
+        else:
+            mn, mx = (
+                slim.where(bound_slim)
+                .agg(F.min("_bs_s"), F.max("_bs_s"))
+                .collect()[0]
+            )
+            if mn != mx:
+                raise ValueError(
+                    "budget_select: boundary set has "
+                    f"{n_boundary} rows with distinct scores after "
+                    f"{max_levels} refinement levels — raise bins, "
+                    "max_levels, or max_window_rows"
+                )
+            # one exact score value repeated past the window bound:
+            # within-tie order is pure hash order, which is exactly
+            # the scale-safe two-level prefix sum mixture_sample runs
+            tied = boundary.withColumn("_bsel_src", F.lit(0)).withColumn(
+                "_bsel_t", tok
+            )
+            joined, before = _mixture_prefix(
+                tied,
+                "_bsel_src",
+                "_bsel_t",
+                key=key,
+                salt=salt,
+                caller="budget_select",
+            )
+            picked = joined.where(before < remaining).drop(
+                "_bsel_src", "_bsel_t", "_mix_h", "_mix_rng", "_mix_key",
+                "_mix_cum", "_mix_base", "_mix_src_total",
+            )
+        selected = selected.unionByName(picked)
+    return with_release(selected, [slim])
+
+
+def retention_curve(
+    df,
+    score_col: str,
+    token_col: str,
+    *,
+    bins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
+):
+    """Threshold sweep for quality gating: for each of ``bins``
+    uniform score buckets, how many documents and tokens survive a
+    "keep score ≥ threshold" cut at the bucket's lower edge — the
+    curve a corpus builder reads before picking a quality threshold
+    (and the report-form companion of :func:`budget_select`, which
+    answers the inverse question: given a token budget, what is the
+    cut).
+
+    Output (ascending ``threshold``): (bin int, threshold double,
+    docs int, tokens long, docs_ge long, tokens_ge long,
+    frac_tokens_ge double) — ``docs``/``tokens`` are the bucket's own
+    mass, ``*_ge`` the descending cumulative (survivors at that cut),
+    ``frac_tokens_ge`` the surviving token share. Empty buckets are
+    absent (a cut there keeps exactly what the next present bucket's
+    row reports). Rows with NULL score are excluded (they would
+    survive no threshold); NULL token counts weigh 0.
+
+    Plan: one map-side-combined aggregate over a 2-column projection
+    (plus one min/max pass when ``lo``/``hi`` are not given), then a
+    cumulative window over the ≤ ``bins``-row summary — the same
+    bounded-artifact shape as :func:`temperature_budgets`. At any
+    corpus size the full-scan work is the single aggregate."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    score = F.col(score_col).cast("double")
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    base = df.where(score.isNotNull())
+    if lo is None or hi is None:
+        mn, mx = base.agg(F.min(score), F.max(score)).collect()[0]
+        if mn is None:
+            lo_f, hi_f = 0.0, 1.0
+        else:
+            lo_f = float(mn if lo is None else lo)
+            hi_f = float(mx if hi is None else hi)
+    else:
+        lo_f, hi_f = float(lo), float(hi)
+    width = hi_f - lo_f
+    if not (width > 0.0):  # all one score: one bucket holds it all
+        width = 1.0
+    raw = F.floor((score - F.lit(lo_f)) / F.lit(width) * F.lit(bins))
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    hist = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("docs"), F.sum(tok).alias("tokens")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = Window.partitionBy(F.lit(0))
+    step = width / bins
+    return (
+        hist.withColumn("docs_ge", F.sum("docs").over(w))
+        .withColumn("tokens_ge", F.sum("tokens").over(w))
+        .withColumn(
+            "frac_tokens_ge",
+            F.col("tokens_ge") / F.sum("tokens").over(total),
+        )
+        .withColumn(
+            "threshold", F.lit(lo_f) + F.col("bin") * F.lit(step)
+        )
+        .select(
+            "bin", "threshold", "docs", "tokens",
+            "docs_ge", "tokens_ge", "frac_tokens_ge",
+        )
+        .orderBy("bin")
+    )
+
+
+def budget_select_by_source(
+    df,
+    source_col: str,
+    score_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    *,
+    key: Column | str,
+    salt: str = "",
+    bins: int = 4096,
+    max_levels: int = 6,
+    max_window_rows: int = 1 << 18,
+):
+    """Per-source :func:`budget_select`: for each source, keep its
+    highest-scoring documents until that source's token budget is
+    reached — the production corpus-mix step ("the best 100 B tokens
+    of web, the best 30 B of code") that :func:`mixture_sample`
+    (uniform hash order) and :func:`budget_select` (one global
+    budget) each express only half of. Budgets come from
+    :func:`temperature_budgets` / :func:`unimax_budgets` or are given
+    directly; sources absent from ``budgets`` (or with budget ≤ 0)
+    are dropped, and a source whose total fits its budget is kept
+    whole.
+
+    Per-source semantics are budget_select's exactly: order by
+    (score desc, salted-md5(key) asc, key asc), keep iff
+    tokens-before < budget — monotone per source, overshoot ≤ 1 doc,
+    NULL scores never selected, NULL tokens weigh 0.
+
+    Scale shape: a driver loop over N sources would re-scan the
+    corpus N times; instead every histogram-refinement level here is
+    ONE aggregate over all still-unresolved sources at once, keyed
+    (source, bucket), with each source's (lo, width) carried as
+    broadcast-joined COLUMNS so one literal bucket expression serves
+    every source. The per-source threshold chains then ride a single
+    broadcast join of ≤ ``max_levels``-deep parameter ARRAYS — the
+    selection predicate is data, not an expression tree, so its
+    depth is O(levels), not O(sources × levels). The exact boundary
+    runs per source: a (source)-partitioned window over ≤
+    ``max_window_rows`` rows each, or — for sources whose boundary is
+    one exact score value repeated — the same per-source two-level
+    hash prefix sum :func:`mixture_sample` uses, both sources of
+    truth for the tie-break order by construction. Distinct-score
+    boundaries wider than the bound after ``max_levels`` levels raise
+    loudly, naming the source."""
+    from pyspark.sql.window import Window
+
+    from sentinel_spark.cache import with_release
+
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    if key is None:
+        raise ValueError(
+            "budget_select_by_source requires a unique per-row key column"
+        )
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    score = F.col(score_col).cast("double")
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    live = {s: int(b) for s, b in budgets.items() if int(b) > 0}
+    if not live:
+        return df.where(F.lit(False))
+    spark = df.sparkSession
+    src = F.col(source_col)
+    base_pred = score.isNotNull() & src.isin(list(live))
+
+    slim = (
+        df.where(base_pred)
+        .select(
+            src.alias("_bs_src"),
+            score.alias("_bs_s"),
+            tok.alias("_bs_t"),
+        )
+        .persist()
+    )
+    stats = {
+        r[0]: (float(r[1]), float(r[2]), int(r[3]), int(r[4]))
+        for r in slim.groupBy("_bs_src")
+        .agg(
+            F.min("_bs_s"), F.max("_bs_s"), F.sum("_bs_t"),
+            F.count(F.lit(1)),
+        )
+        .collect()
+    }
+    full: list[str] = []  # sources kept whole
+    # per-source refinement state: [lo, hi, remaining, n_boundary,
+    # levels  (levels = list of (lo, width, boundary_bin))]
+    state: dict[str, list] = {}
+    for s, (lo_s, hi_s, tot_s, n_s) in stats.items():
+        if tot_s <= live[s]:
+            full.append(s)
+        else:
+            state[s] = [lo_s, hi_s, live[s], n_s, []]
+
+    def bin_cols(lo_c, width_c):
+        raw = F.floor((F.col("_bs_s") - lo_c) / width_c * F.lit(bins))
+        return F.least(
+            F.lit(bins - 1), F.greatest(F.lit(0), raw)
+        ).cast("int")
+
+    boundary = slim
+    for _level in range(max_levels):
+        work = {
+            s: st
+            for s, st in state.items()
+            if st[3] > max_window_rows and (st[1] - st[0]) > 0.0
+        }
+        if not work:
+            break
+        params = spark.createDataFrame(
+            [(s, st[0], st[1] - st[0]) for s, st in work.items()],
+            "_bs_src string, _p_lo double, _p_w double",
+        )
+        j = boundary.join(F.broadcast(params), "_bs_src").withColumn(
+            "_bin", bin_cols(F.col("_p_lo"), F.col("_p_w"))
+        )
+        hist: dict[str, dict[int, tuple[int, int]]] = {}
+        for r in (
+            j.groupBy("_bs_src", "_bin")
+            .agg(F.sum("_bs_t"), F.count(F.lit(1)))
+            .collect()
+        ):
+            hist.setdefault(r[0], {})[int(r[1])] = (int(r[2]), int(r[3]))
+        chosen = []
+        for s, st in work.items():
+            lo_s, hi_s, rem, _n, levels = st
+            width = hi_s - lo_s
+            bb = None
+            for b in sorted(hist.get(s, {}), reverse=True):
+                s_b, _c = hist[s][b]
+                if s_b <= rem:
+                    rem -= s_b
+                else:
+                    bb = b
+                    break
+            if bb is None:  # defense: sums are exact, rem < total
+                bb = min(hist.get(s, {0: (0, 0)}))
+            levels.append((lo_s, width, bb))
+            step = width / bins
+            st[0], st[1] = lo_s + bb * step, lo_s + (bb + 1) * step
+            st[2] = rem
+            st[3] = hist.get(s, {}).get(bb, (0, 0))[1]
+            chosen.append((s, bb))
+        bsel = spark.createDataFrame(chosen, "_bs_src string, _p_b int")
+        boundary = (
+            j.join(F.broadcast(bsel), "_bs_src")
+            .where(F.col("_bin") == F.col("_p_b"))
+            .select("_bs_src", "_bs_s", "_bs_t")
+        )
+
+    overflow = [
+        s
+        for s, st in state.items()
+        if st[3] > max_window_rows and st[0] != st[1]
+    ]
+    if overflow:
+        # st[0] == st[1] (width collapsed to one float) means ties —
+        # handled below; anything else needs denser refinement
+        raise ValueError(
+            "budget_select_by_source: boundary for source(s) "
+            f"{sorted(overflow)} exceeds max_window_rows with distinct "
+            f"scores after {max_levels} levels — raise bins, "
+            "max_levels, or max_window_rows"
+        )
+
+    # one annotated pass over df: per-source level chains as arrays
+    lmax = max((len(st[4]) for st in state.values()), default=0)
+    ann_rows = [
+        (
+            s,
+            s in full,
+            [lv[0] for lv in state[s][4]] if s in state else [],
+            [lv[1] for lv in state[s][4]] if s in state else [],
+            [lv[2] for lv in state[s][4]] if s in state else [],
+            int(state[s][2]) if s in state else 0,
+            s in state and state[s][0] == state[s][1]
+            and state[s][3] > max_window_rows,
+        )
+        for s in set(full) | set(state)
+    ]
+    ann = spark.createDataFrame(
+        ann_rows,
+        "_bs_src string, _p_full boolean, _p_los array<double>, "
+        "_p_ws array<double>, _p_bs array<int>, _p_rem long, "
+        "_p_tie boolean",
+    )
+    jdf = df.where(base_pred).join(
+        F.broadcast(ann), src == F.col("_bs_src")
+    )
+
+    def bin_at(level):
+        raw = F.floor(
+            (score - F.col("_p_los")[level])
+            / F.col("_p_ws")[level]
+            * F.lit(bins)
+        )
+        return F.least(
+            F.lit(bins - 1), F.greatest(F.lit(0), raw)
+        ).cast("int")
+
+    sel = F.col("_p_full")
+    in_chain = ~F.col("_p_full")
+    for lv in range(lmax):
+        has = lv < F.size("_p_bs")
+        sel = sel | (in_chain & has & (bin_at(lv) > F.col("_p_bs")[lv]))
+        in_chain = in_chain & (~has | (bin_at(lv) == F.col("_p_bs")[lv]))
+
+    helper = [
+        "_bs_src", "_p_full", "_p_los", "_p_ws", "_p_bs", "_p_rem",
+        "_p_tie",
+    ]
+    selected = jdf.where(sel).drop(*helper)
+    bnd = jdf.where(in_chain & (F.col("_p_rem") > 0))
+    windowed = bnd.where(~F.col("_p_tie"))
+    w = (
+        Window.partitionBy("_bs_src")
+        .orderBy(score.desc(), h.asc(), k.cast("string").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(tok).over(w) - tok
+    picked_w = (
+        windowed.withColumn("_bs_before", before)
+        .where(F.col("_bs_before") < F.col("_p_rem"))
+        .drop("_bs_before", *helper)
+    )
+    out = selected.unionByName(picked_w)
+    tied = bnd.where(F.col("_p_tie"))
+    tie_srcs = [
+        s
+        for s, st in state.items()
+        if st[0] == st[1] and st[3] > max_window_rows
+    ]
+    if tie_srcs:
+        rem_budgets = {s: int(state[s][2]) for s in tie_srcs}
+        tied2 = tied.withColumn("_bsel_t", tok)
+        joined, before_t = _mixture_prefix(
+            tied2,
+            "_bs_src",
+            "_bsel_t",
+            key=key,
+            salt=salt,
+            caller="budget_select_by_source",
+        )
+        picked_t = joined.where(
+            before_t < _budget_case(rem_budgets, "_bs_src")
+        ).drop(
+            "_bsel_t", "_mix_h", "_mix_rng", "_mix_key", "_mix_cum",
+            "_mix_base", "_mix_src_total", *helper,
+        )
+        out = out.unionByName(picked_t)
+    return with_release(out, [slim])

@@ -259,3 +259,136 @@ def quantile_sketch(
             value_col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
         ).alias("q")
     )
+
+
+# --- KMV (bottom-k) sketches: cross-source overlap without joins ----
+#
+# HLL answers "how many distinct" but cannot answer "how much do two
+# corpus sources OVERLAP" — DataSketches HLL binaries do not support
+# intersection with usable error. The k-minimum-values sketch (Beyer
+# et al., "On synopses for distinct-value estimation under multiset
+# operations", SIGMOD 2007) does: keep the k smallest hash values of
+# each source's document fingerprints; the k smallest of a UNION of
+# two sketches is exactly the union's sketch, and the fraction of
+# those that appear in both sides estimates Jaccard with RSE
+# ~ 1/sqrt(k). That turns the "which sources duplicate each other /
+# is the eval set contaminated by which slice" audit into one
+# linear scan plus driver arithmetic on n_sources x k longs — no
+# doc-level pairwise join anywhere (the operator-level alternative,
+# minhash_candidate_pairs, answers per-DOCUMENT questions; this
+# answers per-SOURCE ones at a millionth of the shuffle).
+#
+# Determinism: xxhash64 is a fixed permutation, the bottom-k of a set
+# under a fixed hash is order-independent, so sketches and every
+# estimate derived from them are rerun-stable. Cross-engine the hash
+# is Spark-specific, so (like HLL above) this is law-tested in-repo
+# rather than DuckDB-gated — the honest split documented at module
+# top.
+
+
+def kmv_sketches(
+    df: DataFrame,
+    group_col: str,
+    key_col: Column | str,
+    *,
+    k: int = 1024,
+) -> DataFrame:
+    """One bottom-``k`` KMV sketch per group: (``group_col``, ``kmv``
+    array<bigint> of the k smallest DISTINCT xxhash64(key) values,
+    ascending). Plan shape: one distinct aggregate on (group, hash) —
+    map-side combined, the same exchange an exact per-source distinct
+    count would pay — then the two-level
+    :func:`~sentinel_spark.functions.similarity.grouped_topk` rank
+    (never a per-group single-task sort), then a per-group
+    ``collect_list`` bounded at k rows per group. The sketch frame is
+    the persistable artifact: rebuilding overlap reports never
+    rescans the corpus."""
+    from sentinel_spark.functions.similarity import grouped_topk
+
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    hashed = (
+        df.select(F.col(group_col), F.xxhash64(key).alias("_h"))
+        .groupBy(group_col, "_h")
+        .agg(F.lit(1))
+    )
+    bottom = grouped_topk(
+        hashed.withColumn("_negh", -F.col("_h")),
+        k,
+        "_negh",
+        group_col=group_col,
+        tie_col="_h",
+    )
+    return bottom.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("_h")).alias("kmv")
+    )
+
+
+def _kmv_distinct(values: list[int], k: int) -> float:
+    """(driver) KMV distinct estimate from one sorted bottom-k list:
+    exact when the sketch is unsaturated (< k values), else
+    (k-1)/u_k with u_k the k-th smallest hash mapped to (0, 1]."""
+    if len(values) < k:
+        return float(len(values))
+    u_k = (values[k - 1] + (1 << 63) + 1) / float(1 << 64)
+    return (k - 1) / u_k
+
+
+def source_overlap(
+    sketches: DataFrame,
+    *,
+    k: int = 1024,
+    group_col: str | None = None,
+    max_sources: int = 4096,
+) -> DataFrame:
+    """Pairwise overlap report from a :func:`kmv_sketches` frame:
+    (source_a, source_b, jaccard, intersection_est, union_est,
+    distinct_a, distinct_b, containment_a_in_b, containment_b_in_a)
+    for every unordered source pair, sources ordered by name.
+
+    ``jaccard`` is the KMV union-resample estimator: merge the two
+    bottom-k lists, take the k smallest of the merged DISTINCT values
+    (which IS the union's KMV sketch — the closure property), and
+    count the fraction present in both input sketches. Containments
+    divide the implied intersection by each side's distinct estimate
+    (clamped to [0, 1] — at sketch error the ratio can graze past 1).
+
+    The sketch frame collects to the driver — bounded by
+    ``max_sources`` x k longs, enforced loudly (the
+    ``max_collect_ids`` pattern) because n_sources is a corpus
+    property, not a parameter. All pair arithmetic is driver-side on
+    that bounded artifact; the result (≤ max_sources² rows, in
+    practice tens) returns as a DataFrame for joining into reports."""
+    gcol = group_col or [
+        c for c in sketches.columns if c != "kmv"
+    ][0]
+    rows = sketches.select(gcol, "kmv").limit(max_sources + 1).collect()
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"source_overlap: more than max_sources={max_sources} "
+            "sources — raise the bound or pre-filter the sketch frame"
+        )
+    sk = {r[0]: list(r[1]) for r in rows}
+    names = sorted(sk, key=str)
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            sa, sb = set(sk[a]), set(sk[b])
+            merged = sorted(sa | sb)[:k]
+            both = sum(1 for v in merged if v in sa and v in sb)
+            j = both / len(merged) if merged else 0.0
+            union_est = _kmv_distinct(merged, k)
+            da, db = _kmv_distinct(sk[a], k), _kmv_distinct(sk[b], k)
+            inter = j * union_est
+            out.append((
+                a, b, j, inter, union_est, da, db,
+                min(1.0, inter / da) if da else 0.0,
+                min(1.0, inter / db) if db else 0.0,
+            ))
+    spark = sketches.sparkSession
+    schema = (
+        "source_a string, source_b string, jaccard double, "
+        "intersection_est double, union_est double, distinct_a double, "
+        "distinct_b double, containment_a_in_b double, "
+        "containment_b_in_a double"
+    )
+    return spark.createDataFrame(out, schema)

@@ -368,3 +368,285 @@ class TestMixtureEpochs:
         }
         # books repeats to reach its uncapped share; web stays within
         assert 350 <= got["books"] < 360 and 350 <= got["web"] < 360
+
+
+def test_unimax_budgets_water_filling(spark):
+    from sentinel_spark.functions.sampling import unimax_budgets
+
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 100), ("c", 10)], "src string, toks long"
+    )
+    # budget below total capacity: small sources saturate at
+    # max_epochs x size, freed share flows to the largest
+    assert unimax_budgets(
+        df, "src", "toks", total_tokens=900, max_epochs=2.0
+    ) == {"c": 20, "b": 200, "a": 680}
+    # budget above total capacity: everything caps (budget not used up)
+    assert unimax_budgets(
+        df, "src", "toks", total_tokens=3000, max_epochs=2.0
+    ) == {"c": 20, "b": 200, "a": 2000}
+    # tiny budget: exactly uniform, no source saturates
+    assert unimax_budgets(
+        df, "src", "toks", total_tokens=30, max_epochs=2.0
+    ) == {"c": 10, "b": 10, "a": 10}
+
+
+def test_unimax_budgets_edges(spark):
+    import pytest as _pytest
+
+    from sentinel_spark.functions.sampling import (
+        mixture_sample_epochs,
+        unimax_budgets,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 0)], "src string, toks long"
+    )
+    # zero-size source dropped; empty result for non-positive budget
+    assert unimax_budgets(df, "src", "toks", total_tokens=50) == {"a": 50}
+    assert unimax_budgets(df, "src", "toks", total_tokens=0) == {}
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_budgets(df, "src", "toks", total_tokens=10, max_epochs=0)
+    # budgets compose with the epoch fan-out without tripping its guard
+    docs = spark.createDataFrame(
+        [(i, "a", 10) for i in range(10)], "doc_id long, src string, toks long"
+    )
+    b = unimax_budgets(docs, "src", "toks", total_tokens=250, max_epochs=3.0)
+    assert b == {"a": 250}  # under the 3-epoch cap (300), takes all
+    out = mixture_sample_epochs(
+        docs, "src", "toks", b, key="doc_id", max_epochs=4
+    )
+    assert out.count() > 10  # upsampled past one epoch
+
+
+class TestBudgetSelect:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (
+                i,
+                rng.choice([0.1, 0.5, 0.5, 0.9, round(rng.random(), 3)]),
+                rng.randint(1, 200),
+            )
+            for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, q double, toks long")
+        return rows, df
+
+    @staticmethod
+    def _naive(rows, budget, salt=""):
+        import hashlib
+
+        def h60(key):
+            return int(
+                hashlib.md5((salt + str(key)).encode()).hexdigest()[:15], 16
+            )
+
+        out, cum = set(), 0
+        for i, _q, t in sorted(
+            rows, key=lambda r: (-r[1], h60(r[0]), str(r[0]))
+        ):
+            if cum < budget:
+                out.add(i)
+            cum += t
+        return out
+
+    def test_matches_greedy_prefix_oracle(self, scored):
+        from sentinel_spark.functions.sampling import budget_select
+
+        rows, df = scored
+        for budget in [1, 500, 20_000, 80_000, 10**9]:
+            sel = budget_select(df, "q", "toks", budget, key="doc_id")
+            got = {r.doc_id for r in sel.select("doc_id").collect()}
+            assert got == self._naive(rows, budget), budget
+
+    def test_tie_prefix_path_identical(self, scored):
+        # forcing the boundary past max_window_rows lands on the
+        # repeated-score hash-prefix path; selection must not change
+        from sentinel_spark.functions.sampling import budget_select
+
+        rows, df = scored
+        sel = budget_select(
+            df, "q", "toks", 80_000, key="doc_id", max_window_rows=20
+        )
+        got = {r.doc_id for r in sel.select("doc_id").collect()}
+        assert got == self._naive(rows, 80_000)
+        # and the output schema is the input's (helpers dropped)
+        assert sel.columns == df.columns
+
+    def test_monotone_and_deterministic(self, scored):
+        from sentinel_spark.functions.sampling import budget_select
+
+        _rows, df = scored
+        pick = lambda b: {
+            r.doc_id
+            for r in budget_select(df, "q", "toks", b, key="doc_id")
+            .select("doc_id")
+            .collect()
+        }
+        a, a2, b = pick(10_000), pick(10_000), pick(40_000)
+        assert a == a2
+        assert a < b
+
+    def test_edges(self, spark, scored):
+        from sentinel_spark.functions.sampling import budget_select
+
+        _rows, df = scored
+        assert budget_select(df, "q", "toks", 0, key="doc_id").count() == 0
+        # NULL score never selected; NULL tokens weigh zero
+        dfn = spark.createDataFrame(
+            [(1, None, 10), (2, 0.9, None), (3, 0.5, 5)],
+            "doc_id long, q double, toks long",
+        )
+        got = {
+            r.doc_id
+            for r in budget_select(dfn, "q", "toks", 5, key="doc_id").collect()
+        }
+        assert got == {2, 3}  # doc2 free, doc3 fills the budget; doc1 never
+
+    def test_distinct_score_overflow_raises(self, spark):
+        import pytest as _pytest
+
+        from sentinel_spark.functions.sampling import budget_select
+
+        df = spark.createDataFrame(
+            [(i, float(i), 1) for i in range(500)],
+            "doc_id long, q double, toks long",
+        )
+        with _pytest.raises(ValueError, match="distinct scores"):
+            budget_select(
+                df, "q", "toks", 100, key="doc_id",
+                bins=2, max_levels=1, max_window_rows=5,
+            )
+
+
+def test_retention_curve(spark):
+    from sentinel_spark.functions.sampling import retention_curve
+
+    rows = [(i, i / 100.0, 10) for i in range(100)] + [(100, None, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, toks long")
+    out = retention_curve(df, "q", "toks", bins=10).collect()
+    assert [r.bin for r in out] == list(range(10))
+    # NULL-score row excluded everywhere
+    assert out[0].docs_ge == 100 and out[0].tokens_ge == 1000
+    assert out[0].frac_tokens_ge == pytest.approx(1.0)
+    # top bucket: scores in [0.891, 0.99] -> 10 docs (0.99 clamps in)
+    assert out[-1].docs == 10 and out[-1].docs_ge == 10
+    # descending cumulative is monotone and consistent with per-bin mass
+    for a, b in zip(out, out[1:]):
+        assert a.docs_ge == b.docs_ge + a.docs
+        assert a.tokens_ge == b.tokens_ge + a.tokens
+    # thresholds ascend uniformly from the min score
+    assert out[0].threshold == pytest.approx(0.0)
+    assert out[5].threshold == pytest.approx(0.5 * 0.99, rel=1e-9)
+    # degenerate all-one-score frame: single bucket, no crash
+    one = spark.createDataFrame(
+        [(1, 0.5, 3), (2, 0.5, 4)], "doc_id long, q double, toks long"
+    )
+    r = retention_curve(one, "q", "toks", bins=8).collect()
+    assert len(r) == 1 and r[0].docs == 2 and r[0].frac_tokens_ge == 1.0
+
+
+class TestBudgetSelectBySource:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows, i = [], 0
+        for src, n, scoref in [
+            ("web", 3000, lambda: round(rng.random(), 3)),
+            ("code", 1200, lambda: rng.choice([0.2, 0.5, 0.8])),
+            ("books", 300, lambda: round(rng.random(), 2)),
+            ("junk", 400, lambda: 0.0),
+        ]:
+            for _ in range(n):
+                rows.append((i, src, scoref(), rng.randint(1, 100)))
+                i += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, src string, q double, toks long"
+        )
+        return rows, df
+
+    @staticmethod
+    def _naive(rows, budgets, salt=""):
+        import hashlib
+
+        def h60(key):
+            return int(
+                hashlib.md5((salt + str(key)).encode()).hexdigest()[:15], 16
+            )
+
+        out = set()
+        for s, b in budgets.items():
+            cum = 0
+            for did, _s, _q, t in sorted(
+                (r for r in rows if r[1] == s),
+                key=lambda r: (-r[2], h60(r[0]), str(r[0])),
+            ):
+                if cum < b:
+                    out.add(did)
+                cum += t
+        return out
+
+    BUDGETS = {"web": 40_000, "code": 25_000, "books": 10**9}
+
+    def test_matches_per_source_greedy_oracle(self, corpus):
+        from pyspark.sql import functions as F
+
+        from sentinel_spark.functions.sampling import budget_select_by_source
+
+        rows, df = corpus
+        sel = budget_select_by_source(
+            df, "src", "q", "toks", self.BUDGETS, key="doc_id"
+        )
+        got = {r.doc_id for r in sel.select("doc_id").collect()}
+        assert got == self._naive(rows, self.BUDGETS)
+        assert sel.columns == df.columns  # helpers dropped
+        # budgets respected with <= 1-doc overshoot; unlisted dropped
+        tots = {
+            r.src: r.t
+            for r in sel.groupBy("src").agg(F.sum("toks").alias("t")).collect()
+        }
+        assert 40_000 <= tots["web"] < 40_100
+        assert 25_000 <= tots["code"] < 25_100
+        assert "junk" not in tots
+
+    def test_refinement_and_tie_paths_identical(self, corpus):
+        # a tiny window bound forces web through histogram levels and
+        # code (three discrete scores) through the per-source hash
+        # prefix-sum tie path; the selection must not change
+        from sentinel_spark.functions.sampling import budget_select_by_source
+
+        rows, df = corpus
+        sel = budget_select_by_source(
+            df, "src", "q", "toks", self.BUDGETS, key="doc_id",
+            max_window_rows=40,
+        )
+        got = {r.doc_id for r in sel.select("doc_id").collect()}
+        assert got == self._naive(rows, self.BUDGETS)
+
+    def test_empty_and_overflow(self, spark, corpus):
+        import pytest as _pytest
+
+        from sentinel_spark.functions.sampling import budget_select_by_source
+
+        _rows, df = corpus
+        assert (
+            budget_select_by_source(
+                df, "src", "q", "toks", {"web": 0}, key="doc_id"
+            ).count()
+            == 0
+        )
+        dist = spark.createDataFrame(
+            [(j, "one", float(j), 1) for j in range(2000)],
+            "doc_id long, src string, q double, toks long",
+        )
+        with _pytest.raises(ValueError, match="one"):
+            budget_select_by_source(
+                dist, "src", "q", "toks", {"one": 100}, key="doc_id",
+                bins=2, max_levels=1, max_window_rows=5,
+            )

@@ -149,3 +149,97 @@ def test_misra_gries_candidates_superset_and_bounds(skewed):
     # partition boundaries survive mapInPandas 1:1, so per-output-
     # partition row counts are the per-input-partition emit counts
     assert all(r.n <= capacity - 1 for r in per_part), per_part
+
+
+class TestKMVOverlap:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # A = doc0..9999, B = doc5000..14999 (J = 1/3), C disjoint;
+        # within-source duplicates exercise the distinct stage
+        rows = (
+            [("A", f"doc{i}") for i in range(10_000)]
+            + [("B", f"doc{i}") for i in range(5_000, 15_000)]
+            + [("C", f"x{i}") for i in range(8_000)]
+            + [("A", f"doc{i}") for i in range(0, 10_000, 3)]
+        )
+        return spark.createDataFrame(rows, "src string, fp string")
+
+    def test_estimates_within_sketch_error(self, corpus):
+        from sentinel_spark.functions.sketch import (
+            kmv_sketches,
+            source_overlap,
+        )
+
+        sk = kmv_sketches(corpus, "src", "fp", k=1024)
+        rows = {
+            (r.source_a, r.source_b): r
+            for r in source_overlap(sk, k=1024).collect()
+        }
+        ab = rows[("A", "B")]
+        # truth: J = 1/3, |A∩B| = 5000, |A∪B| = 15000, |A| = |B| = 10000
+        # k = 1024 -> RSE ~ 3%; assert at ~4 sigma
+        assert abs(ab.jaccard - 1 / 3) < 0.06
+        assert abs(ab.union_est - 15_000) / 15_000 < 0.15
+        assert abs(ab.distinct_a - 10_000) / 10_000 < 0.15
+        assert abs(ab.containment_a_in_b - 0.5) < 0.1
+        # disjoint pairs: exactly zero (no shared hash can enter both)
+        assert rows[("A", "C")].jaccard == 0.0
+        assert rows[("B", "C")].intersection_est == 0.0
+
+    def test_exact_when_unsaturated(self, corpus):
+        # k above every source's cardinality: the sketch IS the set,
+        # every estimate collapses to the exact value
+        from pyspark.sql import functions as F
+
+        from sentinel_spark.functions.sketch import (
+            kmv_sketches,
+            source_overlap,
+        )
+
+        two = corpus.where(F.col("src") != "C")
+        sk = kmv_sketches(two, "src", "fp", k=50_000)
+        r = source_overlap(sk, k=50_000).collect()[0]
+        assert r.jaccard == pytest.approx(1 / 3)
+        assert r.intersection_est == pytest.approx(5_000)
+        assert r.union_est == 15_000.0
+        assert r.distinct_a == 10_000.0 and r.distinct_b == 10_000.0
+        assert r.containment_a_in_b == pytest.approx(0.5)
+
+    def test_union_closure_law(self, corpus):
+        # the k smallest of two merged sketches equals the sketch of
+        # the unioned source — KMV's defining closure property, which
+        # is what makes persisted sketches re-aggregable like HLL
+        from pyspark.sql import functions as F
+
+        from sentinel_spark.functions.sketch import kmv_sketches
+
+        k = 256
+        sk = {
+            r[0]: list(r[1])
+            for r in kmv_sketches(corpus, "src", "fp", k=k).collect()
+        }
+        merged_ab = sorted(set(sk["A"]) | set(sk["B"]))[:k]
+        relabeled = corpus.where(F.col("src") != "C").withColumn(
+            "src", F.lit("AB")
+        )
+        direct = list(
+            kmv_sketches(relabeled, "src", "fp", k=k).collect()[0][1]
+        )
+        assert merged_ab == direct
+
+    def test_determinism_and_source_bound(self, corpus):
+        import pytest as _pytest
+
+        from sentinel_spark.functions.sketch import (
+            kmv_sketches,
+            source_overlap,
+        )
+
+        a = kmv_sketches(corpus, "src", "fp", k=128).collect()
+        b = kmv_sketches(corpus, "src", "fp", k=128).collect()
+        assert sorted((r[0], tuple(r[1])) for r in a) == sorted(
+            (r[0], tuple(r[1])) for r in b
+        )
+        sk = kmv_sketches(corpus, "src", "fp", k=128)
+        with _pytest.raises(ValueError, match="max_sources"):
+            source_overlap(sk, k=128, max_sources=2)
