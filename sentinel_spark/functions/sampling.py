@@ -1032,3 +1032,64 @@ def budget_select_by_source(
         )
         out = out.unionByName(picked_t)
     return with_release(out, [slim])
+
+
+def curriculum_order(
+    df,
+    source_col: str,
+    rates: dict[str, float],
+    *,
+    key: Column | str,
+    salt: str = "",
+    out_col: str = "curriculum_key",
+):
+    """Deterministic rate-proportional interleave of sources for
+    training order — stride scheduling: source ``s`` with rate ``r_s``
+    occupies virtual timeline positions ``(i + 0.5) / r_s`` for its
+    hash-ordered documents ``i = 0, 1, ...``, so reading rows by
+    ascending ``out_col`` yields a stream where every window mixes
+    sources in proportion to their rates (law: a cutoff ``c`` admits
+    exactly ``floor(c·r_s + 0.5)`` rows of each source — proportional
+    to ±1 row at every prefix). The alternative orders — blocks per
+    source, or the uniform global shuffle ``export_training_shards``
+    applies with ``shuffle_seed`` — give either maximal order bias or
+    proportionality only in expectation; this gives it by
+    construction, deterministically (within-source order is the
+    salted-md5 hash order, rerun- and engine-stable).
+
+    Returns ``df`` (sources absent from ``rates`` or with rate ≤ 0
+    dropped) plus ``out_col`` (double). Feed it to
+    ``export_training_shards`` as the ``sample_key`` ordering column
+    to materialize the stream. Rates are relative — only ratios
+    matter.
+
+    Scale shape: the within-source index is the two-level
+    (source, hash-range) prefix sum of :func:`mixture_sample` with a
+    unit weight — one compound-key exchange, a tiny range-totals
+    frame, no global sort anywhere (the EXPORT is what orders, per
+    shard, exactly as it already does for the shuffle key)."""
+    live = {s: float(r) for s, r in rates.items() if float(r) > 0}
+    if not live:
+        return df.where(F.lit(False)).withColumn(
+            out_col, F.lit(None).cast("double")
+        )
+    src = F.col(source_col)
+    work = df.where(src.isin(list(live))).withColumn("_cur_one", F.lit(1))
+    joined, before = _mixture_prefix(
+        work, source_col, "_cur_one", key=key, salt=salt,
+        caller="curriculum_order",
+    )
+    rate = None
+    for s, r in live.items():
+        cond = src == s
+        rate = (
+            F.when(cond, F.lit(r))
+            if rate is None
+            else rate.when(cond, F.lit(r))
+        )
+    out = joined.withColumn(
+        out_col, (before.cast("double") + F.lit(0.5)) / rate
+    )
+    # the prefix-sum join moves the source column first; restore the
+    # caller's column order
+    return out.select(*df.columns, out_col)

@@ -211,3 +211,92 @@ def load_bpe_merges(spark, path: str, version: int | None = None) -> list[tuple[
 
     rows = load_model_frame(spark, path, version).collect()
     return [(r.left, r.right) for r in sorted(rows, key=lambda r: r.rank)]
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Per-group tokenizer-fit report: how many BPE tokens the trained
+    merge list spends per word and per 100 characters of each corpus
+    slice (source, language, ...) — "fertility", the standard metric
+    for deciding whether a tokenizer under-serves a domain (high
+    fertility = the vocabulary fragments that slice's words, inflating
+    its effective sequence length and training cost).
+
+    Output: (group_cols..., n_docs, n_words, n_chars, n_bpe_tokens,
+    fertility, tokens_per_100_chars) — ratios rounded to 6 (the oracle
+    float policy), NULL when the denominator is 0.
+
+    Plan: the corpus pass is ONE Arrow-batched ``mapInPandas`` over a
+    (groups, words, chars) projection that emits per-batch PARTIAL
+    sums (one row per group per batch — the LM/PCA partials idiom), so
+    the shuffle carries ~|groups|·batches rows, never documents; a
+    map-side-combined groupBy finishes. Per-word encodes are memoized
+    per batch (Zipf reuse), identical to :func:`bpe_tokenize`."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    narrow = df.select(
+        *[F.col(c) for c in group_cols],
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)"
+        ).alias("__words"),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("__chars"),
+    )
+
+    def partials(batches):
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n_bpe = []
+            n_words = []
+            for words in pdf["__words"]:
+                tot = 0
+                for w in words:
+                    got = cache.get(w)
+                    if got is None:
+                        got = len(bpe_encode_word(w, ranks))
+                        cache[w] = got
+                    tot += got
+                n_bpe.append(tot)
+                n_words.append(len(words))
+            out = pd.DataFrame(
+                {
+                    **{c: pdf[c] for c in group_cols},
+                    "__d": 1,
+                    "__w": n_words,
+                    "__c": pdf["__chars"],
+                    "__t": n_bpe,
+                }
+            )
+            yield out.groupby(list(group_cols), as_index=False).sum()
+
+    part = narrow.mapInPandas(
+        partials,
+        schema=", ".join(
+            [f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols]
+            + ["__d long", "__w long", "__c long", "__t long"]
+        ),
+    )
+    ratio = lambda num, den: F.round(
+        F.when(den > 0, num.cast("double") / den), 6
+    )
+    agg = part.groupBy(*group_cols).agg(
+        F.sum("__d").alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__c").alias("n_chars"),
+        F.sum("__t").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        ratio(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
+        ratio(
+            F.col("n_bpe_tokens") * 100, F.col("n_chars")
+        ).alias("tokens_per_100_chars"),
+    )

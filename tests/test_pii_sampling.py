@@ -650,3 +650,55 @@ class TestBudgetSelectBySource:
                 dist, "src", "q", "toks", {"one": 100}, key="doc_id",
                 bins=2, max_levels=1, max_window_rows=5,
             )
+
+
+def test_curriculum_order_proportional_interleave(spark):
+    from sentinel_spark.functions.sampling import curriculum_order
+
+    rows = (
+        [(i, "web") for i in range(600)]
+        + [(1000 + i, "code") for i in range(300)]
+        + [(2000 + i, "books") for i in range(100)]
+        + [(3000 + i, "junk") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    rates = {"web": 6.0, "code": 3.0, "books": 1.0}  # junk dropped
+    out = curriculum_order(df, "src", rates, key="doc_id")
+    assert out.columns == ["doc_id", "src", "curriculum_key"]
+    stream = [
+        r.src
+        for r in out.orderBy("curriculum_key", "doc_id").collect()
+    ]
+    assert len(stream) == 1000 and "junk" not in stream
+    # stride-scheduling law: every prefix admits floor(c*r_s + 0.5)
+    # rows of each source — proportional to +-1 at EVERY prefix until
+    # a source is exhausted (books runs dry at prefix ~1000)
+    import collections
+
+    seen = collections.Counter()
+    for n, s in enumerate(stream, start=1):
+        seen[s] += 1
+        if n <= 900:  # all sources still live (books: 100 of 1000)
+            for name, r in rates.items():
+                expect = n * r / 10.0
+                assert abs(seen[name] - expect) <= 1.0 + r / 1.0, (
+                    n, name, seen[name], expect
+                )
+    # deterministic
+    s2 = [
+        r.src
+        for r in curriculum_order(df, "src", rates, key="doc_id")
+        .orderBy("curriculum_key", "doc_id")
+        .collect()
+    ]
+    assert stream == s2
+
+
+def test_curriculum_order_edges(spark):
+    from sentinel_spark.functions.sampling import curriculum_order
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    assert curriculum_order(df, "src", {}, key="doc_id").count() == 0
+    assert curriculum_order(df, "src", {"a": 0}, key="doc_id").count() == 0
+    one = curriculum_order(df, "src", {"a": 2.0}, key="doc_id").collect()
+    assert one[0].curriculum_key == pytest.approx(0.25)  # (0+0.5)/2

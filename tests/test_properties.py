@@ -761,3 +761,81 @@ def test_winnow_laws_hold_under_both_hash_schemes(spark, docs, k, window):
             want = {min(hs[p:p + window]) for p in range(n_w)}
             assert got.get(i, set()) == want, (hash_fn, t)
             assert len(got.get(i, set())) <= n_w
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from([0.0, 0.25, 0.25, 0.5, 1.0, 0.125, 0.3]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    budget=st.integers(min_value=0, max_value=2000),
+    tiny_window=st.booleans(),
+)
+def test_budget_select_equals_greedy_prefix(spark, data, budget, tiny_window):
+    """budget_select == the naive sort-and-cumsum greedy prefix on
+    arbitrary (score, tokens) multisets and budgets, on BOTH the
+    window boundary path and (tiny_window) the repeated-score hash
+    prefix-sum path — heavy score ties are the adversarial case the
+    sampled score set forces."""
+    import hashlib
+
+    from sentinel_spark.functions.sampling import budget_select
+
+    rows = [(i, s, t) for i, (s, t) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, toks long")
+
+    def h60(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    want, cum = set(), 0
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], h60(r[0]), str(r[0]))):
+        if cum < budget:
+            want.add(i)
+        cum += t
+    out = budget_select(
+        df, "q", "toks", budget, key="doc_id",
+        max_window_rows=2 if tiny_window else 1 << 18,
+        bins=16,
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == want
+
+
+@SLOW
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=6,
+    ),
+    total=st.integers(min_value=1, max_value=60_000),
+    epochs=st.sampled_from([0.5, 1.0, 2.0, 4.0]),
+)
+def test_unimax_budget_laws(spark, sizes, total, epochs):
+    """Water-filling invariants on arbitrary size vectors: every
+    budget respects the epoch cap; the full budget is spent whenever
+    capacity allows (sum == min(total, sum(caps)) up to per-source
+    rounding); and allocation is fair — any source below its cap gets
+    at least as much as every smaller-or-equal allocation (no source
+    is starved while another unsaturated one feasts)."""
+    from sentinel_spark.functions.sampling import unimax_budgets
+
+    rows = [(f"s{i}", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "src string, toks long")
+    b = unimax_budgets(df, "src", "toks", total_tokens=total, max_epochs=epochs)
+    caps = {f"s{i}": epochs * n for i, n in enumerate(sizes) if n > 0}
+    assert set(b) <= set(caps)
+    for s, v in b.items():
+        assert v <= math.floor(caps[s] + 0.5)
+    spend = sum(b.values())
+    expect = min(total, sum(caps.values()))
+    assert abs(spend - expect) <= len(caps)  # half-up rounding slack
+    # fairness: unsaturated sources all sit at the common water level
+    unsat = [v for s, v in b.items() if v < math.floor(caps[s] + 0.5) - 1]
+    if len(unsat) > 1:
+        assert max(unsat) - min(unsat) <= 1

@@ -134,3 +134,51 @@ def test_bpe_merges_persist_roundtrip(spark, tmp_path):
     save_bpe_merges(spark, smaller, path)
     assert load_bpe_merges(spark, path) == smaller
     assert load_bpe_merges(spark, path, version=v1) == merges
+
+
+def test_tokenizer_fertility_matches_direct_computation(spark):
+    import re
+
+    from sentinel_spark.functions.tokenize import tokenizer_fertility
+
+    merges = train_bpe_merges(_df(spark), "text", 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    rows = [
+        (i, ["a", "b"][i % 2], t) for i, t in enumerate(CORPUS + ["", "LOW!"])
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, src string, text string")
+    out = {
+        r.src: r
+        for r in tokenizer_fertility(df, "text", ["src"], merges).collect()
+    }
+    # direct per-group computation with the same word regex + encoder
+    import collections
+
+    want = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for _i, src, t in rows:
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        w = want[src]
+        w[0] += 1
+        w[1] += len(words)
+        w[2] += len(t)
+        w[3] += sum(len(bpe_encode_word(x, ranks)) for x in words)
+    assert set(out) == set(want)
+    for src, (nd, nw, nc, nt) in want.items():
+        r = out[src]
+        assert (r.n_docs, r.n_words, r.n_chars, r.n_bpe_tokens) == (
+            nd, nw, nc, nt
+        ), src
+        assert r.fertility == round(nt / nw, 6)
+        assert r.tokens_per_100_chars == round(nt * 100 / nc, 6)
+
+
+def test_tokenizer_fertility_zero_denominators(spark):
+    from sentinel_spark.functions.tokenize import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, "x", ""), (2, "x", "!!!")], "doc_id int, src string, text string"
+    )
+    r = tokenizer_fertility(df, "text", ["src"], [("a", "b")]).collect()[0]
+    assert r.n_docs == 2 and r.n_words == 0 and r.n_bpe_tokens == 0
+    assert r.fertility is None  # 0 words -> NULL, not a crash
+    assert r.tokens_per_100_chars == 0.0  # 3 chars, 0 tokens
