@@ -1760,3 +1760,43 @@ def load_pq_codebooks(spark, path: str, version: int | None = None) -> DataFrame
     from sentinel_spark.sources.store import load_model_frame
 
     return load_model_frame(spark, path, version)
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    n_per_cluster: int,
+    *,
+    centroids: DataFrame | None = None,
+    k: int | None = None,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Topic-diversity sampling: cap each semantic cluster at
+    ``n_per_cluster`` deterministically chosen members — the
+    "don't let one template/topic dominate the corpus" counterpart of
+    per-DOCUMENT dedup (SemDeDup prunes near-identical members; this
+    rebalances whole clusters, the cluster-proportional step corpus
+    recipes run after embedding).
+
+    Composition of audited pieces: :func:`kmeans_fit` (or caller's
+    ``centroids`` — e.g. a persisted index's, skipping the fit) →
+    :func:`assign_cells` (broadcast centroids, map-side ``max_by``,
+    no shuffle) → :func:`~sentinel_spark.functions.sampling.
+    group_sample_n` on the cell (one exchange on cell; the per-cell
+    hash-order rank is the deterministic reservoir, so reruns and
+    engine replays agree and raising the cap only adds members).
+    Output: (``id_col``, cell) for the kept members — join it back to
+    the corpus on ``id_col`` for the surviving rows."""
+    from sentinel_spark.functions.sampling import group_sample_n
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(emb, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    )
+    a = assign_cells(emb, cents, id_col, vec_col).select(
+        F.col("id").alias(id_col), "cell"
+    )
+    return group_sample_n(a, ["cell"], id_col, n_per_cluster, salt=salt)

@@ -1,0 +1,123 @@
+"""Streaming uniform reservoir: a deterministic bottom-k-by-hash
+sample of every key ever seen, maintained incrementally.
+
+A uniform sample of an unbounded stream is the classic reservoir
+problem; the distributed, deterministic, MERGEABLE answer is the
+bottom-k sketch: keep the ``n`` keys with the smallest salted
+``xxhash64`` — a pure function of the key SET, so (a) any batch
+slicing of the same input converges to the same sample, (b) replays
+under Structured Streaming's at-least-once ``foreachBatch`` are
+idempotent by construction (re-merging already-merged rows changes
+nothing), and (c) two reservoirs merge by union + re-cut, the same
+closure law as :func:`sentinel_spark.functions.sketch.kmv_sketches`
+(this table IS that sketch, carrying payloads). Selection matches
+:func:`sentinel_spark.functions.sampling.group_sample_n`'s hash-order
+reservoir, so batch and streaming sampling draw from the same order.
+
+Per batch the work is one batch-sized distributed top-n
+(TakeOrderedAndProject) plus a union with the ≤ n-row state table —
+never a scan of history; state is bounded at n rows in the
+manifest-log store (versioned overwrite, old files reclaimed by the
+normal vacuum discipline)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinel_spark.sources.store import ParquetTable
+
+
+def _h(key_col: str, salt: str):
+    return F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+
+
+def merge_reservoir(
+    current: DataFrame | None,
+    batch: DataFrame,
+    n: int,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """One merge step: bottom-``n`` by (salted hash, key) of
+    ``current`` ∪ ``batch``, distinct by key. ``current`` rows must
+    already carry ``_h`` (they come from the state table); batch rows
+    get it here. Pure and order-insensitive — the streaming law
+    (any batch slicing → same sample) reduces to this function's
+    associativity, pinned in tests."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    cand = (
+        batch.where(F.col(key_col).isNotNull())
+        .withColumn("_h", _h(key_col, salt))
+        .dropDuplicates([key_col])
+        .orderBy("_h", key_col)
+        .limit(n)
+    )
+    merged = cand if current is None else current.unionByName(cand)
+    return (
+        merged.dropDuplicates([key_col]).orderBy("_h", key_col).limit(n)
+    )
+
+
+def run_sample_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sample_dir: str,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain a uniform ``n``-row sample of JSONL documents arriving
+    under ``input_dir`` in a manifest-log table at ``sample_dir`` —
+    same input contract as the other streams (one JSON object per
+    line, ``id_col``/``text_col`` fields; null-id rows dropped).
+
+    The state table converges to the bottom-``n``-by-hash of every
+    distinct id ever delivered regardless of trigger slicing, and a
+    redelivered batch rewrites an identical version (at-least-once →
+    exactly-once in effect — the merge is a pure function of the key
+    set)."""
+    checkpoint_dir = checkpoint_dir or os.path.join(sample_dir, "_checkpoint")
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.load(input_dir)
+        .select(
+            F.from_json(
+                F.col("value"), f"{id_col} long, {text_col} string"
+            ).alias("r")
+        )
+        .select("r.*")
+        .where(F.col(id_col).isNotNull())
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        t = ParquetTable(sess, os.path.join(sample_dir, "sample"))
+        cur = t.read() if t.exists() else None
+        out = merge_reservoir(
+            cur, batch_df, n, key_col=id_col, salt=salt
+        )
+        # materialize BEFORE overwrite: the merged plan reads the
+        # state table's current files, which the commit supersedes
+        out = out.localCheckpoint(eager=True)
+        t.overwrite(out)
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer

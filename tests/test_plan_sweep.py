@@ -69,3 +69,63 @@ def test_no_unplanned_allpairs(spark, name):
     from sentinel_spark.cache import release
 
     release(df)
+
+
+def test_new_selection_operators_plan_shapes(spark):
+    """The r12 pytest-only operators get the same audit as the gates:
+    no cartesian/nested-loop anywhere, and budget-selection's
+    histogram scan must reach parquet as a 2-3 column projection
+    (column pruning at the source, not a full-width read)."""
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.sampling import (
+        budget_select,
+        budget_select_by_source,
+        curriculum_order,
+    )
+    from sentinel_spark.functions.sketch import kmv_sketches
+    from sentinel_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "q", (F.length("text") % 97).cast("double") / 97.0
+    )
+
+    sel = budget_select(docs, "q", "n_chars", 10_000, key="doc_id")
+    plan = _plans(sel)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release(sel)
+
+    grouped = budget_select_by_source(
+        docs, "source", "q", "n_chars", {"src0": 5_000, "src1": 3_000},
+        key="doc_id",
+    )
+    plan = _plans(grouped)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    release(grouped)
+
+    cur = curriculum_order(
+        docs, "source", {"src0": 2.0, "src1": 1.0}, key="doc_id"
+    )
+    plan = _plans(cur)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    sk = kmv_sketches(
+        load_table(spark, SF_DIR, "documents"), "source", "text", k=64
+    )
+    plan = _plans(sk)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the sketch build reads only (source, fingerprint) off parquet
+    assert "ReadSchema" in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all(
+        set(s.split(",")[i].split(":")[0] for i in range(len(s.split(","))))
+        <= {"source", "text"}
+        for s in schemas
+    ), schemas

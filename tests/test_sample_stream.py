@@ -1,0 +1,87 @@
+"""Streaming uniform reservoir (streaming/sample_stream.py): the
+bottom-k merge law (slicing-invariance), the availableNow round trip,
+and replay idempotency of the state-table overwrite."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.streaming.sample_stream import (
+    merge_reservoir,
+    run_sample_stream,
+)
+
+ROWS = [(i, f"document number {i} with some text") for i in range(60)]
+
+
+def _bottom_n(spark, rows, n, salt=""):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return [
+        r.doc_id
+        for r in df.withColumn(
+            "_h",
+            F.xxhash64(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+        )
+        .orderBy("_h", "doc_id")
+        .limit(n)
+        .collect()
+    ]
+
+
+def test_merge_is_slicing_invariant(spark):
+    want = set(_bottom_n(spark, ROWS, 10))
+    # one shot
+    all_df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    one = merge_reservoir(None, all_df, 10)
+    assert {r.doc_id for r in one.collect()} == want
+    # three uneven slices, sequentially merged
+    cur = None
+    for lo, hi in [(0, 7), (7, 40), (40, 60)]:
+        b = spark.createDataFrame(ROWS[lo:hi], "doc_id long, text string")
+        cur = merge_reservoir(cur, b, 10)
+    assert {r.doc_id for r in cur.collect()} == want
+    # re-merging an already-merged batch is a no-op (replay law)
+    again = merge_reservoir(
+        cur, spark.createDataFrame(ROWS[0:7], "doc_id long, text string"), 10
+    )
+    assert {r.doc_id for r in again.collect()} == want
+    # duplicate ids within a batch occupy one slot
+    dup = spark.createDataFrame(
+        ROWS[:3] + ROWS[:3], "doc_id long, text string"
+    )
+    assert merge_reservoir(None, dup, 10).count() == 3
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_stream_round_trip_and_growth(spark, tmp_path):
+    from sentinel_spark.sources.store import ParquetTable
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "state")
+    _write_jsonl(inp / "a.jsonl", ROWS[:25])
+    _write_jsonl(inp / "b.jsonl", ROWS[25:40])
+    run_sample_stream(
+        spark, str(inp), out, 8, max_files_per_trigger=1
+    )
+    t = ParquetTable(spark, os.path.join(out, "sample"))
+    got = {r.doc_id for r in t.read().collect()}
+    assert got == set(_bottom_n(spark, ROWS[:40], 8))
+    v_after = t.version()
+    # new file arrives: the reservoir converges to the wider bottom-n
+    _write_jsonl(inp / "c.jsonl", ROWS[40:])
+    run_sample_stream(spark, str(inp), out, 8, max_files_per_trigger=1)
+    got2 = {r.doc_id for r in t.read().collect()}
+    assert got2 == set(_bottom_n(spark, ROWS, 8))
+    assert t.version() > v_after
+    # restarting with nothing new leaves the sample unchanged
+    run_sample_stream(spark, str(inp), out, 8)
+    assert {r.doc_id for r in t.read().collect()} == got2

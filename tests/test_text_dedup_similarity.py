@@ -1333,3 +1333,43 @@ def test_winnow_pair_sets_agree_across_hash_fns(spark):
     assert must_pair
     for hash_fn, hits in guaranteed_hits.items():
         assert must_pair <= hits, hash_fn
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.functions.similarity import (
+        cluster_balanced_sample,
+        kmeans_fit,
+    )
+
+    # two obvious clusters, 40 vs 6 members
+    rows = (
+        [(i, [1.0, 0.01 * i]) for i in range(40)]
+        + [(100 + i, [0.01 * i, 1.0]) for i in range(6)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_balanced_sample(emb, 5, k=2)
+    sizes = {
+        r.cell: r.n
+        for r in out.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # the big cluster caps at 5, the small one keeps min(5, 6) = 5
+    assert sorted(sizes.values()) == [5, 5]
+    ids1 = sorted(r.vec_id for r in out.collect())
+    ids2 = sorted(
+        r.vec_id for r in cluster_balanced_sample(emb, 5, k=2).collect()
+    )
+    assert ids1 == ids2  # rerun-stable
+    # raising the cap only adds members (nested reservoir)
+    bigger = sorted(
+        r.vec_id for r in cluster_balanced_sample(emb, 9, k=2).collect()
+    )
+    assert set(ids1) <= set(bigger)
+    # precomputed centroids short-circuit the fit
+    cents = kmeans_fit(emb, 2)
+    via_cents = sorted(
+        r.vec_id
+        for r in cluster_balanced_sample(emb, 5, centroids=cents).collect()
+    )
+    assert via_cents == ids1
