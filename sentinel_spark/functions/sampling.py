@@ -651,8 +651,12 @@ def budget_select(
         if n_boundary <= max_window_rows:
             from pyspark.sql.window import Window
 
+            # column-derived constant partition key (kmeans_fit's
+            # idiom): a literal folds to an empty window spec + WARN
             w = (
-                Window.partitionBy(F.lit(0))
+                Window.partitionBy(
+                    F.pmod(F.xxhash64(k.cast("string")), F.lit(1))
+                )
                 .orderBy(score.desc(), h.asc(), k.cast("string").asc())
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
@@ -705,6 +709,7 @@ def retention_curve(
     bins: int = 256,
     lo: float | None = None,
     hi: float | None = None,
+    group_cols: list[str] | None = None,
 ):
     """Threshold sweep for quality gating: for each of ``bins``
     uniform score buckets, how many documents and tokens survive a
@@ -721,7 +726,10 @@ def retention_curve(
     ``frac_tokens_ge`` the surviving token share. Empty buckets are
     absent (a cut there keeps exactly what the next present bucket's
     row reports). Rows with NULL score are excluded (they would
-    survive no threshold); NULL token counts weigh 0.
+    survive no threshold); NULL token counts weigh 0. With
+    ``group_cols`` the curve is emitted per group over a SHARED
+    global [lo, hi) bin axis, so slices plot on the same thresholds
+    (cumulatives and token shares are within-group).
 
     Plan: one map-side-combined aggregate over a 2-column projection
     (plus one min/max pass when ``lo``/``hi`` are not given), then a
@@ -747,17 +755,21 @@ def retention_curve(
         width = 1.0
     raw = F.floor((score - F.lit(lo_f)) / F.lit(width) * F.lit(bins))
     b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw)).cast("int")
-    hist = base.groupBy(b.alias("bin")).agg(
-        F.count(F.lit(1)).alias("docs"), F.sum(tok).alias("tokens")
-    )
+    groups = list(group_cols or [])
+    hist = base.groupBy(
+        *[F.col(c) for c in groups], b.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("docs"), F.sum(tok).alias("tokens"))
     from pyspark.sql.window import Window
 
+    # column-derived constant partition key (kmeans_fit's idiom): a
+    # literal folds to an empty window spec + WARN
+    part = groups or [F.pmod(F.xxhash64(F.col("bin")), F.lit(1))]
     w = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(*part)
         .orderBy(F.col("bin").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    total = Window.partitionBy(F.lit(0))
+    total = Window.partitionBy(*part)
     step = width / bins
     return (
         hist.withColumn("docs_ge", F.sum("docs").over(w))
@@ -770,10 +782,10 @@ def retention_curve(
             "threshold", F.lit(lo_f) + F.col("bin") * F.lit(step)
         )
         .select(
-            "bin", "threshold", "docs", "tokens",
+            *groups, "bin", "threshold", "docs", "tokens",
             "docs_ge", "tokens_ge", "frac_tokens_ge",
         )
-        .orderBy("bin")
+        .orderBy(*groups, "bin")
     )
 
 

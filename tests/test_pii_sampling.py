@@ -702,3 +702,31 @@ def test_curriculum_order_edges(spark):
     assert curriculum_order(df, "src", {"a": 0}, key="doc_id").count() == 0
     one = curriculum_order(df, "src", {"a": 2.0}, key="doc_id").collect()
     assert one[0].curriculum_key == pytest.approx(0.25)  # (0+0.5)/2
+
+
+def test_retention_curve_grouped_shared_axis(spark):
+    from sentinel_spark.functions.sampling import retention_curve
+
+    rows = [(i, "a", i / 100.0, 10) for i in range(100)] + [
+        (200 + i, "b", 0.5 + i / 200.0, 20) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, q double, toks long"
+    )
+    out = retention_curve(
+        df, "q", "toks", bins=10, group_cols=["src"]
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.src, []).append(r)
+    # shared axis: identical thresholds where both groups have mass
+    ta = {r.bin: r.threshold for r in by["a"]}
+    tb = {r.bin: r.threshold for r in by["b"]}
+    for bin_ in set(ta) & set(tb):
+        assert ta[bin_] == tb[bin_]
+    # within-group cumulative: each group's full mass at its lowest bin
+    assert by["a"][0].tokens_ge == 1000 and by["a"][0].frac_tokens_ge == 1.0
+    assert by["b"][0].tokens_ge == 2000 and by["b"][0].frac_tokens_ge == 1.0
+    # b's scores live in [0.5, 0.995] of the global [0, 0.995) axis:
+    # no b row below the midpoint bin
+    assert min(r.bin for r in by["b"]) >= 5
