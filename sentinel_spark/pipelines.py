@@ -89,6 +89,8 @@ def build_training_corpus(
     ppl_lm=None,
     ppl_keep: tuple = ("head", "middle"),
     ppl_cuts: tuple = (1 / 3, 2 / 3),
+    quality_scores: DataFrame | None = None,
+    budget_by_quality: bool = False,
     with_drop_report: bool = False,
 ) -> CorpusBuildResult:
     """Run the full recipe over ``docs`` (and ``benchmark`` for
@@ -129,7 +131,15 @@ def build_training_corpus(
     n-gram distribution, the funnel gains ``docs_dsir``/``tokens_dsir``
     columns (appended only when the stage runs, so the default funnel
     schema is unchanged), and the budgets then act on the resampled
-    set. ``scrub_n`` adds exact-substring scrubbing of the exported text as
+    set. ``budget_by_quality=True`` (with ``budgets`` +
+    ``quality_scores``, an (``id_col``, ``score``) frame from any
+    scorer — quality_model, LM perplexity, DSIR weights) switches the
+    mixture stage from the uniform hash order to best-first per source
+    (:func:`~sentinel_spark.functions.sampling.budget_select_by_source`):
+    each source's budget fills by descending score, documents without
+    a score are never selected, and the funnel / drop report treat the
+    stage exactly like the mixture (same columns, same ``mixture``
+    attribution). ``scrub_n`` adds exact-substring scrubbing of the exported text as
     the final stage (repeated ``scrub_n``-token windows keep one
     canonical occurrence corpus-wide; removal cuts the duplicated
     spans out of the ORIGINAL text, so formatting outside removed
@@ -285,10 +295,41 @@ def build_training_corpus(
         )
     if allow_repeat and budgets is None:
         raise ValueError("allow_repeat requires budgets")
+    if budget_by_quality and (budgets is None or quality_scores is None):
+        raise ValueError(
+            "budget_by_quality requires budgets and quality_scores"
+        )
+    if budget_by_quality and allow_repeat:
+        # "repeat the best documents" mixes two selection orders; keep
+        # the contract crisp — upsampling stays hash-ordered
+        raise ValueError("budget_by_quality is incompatible with allow_repeat")
     if budgets is not None:
         if source_col is None:
             raise ValueError("budgets require source_col")
-        if allow_repeat:
+        if budget_by_quality:
+            # best-first mixture: each source's budget is filled by
+            # descending external quality score (budget_select_by_
+            # source) instead of the uniform hash order — the
+            # "best 100B of web" recipe form. Scores join by id
+            # (quality_model / lm / dsir weights all produce such a
+            # frame); documents without a score are never selected
+            # (unknown quality ranks below every known score).
+            from sentinel_spark.functions.sampling import (
+                budget_select_by_source,
+            )
+
+            scored = clean.join(
+                quality_scores.select(
+                    F.col(id_col), F.col("score").alias("__q")
+                ),
+                id_col,
+                "left",
+            )
+            final = budget_select_by_source(
+                scored, source_col, "__q", "n_tok", budgets,
+                key=F.col(id_col).cast("string"), salt="corpus",
+            ).drop("__q")
+        elif allow_repeat:
             from sentinel_spark.functions.sampling import (
                 mixture_sample_epochs,
             )
@@ -535,6 +576,8 @@ def build_training_corpus(
 
     out = with_release(selected, [narrow, stage3])
     out = with_release(out, getattr(cand_raw, "_sentinel_cached", []))
+    # the quality-budget mixture persists a slim score scan internally
+    out = with_release(out, getattr(final, "_sentinel_cached", []))
     if ppl_buckets_frame is not None:
         out = with_release(
             out, getattr(ppl_buckets_frame, "_sentinel_cached", [])

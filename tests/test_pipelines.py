@@ -487,3 +487,79 @@ def test_perplexity_stage_gates_and_reports(spark):
     }
     release(res.selected)
     release(base.selected)
+
+
+def test_budget_by_quality_selects_best_per_source(spark):
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.sampling import budget_select_by_source
+    from sentinel_spark.pipelines import build_training_corpus
+
+    # clean corpus (long unique texts pass the Gopher gate; no dups)
+    import random
+
+    rng = random.Random(5)
+    words = [f"tok{i}" for i in range(400)]
+    rows = []
+    for i in range(60):
+        text = " ".join(rng.sample(words, 60))
+        rows.append((i, ["web", "code"][i % 2], text))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    scores = spark.createDataFrame(
+        [(i, (i % 7) / 7.0) for i in range(60)], "doc_id long, score double"
+    )
+    budgets = {"web": 600, "code": 400}
+    res = build_training_corpus(
+        docs, None, None,
+        source_col="source", budgets=budgets,
+        quality_scores=scores, budget_by_quality=True,
+        with_drop_report=True,
+    )
+    got = {r.doc_id for r in res.selected.select("doc_id").collect()}
+
+    # reference: the same selection operator applied directly to the
+    # clean frame (everything survives the earlier stages here)
+    from sentinel_spark.functions.text import token_count
+
+    clean = docs.select(
+        "doc_id", "source", token_count("text").alias("n_tok")
+    ).join(scores, "doc_id", "left")
+    want_df = budget_select_by_source(
+        clean, "source", "score", "n_tok", budgets,
+        key=F.col("doc_id").cast("string"), salt="corpus",
+    )
+    want = {r.doc_id for r in want_df.select("doc_id").collect()}
+    assert got == want and 0 < len(got) < 60
+    # funnel schema is the standard budgets-on schema; counts line up
+    f = res.funnel.collect()[0]
+    assert f.docs_in == 60 and f.docs_final == len(got)
+    # budget-dropped docs attribute to the mixture stage
+    rep = {r.doc_id: r.stage for r in res.drop_report.collect()}
+    dropped = set(range(60)) - got
+    assert dropped and all(rep[i] == "mixture" for i in dropped)
+    assert all(rep[i] == "kept" for i in got)
+    release(res.selected)
+    release(want_df)
+
+
+def test_budget_by_quality_validation(spark):
+    import pytest as _pytest
+
+    from sentinel_spark.pipelines import build_training_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "web", "hello world")], "doc_id long, source string, text string"
+    )
+    with _pytest.raises(ValueError, match="quality_scores"):
+        build_training_corpus(
+            docs, None, None, source_col="source",
+            budgets={"web": 10}, budget_by_quality=True,
+        )
+    scores = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    with _pytest.raises(ValueError, match="allow_repeat"):
+        build_training_corpus(
+            docs, None, None, source_col="source",
+            budgets={"web": 10}, budget_by_quality=True,
+            quality_scores=scores, allow_repeat=True,
+        )
