@@ -253,3 +253,50 @@ def drift_summary(table: DataFrame) -> DataFrame:
         F.sum(F.abs(F.col("dshare_ppm"))).alias("tvd2x_ppm"),
         F.sum("ratio_ppm").alias("ratio_sum_ppm"),
     )
+
+
+def embedding_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    *,
+    centroids: DataFrame | None = None,
+    k: int | None = None,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Semantic drift between two corpus snapshots: quantize BOTH
+    embedding frames onto ONE shared centroid set and run the standard
+    categorical drift machinery over the cell histograms — PSI/KL/TVD
+    on "how differently do the snapshots populate embedding space",
+    the monitor that catches a topical shift no per-column feature
+    drift can see (feature name: ``embedding_cell``).
+
+    The shared codebook is the whole trick: cells fit on snapshot A
+    (:func:`~sentinel_spark.functions.similarity.kmeans_fit`, or pass
+    persisted ``centroids`` — e.g. an IVF index's — for a pinned,
+    rerun-comparable axis across many snapshots). Both sides then pay
+    one broadcast assignment + a k-row count aggregate; the drift join
+    runs on ≤ k-row frames. Same smoothing/exposure contract as
+    :func:`drift_from_counts` (empty cells exist on both sides via the
+    full-outer join + add-``alpha``)."""
+    from sentinel_spark.functions.similarity import assign_cells, kmeans_fit
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit(emb_a, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    )
+
+    def cell_counts(emb, side):
+        return (
+            assign_cells(emb, cents, id_col, vec_col)
+            .groupBy(F.col("cell").cast("string").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(side))
+            .withColumn("feature", F.lit("embedding_cell"))
+        )
+
+    return drift_from_counts(
+        cell_counts(emb_a, "n_a"), cell_counts(emb_b, "n_b"), alpha=alpha
+    )

@@ -245,3 +245,39 @@ def test_multi_feature_single_pass(spark):
     s = {r.feature: r for r in drift_summary(t).collect()}
     assert s["src"].n_buckets == 2 and s["grp"].n_buckets == 3
     assert all(r.psi == 0.0 for r in s.values())
+
+
+def test_embedding_drift_detects_topic_shift(spark):
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.functions.drift import drift_summary, embedding_drift
+
+    # snapshot A: balanced over two directions; B: skewed to one
+    a = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    b_same = spark.createDataFrame(
+        [
+            (1000 + i, [1.0, 0.01] if i % 2 == 0 else [0.01, 1.0])
+            for i in range(200)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    b_skew = spark.createDataFrame(
+        [(2000 + i, [1.0, 0.001 * i]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    same = embedding_drift(a, b_same, k=2)
+    skew = embedding_drift(a, b_skew, k=2)
+    assert {r.bucket for r in same.collect()} == {"0", "1"}
+    psi_same = drift_summary(same).collect()[0].psi
+    psi_skew = drift_summary(skew).collect()[0].psi
+    assert psi_same < 0.01  # same topic mix -> negligible drift
+    assert psi_skew > 0.5  # collapsed onto one cell -> loud drift
+    # pinned external centroids give a stable axis across snapshots
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, c_vec array<double>"
+    )
+    via_pinned = embedding_drift(a, b_skew, centroids=cents)
+    assert drift_summary(via_pinned).collect()[0].psi > 0.5
