@@ -516,7 +516,10 @@ def budget_select(
     :mod:`dsir` log-weights all fit).
 
     Semantics (the :func:`mixture_sample` conventions, quality-ordered
-    instead of hash-ordered): rows are ordered by (``score_col`` desc,
+    instead of hash-ordered — including its REQUIRED unique per-row
+    ``key``, document id or content fingerprint; a colliding key makes
+    the boundary depend on unstable intra-partition order): rows are
+    ordered by (``score_col`` desc,
     salted-md5(``key``) asc, ``key`` asc) and a row is kept iff the
     summed tokens strictly BEFORE it are < ``budget`` — so the
     selection overshoots by at most one document, is rerun- and

@@ -271,7 +271,12 @@ def tokenizer_fertility(
                     "__t": n_bpe,
                 }
             )
-            yield out.groupby(list(group_cols), as_index=False).sum()
+            # dropna=False: pandas silently DISCARDS NaN/None group
+            # keys by default — a NULL source/lang slice must report,
+            # not vanish (drift buckets NULLs for the same reason)
+            yield out.groupby(
+                list(group_cols), as_index=False, dropna=False
+            ).sum()
 
     part = narrow.mapInPandas(
         partials,

@@ -182,3 +182,16 @@ def test_tokenizer_fertility_zero_denominators(spark):
     assert r.n_docs == 2 and r.n_words == 0 and r.n_bpe_tokens == 0
     assert r.fertility is None  # 0 words -> NULL, not a crash
     assert r.tokens_per_100_chars == 0.0  # 3 chars, 0 tokens
+
+
+def test_tokenizer_fertility_null_group_reports(spark):
+    from sentinel_spark.functions.tokenize import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, None, "low low"), (2, "x", "low")],
+        "doc_id int, src string, text string",
+    )
+    out = {r.src: r for r in tokenizer_fertility(df, "text", ["src"], []).collect()}
+    # the NULL slice reports instead of silently vanishing
+    assert None in out and out[None].n_docs == 1 and out[None].n_words == 2
+    assert out["x"].n_words == 1
