@@ -1800,3 +1800,95 @@ def cluster_balanced_sample(
         F.col("id").alias(id_col), "cell"
     )
     return group_sample_n(a, ["cell"], id_col, n_per_cluster, salt=salt)
+
+
+def mine_parallel_pairs(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    *,
+    k: int = 4,
+    min_margin: float = 1.05,
+    mutual_best: bool = True,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int | None = None,
+    max_broadcast_rows: int = 500_000,
+) -> DataFrame:
+    """Margin-based bitext / parallel-pair mining between two
+    embedding tables (Artetxe & Schwenk 2019, "Margin-based Parallel
+    Corpus Mining with Multilingual Sentence Embeddings" — the
+    CCMatrix recipe): score every candidate pair by its cosine
+    RELATIVE to both endpoints' neighborhoods,
+
+        margin(x, y) = sim(x, y) / ((avg_k(x) + avg_k(y)) / 2),
+
+    where ``avg_k`` is the mean similarity to the k nearest neighbors
+    on the other side — raw cosine alone over-selects hub sentences
+    whose similarity to EVERYTHING is high; the margin cancels that
+    hubness. Pairs keep ``margin >= min_margin``; ``mutual_best``
+    additionally requires x and y to be each other's rank-1 (the
+    high-precision setting used for mined training bitext).
+
+    Output: (id_a, id_b, sim, margin) — margin rounded to 6.
+
+    Scale shape: two :func:`ann_join` passes (a→b and b→a; ``method``
+    / ``bits`` / ``dim`` / ``max_broadcast_rows`` pass through, so the
+    big×big path is the LSH bucket equi-join) persist once each and
+    are reused for BOTH their per-id neighborhood means (a k-row
+    aggregate per side) and the pair candidates — the forward join's
+    pairs joined with the two broadcastable means frames. Nothing
+    all-pairs beyond what ``ann_join``'s chosen method does."""
+    from sentinel_spark.cache import with_release
+
+    fwd = ann_join(
+        emb_a, emb_b, k, method=method, bits=bits, dim=dim,
+        left_id_col=id_col, left_vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col,
+        max_broadcast_rows=max_broadcast_rows,
+    ).persist()
+    bwd = ann_join(
+        emb_b, emb_a, k, method=method, bits=bits, dim=dim,
+        left_id_col=id_col, left_vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col,
+        max_broadcast_rows=max_broadcast_rows,
+    ).persist()
+    avg_a = fwd.groupBy(F.col("q_id").alias("id_a")).agg(
+        F.avg("sim").alias("_avg_a")
+    )
+    avg_b = bwd.groupBy(F.col("q_id").alias("id_b")).agg(
+        F.avg("sim").alias("_avg_b")
+    )
+    pairs = fwd.select(
+        F.col("q_id").alias("id_a"),
+        F.col("c_id").alias("id_b"),
+        "sim",
+        F.col("rank").alias("_rank_ab"),
+    )
+    if mutual_best:
+        best_back = bwd.where(F.col("rank") == 1).select(
+            F.col("q_id").alias("id_b"), F.col("c_id").alias("_best_a")
+        )
+        pairs = (
+            pairs.where(F.col("_rank_ab") == 1)
+            .join(best_back, "id_b")
+            .where(F.col("id_a") == F.col("_best_a"))
+            .drop("_best_a")
+        )
+    scored = (
+        pairs.join(avg_a, "id_a")
+        .join(avg_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sim",
+            F.round(
+                F.col("sim")
+                / ((F.col("_avg_a") + F.col("_avg_b")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+        .where(F.col("margin") >= min_margin)
+    )
+    return with_release(scored, [fwd, bwd])

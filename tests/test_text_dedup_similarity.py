@@ -1373,3 +1373,52 @@ def test_cluster_balanced_sample_caps_and_determinism(spark):
         for r in cluster_balanced_sample(emb, 5, centroids=cents).collect()
     )
     assert via_cents == ids1
+
+
+def test_mine_parallel_pairs_margin_and_mutual_best(spark):
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.similarity import mine_parallel_pairs
+
+    rng = random.Random(9)
+    dim = 8
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = [unit([rng.gauss(0, 1) for _ in range(dim)]) for _ in range(20)]
+    # side A = base; side B = slightly perturbed base (true pairs
+    # i <-> 100+i) plus 10 unrelated vectors that should NOT pair
+    a = [(i, base[i]) for i in range(20)]
+    b = [
+        (100 + i, unit([x + rng.gauss(0, 0.01) for x in base[i]]))
+        for i in range(20)
+    ] + [
+        (500 + j, unit([rng.gauss(0, 1) for _ in range(dim)]))
+        for j in range(10)
+    ]
+    ea = spark.createDataFrame(a, "vec_id long, embedding array<double>")
+    eb = spark.createDataFrame(b, "vec_id long, embedding array<double>")
+    out = mine_parallel_pairs(ea, eb, k=4, min_margin=1.02)
+    got = {(r.id_a, r.id_b): r for r in out.collect()}
+    # every true pair mined, mutually-best, with a healthy margin
+    assert set(got) == {(i, 100 + i) for i in range(20)}
+    assert all(r.margin > 1.02 and r.sim > 0.99 for r in got.values())
+    release(out)
+    # margin separation: with no threshold, every true pair's margin
+    # dominates every junk pair's (the ranking signal the threshold
+    # then cuts on; raw cosine cannot claim this for hub vectors)
+    loose = mine_parallel_pairs(
+        ea, eb, k=4, min_margin=0.0, mutual_best=False
+    )
+    rows = loose.collect()
+    true_m = [r.margin for r in rows if r.id_b == 100 + r.id_a]
+    junk_m = [r.margin for r in rows if r.id_b >= 500]
+    assert len(true_m) == 20 and junk_m
+    assert min(true_m) > max(junk_m)
+    release(loose)
