@@ -1892,3 +1892,97 @@ def mine_parallel_pairs(
         .where(F.col("margin") >= min_margin)
     )
     return with_release(scored, [fwd, bwd])
+
+
+def mine_hard_negatives(
+    emb: DataFrame,
+    positives: DataFrame,
+    *,
+    k: int = 8,
+    max_positives: int = 8,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int | None = None,
+    max_broadcast_rows: int = 500_000,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training: for
+    every anchor, the ``k`` most-similar corpus rows that are NOT the
+    anchor itself and NOT one of its labeled positives — the
+    "semantically close but wrong" examples that make in-batch
+    negatives insufficient. ``positives`` is an (anchor_id, pos_id)
+    frame; ``anchors`` optionally restricts the query side (default:
+    every distinct anchor_id in ``positives``).
+
+    Output: (anchor_id, neg_id, sim, rank), rank 1..k per anchor
+    after exclusion.
+
+    Scale shape: ONE :func:`ann_join` pass at depth ``k +
+    max_positives + 1`` (the over-fetch that guarantees k survivors
+    after dropping self + up to ``max_positives`` positives — a loud
+    error if an anchor has more), a left-anti join against the
+    positives on the (anchor, candidate) pair key, and a re-rank over
+    the ≤ depth surviving rows per anchor. The positives frame
+    shuffles on anchor_id like the candidates — no broadcast
+    assumption on label count."""
+    from pyspark.sql.window import Window
+
+    from sentinel_spark.cache import carry
+
+    pos = positives.select(
+        F.col(positives.columns[0]).alias("anchor_id"),
+        F.col(positives.columns[1]).alias("pos_id"),
+    )
+    per_anchor = pos.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("_np")
+    )
+    guard = F.assert_true(
+        F.col("_np") <= F.lit(int(max_positives)),
+        F.concat(
+            F.lit("mine_hard_negatives: anchor "),
+            F.col("anchor_id").cast("string"),
+            F.lit(" has more positives than max_positives="),
+            F.lit(str(int(max_positives))),
+        ),
+    )
+    q = (
+        anchors
+        if anchors is not None
+        else emb.join(
+            per_anchor.withColumn("_g", guard).where(
+                F.col("_g").isNull()
+            ).select(F.col("anchor_id").alias(id_col)),
+            id_col,
+        )
+    )
+    depth = k + max_positives + 1
+    cand = ann_join(
+        q, emb, depth, method=method, bits=bits, dim=dim,
+        left_id_col=id_col, left_vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col,
+        max_broadcast_rows=max_broadcast_rows,
+    )
+    kept = (
+        cand.where(F.col("q_id") != F.col("c_id"))
+        .join(
+            pos,
+            (F.col("q_id") == F.col("anchor_id"))
+            & (F.col("c_id") == F.col("pos_id")),
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id").asc()
+    )
+    out = (
+        kept.select(
+            F.col("q_id").alias("anchor_id"),
+            F.col("c_id").alias("neg_id"),
+            "sim",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    return carry(out, cand)

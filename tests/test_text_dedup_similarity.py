@@ -1422,3 +1422,41 @@ def test_mine_parallel_pairs_margin_and_mutual_best(spark):
     assert len(true_m) == 20 and junk_m
     assert min(true_m) > max(junk_m)
     release(loose)
+
+
+def test_mine_hard_negatives_excludes_self_and_positives(spark):
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.similarity import mine_hard_negatives
+
+    # vectors on a 1-D similarity line: id i -> [1, i/100]; closer ids
+    # are more similar, so the hardest negatives are the id neighbors
+    emb = spark.createDataFrame(
+        [(i, [1.0, i / 100.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    pos = spark.createDataFrame(
+        [(5, 6), (5, 4), (10, 11)], "anchor_id long, pos_id long"
+    )
+    out = mine_hard_negatives(emb, pos, k=3, max_positives=2)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r.anchor_id, []).append(r)
+    assert set(rows) == {5, 10}
+    for a, rs in rows.items():
+        ids = {r.neg_id for r in rs}
+        assert len(rs) == 3 and a not in ids
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3]
+    # anchor 5's positives 4 and 6 are excluded; nearest survivors are
+    # 3 and 7, then 8 (atan concavity puts 8 a hair closer than 2)
+    assert {r.neg_id for r in rows[5]} == {3, 7, 8}
+    release(out)
+    # loud guard on an over-labeled anchor
+    import pytest as _pytest
+
+    toomany = spark.createDataFrame(
+        [(5, i) for i in range(4)], "anchor_id long, pos_id long"
+    )
+    with _pytest.raises(Exception, match="max_positives"):
+        mine_hard_negatives(emb, toomany, k=2, max_positives=2).collect()
