@@ -1633,3 +1633,53 @@ def refresh_winnow_index(
         change_type_col=change_type_col,
         max_collect_ids=max_collect_ids,
     )
+
+
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """P(two documents with true Jaccard ``s`` share ≥ 1 LSH band) for
+    a banded MinHash scheme: ``1 - (1 - s^rows)^bands`` — the S-curve
+    every banding trade-off reads off (Leskovec, Rajaraman & Ullman,
+    "Mining of Massive Datasets" ch. 3)."""
+    if not (0.0 <= s <= 1.0):
+        raise ValueError("s must be in [0, 1]")
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_band_plan(
+    num_hashes: int, threshold: float, *, near_miss: float = 0.1
+) -> dict:
+    """Calibration helper for :func:`minhash_candidate_pairs`'s
+    ``num_bands``: among the divisors of ``num_hashes``, pick the
+    banding whose S-curve midpoint ``(1/bands)^(1/rows)`` lands
+    closest to the target Jaccard ``threshold`` — more bands catch
+    more low-similarity pairs (recall↑, candidate volume↑), fewer
+    bands the reverse; this makes the trade-off a number instead of a
+    guess. Pure driver-side arithmetic.
+
+    Returns {num_bands, rows_per_band, midpoint,
+    p_at_threshold (recall proxy at the target),
+    p_near_miss (false-candidate proxy at ``threshold - near_miss``),
+    curve: [(b, r, midpoint) for every divisor]} — feed ``num_bands``
+    straight into the pairing operators."""
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    options = []
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        options.append((b, r, (1.0 / b) ** (1.0 / r)))
+    best = min(options, key=lambda o: (abs(o[2] - threshold), o[0]))
+    b, r, mid = best
+    return {
+        "num_bands": b,
+        "rows_per_band": r,
+        "midpoint": mid,
+        "p_at_threshold": lsh_collision_prob(threshold, b, r),
+        "p_near_miss": lsh_collision_prob(
+            max(0.0, threshold - near_miss), b, r
+        ),
+        "curve": options,
+    }

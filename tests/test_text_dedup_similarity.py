@@ -1460,3 +1460,32 @@ def test_mine_hard_negatives_excludes_self_and_positives(spark):
     )
     with _pytest.raises(Exception, match="max_positives"):
         mine_hard_negatives(emb, toomany, k=2, max_positives=2).collect()
+
+
+def test_lsh_band_plan_calibration():
+    from sentinel_spark.functions.dedup import (
+        lsh_band_plan,
+        lsh_collision_prob,
+    )
+
+    # 16 hashes, target 0.7: midpoints are 1.0 (1x16), .917 (2x8),
+    # .707 (4x4), .354 (8x2), .0625 (16x1) -> 4 bands of 4
+    plan = lsh_band_plan(16, 0.7)
+    assert (plan["num_bands"], plan["rows_per_band"]) == (4, 4)
+    assert plan["midpoint"] == pytest.approx(0.25**0.25)
+    # S-curve sanity: ~50% at the midpoint, monotone in s
+    assert lsh_collision_prob(plan["midpoint"], 4, 4) == pytest.approx(
+        1 - (1 - 1 / 4) ** 4
+    )
+    assert plan["p_at_threshold"] > plan["p_near_miss"]
+    probs = [lsh_collision_prob(s / 10, 4, 4) for s in range(11)]
+    assert probs == sorted(probs) and probs[0] == 0.0 and probs[10] == 1.0
+    # a low target picks many bands (catch low-sim pairs)
+    lo = lsh_band_plan(16, 0.3)
+    assert lo["num_bands"] > 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_band_plan(16, 0.0)
+    with _pytest.raises(ValueError):
+        lsh_collision_prob(1.5, 4, 4)
