@@ -281,22 +281,39 @@ def embedding_drift(
     runs on ≤ k-row frames. Same smoothing/exposure contract as
     :func:`drift_from_counts` (empty cells exist on both sides via the
     full-outer join + add-``alpha``)."""
-    from sentinel_spark.functions.similarity import assign_cells, kmeans_fit
+    from sentinel_spark.functions.similarity import kmeans_fit
 
     cents = (
         centroids
         if centroids is not None
         else kmeans_fit(emb_a, k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     )
-
-    def cell_counts(emb, side):
-        return (
-            assign_cells(emb, cents, id_col, vec_col)
-            .groupBy(F.col("cell").cast("string").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias(side))
-            .withColumn("feature", F.lit("embedding_cell"))
-        )
-
     return drift_from_counts(
-        cell_counts(emb_a, "n_a"), cell_counts(emb_b, "n_b"), alpha=alpha
+        embedding_cell_counts(emb_a, cents, "n_a", id_col=id_col, vec_col=vec_col),
+        embedding_cell_counts(emb_b, cents, "n_b", id_col=id_col, vec_col=vec_col),
+        alpha=alpha,
+    )
+
+
+def embedding_cell_counts(
+    emb: DataFrame,
+    centroids: DataFrame,
+    side: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(feature, bucket, ``side``) cell-histogram counts of one
+    embedding frame under a fixed centroid set — the count frame
+    :func:`drift_from_counts` consumes (feature name
+    ``embedding_cell``). Shared by :func:`embedding_drift` and the
+    streaming monitor (baseline side ``n_a``, batch side ``n_b``)."""
+    from sentinel_spark.functions.similarity import assign_cells
+
+    return (
+        assign_cells(emb, centroids, id_col, vec_col)
+        .groupBy(F.col("cell").cast("string").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias(side))
+        .withColumn("feature", F.lit("embedding_cell"))
+        .select("feature", "bucket", side)
     )

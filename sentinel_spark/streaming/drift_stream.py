@@ -97,6 +97,7 @@ def run_drift_monitor(
     alpha: float = 0.5,
     available_now: bool = False,
     processing_time: str = "60 seconds",
+    count_fn=None,
 ):
     """Monitor a STREAMING documents frame for distribution drift:
     each micro-batch appends one row per feature to the history table
@@ -109,7 +110,11 @@ def run_drift_monitor(
 
     The baseline loads ONCE at stream start and rides the closure —
     a monitor scores against one reference by design (restart the
-    stream after :func:`build_drift_baseline` to re-arm)."""
+    stream after :func:`build_drift_baseline` to re-arm).
+    ``count_fn`` (batch → (feature, bucket, n_b) frame) replaces the
+    per-row ``features`` expressions when bucketing needs more than a
+    Column — the embedding monitor's assignment join; ``features`` is
+    ignored then."""
     spark = docs.sparkSession
     baseline = load_model_frame(spark, baseline_path)
     history_t = ParquetTable(spark, history_path)
@@ -121,7 +126,16 @@ def run_drift_monitor(
         # buckets one-sided). Skip it.
         if batch.isEmpty():
             return
-        summary, cb = batch_drift(batch, baseline, features, alpha=alpha)
+        if count_fn is not None:
+            # custom per-batch count frames (the embedding monitor's
+            # assignment join) — anything emitting (feature, bucket,
+            # n_b) slots into the same baseline join + history sink
+            cb = count_fn(batch)
+            summary = drift_summary(
+                drift_from_counts(baseline, cb, alpha=alpha)
+            )
+        else:
+            summary, cb = batch_drift(batch, baseline, features, alpha=alpha)
         bid = F.lit(int(batch_id)).alias("batch_id")
         counts_t.merge_insert_not_matched(
             cb.select(bid, "feature", "bucket", "n_b"),
@@ -139,3 +153,66 @@ def run_drift_monitor(
         sq.awaitTermination()
         return sq
     return writer.trigger(processingTime=processing_time).start()
+
+
+def build_embedding_drift_baseline(
+    reference_emb: DataFrame,
+    path: str,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Arm the embedding-drift monitor: persist the reference
+    snapshot's cell histogram under the PINNED ``centroids`` (fit them
+    once — :func:`~sentinel_spark.functions.similarity.kmeans_fit` —
+    and persist via ``save_centroids``; the same frozen codebook must
+    serve baseline and every batch, or drift readings compare
+    different quantizations)."""
+    from sentinel_spark.functions.drift import embedding_cell_counts
+
+    counts = embedding_cell_counts(
+        reference_emb, centroids, "n_a", id_col=id_col, vec_col=vec_col
+    )
+    save_model_frame(reference_emb.sparkSession, counts, path)
+
+
+def run_embedding_drift_monitor(
+    vecs: DataFrame,
+    baseline_path: str,
+    history_path: str,
+    counts_path: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    alpha: float = 0.5,
+    available_now: bool = False,
+    processing_time: str = "60 seconds",
+):
+    """Semantic drift monitor on a STREAMING embedding frame: each
+    micro-batch broadcast-assigns its vectors to the pinned
+    ``centroids``, and the cell histogram scores against the
+    :func:`build_embedding_drift_baseline` reference through the
+    standard monitor loop (same history/counts sinks, same
+    replay-idempotent (batch_id, …) merges, same empty-trigger skip —
+    feature name ``embedding_cell``). Per-batch cost: one broadcast
+    assignment of the BATCH only + a ≤ k-row count aggregate; history
+    is never rescanned."""
+    from sentinel_spark.functions.drift import embedding_cell_counts
+
+    return run_drift_monitor(
+        vecs,
+        baseline_path,
+        history_path,
+        counts_path,
+        checkpoint_dir,
+        features={},
+        alpha=alpha,
+        available_now=available_now,
+        processing_time=processing_time,
+        count_fn=lambda batch: embedding_cell_counts(
+            batch, centroids, "n_b", id_col=id_col, vec_col=vec_col
+        ),
+    )

@@ -154,3 +154,72 @@ def test_rearm_baseline_overwrites_atomically(spark, armed):
     )
     for r in summary.collect():
         assert r.psi < 0.1, r.feature
+
+
+def test_embedding_drift_monitor_round_trip(spark, tmp_path):
+    from sentinel_spark.functions.drift import (
+        drift_summary,
+        embedding_drift,
+    )
+    from sentinel_spark.streaming.drift_stream import (
+        build_embedding_drift_baseline,
+        run_embedding_drift_monitor,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, c_vec array<double>"
+    )
+    ref = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    paths = {
+        "baseline": str(tmp_path / "baseline"),
+        "history": str(tmp_path / "history"),
+        "counts": str(tmp_path / "counts"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    build_embedding_drift_baseline(ref, paths["baseline"], cents)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+
+    def push(rows, name):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(str(inbox / name))
+
+    def drain():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).option("recursiveFileLookup", "true").parquet(str(inbox))
+        run_embedding_drift_monitor(
+            stream, paths["baseline"], paths["history"], paths["counts"],
+            paths["ckpt"], cents, available_now=True,
+        )
+
+    # batch 0: same topic mix; batch 1: everything in one cell
+    like_ref = [(1000 + i, [1.0, 0.01] if i % 2 == 0 else [0.01, 1.0]) for i in range(40)]
+    skewed = [(2000 + i, [1.0, 0.001]) for i in range(40)]
+    push(like_ref, "b0")
+    drain()
+    push(skewed, "b1")
+    drain()
+
+    t = ParquetTable(spark, paths["history"])
+    hist = {r.batch_id: r for r in t.read().collect()}
+    assert set(hist) == {0, 1}
+    assert hist[0].feature == "embedding_cell"
+    assert hist[0].psi < 0.01  # same mix: quiet
+    assert hist[1].psi > 0.5  # collapsed: loud
+    # batch-operator equivalence for the drifted batch
+    b1 = spark.createDataFrame(
+        skewed, "vec_id long, embedding array<double>"
+    )
+    want = drift_summary(
+        embedding_drift(ref, b1, centroids=cents)
+    ).collect()[0]
+    assert hist[1].psi == want.psi and hist[1].kl_ab == want.kl_ab
+    # replay idempotence: wipe the checkpoint, re-drain, nothing new
+    shutil.rmtree(paths["ckpt"])
+    drain()
+    assert {r.batch_id for r in t.read().collect()} == {0, 1}
