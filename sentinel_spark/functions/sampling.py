@@ -527,8 +527,9 @@ def budget_select(
     only adds documents). The hash tie-break makes the choice among
     equal-score documents uniform — independent of id assignment
     order — and is what lets the all-one-score case scale (below).
-    Rows with NULL score are never selected (unknown quality ranks
-    below every known score); NULL token counts weigh 0.
+    Rows with NULL or NaN score are never selected (unknown quality
+    ranks below every known score — NaN would otherwise sort ABOVE
+    every double in Spark); NULL token counts weigh 0.
 
     Scale shape — a global sort-and-cumsum would be the classic
     100-TB anti-pattern (one totally-ordered corpus-wide sort), so the
@@ -574,7 +575,10 @@ def budget_select(
     ).cast("long")
     score = F.col(score_col).cast("double")
     tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
-    base_pred = score.isNotNull()
+    # NaN is "unknown quality" exactly like NULL — but Spark ORDERS
+    # NaN above every double, so without this it would be selected
+    # FIRST and poison the min/max refinement bounds (review r12)
+    base_pred = score.isNotNull() & ~F.isnan(score)
 
     slim = (
         df.where(base_pred)
@@ -743,7 +747,7 @@ def retention_curve(
         raise ValueError("bins must be >= 2")
     score = F.col(score_col).cast("double")
     tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
-    base = df.where(score.isNotNull())
+    base = df.where(score.isNotNull() & ~F.isnan(score))
     if lo is None or hi is None:
         mn, mx = base.agg(F.min(score), F.max(score)).collect()[0]
         if mn is None:
@@ -753,6 +757,12 @@ def retention_curve(
             hi_f = float(mx if hi is None else hi)
     else:
         lo_f, hi_f = float(lo), float(hi)
+    # below-axis rows are EXCLUDED, not clamped into bin 0: a score
+    # under an explicit ``lo`` survives no threshold on the axis, and
+    # counting it would overstate every bin's survivors (review r12).
+    # Above-axis rows clamp into the top bin — they DO survive every
+    # cut on the axis. (No-op when lo is the observed min.)
+    base = base.where(score >= F.lit(lo_f))
     width = hi_f - lo_f
     if not (width > 0.0):  # all one score: one bucket holds it all
         width = 1.0
@@ -819,7 +829,7 @@ def budget_select_by_source(
     Per-source semantics are budget_select's exactly: order by
     (score desc, salted-md5(key) asc, key asc), keep iff
     tokens-before < budget — monotone per source, overshoot ≤ 1 doc,
-    NULL scores never selected, NULL tokens weigh 0.
+    NULL/NaN scores never selected, NULL tokens weigh 0.
 
     Scale shape: a driver loop over N sources would re-scan the
     corpus N times; instead every histogram-refinement level here is
@@ -860,7 +870,10 @@ def budget_select_by_source(
         return df.where(F.lit(False))
     spark = df.sparkSession
     src = F.col(source_col)
-    base_pred = score.isNotNull() & src.isin(list(live))
+    # NaN = unknown quality, same as NULL (see budget_select)
+    base_pred = (
+        score.isNotNull() & ~F.isnan(score) & src.isin(list(live))
+    )
 
     slim = (
         df.where(base_pred)
@@ -946,20 +959,62 @@ def budget_select_by_source(
             .select("_bs_src", "_bs_s", "_bs_t")
         )
 
-    overflow = [
-        s
-        for s, st in state.items()
-        if st[3] > max_window_rows and st[0] != st[1]
-    ]
-    if overflow:
-        # st[0] == st[1] (width collapsed to one float) means ties —
-        # handled below; anything else needs denser refinement
-        raise ValueError(
-            "budget_select_by_source: boundary for source(s) "
-            f"{sorted(overflow)} exceeds max_window_rows with distinct "
-            f"scores after {max_levels} levels — raise bins, "
-            "max_levels, or max_window_rows"
+    # tie detection for over-bound boundaries runs budget_select's
+    # actual min==max aggregate over the boundary rows — the float
+    # proxy "refined range collapsed to one value" misfires when a
+    # repeated score sits far from its bucket's edges (e.g. 1e-30 in
+    # a bucket reaching to 5/4096^6), spuriously raising on genuine
+    # ties (review r12)
+    over = [s for s, st in state.items() if st[3] > max_window_rows]
+    tie_set: set = set()
+    if over:
+        lmax_o = max(len(state[s][4]) for s in over)
+        oann = spark.createDataFrame(
+            [
+                (
+                    s,
+                    [lv[0] for lv in state[s][4]],
+                    [lv[1] for lv in state[s][4]],
+                    [lv[2] for lv in state[s][4]],
+                )
+                for s in over
+            ],
+            "_bs_src string, _o_los array<double>, _o_ws array<double>, "
+            "_o_bs array<int>",
         )
+        jo = slim.join(F.broadcast(oann), "_bs_src")
+        in_ch = F.lit(True)
+        for lv in range(lmax_o):
+            has = lv < F.size("_o_bs")
+            raw_o = F.floor(
+                (F.col("_bs_s") - F.col("_o_los")[lv])
+                / F.col("_o_ws")[lv]
+                * F.lit(bins)
+            )
+            blv = F.least(
+                F.lit(bins - 1), F.greatest(F.lit(0), raw_o)
+            ).cast("int")
+            in_ch = in_ch & (~has | (blv == F.col("_o_bs")[lv]))
+        mm = {
+            r[0]: (r[1], r[2])
+            for r in jo.where(in_ch)
+            .groupBy("_bs_src")
+            .agg(F.min("_bs_s"), F.max("_bs_s"))
+            .collect()
+        }
+        bad = sorted(
+            s
+            for s in over
+            if mm.get(s, (None, 0))[0] != mm.get(s, (None, 0))[1]
+        )
+        if bad:
+            raise ValueError(
+                "budget_select_by_source: boundary for source(s) "
+                f"{bad} exceeds max_window_rows with distinct "
+                f"scores after {max_levels} levels — raise bins, "
+                "max_levels, or max_window_rows"
+            )
+        tie_set = set(over)
 
     # one annotated pass over df: per-source level chains as arrays
     lmax = max((len(st[4]) for st in state.values()), default=0)
@@ -971,8 +1026,7 @@ def budget_select_by_source(
             [lv[1] for lv in state[s][4]] if s in state else [],
             [lv[2] for lv in state[s][4]] if s in state else [],
             int(state[s][2]) if s in state else 0,
-            s in state and state[s][0] == state[s][1]
-            and state[s][3] > max_window_rows,
+            s in tie_set,
         )
         for s in set(full) | set(state)
     ]
@@ -1023,11 +1077,7 @@ def budget_select_by_source(
     )
     out = selected.unionByName(picked_w)
     tied = bnd.where(F.col("_p_tie"))
-    tie_srcs = [
-        s
-        for s, st in state.items()
-        if st[0] == st[1] and st[3] > max_window_rows
-    ]
+    tie_srcs = sorted(tie_set)
     if tie_srcs:
         rem_budgets = {s: int(state[s][2]) for s in tie_srcs}
         tied2 = tied.withColumn("_bsel_t", tok)

@@ -1947,14 +1947,22 @@ def mine_hard_negatives(
             F.lit(str(int(max_positives))),
         ),
     )
+    checked = (
+        per_anchor.withColumn("_g", guard)
+        .where(F.col("_g").isNull())
+        .select("anchor_id")
+    )
+    # route the guard through the positives frame itself so it fires
+    # on BOTH anchor paths — attached only to the default derivation,
+    # a caller-supplied ``anchors`` frame would skip it and an
+    # over-labeled anchor would silently under-deliver negatives
+    # (review r12)
+    pos = pos.join(checked, "anchor_id")
     q = (
         anchors
         if anchors is not None
         else emb.join(
-            per_anchor.withColumn("_g", guard).where(
-                F.col("_g").isNull()
-            ).select(F.col("anchor_id").alias(id_col)),
-            id_col,
+            checked.select(F.col("anchor_id").alias(id_col)), id_col
         )
     )
     depth = k + max_positives + 1

@@ -368,11 +368,26 @@ def source_overlap(
             "sources — raise the bound or pre-filter the sketch frame"
         )
     sk = {r[0]: list(r[1]) for r in rows}
+    too_big = [str(s) for s, v in sk.items() if len(v) > k]
+    if too_big:
+        # a sketch LONGER than k means it was built with a larger k;
+        # cutting the merged list at this k would count truly-shared
+        # values as unshared and mis-apply the saturation formula —
+        # silently biased estimates, so fail loudly. (The reverse —
+        # sketches built with a larger k, queried at a smaller one —
+        # is legal: the bottom-k' of a bottom-k sketch IS the
+        # bottom-k' sketch. Pass the smaller k explicitly.)
+        raise ValueError(
+            f"source_overlap: sketches for {sorted(too_big)} carry "
+            f"more than k={k} values — call with the k they were "
+            "built with (or smaller)"
+        )
     names = sorted(sk, key=str)
+    sets = {s: set(v) for s, v in sk.items()}  # hoisted: O(P), not O(P^2)
     out = []
     for i, a in enumerate(names):
         for b in names[i + 1:]:
-            sa, sb = set(sk[a]), set(sk[b])
+            sa, sb = sets[a], sets[b]
             merged = sorted(sa | sb)[:k]
             both = sum(1 for v in merged if v in sa and v in sb)
             j = both / len(merged) if merged else 0.0

@@ -148,11 +148,17 @@ def bpe_tokenize(
 
     ranks = {pair: i for i, pair in enumerate(merges)}
     id_type = df.schema[id_col].dataType.simpleString()
+    # coalesce: regexp_extract_all(lower(NULL)) is NULL, and a None
+    # reaching the Arrow batch crashes the per-word loop — NULL text
+    # tokenizes to zero tokens instead
     narrow = df.select(
         F.col(id_col),
-        F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)").alias(
-            "__words"
-        ),
+        F.coalesce(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)"
+            ),
+            F.array().cast("array<string>"),
+        ).alias("__words"),
     )
 
     def encode(batches):
@@ -239,10 +245,15 @@ def tokenizer_fertility(
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # coalesce both projections: NULL text weighs zero words/chars
+    # (a None in the Arrow batch would crash the per-word loop)
     narrow = df.select(
         *[F.col(c) for c in group_cols],
-        F.expr(
-            f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)"
+        F.coalesce(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)"
+            ),
+            F.array().cast("array<string>"),
         ).alias("__words"),
         F.coalesce(F.length(text_col), F.lit(0)).alias("__chars"),
     )

@@ -325,10 +325,16 @@ def build_training_corpus(
                 id_col,
                 "left",
             )
-            final = budget_select_by_source(
+            raw_sel = budget_select_by_source(
                 scored, source_col, "__q", "n_tok", budgets,
                 key=F.col(id_col).cast("string"), salt="corpus",
-            ).drop("__q")
+            )
+            # .drop() returns a NEW DataFrame without the release
+            # handles (cache.carry's documented trap) — re-attach them
+            # or the operator's persisted slim scan leaks per build
+            from sentinel_spark.cache import carry
+
+            final = carry(raw_sel.drop("__q"), raw_sel)
         elif allow_repeat:
             from sentinel_spark.functions.sampling import (
                 mixture_sample_epochs,

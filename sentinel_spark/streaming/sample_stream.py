@@ -74,6 +74,7 @@ def run_sample_stream(
     salt: str = "",
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    processing_time: str = "60 seconds",
     max_files_per_trigger: int | None = None,
 ):
     """Maintain a uniform ``n``-row sample of JSONL documents arriving
@@ -120,4 +121,6 @@ def run_sample_stream(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return q
-    return writer
+    # continuous mode returns a RUNNING query (the sibling streams'
+    # contract) — a bare writer would silently never execute a batch
+    return writer.trigger(processingTime=processing_time).start()

@@ -730,3 +730,76 @@ def test_retention_curve_grouped_shared_axis(spark):
     # b's scores live in [0.5, 0.995] of the global [0, 0.995) axis:
     # no b row below the midpoint bin
     assert min(r.bin for r in by["b"]) >= 5
+
+
+def test_budget_select_nan_scores_never_selected(spark):
+    # NaN = unknown quality, same as NULL — Spark would otherwise sort
+    # NaN ABOVE every double and hand it the budget first
+    from sentinel_spark.functions.sampling import (
+        budget_select,
+        budget_select_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, float("nan"), 100),
+            (2, 0.9, 5),
+            (3, 0.1, 5),
+            (4, None, 5),
+        ],
+        "doc_id long, q double, toks long",
+    )
+    got = {
+        r.doc_id
+        for r in budget_select(df, "q", "toks", 5, key="doc_id").collect()
+    }
+    assert got == {2}
+    src = df.withColumn("src", F.lit("a"))
+    got2 = {
+        r.doc_id
+        for r in budget_select_by_source(
+            src, "src", "q", "toks", {"a": 5}, key="doc_id"
+        ).collect()
+    }
+    assert got2 == {2}
+
+
+def test_budget_select_by_source_tie_far_from_bucket_edge(spark):
+    # a repeated score far inside its refined bucket (1e-30 in a range
+    # reaching 5.0) must take the tie path, not raise "distinct
+    # scores" — the old float-collapse proxy misfired here
+    import hashlib
+
+    from sentinel_spark.functions.sampling import budget_select_by_source
+
+    rows = [(i, "a", 1e-30, 1) for i in range(40)] + [
+        (100 + i, "a", 5.0, 1) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, q double, toks long")
+    sel = budget_select_by_source(
+        df, "src", "q", "toks", {"a": 20}, key="doc_id",
+        bins=2, max_levels=2, max_window_rows=5,
+    )
+    got = {r.doc_id for r in sel.select("doc_id").collect()}
+
+    def h60(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    want = {100 + i for i in range(5)} | set(
+        sorted(range(40), key=lambda i: (h60(i), str(i)))[:15]
+    )
+    assert got == want
+
+
+def test_retention_curve_explicit_lo_excludes_below_axis(spark):
+    from sentinel_spark.functions.sampling import retention_curve
+
+    df = spark.createDataFrame(
+        [(1, -0.5, 10), (2, 0.2, 10), (3, 0.9, 10), (4, float("nan"), 10)],
+        "doc_id long, q double, toks long",
+    )
+    out = retention_curve(df, "q", "toks", bins=4, lo=0.0, hi=1.0).collect()
+    # the -0.5 and NaN rows survive NO threshold on the axis: total
+    # survivors at the lowest present bin are the two in-range docs
+    assert out[0].docs_ge == 2 and out[0].tokens_ge == 20
+    assert out[0].frac_tokens_ge == 1.0

@@ -563,3 +563,41 @@ def test_budget_by_quality_validation(spark):
             budgets={"web": 10}, budget_by_quality=True,
             quality_scores=scores, allow_repeat=True,
         )
+
+
+def test_budget_by_quality_carries_release_handles(spark):
+    # the operator's persisted slim scan must ride the result's
+    # release handle — .drop() strips the Python attribute, so the
+    # recipe re-attaches it (a leak otherwise, one frame per build)
+    from sentinel_spark.cache import release
+    from sentinel_spark.pipelines import build_training_corpus
+
+    import random
+
+    rng = random.Random(6)
+    words = [f"tok{i}" for i in range(300)]
+    docs = spark.createDataFrame(
+        [
+            (i, "web", " ".join(rng.sample(words, 60)))
+            for i in range(40)
+        ],
+        "doc_id long, source string, text string",
+    )
+    scores = spark.createDataFrame(
+        [(i, (i % 5) / 5.0) for i in range(40)], "doc_id long, score double"
+    )
+    res = build_training_corpus(
+        docs, None, None, source_col="source",
+        budgets={"web": 300}, quality_scores=scores,
+        budget_by_quality=True,
+    )
+    res.selected.count()
+    handles = list(getattr(res.selected, "_sentinel_cached", []))
+    # the slim (score, tokens) scan must be among the carried handles
+    assert any("_bs_s" in c.columns for c in handles), [
+        c.columns for c in handles
+    ]
+    release(res.selected)
+    for c in handles:
+        lvl = c.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), "frame still persisted"

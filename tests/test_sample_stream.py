@@ -85,3 +85,26 @@ def test_stream_round_trip_and_growth(spark, tmp_path):
     # restarting with nothing new leaves the sample unchanged
     run_sample_stream(spark, str(inp), out, 8)
     assert {r.doc_id for r in t.read().collect()} == got2
+
+
+def test_continuous_mode_returns_running_query(spark, tmp_path):
+    from sentinel_spark.sources.store import ParquetTable
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = str(tmp_path / "state")
+    _write_jsonl(inp / "a.jsonl", ROWS[:20])
+    q = run_sample_stream(
+        spark, str(inp), out, 5,
+        available_now=False, processing_time="1 second",
+    )
+    try:
+        # a RUNNING StreamingQuery (the old code returned an unstarted
+        # writer that would never execute a batch)
+        assert q.isActive
+        q.processAllAvailable()
+        t = ParquetTable(spark, os.path.join(out, "sample"))
+        got = {r.doc_id for r in t.read().collect()}
+        assert got == set(_bottom_n(spark, ROWS[:20], 5))
+    finally:
+        q.stop()

@@ -243,3 +243,19 @@ class TestKMVOverlap:
         sk = kmv_sketches(corpus, "src", "fp", k=128)
         with _pytest.raises(ValueError, match="max_sources"):
             source_overlap(sk, k=128, max_sources=2)
+
+
+def test_source_overlap_rejects_smaller_k_than_built(spark):
+    import pytest as _pytest
+
+    from sentinel_spark.functions.sketch import kmv_sketches, source_overlap
+
+    rows = [("A", f"d{i}") for i in range(500)] + [
+        ("B", f"d{i}") for i in range(250, 750)
+    ]
+    df = spark.createDataFrame(rows, "src string, fp string")
+    sk = kmv_sketches(df, "src", "fp", k=256)
+    with _pytest.raises(ValueError, match="k=64"):
+        source_overlap(sk, k=64)
+    # querying at the BUILT k (or when sketches are unsaturated) works
+    assert source_overlap(sk, k=256).count() == 1

@@ -1489,3 +1489,26 @@ def test_lsh_band_plan_calibration():
         lsh_band_plan(16, 0.0)
     with _pytest.raises(ValueError):
         lsh_collision_prob(1.5, 4, 4)
+
+
+def test_mine_hard_negatives_guard_fires_with_explicit_anchors(spark):
+    # the positives-count guard must fire on the caller-supplied
+    # anchors path too, not only the derived-anchor path
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.functions.similarity import mine_hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, i / 100.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    toomany = spark.createDataFrame(
+        [(5, i) for i in range(4)], "anchor_id long, pos_id long"
+    )
+    anchors = emb.where(F.col("vec_id") == 5)
+    with _pytest.raises(Exception, match="max_positives"):
+        mine_hard_negatives(
+            emb, toomany, k=2, max_positives=2, anchors=anchors
+        ).collect()

@@ -195,3 +195,21 @@ def test_tokenizer_fertility_null_group_reports(spark):
     # the NULL slice reports instead of silently vanishing
     assert None in out and out[None].n_docs == 1 and out[None].n_words == 2
     assert out["x"].n_words == 1
+
+
+def test_bpe_tokenize_and_fertility_null_text(spark):
+    from sentinel_spark.functions.tokenize import (
+        bpe_tokenize,
+        tokenizer_fertility,
+    )
+
+    merges = [("l", "o"), ("lo", "w</w>")]
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", "low")],
+        "doc_id int, src string, text string",
+    )
+    rows = {r.doc_id: r for r in bpe_tokenize(df, "text", "doc_id", merges).collect()}
+    assert rows[1].tokens == [] and rows[1].n_bpe_tokens == 0
+    assert rows[2].tokens == ["low</w>"]
+    fert = tokenizer_fertility(df, "text", ["src"], merges).collect()[0]
+    assert fert.n_docs == 2 and fert.n_words == 1  # NULL text = 0 words
