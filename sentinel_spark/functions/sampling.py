@@ -1107,6 +1107,7 @@ def curriculum_order(
     key: Column | str,
     salt: str = "",
     out_col: str = "curriculum_key",
+    string_key: bool = False,
 ):
     """Deterministic rate-proportional interleave of sources for
     training order — stride scheduling: source ``s`` with rate ``r_s``
@@ -1123,10 +1124,19 @@ def curriculum_order(
     salted-md5 hash order, rerun- and engine-stable).
 
     Returns ``df`` (sources absent from ``rates`` or with rate ≤ 0
-    dropped) plus ``out_col`` (double). Feed it to
-    ``export_training_shards`` as the ``sample_key`` ordering column
-    to materialize the stream. Rates are relative — only ratios
-    matter.
+    dropped) plus ``out_col`` (double). Rates are relative — only
+    ratios matter.
+
+    ``string_key=True`` emits ``out_col`` as an export-ready TOTAL
+    order string instead: the position fixed-point-encoded at 1e-6
+    granularity (18 digits, zero-padded — order-preserving as text)
+    with a ``#key`` suffix breaking exact-position ties (two sources
+    at the same rate land identical positions) — the
+    ``export_training_shards`` ``shuffle_seed`` key convention, so the
+    curriculum can BE the export order deterministically. Positions
+    closer than 1e-6 of a timeline unit order by the tie suffix —
+    a bounded, deterministic distortion far below any realistic
+    stream granularity.
 
     Scale shape: the within-source index is the two-level
     (source, hash-range) prefix sum of :func:`mixture_sample` with a
@@ -1152,9 +1162,17 @@ def curriculum_order(
             if rate is None
             else rate.when(cond, F.lit(r))
         )
-    out = joined.withColumn(
-        out_col, (before.cast("double") + F.lit(0.5)) / rate
-    )
+    pos = (before.cast("double") + F.lit(0.5)) / rate
+    if string_key:
+        k2 = F.col("_mix_key")  # the prefix's string form of ``key``
+        pos = F.concat_ws(
+            "#",
+            F.lpad(
+                F.floor(pos * F.lit(1_000_000.0)).cast("string"), 18, "0"
+            ),
+            k2,
+        )
+    out = joined.withColumn(out_col, pos)
     # the prefix-sum join moves the source column first; restore the
     # caller's column order
     return out.select(*df.columns, out_col)

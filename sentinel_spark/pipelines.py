@@ -91,6 +91,7 @@ def build_training_corpus(
     ppl_cuts: tuple = (1 / 3, 2 / 3),
     quality_scores: DataFrame | None = None,
     budget_by_quality: bool = False,
+    curriculum_rates: dict[str, float] | None = None,
     with_drop_report: bool = False,
 ) -> CorpusBuildResult:
     """Run the full recipe over ``docs`` (and ``benchmark`` for
@@ -139,7 +140,11 @@ def build_training_corpus(
     each source's budget fills by descending score, documents without
     a score are never selected, and the funnel / drop report treat the
     stage exactly like the mixture (same columns, same ``mixture``
-    attribution). ``scrub_n`` adds exact-substring scrubbing of the exported text as
+    attribution). ``curriculum_rates`` orders the EXPORT as a
+    stride-scheduled curriculum — every stream prefix mixes sources
+    in proportion to the rates (mutually exclusive with
+    ``export_shuffle_seed``; exported rows carry the
+    ``curriculum_key`` order string). ``scrub_n`` adds exact-substring scrubbing of the exported text as
     the final stage (repeated ``scrub_n``-token windows keep one
     canonical occurrence corpus-wide; removal cuts the duplicated
     spans out of the ORIGINAL text, so formatting outside removed
@@ -299,6 +304,19 @@ def build_training_corpus(
         raise ValueError(
             "budget_by_quality requires budgets and quality_scores"
         )
+    if curriculum_rates is not None and export_shuffle_seed is not None:
+        raise ValueError(
+            "curriculum_rates and export_shuffle_seed are two export "
+            "orders — choose one"
+        )
+    if curriculum_rates is not None and export_mode != "concat":
+        # pack mode assigns shards by hash-bucketed FFD — balanced
+        # bins, but the global stream order the curriculum defines is
+        # exactly what it destroys; sequential concat is the only
+        # assignment that materializes the schedule
+        raise ValueError("curriculum_rates require export_mode='concat'")
+    if curriculum_rates is not None and source_col is None:
+        raise ValueError("curriculum_rates require source_col")
     if budget_by_quality and allow_repeat:
         # "repeat the best documents" mixes two selection orders; keep
         # the contract crisp — upsampling stays hash-ordered
@@ -509,6 +527,27 @@ def build_training_corpus(
                 ),
             )
             order_key = "sample_key"
+        if curriculum_rates is not None:
+            # stride-scheduled training order: sources interleave
+            # proportionally at every stream prefix (sampling.
+            # curriculum_order; sources absent from the rates are
+            # dropped from the EXPORT — the curriculum defines the
+            # stream). string_key=True gives the total-order string
+            # the export's determinism contract needs.
+            from sentinel_spark.functions.sampling import (
+                curriculum_order,
+            )
+
+            selected = curriculum_order(
+                selected,
+                source_col,
+                curriculum_rates,
+                key=F.col(order_key).cast("string"),
+                salt="corpus-curriculum",
+                out_col="curriculum_key",
+                string_key=True,
+            )
+            order_key = "curriculum_key"
         export = export_training_shards(
             selected,
             out_dir,

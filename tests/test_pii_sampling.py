@@ -803,3 +803,38 @@ def test_retention_curve_explicit_lo_excludes_below_axis(spark):
     # survivors at the lowest present bin are the two in-range docs
     assert out[0].docs_ge == 2 and out[0].tokens_ge == 20
     assert out[0].frac_tokens_ge == 1.0
+
+
+def test_curriculum_string_key_order_matches_double(spark):
+    from sentinel_spark.functions.sampling import curriculum_order
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    rates = {"a": 3.0, "b": 2.0, "c": 1.0}
+    dbl = curriculum_order(df, "src", rates, key="doc_id")
+    st = curriculum_order(df, "src", rates, key="doc_id", string_key=True)
+    order_dbl = [
+        r.doc_id for r in dbl.orderBy("curriculum_key", "doc_id").collect()
+    ]
+    order_str = [r.doc_id for r in st.orderBy("curriculum_key").collect()]
+    # the string form is a TOTAL order that refines the double order:
+    # identical sequence up to exact-position ties (which the two
+    # forms break differently — numeric vs lexicographic id order)
+    assert len(order_str) == len(order_dbl) == 120
+    pos = {
+        r.doc_id: r.curriculum_key
+        for r in dbl.select("doc_id", "curriculum_key").collect()
+    }
+
+    def tie_blocks(order):
+        blocks, cur, cur_key = [], [], None
+        for d in order:
+            if pos[d] != cur_key:
+                if cur:
+                    blocks.append(sorted(cur))
+                cur, cur_key = [], pos[d]
+            cur.append(d)
+        blocks.append(sorted(cur))
+        return blocks
+
+    assert tie_blocks(order_str) == tie_blocks(order_dbl)
