@@ -839,3 +839,146 @@ def test_unimax_budget_laws(spark, sizes, total, epochs):
     unsat = [v for s, v in b.items() if v < math.floor(caps[s] + 0.5) - 1]
     if len(unsat) > 1:
         assert max(unsat) - min(unsat) <= 1
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([0.0, 0.5, 0.5, 0.25, 1.0]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=90,
+    ),
+    ba=st.integers(min_value=0, max_value=400),
+    bb=st.integers(min_value=1, max_value=400),
+    tiny=st.booleans(),
+)
+def test_budget_select_by_source_equals_per_source_greedy(
+    spark, data, ba, bb, tiny
+):
+    """The per-source selection == budget_select's greedy law applied
+    independently per source, on arbitrary multisets/budgets, on both
+    the windowed and (tiny) the forced tie-prefix boundary paths;
+    sources absent from the budgets never appear."""
+    import hashlib
+
+    from sentinel_spark.functions.sampling import budget_select_by_source
+
+    rows = [(i, s, q, t) for i, (s, q, t) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, q double, toks long"
+    )
+    budgets = {"a": ba, "b": bb}  # c never listed
+
+    def h60(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for s, b in budgets.items():
+        cum = 0
+        for i, _s, _q, t in sorted(
+            (r for r in rows if r[1] == s),
+            key=lambda r: (-r[2], h60(r[0]), str(r[0])),
+        ):
+            if cum < b:
+                want.add(i)
+            cum += t
+    out = budget_select_by_source(
+        df, "src", "q", "toks", budgets, key="doc_id",
+        bins=8, max_window_rows=2 if tiny else 1 << 18,
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == want
+
+
+@SLOW
+@given(
+    counts=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=2, max_size=4
+    ),
+    rates=st.lists(
+        st.sampled_from([0.5, 1.0, 2.0, 3.0]), min_size=4, max_size=4
+    ),
+)
+def test_curriculum_prefix_proportionality(spark, counts, rates):
+    """Stride law on arbitrary source sizes/rates: while every source
+    still has members, each prefix of the ordered stream carries
+    floor(c*r_s + 0.5) of source s for the prefix's cutoff c — i.e.
+    counts track rate shares to +-1 row per source."""
+    from sentinel_spark.functions.sampling import curriculum_order
+
+    srcs = [f"s{j}" for j in range(len(counts))]
+    rows, i = [], 0
+    for j, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((i, srcs[j]))
+            i += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    rate_map = {s: rates[j] for j, s in enumerate(srcs)}
+    out = curriculum_order(df, "src", rate_map, key="doc_id")
+    ordered = [
+        (r.src, r.curriculum_key)
+        for r in out.orderBy("curriculum_key", "doc_id").collect()
+    ]
+    assert len(ordered) == len(rows)
+    # exhaustion point: the earliest virtual position at which some
+    # source runs out; before it the stride law must hold exactly
+    exhaust = min(
+        (counts[j] - 0.5 + 1) / rate_map[s]
+        for j, s in enumerate(srcs)
+        if counts[j] >= 0
+    )
+    import collections
+
+    seen = collections.Counter()
+    for src, key in ordered:
+        if key >= exhaust:
+            break
+        seen[src] += 1
+        for j, s in enumerate(srcs):
+            expect = int((key * rate_map[s]) + 0.5)
+            assert abs(seen[s] - expect) <= 1, (s, key, seen[s], expect)
+
+
+@SLOW
+@given(
+    na=st.integers(min_value=1, max_value=300),
+    nb=st.integers(min_value=1, max_value=300),
+    overlap=st.integers(min_value=0, max_value=200),
+    k=st.sampled_from([16, 64, 4096]),
+)
+def test_kmv_union_closure_and_exactness(spark, na, nb, overlap, k):
+    """KMV laws on arbitrary overlapping id ranges: merged bottom-k of
+    two sketches == the union's own sketch (the closure property that
+    makes persisted sketches re-aggregable), and with k above both
+    cardinalities every overlap estimate is EXACT."""
+    import pytest
+
+    from sentinel_spark.functions.sketch import kmv_sketches, source_overlap
+
+    a_ids = list(range(na))
+    b_ids = list(range(na - min(overlap, na), na - min(overlap, na) + nb))
+    rows = [("A", f"d{i}") for i in a_ids] + [("B", f"d{i}") for i in b_ids]
+    df = spark.createDataFrame(rows, "src string, fp string")
+    sk = {
+        r[0]: list(r[1])
+        for r in kmv_sketches(df, "src", "fp", k=k).collect()
+    }
+    direct = list(
+        kmv_sketches(
+            df.withColumn("src", F.lit("U")), "src", "fp", k=k
+        ).collect()[0][1]
+    )
+    assert sorted(set(sk["A"]) | set(sk["B"]))[:k] == direct
+    if k >= max(na, nb) + overlap:  # unsaturated: everything exact
+        r = source_overlap(kmv_sketches(df, "src", "fp", k=k), k=k).collect()[0]
+        inter = len(set(a_ids) & set(b_ids))
+        union = len(set(a_ids) | set(b_ids))
+        assert r.intersection_est == pytest.approx(inter)
+        assert r.union_est == float(union)
+        assert r.jaccard == pytest.approx(inter / union)
