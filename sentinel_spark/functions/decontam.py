@@ -282,3 +282,53 @@ def remove_duplicate_passages(
         F.col("n_tok").cast("long").alias("n_tokens"),
         (F.col("n_tok") - F.col("__n_kept")).cast("long").alias("n_removed"),
     )
+
+
+def semantic_contamination(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    *,
+    threshold: float = 0.95,
+    k: int = 8,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int | None = None,
+    max_broadcast_rows: int = 500_000,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: training documents
+    whose vectors sit within cosine ``threshold`` of ANY eval-suite
+    vector — the paraphrase/translation leakage the n-gram overlap of
+    :func:`contamination_table` cannot see (reworded eval items share
+    no 8-gram with their source). Output: (train_id, eval_id, sim),
+    one row per flagged (train, eval) pair, ``sim`` rounded to 6 —
+    anti-join the distinct train_ids out of the corpus, or feed the
+    pairs to an audit.
+
+    The two detectors are complements, not substitutes: n-gram overlap
+    is exact on verbatim leakage and byte-attributable; this catches
+    semantic copies at the embedding's notion of similarity and
+    inherits its false-positive rate — hence the conservative default
+    threshold and the per-pair evidence output.
+
+    Scale shape: ONE :func:`~sentinel_spark.functions.similarity.
+    ann_join` with the EVAL SUITE as the query side (eval sets are
+    small and bounded; the corpus is the scanned side), ``method`` /
+    ``bits`` / ``dim`` pass through for the big×big LSH path. ``k``
+    bounds matches per eval item; an eval item contaminating more than
+    ``k`` training documents surfaces the extra hits on the next sweep
+    after the first k are dropped (or raise ``k``)."""
+    from sentinel_spark.functions.similarity import ann_join
+
+    hits = ann_join(
+        eval_emb, train_emb, k, method=method, bits=bits, dim=dim,
+        left_id_col=id_col, left_vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col,
+        max_broadcast_rows=max_broadcast_rows,
+    )
+    return hits.where(F.col("sim") >= threshold).select(
+        F.col("c_id").alias("train_id"),
+        F.col("q_id").alias("eval_id"),
+        F.round("sim", 6).alias("sim"),
+    )

@@ -219,3 +219,36 @@ def test_remove_duplicate_passages_null_and_empty_text(spark):
     assert out[1].text == "" and out[1].n_tokens == 0 and out[1].n_removed == 0
     assert out[2].text == "" and out[2].n_tokens == 0
     assert out[3].text == "some real words here"
+
+
+def test_semantic_contamination_flags_paraphrase_neighbors(spark):
+    from sentinel_spark.functions.decontam import semantic_contamination
+
+    # train 0..19 along distinct directions; eval items: near-copies
+    # of train 3 and 7 (paraphrase analog), one unrelated direction
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    import random
+
+    rng = random.Random(2)
+    base = [unit([rng.gauss(0, 1) for _ in range(16)]) for _ in range(20)]
+    train = spark.createDataFrame(
+        [(i, base[i]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, unit([x + rng.gauss(0, 0.005) for x in base[3]])),
+            (101, unit([x + rng.gauss(0, 0.005) for x in base[7]])),
+            (102, unit([rng.gauss(0, 1) for _ in range(16)])),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_contamination(train, evals, threshold=0.98)
+    rows = {(r.train_id, r.eval_id): r.sim for r in out.collect()}
+    assert set(rows) == {(3, 100), (7, 101)}
+    assert all(s > 0.98 for s in rows.values())
