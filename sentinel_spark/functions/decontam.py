@@ -301,10 +301,15 @@ def semantic_contamination(
     whose vectors sit within cosine ``threshold`` of ANY eval-suite
     vector — the paraphrase/translation leakage the n-gram overlap of
     :func:`contamination_table` cannot see (reworded eval items share
-    no 8-gram with their source). Output: (train_id, eval_id, sim),
-    one row per flagged (train, eval) pair, ``sim`` rounded to 6 —
-    anti-join the distinct train_ids out of the corpus, or feed the
-    pairs to an audit.
+    no 8-gram with their source). Output: (train_id, eval_id, sim,
+    eval_saturated), one row per flagged (train, eval) pair, ``sim``
+    rounded to 6 — anti-join the distinct train_ids out of the
+    corpus, or feed the pairs to an audit. ``eval_saturated`` is true
+    on every pair of an eval item whose rank-``k`` hit still clears
+    the threshold — that item MAY have more contaminated neighbors
+    than ``k`` returned (conservative: it also fires when exactly
+    ``k`` clear it); re-run with a larger ``k`` (or sweep again after
+    dropping) until no row is saturated.
 
     The two detectors are complements, not substitutes: n-gram overlap
     is exact on verbatim leakage and byte-attributable; this catches
@@ -316,9 +321,8 @@ def semantic_contamination(
     ann_join` with the EVAL SUITE as the query side (eval sets are
     small and bounded; the corpus is the scanned side), ``method`` /
     ``bits`` / ``dim`` pass through for the big×big LSH path. ``k``
-    bounds matches per eval item; an eval item contaminating more than
-    ``k`` training documents surfaces the extra hits on the next sweep
-    after the first k are dropped (or raise ``k``)."""
+    bounds matches per eval item; the ``eval_saturated`` flag says
+    when the bound was hit, so under-removal is loud, not silent."""
     from sentinel_spark.functions.similarity import ann_join
 
     hits = ann_join(
@@ -327,8 +331,18 @@ def semantic_contamination(
         id_col=id_col, vec_col=vec_col,
         max_broadcast_rows=max_broadcast_rows,
     )
-    return hits.where(F.col("sim") >= threshold).select(
+    surv = hits.where(F.col("sim") >= threshold)
+    # ceiling signal: an eval item whose rank-k hit still clears the
+    # threshold has MORE contaminated neighbors than k returned — a
+    # one-pass anti-join would silently retain them, so the flag makes
+    # the iterate-or-raise-k decision explicit (one tiny aggregate
+    # over the <= |eval| x k surviving rows)
+    sat = surv.groupBy("q_id").agg(
+        (F.max("rank") >= F.lit(int(k))).alias("eval_saturated")
+    )
+    return surv.join(sat, "q_id").select(
         F.col("c_id").alias("train_id"),
         F.col("q_id").alias("eval_id"),
         F.round("sim", 6).alias("sim"),
+        "eval_saturated",
     )

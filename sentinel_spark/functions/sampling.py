@@ -1133,10 +1133,15 @@ def curriculum_order(
     with a ``#key`` suffix breaking exact-position ties (two sources
     at the same rate land identical positions) — the
     ``export_training_shards`` ``shuffle_seed`` key convention, so the
-    curriculum can BE the export order deterministically. Positions
-    closer than 1e-6 of a timeline unit order by the tie suffix —
-    a bounded, deterministic distortion far below any realistic
-    stream granularity.
+    curriculum can BE the export order deterministically. Rates are
+    min-normalized before encoding (ordering is ratio-invariant; the
+    fixed-point is not — un-normalized token-count-scale rates would
+    collapse every position into one 1e-6 cell), so positions top out
+    near the largest source's row count and the encoding is exact up
+    to rate ratios of 1e6; past the 18-digit ceiling the operator
+    raises rather than truncate-corrupting the sort. Positions closer
+    than 1e-6 of a (normalized) timeline unit order by the tie
+    suffix — bounded, deterministic.
 
     Scale shape: the within-source index is the two-level
     (source, hash-range) prefix sum of :func:`mixture_sample` with a
@@ -1164,12 +1169,37 @@ def curriculum_order(
         )
     pos = (before.cast("double") + F.lit(0.5)) / rate
     if string_key:
+        # normalize rates to min 1 for the ENCODING (ordering is
+        # ratio-invariant, the fixed-point is not): token-count-scale
+        # rates would otherwise collapse every position to the same
+        # 1e-6 cell — raw-suffix order — and tiny rates would overflow
+        # the 18 digits, which lpad left-TRUNCATES into a corrupted
+        # sort (review r12). Normalized, positions top out near the
+        # largest source's row count; the assert trips loudly at the
+        # 18-digit ceiling instead of truncating.
+        mn_rate = min(live.values())
+        rate_n = None
+        for s_name, r in live.items():
+            cond = src == s_name
+            rate_n = (
+                F.when(cond, F.lit(r / mn_rate))
+                if rate_n is None
+                else rate_n.when(cond, F.lit(r / mn_rate))
+            )
+        pos_n = (before.cast("double") + F.lit(0.5)) / rate_n
+        fixed = F.floor(pos_n * F.lit(1_000_000.0))
+        guard = F.assert_true(
+            fixed < F.lit(10.0 ** 18),
+            F.lit(
+                "curriculum_order: position exceeds the 18-digit "
+                "fixed-point encoding — fewer than 1e12 rows per "
+                "source required for string_key"
+            ),
+        )
         k2 = F.col("_mix_key")  # the prefix's string form of ``key``
         pos = F.concat_ws(
             "#",
-            F.lpad(
-                F.floor(pos * F.lit(1_000_000.0)).cast("string"), 18, "0"
-            ),
+            F.when(guard.isNull(), F.lpad(fixed.cast("string"), 18, "0")),
             k2,
         )
     out = joined.withColumn(out_col, pos)

@@ -1938,6 +1938,15 @@ def mine_hard_negatives(
     per_anchor = pos.groupBy("anchor_id").agg(
         F.count(F.lit(1)).alias("_np")
     )
+    if anchors is not None:
+        # the guard protects the over-fetch depth of the anchors
+        # actually MINED — an over-labeled anchor outside the queried
+        # set must not abort the job (review r12)
+        per_anchor = per_anchor.join(
+            anchors.select(F.col(id_col).alias("anchor_id")),
+            "anchor_id",
+            "left_semi",
+        )
     guard = F.assert_true(
         F.col("_np") <= F.lit(int(max_positives)),
         F.concat(

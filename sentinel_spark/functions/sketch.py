@@ -352,6 +352,12 @@ def source_overlap(
     divide the implied intersection by each side's distinct estimate
     (clamped to [0, 1] — at sketch error the ratio can graze past 1).
 
+    ``k`` must be the k the sketches were built with, or SMALLER:
+    longer sketches truncate to ``k`` (the bottom-k' of a bottom-k
+    sketch is exactly the bottom-k' sketch, so smaller-k queries stay
+    exact); a ``k`` LARGER than built is undetectable from the data
+    and silently degrades saturated estimates — don't.
+
     The sketch frame collects to the driver — bounded by
     ``max_sources`` x k longs, enforced loudly (the
     ``max_collect_ids`` pattern) because n_sources is a corpus
@@ -367,21 +373,14 @@ def source_overlap(
             f"source_overlap: more than max_sources={max_sources} "
             "sources — raise the bound or pre-filter the sketch frame"
         )
-    sk = {r[0]: list(r[1]) for r in rows}
-    too_big = [str(s) for s, v in sk.items() if len(v) > k]
-    if too_big:
-        # a sketch LONGER than k means it was built with a larger k;
-        # cutting the merged list at this k would count truly-shared
-        # values as unshared and mis-apply the saturation formula —
-        # silently biased estimates, so fail loudly. (The reverse —
-        # sketches built with a larger k, queried at a smaller one —
-        # is legal: the bottom-k' of a bottom-k sketch IS the
-        # bottom-k' sketch. Pass the smaller k explicitly.)
-        raise ValueError(
-            f"source_overlap: sketches for {sorted(too_big)} carry "
-            f"more than k={k} values — call with the k they were "
-            "built with (or smaller)"
-        )
+    # a sketch longer than this k was built with a larger one —
+    # truncate to the query k: the bottom-k' of a bottom-k sketch IS
+    # the bottom-k' sketch (closure), so every estimate below stays
+    # exact-by-construction at the smaller k. The UNDETECTABLE misuse
+    # is the reverse (k larger than built on saturated sources — the
+    # sketch cannot know its missing values); pass the built k or
+    # smaller, as the docstring requires.
+    sk = {r[0]: list(r[1])[:k] for r in rows}
     names = sorted(sk, key=str)
     sets = {s: set(v) for s, v in sk.items()}  # hoisted: O(P), not O(P^2)
     out = []

@@ -252,3 +252,22 @@ def test_semantic_contamination_flags_paraphrase_neighbors(spark):
     rows = {(r.train_id, r.eval_id): r.sim for r in out.collect()}
     assert set(rows) == {(3, 100), (7, 101)}
     assert all(s > 0.98 for s in rows.values())
+
+
+def test_semantic_contamination_saturation_flag(spark):
+    # an eval item with more >=threshold neighbors than k flags
+    # eval_saturated on every returned pair — under-removal is loud
+    from sentinel_spark.functions.decontam import semantic_contamination
+
+    # 9 near-duplicates above the threshold + 1 orthogonal below it
+    train = spark.createDataFrame(
+        [(i, [1.0, 0.0001 * i]) for i in range(9)] + [(9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    evals = spark.createDataFrame(
+        [(100, [1.0, 0.0005])], "vec_id long, embedding array<double>"
+    )
+    out = semantic_contamination(train, evals, threshold=0.9, k=3).collect()
+    assert len(out) == 3 and all(r.eval_saturated for r in out)
+    full = semantic_contamination(train, evals, threshold=0.9, k=10).collect()
+    assert len(full) == 9 and not any(r.eval_saturated for r in full)

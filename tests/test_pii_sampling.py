@@ -838,3 +838,28 @@ def test_curriculum_string_key_order_matches_double(spark):
         return blocks
 
     assert tie_blocks(order_str) == tie_blocks(order_dbl)
+
+
+def test_curriculum_string_key_token_scale_rates(spark):
+    # rates at token-count scale (2e9 : 1e9) must produce the SAME
+    # stream order as 2 : 1 — the encoding min-normalizes internally,
+    # so "only ratios matter" holds for the string form too
+    from sentinel_spark.functions.sampling import curriculum_order
+
+    rows = [(i, ["web", "books"][i % 2]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    small = curriculum_order(
+        df, "src", {"web": 2.0, "books": 1.0}, key="doc_id",
+        string_key=True,
+    )
+    big = curriculum_order(
+        df, "src", {"web": 2e9, "books": 1e9}, key="doc_id",
+        string_key=True,
+    )
+    o_small = [r.doc_id for r in small.orderBy("curriculum_key").collect()]
+    o_big = [r.doc_id for r in big.orderBy("curriculum_key").collect()]
+    assert o_small == o_big
+    # and the stream actually interleaves (not raw id order)
+    srcs = {r.doc_id: r.src for r in df.collect()}
+    first12 = [srcs[d] for d in o_big[:12]]
+    assert first12.count("web") == 8 and first12.count("books") == 4

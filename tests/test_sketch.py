@@ -245,17 +245,19 @@ class TestKMVOverlap:
             source_overlap(sk, k=128, max_sources=2)
 
 
-def test_source_overlap_rejects_smaller_k_than_built(spark):
-    import pytest as _pytest
-
+def test_source_overlap_smaller_k_truncates_exactly(spark):
+    # bottom-k' of a bottom-k sketch IS the bottom-k' sketch: querying
+    # larger-k sketches at a smaller k must equal sketches built at
+    # that smaller k, pair for pair
     from sentinel_spark.functions.sketch import kmv_sketches, source_overlap
 
     rows = [("A", f"d{i}") for i in range(500)] + [
         ("B", f"d{i}") for i in range(250, 750)
     ]
     df = spark.createDataFrame(rows, "src string, fp string")
-    sk = kmv_sketches(df, "src", "fp", k=256)
-    with _pytest.raises(ValueError, match="k=64"):
-        source_overlap(sk, k=64)
-    # querying at the BUILT k (or when sketches are unsaturated) works
-    assert source_overlap(sk, k=256).count() == 1
+    big = kmv_sketches(df, "src", "fp", k=256)
+    small = kmv_sketches(df, "src", "fp", k=64)
+    via_truncate = source_overlap(big, k=64).collect()[0]
+    direct = source_overlap(small, k=64).collect()[0]
+    assert via_truncate == direct
+    assert source_overlap(big, k=256).count() == 1

@@ -1512,3 +1512,27 @@ def test_mine_hard_negatives_guard_fires_with_explicit_anchors(spark):
         mine_hard_negatives(
             emb, toomany, k=2, max_positives=2, anchors=anchors
         ).collect()
+
+
+def test_mine_hard_negatives_guard_scoped_to_queried_anchors(spark):
+    # an over-labeled anchor OUTSIDE the queried anchors set must not
+    # abort the job — the guard protects only the mined anchors' depth
+    from pyspark.sql import functions as F
+
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.similarity import mine_hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, i / 100.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    pos = spark.createDataFrame(
+        [(5, i) for i in range(6)] + [(2, 3)],  # anchor 5 over-labeled
+        "anchor_id long, pos_id long",
+    )
+    clean = emb.where(F.col("vec_id") == 2)
+    out = mine_hard_negatives(emb, pos, k=2, max_positives=2, anchors=clean)
+    rows = out.collect()
+    assert {r.anchor_id for r in rows} == {2}
+    assert all(r.neg_id not in (2, 3) for r in rows)
+    release(out)
