@@ -982,3 +982,48 @@ def test_kmv_union_closure_and_exactness(spark, na, nb, overlap, k):
         assert r.intersection_est == pytest.approx(inter)
         assert r.union_est == float(union)
         assert r.jaccard == pytest.approx(inter / union)
+
+
+@SLOW
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=80),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=60), min_size=0, max_size=3
+    ),
+    n=st.sampled_from([1, 5, 12]),
+)
+def test_reservoir_merge_slicing_invariance(spark, ids, cuts, n):
+    """merge_reservoir converges to the bottom-n-by-hash of the
+    DISTINCT id set under ANY batch slicing, duplicate ids, and
+    redelivered batches — the law that turns at-least-once streaming
+    into exactly-once sampling."""
+    from sentinel_spark.streaming.sample_stream import merge_reservoir
+
+    rows = [(i, f"text {i}") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r.doc_id
+        for r in df.dropDuplicates(["doc_id"])
+        .withColumn("_h", F.xxhash64(F.col("doc_id").cast("string")))
+        .orderBy("_h", "doc_id")
+        .limit(n)
+        .collect()
+    }
+    bounds = sorted({0, len(rows)} | {min(c, len(rows)) for c in cuts})
+    cur = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        b = spark.createDataFrame(rows[lo:hi], "doc_id long, text string")
+        cur = merge_reservoir(cur, b, n, key_col="doc_id")
+    # redeliver the first slice (at-least-once replay)
+    first_hi = bounds[1] if len(bounds) > 1 else len(rows)
+    replay = spark.createDataFrame(
+        rows[: max(first_hi, 1)], "doc_id long, text string"
+    )
+    cur = merge_reservoir(cur, replay, n, key_col="doc_id")
+    assert {r.doc_id for r in cur.collect()} == want
