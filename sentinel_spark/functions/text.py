@@ -379,3 +379,67 @@ def normalize_unicode(
             yield pdf
 
     return df.mapInPandas(_norm_batches, schema=df.schema)
+
+
+def ngram_novelty(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    reference=None,
+):
+    """Per-document n-gram novelty: what fraction of a document's
+    ``n``-gram shingles appears NOWHERE else — in the corpus itself
+    (default) or in a separate ``reference`` corpus. Low novelty marks
+    boilerplate/template documents and memorization-risk passages the
+    within-document repetition profile (:func:`doc_repetition`) cannot
+    see — its repeats are cross-document. Output: (``id_col``,
+    n_shingles, n_novel, novelty) with novelty = n_novel / n_shingles
+    rounded to 6. Documents shorter than ``n`` tokens — including
+    empty text — contribute their whole-token-string shingle (the
+    shingle_rows convention), so every non-NULL-text document reports;
+    NULL text produces no shingle rows and is absent.
+
+    Scale shape (the near-dup pairing cost class, without the pair
+    join): ONE :func:`~sentinel_spark.functions.dedup.shingle_rows`
+    pass per side (id-hash spread is its only exchange), a map-side-
+    combined document-frequency aggregate keyed on the shingle, and
+    the df join back to the doc's shingles on that same shingle key —
+    then a per-doc aggregate that reuses the id partitioning. Nothing
+    is all-pairs and nothing collects; the shingle-keyed exchange is
+    the honest price of a cross-document question, identical to
+    ``ngram_jaccard_pairs``'s inverted index.
+
+    Self mode counts a shingle novel iff its corpus df == 1 (the
+    document itself is the only holder). Reference mode counts it
+    novel iff the reference NEVER contains it (left anti semantics via
+    df-0 coalesce) — "how much of this new batch is genuinely new
+    text", the acquisition-value question."""
+    from sentinel_spark.functions.dedup import shingle_rows
+
+    own = shingle_rows(df, text_col, id_col, n)
+    if reference is None:
+        dfreq = own.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        joined = own.join(dfreq, "s")
+        novel = F.col("_df") == 1
+    else:
+        ref = (
+            shingle_rows(reference, text_col, id_col, n)
+            .select("s")
+            .dropDuplicates(["s"])
+            .withColumn("_hit", F.lit(1))
+        )
+        joined = own.join(ref, "s", "left")
+        novel = F.col("_hit").isNull()
+    # shingle_rows emits its id under the fixed name "id"
+    out = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(novel, 1).otherwise(0)).alias("n_novel"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+    )

@@ -1536,3 +1536,43 @@ def test_mine_hard_negatives_guard_scoped_to_queried_anchors(spark):
     assert {r.anchor_id for r in rows} == {2}
     assert all(r.neg_id not in (2, 3) for r in rows)
     release(out)
+
+
+def test_ngram_novelty_self_and_reference_modes(spark):
+    from sentinel_spark.functions.text import ngram_novelty
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{shared} one two three four five"),
+        (2, f"{shared} six seven eight nine ten"),
+        (3, "completely different words entirely here folks today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty(df, "text", "doc_id", n=3).collect()}
+    # doc 3 shares nothing: fully novel
+    assert out[3].novelty == 1.0
+    # docs 1/2 share the 4 shingles inside the 6-token prefix; each
+    # has 9 shingles total (11 tokens, n=3) -> novelty 5/9
+    assert out[1].n_shingles == 9 and out[1].n_novel == 5
+    assert out[1].novelty == round(5 / 9, 6) and out[2].novelty == round(5 / 9, 6)
+
+    # reference mode: against a reference holding the shared prefix,
+    # doc 3 is fully novel and docs 1/2 drop exactly the shared runs
+    ref = spark.createDataFrame(
+        [(100, f"{shared} padding words beyond the shared part")],
+        "doc_id long, text string",
+    )
+    rout = {
+        r.doc_id: r
+        for r in ngram_novelty(df, "text", "doc_id", n=3, reference=ref).collect()
+    }
+    assert rout[3].novelty == 1.0
+    assert rout[1].n_novel == 5 and rout[2].n_novel == 5
+    # degenerate: short text (and empty text) contributes its
+    # whole-token-string shingle — one shingle each, novel here
+    edge = spark.createDataFrame(
+        [(10, ""), (11, "tiny doc")], "doc_id long, text string"
+    )
+    eout = {r.doc_id: r for r in ngram_novelty(edge, "text", "doc_id", n=3).collect()}
+    assert eout[11].n_shingles == 1 and eout[11].novelty == 1.0
+    assert eout[10].n_shingles == 1  # the empty-string whole-text shingle
