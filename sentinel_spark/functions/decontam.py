@@ -322,7 +322,13 @@ def semantic_contamination(
     small and bounded; the corpus is the scanned side), ``method`` /
     ``bits`` / ``dim`` pass through for the big×big LSH path. ``k``
     bounds matches per eval item; the ``eval_saturated`` flag says
-    when the bound was hit, so under-removal is loud, not silent."""
+    when the k-bound was hit, so under-removal FROM TRUNCATION is
+    loud, not silent. The flag covers only the k-bound: with
+    ``method='lsh'`` the candidate join's recall < 1 can still miss
+    contaminated pairs with no flag — for decontamination-grade
+    sweeps use ``method='exact'``, or measure the bucketing's recall
+    first with :func:`~sentinel_spark.functions.similarity.
+    ann_join_recall` (ADVICE r12)."""
     from sentinel_spark.functions.similarity import ann_join
 
     hits = ann_join(

@@ -789,7 +789,12 @@ def retention_curve(
         .withColumn("tokens_ge", F.sum("tokens").over(w))
         .withColumn(
             "frac_tokens_ge",
-            F.col("tokens_ge") / F.sum("tokens").over(total),
+            # zero-token groups (all counts NULL/0) report NULL rather
+            # than erroring under ANSI divide-by-zero (ADVICE r12)
+            F.when(
+                F.sum("tokens").over(total) > 0,
+                F.col("tokens_ge") / F.sum("tokens").over(total),
+            ),
         )
         .withColumn(
             "threshold", F.lit(lo_f) + F.col("bin") * F.lit(step)

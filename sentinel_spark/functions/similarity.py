@@ -1876,20 +1876,25 @@ def mine_parallel_pairs(
             .where(F.col("id_a") == F.col("_best_a"))
             .drop("_best_a")
         )
+    # the margin ratio is only meaningful over positive similarities:
+    # an isolated vector whose neighborhood means are negative would
+    # make negative/negative > 1 and admit garbage (ADVICE r12), so
+    # require sim > 0 and clamp the denominator to a positive epsilon.
+    # The threshold compares the UNROUNDED margin (rounding is for
+    # output only — a 6-dp round would admit pairs up to 5e-7 below).
+    raw_margin = F.col("sim") / F.greatest(
+        (F.col("_avg_a") + F.col("_avg_b")) / F.lit(2.0), F.lit(1e-9)
+    )
     scored = (
         pairs.join(avg_a, "id_a")
         .join(avg_b, "id_b")
+        .where((F.col("sim") > 0) & (raw_margin >= min_margin))
         .select(
             "id_a",
             "id_b",
             "sim",
-            F.round(
-                F.col("sim")
-                / ((F.col("_avg_a") + F.col("_avg_b")) / F.lit(2.0)),
-                6,
-            ).alias("margin"),
+            F.round(raw_margin, 6).alias("margin"),
         )
-        .where(F.col("margin") >= min_margin)
     )
     return with_release(scored, [fwd, bwd])
 

@@ -336,9 +336,14 @@ def build_training_corpus(
                 budget_select_by_source,
             )
 
+            # one score row per id: duplicate ids in quality_scores
+            # would fan out documents through the left join and
+            # silently violate budget_select_by_source's unique-key
+            # contract (ADVICE r12) — max() collapses them, keeping
+            # the best evidence for a doc scored more than once
             scored = clean.join(
-                quality_scores.select(
-                    F.col(id_col), F.col("score").alias("__q")
+                quality_scores.groupBy(id_col).agg(
+                    F.max("score").alias("__q")
                 ),
                 id_col,
                 "left",

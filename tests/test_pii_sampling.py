@@ -732,6 +732,33 @@ def test_retention_curve_grouped_shared_axis(spark):
     assert min(r.bin for r in by["b"]) >= 5
 
 
+def test_retention_curve_zero_token_group_null_frac(spark):
+    # ADVICE r12: a group whose surviving token mass is 0 must report
+    # frac_tokens_ge NULL instead of erroring under ANSI divide-by-zero
+    from sentinel_spark.functions.sampling import retention_curve
+
+    rows = [(1, "a", 0.2, 10), (2, "a", 0.8, 30), (3, "z", 0.5, 0),
+            (4, "z", 0.7, 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, q double, toks long"
+    )
+    out = retention_curve(
+        df, "q", "toks", bins=4, group_cols=["src"]
+    ).collect()
+    a = [r for r in out if r.src == "a"]
+    z = [r for r in out if r.src == "z"]
+    assert a and all(r.frac_tokens_ge is not None for r in a)
+    assert a[0].frac_tokens_ge == pytest.approx(1.0)
+    # zero-token group: docs still counted, fraction NULL throughout
+    assert z and all(r.frac_tokens_ge is None for r in z)
+    assert sum(r.docs for r in z) == 2
+    # ungrouped all-zero frame takes the same leg
+    flat = retention_curve(
+        df.where("src = 'z'"), "q", "toks", bins=4
+    ).collect()
+    assert flat and all(r.frac_tokens_ge is None for r in flat)
+
+
 def test_budget_select_nan_scores_never_selected(spark):
     # NaN = unknown quality, same as NULL — Spark would otherwise sort
     # NaN ABOVE every double and hand it the budget first

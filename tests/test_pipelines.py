@@ -542,6 +542,27 @@ def test_budget_by_quality_selects_best_per_source(spark):
     release(res.selected)
     release(want_df)
 
+    # ADVICE r12: duplicate score rows for the same id must NOT fan
+    # out documents through the join — max(score) collapses them, so
+    # the selection equals the dedup'd-scores run and docs_final stays
+    # an honest document count
+    dup_scores = scores.unionByName(
+        spark.createDataFrame(
+            [(i, 0.0) for i in range(0, 60, 3)], "doc_id long, score double"
+        )
+    )
+    res2 = build_training_corpus(
+        docs, None, None,
+        source_col="source", budgets=budgets,
+        quality_scores=dup_scores, budget_by_quality=True,
+    )
+    sel2 = res2.selected.select("doc_id").collect()
+    assert len(sel2) == len({r.doc_id for r in sel2})
+    assert {r.doc_id for r in sel2} == got
+    f2 = res2.funnel.collect()[0]
+    assert f2.docs_final == len(got)
+    release(res2.selected)
+
 
 def test_budget_by_quality_validation(spark):
     import pytest as _pytest

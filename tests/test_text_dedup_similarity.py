@@ -1421,7 +1421,29 @@ def test_mine_parallel_pairs_margin_and_mutual_best(spark):
     junk_m = [r.margin for r in rows if r.id_b >= 500]
     assert len(true_m) == 20 and junk_m
     assert min(true_m) > max(junk_m)
+    # ADVICE r12: only positive similarities can carry a margin — no
+    # row survives with sim <= 0 even at a zero threshold
+    assert all(r.sim > 0 for r in rows)
     release(loose)
+
+
+def test_mine_parallel_pairs_rejects_negative_neighborhoods(spark):
+    # ADVICE r12: an isolated vector whose top-k cosines are all
+    # negative used to get margin = negative/negative > 1 and pass
+    # min_margin; sim > 0 is now required, so nothing pairs here
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.similarity import mine_parallel_pairs
+
+    ea = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    eb = spark.createDataFrame(
+        [(10, [-1.0, 0.0]), (11, [-0.9950371902099892, -0.09950371902099892])],
+        "vec_id long, embedding array<double>",
+    )
+    out = mine_parallel_pairs(ea, eb, k=2, min_margin=1.0)
+    assert out.count() == 0
+    release(out)
 
 
 def test_mine_hard_negatives_excludes_self_and_positives(spark):
