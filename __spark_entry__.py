@@ -624,24 +624,26 @@ def q_corpus_report(spark, sf_dir):
         F.col("min_tok").cast("double").alias("stat1"),
         F.col("max_tok").cast("double").alias("stat2"),
     )
-    # r12 BISECT (VERDICT r11 #1): the drift/drift_sum branches are
-    # intentionally DETACHED this round. Three arithmetic designs for
-    # the same 31 drift rows went driver-red (rounded doubles r9,
-    # ln-ppm BIGINT r10, exact-rational BIGINT r11) while the local
-    # DuckDB replica passed bit-exactly every time — so the failure
-    # mechanism is unidentified and the only instrument that can see
-    # it is the driver artifact itself. This round ships EXACTLY the
-    # r8 driver-green 127-row cube+hist form (commit d9d6096 only
-    # ADDED the drift unions; this reverts that addition and nothing
-    # else). Outcome green → the fault is localized to the drift rows
-    # (reintroduce counts-only in r13, then stats one at a time).
-    # Outcome red → the fault is in the cube/hist constructs (CUBE /
-    # bin / shiftleft / round(avg(),6)) and the driver's engine
-    # changed at r9. Drift itself stays fully covered by
-    # tests/test_drift.py + test_properties.py (exact-rational law vs
-    # Fraction) + the _drift_report_rows/_drift_report_oracle DuckDB
-    # replay in tests/test_drift.py.
-    return cube.unionByName(hist)
+    # r13 BISECT PHASE 2 (VERDICT r12 #2): r12 detached the drift
+    # branches entirely and went GREEN — outcome A, the fault lives in
+    # the 31 drift/drift_sum rows themselves, not in the cube/hist
+    # constructs and not in any of the three arithmetic designs tried
+    # (rounded doubles r9, ln-ppm r10, exact-rational BIGINT r11; all
+    # local-green, all driver-red). This round reattaches the drift
+    # rows COUNTS-ONLY: the same (kind, key1, key2) keys through the
+    # same drift_table lineage (FULL OUTER bucket join, '(null)'
+    # coalescing, per-feature summary grouping — the remaining
+    # suspects), n_a/n_b as the count columns, and every derived stat
+    # NULL on BOTH engines. Nothing else in this gate changes (freeze
+    # discipline). Red → the fault is in the bucket keys/counts or the
+    # FULL OUTER join's NULL-bucket rows; green → add dshare_ppm in
+    # r14, then ratio_ppm. The full-stat form stays covered by
+    # tests/test_drift.py's bit-exact _drift_report_rows/
+    # _drift_report_oracle DuckDB replay every pytest run.
+    from sentinel_spark.cache import carry
+
+    drift = _drift_counts_rows(spark, sf_dir)
+    return carry(cube.unionByName(hist).unionByName(drift), drift)
 
 
 def _drift_report_rows(spark, sf_dir):
@@ -687,21 +689,66 @@ def _drift_report_rows(spark, sf_dir):
     return with_release(drows.unionByName(srows), [dt])
 
 
-def _drift_report_oracle():
-    """DuckDB replay of :func:`_drift_report_rows` — the detached
-    drift branch of ``corpus_report`` (r9-r11 form). Same (feature,
-    bucket) count pipeline over the even/odd snapshot halves,
-    add-0.5 smoothing over each feature's realized buckets; stats
-    are the exact-rational tier: with alpha = 1/2 the smoothed
-    shares are sa = na2/da, sb = nb2/db over na2 = 2*n_a+1,
-    da = 2*tot_a+k - round(1e6*x) for a positive rational x = A/B
-    is (2e6*A + B) // (2*B) in pure BIGINT arithmetic (// is DuckDB
-    integer division, `div` on the Spark side). No ln(), no double,
-    no engine round() tie rule anywhere. Exercised locally by
-    tests/test_drift.py; reattachable to the corpus_report oracle in
-    r13 per the bisect outcome."""
-    return """
-        WITH dr_j AS (
+def _drift_counts_rows(spark, sf_dir):
+    """Bisect phase 2 (r13): the drift/drift_sum rows of
+    ``corpus_report`` reduced to KEYS + COUNTS — same features, same
+    snapshot halves, same :func:`~sentinel_spark.functions.drift.
+    drift_table` lineage (so the FULL OUTER bucket join, the
+    ``'(null)'`` coalescing, and the per-feature grouping are all
+    still what the driver hashes) — but stat1/stat2 are NULL on both
+    engines. Isolates keys/counts from the derived arithmetic that
+    three prior designs could not make driver-green."""
+    from sentinel_spark.cache import with_release
+    from sentinel_spark.functions.drift import drift_table
+
+    d = _t(spark, sf_dir, "documents")
+    feats = {
+        "source": F.col("source"),
+        "lang": F.col("lang"),
+        "len256": F.floor(F.length("text") / 256),
+    }
+    dt = drift_table(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 != 0),
+        feats,
+    ).select("feature", "bucket", "n_a", "n_b").persist()
+    null_d = F.lit(None).cast("double")
+    drows = dt.select(
+        F.lit("drift").alias("kind"),
+        F.col("feature").alias("key1"),
+        F.col("bucket").alias("key2"),
+        F.col("n_a").alias("n_docs"),
+        F.col("n_b").alias("n_tokens"),
+        null_d.alias("stat1"),
+        null_d.alias("stat2"),
+    )
+    srows = (
+        dt.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_a").alias("n_a"),
+            F.sum("n_b").alias("n_b"),
+        )
+        .select(
+            F.lit("drift_sum").alias("kind"),
+            F.col("feature").alias("key1"),
+            F.col("n_buckets").cast("string").alias("key2"),
+            F.col("n_a").alias("n_docs"),
+            F.col("n_b").alias("n_tokens"),
+            null_d.alias("stat1"),
+            null_d.alias("stat2"),
+        )
+    )
+    return with_release(drows.unionByName(srows), [dt])
+
+
+# the (feature, bucket, n_a, n_b) joined-count CTE shared by the
+# full-stat drift replay (_drift_report_oracle, pytest-exercised) and
+# the r13 counts-only gate branch (_drift_counts_oracle): even/odd
+# snapshot halves, '(null)' bucket sentinel, FULL OUTER join with
+# zero-fill — DuckDB's replica of functions/drift._feature_counts +
+# drift_from_counts' join.
+_DRIFT_DRJ_SQL = """
           SELECT coalesce(a.feature, b.feature) AS feature,
                  coalesce(a.bucket, b.bucket) AS bucket,
                  coalesce(a.n_a, 0) AS n_a, coalesce(b.n_b, 0) AS n_b
@@ -735,7 +782,41 @@ def _drift_report_oracle():
               FROM documents WHERE doc_id % 2 <> 0
             ) GROUP BY 1, 2
           ) b ON a.feature = b.feature AND a.bucket = b.bucket
-        ),
+"""
+
+
+def _drift_counts_oracle():
+    """DuckDB replay of :func:`_drift_counts_rows` — the r13
+    counts-only drift branch of ``corpus_report``: keys + counts from
+    the shared dr_j CTE, every derived stat NULL."""
+    return f"""
+        SELECT 'drift' AS kind, feature AS key1, bucket AS key2,
+               n_a AS n_docs, n_b AS n_tokens,
+               CAST(NULL AS DOUBLE) AS stat1, CAST(NULL AS DOUBLE) AS stat2
+        FROM ({_DRIFT_DRJ_SQL})
+        UNION ALL
+        SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
+               sum(n_a), sum(n_b),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM ({_DRIFT_DRJ_SQL}) GROUP BY feature
+    """
+
+
+def _drift_report_oracle():
+    """DuckDB replay of :func:`_drift_report_rows` — the detached
+    drift branch of ``corpus_report`` (r9-r11 form). Same (feature,
+    bucket) count pipeline over the even/odd snapshot halves,
+    add-0.5 smoothing over each feature's realized buckets; stats
+    are the exact-rational tier: with alpha = 1/2 the smoothed
+    shares are sa = na2/da, sb = nb2/db over na2 = 2*n_a+1,
+    da = 2*tot_a+k - round(1e6*x) for a positive rational x = A/B
+    is (2e6*A + B) // (2*B) in pure BIGINT arithmetic (// is DuckDB
+    integer division, `div` on the Spark side). No ln(), no double,
+    no engine round() tie rule anywhere. Exercised locally by
+    tests/test_drift.py; reattachable to the corpus_report oracle in
+    r13 per the bisect outcome."""
+    return f"""
+        WITH dr_j AS ({_DRIFT_DRJ_SQL}),
         dr_t AS (
           SELECT feature, sum(n_a) AS tot_a, sum(n_b) AS tot_b,
                  count(*) AS k FROM dr_j GROUP BY 1
@@ -4437,12 +4518,12 @@ def oracle_sql() -> dict[str, str]:
     # its family's composed SQL, so the per-operator checks are intact —
     # they just land in one registry row (see the consolidation note on
     # the Spark side).
-    # r12 BISECT: corpus_report's oracle mirrors the Spark side — cube
-    # + hist ONLY, byte-identical to the r8 driver-green form. The
-    # drift replay lives in :func:`_drift_report_oracle` (exercised
-    # every pytest run by tests/test_drift.py against
-    # :func:`_drift_report_rows`) so r13 can reattach it branch by
-    # branch per the bisect outcome.
+    # r13 BISECT PHASE 2: cube + hist exactly as the r12 driver-green
+    # form, plus the drift rows COUNTS-ONLY (keys + n_a/n_b, stats
+    # NULL on both engines — see _drift_counts_rows). The full-stat
+    # replay stays in :func:`_drift_report_oracle` (exercised every
+    # pytest run by tests/test_drift.py against
+    # :func:`_drift_report_rows`) for the r14 stat-by-stat reattach.
     out["corpus_report"] = f"""
         SELECT 'cube' AS kind, source AS key1, lang AS key2, n_docs, n_tokens,
                CAST(avg_chars AS DOUBLE) AS stat1, CAST(NULL AS DOUBLE) AS stat2
@@ -4452,6 +4533,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(bucket_lo AS VARCHAR) AS key2, n_docs, n_tokens,
                CAST(min_tok AS DOUBLE) AS stat1, CAST(max_tok AS DOUBLE) AS stat2
         FROM ({base["length_histogram"]})
+        UNION ALL
+        {_drift_counts_oracle()}
     """
     # Full SQL replay of pipelines.build_training_corpus (no export /
     # mixture): Gopher gate -> fingerprint exact dedup -> MinHash-LSH

@@ -44,14 +44,17 @@ BUDGET = {
     "events_report": 5,   # + heavy-hitters MG partials + exact recount
     "events_windows": 2,
     "doc_profile": 0,      # ONE scan, pure projection
-    "corpus_report": 2,    # r12 bisect: back to the r8 driver-green
-                           # form — CUBE (expand + shuffle) + histogram
-                           # agg, one exchange each. The r9-r11 drift
-                           # branch (11 more exchanges) is detached
-                           # while the driver fault is localized; its
-                           # plan is still pinned via
-                           # _drift_report_rows in test_drift.py's
-                           # DuckDB replay
+    "corpus_report": 13,   # r13 bisect phase 2: cube (expand +
+                           # shuffle) + histogram agg (one exchange
+                           # each) + the drift branch reattached
+                           # COUNTS-ONLY — same drift_table lineage as
+                           # r9-r11 (two explode/count aggregates,
+                           # full-outer bucket join, per-feature
+                           # summary agg, plus the persisted dt frame
+                           # re-printing those exchanges inside
+                           # InMemoryRelation), so the same 13 the
+                           # full-stat form pinned; only the hashed
+                           # stats changed (NULL on both engines)
     "corpus_funnel": 109,  # the whole recipe: featurize/winners/LSH
                            # pipeline over survivors + decontam shingle
                            # pass + funnel aggregates — each exchange
