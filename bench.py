@@ -65,6 +65,14 @@ def main():
     tiny_union = E.near_dup_union(tiny)
     tiny_union.write.format("noop").mode("overwrite").save()
     release(tiny_union)
+    # ... and the winnow incremental shape, split out of the union in
+    # r13 (fingerprint pipeline + df guard + overlap join) so its
+    # scan-independent generated stages land in the codegen cache
+    # before the winnow_pairs cold run. tiny's doc 0 survives the %40
+    # residue, so every plan branch is non-empty.
+    tiny_winnow = E.winnow_union(tiny)
+    tiny_winnow.write.format("noop").mode("overwrite").save()
+    release(tiny_winnow)
     # ... and the scrub shape (token-grain lead window + anti-join +
     # per-doc reassembly), whose one-time codegen otherwise lands on
     # the decontam gate's cold run (r6: ~5 s cold-vs-median gap).

@@ -22,8 +22,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # max allowed `Exchange hashpartitioning` nodes in the executed plan
 BUDGET = {
-    "datapoint_select": 0,
-    "datapoint_shuffle": 0,
+    "datapoint_select": 0,  # r13: shuffle row folded in as a mode
+                            # branch — both legs stay scan + local
+                            # TopK, zero exchanges
     "selector_algebra": 0,
     "array_selectors": 1,
     "ownership_filter": 0,
@@ -127,27 +128,27 @@ BUDGET = {
                            # aggregates + coverage anti-join + per-doc
                            # reassembly) + r6 paragraph-dedup branch
                            # (split/fingerprint aggregate + reassembly)
-    "near_dup_pairs": 75,  # seven pairing pipelines, each
-                           # bucket-bounded (r5 adds the incremental
-                           # new-vs-index branch: one batch shingle
-                           # pipeline + the subset index build;
-                           # r11 +6: the winnow branch on the
-                           # doc_id % 20 == 0 subset (narrowed from
-                           # % 5 in e15dc3e; matches near_dup_union
-                           # and the oracle).
-                           # r12 42 -> 75: the winnow branch now runs
-                           # the INCREMENTAL lineage (winnow_index +
-                           # incremental_winnow_overlap), which
-                           # persists the batch fingerprint frame and
-                           # the hot-fp guard frame (each feeds 3-5
-                           # plan branches); 15 InMemoryRelations
-                           # re-print those lineages, inflating the
-                           # TEXT count while the deduplicated plan
-                           # has exactly THREE exchange keys (two
-                           # id-spreads + the fp equi-join) — audited
-                           # r12, the corpus_funnel precedent. A real
-                           # new exchange would multiply through the
-                           # same re-prints, so the tripwire holds.
+    "winnow_pairs": 48,    # r13 split (VERDICT r12 #1c): the winnow
+                           # incremental lineage alone — batch fp +
+                           # hot-fp guard + gate-persisted widx each
+                           # re-print the fingerprint pipeline inside
+                           # InMemoryRelation at their 3-5 consumer
+                           # sites; deduplicated keys are the fp
+                           # equi-join, the combined-df aggregate,
+                           # and the pair groupBys
+    "near_dup_pairs": 33,  # five pairing pipelines, each
+                           # bucket-bounded: minhash candidates +
+                           # their verified survivors (one shared
+                           # candidate computation), Zipf-guarded
+                           # ngram, banded simhash, and the
+                           # incremental new-vs-index branch (batch
+                           # shingle pipeline + subset index build).
+                           # r13 84 -> 33 (VERDICT r12 #1c): the
+                           # winnow branch split into its own gate
+                           # (winnow_pairs) and the unguarded
+                           # plain-ngram branch retired — the text
+                           # count drops with the InMemoryRelation
+                           # re-prints that rode those branches.
     "ingest_rollup": 11,
     "salted_agg": 5,       # two salted phases x two paths + join
     "typed_tags": 0,
