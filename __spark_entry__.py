@@ -1686,14 +1686,32 @@ def q_doc_profile(spark, sf_dir):
 
 
 def q_split_report(spark, sf_dir):
-    """Deterministic hash split counts ∪ the train/eval leakage audit,
-    tagged by ``kind``."""
+    """Deterministic hash split counts ∪ the train/eval leakage audit
+    ∪ (r13, VERDICT r12 #5) the KMV cross-source overlap estimates,
+    tagged by ``kind``; the ``stat`` double slot is NULL outside the
+    kmv branch on both engines.
+
+    The kmv branch: bottom-64 KMV sketches (sketch.kmv_sketches) over
+    each of three sources' distinct 3-gram shingle sets, then the
+    full sketch.source_overlap estimator — union-resample jaccard,
+    intersection/union/distinct estimates, containments — in long
+    form (one row per pair×metric, metric in the lang slot, pair in
+    label). hash_fn='md5' is the engine-portable scheme (the
+    winnowing-gate precedent; the library default stays xxhash64);
+    the sketches SATURATE (~1300 distinct shingles per source ≫ 64),
+    so the (k-1)/u_k tail estimator is what the hash checks, not the
+    exact small-set leg. Every estimate is a short fixed sequence of
+    IEEE +,/,* on integer-derived doubles, replayed op-for-op in the
+    oracle — deterministic cross-engine without rounding (the
+    sequential-fold cosine policy)."""
+    null_d = F.lit(None).cast("double")
     hs = q_hash_split(spark, sf_dir).select(
         F.lit("counts").alias("kind"),
         F.col("split").alias("label"),
         "lang",
         F.col("n_docs").alias("n1"),
         F.lit(0).cast("long").alias("n2"),
+        null_d.alias("stat"),
     )
     lk = q_split_leakage(spark, sf_dir).select(
         F.lit("leakage").alias("kind"),
@@ -1701,8 +1719,35 @@ def q_split_report(spark, sf_dir):
         F.lit(None).cast("string").alias("lang"),
         F.col("n_keys").alias("n1"),
         F.col("n_leaking").alias("n2"),
+        null_d.alias("stat"),
     )
-    return hs.unionByName(lk)
+    from sentinel_spark.functions.sketch import kmv_sketches, source_overlap
+
+    d3 = _t(spark, sf_dir, "documents").where(
+        F.col("source").isin("src1", "src2", "src3")
+    )
+    sh = D.shingle_rows(d3.select("doc_id", "text"), "text", "doc_id", 3).join(
+        d3.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    sk = kmv_sketches(sh, "source", F.col("s"), k=64, hash_fn="md5")
+    ov = source_overlap(sk, k=64, hash_fn="md5")
+    km = ov.selectExpr(
+        "source_a",
+        "source_b",
+        "stack(7, 'jaccard', jaccard, 'intersection_est', intersection_est,"
+        " 'union_est', union_est, 'distinct_a', distinct_a,"
+        " 'distinct_b', distinct_b,"
+        " 'containment_a_in_b', containment_a_in_b,"
+        " 'containment_b_in_a', containment_b_in_a) AS (metric, value)",
+    ).select(
+        F.lit("kmv").alias("kind"),
+        F.concat_ws("|", "source_a", "source_b").alias("label"),
+        F.col("metric").alias("lang"),
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.col("value").alias("stat"),
+    )
+    return hs.unionByName(lk).unionByName(km)
 
 
 def q_chunk_shards(spark, sf_dir):
@@ -1759,16 +1804,18 @@ def q_mixture_sample(spark, sf_dir):
 
 
 def q_sample_suite(spark, sf_dir):
-    """The four deterministic sampling schemes (stratified rates,
-    quality-weighted, fixed-N per group, token-budgeted mixture)
-    unioned with a ``method`` tag — the first three stay the pure
-    per-row hash filters they were; the mixture branch adds its one
-    (source, hash-range) exchange. A fifth ``temperature`` branch
-    checks sampling.temperature_budgets: the per-source token budgets
-    under temperature-scaled mixing (size^0.7 reweighting) are a
+    """The deterministic sampling schemes unioned with a ``method``
+    tag: stratified rates, quality-weighted, fixed-N per group, and
+    token-budgeted mixture (the first three stay the pure per-row
+    hash filters they were; the mixture branch adds its one
+    (source, hash-range) exchange); ``temperature`` checks
+    sampling.temperature_budgets — the per-source token budgets under
+    temperature-scaled mixing (size^0.7 reweighting) are a
     CLOSED-FORM function of the per-source size vector, so the oracle
-    states them literally in SQL (pow/round over the same sums); the
-    budget rides in the weight slot."""
+    states them literally in SQL (pow/round over the same sums), the
+    budget riding the weight slot; ``epochs`` the upsampling mixture;
+    ``dsir`` the importance-resampling pipeline; and (r13) ``budget``
+    the greedy best-first budget_select on a tie-heavy score."""
     st = q_stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("method"),
         "doc_id",
@@ -1876,6 +1923,35 @@ def q_sample_suite(spark, sf_dir):
         # integral doubles are bit-exact (r10 portability policy)
         F.col("score_ppm").cast("double").alias("weight"),
     )
+    # budget branch (r13, VERDICT r12 #3 — sampling.budget_select, the
+    # greedy best-first token-budget selection): score is the
+    # deliberately TIE-HEAVY (doc_id % 97) / 97 — ~N/97 docs share
+    # each score level, so the salted-hash tie-break inside the
+    # boundary level is what the value hash checks, not just the
+    # score ordering. Both the score (small-integer division, IEEE
+    # exact) and the greedy prefix (sum of tokens strictly before, in
+    # (score desc, md5-prefix asc, key asc) order) replay literally in
+    # SQL — the operator's own pytest oracle stated as a window
+    # cumsum. Budget = 2000 tokens, a multi-level boundary at every
+    # SF; the selected doc's token count rides the weight slot.
+    from sentinel_spark.functions.sampling import budget_select
+
+    db = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 97) / F.lit(97.0)).alias("q"),
+        T.token_count("text").alias("n_tok"),
+    )
+    bs_raw = budget_select(
+        db, "q", "n_tok", 2000,
+        key=F.col("doc_id").cast("string"), salt="bsel",
+    )
+    bs = bs_raw.select(
+        F.lit("budget").alias("method"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("n_tok").cast("double").alias("weight"),
+    )
     out = (
         st.unionByName(wt)
         .unionByName(gp)
@@ -1883,10 +1959,12 @@ def q_sample_suite(spark, sf_dir):
         .unionByName(tb)
         .unionByName(ep)
         .unionByName(ds)
+        .unionByName(bs)
     )
-    # the tagging select drops ds_raw's persisted-frame handles —
-    # carry them so the caller's release() reaches the DSIR caches
-    return carry(out, ds_raw)
+    # the tagging selects drop the raw frames' persisted-frame
+    # handles — carry them so the caller's release() reaches the DSIR
+    # and budget_select caches
+    return carry(out, ds_raw, bs_raw)
 
 
 def q_dedup_clusters_report(spark, sf_dir):
@@ -4771,11 +4849,96 @@ def oracle_sql() -> dict[str, str]:
     """
     out["split_report"] = f"""
         SELECT 'counts' AS kind, split AS label, lang, n_docs AS n1,
-               CAST(0 AS BIGINT) AS n2
+               CAST(0 AS BIGINT) AS n2, CAST(NULL AS DOUBLE) AS stat
         FROM ({base["hash_split"]})
         UNION ALL
-        SELECT 'leakage' AS kind, scheme, CAST(NULL AS VARCHAR), n_keys, n_leaking
+        SELECT 'leakage' AS kind, scheme, CAST(NULL AS VARCHAR), n_keys,
+               n_leaking, CAST(NULL AS DOUBLE)
         FROM ({base["split_leakage"]})
+        UNION ALL
+        -- KMV overlap replay (r13): bottom-64 md5-int60 sketches over
+        -- each source's DISTINCT 3-gram shingles, then the
+        -- union-resample estimator exactly as sketch.source_overlap's
+        -- driver arithmetic — merged bottom-k of the two sketches
+        -- (set union, re-rank, cut at k), jaccard = shared/merged,
+        -- saturated distinct estimate (k-1)/u_k with
+        -- u_k = (v_k + 1)/2^60 — every op the same IEEE sequence as
+        -- the Python side, so the doubles are bit-identical with no
+        -- rounding (the sequential-fold policy)
+        SELECT 'kmv' AS kind, label, metric AS lang,
+               CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+               value AS stat
+        FROM (
+          WITH ksh AS (
+            SELECT source, sg FROM (
+              SELECT source, unnest({_duck_shingles(3)}) AS sg
+              FROM documents WHERE source IN ('src1', 'src2', 'src3')
+            ) GROUP BY 1, 2
+          ),
+          kh AS (
+            SELECT source, ({_duck_hex60("md5(sg)")}) AS h
+            FROM ksh GROUP BY 1, 2
+          ),
+          kb AS (
+            SELECT source, h FROM (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM kh
+            ) WHERE rn <= 64
+          ),
+          kd AS (
+            SELECT source,
+                   CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                        ELSE 63 / ((vk + 1) / 1152921504606846976.0)
+                   END AS dest
+            FROM (SELECT source, count(*) AS n, max(h) AS vk
+                  FROM kb GROUP BY 1)
+          ),
+          pr AS (
+            SELECT a.source AS sa, b.source AS sb
+            FROM (SELECT DISTINCT source FROM kb) a
+            JOIN (SELECT DISTINCT source FROM kb) b ON a.source < b.source
+          ),
+          mg AS (
+            SELECT pr.sa, pr.sb, kb.h,
+                   max(CASE WHEN kb.source = pr.sa THEN 1 ELSE 0 END) AS in_a,
+                   max(CASE WHEN kb.source = pr.sb THEN 1 ELSE 0 END) AS in_b
+            FROM pr JOIN kb ON kb.source IN (pr.sa, pr.sb)
+            GROUP BY 1, 2, 3
+          ),
+          mk AS (
+            SELECT * FROM (
+              SELECT mg.*,
+                     row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+              FROM mg
+            ) WHERE rn <= 64
+          ),
+          pe AS (
+            SELECT sa, sb, nboth / m AS j,
+                   CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                        ELSE 63 / ((vm + 1) / 1152921504606846976.0)
+                   END AS uest
+            FROM (SELECT sa, sb, count(*) AS m, sum(in_a * in_b) AS nboth,
+                         max(h) AS vm
+                  FROM mk GROUP BY 1, 2)
+          ),
+          pm AS (
+            SELECT sa || '|' || sb AS label, j, uest, j * uest AS inter,
+                   da.dest AS da, db.dest AS db
+            FROM pe
+            JOIN kd da ON da.source = pe.sa
+            JOIN kd db ON db.source = pe.sb
+          )
+          SELECT label, 'jaccard' AS metric, j AS value FROM pm
+          UNION ALL SELECT label, 'intersection_est', inter FROM pm
+          UNION ALL SELECT label, 'union_est', uest FROM pm
+          UNION ALL SELECT label, 'distinct_a', da FROM pm
+          UNION ALL SELECT label, 'distinct_b', db FROM pm
+          UNION ALL SELECT label, 'containment_a_in_b',
+                           least(1.0, inter / da) FROM pm
+          UNION ALL SELECT label, 'containment_b_in_a',
+                           least(1.0, inter / db) FROM pm
+        )
     """
     out["chunk_shards"] = f"""
         SELECT * FROM ({base["chunk_documents"]}) c
@@ -4859,6 +5022,32 @@ def oracle_sql() -> dict[str, str]:
                                 target_src="documents",
                                 target_where="WHERE source = 'src1'",
                                 n=20, buckets=4096, alpha=1.0)})
+        UNION ALL
+        -- budget_select replay (r13): greedy best-first under a
+        -- 2000-token budget — keep a row iff the token sum strictly
+        -- BEFORE it in (score desc, salted-md5-prefix asc, key asc)
+        -- order is < budget. The 15-hex-char md5 prefix compares
+        -- identically as a string and as the BIGINT the Spark side
+        -- converts it to (fixed width, lowercase hex on both
+        -- engines); score (doc_id % 97) / 97.0 is an exact small-int
+        -- division, tie-heavy by construction so the hash order
+        -- inside the boundary level is value-checked
+        SELECT 'budget' AS method, doc_id, CAST(NULL AS VARCHAR) AS lang,
+               CAST(NULL AS VARCHAR) AS source, CAST(n_tok AS DOUBLE) AS weight
+        FROM (
+          SELECT doc_id, n_tok,
+                 coalesce(SUM(n_tok) OVER (
+                   ORDER BY q DESC,
+                            substr(md5('bsel' || CAST(doc_id AS VARCHAR)), 1, 15),
+                            CAST(doc_id AS VARCHAR)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS tok_before
+          FROM (
+            SELECT doc_id, (doc_id % 97) / 97.0 AS q,
+                   len({_WORDS}) AS n_tok
+            FROM documents
+          )
+        ) WHERE tok_before < 2000
     """
     out["dedup_clusters"] = f"""
         SELECT * FROM ({base["dedup_clusters"]}) CROSS JOIN ({base["dedup_report"]})

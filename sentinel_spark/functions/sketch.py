@@ -278,12 +278,27 @@ def quantile_sketch(
 # minhash_candidate_pairs, answers per-DOCUMENT questions; this
 # answers per-SOURCE ones at a millionth of the shuffle).
 #
-# Determinism: xxhash64 is a fixed permutation, the bottom-k of a set
+# Determinism: the hash is a fixed permutation, the bottom-k of a set
 # under a fixed hash is order-independent, so sketches and every
-# estimate derived from them are rerun-stable. Cross-engine the hash
-# is Spark-specific, so (like HLL above) this is law-tested in-repo
-# rather than DuckDB-gated — the honest split documented at module
-# top.
+# estimate derived from them are rerun-stable. Cross-engine: the
+# xxhash64 default is Spark-specific (law-tested in-repo, like HLL),
+# while hash_fn='md5' (md5-prefix int60 — the winnowing family's
+# engine-portable scheme, VERDICT r11 #3) computes identically in any
+# engine with md5, so md5-built sketches are DuckDB-gateable
+# end-to-end (r13). Both are uniform permutations; only the estimate
+# denominators differ (hash space 2^64 signed vs [0, 2^60)).
+
+_KMV_HASH_FNS = ("xxhash64", "md5")
+
+
+def _kmv_hash(key: Column, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.xxhash64(key)
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"hash_fn must be one of {_KMV_HASH_FNS}")
 
 
 def kmv_sketches(
@@ -292,6 +307,7 @@ def kmv_sketches(
     key_col: Column | str,
     *,
     k: int = 1024,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One bottom-``k`` KMV sketch per group: (``group_col``, ``kmv``
     array<bigint> of the k smallest DISTINCT xxhash64(key) values,
@@ -307,7 +323,7 @@ def kmv_sketches(
 
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     hashed = (
-        df.select(F.col(group_col), F.xxhash64(key).alias("_h"))
+        df.select(F.col(group_col), _kmv_hash(key, hash_fn).alias("_h"))
         .groupBy(group_col, "_h")
         .agg(F.lit(1))
     )
@@ -323,13 +339,18 @@ def kmv_sketches(
     )
 
 
-def _kmv_distinct(values: list[int], k: int) -> float:
+def _kmv_distinct(values: list[int], k: int, hash_fn: str = "xxhash64") -> float:
     """(driver) KMV distinct estimate from one sorted bottom-k list:
     exact when the sketch is unsaturated (< k values), else
-    (k-1)/u_k with u_k the k-th smallest hash mapped to (0, 1]."""
+    (k-1)/u_k with u_k the k-th smallest hash mapped to (0, 1] over
+    the hash scheme's space (signed 2^64 for xxhash64, [0, 2^60) for
+    the md5-prefix scheme)."""
     if len(values) < k:
         return float(len(values))
-    u_k = (values[k - 1] + (1 << 63) + 1) / float(1 << 64)
+    if hash_fn == "md5":
+        u_k = (values[k - 1] + 1) / float(1 << 60)
+    else:
+        u_k = (values[k - 1] + (1 << 63) + 1) / float(1 << 64)
     return (k - 1) / u_k
 
 
@@ -339,6 +360,7 @@ def source_overlap(
     k: int = 1024,
     group_col: str | None = None,
     max_sources: int = 4096,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairwise overlap report from a :func:`kmv_sketches` frame:
     (source_a, source_b, jaccard, intersection_est, union_est,
@@ -351,6 +373,12 @@ def source_overlap(
     count the fraction present in both input sketches. Containments
     divide the implied intersection by each side's distinct estimate
     (clamped to [0, 1] — at sketch error the ratio can graze past 1).
+
+    ``hash_fn`` must be the scheme the sketches were built with
+    (:func:`kmv_sketches`) — it fixes the hash-space denominator the
+    saturated estimates divide by; a mismatch silently mis-scales
+    every distinct/union estimate (the jaccard/containment ratios are
+    scheme-free).
 
     ``k`` must be the k the sketches were built with, or SMALLER:
     longer sketches truncate to ``k`` (the bottom-k' of a bottom-k
@@ -390,8 +418,9 @@ def source_overlap(
             merged = sorted(sa | sb)[:k]
             both = sum(1 for v in merged if v in sa and v in sb)
             j = both / len(merged) if merged else 0.0
-            union_est = _kmv_distinct(merged, k)
-            da, db = _kmv_distinct(sk[a], k), _kmv_distinct(sk[b], k)
+            union_est = _kmv_distinct(merged, k, hash_fn)
+            da = _kmv_distinct(sk[a], k, hash_fn)
+            db = _kmv_distinct(sk[b], k, hash_fn)
             inter = j * union_est
             out.append((
                 a, b, j, inter, union_est, da, db,

@@ -96,7 +96,13 @@ BUDGET = {
                            # frame; keyed so the WindowExec WARN about
                            # an empty partition spec never fires)
     "pii_redact": 0,
-    "sample_suite": 16,    # + r9 dsir branch: one corpus id-spread
+    "sample_suite": 17,    # r13 +1: the budget branch — the greedy
+                           # boundary resolves via ONE cumsum window
+                           # over only the boundary-bucket rows
+                           # (bounded by max_window_rows; the
+                           # histogram refinement itself is
+                           # ≤bins-row driver collects, no exchange).
+                           # + r9 dsir branch: one corpus id-spread
                            # (the featurize pass, persisted for its
                            # two consumers), ≤buckets-row model
                            # aggregates (bucket counts on both

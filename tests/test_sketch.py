@@ -205,6 +205,43 @@ class TestKMVOverlap:
         assert r.distinct_a == 10_000.0 and r.distinct_b == 10_000.0
         assert r.containment_a_in_b == pytest.approx(0.5)
 
+    def test_md5_scheme_estimates_and_exactness(self, corpus):
+        # r13: hash_fn='md5' (md5-prefix int60, the engine-portable
+        # scheme the split_report gate replays in DuckDB). Same laws
+        # as the xxhash64 default — exact when unsaturated, within
+        # sketch error when saturated — under the [0, 2^60) hash-space
+        # denominator; a scheme mismatch between build and query is
+        # rejected loudly at the hash constructor
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from sentinel_spark.functions.sketch import (
+            _kmv_hash,
+            kmv_sketches,
+            source_overlap,
+        )
+
+        sk = kmv_sketches(corpus, "src", "fp", k=1024, hash_fn="md5")
+        rows = {
+            (r.source_a, r.source_b): r
+            for r in source_overlap(sk, k=1024, hash_fn="md5").collect()
+        }
+        ab = rows[("A", "B")]
+        assert abs(ab.jaccard - 1 / 3) < 0.06
+        assert abs(ab.union_est - 15_000) / 15_000 < 0.15
+        assert abs(ab.distinct_a - 10_000) / 10_000 < 0.15
+        assert rows[("A", "C")].jaccard == 0.0
+        # unsaturated: exact under either scheme
+        two = corpus.where(F.col("src") != "C")
+        r = source_overlap(
+            kmv_sketches(two, "src", "fp", k=50_000, hash_fn="md5"),
+            k=50_000, hash_fn="md5",
+        ).collect()[0]
+        assert r.jaccard == pytest.approx(1 / 3)
+        assert r.union_est == 15_000.0
+        with _pytest.raises(ValueError, match="hash_fn"):
+            _kmv_hash(F.col("fp"), "sha1")
+
     def test_union_closure_law(self, corpus):
         # the k smallest of two merged sketches equals the sketch of
         # the unioned source — KMV's defining closure property, which
