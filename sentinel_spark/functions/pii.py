@@ -50,3 +50,117 @@ def redact_pii(
         if kinds is None or kind in kinds:
             c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
     return c
+
+
+# --- credential / secret scrubbing ---------------------------------
+#
+# Leaked credentials are the other mandatory pre-release scrub (the
+# detect-secrets / truffleHog concern: API keys pasted into issues,
+# .env files crawled into web dumps — a model trained on them will
+# happily regurgitate). Two detector classes:
+#
+# 1. STRUCTURED tokens with vendor-fixed prefixes/shapes — matched by
+#    shape alone, near-zero false positives. Public formats only
+#    (each vendor documents its own): AWS access key ids
+#    (AKIA + 16 uppercase/digits), GitHub tokens (ghp_/gho_/ghu_/
+#    ghs_/ghr_ + 36 alnum), Slack tokens (xox[abprs]-...), Stripe
+#    keys (sk_live_/pk_live_...), Google API keys (AIza + 35),
+#    JWTs (three dot-joined base64url segments, header starting
+#    {"alg" → "eyJ"), PEM private-key blocks.
+# 2. GENERIC high-entropy candidates — ≥32-char unbroken
+#    [A-Za-z0-9+/=_-] runs. Shape alone is FP-heavy (URLs' path
+#    segments, content hashes in prose are fine to drop, but long
+#    ordinary words chained by hyphens are not), so candidates pass a
+#    diversity gate: at least ``min_distinct`` distinct characters AND
+#    both letters and digits present — the cheap codegen-safe proxy
+#    for Shannon entropy (true per-candidate entropy needs a
+#    frequency map per match; the proxy keeps the whole detector a
+#    regexp + array-HOF expression, no Python).
+#
+# Patterns stay in the Java-regex ∩ RE2 ∩ DuckDB-RE2 common subset
+# like PII_PATTERNS, so oracles can apply identical patterns.
+
+SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("pem_key", r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+                r"[A-Za-z0-9+/=\s]{0,4096}?-----END [A-Z ]{0,20}PRIVATE KEY-----"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36}\b"),
+    ("slack_token", r"\bxox[abprs]-[A-Za-z0-9-]{10,72}\b"),
+    ("stripe_key", r"\b[sp]k_(?:live|test)_[A-Za-z0-9]{16,64}\b"),
+    ("google_key", r"\bAIza[A-Za-z0-9_-]{35}\b"),
+    ("jwt", r"\beyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\b"),
+)
+
+# the generic high-entropy candidate run (class 2 above)
+GENERIC_SECRET_RE = r"\b[A-Za-z0-9+/=_-]{32,512}\b"
+
+
+def _generic_secret_candidates(
+    c: Column, *, min_distinct: int = 12
+) -> Column:
+    """Array of class-2 candidate substrings that pass the diversity
+    gate: ≥ ``min_distinct`` distinct characters, at least one letter
+    and one digit (hashes-in-prose pass; hyphenated word chains and
+    all-letter identifiers don't)."""
+    cands = F.regexp_extract_all(c, F.lit(GENERIC_SECRET_RE), F.lit(0))
+    return F.filter(
+        cands,
+        lambda s: (F.size(F.array_distinct(F.split(s, ""))) >= min_distinct)
+        & s.rlike("[A-Za-z]")
+        & s.rlike("[0-9]"),
+    )
+
+
+def secret_counts(
+    col: Column | str, *, min_distinct: int = 12
+) -> dict[str, Column]:
+    """Per-kind secret match counts plus a ``generic`` entry for the
+    gated high-entropy runs — structured kinds counted on text with
+    earlier kinds already replaced (the :func:`pii_counts`
+    convention), generic counted after ALL structured kinds are
+    consumed so a GitHub token is one github_token, not also one
+    generic run."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    for kind, pat in SECRET_PATTERNS:
+        out[kind] = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    out["generic"] = F.size(
+        _generic_secret_candidates(c, min_distinct=min_distinct)
+    )
+    return out
+
+
+def redact_secrets(
+    col: Column | str,
+    *,
+    kinds: tuple[str, ...] | None = None,
+    generic: bool = True,
+    min_distinct: int = 12,
+) -> Column:
+    """Replace structured secrets with ``<KIND>`` tokens (pattern
+    order as :data:`SECRET_PATTERNS`), then — with ``generic=True`` —
+    replace each gated high-entropy run with ``<SECRET>``. The
+    generic pass rewrites only documents that HAVE a passing
+    candidate (a ``when`` guard), and replaces candidates one at a
+    time via aggregate over the candidate array, so ordinary long
+    tokens that failed the gate are never touched."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in SECRET_PATTERNS:
+        if kinds is None or kind in kinds:
+            c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    if not generic:
+        return c
+    cands = _generic_secret_candidates(c, min_distinct=min_distinct)
+    # fold the (deduped) passing candidates over the text; replace()
+    # is literal (no regex metachars to escape) and candidates are
+    # whole [A-Za-z0-9+/=_-] runs, so replacing one cannot create or
+    # destroy another candidate's match site
+    return F.when(
+        F.size(cands) > 0,
+        F.aggregate(
+            F.array_distinct(cands),
+            c,
+            lambda acc, s: F.replace(acc, s, F.lit("<SECRET>")),
+        ),
+    ).otherwise(c)
