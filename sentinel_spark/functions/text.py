@@ -443,3 +443,118 @@ def ngram_novelty(
         "n_novel",
         F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
     )
+
+
+def vocabulary_report(
+    df,
+    text_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    hapax_df: int = 1,
+):
+    """Per-group lexical-diversity diagnostics: (``*group_cols``,
+    n_tokens, n_types, type_token_ratio, n_hapax, hapax_ratio) —
+    the corpus statistics a pretraining data card reports per source
+    or per language. ``n_types`` is the distinct-token count,
+    ``type_token_ratio`` = types/tokens (rounded 6; a collapsing TTR
+    flags template/boilerplate floods the quality heuristics score
+    one document at a time and miss), ``n_hapax`` the number of types
+    with corpus frequency ≤ ``hapax_df`` (default: true hapax
+    legomena), ``hapax_ratio`` = hapax/types. Empty groups (no
+    tokens) report zero counts and NULL ratios.
+
+    Scale shape: one tokenize + explode, ONE map-side-combined
+    (group, token) count aggregate — cardinality = Σ per-group
+    vocabulary, not corpus tokens — then a per-group aggregate over
+    that vocabulary-sized frame. No collect, no window, no join; at
+    100 TB the (group, token) exchange is the honest price of a
+    distinct-count question, and the partial aggregation absorbs the
+    token-grain explosion map-side."""
+    groups = list(group_cols or [])
+    tok_rows = df.select(
+        *groups, F.explode(tokens(text_col)).alias("_tok")
+    )
+    per_type = tok_rows.groupBy(*groups, "_tok").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    gb = per_type.groupBy(*groups) if groups else per_type.groupBy()
+    out = gb.agg(
+        F.sum("_n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("_n") <= hapax_df).cast("long")).alias("n_hapax"),
+    )
+    return out.select(
+        *groups,
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_types") / F.col("n_tokens"), 6),
+        ).alias("type_token_ratio"),
+        "n_hapax",
+        F.when(
+            F.col("n_types") > 0,
+            F.round(F.col("n_hapax") / F.col("n_types"), 6),
+        ).alias("hapax_ratio"),
+    )
+
+
+def compression_ratio(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    level: int = 6,
+):
+    """Per-document zlib compression ratio — compressed/raw bytes of
+    the UTF-8 text, rounded 6 (RefinedWeb/Dolma-class quality signal:
+    highly repetitive or templated documents compress far below
+    natural prose, catching repetition styles the explicit
+    :func:`doc_repetition` n-gram fractions miss; gibberish and
+    high-entropy noise compress ABOVE prose). Output (``id_col``,
+    raw_bytes, compressed_bytes, ratio); NULL text reports NULL
+    stats, empty text ratio NULL (zero raw bytes).
+
+    This is the documented Arrow-batched exception, not the rule:
+    zlib is not expressible in built-in Columns, so the pass is ONE
+    mapInPandas over (id, text) with per-batch vectorized compression
+    — no shuffle, schema-pruned input, output one row per input row.
+    Determinism: zlib with a fixed ``level`` is a pure function of
+    the byte string (the DEFLATE output for a given input/level/
+    strategy is implementation-stable across CPython builds — zlib
+    pins it), so the column is rerun-stable; it is still kept out of
+    any cross-engine hash because no SQL engine replays it."""
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    out_schema = (
+        f"{id_col} long, raw_bytes long, compressed_bytes long, "
+        "ratio double"
+    )
+
+    def _batches(batches):
+        import zlib
+
+        for pdf in batches:
+            ids = pdf[id_col]
+            raw, comp, ratio = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    raw.append(None)
+                    comp.append(None)
+                    ratio.append(None)
+                    continue
+                b = t.encode("utf-8")
+                c = len(zlib.compress(b, level))
+                raw.append(len(b))
+                comp.append(c)
+                ratio.append(round(c / len(b), 6) if b else None)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "raw_bytes": pd.array(raw, dtype="Int64"),
+                    "compressed_bytes": pd.array(comp, dtype="Int64"),
+                    "ratio": pd.array(ratio, dtype="Float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_batches, out_schema)

@@ -1598,3 +1598,72 @@ def test_ngram_novelty_self_and_reference_modes(spark):
     eout = {r.doc_id: r for r in ngram_novelty(edge, "text", "doc_id", n=3).collect()}
     assert eout[11].n_shingles == 1 and eout[11].novelty == 1.0
     assert eout[10].n_shingles == 1  # the empty-string whole-text shingle
+
+
+def test_vocabulary_report_ttr_and_hapax(spark):
+    from sentinel_spark.functions.text import vocabulary_report
+
+    rows = [
+        # src a: "the cat sat" + "the cat ran" -> tokens 6, types 4,
+        # hapax = {sat, ran} (the:2, cat:2)
+        (1, "a", "the cat sat"),
+        (2, "a", "the cat ran"),
+        # src b: pure boilerplate flood -> TTR collapses
+        (3, "b", "click here click here click here click here"),
+        # src c: NULL text only -> zero counts, NULL ratios
+        (4, "c", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = {
+        r.src: r
+        for r in vocabulary_report(
+            df, "text", group_cols=["src"]
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.n_tokens, a.n_types, a.n_hapax) == (6, 4, 2)
+    assert a.type_token_ratio == pytest.approx(4 / 6, abs=1e-6)
+    assert a.hapax_ratio == pytest.approx(0.5)
+    b = out["b"]
+    assert (b.n_tokens, b.n_types, b.n_hapax) == (8, 2, 0)
+    assert b.type_token_ratio == 0.25 and b.hapax_ratio == 0.0
+    # NULL-text group: regexp over NULL yields no token rows at all,
+    # so the group is absent (documented: report covers token-bearing
+    # groups; join back to the source list for presence)
+    assert "c" not in out
+    # ungrouped: one global row over every token
+    g = vocabulary_report(df, "text").collect()
+    assert len(g) == 1 and g[0].n_tokens == 14
+    # hapax_df=2 widens "rare" to df<=2: src a's every type qualifies
+    w = {
+        r.src: r
+        for r in vocabulary_report(
+            df, "text", group_cols=["src"], hapax_df=2
+        ).collect()
+    }
+    assert w["a"].n_hapax == 4
+
+
+def test_compression_ratio_orders_repetition_below_prose(spark):
+    from sentinel_spark.functions.text import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "wanders toward a distant river bank watching dragonflies"),
+        (2, "spam spam spam spam " * 40),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert len(out) == 4
+    # repetitive text compresses far below prose
+    assert out[2].ratio < out[1].ratio
+    assert out[2].ratio < 0.2 and out[1].ratio > 0.5
+    # bookkeeping: raw bytes match the UTF-8 length; NULL/empty legs
+    assert out[1].raw_bytes == len(rows[0][1].encode())
+    assert out[3].ratio is None and out[3].raw_bytes is None
+    assert out[4].raw_bytes == 0 and out[4].ratio is None
+    # deterministic across runs (fixed zlib level)
+    again = {r.doc_id: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert all(out[k].compressed_bytes == again[k].compressed_bytes for k in out)
