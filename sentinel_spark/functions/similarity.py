@@ -806,6 +806,85 @@ def ann_join_recall(
     return _recall_vs(exact, approx, k)
 
 
+def truncate_embeddings(
+    df: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Prefix-truncate every vector to its first ``dim`` dimensions —
+    the Matryoshka-representation serving move (Kusupati et al. 2022:
+    MRL-trained embeddings keep most of their retrieval quality in a
+    short prefix, so the index stores/scans ``dim`` floats instead of
+    the full width). ``renormalize=True`` rescales the prefix to unit
+    L2 (cosine RANKING is scale-invariant, so recall is unaffected
+    either way — renormalization matters when downstream consumers
+    take raw dot products or thresholds on absolute similarity);
+    all-zero prefixes are left unnormalized rather than divided by
+    zero. A vector SHORTER than ``dim`` raises loudly per row (a
+    silent short slice would quietly compare vectors of different
+    widths downstream).
+
+    Pure Column expressions (slice + one fold); at 100 TB this is a
+    map-only projection that also SHRINKS every downstream shuffle
+    and index by width/dim — the point of the operation."""
+    v = F.col(vec_col)
+    boom = F.raise_error(
+        F.lit(
+            f"truncate_embeddings: a vector is shorter than dim={dim} "
+            "— truncation must not silently mix widths"
+        )
+    )
+    sliced = F.when(F.size(v) >= dim, F.slice(v, 1, dim)).otherwise(boom)
+    if renormalize:
+        sliced = F.transform(sliced, lambda x: x.cast("double"))
+        norm = l2_norm(sliced)
+        sliced = F.when(
+            norm > 0, F.transform(sliced, lambda x: x / norm)
+        ).otherwise(sliced)
+    return df.withColumn(vec_col, sliced)
+
+
+def truncation_recall(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    dims: Sequence[int],
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of exact search over ``dim``-truncated vectors against
+    exact search at full width, for each ``dim`` in ``dims`` —
+    "which serving width suffices", the measurement that justifies a
+    Matryoshka deployment before any index enters the picture.
+    Output: (dim, q_id, hits, recall), one row per (dim, query).
+
+    Isolation note: BOTH sides are exact brute force, so the numbers
+    attribute recall loss to the truncation alone — compose with
+    :func:`ann_recall` / :func:`ann_join_recall` afterwards to price
+    the index on the chosen width. Like those harnesses, run on a
+    sampled query set; the loop is a driver-side union over
+    ``len(dims)`` bounded plans, not a per-row anything."""
+    exact = brute_force_topk(emb, query_ids, k, id_col, vec_col).select(
+        "q_id", "c_id"
+    )
+    out = None
+    for d in dims:
+        tr = truncate_embeddings(emb, int(d), vec_col=vec_col)
+        approx = brute_force_topk(tr, query_ids, k, id_col, vec_col).select(
+            "q_id", "c_id"
+        )
+        r = _recall_vs(exact, approx, k).select(
+            F.lit(int(d)).alias("dim"), "q_id", "hits", "recall"
+        )
+        out = r if out is None else out.unionByName(r)
+    if out is None:
+        raise ValueError("truncation_recall: dims must be non-empty")
+    return out
+
+
 def assign_cells(
     emb: DataFrame,
     cents: DataFrame,
