@@ -4889,7 +4889,7 @@ def oracle_sql() -> dict[str, str]:
           kd AS (
             SELECT source,
                    CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-                        ELSE 63 / ((vk + 1) / 1152921504606846976.0)
+                        ELSE 63 / ((vk + 1) / CAST(1152921504606846976 AS DOUBLE))
                    END AS dest
             FROM (SELECT source, count(*) AS n, max(h) AS vk
                   FROM kb GROUP BY 1)
@@ -4916,7 +4916,7 @@ def oracle_sql() -> dict[str, str]:
           pe AS (
             SELECT sa, sb, nboth / m AS j,
                    CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
-                        ELSE 63 / ((vm + 1) / 1152921504606846976.0)
+                        ELSE 63 / ((vm + 1) / CAST(1152921504606846976 AS DOUBLE))
                    END AS uest
             FROM (SELECT sa, sb, count(*) AS m, sum(in_a * in_b) AS nboth,
                          max(h) AS vm
