@@ -77,6 +77,7 @@ def build_training_corpus(
     rescore_stars: bool = False,
     scrub_n: int | None = None,
     redact: bool = False,
+    scrub_secrets: bool = False,
     shard_tokens: int = 1 << 22,
     export_mode: str = "pack",
     export_shuffle_seed: int | None = None,
@@ -440,16 +441,22 @@ def build_training_corpus(
             )
             funnel = funnel.crossJoin(f_dsir)
 
-    # ``redact`` masks PII in the exported text (C4/Dolma-style) — a
-    # pure regexp projection on the already-selected rows, after every
-    # content-keyed decision (fingerprints/shingles/token counts are
-    # computed over the ORIGINAL text, so redaction can't split
-    # duplicate groups or shift stage decisions).
-    out_text = (
-        redact_pii(F.col(text_col)).alias(text_col)
-        if redact
-        else F.col(text_col)
-    )
+    # ``redact`` masks PII and ``scrub_secrets`` credentials in the
+    # exported text (C4/Dolma-style) — pure regexp projections on the
+    # already-selected rows, after every content-keyed decision
+    # (fingerprints/shingles/token counts are computed over the
+    # ORIGINAL text, so masking can't split duplicate groups or shift
+    # stage decisions). Secrets scrub AFTER PII: both are idempotent
+    # and their replacement tokens never re-match the other's
+    # patterns, so the order is cosmetic — pinned for determinism.
+    out_text = F.col(text_col)
+    if redact:
+        out_text = redact_pii(out_text)
+    if scrub_secrets:
+        from sentinel_spark.functions.pii import redact_secrets
+
+        out_text = redact_secrets(out_text)
+    out_text = out_text.alias(text_col)
     epoch_cols = ["epoch"] if allow_repeat else []
     selected = (
         final.select(
