@@ -309,3 +309,114 @@ def pack_sequences(
         "pack_total",
         "oversized",
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    token_col: str,
+    *,
+    batch_tokens: int,
+    bucket_edges: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048),
+    key: Column | str = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic length-bucketed token-budget batching — the
+    trainer-side padding-efficiency move: sequences are first grouped
+    into length buckets (``bucket_edges`` are inclusive upper bounds;
+    one overflow bucket catches everything longer), then each bucket
+    is cut into batches of ≈ ``batch_tokens`` tokens in salted-hash
+    order, so co-batched sequences have similar lengths and the
+    pad-to-longest waste stays bounded by the bucket width instead of
+    the corpus-wide length spread.
+
+    Output: ``df``'s columns + ``length_bucket`` (0-based bucket
+    index; ``len(bucket_edges)`` = the overflow bucket),
+    ``batch_index`` (0-based within the bucket), and ``batch_id``
+    (``"<bucket>#<index>"``, globally unique). Assignment is the
+    :func:`~sentinel_spark.functions.sampling.mixture_sample`
+    convention: a sequence joins the batch its summed-tokens-BEFORE
+    position falls in, so each batch overshoots ``batch_tokens`` by
+    at most one sequence, assignment is rerun-stable (salted-md5
+    order, unique ``key`` REQUIRED), and a sequence longer than
+    ``batch_tokens`` advances the cursor past whole batch widths, so
+    no batch holds two oversized sequences (it may still share its
+    batch with the shorter sequences that preceded it in hash order —
+    rare outside the overflow bucket, whose lengths are unbounded).
+    NULL token counts weigh 0 (they batch, carrying no budget).
+
+    Scale shape: the per-bucket hash-order prefix sum is the
+    two-level :func:`~sentinel_spark.functions.sampling._mixture_prefix`
+    (windows over ~2^15 hash ranges + one tiny per-bucket range-total
+    window riding a broadcast join) — NO corpus-wide sort and no
+    single-task window at any size; the bucket assignment itself is a
+    chained-when codegen projection."""
+    from functools import reduce
+
+    from sentinel_spark.functions.sampling import _mixture_prefix
+
+    if batch_tokens <= 0:
+        raise ValueError("batch_tokens must be positive")
+    edges = list(bucket_edges)
+    if edges != sorted(edges) or len(set(edges)) != len(edges):
+        raise ValueError("bucket_edges must be strictly increasing")
+    t = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    bucket = reduce(
+        lambda acc, ie: F.when(t <= ie[1], F.lit(ie[0])).otherwise(acc),
+        reversed(list(enumerate(edges))),
+        F.lit(len(edges)),
+    )
+    with_bucket = df.withColumn("length_bucket", bucket)
+    joined, before = _mixture_prefix(
+        with_bucket,
+        "length_bucket",
+        token_col,
+        key=key,
+        salt=salt,
+        caller="length_bucket_batches",
+    )
+    out = joined.withColumn(
+        "batch_index",
+        F.floor(before / F.lit(int(batch_tokens))).cast("long"),
+    ).withColumn(
+        "batch_id",
+        F.concat_ws(
+            "#",
+            F.col("length_bucket").cast("string"),
+            F.col("batch_index").cast("string"),
+        ),
+    )
+    return out.select(
+        *df.columns, "length_bucket", "batch_index", "batch_id"
+    )
+
+
+def batch_padding_report(
+    batched: DataFrame,
+    token_col: str,
+    *,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Padding-waste accounting for a :func:`length_bucket_batches`
+    assignment (or any batch labeling): per batch, the sequences,
+    token sum, max length, padded size (max_len × n_seqs — what a
+    pad-to-longest collator allocates), and pad_frac = wasted /
+    padded (rounded 6; NULL for an all-zero batch). ONE
+    map-side-combined aggregate on the batch key."""
+    t = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    agg = batched.groupBy(batch_col).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum(t).alias("n_tokens"),
+        F.max(t).alias("max_len"),
+    )
+    padded = F.col("max_len") * F.col("n_seqs")
+    return agg.select(
+        batch_col,
+        "n_seqs",
+        "n_tokens",
+        "max_len",
+        padded.alias("padded_tokens"),
+        F.when(
+            padded > 0,
+            F.round((padded - F.col("n_tokens")) / padded, 6),
+        ).alias("pad_frac"),
+    )

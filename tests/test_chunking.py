@@ -253,3 +253,134 @@ def test_token_offsets_timestamp_keys(spark):
         assert not _is_fixed_offset_zone(spark, None)
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+class TestLengthBucketBatches:
+    def test_assignment_laws(self, spark):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from sentinel_spark.functions.chunking import (
+            batch_padding_report,
+            length_bucket_batches,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, rng.randint(1, 300)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        out = length_bucket_batches(
+            df, "n_tok", batch_tokens=1000,
+            bucket_edges=(64, 128, 256), key="doc_id", salt="b",
+        ).collect()
+        assert len(out) == 500
+        # bucket correctness: inclusive upper bounds, overflow bucket
+        for r in out:
+            edges = (64, 128, 256)
+            want = next(
+                (i for i, e in enumerate(edges) if r.n_tok <= e), len(edges)
+            )
+            assert r.length_bucket == want
+        # batch budget law: per (bucket, batch), tokens minus its last
+        # (hash-order) member's is under budget — the <=1-seq overshoot
+        def h60(i):
+            return int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16)
+
+        from collections import defaultdict
+
+        batches = defaultdict(list)
+        for r in out:
+            batches[(r.length_bucket, r.batch_index)].append(r)
+        for (_, bi), members in batches.items():
+            tot = sum(m.n_tok for m in members)
+            last = max(members, key=lambda m: (h60(m.doc_id), str(m.doc_id)))
+            assert tot - last.n_tok < 1000
+        # batch indexes are dense from 0 per bucket
+        by_bucket = defaultdict(set)
+        for r in out:
+            by_bucket[r.length_bucket].add(r.batch_index)
+        for idxs in by_bucket.values():
+            assert idxs == set(range(len(idxs)))
+        # exact replay of the greedy cursor in hash order per bucket
+        for b, idxs in by_bucket.items():
+            mem = sorted(
+                (r for r in out if r.length_bucket == b),
+                key=lambda m: (h60(m.doc_id), str(m.doc_id)),
+            )
+            cum = 0
+            for m in mem:
+                assert m.batch_index == cum // 1000, m
+                cum += m.n_tok
+        # padding report reconciles
+        rep = {
+            r.batch_id: r
+            for r in batch_padding_report(
+                length_bucket_batches(
+                    df, "n_tok", batch_tokens=1000,
+                    bucket_edges=(64, 128, 256), key="doc_id", salt="b",
+                ),
+                "n_tok",
+            ).collect()
+        }
+        for (bk, bi), members in batches.items():
+            r = rep[f"{bk}#{bi}"]
+            assert r.n_seqs == len(members)
+            assert r.n_tokens == sum(m.n_tok for m in members)
+            assert r.max_len == max(m.n_tok for m in members)
+            assert r.padded_tokens == r.max_len * r.n_seqs
+            if r.padded_tokens:
+                assert r.pad_frac == round(
+                    (r.padded_tokens - r.n_tokens) / r.padded_tokens, 6
+                )
+
+    def test_edges_and_guards(self, spark):
+        import pytest as _pytest
+
+        from sentinel_spark.functions.chunking import length_bucket_batches
+
+        df = spark.createDataFrame(
+            [(1, 5000), (2, 10), (3, None)], "doc_id long, n_tok long"
+        )
+        out = {
+            r.doc_id: r
+            for r in length_bucket_batches(
+                df, "n_tok", batch_tokens=100, bucket_edges=(64,),
+                key="doc_id",
+            ).collect()
+        }
+        # oversized lands in the overflow bucket; NULL weighs 0 and
+        # still receives a batch
+        assert out[1].length_bucket == 1
+        assert out[2].length_bucket == 0 and out[3].length_bucket == 0
+        assert out[3].batch_id is not None
+        with _pytest.raises(ValueError, match="unique per-row key"):
+            length_bucket_batches(df, "n_tok", batch_tokens=100)
+        with _pytest.raises(ValueError, match="positive"):
+            length_bucket_batches(df, "n_tok", batch_tokens=0, key="doc_id")
+        with _pytest.raises(ValueError, match="increasing"):
+            length_bucket_batches(
+                df, "n_tok", batch_tokens=10, bucket_edges=(64, 64),
+                key="doc_id",
+            )
+        # padding efficiency: bucketed batching never pads worse than
+        # one global bucket on a bimodal corpus
+        from sentinel_spark.functions.chunking import batch_padding_report
+
+        bi = spark.createDataFrame(
+            [(i, 10 if i % 2 else 500) for i in range(200)],
+            "doc_id long, n_tok long",
+        )
+        def waste(edges):
+            rep = batch_padding_report(
+                length_bucket_batches(
+                    bi, "n_tok", batch_tokens=2000, bucket_edges=edges,
+                    key="doc_id",
+                ),
+                "n_tok",
+            ).collect()
+            return sum(r.padded_tokens - r.n_tokens for r in rep) / sum(
+                r.padded_tokens for r in rep
+            )
+        assert waste((64,)) < waste(()) * 0.5
