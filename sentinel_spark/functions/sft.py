@@ -1,0 +1,210 @@
+"""Conversation (chat / SFT) training-data operators.
+
+Instruction-tuning corpora ship as conversations — arrays of
+``{role, content}`` messages serialized as JSON — and need their own
+curation pass before any text-level operator applies: schema
+validation (parseable, roles from the allowed set), STRUCTURE
+validation (optional system preamble, then strict user/assistant
+alternation, assistant-final), turn-level exploding so the dedup /
+PII / quality machinery can run at message grain, deterministic
+flattening into trainable text, and a conversation-grain content
+fingerprint for exact dedup.
+
+Everything is built-in Column expressions — ``from_json`` plus array
+higher-order functions over the (short) message array; nothing
+touches Python per row, and the per-conversation arrays are bounded
+by turn count, not corpus size, so the HOF evaluation cost is
+O(turns) per row. Part of the §2.12 training-pipeline extension
+surface (the reference has no conversational data model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the wire schema: a conversation is an ordered message array
+MESSAGES_SCHEMA = "array<struct<role:string,content:string>>"
+
+ALLOWED_ROLES = ("system", "user", "assistant")
+
+
+def parse_conversations(
+    df: DataFrame,
+    json_col: str,
+    *,
+    msgs_col: str = "messages",
+) -> DataFrame:
+    """Parse a JSON conversation column into ``msgs_col`` (typed
+    message array) + ``json_ok`` (false for NULL input, malformed
+    JSON, JSON that isn't an ARRAY, or JSON whose shape doesn't
+    coerce to the message schema — ``from_json`` returns NULL for
+    those, never throws). The explicit is-an-array check exists
+    because Spark's ``from_json`` silently WRAPS a bare JSON object
+    into a one-element array when given an array schema — a
+    wrong-shape record would otherwise parse as a one-turn
+    conversation. Keep the raw column; downstream filters route on
+    ``json_ok`` so rejects stay inspectable (the rejects-channel
+    convention)."""
+    parsed = F.from_json(F.col(json_col), MESSAGES_SCHEMA)
+    is_array = F.startswith(F.ltrim(F.col(json_col)), F.lit("["))
+    return df.withColumn(msgs_col, parsed).withColumn(
+        "json_ok",
+        F.col(json_col).isNotNull()
+        & parsed.isNotNull()
+        & F.coalesce(is_array, F.lit(False)),
+    )
+
+
+def _roles(msgs: Column) -> Column:
+    return F.transform(msgs, lambda m: m.getField("role"))
+
+
+def conversation_report(
+    df: DataFrame,
+    msgs_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-conversation structural report: (``id_col``, n_turns,
+    n_system, alternation_ok, ends_with_assistant, has_empty_content,
+    roles_ok, n_chars, structure_ok).
+
+    ``alternation_ok``: after an OPTIONAL run of leading system
+    messages, the body is strictly user/assistant alternating and
+    starts with user (the OpenAI-chat convention every SFT collator
+    assumes; a violated conversation mis-masks losses silently, which
+    is why this is a loud pre-training gate, not a collator patch).
+    ``roles_ok``: every role is from the allowed set.
+    ``has_empty_content``: any NULL/whitespace-only content.
+    ``structure_ok`` is the conjunction trainers gate on
+    (alternation ∧ roles ∧ assistant-final ∧ no empty ∧ ≥2 body
+    turns). NULL message arrays (unparsed rows) report n_turns NULL
+    and structure_ok false — filter on parse_conversations' json_ok
+    first for attribution.
+
+    One projection — every check is an array HOF over the
+    conversation's own messages."""
+    msgs = F.col(msgs_col)
+    roles = _roles(msgs)
+    n = F.size(msgs)
+    # length of the leading system run: count roles before the first
+    # non-system position (array_position on a boolean-transformed
+    # array gives the first mismatch 1-based; 0 = all system)
+    first_non_sys = F.array_position(
+        F.transform(roles, lambda r: r != F.lit("system")), True
+    )
+    n_lead_sys = F.when(first_non_sys == 0, n).otherwise(first_non_sys - 1)
+    body = F.slice(roles, n_lead_sys + 1, F.greatest(n - n_lead_sys, F.lit(0)))
+    # body position i (1-based): odd -> user, even -> assistant
+    body_alt = F.zip_with(
+        body,
+        F.sequence(F.lit(1), F.greatest(F.size(body), F.lit(1))),
+        lambda r, i: r
+        == F.when(i % 2 == 1, F.lit("user")).otherwise(F.lit("assistant")),
+    )
+    alternation_ok = (F.size(body) > 0) & F.forall(body_alt, lambda x: x)
+    roles_ok = F.forall(
+        roles, lambda r: r.isin(*[F.lit(x) for x in ALLOWED_ROLES])
+    )
+    ends_assistant = F.element_at(roles, -1) == F.lit("assistant")
+    has_empty = F.exists(
+        msgs,
+        lambda m: m.getField("content").isNull()
+        | (F.length(F.trim(m.getField("content"))) == 0),
+    )
+    n_chars = F.aggregate(
+        msgs,
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.coalesce(F.length(m.getField("content")).cast("long"), F.lit(0)),
+    )
+    structure_ok = (
+        alternation_ok
+        & roles_ok
+        & ends_assistant
+        & ~has_empty
+        & (F.size(body) >= 2)
+    )
+    return df.select(
+        id_col,
+        n.alias("n_turns"),
+        n_lead_sys.cast("int").alias("n_system"),
+        alternation_ok.alias("alternation_ok"),
+        ends_assistant.alias("ends_with_assistant"),
+        has_empty.alias("has_empty_content"),
+        roles_ok.alias("roles_ok"),
+        n_chars.alias("n_chars"),
+        F.coalesce(structure_ok, F.lit(False)).alias("structure_ok"),
+    )
+
+
+def explode_turns(
+    df: DataFrame,
+    msgs_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(``id_col``, turn_idx, role, content) — one row per message,
+    0-based ``turn_idx``, so the text-grain machinery (PII/secret
+    scrubbing, quality heuristics, exact/near dedup on assistant
+    turns) runs at message grain. ``posexplode`` drops conversations
+    with NULL message arrays (route on ``json_ok`` first)."""
+    return df.select(
+        id_col, F.posexplode(F.col(msgs_col)).alias("turn_idx", "m")
+    ).select(
+        id_col,
+        "turn_idx",
+        F.col("m.role").alias("role"),
+        F.col("m.content").alias("content"),
+    )
+
+
+def flatten_conversation(
+    msgs_col: str | Column,
+    *,
+    role_open: str = "<|",
+    role_close: str = "|>\n",
+    turn_sep: str = "\n",
+) -> Column:
+    """Render a message array to one trainable text Column:
+    ``<|role|>\\ncontent`` per turn, turns joined by ``turn_sep`` —
+    deterministic, so the flattened text is a stable dedup /
+    fingerprint subject. NULL contents render empty (the structural
+    gate flags them; flattening must not invent text)."""
+    msgs = F.col(msgs_col) if isinstance(msgs_col, str) else msgs_col
+    return F.array_join(
+        F.transform(
+            msgs,
+            lambda m: F.concat(
+                F.lit(role_open),
+                F.coalesce(m.getField("role"), F.lit("")),
+                F.lit(role_close),
+                F.coalesce(m.getField("content"), F.lit("")),
+            ),
+        ),
+        turn_sep,
+    )
+
+
+def conversation_fingerprint(msgs_col: str | Column) -> Column:
+    """md5 of the canonical ``role:content`` serialization (0x1f
+    unit separator between turns — a byte that cannot appear in the
+    role set and is vanishingly rare in content, so distinct turn
+    splits never collide by concatenation). Feed to the exact-dedup
+    machinery exactly like text fingerprints; whitespace INSIDE
+    content is significant (two conversations differing only in
+    formatting are different training examples — normalize content
+    upstream if that's not wanted)."""
+    msgs = F.col(msgs_col) if isinstance(msgs_col, str) else msgs_col
+    return F.md5(
+        F.array_join(
+            F.transform(
+                msgs,
+                lambda m: F.concat(
+                    F.coalesce(m.getField("role"), F.lit("")),
+                    F.lit(":"),
+                    F.coalesce(m.getField("content"), F.lit("")),
+                ),
+            ),
+            "\x1f",
+        )
+    )

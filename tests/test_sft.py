@@ -1,0 +1,147 @@
+"""Conversation (SFT) operator tests: parse/validate/explode/flatten/
+fingerprint over literal chat-format JSON."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.sft import (
+    conversation_fingerprint,
+    conversation_report,
+    explode_turns,
+    flatten_conversation,
+    parse_conversations,
+)
+
+
+def _conv(*turns):
+    return json.dumps([{"role": r, "content": c} for r, c in turns])
+
+
+GOOD = _conv(
+    ("system", "be terse"),
+    ("user", "hi"),
+    ("assistant", "hello"),
+    ("user", "bye"),
+    ("assistant", "farewell"),
+)
+NO_SYS = _conv(("user", "q"), ("assistant", "a"))
+BAD_ALT = _conv(("user", "q"), ("user", "q2"), ("assistant", "a"))
+USER_FINAL = _conv(("user", "q"), ("assistant", "a"), ("user", "dangling"))
+EMPTY_CONTENT = _conv(("user", "q"), ("assistant", "   "))
+BAD_ROLE = _conv(("user", "q"), ("tool", "x"), ("assistant", "a"))
+SYS_ONLY = _conv(("system", "just a preamble"))
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    rows = [
+        (1, GOOD),
+        (2, NO_SYS),
+        (3, BAD_ALT),
+        (4, USER_FINAL),
+        (5, EMPTY_CONTENT),
+        (6, BAD_ROLE),
+        (7, SYS_ONLY),
+        (8, "this is not json"),
+        (9, None),
+        (10, '{"role": "user"}'),  # json, wrong shape (not an array)
+    ]
+    df = spark.createDataFrame(rows, "conv_id long, raw string")
+    return parse_conversations(df, "raw")
+
+
+def test_parse_flags_malformed(convs):
+    ok = {r.conv_id: r.json_ok for r in convs.collect()}
+    assert ok == {
+        1: True, 2: True, 3: True, 4: True, 5: True, 6: True, 7: True,
+        8: False, 9: False, 10: False,
+    }
+
+
+def test_structure_report(convs):
+    rep = {
+        r.conv_id: r
+        for r in conversation_report(convs, "messages", "conv_id").collect()
+    }
+    g = rep[1]
+    assert (g.n_turns, g.n_system) == (5, 1)
+    assert g.alternation_ok and g.ends_with_assistant and g.roles_ok
+    assert not g.has_empty_content and g.structure_ok
+    assert g.n_chars == sum(
+        len(c) for c in ("be terse", "hi", "hello", "bye", "farewell")
+    )
+    assert rep[2].structure_ok and rep[2].n_system == 0
+    assert not rep[3].alternation_ok and not rep[3].structure_ok
+    assert not rep[4].ends_with_assistant and not rep[4].structure_ok
+    assert rep[5].has_empty_content and not rep[5].structure_ok
+    assert not rep[6].roles_ok and not rep[6].structure_ok
+    # system-only: empty body fails alternation (and the >=2 floor)
+    assert not rep[7].alternation_ok and not rep[7].structure_ok
+    # unparsed rows report NULL turns but a definite false verdict
+    assert rep[8].n_turns is None and rep[8].structure_ok is False
+
+
+def test_explode_turns(convs):
+    rows = explode_turns(
+        convs.where(F.col("conv_id") == 1), "messages", "conv_id"
+    ).collect()
+    assert [(r.turn_idx, r.role) for r in rows] == [
+        (0, "system"), (1, "user"), (2, "assistant"),
+        (3, "user"), (4, "assistant"),
+    ]
+    assert rows[2].content == "hello"
+    # unparsed conversations vanish (documented; json_ok routes them)
+    assert explode_turns(
+        convs.where(F.col("conv_id") == 9), "messages", "conv_id"
+    ).count() == 0
+
+
+def test_flatten_and_fingerprint(convs, spark):
+    flat = {
+        r.conv_id: r.t
+        for r in convs.where(F.col("json_ok")).select(
+            "conv_id", flatten_conversation("messages").alias("t")
+        ).collect()
+    }
+    assert flat[2] == "<|user|>\nq\n<|assistant|>\na"
+    # deterministic + turn-structure-sensitive fingerprints
+    fp = {
+        r.conv_id: r.f
+        for r in convs.select(
+            "conv_id", conversation_fingerprint("messages").alias("f")
+        ).collect()
+    }
+    assert fp[1] == fp[1] and fp[1] != fp[2]
+    # same text split across turns differently -> different fingerprint
+    a = spark.createDataFrame(
+        [(1, _conv(("user", "ab"), ("assistant", "c"))),
+         (2, _conv(("user", "a"), ("assistant", "bc")))],
+        "conv_id long, raw string",
+    )
+    pa = parse_conversations(a, "raw")
+    f2 = [r.f for r in pa.select(
+        conversation_fingerprint("messages").alias("f")
+    ).collect()]
+    assert f2[0] != f2[1]
+    # fingerprint feeds exact dedup: identical conversations collide
+    b = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD)], "conv_id long, raw string"
+    )
+    fb = parse_conversations(b, "raw").select(
+        conversation_fingerprint("messages").alias("f")
+    ).collect()
+    assert fb[0].f == fb[1].f
+
+
+def test_turn_grain_composition(convs):
+    # explode -> secret/PII scrub at message grain -> the text ops
+    # compose without conversation-specific plumbing
+    from sentinel_spark.functions.pii import redact_secrets
+
+    t = explode_turns(convs.where(F.col("json_ok")), "messages", "conv_id")
+    red = t.select(redact_secrets("content").alias("c")).collect()
+    assert all("AKIA" not in (r.c or "") for r in red)
