@@ -208,3 +208,59 @@ def conversation_fingerprint(msgs_col: str | Column) -> Column:
             "\x1f",
         )
     )
+
+
+def flatten_spans(
+    msgs_col: str | Column,
+    *,
+    role_open: str = "<|",
+    role_close: str = "|>\n",
+    turn_sep: str = "\n",
+) -> Column:
+    """Per-turn character spans INTO :func:`flatten_conversation`'s
+    rendering (same parameters = same text, byte-for-byte):
+    array<struct<turn_idx int, start int, length int, role string,
+    content_start int, content_length int>>, 0-based ``start`` of
+    each rendered turn and of its content substring — the loss-mask
+    input: a trainer unmasks exactly the content spans of assistant
+    turns, and because the spans are computed from the SAME
+    expressions that render the text, a template change cannot
+    silently desynchronize mask and text.
+
+    One aggregate fold over the message array (running position in
+    the accumulator; array-append per turn is O(turns²) in array
+    copies, irrelevant at conversation grain). NULL contents render
+    empty, matching the flattener."""
+    msgs = F.col(msgs_col) if isinstance(msgs_col, str) else msgs_col
+    lo, lc, ls = len(role_open), len(role_close), len(turn_sep)
+
+    def step(acc, m):
+        role = F.coalesce(m.getField("role"), F.lit(""))
+        content = F.coalesce(m.getField("content"), F.lit(""))
+        header = F.lit(lo) + F.length(role) + F.lit(lc)
+        total = header + F.length(content)
+        idx = F.size(acc.getField("spans"))
+        start = acc.getField("pos") + F.when(idx > 0, F.lit(ls)).otherwise(
+            F.lit(0)
+        )
+        span = F.struct(
+            idx.cast("int").alias("turn_idx"),
+            start.cast("int").alias("start"),
+            total.cast("int").alias("length"),
+            m.getField("role").alias("role"),
+            (start + header).cast("int").alias("content_start"),
+            F.length(content).cast("int").alias("content_length"),
+        )
+        return F.struct(
+            (start + total).alias("pos"),
+            F.concat(acc.getField("spans"), F.array(span)).alias("spans"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("pos"),
+        F.array().cast(
+            "array<struct<turn_idx:int,start:int,length:int,role:string,"
+            "content_start:int,content_length:int>>"
+        ).alias("spans"),
+    )
+    return F.aggregate(msgs, init, step, lambda acc: acc.getField("spans"))

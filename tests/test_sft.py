@@ -145,3 +145,50 @@ def test_turn_grain_composition(convs):
     t = explode_turns(convs.where(F.col("json_ok")), "messages", "conv_id")
     red = t.select(redact_secrets("content").alias("c")).collect()
     assert all("AKIA" not in (r.c or "") for r in red)
+
+
+def test_flatten_spans_match_rendering(convs, spark):
+    from sentinel_spark.functions.sft import flatten_spans
+
+    rows = convs.where(F.col("json_ok")).select(
+        "conv_id",
+        flatten_conversation("messages").alias("t"),
+        flatten_spans("messages").alias("spans"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert len(r.spans) > 0
+        for s in r.spans:
+            piece = r.t[s.start : s.start + s.length]
+            # the span re-renders its own turn byte-for-byte
+            assert piece.startswith(f"<|{s.role}|>\n")
+            content = r.t[s.content_start : s.content_start + s.content_length]
+            assert piece == f"<|{s.role}|>\n{content}"
+        # spans tile the text exactly (turn_sep between, nothing else)
+        rebuilt = "\n".join(
+            r.t[s.start : s.start + s.length] for s in r.spans
+        )
+        assert rebuilt == r.t
+        assert [s.turn_idx for s in r.spans] == list(range(len(r.spans)))
+    # the loss mask: assistant content spans recover exactly the
+    # assistant messages
+    g = next(r for r in rows if r.conv_id == 1)
+    got = [
+        g.t[s.content_start : s.content_start + s.content_length]
+        for s in g.spans
+        if s.role == "assistant"
+    ]
+    assert got == ["hello", "farewell"]
+    # custom template stays synchronized by construction
+    alt = convs.where(F.col("conv_id") == 2).select(
+        flatten_conversation(
+            "messages", role_open="[", role_close="] ", turn_sep=" || "
+        ).alias("t"),
+        flatten_spans(
+            "messages", role_open="[", role_close="] ", turn_sep=" || "
+        ).alias("spans"),
+    ).first()
+    for s in alt.spans:
+        assert alt.t[s.start : s.start + s.length] == f"[{s.role}] " + alt.t[
+            s.content_start : s.content_start + s.content_length
+        ]
