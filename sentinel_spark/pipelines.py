@@ -653,3 +653,146 @@ def build_training_corpus(
 
         report = carry(report, out)
     return CorpusBuildResult(funnel, out, export, report)
+
+
+@dataclass
+class SftBuildResult:
+    funnel: DataFrame  # one row: conversations surviving each stage
+    selected: DataFrame  # (id, messages, text, spans, n_turns, n_chars)
+    rejects: DataFrame | None  # (id, stage) per dropped conversation
+
+
+def build_sft_corpus(
+    convs: DataFrame,
+    json_col: str,
+    *,
+    id_col: str = "conv_id",
+    require_structure: bool = True,
+    dedup: bool = True,
+    redact: bool = False,
+    scrub_secrets: bool = False,
+    with_rejects: bool = False,
+) -> SftBuildResult:
+    """The conversation sibling of :func:`build_training_corpus`:
+    parse chat-format JSON → structural gate → conversation-grain
+    exact dedup → optional in-place PII/secret scrubbing of every
+    message content → deterministic flattening with loss-mask spans.
+
+    Stage order mirrors the text recipe's reasoning: the FINGERPRINT
+    is computed over the ORIGINAL contents (scrubbing is a final
+    projection, so masking can never split duplicate groups), the
+    dedup winner is the lowest id per fingerprint (the exact-dedup
+    canonical-min convention), and the structural gate runs BEFORE
+    dedup so a malformed copy can't shadow a well-formed one as the
+    canonical winner. The funnel is one row: convs_in / convs_parsed /
+    convs_structured / convs_unique / convs_final plus turn/char
+    totals of the final set; ``with_rejects=True`` adds a per-input
+    (id, stage) attribution frame (stage ∈ unparsed | structure |
+    exact_dup | kept — the drop_report convention).
+
+    Scale shape: parsing/validation/flattening are per-row
+    projections; the only exchanges are the fingerprint dedup's
+    map-side-combined min-id aggregate + winner join (exact_dedup's
+    shape) and the funnel's single aggregate over a persisted flag
+    frame. Scrubbing applies INSIDE the message array via
+    ``transform`` — no explode/regroup round trip."""
+    from sentinel_spark.cache import with_release
+    from sentinel_spark.functions.pii import redact_pii, redact_secrets
+    from sentinel_spark.functions.sft import (
+        conversation_fingerprint,
+        conversation_report,
+        flatten_conversation,
+        flatten_spans,
+        parse_conversations,
+    )
+
+    parsed = parse_conversations(convs, json_col)
+    rep = conversation_report(parsed, "messages", id_col).select(
+        id_col, "structure_ok", "n_turns"
+    )
+    flagged = (
+        parsed.join(rep, id_col)
+        .withColumn("_fp", conversation_fingerprint("messages"))
+        .select(id_col, json_col, "messages", "json_ok", "structure_ok",
+                "n_turns", "_fp")
+        .persist()
+    )
+    cached = [flagged]
+
+    structured = flagged.where(F.col("json_ok"))
+    if require_structure:
+        structured = structured.where(F.col("structure_ok"))
+    if dedup:
+        winners = structured.groupBy("_fp").agg(
+            F.min(F.col(id_col)).alias("_keep_id")
+        )
+        survivors = structured.join(winners, "_fp").where(
+            F.col(id_col) == F.col("_keep_id")
+        ).drop("_keep_id")
+    else:
+        survivors = structured
+
+    out_msgs = F.col("messages")
+    if redact or scrub_secrets:
+        def _scrub(content):
+            c = content
+            if redact:
+                c = redact_pii(c)
+            if scrub_secrets:
+                c = redact_secrets(c)
+            return c
+
+        out_msgs = F.transform(
+            "messages",
+            lambda m: F.struct(
+                m.getField("role").alias("role"),
+                _scrub(m.getField("content")).alias("content"),
+            ),
+        )
+    selected = survivors.select(
+        id_col,
+        out_msgs.alias("messages"),
+        "n_turns",
+    ).withColumn("text", flatten_conversation("messages")).withColumn(
+        "spans", flatten_spans("messages")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+    # funnel: every count from the one persisted flag frame (+ the
+    # final frame's totals); dedup winners recompute the tiny min-id
+    # aggregate rather than persisting a second frame
+    base = flagged.agg(
+        F.count(F.lit(1)).alias("convs_in"),
+        F.sum(F.col("json_ok").cast("long")).alias("convs_parsed"),
+        F.sum(
+            (F.col("json_ok")
+             & (F.col("structure_ok") | F.lit(not require_structure)))
+            .cast("long")
+        ).alias("convs_structured"),
+    )
+    fin = selected.agg(
+        F.count(F.lit(1)).alias("convs_final"),
+        F.coalesce(F.sum("n_turns"), F.lit(0)).alias("turns_final"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars_final"),
+    )
+    funnel = base.crossJoin(fin)
+
+    rejects = None
+    if with_rejects:
+        win = structured.groupBy("_fp").agg(
+            F.min(F.col(id_col)).alias("_keep_id")
+        )
+        st = F.when(~F.col("json_ok"), F.lit("unparsed")).when(
+            ~F.col("structure_ok") & F.lit(require_structure),
+            F.lit("structure"),
+        )
+        j = flagged.join(win, "_fp", "left")
+        if dedup:
+            st = st.when(
+                F.col(id_col) != F.col("_keep_id"), F.lit("exact_dup")
+            )
+        rejects = j.select(
+            id_col, F.coalesce(st, F.lit("kept")).alias("stage")
+        )
+
+    selected = with_release(selected, cached)
+    return SftBuildResult(funnel, selected, rejects)
