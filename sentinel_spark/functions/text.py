@@ -558,3 +558,83 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
+def corpus_datacard(
+    df,
+    text_col: str,
+    *,
+    source_col: str | None = None,
+    lang_col: str | None = None,
+    length_bucket_edges: tuple[int, ...] = (128, 512, 2048),
+):
+    """One-call data-card summary — the per-slice table a corpus
+    release documents (HuggingFace dataset-card / Dolma datasheet
+    shape): for the whole corpus and per ``source_col`` slice,
+    (slice, n_docs, n_tokens, n_chars, n_types, type_token_ratio,
+    hapax_ratio, plus one ``len_le_<edge>``/``len_gt_<last>`` doc
+    count per length bucket and a ``lang_top`` mode when ``lang_col``
+    is given). Composes :func:`vocabulary_report` with per-slice
+    count aggregates on ONE shared grouping; the global row carries
+    slice = '(all)'.
+
+    Scale shape: two map-side-combined aggregates per grouping level
+    (the doc-grain counts; the (slice, token) vocabulary aggregate
+    inside vocabulary_report) + a broadcastable join of the two
+    ≤slices-row summaries; the whole card is never larger than
+    slices + 1 rows."""
+    groups = [source_col] if source_col else []
+
+    def _card(frame, label_col):
+        # NULL text counts as a 0-token document everywhere in the
+        # card (it IS a corpus row; a NULL bucket condition would
+        # silently drop it from the length histogram)
+        t = F.coalesce(token_count(text_col).cast("long"), F.lit(0))
+        n = F.coalesce(F.length(F.col(text_col)).cast("long"), F.lit(0))
+        aggs = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(t), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.sum(n), F.lit(0)).alias("n_chars"),
+        ]
+        prev = None
+        for e in length_bucket_edges:
+            lo = prev
+            prev = e
+            cond = t <= e if lo is None else (t > lo) & (t <= e)
+            aggs.append(F.sum(cond.cast("long")).alias(f"len_le_{e}"))
+        aggs.append(
+            F.sum((t > length_bucket_edges[-1]).cast("long")).alias(
+                f"len_gt_{length_bucket_edges[-1]}"
+            )
+        )
+        if lang_col:
+            aggs.append(F.mode(F.col(lang_col)).alias("lang_top"))
+        gb = frame.groupBy(*groups) if label_col else frame.groupBy()
+        counts = gb.agg(*aggs)
+        vocab = vocabulary_report(
+            frame, text_col, group_cols=groups if label_col else None
+        ).select(
+            *(groups if label_col else []),
+            "n_types",
+            "type_token_ratio",
+            "hapax_ratio",
+        )
+        if label_col:
+            joined = counts.join(vocab, groups, "left")
+            return joined.select(
+                F.coalesce(F.col(source_col).cast("string"),
+                           F.lit("(null)")).alias("slice"),
+                *[c for c in joined.columns if c not in groups],
+            )
+        return counts.crossJoin(F.broadcast(vocab)).select(
+            F.lit("(all)").alias("slice"), "*"
+        )
+
+    if not length_bucket_edges or list(length_bucket_edges) != sorted(
+        set(length_bucket_edges)
+    ):
+        raise ValueError("length_bucket_edges must be strictly increasing")
+    card = _card(df, None)
+    if source_col:
+        card = card.unionByName(_card(df, source_col))
+    return card

@@ -1745,3 +1745,45 @@ def test_redact_secrets_idempotent(spark):
     once = df.select(redact_secrets("text").alias("t"))
     twice = once.select(redact_secrets("t").alias("t"))
     assert [r.t for r in once.collect()] == [r.t for r in twice.collect()]
+
+
+def test_corpus_datacard(spark):
+    from sentinel_spark.functions.text import corpus_datacard
+
+    rows = [
+        (1, "a", "en", "the cat sat on the mat"),
+        (2, "a", "en", "the dog " + "word " * 200),
+        (3, "b", "fr", "le chat"),
+        (4, "b", "fr", None),
+        (5, None, "en", "orphan text here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, lang string, text string"
+    )
+    card = {
+        r.slice: r
+        for r in corpus_datacard(
+            df, "text", source_col="src", lang_col="lang",
+            length_bucket_edges=(8, 64),
+        ).collect()
+    }
+    assert set(card) == {"(all)", "a", "b", "(null)"}
+    g = card["(all)"]
+    assert g.n_docs == 5 and g.lang_top == "en"
+    assert g.n_tokens == 6 + 202 + 2 + 0 + 3
+    assert g.len_le_8 == 4 and g.len_le_64 == 0 and g.len_gt_64 == 1
+    a = card["a"]
+    assert a.n_docs == 2 and a.lang_top == "en"
+    # vocabulary joins per slice: 'the' repeats in slice a
+    assert a.n_types == 6 + 2 - 1  # {the,cat,sat,on,mat} + {dog,word} + the
+    b = card["b"]
+    assert b.n_docs == 2 and b.n_tokens == 2  # NULL text weighs 0
+    assert b.n_chars == len("le chat")
+    # per-slice sums reconcile with the global row
+    assert sum(card[s].n_docs for s in ("a", "b", "(null)")) == g.n_docs
+    assert sum(card[s].n_tokens for s in ("a", "b", "(null)")) == g.n_tokens
+    # guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="increasing"):
+        corpus_datacard(df, "text", length_bucket_edges=(8, 8))
