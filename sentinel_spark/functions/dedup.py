@@ -714,12 +714,42 @@ def simhash_hamming_pairs(
     Call :func:`sentinel_spark.cache.release` on the result when done —
     the simhash table persists to feed both join sides.
     """
+    sim = simhash_table(df, text_col, id_col, shingle_n=shingle_n)
+    return banded_hamming_pairs(
+        sim, "h", "id", num_bands=num_bands, max_hamming=max_hamming
+    )
+
+
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    *,
+    num_bands: int = 8,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs of ANY 64-bit locality-sensitive hash
+    column (id_a < id_b, Hamming ≤ threshold) — the banded self-join
+    :func:`simhash_hamming_pairs` uses, factored out (r13) so
+    perceptual image hashes (:func:`~sentinel_spark.functions.
+    multimodal.perceptual_hash_media`) and any future 64-bit signature
+    ride the same machinery: explode ``num_bands`` raw bit-slice band
+    keys, equi-join on (band, key) so candidates shuffle by bucket
+    (never O(n²)), dedup the pair, verify with ``bit_count(x ^ y)``.
+    By pigeonhole any pair with Hamming < num_bands shares a clean
+    band, so ``max_hamming`` is clamped to ``num_bands - 1`` — the
+    guaranteed-recall regime (see simhash_hamming_pairs' note).
+
+    The input frame is persisted here (both join sides read it; 8
+    bytes + id per row); release the result when done."""
     max_hamming = min(max_hamming, num_bands - 1)
     band_bits = 64 // num_bands
     mask = (1 << band_bits) - 1
     # Persisted for the same reason as the minhash signature table: the
     # banded self-join references it on both sides (8 bytes per doc).
-    sim = simhash_table(df, text_col, id_col, shingle_n=shingle_n).persist()
+    sim = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    ).persist()
     banded = sim.select(
         "id",
         "h",

@@ -252,3 +252,114 @@ def extract_media_features(
             yield out[["media_id", "n_bytes", "sha256", "width", "height", "mime"]]
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = TY.StructType(
+    [
+        TY.StructField("media_id", TY.LongType()),
+        TY.StructField("phash", TY.LongType()),
+    ]
+)
+
+
+def _dhash_from_grid(grid: list[float]) -> int:
+    """64-bit difference hash from a row-major 9×8 grayscale grid:
+    bit (r·8 + c) = grid[r][c+1] > grid[r][c] — the standard dHash
+    bit order. Returns a SIGNED 64-bit int (Spark LongType)."""
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            left = grid[r * 9 + c]
+            right = grid[r * 9 + c + 1]
+            if right > left:
+                h |= 1 << (r * 8 + c)
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def fake_gray_grid(content: bytes) -> list[float]:
+    """Deterministic LOCALITY-PRESERVING stand-in for
+    decode+grayscale+resize(9×8): average-pool the raw bytes into 72
+    cells. Unlike the sha-derived stand-ins elsewhere in this module
+    (whose avalanche property is fine for exact identity but destroys
+    similarity), pooling keeps the property perceptual hashing exists
+    for — similar byte streams → similar grids → small Hamming — so
+    the banding/verify machinery is exercised meaningfully without a
+    codec."""
+    n = len(content)
+    cells = []
+    for i in range(72):
+        lo = (i * n) // 72
+        hi = ((i + 1) * n) // 72
+        seg = content[lo:hi]
+        cells.append(sum(seg) / len(seg) if seg else 0.0)
+    return cells
+
+
+def perceptual_hash_media(
+    media: DataFrame, *, use_real_codec: bool | str = False
+) -> DataFrame:
+    """(media_id, phash) — 64-bit dHash per media row, Arrow-batched.
+
+    Real-codec path: decode → grayscale → resize(9, 8) → dHash (the
+    standard difference-hash pipeline; requires PIL in the worker).
+    Stub path (default / 'auto' fallback): :func:`fake_gray_grid`
+    average-pools the raw bytes into the same 9×8 grid — locality-
+    preserving, so near-duplicate CONTENT yields near Hamming hashes
+    and the downstream banding is tested for real. Output is narrow
+    (8 bytes + id), so the pair-mining stage shuffles hashes, never
+    media bytes."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                grid = None
+                if use_real_codec == "auto" or use_real_codec is True:
+                    if _codec_available():
+                        try:
+                            img = decode_image(b).convert("L").resize((9, 8))
+                            grid = [float(p) for p in img.getdata()]
+                        except NotImplementedError:
+                            grid = None
+                        except Exception:
+                            grid = None
+                    if grid is None and use_real_codec is True:
+                        raise NotImplementedError(
+                            "perceptual_hash_media(use_real_codec=True): "
+                            "no image codec importable in this worker"
+                        )
+                if grid is None:
+                    grid = fake_gray_grid(b)
+                ids.append(mid)
+                hs.append(_dhash_from_grid(grid))
+            yield pd.DataFrame({"media_id": ids, "phash": hs})
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    *,
+    num_bands: int = 16,
+    max_hamming: int = 10,
+    use_real_codec: bool | str = False,
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs (id_a < id_b, hamming):
+    :func:`perceptual_hash_media` → the generic banded-Hamming
+    machinery (:func:`~sentinel_spark.functions.dedup.
+    banded_hamming_pairs`) — re-encoded/resized/re-compressed copies
+    of the same image land within a few bits where sha256 equality
+    sees nothing. Same guaranteed-recall clamp as simhash
+    (max_hamming ≤ num_bands − 1); at 100 TB the only wide thing is
+    the one hash pass over the bytes — pairing shuffles 8-byte
+    hashes."""
+    from sentinel_spark.functions.dedup import banded_hamming_pairs
+
+    hashes = perceptual_hash_media(media, use_real_codec=use_real_codec)
+    return banded_hamming_pairs(
+        hashes, "phash", "media_id",
+        num_bands=num_bands, max_hamming=max_hamming,
+    )

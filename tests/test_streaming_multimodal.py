@@ -662,3 +662,77 @@ def test_stateful_dedup_null_event_times_survive(spark, tmp_path):
         r.fingerprint for r in spark.sql("SELECT * FROM nat_sink").collect()
     )
     assert out == ["n", "t"]
+
+
+def test_perceptual_hash_locality_and_media_near_dup(spark):
+    """r13: dHash over the locality-preserving fake grid — identical
+    bytes hash identically, a small local edit moves few bits, and
+    unrelated content is far; the banded pair miner finds exactly the
+    near pair."""
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.multimodal import (
+        _dhash_from_grid,
+        attach_fake_media,
+        fake_gray_grid,
+        media_near_dup_pairs,
+        perceptual_hash_media,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    base = bytes(rng.randrange(256) for _ in range(4096))
+    # near-dup: flip a short local region (one pooled cell's worth)
+    near = bytearray(base)
+    for i in range(100, 140):
+        near[i] = 255 - near[i]
+    far = bytes(rng.randrange(256) for _ in range(4096))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h_base = _dhash_from_grid(fake_gray_grid(base))
+    h_same = _dhash_from_grid(fake_gray_grid(bytes(base)))
+    h_near = _dhash_from_grid(fake_gray_grid(bytes(near)))
+    h_far = _dhash_from_grid(fake_gray_grid(far))
+    assert h_base == h_same
+    assert 0 <= ham(h_base, h_near) <= 6  # one cell region touched
+    assert ham(h_base, h_far) > 12  # unrelated content is far
+
+    rows = [(1, bytes(base)), (2, bytes(near)), (3, far),
+            (4, bytes(base))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    media = df.select(
+        "media_id", F.col("content"),
+        F.lit("application/x-fake-image").alias("mime"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    # the Spark pass reproduces the local dHash exactly
+    hs = {r.media_id: r.phash for r in perceptual_hash_media(media).collect()}
+    assert hs == {1: h_base, 2: h_near, 3: h_far, 4: h_base}
+
+    pairs = media_near_dup_pairs(media, num_bands=16, max_hamming=10)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert got[(1, 4)] == 0
+    assert all(3 not in p for p in got)
+    release(pairs)
+
+    # attach_fake_media composes (text-backed bytes): duplicate texts
+    # pair at hamming 0
+    docs = spark.createDataFrame(
+        [(10, "same words " * 50), (11, "same words " * 50),
+         (12, "completely different content " * 40)],
+        "doc_id long, text string",
+    )
+    m2 = attach_fake_media(docs, "doc_id", "text")
+    p2 = media_near_dup_pairs(m2, num_bands=16, max_hamming=4)
+    g2 = {(r.id_a, r.id_b): r.hamming for r in p2.collect()}
+    assert g2.get((10, 11)) == 0 and all(12 not in p for p in g2)
+    release(p2)
+
+    # use_real_codec=True raises loudly with no codec in the container
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec"):
+        perceptual_hash_media(media, use_real_codec=True).collect()
