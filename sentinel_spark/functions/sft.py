@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 MESSAGES_SCHEMA = "array<struct<role:string,content:string>>"
 
 ALLOWED_ROLES = ("system", "user", "assistant")
+# the tool-call extension: assistant turns may interleave with tool
+# results inside one "assistant block" (request → tool output →
+# follow-up), so validation collapses (assistant|tool)+ runs
+ALLOWED_ROLES_TOOLS = ("system", "user", "assistant", "tool")
 
 
 def parse_conversations(
@@ -64,6 +68,8 @@ def conversation_report(
     df: DataFrame,
     msgs_col: str,
     id_col: str,
+    *,
+    allow_tool_calls: bool = False,
 ) -> DataFrame:
     """Per-conversation structural report: (``id_col``, n_turns,
     n_system, alternation_ok, ends_with_assistant, has_empty_content,
@@ -74,7 +80,15 @@ def conversation_report(
     starts with user (the OpenAI-chat convention every SFT collator
     assumes; a violated conversation mis-masks losses silently, which
     is why this is a loud pre-training gate, not a collator patch).
-    ``roles_ok``: every role is from the allowed set.
+    With ``allow_tool_calls=True`` the assistant side widens to an
+    (assistant|tool)+ BLOCK — request → tool output → follow-up —
+    under three rules that keep the block well-formed: no two
+    consecutive user messages, every block opens with ``assistant``
+    (a tool message may never directly answer a user — tool output
+    without the call that produced it is broken provenance), and the
+    conversation still ends on ``assistant`` (a dangling tool result
+    trains nothing). ``roles_ok``: every role from the allowed set
+    (``tool`` allowed only in this mode).
     ``has_empty_content``: any NULL/whitespace-only content.
     ``structure_ok`` is the conjunction trainers gate on
     (alternation ∧ roles ∧ assistant-final ∧ no empty ∧ ≥2 body
@@ -95,16 +109,45 @@ def conversation_report(
     )
     n_lead_sys = F.when(first_non_sys == 0, n).otherwise(first_non_sys - 1)
     body = F.slice(roles, n_lead_sys + 1, F.greatest(n - n_lead_sys, F.lit(0)))
-    # body position i (1-based): odd -> user, even -> assistant
-    body_alt = F.zip_with(
-        body,
-        F.sequence(F.lit(1), F.greatest(F.size(body), F.lit(1))),
-        lambda r, i: r
-        == F.when(i % 2 == 1, F.lit("user")).otherwise(F.lit("assistant")),
-    )
-    alternation_ok = (F.size(body) > 0) & F.forall(body_alt, lambda x: x)
+    if allow_tool_calls:
+        # collapse tool into the assistant side ('a'), then: body
+        # starts with user, never two consecutive users (every user is
+        # answered), no system inside the body, and a tool message is
+        # always preceded by assistant-or-tool (blocks OPEN with
+        # assistant). Adjacency checks pair each role with its
+        # predecessor via zip_with against the 1-shifted array.
+        prev = F.slice(body, 1, F.greatest(F.size(body) - 1, F.lit(0)))
+        rest = F.slice(body, 2, F.greatest(F.size(body) - 1, F.lit(0)))
+        adj_ok = F.zip_with(
+            rest,
+            prev,
+            lambda cur, pre: F.when(
+                cur == "user", pre != "user"
+            ).when(
+                cur == "tool", pre.isin("assistant", "tool")
+            ).when(
+                cur == "assistant", F.lit(True)
+            ).otherwise(F.lit(False)),
+        )
+        alternation_ok = (
+            (F.size(body) > 0)
+            & (F.element_at(body, 1) == F.lit("user"))
+            & F.forall(adj_ok, lambda x: x)
+            & ~F.exists(body, lambda r: r == F.lit("system"))
+        )
+        allowed = ALLOWED_ROLES_TOOLS
+    else:
+        # body position i (1-based): odd -> user, even -> assistant
+        body_alt = F.zip_with(
+            body,
+            F.sequence(F.lit(1), F.greatest(F.size(body), F.lit(1))),
+            lambda r, i: r
+            == F.when(i % 2 == 1, F.lit("user")).otherwise(F.lit("assistant")),
+        )
+        alternation_ok = (F.size(body) > 0) & F.forall(body_alt, lambda x: x)
+        allowed = ALLOWED_ROLES
     roles_ok = F.forall(
-        roles, lambda r: r.isin(*[F.lit(x) for x in ALLOWED_ROLES])
+        roles, lambda r: r.isin(*[F.lit(x) for x in allowed])
     )
     ends_assistant = F.element_at(roles, -1) == F.lit("assistant")
     has_empty = F.exists(

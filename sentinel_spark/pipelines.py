@@ -668,6 +668,7 @@ def build_sft_corpus(
     *,
     id_col: str = "conv_id",
     require_structure: bool = True,
+    allow_tool_calls: bool = False,
     dedup: bool = True,
     redact: bool = False,
     scrub_secrets: bool = False,
@@ -707,7 +708,9 @@ def build_sft_corpus(
     )
 
     parsed = parse_conversations(convs, json_col)
-    rep = conversation_report(parsed, "messages", id_col).select(
+    rep = conversation_report(
+        parsed, "messages", id_col, allow_tool_calls=allow_tool_calls
+    ).select(
         id_col, "structure_ok", "n_turns"
     )
     flagged = (

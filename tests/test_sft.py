@@ -253,3 +253,58 @@ def test_build_sft_corpus_end_to_end(spark):
     assert {r.conv_id for r in res3.selected.select("conv_id").collect()} \
         == {1, 2, 3, 4, 6}
     release(res3.selected)
+
+
+def test_tool_call_mode(spark):
+    from sentinel_spark.functions.sft import (
+        conversation_report,
+        parse_conversations,
+    )
+
+    cases = [
+        # canonical tool flow: request -> tool result -> follow-up
+        (1, _conv(("user", "weather?"), ("assistant", "calling tool"),
+                  ("tool", '{"temp": 12}'), ("assistant", "12 degrees")),
+         True),
+        # multiple tool results inside one block
+        (2, _conv(("user", "q"), ("assistant", "call"), ("tool", "r1"),
+                  ("tool", "r2"), ("assistant", "done")), True),
+        # tool directly answering the user: broken provenance
+        (3, _conv(("user", "q"), ("tool", "r"), ("assistant", "a")), False),
+        # dangling tool result at the end
+        (4, _conv(("user", "q"), ("assistant", "call"), ("tool", "r")),
+         False),
+        # two consecutive users still rejected
+        (5, _conv(("user", "q"), ("user", "q2"), ("assistant", "a")), False),
+        # plain conversations still pass in tool mode
+        (6, NO_SYS, True),
+        # system preamble composes
+        (7, _conv(("system", "s"), ("user", "q"), ("assistant", "call"),
+                  ("tool", "r"), ("assistant", "a")), True),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c, _ in cases], "conv_id long, raw string"
+    )
+    parsed = parse_conversations(df, "raw")
+    rep = {
+        r.conv_id: r
+        for r in conversation_report(
+            parsed, "messages", "conv_id", allow_tool_calls=True
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert rep[i].structure_ok is want, (i, rep[i])
+    # strict mode still rejects every tool-bearing conversation
+    strict = {
+        r.conv_id: r.structure_ok
+        for r in conversation_report(parsed, "messages", "conv_id").collect()
+    }
+    assert strict[1] is False and strict[6] is True
+    # the recipe passes the mode through
+    from sentinel_spark.cache import release
+    from sentinel_spark.pipelines import build_sft_corpus
+
+    res = build_sft_corpus(df, "raw", allow_tool_calls=True)
+    kept = {r.conv_id for r in res.selected.select("conv_id").collect()}
+    assert kept == {1, 2, 6, 7}
+    release(res.selected)
