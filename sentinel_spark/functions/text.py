@@ -608,7 +608,12 @@ def corpus_datacard(
             )
         )
         if lang_col:
-            aggs.append(F.mode(F.col(lang_col)).alias("lang_top"))
+            # deterministic=True pins tie-breaks (lowest value wins)
+            # — mode() is otherwise free to return any modal value,
+            # and a rerun-flapping data card is a diff nobody wants
+            aggs.append(
+                F.mode(F.col(lang_col), True).alias("lang_top")
+            )
         gb = frame.groupBy(*groups) if label_col else frame.groupBy()
         counts = gb.agg(*aggs)
         vocab = vocabulary_report(
