@@ -812,7 +812,7 @@ def _drift_counts_oracle():
         FROM ({_DRIFT_DRJ_SQL})
         UNION ALL
         SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
-               sum(n_a), sum(n_b),
+               CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
         FROM ({_DRIFT_DRJ_SQL}) GROUP BY feature
     """
@@ -857,7 +857,7 @@ def _drift_report_oracle():
         FROM dr_terms
         UNION ALL
         SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
-               sum(n_a), sum(n_b),
+               CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
                CAST(sum(abs(dshare_ppm)) AS DOUBLE),
                CAST(sum(ratio_ppm) AS DOUBLE)
         FROM dr_terms GROUP BY feature

@@ -365,11 +365,18 @@ def length_bucket_batches(
         reversed(list(enumerate(edges))),
         F.lit(len(edges)),
     )
-    with_bucket = df.withColumn("length_bucket", bucket)
+    # _mixture_prefix does not coalesce its weight column; a raw NULL
+    # token count would yield before=NULL → batch_index=NULL and a
+    # bucket-only batch_id (concat_ws silently drops the NULL part).
+    # The documented contract is "NULL weighs 0", so hand it the
+    # already-coalesced count as a materialized temp column.
+    with_bucket = df.withColumn("length_bucket", bucket).withColumn(
+        "__lbb_tokens", t
+    )
     joined, before = _mixture_prefix(
         with_bucket,
         "length_bucket",
-        token_col,
+        "__lbb_tokens",
         key=key,
         salt=salt,
         caller="length_bucket_batches",

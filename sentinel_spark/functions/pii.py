@@ -152,14 +152,29 @@ def redact_secrets(
     if not generic:
         return c
     cands = _generic_secret_candidates(c, min_distinct=min_distinct)
-    # fold the (deduped) passing candidates over the text; replace()
-    # is literal (no regex metachars to escape) and candidates are
-    # whole [A-Za-z0-9+/=_-] runs, so replacing one cannot create or
-    # destroy another candidate's match site
+    # fold the (deduped) passing candidates over the text, LONGEST
+    # FIRST: replace() is literal and global while extraction was
+    # \b-bounded, so a shorter candidate occurring as a substring
+    # inside a longer candidate's site would, if replaced first,
+    # split that site and strand the longer secret's tail unredacted.
+    # Length-descending (then value) order makes the fold
+    # deterministic and substring-safe; replace() being literal means
+    # no regex metachars to escape.
+    ordered = F.transform(
+        F.sort_array(
+            F.transform(
+                F.array_distinct(cands),
+                lambda s: F.struct(
+                    (-F.length(s)).alias("nlen"), s.alias("v")
+                ),
+            )
+        ),
+        lambda st: st["v"],
+    )
     return F.when(
         F.size(cands) > 0,
         F.aggregate(
-            F.array_distinct(cands),
+            ordered,
             c,
             lambda acc, s: F.replace(acc, s, F.lit("<SECRET>")),
         ),

@@ -824,7 +824,10 @@ def truncate_embeddings(
     all-zero prefixes are left unnormalized rather than divided by
     zero. A vector SHORTER than ``dim`` raises loudly per row (a
     silent short slice would quietly compare vectors of different
-    widths downstream).
+    widths downstream); a NULL vector propagates as NULL (standard
+    Spark semantics — without the explicit leg the NULL size would
+    fall through ``when`` into the error branch and misreport a NULL
+    as "shorter than dim").
 
     Pure Column expressions (slice + one fold); at 100 TB this is a
     map-only projection that also SHRINKS every downstream shuffle
@@ -836,7 +839,11 @@ def truncate_embeddings(
             "— truncation must not silently mix widths"
         )
     )
-    sliced = F.when(F.size(v) >= dim, F.slice(v, 1, dim)).otherwise(boom)
+    sliced = (
+        F.when(v.isNull(), F.lit(None).cast(df.schema[vec_col].dataType))
+        .when(F.size(v) >= dim, F.slice(v, 1, dim))
+        .otherwise(boom)
+    )
     if renormalize:
         sliced = F.transform(sliced, lambda x: x.cast("double"))
         norm = l2_norm(sliced)

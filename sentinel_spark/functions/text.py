@@ -460,8 +460,12 @@ def vocabulary_report(
     flags template/boilerplate floods the quality heuristics score
     one document at a time and miss), ``n_hapax`` the number of types
     with corpus frequency ≤ ``hapax_df`` (default: true hapax
-    legomena), ``hapax_ratio`` = hapax/types. Empty groups (no
-    tokens) report zero counts and NULL ratios.
+    legomena), ``hapax_ratio`` = hapax/types. Groups whose documents
+    produce ZERO tokens are absent from the output entirely (the
+    explode yields no rows for them — there is no row to aggregate);
+    callers that must keep such groups visible join this report back
+    to their group spine and coalesce the counts to 0, which is what
+    :func:`corpus_datacard` does.
 
     Scale shape: one tokenize + explode, ONE map-side-combined
     (group, token) count aggregate — cardinality = Σ per-group
@@ -624,15 +628,38 @@ def corpus_datacard(
             "type_token_ratio",
             "hapax_ratio",
         )
+        # vocabulary_report omits token-less groups entirely (nothing
+        # survives its explode), so the join is left + coalesce: a
+        # slice with zero tokens still shows n_types=0 / n_hapax... =0
+        # with NULL ratios, per the datacard contract.
+        zero_fill = [
+            F.coalesce(F.col("n_types"), F.lit(0).cast("long")).alias(
+                "n_types"
+            ),
+            "type_token_ratio",
+            "hapax_ratio",
+        ]
         if label_col:
             joined = counts.join(vocab, groups, "left")
             return joined.select(
                 F.coalesce(F.col(source_col).cast("string"),
                            F.lit("(null)")).alias("slice"),
-                *[c for c in joined.columns if c not in groups],
+                *[c for c in joined.columns
+                  if c not in groups and c not in
+                  ("n_types", "type_token_ratio", "hapax_ratio")],
+                *zero_fill,
             )
-        return counts.crossJoin(F.broadcast(vocab)).select(
-            F.lit("(all)").alias("slice"), "*"
+        # constant-key left join (not crossJoin): an entirely
+        # token-less corpus keeps its counts row instead of vanishing
+        # against an empty vocab frame
+        joined = counts.withColumn("_k", F.lit(1)).join(
+            F.broadcast(vocab.withColumn("_k", F.lit(1))), "_k", "left"
+        ).drop("_k")
+        return joined.select(
+            F.lit("(all)").alias("slice"),
+            *[c for c in joined.columns
+              if c not in ("n_types", "type_token_ratio", "hapax_ratio")],
+            *zero_fill,
         )
 
     if not length_bucket_edges or list(length_bucket_edges) != sorted(

@@ -354,7 +354,13 @@ class TestLengthBucketBatches:
         # still receives a batch
         assert out[1].length_bucket == 1
         assert out[2].length_bucket == 0 and out[3].length_bucket == 0
-        assert out[3].batch_id is not None
+        # the NULL-token row gets a REAL batch position, not a
+        # bucket-only id from concat_ws swallowing a NULL index
+        assert out[3].batch_index is not None
+        import re
+
+        for r in out.values():
+            assert re.fullmatch(r"\d+#\d+", r.batch_id), r.batch_id
         with _pytest.raises(ValueError, match="unique per-row key"):
             length_bucket_batches(df, "n_tok", batch_tokens=100)
         with _pytest.raises(ValueError, match="positive"):

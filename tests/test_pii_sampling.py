@@ -155,6 +155,22 @@ def test_secret_structured_not_double_counted(spark):
     assert r["github_token"] == 1 and r["generic"] == 0
 
 
+def test_secret_substring_candidates_redact_fully(spark):
+    # one candidate occurring as a substring INSIDE another
+    # candidate's match site: extraction is \b-bounded but the
+    # replace fold is literal+global, so shorter-first replacement
+    # would split the longer site and strand its tail. The fold is
+    # length-descending, so no fragment of either secret survives.
+    short = "abc123def456ghj789klm012nopq567rstu8"  # 36 chars, passes gate
+    longer = short + "vwx345yzA678BCD901EFG234HIJ567KL"  # contains `short`
+    txt = f"k1 {longer} k2 {short} end"
+    df = spark.createDataFrame([(txt,)], "text string")
+    from sentinel_spark.functions.pii import redact_secrets
+
+    red = df.select(redact_secrets("text").alias("r")).first()["r"]
+    assert red == "k1 <SECRET> k2 <SECRET> end", red
+
+
 def test_secret_generic_gate_tunable(spark):
     # raising min_distinct past a candidate's alphabet releases it
     from sentinel_spark.functions.pii import redact_secrets

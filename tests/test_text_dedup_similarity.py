@@ -1714,6 +1714,14 @@ def test_truncate_embeddings_and_truncation_recall(spark):
     # short vector raises loudly
     with _pytest.raises(Exception, match="shorter than dim"):
         truncate_embeddings(zp, 8).collect()
+    # NULL vector propagates as NULL (it must NOT fall through the
+    # size predicate into the shorter-than-dim error branch)
+    nv = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.embedding for r in truncate_embeddings(nv, 2).collect()}
+    assert got[1] is None and got[2] == [1.0, 0.0]
 
     # recall: full-width prefix is a perfect 1.0 by construction;
     # the informative 4-dim prefix beats a 2-dim one on this geometry

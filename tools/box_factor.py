@@ -56,18 +56,31 @@ def main() -> None:
     old = _queries(json.load(open(sys.argv[1])))
     new = _queries(json.load(open(sys.argv[2])))
     gates = sys.argv[3:] or STABLE
-    ratios = []
+    ratios: list[tuple[str, float]] = []
     print(f"{'stable gate':18s} {'old':>7s} {'new':>7s} {'ratio':>6s}")
     for g in gates:
         if g in old and g in new and old[g] > 0:
             r = new[g] / old[g]
-            ratios.append(r)
+            ratios.append((g, r))
             print(f"{g:18s} {old[g]:7.2f} {new[g]:7.2f} {r:6.2f}")
     if not ratios:
         raise SystemExit("no overlapping stable gates")
-    factor = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
-    print(f"\nbox factor (geomean of {len(ratios)} stable gates): "
-          f"{factor:.3f}")
+    # Outlier filter (VERDICT r13 #4: chunk_shards at ratio 3.00
+    # inflated the r12->r13 geomean 0.80 -> 0.91): a "stable" gate
+    # whose ratio sits far off the pack's median is showing a code or
+    # suite-context change, not the box — drop it from the factor and
+    # say so. Window = 1.5x around the median log-ratio.
+    logs = sorted(math.log(r) for _, r in ratios)
+    med = logs[len(logs) // 2] if len(logs) % 2 else (
+        logs[len(logs) // 2 - 1] + logs[len(logs) // 2]
+    ) / 2
+    kept = [(g, r) for g, r in ratios if abs(math.log(r) - med) <= math.log(1.5)]
+    dropped = [g for g, r in ratios if (g, r) not in kept]
+    if dropped:
+        print(f"\ndropped as outliers (>1.5x off median ratio): {dropped}")
+    factor = math.exp(sum(math.log(r) for _, r in kept) / len(kept))
+    print(f"\nbox factor (geomean of {len(kept)} stable gates, "
+          f"{len(dropped)} dropped): {factor:.3f}")
     print(f"\n{'gate':18s} {'old':>7s} {'new':>7s} {'norm_new':>8s} "
           f"{'delta':>7s}")
     for g in sorted(set(old) & set(new)):

@@ -1,7 +1,18 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
-same parquet tables; compare row count, column names, and values
-(order-insensitive, columns sorted by name).
+same parquet tables; compare row count, column names, RESULT TYPES, and
+values (order-insensitive, columns sorted by name).
+
+The type check exists because the Python client hides a whole fault
+class: DuckDB types ``sum(BIGINT)`` as HUGEINT (and promotes it through
+UNION ALL across the entire column), but ``fetchall`` returns plain
+``int`` and ``canon`` makes ``Decimal == float == int`` true — so a
+value comparison passes locally while a driver that hashes the typed
+(Arrow) result sees a different column type on every row
+(the five-round ``corpus_report`` red, VERDICT r13). Each column's
+declared type must land in the same hash family on both engines;
+HUGEINT/DECIMAL on the DuckDB side is only legal opposite a Spark
+DecimalType.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -43,6 +54,45 @@ def canon(v):
     return v
 
 
+def type_family(t):
+    """Collapse an engine type name into the family the driver's typed
+    hash would distinguish. int64-safe integers are one family;
+    HUGEINT/DECIMAL/UBIGINT are deliberately a DIFFERENT family from
+    them (the promotion fault class this tool exists to catch)."""
+    t = str(t).strip().lower()
+    if t.startswith(("decimal", "numeric")) or t in ("hugeint", "ubigint"):
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint",
+             "byte", "short", "long", "utinyint", "usmallint", "uinteger"):
+        return "int64"
+    if t in ("float", "double", "real"):
+        return "float"
+    if t in ("varchar", "string", "text", "char"):
+        return "string"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("date"):
+        return "date"
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "array"
+    return t
+
+
+def type_problems(scols, stypes, dcols, dtypes):
+    """Per-column hash-family mismatches between the Spark schema and
+    the DuckDB relation's declared result types."""
+    smap = {c: type_family(t) for c, t in zip(scols, stypes)}
+    dmap = {c: type_family(t) for c, t in zip(dcols, dtypes)}
+    out = []
+    for c in sorted(set(smap) & set(dmap)):
+        if smap[c] != dmap[c]:
+            out.append(f"type-family mismatch on {c!r}: "
+                       f"spark={smap[c]} duck={dmap[c]} (driver hash hazard)")
+    return out
+
+
 def rowset(cols, rows):
     from collections import Counter
 
@@ -69,6 +119,7 @@ def main():
         try:
             df = fn(spark, sf_dir)
             scols = df.columns
+            stypes = [f.dataType.simpleString() for f in df.schema.fields]
             srows = [tuple(r) for r in df.collect()]
         except Exception as e:
             failures.append(name)
@@ -80,6 +131,7 @@ def main():
         try:
             rel = con.sql(sql)
             dcols = rel.columns
+            dtypes = rel.types
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
@@ -88,6 +140,8 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            problems.extend(type_problems(scols, stypes, dcols, dtypes))
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
