@@ -389,6 +389,7 @@ def temperature_budgets(
     total_tokens: int,
     alpha: float = 0.7,
     cap: bool = True,
+    sizes: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """Per-source token budgets for :func:`mixture_sample` under
     temperature-scaled mixing — the standard multilingual/multi-source
@@ -406,15 +407,24 @@ def temperature_budgets(
     of the size vector (rerun-stable, auditable). ``cap=False``
     returns the raw temperature shares — the form
     :func:`mixture_sample_epochs` consumes, where a tail source's
-    over-size budget means repeating it for multiple epochs."""
-    # coalesce: a source whose token_col is all-NULL sums to NULL —
-    # treat it as size 0 (it then drops at the n > 0 weight filter)
-    sizes = {
-        r[0]: int(r[1])
-        for r in df.groupBy(source_col)
-        .agg(F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0)))
-        .collect()
-    }
+    over-size budget means repeating it for multiple epochs.
+
+    ``sizes`` (source → token total) skips the aggregate entirely for
+    callers that already collected the per-source totals — a harness
+    building several budget schemes from one size vector should pay
+    ONE job, not one per scheme (``df``/``source_col``/``token_col``
+    are ignored when it is given)."""
+    if sizes is not None:
+        sizes = {s: int(n) for s, n in sizes.items()}
+    else:
+        # coalesce: a source whose token_col is all-NULL sums to NULL
+        # — treat as size 0 (it then drops at the n > 0 weight filter)
+        sizes = {
+            r[0]: int(r[1])
+            for r in df.groupBy(source_col)
+            .agg(F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0)))
+            .collect()
+        }
     if not sizes or total_tokens <= 0:
         return {}
     weights = {s: float(n) ** alpha for s, n in sizes.items() if n > 0}

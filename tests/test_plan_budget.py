@@ -45,17 +45,20 @@ BUDGET = {
     "events_report": 5,   # + heavy-hitters MG partials + exact recount
     "events_windows": 2,
     "doc_profile": 0,      # ONE scan, pure projection
-    "corpus_report": 13,   # r13 bisect phase 2: cube (expand +
-                           # shuffle) + histogram agg (one exchange
-                           # each) + the drift branch reattached
-                           # COUNTS-ONLY — same drift_table lineage as
-                           # r9-r11 (two explode/count aggregates,
-                           # full-outer bucket join, per-feature
-                           # summary agg, plus the persisted dt frame
-                           # re-printing those exchanges inside
-                           # InMemoryRelation), so the same 13 the
-                           # full-stat form pinned; only the hashed
-                           # stats changed (NULL on both engines)
+    "corpus_report": 20,   # r13 pinned 13: cube (expand + shuffle) +
+                           # histogram agg (one exchange each) + the
+                           # counts-only drift branch (two
+                           # explode/count aggregates, full-outer
+                           # bucket join, per-feature summary agg,
+                           # plus the persisted dt frame re-printing
+                           # those exchanges inside InMemoryRelation).
+                           # r14 +7: the retention branch (bin agg +
+                           # constant-key cumulative window) and the
+                           # ngram_novelty branch (shingle id-spread,
+                           # shingle-keyed df agg, df join, lang join,
+                           # per-lang agg) — each the operator's own
+                           # audited standalone shape, nothing shared
+                           # to lose
     "corpus_funnel": 109,  # the whole recipe: featurize/winners/LSH
                            # pipeline over survivors + decontam shingle
                            # pass + funnel aggregates — each exchange
