@@ -412,11 +412,32 @@ def q_patch_labels(spark, sf_dir):
     out = apply_label_patch(runs, F.col("k") % 10 == 0, rename)
     out = apply_label_patch(out, F.col("k") % 10 == 0, add_tag)
     out = apply_label_patch(out, F.col("k") % 4 == 0, drop_tag)
-    return out.select(
-        "runId",
+    patch = out.select(
+        F.lit("patch").alias("kind"),
+        F.col("runId").alias("key"),
         F.col("labels.runName").alias("run_name"),
         F.to_json(F.col("labels.tags")).alias("tags_json"),
+        F.lit(None).cast("long").alias("len_tag"),
+        F.lit(None).cast("string").alias("lang_tag"),
+        F.lit(None).cast("boolean").alias("flag"),
+        F.lit(None).cast("double").alias("score"),
     )
+    # typed-tags branch (folded in r14 to free a registry slot for
+    # sft_suite — the datapoint_select precedent): the Variant-path
+    # tag surgery is the same M2 path-routed-patching surface, so it
+    # rides this gate as a `kind` branch with its typed readbacks in
+    # dedicated slots
+    tags = q_typed_tags(spark, sf_dir).select(
+        F.lit("tags").alias("kind"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("key"),
+        F.lit(None).cast("string").alias("run_name"),
+        F.lit(None).cast("string").alias("tags_json"),
+        F.col("len_tag").cast("long").alias("len_tag"),
+        "lang_tag",
+        "flag",
+        "score",
+    )
+    return patch.unionByName(tags)
 
 
 def q_users_crud(spark, sf_dir):
@@ -826,6 +847,136 @@ def _novelty_rows(spark, sf_dir):
             F.lit(None).cast("double").alias("stat2"),
         )
     )
+
+
+def _sft_suite_oracle():
+    """DuckDB replay of :func:`q_sft_suite`: the same twelve
+    doc_id-residue conversation classes as :func:`_sft_conv_json`,
+    stated as an exploded (doc_id, i, role, content) turns table —
+    r=0 (malformed JSON) yields no turn rows (every computed column
+    NULL through the left join, json_ok/structure false), r=1 replays
+    Spark's from_json bare-object WRAP as data (a one-turn user
+    conversation with json_ok false). Validation, flattening,
+    fingerprinting, and the span arithmetic are then generic SQL over
+    that table — an independent re-derivation, not a restatement of
+    the Spark expressions."""
+    cl = ("substr(regexp_replace(lower(coalesce(text, '')), "
+          "'[^a-z0-9 ]', '', 'g'), 1, 80)")
+    return f"""
+        WITH sb AS (
+          SELECT doc_id, doc_id % 12 AS r,
+                 'q ' || substr(cl, 1, 40) AS c1,
+                 'a ' || substr(cl, 41, 40) AS c2,
+                 'f ' || substr(cl, 81, 40) AS c3
+          FROM (SELECT doc_id, {cl} AS cl FROM documents)
+        ),
+        st AS (
+          SELECT doc_id, 1 AS i, 'user' AS role, c1 AS content FROM sb WHERE r = 1
+          UNION ALL SELECT doc_id, 1, 'system', 'sys' FROM sb WHERE r = 2
+          UNION ALL SELECT doc_id, 2, 'user', c1 FROM sb WHERE r = 2
+          UNION ALL SELECT doc_id, 3, 'assistant', c2 FROM sb WHERE r = 2
+          UNION ALL SELECT doc_id, 4, 'user', c1 FROM sb WHERE r = 2
+          UNION ALL SELECT doc_id, 1, 'user', c1 FROM sb WHERE r = 3
+          UNION ALL SELECT doc_id, 2, 'user', c1 FROM sb WHERE r = 3
+          UNION ALL SELECT doc_id, 3, 'assistant', c2 FROM sb WHERE r = 3
+          UNION ALL SELECT doc_id, 1, 'user', c1 FROM sb WHERE r = 4
+          UNION ALL SELECT doc_id, 2, 'assistant', '  ' FROM sb WHERE r = 4
+          UNION ALL SELECT doc_id, 1, 'user', c1 FROM sb WHERE r = 5
+          UNION ALL SELECT doc_id, 2, 'robot', c2 FROM sb WHERE r = 5
+          UNION ALL SELECT doc_id, 1, 'user', c1 FROM sb WHERE r = 6
+          UNION ALL SELECT doc_id, 2, 'assistant', c2 FROM sb WHERE r = 6
+          UNION ALL SELECT doc_id, 3, 'tool', c3 FROM sb WHERE r = 6
+          UNION ALL SELECT doc_id, 4, 'assistant', c2 FROM sb WHERE r = 6
+          UNION ALL SELECT doc_id, 1, 'system', 'sys' FROM sb WHERE r = 7
+          UNION ALL SELECT doc_id, 2, 'system', 'sys2' FROM sb WHERE r = 7
+          UNION ALL SELECT doc_id, 3, 'user', c1 FROM sb WHERE r = 7
+          UNION ALL SELECT doc_id, 4, 'assistant', c2 FROM sb WHERE r = 7
+          UNION ALL SELECT doc_id, 1, 'user', c1 FROM sb WHERE r >= 8 AND r % 2 = 0
+          UNION ALL SELECT doc_id, 2, 'assistant', c2 FROM sb WHERE r >= 8 AND r % 2 = 0
+          UNION ALL SELECT doc_id, 3, 'user', c3 FROM sb WHERE r >= 8 AND r % 2 = 0
+          UNION ALL SELECT doc_id, 4, 'assistant', c2 FROM sb WHERE r >= 8 AND r % 2 = 0
+          UNION ALL SELECT doc_id, 1, 'system', 'sys' FROM sb WHERE r >= 8 AND r % 2 = 1
+          UNION ALL SELECT doc_id, 2, 'user', c1 FROM sb WHERE r >= 8 AND r % 2 = 1
+          UNION ALL SELECT doc_id, 3, 'assistant', c2 FROM sb WHERE r >= 8 AND r % 2 = 1
+        ),
+        sfe AS (
+          SELECT doc_id, i, role, content,
+                 count(*) OVER (PARTITION BY doc_id) AS n,
+                 min(CASE WHEN role <> 'system' THEN i END)
+                   OVER (PARTITION BY doc_id) AS fns,
+                 lag(role) OVER (PARTITION BY doc_id ORDER BY i) AS prev_role,
+                 2 + length(role) + 3 + length(content) AS sp_total,
+                 2 + length(role) + 3 AS sp_header
+          FROM st
+        ),
+        spp AS (
+          SELECT sfe.*,
+                 coalesce(fns - 1, n) AS n_sys,
+                 i - coalesce(fns - 1, n) AS bpos,
+                 coalesce(sum(sp_total + 1) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS sp_start
+          FROM sfe
+        ),
+        sagg AS (
+          SELECT doc_id,
+                 CAST(max(n) AS INTEGER) AS n_turns,
+                 CAST(max(n_sys) AS INTEGER) AS n_system,
+                 (max(n) - max(n_sys) > 0) AND coalesce(bool_and(
+                     role = CASE WHEN bpos % 2 = 1 THEN 'user'
+                                 ELSE 'assistant' END
+                   ) FILTER (WHERE bpos >= 1), true) AS alternation_ok,
+                 (max(n) - max(n_sys) > 0)
+                   AND coalesce(bool_and(role = 'user')
+                                FILTER (WHERE bpos = 1), false)
+                   AND coalesce(bool_and(
+                         CASE WHEN role = 'user' THEN prev_role <> 'user'
+                              WHEN role = 'tool'
+                                THEN prev_role IN ('assistant', 'tool')
+                              WHEN role = 'assistant' THEN true
+                              ELSE false END
+                       ) FILTER (WHERE bpos >= 2), true)
+                   AND NOT coalesce(bool_or(role = 'system')
+                                    FILTER (WHERE bpos >= 1), false)
+                   AS alternation_ok_tools,
+                 max(CASE WHEN i = n THEN role END) = 'assistant'
+                   AS ends_with_assistant,
+                 bool_or(content IS NULL OR length(trim(content)) = 0)
+                   AS has_empty_content,
+                 bool_and(role IN ('system', 'user', 'assistant'))
+                   AS roles_ok,
+                 bool_and(role IN ('system', 'user', 'assistant', 'tool'))
+                   AS roles_ok_tools,
+                 CAST(sum(length(content)) AS BIGINT) AS n_chars,
+                 (max(n) - max(n_sys) >= 2) AS body_ge2,
+                 md5(string_agg('<|' || role || '|>' || chr(10) || content,
+                                chr(10) ORDER BY i)) AS flat_md5,
+                 md5(string_agg(role || ':' || content,
+                                chr(31) ORDER BY i)) AS fingerprint,
+                 string_agg(
+                   (i - 1) || ':' || sp_start || ':' || sp_total || ':' ||
+                   (sp_start + sp_header) || ':' || length(content),
+                   ';' ORDER BY i) AS spans_str
+          FROM spp GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               (b.r NOT IN (0, 1)) AS json_ok,
+               a.n_turns, a.n_system, a.alternation_ok,
+               a.ends_with_assistant, a.has_empty_content, a.roles_ok,
+               a.n_chars,
+               coalesce(a.alternation_ok AND a.roles_ok
+                        AND a.ends_with_assistant
+                        AND NOT a.has_empty_content AND a.body_ge2,
+                        false) AS structure_ok,
+               a.alternation_ok_tools,
+               coalesce(a.alternation_ok_tools AND a.roles_ok_tools
+                        AND a.ends_with_assistant
+                        AND NOT a.has_empty_content AND a.body_ge2,
+                        false) AS structure_ok_tools,
+               a.flat_md5, a.fingerprint, a.spans_str
+        FROM sb b LEFT JOIN sagg a USING (doc_id)
+    """
 
 
 # the (feature, bucket, n_a, n_b) joined-count CTE shared by the
@@ -1455,6 +1606,106 @@ def q_typed_tags(spark, sf_dir):
         TJ.get_tag(tj, "lang").alias("lang_tag"),
         TJ.get_tag(tj, "flag", "boolean").alias("flag"),
         TJ.get_tag(tj, "score", "double").alias("score"),
+    )
+
+
+def _sft_conv_json():
+    """Deterministic synthetic chat JSON derived from documents.text —
+    twelve doc_id-residue classes covering the SFT machinery's whole
+    flag surface: malformed JSON (r=0), the from_json bare-object
+    wrap trap (r=1), ends-on-user (2), double-user (3),
+    whitespace-only content (4), unknown role (5), a tool-call block
+    (6), a multi-system preamble (7), and two well-formed shapes
+    (8-11). Content strings are reduced to ``[a-z0-9 ]`` before
+    embedding so the JSON needs no escaping and both engines build
+    the identical byte string (the oracle mirrors this expression
+    one-for-one and replays the wrap trap as data)."""
+    clean = F.substring(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9 ]", ""
+        ),
+        1,
+        80,
+    )
+    c1 = F.concat(F.lit("q "), F.substring(clean, 1, 40))
+    c2 = F.concat(F.lit("a "), F.substring(clean, 41, 40))
+    c3 = F.concat(F.lit("f "), F.substring(clean, 81, 40))
+
+    def msg(role, content):
+        return F.concat(
+            F.lit('{"role":"' + role + '","content":"'), content, F.lit('"}')
+        )
+
+    def arr(*parts):
+        joined = parts[0]
+        for part in parts[1:]:
+            joined = F.concat(joined, F.lit(","), part)
+        return F.concat(F.lit("["), joined, F.lit("]"))
+
+    sys1 = F.lit('{"role":"system","content":"sys"}')
+    sys2 = F.lit('{"role":"system","content":"sys2"}')
+    r = F.col("doc_id") % 12
+    return (
+        F.when(r == 0, F.lit('{"cut'))
+        .when(r == 1, msg("user", c1))
+        .when(r == 2, arr(sys1, msg("user", c1), msg("assistant", c2),
+                          msg("user", c1)))
+        .when(r == 3, arr(msg("user", c1), msg("user", c1),
+                          msg("assistant", c2)))
+        .when(r == 4, arr(msg("user", c1),
+                          F.lit('{"role":"assistant","content":"  "}')))
+        .when(r == 5, arr(msg("user", c1), msg("robot", c2)))
+        .when(r == 6, arr(msg("user", c1), msg("assistant", c2),
+                          msg("tool", c3), msg("assistant", c2)))
+        .when(r == 7, arr(sys1, sys2, msg("user", c1),
+                          msg("assistant", c2)))
+        .when(r % 2 == 0, arr(msg("user", c1), msg("assistant", c2),
+                              msg("user", c3), msg("assistant", c2)))
+        .otherwise(arr(sys1, msg("user", c1), msg("assistant", c2)))
+    )
+
+
+def q_sft_suite(spark, sf_dir):
+    """The conversation/SFT family end-to-end (functions/sft.py,
+    driver-gated r14 per VERDICT r13 #4): strict chat-JSON parsing
+    with the bare-object wrap rejection, the strict AND tool-mode
+    structural validators, the deterministic flattener (hashed), the
+    0x1f ``role:content`` fingerprint, and :func:`flatten_spans`'
+    loss-mask spans serialized compactly — ONE zero-exchange
+    projection over synthetic conversations built from documents by
+    :func:`_sft_conv_json`. The oracle re-derives every field in SQL
+    from an exploded turns table built by the same class rules."""
+    from sentinel_spark.functions import sft as SFT
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    p = SFT.parse_conversations(
+        d.select("doc_id", _sft_conv_json().alias("conv_json")), "conv_json"
+    )
+    strict = SFT.conversation_checks("messages")
+    tools = SFT.conversation_checks("messages", allow_tool_calls=True)
+    spans = SFT.flatten_spans("messages")
+    return p.select(
+        "doc_id",
+        "json_ok",
+        *[c.alias(k) for k, c in strict.items()],
+        tools["alternation_ok"].alias("alternation_ok_tools"),
+        tools["structure_ok"].alias("structure_ok_tools"),
+        F.md5(SFT.flatten_conversation("messages")).alias("flat_md5"),
+        SFT.conversation_fingerprint("messages").alias("fingerprint"),
+        F.array_join(
+            F.transform(
+                spans,
+                lambda s: F.concat_ws(
+                    ":",
+                    s["turn_idx"].cast("string"),
+                    s["start"].cast("string"),
+                    s["length"].cast("string"),
+                    s["content_start"].cast("string"),
+                    s["content_length"].cast("string"),
+                ),
+            ),
+            ";",
+        ).alias("spans_str"),
     )
 
 
@@ -2880,7 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": q_near_dup_pairs,
         "ingest_rollup": q_ingest_rollup,
         "salted_agg": q_salted_agg,
-        "typed_tags": q_typed_tags,
+        "sft_suite": q_sft_suite,
         "media_suite": q_media_suite,
         "cosine_near_dup": q_cosine_norms,
         "ann_methods": q_ann_methods,
@@ -4710,7 +4961,6 @@ def oracle_sql() -> dict[str, str]:
         "render_strip",
         "union_pipelines",
         "topk_per_group",
-        "patch_labels",
         "line_clean",
         "doc_repetition",
         "pii_redact",
@@ -4720,10 +4970,24 @@ def oracle_sql() -> dict[str, str]:
         "sessionize",
         "ingest_rollup",
         "salted_agg",
-        "typed_tags",
         "ann_recall",
     ]
     out = {k: base[k] for k in direct}
+    out["sft_suite"] = _sft_suite_oracle()
+    # r14 fold (registry-slot rule): the Variant typed-tags readbacks
+    # ride patch_labels as a `kind` branch — both are the M2
+    # path-routed-patching surface
+    out["patch_labels"] = f"""
+        SELECT 'patch' AS kind, runId AS key, run_name, tags_json,
+               CAST(NULL AS BIGINT) AS len_tag,
+               CAST(NULL AS VARCHAR) AS lang_tag,
+               CAST(NULL AS BOOLEAN) AS flag, CAST(NULL AS DOUBLE) AS score
+        FROM ({base["patch_labels"]})
+        UNION ALL
+        SELECT 'tags', 'd' || doc_id, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), len_tag, lang_tag, flag, score
+        FROM ({base["typed_tags"]})
+    """
     # Composed gates: each single-operator oracle becomes a subquery of
     # its family's composed SQL, so the per-operator checks are intact —
     # they just land in one registry row (see the consolidation note on

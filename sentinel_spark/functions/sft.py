@@ -64,16 +64,18 @@ def _roles(msgs: Column) -> Column:
     return F.transform(msgs, lambda m: m.getField("role"))
 
 
-def conversation_report(
-    df: DataFrame,
-    msgs_col: str,
-    id_col: str,
+def conversation_checks(
+    msgs_col: str | Column,
     *,
     allow_tool_calls: bool = False,
-) -> DataFrame:
-    """Per-conversation structural report: (``id_col``, n_turns,
-    n_system, alternation_ok, ends_with_assistant, has_empty_content,
-    roles_ok, n_chars, structure_ok).
+) -> dict[str, Column]:
+    """The structural-validation Columns behind
+    :func:`conversation_report`, as a name → Column dict (the
+    :func:`~sentinel_spark.functions.pii.secret_counts` convention)
+    so composed gates can fold the flags into ONE projection instead
+    of joining report frames back to their source.
+
+    Semantics documented on :func:`conversation_report`.
 
     ``alternation_ok``: after an OPTIONAL run of leading system
     messages, the body is strictly user/assistant alternating and
@@ -98,7 +100,7 @@ def conversation_report(
 
     One projection — every check is an array HOF over the
     conversation's own messages."""
-    msgs = F.col(msgs_col)
+    msgs = F.col(msgs_col) if isinstance(msgs_col, str) else msgs_col
     roles = _roles(msgs)
     n = F.size(msgs)
     # length of the leading system run: count roles before the first
@@ -168,16 +170,33 @@ def conversation_report(
         & ~has_empty
         & (F.size(body) >= 2)
     )
+    return {
+        "n_turns": n,
+        "n_system": n_lead_sys.cast("int"),
+        "alternation_ok": alternation_ok,
+        "ends_with_assistant": ends_assistant,
+        "has_empty_content": has_empty,
+        "roles_ok": roles_ok,
+        "n_chars": n_chars,
+        "structure_ok": F.coalesce(structure_ok, F.lit(False)),
+    }
+
+
+def conversation_report(
+    df: DataFrame,
+    msgs_col: str,
+    id_col: str,
+    *,
+    allow_tool_calls: bool = False,
+) -> DataFrame:
+    """Per-conversation structural report: (``id_col``, n_turns,
+    n_system, alternation_ok, ends_with_assistant, has_empty_content,
+    roles_ok, n_chars, structure_ok) — one projection of
+    :func:`conversation_checks`' Columns (see there for the flag
+    semantics and the tool-call mode)."""
+    checks = conversation_checks(msgs_col, allow_tool_calls=allow_tool_calls)
     return df.select(
-        id_col,
-        n.alias("n_turns"),
-        n_lead_sys.cast("int").alias("n_system"),
-        alternation_ok.alias("alternation_ok"),
-        ends_assistant.alias("ends_with_assistant"),
-        has_empty.alias("has_empty_content"),
-        roles_ok.alias("roles_ok"),
-        n_chars.alias("n_chars"),
-        F.coalesce(structure_ok, F.lit(False)).alias("structure_ok"),
+        id_col, *[c.alias(k) for k, c in checks.items()]
     )
 
 

@@ -160,7 +160,11 @@ BUDGET = {
                            # re-prints that rode those branches.
     "ingest_rollup": 11,
     "salted_agg": 5,       # two salted phases x two paths + join
-    "typed_tags": 0,
+    "sft_suite": 0,       # r14: parse + validators + flatten + spans,
+                          # all array HOFs in ONE projection; the
+                          # typed_tags row it replaced folded into
+                          # patch_labels (still 0 — union of two pure
+                          # projections)
     "media_suite": 0,      # Arrow fan-out, no shuffle
     "cosine_near_dup": 2,  # r10 xjoin branch: grouped_topk's two
                            # window exchanges ((q_id, salt) level-1
