@@ -1297,10 +1297,62 @@ def q_pii_redact(spark, sf_dir):
         ),
     )
     counts = P.pii_counts(dec)
+    # secret-counts block (r14, VERDICT r13 #8): deterministic
+    # synthetic credentials appended per residue class — a GitHub
+    # token (md5-hex body), an AWS key id (uppercased hex), a
+    # 32-char generic high-entropy run, and a three-segment JWT — so
+    # the structured detectors, the consumed-before-generic
+    # convention, AND the generic diversity gate are all value-hashed
+    # (the raw document text can contribute its own gated runs; the
+    # oracle applies the identical expressions to the identical
+    # string, so organic matches are mirrored, not assumed away).
+    # The original pii columns stay computed on `dec` — their values
+    # are unchanged by this extension.
+    sid = F.col("doc_id").cast("string")
+    sec = F.concat(
+        dec,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" key ghp_"),
+                F.substring(
+                    F.concat(F.md5(sid), F.md5(F.concat(sid, F.lit("x")))),
+                    1, 36,
+                ),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" aws AKIA"),
+                F.upper(F.substring(F.md5(F.concat(F.lit("a"), sid)), 1, 16)),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" blob gen"),
+                F.substring(F.md5(F.concat(F.lit("g"), sid)), 1, 29),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit(" tok eyJ"),
+                F.substring(F.md5(F.concat(F.lit("j"), sid)), 1, 12),
+                F.lit("."),
+                F.substring(F.md5(F.concat(F.lit("j"), sid)), 13, 12),
+                F.lit("."),
+                F.substring(F.md5(F.concat(F.lit("k"), sid)), 1, 10),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    s_counts = P.secret_counts(sec)
     return d.select(
         "doc_id",
         *[c.alias(f"n_{k}") for k, c in counts.items()],
         F.md5(P.redact_pii(dec)).alias("redacted_fp"),
+        *[c.alias(f"ns_{k}") for k, c in s_counts.items()],
     )
 
 
@@ -2635,7 +2687,31 @@ def q_media_suite(spark, sf_dir):
         F.lit(None).cast("int").alias("n_bytes"),
         F.lit(None).cast("string").alias("mime"),
     )
-    return feat.unionByName(fr)
+    # phash branch (r14, VERDICT r13 #8): the perceptual dHash over
+    # the deterministic stand-in grid (byte average-pool -> 9x8 ->
+    # 64-bit difference hash) — the hash rides the sha256 string slot
+    # as its decimal rendering. The banded-Hamming pairing it feeds
+    # is the generic machinery near_dup_pairs' simhash branch already
+    # value-checks.
+    from sentinel_spark.functions.multimodal import (
+        attach_fake_media,
+        perceptual_hash_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ph = perceptual_hash_media(
+        attach_fake_media(d, "doc_id", "text")
+    ).select(
+        F.lit("phash").alias("kind"),
+        "media_id",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.col("phash").cast("string").alias("sha256"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_bytes"),
+        F.lit(None).cast("string").alias("mime"),
+    )
+    return feat.unionByName(fr).unionByName(ph)
 
 
 def q_cosine_norms(spark, sf_dir):
@@ -3219,7 +3295,11 @@ def _md5_bucket_sql(arg: str, buckets: int = 1_000_000) -> str:
 
 
 def _pii_oracle() -> str:
-    from sentinel_spark.functions.pii import PII_PATTERNS
+    from sentinel_spark.functions.pii import (
+        GENERIC_SECRET_RE,
+        PII_PATTERNS,
+        SECRET_PATTERNS,
+    )
 
     inject = (
         "text || printf(' contact u%d@example.com from 10.0.%d.%d"
@@ -3237,9 +3317,47 @@ def _pii_oracle() -> str:
         )
         red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
     counts = ", ".join(count_cols)
+    # r14 secret block: the same residue-class credential injection as
+    # q_pii_redact, then secret_counts' convention — structured kinds
+    # counted with earlier kinds replaced, generic counted after ALL
+    # structured kinds are consumed, gated on >=12 distinct chars +
+    # letter + digit (the identical expressions Spark evaluates, so
+    # organic document-text matches mirror too).
+    did = "CAST(doc_id AS VARCHAR)"
+    sec_inject = (
+        "t"
+        f" || CASE WHEN doc_id % 3 = 0 THEN ' key ghp_' ||"
+        f" substr(md5({did}) || md5({did} || 'x'), 1, 36) ELSE '' END"
+        f" || CASE WHEN doc_id % 4 = 0 THEN ' aws AKIA' ||"
+        f" upper(substr(md5('a' || {did}), 1, 16)) ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN ' blob gen' ||"
+        f" substr(md5('g' || {did}), 1, 29) ELSE '' END"
+        f" || CASE WHEN doc_id % 6 = 0 THEN ' tok eyJ' ||"
+        f" substr(md5('j' || {did}), 1, 12) || '.' ||"
+        f" substr(md5('j' || {did}), 13, 12) || '.' ||"
+        f" substr(md5('k' || {did}), 1, 10) ELSE '' END"
+    )
+    sred = "s"
+    sec_cols = []
+    for kind, pat in SECRET_PATTERNS:
+        sec_cols.append(
+            f"CAST(len(regexp_extract_all({sred}, '{pat}')) AS INT)"
+            f" AS ns_{kind}"
+        )
+        sred = f"regexp_replace({sred}, '{pat}', '<{kind.upper()}>', 'g')"
+    sec_cols.append(
+        f"CAST(len(list_filter(regexp_extract_all({sred},"
+        f" '{GENERIC_SECRET_RE}'),"
+        " x -> len(list_distinct(regexp_extract_all(x, '.'))) >= 12"
+        " AND regexp_matches(x, '[A-Za-z]')"
+        " AND regexp_matches(x, '[0-9]'))) AS INT) AS ns_generic"
+    )
+    seccounts = ", ".join(sec_cols)
     return f"""
-        WITH dec AS (SELECT doc_id, {inject} AS t FROM documents)
-        SELECT doc_id, {counts}, md5({red}) AS redacted_fp FROM dec
+        WITH dec AS (SELECT doc_id, {inject} AS t FROM documents),
+        sdec AS (SELECT doc_id, t, {sec_inject} AS s FROM dec)
+        SELECT doc_id, {counts}, md5({red}) AS redacted_fp, {seccounts}
+        FROM sdec
     """
 
 
@@ -5674,6 +5792,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'frame' AS kind, media_id, frame_idx, frame_sha256,
                width, height, CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
         FROM ({base["media_frames"]})
+        UNION ALL
+        -- phash branch (r14): the stand-in dHash replayed from first
+        -- principles — hex-parse the utf-8 bytes, average-pool into
+        -- the 9x8 grid (one exact division per cell), set bit r*8+c
+        -- iff cell[r,c+1] > cell[r,c], assemble the SIGNED 64-bit
+        -- value (bit 63 as -2^63; DuckDB errors on 1::BIGINT << 63,
+        -- the simhash precedent)
+        SELECT 'phash' AS kind, doc_id AS media_id,
+               CAST(NULL AS INTEGER) AS frame_idx,
+               CAST(CAST(phash AS BIGINT) AS VARCHAR) AS sha256,
+               CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height,
+               CAST(NULL AS INTEGER) AS n_bytes,
+               CAST(NULL AS VARCHAR) AS mime
+        FROM (
+          WITH phb AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents
+          ),
+          phc AS (
+            SELECT doc_id, i,
+                   CASE WHEN hi > lo THEN
+                     list_sum(list_transform(range(lo, hi), j ->
+                       (strpos('0123456789ABCDEF',
+                               substr(hx, 2 * j + 1, 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF',
+                                substr(hx, 2 * j + 2, 1)) - 1
+                     )) / (hi - lo)
+                   ELSE 0.0 END AS cell
+            FROM (
+              SELECT doc_id, hx, n, g.i AS i,
+                     (g.i * n) // 72 AS lo, ((g.i + 1) * n) // 72 AS hi
+              FROM phb, (SELECT unnest(range(0, 72)) AS i) g
+            )
+          ),
+          phbits AS (
+            SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9)) AS bit
+            FROM phc a JOIN phc b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            WHERE a.i % 9 < 8 AND b.cell > a.cell
+          )
+          SELECT p.doc_id,
+                 coalesce(sum(CASE WHEN bit < 63
+                                   THEN (CAST(1 AS BIGINT) << bit) END), 0)
+                 + coalesce(max(CASE WHEN bit = 63
+                                     THEN -9223372036854775808 END), 0)
+                   AS phash
+          FROM phb p LEFT JOIN phbits USING (doc_id)
+          GROUP BY p.doc_id
+        )
     """
     out["cosine_near_dup"] = f"""
         SELECT 'pair' AS kind, id_a, id_b, sim AS score,

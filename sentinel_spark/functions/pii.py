@@ -81,8 +81,12 @@ def redact_pii(
 # like PII_PATTERNS, so oracles can apply identical patterns.
 
 SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    # lazy unbounded body, NOT a bounded repeat: RE2 (and so DuckDB)
+    # rejects repetition sizes past 1000, and a real 2048-bit RSA key
+    # body is ~1700 base64 chars anyway — the restricted char class +
+    # lazy match keep this linear on both engines
     ("pem_key", r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
-                r"[A-Za-z0-9+/=\s]{0,4096}?-----END [A-Z ]{0,20}PRIVATE KEY-----"),
+                r"[A-Za-z0-9+/=\s]*?-----END [A-Z ]{0,20}PRIVATE KEY-----"),
     ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
     ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36}\b"),
     ("slack_token", r"\bxox[abprs]-[A-Za-z0-9-]{10,72}\b"),
