@@ -2225,51 +2225,41 @@ def q_sample_suite(spark, sf_dir):
     )
     # The gate's eager construction work, minimized (r14, VERDICT r13
     # #2): ONE per-source totals collect feeds BOTH the temperature
-    # and epochs budget dicts (previously two serialized jobs over
-    # two separate tokenize lineages), and the independent dsir model
-    # build — raw-text corpus, untouched by `base` — runs in a
-    # background thread overlapping that collect and budget_select's
-    # stats job. Values are deterministic either way; only wall-clock
-    # changes.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # and epochs budget dicts — previously two serialized jobs over
+    # two separate tokenize lineages. (dsir_select is fully lazy —
+    # no action anywhere in dsir.py — so there is nothing to overlap
+    # with; the review killed an earlier background-thread version of
+    # this block as vacuous concurrency.)
     from sentinel_spark.functions.dsir import dsir_select
     from sentinel_spark.functions.sampling import temperature_budgets
 
     docs = _t(spark, sf_dir, "documents")
-    pool = ThreadPoolExecutor(max_workers=1)
-    try:
-        ds_fut = pool.submit(
-            dsir_select,
-            docs,
-            docs.where(F.col("source") == "src1"),
-            "text",
-            "doc_id",
-            n=20,
-            buckets=4096,
-        )
-        sizes_all = {
-            r[0]: int(r[1])
-            for r in base.groupBy("source")
-            .agg(F.coalesce(F.sum(F.col("n_tok").cast("long")), F.lit(0)))
-            .collect()
-        }
-        # temperature branch: one row per source, budget in the
-        # weight slot — the driver-side dict is tiny (|sources| rows)
-        # and deterministic, so materializing it as a frame is exact
-        budgets = temperature_budgets(
-            None, "source", "n_tok",
-            total_tokens=1000, alpha=0.7, sizes=sizes_all,
-        )
-        # dsir branch (functions/dsir.py — Gumbel-top-n hashed-n-gram
-        # importance resampling toward src1-like documents): the full
-        # pipeline (feature hash, smoothed ln-ratio model,
-        # deterministic Gumbel, rounded-score ranking) replays in
-        # SQL; the selection score rides the weight slot, the draw
-        # order the lang slot. Built in the background thread above.
-        ds_raw = ds_fut.result()
-    finally:
-        pool.shutdown(wait=True)
+    sizes_all = {
+        r[0]: int(r[1])
+        for r in base.groupBy("source")
+        .agg(F.coalesce(F.sum(F.col("n_tok").cast("long")), F.lit(0)))
+        .collect()
+    }
+    # temperature branch: one row per source, budget in the weight
+    # slot — the driver-side dict is tiny (|sources| rows) and
+    # deterministic, so materializing it as a frame is exact
+    budgets = temperature_budgets(
+        None, "source", "n_tok",
+        total_tokens=1000, alpha=0.7, sizes=sizes_all,
+    )
+    # dsir branch (functions/dsir.py — Gumbel-top-n hashed-n-gram
+    # importance resampling toward src1-like documents): the full
+    # pipeline (feature hash, smoothed ln-ratio model, deterministic
+    # Gumbel, rounded-score ranking) replays in SQL; the selection
+    # score rides the weight slot, the draw order the lang slot.
+    ds_raw = dsir_select(
+        docs,
+        docs.where(F.col("source") == "src1"),
+        "text",
+        "doc_id",
+        n=20,
+        buckets=4096,
+    )
     # NULL-safe sort key: a NULL source group would make a bare
     # sorted() raise (None < str); the oracle keeps that group too
     tb = spark.createDataFrame(

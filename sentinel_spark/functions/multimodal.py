@@ -315,7 +315,10 @@ def perceptual_hash_media(
         for pdf in batches:
             ids, hs = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(content)
+                # NULL content hashes like empty content (all-zero
+                # grid -> phash 0) instead of crashing the batch —
+                # mirrors the SQL replay's NULL-text leg
+                b = bytes(content) if content is not None else b""
                 grid = None
                 if use_real_codec == "auto" or use_real_codec is True:
                     if _codec_available():

@@ -590,6 +590,17 @@ def corpus_datacard(
     groups = [source_col] if source_col else []
 
     def _card(frame, label_col):
+        if label_col:
+            # null-safe slice key: coalesce the label to '(null)'
+            # BEFORE both aggregates — the counts↤vocab left join is
+            # a plain equality join, so a NULL slice key would never
+            # match its own vocabulary row and the zero-fill below
+            # would report a confidently wrong n_types=0 for a
+            # token-bearing NULL-source slice (review r14)
+            frame = frame.withColumn(
+                label_col,
+                F.coalesce(F.col(label_col).cast("string"), F.lit("(null)")),
+            )
         # NULL text counts as a 0-token document everywhere in the
         # card (it IS a corpus row; a NULL bucket condition would
         # silently drop it from the length histogram)

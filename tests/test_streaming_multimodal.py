@@ -731,6 +731,18 @@ def test_perceptual_hash_locality_and_media_near_dup(spark):
     assert g2.get((10, 11)) == 0 and all(12 not in p for p in g2)
     release(p2)
 
+    # NULL content hashes like empty content (phash 0), not a
+    # bytes(None) TypeError killing the batch
+    nm = spark.createDataFrame(
+        [(20, None), (21, b"")], "media_id long, content binary"
+    ).select(
+        "media_id", "content",
+        F.lit("application/x-fake-image").alias("mime"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    hn = {r.media_id: r.phash for r in perceptual_hash_media(nm).collect()}
+    assert hn == {20: 0, 21: 0}
+
     # use_real_codec=True raises loudly with no codec in the container
     import pytest as _pytest
 

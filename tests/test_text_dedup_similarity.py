@@ -1787,6 +1787,26 @@ def test_corpus_datacard(spark):
     b = card["b"]
     assert b.n_docs == 2 and b.n_tokens == 2  # NULL text weighs 0
     assert b.n_chars == len("le chat")
+    # the NULL-source slice has tokens, so its vocabulary row must
+    # join null-safely (review r14: a plain equality join dropped it,
+    # and the zero-fill then reported a confidently wrong n_types=0)
+    nul = card["(null)"]
+    assert nul.n_tokens == 3 and nul.n_types == 3
+    # a token-LESS slice still zero-fills rather than going NULL
+    zf = {
+        r.slice: r
+        for r in corpus_datacard(
+            spark.createDataFrame(
+                [(1, "a", "words here"), (2, "b", None)],
+                "doc_id long, src string, text string",
+            ),
+            "text",
+            source_col="src",
+            length_bucket_edges=(8,),
+        ).collect()
+    }
+    assert zf["b"].n_types == 0 and zf["b"].type_token_ratio is None
+    assert zf["a"].n_types == 2
     # per-slice sums reconcile with the global row
     assert sum(card[s].n_docs for s in ("a", "b", "(null)")) == g.n_docs
     assert sum(card[s].n_tokens for s in ("a", "b", "(null)")) == g.n_tokens

@@ -76,7 +76,15 @@ def main() -> None:
     ) / 2
     kept = [(g, r) for g, r in ratios if abs(math.log(r) - med) <= math.log(1.5)]
     dropped = [g for g, r in ratios if (g, r) not in kept]
-    if dropped:
+    if not kept:
+        # an even-count set whose middle two ratios sit >2.25x apart
+        # can put EVERY gate outside the window around their midpoint
+        # — fall back to the unfiltered geomean rather than divide by
+        # zero, and say the filter abstained
+        print("\noutlier filter abstained (no gate within 1.5x of the "
+              "median ratio) — using the unfiltered geomean")
+        kept, dropped = ratios, []
+    elif dropped:
         print(f"\ndropped as outliers (>1.5x off median ratio): {dropped}")
     factor = math.exp(sum(math.log(r) for _, r in kept) / len(kept))
     print(f"\nbox factor (geomean of {len(kept)} stable gates, "
