@@ -506,6 +506,103 @@ def unimax_budgets(
     }
 
 
+def excess_loss_budgets(
+    df,
+    source_col: str,
+    token_col: str,
+    loss_col: str,
+    ref_loss_col: str,
+    *,
+    total_tokens: int,
+    temperature: float = 1.0,
+    uniform_mix: float = 0.0,
+    cap: bool = True,
+) -> dict[str, int]:
+    """Per-source token budgets weighted by clipped excess loss —
+    the static-proxy special case of DoReMi (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): domains where the proxy model's loss exceeds a
+    reference model's loss are the ones with headroom left to learn,
+    so they get more of the token budget. DoReMi proper interleaves
+    multiplicative-weights updates with proxy RETRAINING; under a
+    fixed (proxy, reference) score pair — the only thing a data
+    engine has — repeated updates just sharpen toward the argmax
+    domain, so this exposes the honest one-shot form: a softmax over
+    per-source token-weighted mean clipped excess, temperature
+    controlling sharpness and ``uniform_mix`` the explicit uniform
+    smoothing DoReMi also applies (its ``(1-c)·α + c·u`` step).
+
+    ``loss_col``/``ref_loss_col`` are per-document losses from any
+    scorer pair (:mod:`~sentinel_spark.functions.lm` perplexity,
+    quality-model margins); rows with NULL/NaN in either are excluded
+    from the excess means (unknown signal), though their tokens still
+    count toward the ``cap`` size. excess_s =
+    Σ tok·max(loss−ref, 0) / Σ tok over valid rows (token-weighted —
+    budgets are token-denominated); a source with no valid rows gets
+    excess 0 (smallest weight, never dropped — every domain keeps
+    probability mass, as in the paper). With ``cap=True`` budgets cap
+    at the source's size, un-redistributed
+    (:func:`temperature_budgets`' closed-form contract; pass the
+    result to :func:`mixture_sample`, or ``cap=False`` shares to
+    :func:`mixture_sample_epochs`).
+
+    Plan shape: the :func:`temperature_budgets` family — ONE
+    map-side-combined per-source aggregate (rows = number of
+    sources) collects to the driver; the softmax is driver-side
+    closed-form arithmetic over that vector (max-subtracted for
+    overflow stability), then floor(x + 0.5) half-UP integerization,
+    so the output is a deterministic pure function of the aggregate
+    vector."""
+    import math
+
+    if total_tokens <= 0:
+        return {}
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not (0.0 <= uniform_mix <= 1.0):
+        raise ValueError("uniform_mix must be in [0, 1]")
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    loss = F.col(loss_col).cast("double")
+    ref = F.col(ref_loss_col).cast("double")
+    valid = (
+        loss.isNotNull() & ~F.isnan(loss) & ref.isNotNull() & ~F.isnan(ref)
+    )
+    excess = F.greatest(loss - ref, F.lit(0.0))
+    rows = df.groupBy(source_col).agg(
+        F.coalesce(F.sum(tok), F.lit(0)).alias("_sz"),
+        F.coalesce(
+            F.sum(F.when(valid, excess * tok).otherwise(F.lit(0.0))),
+            F.lit(0.0),
+        ).alias("_xs"),
+        F.coalesce(
+            F.sum(F.when(valid, tok).otherwise(F.lit(0))), F.lit(0)
+        ).alias("_vt"),
+    ).collect()
+    if not rows:
+        return {}
+    sizes = {r[0]: int(r[1]) for r in rows}
+    ex = {
+        r[0]: (float(r[2]) / float(r[3]) if int(r[3]) > 0 else 0.0)
+        for r in rows
+    }
+    mx = max(ex.values())
+    expv = {s: math.exp((x - mx) / temperature) for s, x in ex.items()}
+    z = sum(expv.values())
+    n = len(expv)
+    w = {
+        s: (1.0 - uniform_mix) * e / z + uniform_mix / n
+        for s, e in expv.items()
+    }
+    out: dict[str, int] = {}
+    for s, ws in w.items():
+        b = int(math.floor(total_tokens * ws + 0.5))
+        if cap:
+            b = min(b, sizes[s])
+        if b > 0:
+            out[s] = b
+    return out
+
+
 def budget_select(
     df,
     score_col: str,

@@ -681,3 +681,151 @@ def corpus_datacard(
     if source_col:
         card = card.unionByName(_card(df, source_col))
     return card
+
+
+def corpus_datacard_partials(
+    df,
+    text_col: str,
+    *,
+    source_col: str,
+    lang_col: str | None = None,
+    length_bucket_edges: tuple[int, ...] = (128, 512, 2048),
+    lgk: int = 12,
+):
+    """Mergeable per-slice data-card PARTIALS — the incremental form
+    of :func:`corpus_datacard` for corpora too large (or too append-y)
+    to rescan per release: each ingest window writes its partials
+    (one row per ``source_col`` slice: the additive count fields, a
+    ``lang_counts`` map, and an HLL sketch over the slice's tokens),
+    and :func:`merge_datacard_partials` folds any set of partial
+    tables into the release card without touching the base data —
+    the :func:`~sentinel_spark.functions.sketch.rollup_distinct`
+    pattern generalized to the whole datasheet. The one field that
+    does not survive mergeability exactly is ``n_types`` (distinct
+    tokens): the merged card reports ``n_types_est`` from the unioned
+    HLL sketches (±~1.6% at the default ``lgk=12``) where the direct
+    card is exact — the documented trade for never rescanning.
+
+    Output: (slice, n_docs, n_tokens, n_chars, len_le_*/len_gt_*,
+    lang_counts map<string,long>, types_sketch binary). NULL slice
+    keys coalesce to ``'(null)'`` (the datacard convention); there is
+    no ``'(all)'`` row — merge derives it, since every field is
+    additive or union-closed across slices.
+
+    Plan shape: one doc-grain (slice, lang) aggregate collapsed to a
+    per-slice row (two KB-width exchanges), plus one tokenize/explode
+    pass feeding a per-slice ``hll_sketch_agg`` (map-side partial
+    sketches; the shuffle moves KB binaries, never tokens), joined on
+    the ≤slices-row axis."""
+    if not length_bucket_edges or list(length_bucket_edges) != sorted(
+        set(length_bucket_edges)
+    ):
+        raise ValueError("length_bucket_edges must be strictly increasing")
+    slice_key = F.coalesce(
+        F.col(source_col).cast("string"), F.lit("(null)")
+    ).alias("slice")
+    t = F.coalesce(token_count(text_col).cast("long"), F.lit(0))
+    n = F.coalesce(F.length(F.col(text_col)).cast("long"), F.lit(0))
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(t), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.sum(n), F.lit(0)).alias("n_chars"),
+    ]
+    prev = None
+    for e in length_bucket_edges:
+        lo = prev
+        prev = e
+        cond = t <= e if lo is None else (t > lo) & (t <= e)
+        aggs.append(F.sum(cond.cast("long")).alias(f"len_le_{e}"))
+    aggs.append(
+        F.sum((t > length_bucket_edges[-1]).cast("long")).alias(
+            f"len_gt_{length_bucket_edges[-1]}"
+        )
+    )
+    lang = (
+        F.coalesce(F.col(lang_col).cast("string"), F.lit("(null)"))
+        if lang_col
+        else F.lit("(none)")
+    )
+    by_lang = df.groupBy(slice_key, lang.alias("_lang")).agg(*aggs)
+    sum_cols = [c for c in by_lang.columns if c not in ("slice", "_lang")]
+    counts = by_lang.groupBy("slice").agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_lang"), F.col("n_docs")))
+            )
+        ).alias("lang_counts"),
+    )
+    toks = df.select(
+        slice_key, F.explode(tokens(text_col)).alias("_tok")
+    )
+    sketches = toks.groupBy("slice").agg(
+        F.hll_sketch_agg(F.col("_tok"), F.lit(lgk)).alias("types_sketch")
+    )
+    return counts.join(sketches, "slice", "left")
+
+
+def merge_datacard_partials(parts, *, include_all: bool = True):
+    """Fold :func:`corpus_datacard_partials` rows (any union of
+    partial tables — ingest windows, shards, releases) into the
+    datasheet: per slice, sum the additive fields, merge the
+    ``lang_counts`` maps, union the HLL sketches into ``n_types_est``,
+    and derive ``lang_top`` (deterministic: highest count, then
+    lowest language name — the datacard's pinned tie-break). With
+    ``include_all`` a ``'(all)'`` row is derived from the slice rows
+    themselves (every field is additive or union-closed), so partials
+    never store a global row that double-counts under merge.
+
+    Report-grain work only: the inputs are ≤ slices-per-window rows;
+    nothing here scans the corpus."""
+    sum_cols = [
+        c
+        for c in parts.columns
+        if c not in ("slice", "lang_counts", "types_sketch")
+    ]
+
+    def _fold(frame, key):
+        lang_entries = frame.select(
+            key.alias("slice"), F.explode_outer("lang_counts").alias("_l", "_c")
+        ).groupBy("slice", "_l").agg(F.sum("_c").alias("_c"))
+        lang_maps = (
+            lang_entries.where(F.col("_l").isNotNull())
+            .groupBy("slice")
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("_l", "_c")))
+                ).alias("lang_counts"),
+                # highest count, then LOWEST language name (the
+                # datacard's pinned tie-break) — min over (-count,
+                # name) structs
+                F.min(
+                    F.struct(
+                        (-F.col("_c")).alias("nc"), F.col("_l").alias("l")
+                    )
+                ).alias("_top"),
+            )
+        )
+        merged = frame.groupBy(key.alias("slice")).agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.hll_union_agg("types_sketch", True).alias("_u"),
+        )
+        out = merged.join(lang_maps, "slice", "left")
+        top = F.col("_top")["l"]
+        return out.select(
+            "slice",
+            *sum_cols,
+            F.coalesce(
+                F.hll_sketch_estimate("_u"), F.lit(0).cast("long")
+            ).alias("n_types_est"),
+            "lang_counts",
+            # '(none)' marks partials built without a lang_col
+            F.when(top == "(none)", F.lit(None)).otherwise(top).alias(
+                "lang_top"
+            ),
+        )
+
+    per_slice = _fold(parts, F.col("slice"))
+    if include_all:
+        per_slice = per_slice.unionByName(_fold(parts, F.lit("(all)")))
+    return per_slice

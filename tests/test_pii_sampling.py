@@ -378,6 +378,99 @@ def test_temperature_budgets(spark):
     assert 450 <= got["big"] < 450 + 10 and 50 <= got["small"] < 60
 
 
+def test_excess_loss_budgets(spark):
+    from sentinel_spark.functions.sampling import (
+        excess_loss_budgets,
+        mixture_sample,
+    )
+
+    # three sources, engineered proxy/reference losses: hi has 2.0
+    # excess, mid 0.5, lo is BELOW the reference (clips to 0)
+    rows = (
+        [(i, "hi", 10, 5.0, 3.0) for i in range(40)]
+        + [(100 + i, "mid", 10, 3.5, 3.0) for i in range(40)]
+        + [(200 + i, "lo", 10, 2.0, 3.0) for i in range(40)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok int, loss double, ref double"
+    )
+    b = excess_loss_budgets(
+        df, "source", "n_tok", "loss", "ref", total_tokens=300,
+    )
+    # higher excess -> strictly more budget; the clipped source still
+    # gets mass (softmax never zeroes a domain)
+    assert b["hi"] > b["mid"] > b["lo"] > 0
+    assert abs(sum(b.values()) - 300) <= 2  # rounding only
+    # temperature -> infinity flattens toward uniform
+    bt = excess_loss_budgets(
+        df, "source", "n_tok", "loss", "ref",
+        total_tokens=300, temperature=1e9,
+    )
+    assert bt == {"hi": 100, "mid": 100, "lo": 100}
+    # uniform_mix=1 is exactly uniform regardless of losses
+    bu = excess_loss_budgets(
+        df, "source", "n_tok", "loss", "ref",
+        total_tokens=300, uniform_mix=1.0,
+    )
+    assert bu == {"hi": 100, "mid": 100, "lo": 100}
+    # cap=True: a sharp softmax cannot budget past the source's size
+    bc = excess_loss_budgets(
+        df, "source", "n_tok", "loss", "ref",
+        total_tokens=5000, temperature=0.01,
+    )
+    assert bc["hi"] == 400  # capped at its 40 x 10 tokens
+    # NULL/NaN losses are excluded from the excess mean but still
+    # count toward the cap size
+    nrows = rows + [(300 + i, "hi", 10, None, 3.0) for i in range(10)]
+    ndf = spark.createDataFrame(
+        nrows, "doc_id long, source string, n_tok int, loss double, ref double"
+    )
+    bn = excess_loss_budgets(
+        ndf, "source", "n_tok", "loss", "ref", total_tokens=300,
+    )
+    assert bn["hi"] == b["hi"]  # same excess mean (valid rows only)
+    bn_cap = excess_loss_budgets(
+        ndf, "source", "n_tok", "loss", "ref",
+        total_tokens=5000, temperature=0.01,
+    )
+    assert bn_cap["hi"] == 500  # cap includes the NULL-loss tokens
+    # a source with NO valid rows keeps mass at excess 0
+    zrows = rows + [(400 + i, "blind", 10, None, None) for i in range(5)]
+    zdf = spark.createDataFrame(
+        zrows, "doc_id long, source string, n_tok int, loss double, ref double"
+    )
+    bz = excess_loss_budgets(
+        zdf, "source", "n_tok", "loss", "ref", total_tokens=400,
+    )
+    assert bz["blind"] > 0 and bz["blind"] <= bz["lo"]
+    # budgets feed mixture_sample and respect its overshoot law
+    out = mixture_sample(
+        df, "source", "n_tok", b, key=F.col("doc_id").cast("string")
+    )
+    got = {
+        r[0]: r[1]
+        for r in out.groupBy("source").agg(F.sum("n_tok")).collect()
+    }
+    for s in b:
+        assert b[s] <= got[s] < b[s] + 10
+    # guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        excess_loss_budgets(
+            df, "source", "n_tok", "loss", "ref",
+            total_tokens=10, temperature=0.0,
+        )
+    with _pytest.raises(ValueError, match="uniform_mix"):
+        excess_loss_budgets(
+            df, "source", "n_tok", "loss", "ref",
+            total_tokens=10, uniform_mix=1.5,
+        )
+    assert excess_loss_budgets(
+        df, "source", "n_tok", "loss", "ref", total_tokens=0
+    ) == {}
+
+
 def test_temperature_budgets_all_null_source(spark):
     """A source whose token column is entirely NULL sums to NULL —
     treated as size 0 (dropped by the weight filter), not a crash."""

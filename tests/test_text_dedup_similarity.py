@@ -1815,3 +1815,73 @@ def test_corpus_datacard(spark):
 
     with _pytest.raises(ValueError, match="increasing"):
         corpus_datacard(df, "text", length_bucket_edges=(8, 8))
+
+
+def test_datacard_partials_merge(spark):
+    """The mergeable datasheet: merged partials reproduce the direct
+    card's additive fields and lang_top exactly, n_types via HLL
+    within tolerance; and partials written per arbitrary corpus chunk
+    merge to the SAME card as whole-corpus partials (the
+    never-rescan law)."""
+    from sentinel_spark.functions.text import (
+        corpus_datacard,
+        corpus_datacard_partials,
+        merge_datacard_partials,
+    )
+
+    rows = [
+        (
+            i,
+            ["a", "b", None][i % 3],
+            ["en", "fr", "en", None][i % 4],
+            " ".join(f"tok{j}" for j in range(i % 7 + 1)) + " the end",
+        )
+        for i in range(36)
+    ] + [(100, "a", "en", None)]  # NULL text: 0-token doc
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, lang string, text string"
+    )
+    parts_whole = corpus_datacard_partials(
+        df, "text", source_col="src", lang_col="lang"
+    )
+    merged = {
+        r.slice: r for r in merge_datacard_partials(parts_whole).collect()
+    }
+    direct = {
+        r.slice: r
+        for r in corpus_datacard(
+            df, "text", source_col="src", lang_col="lang"
+        ).collect()
+    }
+    assert set(merged) == set(direct) == {"(all)", "a", "b", "(null)"}
+    for s, d in direct.items():
+        m = merged[s]
+        for f in ("n_docs", "n_tokens", "n_chars",
+                  "len_le_128", "len_le_512", "len_le_2048", "len_gt_2048"):
+            assert m[f] == d[f], (s, f)
+        assert m.lang_top == d.lang_top, s
+        assert abs(m.n_types_est - d.n_types) <= max(1, 0.05 * d.n_types), s
+    # merge law: chunked partials == whole-corpus partials, bit-equal
+    # on every merged field (HLL union is register-wise, set-based)
+    chunks = [
+        corpus_datacard_partials(
+            df.where(F.col("doc_id") % 3 == k), "text",
+            source_col="src", lang_col="lang",
+        )
+        for k in range(3)
+    ]
+    parts_union = chunks[0].unionByName(chunks[1]).unionByName(chunks[2])
+    merged2 = {
+        r.slice: r for r in merge_datacard_partials(parts_union).collect()
+    }
+    for s, m in merged.items():
+        m2 = merged2[s]
+        for f in ("n_docs", "n_tokens", "n_chars", "n_types_est",
+                  "lang_top", "len_le_128", "len_gt_2048"):
+            assert m2[f] == m[f], (s, f)
+        assert dict(m2.lang_counts) == dict(m.lang_counts), s
+    # partials built without a lang_col merge with lang_top NULL
+    nl = merge_datacard_partials(
+        corpus_datacard_partials(df, "text", source_col="src")
+    ).where(F.col("slice") == "(all)").first()
+    assert nl.lang_top is None and nl.n_docs == 37
