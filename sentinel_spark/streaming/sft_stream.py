@@ -1,0 +1,262 @@
+"""Streaming SFT-corpus construction with exact-duplicate admission.
+
+The conversation sibling of :mod:`near_dup_stream`'s loop: chat-JSON
+records arrive continuously; each micro-batch is parsed, structurally
+gated (:func:`sentinel_spark.functions.sft.conversation_checks`'
+loss-masking preconditions), and exact-deduplicated against everything
+admitted so far WITHOUT re-reading admitted conversations — the corpus
+participates only through its persisted FINGERPRINT index (one
+(fp, conv_id) row per admitted conversation; the 0x1f ``role:content``
+md5, so re-serialized/whitespace-reformatted JSON of the same turns
+still collides). Survivors land flattened (trainable text + loss-mask
+spans) in the corpus table AND the index; everything else diverts to a
+rejects table with per-stage attribution (unparsed | structure |
+exact_dup + the matched conversation as evidence).
+
+Replay contract (the family's standard): every write goes through
+``ParquetTable.merge_insert_not_matched`` on content-derived keys, so
+an at-least-once re-run of a crashed micro-batch inserts nothing —
+exactly-once in effect under Structured Streaming's foreachBatch.
+Admission order makes the crash window convergent: the corpus/index
+lacking a batch's rows can only ADMIT MORE on replay, never flip an
+admitted conversation to rejected, and the merge skips what already
+landed.
+
+Scale shape: parsing/validation/flattening/fingerprinting are per-row
+projections over the batch; the only index-side work is a pruned scan
+of the fp-clustered index (per-batch cost tracks the batch's
+fingerprint footprint, not corpus size) plus one broadcast-sized
+anti-join per batch. Nothing corpus-wide, nothing collected beyond the
+pruning key set.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sentinel_spark.sources.store import ParquetTable
+from sentinel_spark.streaming.near_dup_stream import pruned_index_scan
+
+
+def sft_admission(
+    batch: DataFrame,
+    index: DataFrame | None,
+    json_col: str,
+    id_col: str,
+    *,
+    allow_tool_calls: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split one conversation batch into (admitted, rejected,
+    new_index_rows).
+
+    ``admitted``: parsed, structurally valid, fingerprint unseen —
+    neither in ``index`` (the admitted corpus's (fp, conv_id) rows)
+    nor claimed by a smaller-id conversation in the SAME batch (the
+    exact-dedup canonical-min rule; structural rejects never claim a
+    fingerprint, so a malformed copy cannot shadow a well-formed
+    one). Carries ``flat_text`` + ``spans`` ready for a trainer.
+
+    ``rejected``: per-input attribution — stage ``unparsed`` (bad
+    JSON / bare object), ``structure`` (gate failed; the flag columns
+    ride along as evidence), or ``exact_dup`` with ``match_id`` = the
+    canonical conversation it duplicates (index rows win over batch
+    rows as evidence: the admitted corpus is the ground truth).
+
+    ``new_index_rows``: (fp, conv_id) of the admitted set — derived
+    from the same flagged frame, so admission and indexing cannot
+    disagree.
+
+    Pure composition; the one persisted intermediate (the flagged
+    batch frame, read by all three outputs) rides ``admitted``'s
+    release handle."""
+    from sentinel_spark.cache import with_release
+    from sentinel_spark.functions.sft import (
+        conversation_checks,
+        conversation_fingerprint,
+        flatten_conversation,
+        flatten_spans,
+        parse_conversations,
+    )
+
+    checks = conversation_checks(
+        "messages", allow_tool_calls=allow_tool_calls
+    )
+    flagged = (
+        parse_conversations(batch, json_col)
+        .select(
+            id_col,
+            json_col,
+            "messages",
+            "json_ok",
+            checks["structure_ok"].alias("structure_ok"),
+            checks["n_turns"].alias("n_turns"),
+            checks["n_chars"].alias("n_chars"),
+            conversation_fingerprint("messages").alias("fp"),
+        )
+        .persist()
+    )
+    if index is None:
+        index = batch.sparkSession.createDataFrame(
+            [], f"fp string, {id_col} long"
+        )
+    structured = flagged.where(F.col("json_ok") & F.col("structure_ok"))
+    # canonical-min within the batch, computed ONLY over structured
+    # rows (a reject never claims a fingerprint)
+    batch_min = structured.groupBy("fp").agg(
+        F.min(id_col).alias("_batch_min")
+    )
+    hits = (
+        structured.join(
+            index.select("fp", F.col(id_col).alias("_idx_id")), "fp", "left"
+        )
+        .join(batch_min, "fp")
+        .select(
+            id_col,
+            "fp",
+            # index evidence wins: the admitted corpus is ground truth
+            F.coalesce(F.col("_idx_id"), F.col("_batch_min")).alias(
+                "match_id"
+            ),
+        )
+    )
+    dup = hits.where(F.col("match_id") != F.col(id_col)).select(
+        id_col, F.col("match_id")
+    )
+    rejected = (
+        flagged.where(~F.col("json_ok"))
+        .select(
+            id_col, "n_turns", "n_chars",
+            F.lit("unparsed").alias("stage"),
+            F.lit(None).cast("long").alias("match_id"),
+        )
+        .unionByName(
+            flagged.where(F.col("json_ok") & ~F.col("structure_ok")).select(
+                id_col, "n_turns", "n_chars",
+                F.lit("structure").alias("stage"),
+                F.lit(None).cast("long").alias("match_id"),
+            )
+        )
+        .unionByName(
+            flagged.join(dup, id_col).select(
+                id_col, "n_turns", "n_chars",
+                F.lit("exact_dup").alias("stage"),
+                "match_id",
+            )
+        )
+    )
+    admitted = (
+        structured.join(dup.select(id_col), id_col, "left_anti")
+        .select(
+            id_col,
+            "fp",
+            "n_turns",
+            "n_chars",
+            flatten_conversation("messages").alias("flat_text"),
+            flatten_spans("messages").alias("spans"),
+        )
+    )
+    new_index_rows = admitted.select("fp", id_col)
+    return with_release(admitted, [flagged]), rejected, new_index_rows
+
+
+def run_sft_stream(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    *,
+    json_col: str = "conv",
+    id_col: str = "conv_id",
+    allow_tool_calls: bool = False,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    compact_every: int | None = 8,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming face of :func:`sft_admission`: JSONL records
+    (``{id_col}: long, {json_col}: string`` — the string being the
+    chat-format message array) under ``input_dir`` → flattened
+    admitted conversations at ``corpus_dir``/convs, the fingerprint
+    index at ``corpus_dir``/index, per-stage rejects at
+    ``corpus_dir``/rejects. All ParquetTable
+    ``merge_insert_not_matched`` writes (crashed-batch replays insert
+    nothing twice); returns the StreamingQuery (awaited when
+    ``available_now``).
+
+    ``compact_every``: every N micro-batches, compact the convs table
+    and fp-cluster the index — same maintenance rationale as
+    ``run_near_dup_stream``: the per-batch index scan prunes on fp
+    file stats (+ bloom for the un-clustered tail), so per-batch cost
+    tracks the batch's fingerprint footprint."""
+    checkpoint_dir = checkpoint_dir or os.path.join(corpus_dir, "_checkpoint")
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.load(input_dir)
+        .select(
+            F.from_json(
+                F.col("value"), f"{id_col} long, {json_col} string"
+            ).alias("r")
+        )
+        .select("r.*")
+        .where(F.col(id_col).isNotNull())
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from sentinel_spark.cache import release
+
+        sess = batch_df.sparkSession
+        convs_t = ParquetTable(sess, os.path.join(corpus_dir, "convs"))
+        index_t = ParquetTable(
+            sess,
+            os.path.join(corpus_dir, "index"),
+            bloom_stats_cols=["fp"],
+        )
+        rejects_t = ParquetTable(sess, os.path.join(corpus_dir, "rejects"))
+        # fingerprint the batch ONCE up front: its distinct fps drive
+        # the index-scan pruning (winnow's 'fp' convention)
+        from sentinel_spark.functions.sft import (
+            conversation_fingerprint,
+            parse_conversations,
+        )
+
+        batch_fps = (
+            parse_conversations(batch_df, json_col)
+            .select(conversation_fingerprint("messages").alias("fp"))
+            .where(F.col("fp").isNotNull())
+        )
+        index = (
+            pruned_index_scan(index_t, batch_fps, key="fp")
+            if index_t.exists()
+            else None
+        )
+        admitted, rejected, new_rows = sft_admission(
+            batch_df, index, json_col, id_col,
+            allow_tool_calls=allow_tool_calls,
+        )
+        # convs first, then index (the convergent-crash-window order:
+        # a replay against an index missing these rows can only
+        # re-admit the same conversations, and the merge skips them),
+        # rejects last; a failed write must still release the
+        # admission's persisted frame.
+        try:
+            convs_t.merge_insert_not_matched(admitted, [id_col])
+            index_t.merge_insert_not_matched(new_rows, ["fp", id_col])
+            rejects_t.merge_insert_not_matched(rejected, [id_col])
+        finally:
+            release(admitted)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            convs_t.compact()
+            index_t.compact(cluster_by=["fp"])
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()

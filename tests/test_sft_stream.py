@@ -1,0 +1,161 @@
+"""Streaming SFT admission (streaming/sft_stream.py).
+
+Batch-level admission laws (structure gate, canonical-min intra-batch
+dedup, index-evidence precedence), the availableNow round trip across
+micro-batch generations, batch-equals-stream agreement with
+build_sft_corpus, and crash-replay idempotency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.cache import release
+from sentinel_spark.streaming.sft_stream import run_sft_stream, sft_admission
+
+
+def _conv(*turns):
+    return json.dumps(
+        [{"role": r, "content": c} for r, c in turns]
+    )
+
+GOOD_A = _conv(("user", "hello there"), ("assistant", "hi yourself"))
+GOOD_A_REFORMAT = json.dumps(
+    json.loads(GOOD_A), separators=(",", ": ")
+)  # same turns, different JSON bytes -> same fingerprint
+GOOD_B = _conv(("system", "be brief"), ("user", "sum it"),
+               ("assistant", "done"))
+GOOD_C = _conv(("user", "what time"), ("assistant", "noon"))
+BAD_STRUCT = _conv(("user", "one"), ("user", "two"), ("assistant", "x"))
+BAD_JSON = '{"cut'
+
+B1 = [(1, GOOD_A), (2, GOOD_A_REFORMAT), (3, BAD_STRUCT), (4, BAD_JSON),
+      (5, GOOD_B)]
+B2 = [(10, GOOD_A), (11, GOOD_C)]
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for cid, conv in rows:
+            f.write(json.dumps({"conv_id": cid, "conv": conv}) + "\n")
+
+
+def test_sft_admission_split(spark):
+    batch = spark.createDataFrame(B1, "conv_id long, conv string")
+    admitted, rejected, new_rows = sft_admission(
+        batch, None, "conv", "conv_id"
+    )
+    adm = {r.conv_id: r for r in admitted.collect()}
+    rej = {r.conv_id: r for r in rejected.collect()}
+    # 1 wins its fingerprint (canonical min); 2 is the SAME turns with
+    # different JSON formatting -> exact_dup; 3 structural; 4 unparsed
+    assert set(adm) == {1, 5}
+    assert rej[2].stage == "exact_dup" and rej[2].match_id == 1
+    assert rej[3].stage == "structure" and rej[3].match_id is None
+    assert rej[4].stage == "unparsed" and rej[4].n_turns is None
+    # admitted rows are trainer-ready: flatten text + spans tile it
+    a = adm[1]
+    assert a.flat_text.startswith("<|user|>\nhello there")
+    assert a.spans[-1].start + a.spans[-1].length == len(a.flat_text)
+    assert {r.conv_id for r in new_rows.collect()} == {1, 5}
+    release(admitted)
+
+
+def test_sft_admission_index_evidence_wins(spark):
+    # the fingerprint already admitted (index) beats any batch id as
+    # evidence, and a structural reject never claims a fingerprint
+    idx_batch = spark.createDataFrame(
+        [(1, GOOD_A)], "conv_id long, conv string"
+    )
+    _, _, idx = sft_admission(idx_batch, None, "conv", "conv_id")
+    batch = spark.createDataFrame(
+        [(20, GOOD_A), (21, GOOD_A_REFORMAT)], "conv_id long, conv string"
+    )
+    admitted, rejected, _ = sft_admission(batch, idx, "conv", "conv_id")
+    rej = {r.conv_id: r for r in rejected.collect()}
+    assert admitted.count() == 0
+    assert rej[20].match_id == 1 and rej[21].match_id == 1
+    release(admitted)
+
+
+def test_sft_streaming_rounds_replay_and_batch_parity(spark, tmp_path):
+    from sentinel_spark.sources.store import ParquetTable
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+
+    _write_jsonl(inbox / "b1.jsonl", B1)
+    run_sft_stream(spark, str(inbox), corpus)
+    convs_t = ParquetTable(spark, os.path.join(corpus, "convs"))
+    index_t = ParquetTable(spark, os.path.join(corpus, "index"))
+    rejects_t = ParquetTable(spark, os.path.join(corpus, "rejects"))
+    assert {r.conv_id for r in convs_t.read().collect()} == {1, 5}
+
+    # generation 2: a dup of an INDEXED conversation rejects with the
+    # original as evidence; the novel one admits
+    _write_jsonl(inbox / "b2.jsonl", B2)
+    run_sft_stream(spark, str(inbox), corpus)
+    assert {r.conv_id for r in convs_t.read().collect()} == {1, 5, 11}
+    rej = {r.conv_id: r for r in rejects_t.read().collect()}
+    assert rej[10].stage == "exact_dup" and rej[10].match_id == 1
+    assert index_t.read().count() == 3
+
+    # batch parity: the streaming corpus's kept set equals the batch
+    # recipe's final set over the SAME union of inputs
+    from sentinel_spark.pipelines import build_sft_corpus
+
+    all_rows = spark.createDataFrame(B1 + B2, "conv_id long, conv string")
+    res = build_sft_corpus(all_rows, "conv", id_col="conv_id")
+    batch_kept = {r.conv_id for r in res.selected.select("conv_id").collect()}
+    assert batch_kept == {1, 5, 11}
+    release(res.selected)
+
+    # replay: wipe the checkpoint (at-least-once worst case) — all
+    # three tables unchanged
+    import shutil
+
+    shutil.rmtree(os.path.join(corpus, "_checkpoint"))
+    before = (
+        convs_t.read().count(),
+        index_t.read().count(),
+        rejects_t.read().count(),
+    )
+    run_sft_stream(spark, str(inbox), corpus)
+    after = (
+        convs_t.read().count(),
+        index_t.read().count(),
+        rejects_t.read().count(),
+    )
+    assert before == after == (3, 3, 4)
+
+
+def test_sft_streaming_compaction_and_pruning(spark, tmp_path):
+    from sentinel_spark.sources.store import ParquetTable
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    corpus = str(tmp_path / "corpus")
+    _write_jsonl(inbox / "b1.jsonl", B1)
+    run_sft_stream(spark, str(inbox), corpus, compact_every=1)
+    _write_jsonl(inbox / "b2.jsonl", B2)
+    run_sft_stream(spark, str(inbox), corpus, compact_every=1)
+    convs_t = ParquetTable(spark, os.path.join(corpus, "convs"))
+    index_t = ParquetTable(spark, os.path.join(corpus, "index"))
+    assert {r.conv_id for r in convs_t.read().collect()} == {1, 5, 11}
+    # the fp-clustered index still answers a pruned scan correctly
+    from sentinel_spark.streaming.near_dup_stream import pruned_index_scan
+    from sentinel_spark.functions.sft import (
+        conversation_fingerprint,
+        parse_conversations,
+    )
+
+    probe = parse_conversations(
+        spark.createDataFrame([(99, GOOD_A)], "conv_id long, conv string"),
+        "conv",
+    ).select(conversation_fingerprint("messages").alias("fp"))
+    hit = pruned_index_scan(index_t, probe, key="fp")
+    assert {r.conv_id for r in hit.collect()} >= {1}
