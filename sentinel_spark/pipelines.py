@@ -799,3 +799,55 @@ def build_sft_corpus(
 
     selected = with_release(selected, cached)
     return SftBuildResult(funnel, selected, rejects)
+
+
+def export_sft_shards(
+    selected: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "conv_id",
+    shard_tokens: int = 1 << 22,
+    file_format: str = "parquet",
+    shuffle_seed: int | None = None,
+    compression: str | None = None,
+):
+    """Export a :func:`build_sft_corpus` ``selected`` frame as
+    token-budgeted training shards — the SFT family's sink, closing
+    the parse → gate → dedup → flatten → SHARDS path end-to-end.
+
+    The shard budget counts tokens of the FLATTENED text (what the
+    trainer actually consumes); the loss-mask ``spans`` ride as a
+    typed column so the loader unmasks assistant content without
+    re-deriving spans (and cannot desynchronize from the text — they
+    were computed from the same expressions). The raw ``messages``
+    array stays behind in the table, not the shards: the flat text +
+    spans ARE the training payload. ``file_format`` defaults to
+    parquet (NOT the sink's json default) because spans are an
+    array<struct> the loader wants back TYPED; json round-trips them
+    only with an explicit schema.
+
+    Everything else — token-budgeted cutting via the two-level prefix
+    sum, optional ``shuffle_seed`` global order, per-shard manifest,
+    :func:`~sentinel_spark.sources.export.validate_export` audit —
+    is :func:`~sentinel_spark.sources.export.export_training_shards`
+    unchanged."""
+    from sentinel_spark.functions.text import token_count
+    from sentinel_spark.sources.export import export_training_shards
+
+    frame = selected.select(
+        F.col(id_col),
+        "text",
+        "spans",
+        "n_turns",
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    return export_training_shards(
+        frame,
+        out_dir,
+        token_col="n_tok",
+        order_col=id_col,
+        shard_tokens=shard_tokens,
+        file_format=file_format,
+        shuffle_seed=shuffle_seed,
+        compression=compression,
+    )
