@@ -92,6 +92,110 @@ def contamination_table(
     )
 
 
+def contamination_by_suite(
+    docs: DataFrame,
+    suites: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    suite_col: str = "suite",
+    n: int = 8,
+    min_overlap_frac: float = 0.05,
+) -> DataFrame:
+    """Per-(document, benchmark-suite) contamination attribution — the
+    multi-benchmark form of :func:`contamination_table`: one corpus
+    shingle pass scored against EVERY eval suite at once, so the
+    report answers "which benchmark leaked into which documents"
+    without re-scanning the corpus per suite (the N-suites × corpus
+    rescan is the naive shape this exists to avoid).
+
+    ``suites`` carries (``suite_col``, ``text_col``) rows — the union
+    of all eval sets with their labels. Output: one row per (doc,
+    suite) WITH AT LEAST ONE HIT — (``id_col``, ``suite_col``,
+    n_ngrams, n_hits, contam_frac, contaminated) — plus the per-doc
+    totals so fractions are self-contained. Clean (doc, suite) pairs
+    are absent by design (the report is eval-suite-count × flagged
+    docs, not a dense matrix); a document's overall flag is
+    ``contamination_table`` on the unlabeled union (a shingle shared
+    by two suites counts once there and once PER SUITE here — per-doc
+    ``n_hits`` summed over suites can exceed the union's).
+
+    Plan shape: the corpus side is ONE :func:`~sentinel_spark.
+    functions.dedup.shingle_rows` pass (its id-spread is the only
+    corpus exchange); the per-suite distinct (suite, n-gram) set
+    broadcasts (eval suites are MBs); the per-(id, suite) hit count
+    reuses the id partitioning (grouping keys ⊇ partition key); only
+    the report-grain hits frame re-shuffles to attach the per-doc
+    totals."""
+    bench_set = (
+        shingle_rows(
+            suites.select(
+                F.md5(F.concat_ws("\x1f", suite_col, text_col)).alias(
+                    "_bench_id"
+                ),
+                F.col(suite_col).alias("_suite"),
+                text_col,
+            ),
+            text_col,
+            "_bench_id",
+            n,
+        )
+        .join(
+            suites.select(
+                F.md5(F.concat_ws("\x1f", suite_col, text_col)).alias("id"),
+                F.col(suite_col).alias("_suite"),
+            ).dropDuplicates(["id"]),
+            "id",
+        )
+        .select("_suite", "s")
+        .distinct()
+    )
+    sh = shingle_rows(docs, text_col, id_col, n)
+    totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        sh.join(F.broadcast(bench_set), "s")
+        .groupBy("id", "_suite")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.join(totals, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_suite").alias(suite_col),
+            "n_ngrams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias(
+                "contam_frac"
+            ),
+            (
+                F.col("n_hits") / F.col("n_ngrams") >= min_overlap_frac
+            ).alias("contaminated"),
+        )
+    )
+
+
+def suite_contamination_summary(
+    per_doc_suite: DataFrame,
+    *,
+    suite_col: str = "suite",
+) -> DataFrame:
+    """Suite-level rollup of :func:`contamination_by_suite` — the
+    "which benchmark leaks most" table a decontamination run reports:
+    per suite, documents touched, documents flagged, total hit
+    n-grams, and the worst per-doc fraction. Report-grain aggregate
+    over the (doc, suite) frame; never touches the corpus."""
+    return (
+        per_doc_suite.groupBy(suite_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_hit"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_docs_flagged"),
+            F.sum("n_hits").alias("n_hit_ngrams"),
+            F.max("contam_frac").alias("max_frac"),
+        )
+        .orderBy(F.col("n_docs_flagged").desc(), suite_col)
+    )
+
+
 def duplicate_passages(
     docs: DataFrame,
     text_col: str,

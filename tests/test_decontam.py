@@ -271,3 +271,55 @@ def test_semantic_contamination_saturation_flag(spark):
     assert len(out) == 3 and all(r.eval_saturated for r in out)
     full = semantic_contamination(train, evals, threshold=0.9, k=10).collect()
     assert len(full) == 9 and not any(r.eval_saturated for r in full)
+
+
+def test_contamination_by_suite_attribution(spark):
+    from sentinel_spark.functions.decontam import (
+        contamination_by_suite,
+        suite_contamination_summary,
+    )
+
+    pa = "alpha one two three four five six seven eight nine ten eleven"
+    pb = "beta uno dos tres cuatro cinco seis siete ocho nueve diez once"
+    suites = spark.createDataFrame(
+        [("mmlu", "q " + pa + " a"), ("gsm", "q " + pb + " a"),
+         ("gsm", "another gsm item entirely disjoint from everything here")],
+        "suite string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "doc with " + pa + " pasted inside and some more words"),
+            (1, "doc with " + pb + " pasted inside and some more words"),
+            (2, "doc with " + pa + " and also " + pb + " both pasted in"),
+            (3, "a clean document about weather patterns over the ocean today"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = contamination_by_suite(
+        docs, suites, "text", "doc_id", n=8, min_overlap_frac=0.05
+    )
+    got = {(r.doc_id, r.suite): r for r in rep.collect()}
+    # attribution: 0 hits only mmlu, 1 only gsm, 2 hits BOTH, 3 absent
+    assert {k for k in got} == {(0, "mmlu"), (1, "gsm"),
+                                (2, "mmlu"), (2, "gsm")}
+    assert all(r.contaminated for r in got.values())
+    # per-doc totals are suite-independent (same n_ngrams both rows)
+    assert got[(2, "mmlu")].n_ngrams == got[(2, "gsm")].n_ngrams
+    # disjoint-suites law: per-suite hits sum to the unlabeled union's
+    from sentinel_spark.functions.decontam import contamination_table
+
+    union = {
+        r.doc_id: r
+        for r in contamination_table(
+            docs, suites.select("text"), "text", "doc_id", n=8
+        ).collect()
+    }
+    assert (got[(2, "mmlu")].n_hits + got[(2, "gsm")].n_hits
+            == union[2].n_hits)
+    # rollup
+    summ = {r.suite: r for r in suite_contamination_summary(rep).collect()}
+    assert summ["mmlu"].n_docs_hit == 2 and summ["gsm"].n_docs_hit == 2
+    assert summ["mmlu"].n_docs_flagged == 2
+    assert summ["gsm"].n_hit_ngrams == got[(1, "gsm")].n_hits + got[
+        (2, "gsm")
+    ].n_hits
