@@ -137,3 +137,78 @@ def load_model(spark, path: str, version: int | None = None) -> LogReg:
         )
     weights = [r.value for r in sorted(rows, key=lambda r: r.rank) if r.rank >= 0]
     return LogReg(weights=weights, bias=head.value, n_iter=int(head.n_iter), lr=head.lr)
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: Column | str,
+    label_col: Column | str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic quality classifier —
+    the check a score THRESHOLD silently assumes: that 0.9 means
+    "90% of these are good". Rows are equal-width probability bins
+    (Guo et al. 2017's binned calibration): (bin, p_lo, n, n_pos,
+    mean_pred, frac_pos, gap) with ``gap = mean_pred − frac_pos``
+    (positive = overconfident). Feed to
+    :func:`expected_calibration_error` for the headline number, or
+    plot ``mean_pred`` vs ``frac_pos`` directly.
+
+    Rows with NULL/NaN probability or NULL label are excluded (no
+    signal, no bin); probabilities clamp into [0, 1] bins with
+    p == 1.0 in the top bin (the standard closed-top convention).
+    Empty bins are absent — a reliability diagram has nothing to say
+    where the classifier never predicts.
+
+    Plan shape: ONE map-side-combined aggregate on a pure-arithmetic
+    bin expression over a 2-column projection; the report is ≤
+    ``bins`` rows at any corpus size."""
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    p = (F.col(prob_col) if isinstance(prob_col, str) else prob_col).cast(
+        "double"
+    )
+    y = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("double")
+    base = df.where(
+        p.isNotNull() & ~F.isnan(p) & y.isNotNull() & ~F.isnan(y)
+    )
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor(p * F.lit(bins)).cast("int")),
+    )
+    return (
+        base.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y).cast("long").alias("n_pos"),
+            F.avg(p).alias("mean_pred"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") / F.lit(float(bins))).alias("p_lo"),
+            "n",
+            "n_pos",
+            F.round("mean_pred", 6).alias("mean_pred"),
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("frac_pos"),
+            F.round(
+                F.col("mean_pred") - F.col("n_pos") / F.col("n"), 6
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def expected_calibration_error(report: DataFrame) -> float:
+    """ECE (Guo et al. 2017) from a :func:`calibration_report` frame:
+    Σ (n_b / N) · |mean_pred_b − frac_pos_b|. One aggregate over the
+    ≤ bins-row report — driver-side float, never corpus work."""
+    row = report.agg(
+        F.sum(F.col("n") * F.abs(F.col("mean_pred") - F.col("frac_pos"))),
+        F.sum("n"),
+    ).first()
+    if not row[1]:
+        return 0.0
+    return float(row[0]) / float(row[1])

@@ -97,3 +97,49 @@ def test_logreg_persistence_roundtrip(spark, tmp_path):
     save_model(spark, m2, path)
     assert load_model(spark, path) == m2
     assert load_model(spark, path, version=v1) == m
+
+
+def test_calibration_report_and_ece(spark):
+    import pytest as _pytest
+
+    from sentinel_spark.functions.quality_model import (
+        calibration_report,
+        expected_calibration_error,
+    )
+
+    # perfectly calibrated by construction: in the bin around p, the
+    # positive fraction IS p (e.g. p=0.25 -> 1 of 4 positive)
+    rows = []
+    i = 0
+    for p, k, n in ((0.25, 1, 4), (0.55, 11, 20), (0.85, 17, 20)):
+        for j in range(n):
+            rows.append((i, p, 1 if j < k else 0))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, p double, y int")
+    rep = calibration_report(df, "p", "y", bins=10)
+    got = {r.bin: r for r in rep.collect()}
+    assert set(got) == {2, 5, 8}  # empty bins absent
+    assert got[2].n == 4 and got[2].n_pos == 1
+    assert got[2].mean_pred == 0.25 and got[2].frac_pos == 0.25
+    assert all(abs(r.gap) < 1e-9 for r in got.values())
+    assert expected_calibration_error(rep) == _pytest.approx(0.0, abs=1e-9)
+
+    # overconfident classifier: p=0.9 but only 50% positive ->
+    # ECE = |0.9 - 0.5| weighted by the whole mass in that bin
+    over = spark.createDataFrame(
+        [(i, 0.9, i % 2) for i in range(10)], "id long, p double, y int"
+    )
+    rep2 = calibration_report(over, "p", "y", bins=10)
+    r9 = rep2.first()
+    assert r9.bin == 9 and r9.gap == _pytest.approx(0.4, abs=1e-6)
+    assert expected_calibration_error(rep2) == _pytest.approx(0.4, abs=1e-6)
+
+    # closed top bin + NULL/NaN exclusion + guard
+    edge = spark.createDataFrame(
+        [(1, 1.0, 1), (2, None, 1), (3, float("nan"), 0), (4, 0.0, None)],
+        "id long, p double, y int",
+    )
+    rep3 = {r.bin: r for r in calibration_report(edge, "p", "y").collect()}
+    assert set(rep3) == {9} and rep3[9].n == 1  # p=1.0 in top bin only
+    with _pytest.raises(ValueError, match="bins"):
+        calibration_report(df, "p", "y", bins=1)
