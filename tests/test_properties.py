@@ -1027,3 +1027,134 @@ def test_reservoir_merge_slicing_invariance(spark, ids, cuts, n):
     )
     cur = merge_reservoir(cur, replay, n, key_col="doc_id")
     assert {r.doc_id for r in cur.collect()} == want
+
+
+@SLOW
+@given(
+    convs=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["system", "user", "assistant", "tool"]),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",),  # no lone surrogates
+                        # 0x1f IS the fingerprint's turn separator —
+                        # content containing it can merge turn splits,
+                        # the operator's documented collision caveat;
+                        # the injectivity leg below excludes it
+                        blacklist_characters="\x1f",
+                    ),
+                    min_size=0,
+                    max_size=24,
+                ),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_flatten_spans_tile_and_recover(spark, convs):
+    """flatten_spans law on ARBITRARY conversations (any roles, any
+    content incl. newlines/unicode/empty): spans tile the flattened
+    text exactly — contiguous with one turn_sep gap, last span closing
+    the string — and every content substring recovered by
+    (content_start, content_length) equals the original message
+    content. Plus the fingerprint law: equal (role, content) sequences
+    hash equal, distinct sequences hash distinct."""
+    from sentinel_spark.functions.sft import (
+        conversation_fingerprint,
+        flatten_conversation,
+        flatten_spans,
+    )
+
+    rows = [(i, [{"role": r, "content": c} for r, c in conv])
+            for i, conv in enumerate(convs)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id long, messages array<struct<role:string,content:string>>",
+    )
+    got = df.select(
+        "conv_id",
+        flatten_conversation("messages").alias("text"),
+        flatten_spans("messages").alias("spans"),
+        conversation_fingerprint("messages").alias("fp"),
+    ).collect()
+    by_id = {r.conv_id: r for r in got}
+    for i, conv in enumerate(convs):
+        r = by_id[i]
+        assert len(r.spans) == len(conv)
+        pos = 0
+        for j, (role, content) in enumerate(conv):
+            sp = r.spans[j]
+            assert sp.turn_idx == j and sp.start == pos
+            seg = r.text[sp.start: sp.start + sp.length]
+            assert seg == f"<|{role}|>\n{content}"
+            assert r.text[
+                sp.content_start: sp.content_start + sp.content_length
+            ] == content
+            pos = sp.start + sp.length + 1  # one turn_sep char
+        assert r.spans[-1].start + r.spans[-1].length == len(r.text)
+    # fingerprint: injective over the generated set (md5 collisions
+    # aside), equal for equal sequences
+    seqs = {}
+    for i, conv in enumerate(convs):
+        key = tuple(conv)
+        if key in seqs:
+            assert by_id[i].fp == by_id[seqs[key]].fp
+        else:
+            for k, j in seqs.items():
+                assert by_id[i].fp != by_id[j].fp or k == key
+            seqs[key] = i
+
+
+@SLOW
+@given(
+    data=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.tuples(
+            st.integers(min_value=1, max_value=500),   # source token size
+            st.floats(min_value=0.0, max_value=5.0),   # mean excess loss
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    total=st.integers(min_value=1, max_value=2000),
+    temperature=st.floats(min_value=0.05, max_value=10.0),
+)
+def test_excess_loss_budget_laws(spark, data, total, temperature):
+    """excess_loss_budgets laws on arbitrary size/excess vectors:
+    budgets order-match the excess order (ties excepted), sum to
+    ``total`` within per-source rounding when uncapped, and never
+    exceed a source's size when capped."""
+    import math
+
+    from sentinel_spark.functions.sampling import excess_loss_budgets
+
+    rows = []
+    i = 0
+    for s, (size, ex) in data.items():
+        # one doc carrying the whole size: mean excess IS ex exactly
+        rows.append((i, s, size, 3.0 + ex, 3.0))
+        i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok int, loss double, ref double"
+    )
+    raw = excess_loss_budgets(
+        df, "source", "n_tok", "loss", "ref",
+        total_tokens=total, temperature=temperature, cap=False,
+    )
+    # order law (strict excess gap -> strict budget order up to the
+    # 0.5-token integerization)
+    for s1, (_, e1) in data.items():
+        for s2, (_, e2) in data.items():
+            if e1 > e2 + 1e-6:
+                assert raw.get(s1, 0) >= raw.get(s2, 0) - 1
+    assert abs(sum(raw.values()) - total) <= max(1, len(data))
+    capped = excess_loss_budgets(
+        df, "source", "n_tok", "loss", "ref",
+        total_tokens=total, temperature=temperature, cap=True,
+    )
+    for s, (size, _) in data.items():
+        assert capped.get(s, 0) <= size
