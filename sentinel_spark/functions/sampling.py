@@ -73,6 +73,89 @@ def split_leakage(df, key: Column | str, split: Column | str):
     )
 
 
+def near_dup_leakage(
+    df,
+    text_col: str,
+    id_col: str,
+    split: Column | str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_est_jaccard: float = 0.5,
+    max_band_size: int | None = None,
+):
+    """Train/eval hygiene at NEAR-duplicate grain — the leakage
+    :func:`split_leakage`'s exact content keys cannot see: a test
+    document whose near-copy (re-crawl, reformat, light edit) sits in
+    train inflates eval exactly like an exact duplicate (the Lee et
+    al. 2022 deduplication finding). Mines MinHash-LSH candidate
+    pairs over the WHOLE corpus and reports the pairs that cross a
+    split boundary.
+
+    Output: one row per (split_a, split_b) ordered pair of DISTINCT
+    splits (split_a < split_b lexicographically): n_pairs (cross-
+    boundary near-dup pairs at ``min_est_jaccard``), n_docs_a /
+    n_docs_b (distinct leaking documents on each side — what you'd
+    have to remove), max_est (worst pair). Empty result = clean
+    split. Within-split pairs are deliberately absent — they are the
+    dedup family's business, not leakage.
+
+    Plan shape: ONE :func:`~sentinel_spark.functions.dedup.
+    minhash_candidate_pairs` run (the banded self-join — bucket-
+    bounded, never all-pairs; ``max_band_size`` guards boilerplate
+    floods exactly as there) + a broadcastable (id, split) attach on
+    both pair sides + one report-grain aggregate. The split
+    assignment rides a 2-column frame; at 100 TB the candidate
+    mining is the same cost the near-dup pass already pays — run
+    this as a branch of that pass, not a second scan."""
+    from sentinel_spark.functions.dedup import minhash_candidate_pairs
+
+    s = F.col(split) if isinstance(split, str) else split
+    pairs = minhash_candidate_pairs(
+        df, text_col, id_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+        max_band_size=max_band_size,
+    ).where(F.col("est_jaccard") >= min_est_jaccard)
+    splits = df.select(
+        F.col(id_col).alias("_id"), s.cast("string").alias("_sp")
+    )
+    tagged = (
+        pairs.join(
+            splits.select(
+                F.col("_id").alias("id_a"), F.col("_sp").alias("sp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("_id").alias("id_b"), F.col("_sp").alias("sp_b")
+            ),
+            "id_b",
+        )
+        .where(F.col("sp_a") != F.col("sp_b"))
+    )
+    lo = F.least("sp_a", "sp_b")
+    hi = F.greatest("sp_a", "sp_b")
+    norm = tagged.select(
+        lo.alias("split_a"),
+        hi.alias("split_b"),
+        F.when(F.col("sp_a") == lo, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("_doc_a"),
+        F.when(F.col("sp_a") == lo, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("_doc_b"),
+        "est_jaccard",
+    )
+    return norm.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("_doc_a").alias("n_docs_a"),
+        F.count_distinct("_doc_b").alias("n_docs_b"),
+        F.round(F.max("est_jaccard"), 6).alias("max_est"),
+    )
+
+
 def hash_sample(
     key: Column | str,
     fraction: float,

@@ -1118,3 +1118,40 @@ def test_curriculum_string_key_token_scale_rates(spark):
     srcs = {r.doc_id: r.src for r in df.collect()}
     first12 = [srcs[d] for d in o_big[:12]]
     assert first12.count("web") == 8 and first12.count("books") == 4
+
+
+def test_near_dup_leakage(spark):
+    """Cross-split near-dup pairs reported per boundary; clean splits
+    and within-split dups stay silent."""
+    from sentinel_spark.functions.sampling import near_dup_leakage
+
+    base = "the quick brown fox jumps over the lazy dog again tonight"
+    rows = [
+        (1, "train", base),
+        (2, "test", base + " ok"),          # near-dup of 1, crosses
+        (3, "train", base + " yes maybe"),  # near-dup of 1, SAME split
+        (4, "test", "completely different content about rivers and maps"),
+        (5, "val", base + " sure"),         # near-dup family, crosses both
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    rep = {
+        (r.split_a, r.split_b): r
+        for r in near_dup_leakage(
+            df, "text", "doc_id", "split", min_est_jaccard=0.5
+        ).collect()
+    }
+    # train-test: pairs (1,2) and (3,2); train-val: (1,5),(3,5);
+    # test-val: (2,5); within-train (1,3) absent
+    assert set(rep) == {("test", "train"), ("train", "val"), ("test", "val")}
+    tt = rep[("test", "train")]
+    assert tt.n_pairs == 2 and tt.n_docs_a == 1 and tt.n_docs_b == 2
+    assert 0 < tt.max_est <= 1.0
+    tv = rep[("train", "val")]
+    assert tv.n_pairs == 2 and tv.n_docs_b == 1
+    # clean corpus -> empty report
+    clean = spark.createDataFrame(
+        [(1, "train", "alpha beta gamma delta words one"),
+         (2, "test", "totally disjoint vocabulary sentence here two")],
+        "doc_id long, split string, text string",
+    )
+    assert near_dup_leakage(clean, "text", "doc_id", "split").count() == 0
