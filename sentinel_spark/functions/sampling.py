@@ -108,15 +108,22 @@ def near_dup_leakage(
     both pair sides + one report-grain aggregate. The split
     assignment rides a 2-column frame; at 100 TB the candidate
     mining is the same cost the near-dup pass already pays — run
-    this as a branch of that pass, not a second scan."""
+    this as a branch of that pass, not a second scan. The pair
+    miner's internal persist rides the result's release handle
+    (:func:`sentinel_spark.cache.release`)."""
+    from sentinel_spark.cache import carry
     from sentinel_spark.functions.dedup import minhash_candidate_pairs
 
     s = F.col(split) if isinstance(split, str) else split
-    pairs = minhash_candidate_pairs(
+    # keep the raw frame: .where() strips the operator's persisted-
+    # frame handle, and the report must carry it so release() reaches
+    # the signature cache (the carry() contract)
+    pairs_raw = minhash_candidate_pairs(
         df, text_col, id_col,
         shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
         max_band_size=max_band_size,
-    ).where(F.col("est_jaccard") >= min_est_jaccard)
+    )
+    pairs = pairs_raw.where(F.col("est_jaccard") >= min_est_jaccard)
     splits = df.select(
         F.col(id_col).alias("_id"), s.cast("string").alias("_sp")
     )
@@ -148,11 +155,14 @@ def near_dup_leakage(
         .alias("_doc_b"),
         "est_jaccard",
     )
-    return norm.groupBy("split_a", "split_b").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.count_distinct("_doc_a").alias("n_docs_a"),
-        F.count_distinct("_doc_b").alias("n_docs_b"),
-        F.round(F.max("est_jaccard"), 6).alias("max_est"),
+    return carry(
+        norm.groupBy("split_a", "split_b").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("_doc_a").alias("n_docs_a"),
+            F.count_distinct("_doc_b").alias("n_docs_b"),
+            F.round(F.max("est_jaccard"), 6).alias("max_est"),
+        ),
+        pairs_raw,
     )
 
 

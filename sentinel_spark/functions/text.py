@@ -798,10 +798,19 @@ def merge_datacard_partials(parts, *, include_all: bool = True):
                 ).alias("lang_counts"),
                 # highest count, then LOWEST language name (the
                 # datacard's pinned tie-break) — min over (-count,
-                # name) structs
+                # name) structs. The sentinels are EXCLUDED from the
+                # mode (not from the map): the direct card's F.mode
+                # ignores NULL langs, so a '(null)'-dominant slice
+                # must still report the known-language majority — and
+                # '(none)' (lang-col-less partials) likewise must not
+                # shadow real languages when mixed partials merge.
                 F.min(
-                    F.struct(
-                        (-F.col("_c")).alias("nc"), F.col("_l").alias("l")
+                    F.when(
+                        ~F.col("_l").isin("(null)", "(none)"),
+                        F.struct(
+                            (-F.col("_c")).alias("nc"),
+                            F.col("_l").alias("l"),
+                        ),
                     )
                 ).alias("_top"),
             )
@@ -811,7 +820,6 @@ def merge_datacard_partials(parts, *, include_all: bool = True):
             F.hll_union_agg("types_sketch", True).alias("_u"),
         )
         out = merged.join(lang_maps, "slice", "left")
-        top = F.col("_top")["l"]
         return out.select(
             "slice",
             *sum_cols,
@@ -819,10 +827,9 @@ def merge_datacard_partials(parts, *, include_all: bool = True):
                 F.hll_sketch_estimate("_u"), F.lit(0).cast("long")
             ).alias("n_types_est"),
             "lang_counts",
-            # '(none)' marks partials built without a lang_col
-            F.when(top == "(none)", F.lit(None)).otherwise(top).alias(
-                "lang_top"
-            ),
+            # NULL when no non-sentinel language exists (all-NULL
+            # langs, or partials built without a lang_col)
+            F.col("_top")["l"].alias("lang_top"),
         )
 
     per_slice = _fold(parts, F.col("slice"))

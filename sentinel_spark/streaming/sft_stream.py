@@ -41,6 +41,41 @@ from sentinel_spark.sources.store import ParquetTable
 from sentinel_spark.streaming.near_dup_stream import pruned_index_scan
 
 
+def _flag_batch(
+    batch: DataFrame,
+    json_col: str,
+    id_col: str,
+    *,
+    allow_tool_calls: bool = False,
+) -> DataFrame:
+    """Parse + validate + fingerprint one batch into the flagged frame
+    (``id_col``, messages, json_ok, structure_ok, n_turns, n_chars,
+    fp) — built ONCE per micro-batch and shared between the pruning
+    key collect and :func:`sft_admission` (the near-dup loop's
+    inject-the-shared-frame discipline: without it every batch pays
+    the JSON parse + fingerprint twice). The raw ``json_col`` is
+    deliberately NOT carried: no admission output reads it, and it
+    would roughly double the persisted payload."""
+    from sentinel_spark.functions.sft import (
+        conversation_checks,
+        conversation_fingerprint,
+        parse_conversations,
+    )
+
+    checks = conversation_checks(
+        "messages", allow_tool_calls=allow_tool_calls
+    )
+    return parse_conversations(batch, json_col).select(
+        id_col,
+        "messages",
+        "json_ok",
+        checks["structure_ok"].alias("structure_ok"),
+        checks["n_turns"].alias("n_turns"),
+        checks["n_chars"].alias("n_chars"),
+        conversation_fingerprint("messages").alias("fp"),
+    )
+
+
 def sft_admission(
     batch: DataFrame,
     index: DataFrame | None,
@@ -48,6 +83,7 @@ def sft_admission(
     id_col: str,
     *,
     allow_tool_calls: bool = False,
+    flagged: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Split one conversation batch into (admitted, rejected,
     new_index_rows).
@@ -71,36 +107,25 @@ def sft_admission(
 
     Pure composition; the one persisted intermediate (the flagged
     batch frame, read by all three outputs) rides ``admitted``'s
-    release handle."""
+    release handle. ``flagged`` injects a PERSISTED
+    :func:`_flag_batch` frame when the caller already built one (the
+    streaming loop does, to collect the batch's fingerprints for
+    index-scan pruning) — ownership of the persist transfers here
+    either way."""
     from sentinel_spark.cache import with_release
     from sentinel_spark.functions.sft import (
-        conversation_checks,
-        conversation_fingerprint,
         flatten_conversation,
         flatten_spans,
-        parse_conversations,
     )
 
-    checks = conversation_checks(
-        "messages", allow_tool_calls=allow_tool_calls
-    )
-    flagged = (
-        parse_conversations(batch, json_col)
-        .select(
-            id_col,
-            json_col,
-            "messages",
-            "json_ok",
-            checks["structure_ok"].alias("structure_ok"),
-            checks["n_turns"].alias("n_turns"),
-            checks["n_chars"].alias("n_chars"),
-            conversation_fingerprint("messages").alias("fp"),
-        )
-        .persist()
-    )
+    if flagged is None:
+        flagged = _flag_batch(
+            batch, json_col, id_col, allow_tool_calls=allow_tool_calls
+        ).persist()
+    id_type = flagged.schema[id_col].dataType.simpleString()
     if index is None:
         index = batch.sparkSession.createDataFrame(
-            [], f"fp string, {id_col} long"
+            [], f"fp string, {id_col} {id_type}"
         )
     structured = flagged.where(F.col("json_ok") & F.col("structure_ok"))
     # canonical-min within the batch, computed ONLY over structured
@@ -130,13 +155,13 @@ def sft_admission(
         .select(
             id_col, "n_turns", "n_chars",
             F.lit("unparsed").alias("stage"),
-            F.lit(None).cast("long").alias("match_id"),
+            F.lit(None).cast(id_type).alias("match_id"),
         )
         .unionByName(
             flagged.where(F.col("json_ok") & ~F.col("structure_ok")).select(
                 id_col, "n_turns", "n_chars",
                 F.lit("structure").alias("stage"),
-                F.lit(None).cast("long").alias("match_id"),
+                F.lit(None).cast(id_type).alias("match_id"),
             )
         )
         .unionByName(
@@ -216,27 +241,29 @@ def run_sft_stream(
             bloom_stats_cols=["fp"],
         )
         rejects_t = ParquetTable(sess, os.path.join(corpus_dir, "rejects"))
-        # fingerprint the batch ONCE up front: its distinct fps drive
-        # the index-scan pruning (winnow's 'fp' convention)
-        from sentinel_spark.functions.sft import (
-            conversation_fingerprint,
-            parse_conversations,
-        )
-
-        batch_fps = (
-            parse_conversations(batch_df, json_col)
-            .select(conversation_fingerprint("messages").alias("fp"))
-            .where(F.col("fp").isNotNull())
-        )
-        index = (
-            pruned_index_scan(index_t, batch_fps, key="fp")
-            if index_t.exists()
-            else None
-        )
-        admitted, rejected, new_rows = sft_admission(
-            batch_df, index, json_col, id_col,
-            allow_tool_calls=allow_tool_calls,
-        )
+        # parse + validate + fingerprint the batch ONCE: the flagged
+        # frame drives the index-scan pruning AND injects into
+        # admission (the near-dup loop's shared-frame discipline —
+        # otherwise every batch parses the JSON twice). Ownership of
+        # the persist transfers to sft_admission only once it
+        # returns; a failure before that must unpersist here.
+        flagged = _flag_batch(
+            batch_df, json_col, id_col, allow_tool_calls=allow_tool_calls
+        ).persist()
+        try:
+            batch_fps = flagged.select("fp").where(F.col("fp").isNotNull())
+            index = (
+                pruned_index_scan(index_t, batch_fps, key="fp")
+                if index_t.exists()
+                else None
+            )
+            admitted, rejected, new_rows = sft_admission(
+                batch_df, index, json_col, id_col,
+                allow_tool_calls=allow_tool_calls, flagged=flagged,
+            )
+        except Exception:
+            flagged.unpersist()
+            raise
         # convs first, then index (the convergent-crash-window order:
         # a replay against an index missing these rows can only
         # re-admit the same conversations, and the merge skips them),

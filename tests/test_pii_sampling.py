@@ -1154,4 +1154,11 @@ def test_near_dup_leakage(spark):
          (2, "test", "totally disjoint vocabulary sentence here two")],
         "doc_id long, split string, text string",
     )
-    assert near_dup_leakage(clean, "text", "doc_id", "split").count() == 0
+    rep2 = near_dup_leakage(clean, "text", "doc_id", "split")
+    assert rep2.count() == 0
+    # the pair miner's persisted signature frame rides the report's
+    # release handle (review r14: .where() strips it otherwise)
+    from sentinel_spark.cache import release
+
+    assert getattr(rep2, "_sentinel_cached", [])
+    release(rep2)

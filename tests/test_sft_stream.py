@@ -159,3 +159,21 @@ def test_sft_streaming_compaction_and_pruning(spark, tmp_path):
     ).select(conversation_fingerprint("messages").alias("fp"))
     hit = pruned_index_scan(index_t, probe, key="fp")
     assert {r.conv_id for r in hit.collect()} >= {1}
+
+
+def test_sft_admission_string_ids(spark):
+    """id_col is not long-only (review r14): string conversation ids
+    flow through the empty-index synthesis, the match_id evidence,
+    and the reject NULL slots without type-mismatch."""
+    batch = spark.createDataFrame(
+        [("ca", GOOD_A), ("cb", GOOD_A_REFORMAT), ("cc", BAD_JSON)],
+        "conv_id string, conv string",
+    )
+    admitted, rejected, new_rows = sft_admission(
+        batch, None, "conv", "conv_id"
+    )
+    assert {r.conv_id for r in admitted.collect()} == {"ca"}
+    rej = {r.conv_id: r for r in rejected.collect()}
+    assert rej["cb"].stage == "exact_dup" and rej["cb"].match_id == "ca"
+    assert rej["cc"].match_id is None
+    release(admitted)

@@ -1885,3 +1885,37 @@ def test_datacard_partials_merge(spark):
         corpus_datacard_partials(df, "text", source_col="src")
     ).where(F.col("slice") == "(all)").first()
     assert nl.lang_top is None and nl.n_docs == 37
+    # NULL-dominant langs must NOT win lang_top (the direct card's
+    # mode ignores NULLs — review r14): 3 NULL vs 2 'en' -> 'en'
+    nd = spark.createDataFrame(
+        [(i, "a", None if i < 3 else "en", f"words here {i}")
+         for i in range(5)],
+        "doc_id long, src string, lang string, text string",
+    )
+    ndm = {
+        r.slice: r
+        for r in merge_datacard_partials(
+            corpus_datacard_partials(
+                nd, "text", source_col="src", lang_col="lang"
+            )
+        ).collect()
+    }
+    ndd = {
+        r.slice: r
+        for r in corpus_datacard(
+            nd, "text", source_col="src", lang_col="lang"
+        ).collect()
+    }
+    assert ndm["a"].lang_top == ndd["a"].lang_top == "en"
+    assert dict(ndm["a"].lang_counts) == {"(null)": 3, "en": 2}
+    # mixed partials (lang-aware + lang-col-less) merge: the known
+    # language still wins over the '(none)' bucket
+    mixed = corpus_datacard_partials(
+        nd.where("doc_id >= 3"), "text", source_col="src", lang_col="lang"
+    ).unionByName(
+        corpus_datacard_partials(
+            nd.where("doc_id < 3"), "text", source_col="src"
+        )
+    )
+    mm = {r.slice: r for r in merge_datacard_partials(mixed).collect()}
+    assert mm["a"].lang_top == "en" and mm["a"].n_docs == 5
