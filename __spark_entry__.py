@@ -2120,7 +2120,44 @@ def q_split_report(spark, sf_dir):
         F.lit(None).cast("long").alias("n2"),
         F.col("value").alias("stat"),
     )
-    return hs.unionByName(lk).unionByName(km)
+    # near-dup leakage branch (r14): sampling.near_dup_leakage over
+    # the id-keyed doc_id % 3 split — the MinHash pairs CROSSING a
+    # split boundary, per boundary in long form (metric in the lang
+    # slot: n_pairs / n_docs_a / n_docs_b; the worst estimate rides
+    # stat on the n_pairs row). The oracle replays the shared
+    # _minhash_oracle candidate CTE with the same split CASE.
+    from sentinel_spark.cache import carry
+    from sentinel_spark.functions.sampling import near_dup_leakage
+
+    dd = _t(spark, sf_dir, "documents").withColumn(
+        "_split",
+        F.element_at(
+            F.array(F.lit("train"), F.lit("test"), F.lit("val")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    lk2_raw = near_dup_leakage(
+        dd, "text", "doc_id", "_split", min_est_jaccard=0.5
+    )
+    lk2 = lk2_raw.selectExpr(
+        "split_a",
+        "split_b",
+        "max_est",
+        "stack(3, 'n_pairs', n_pairs, 'n_docs_a', n_docs_a,"
+        " 'n_docs_b', n_docs_b) AS (metric, value)",
+    ).select(
+        F.lit("nearleak").alias("kind"),
+        F.concat_ws("|", "split_a", "split_b").alias("label"),
+        F.col("metric").alias("lang"),
+        F.col("value").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.when(F.col("metric") == "n_pairs", F.col("max_est"))
+        .otherwise(null_d)
+        .alias("stat"),
+    )
+    return carry(
+        hs.unionByName(lk).unionByName(km).unionByName(lk2), lk2_raw
+    )
 
 
 def q_chunk_shards(spark, sf_dir):
@@ -5447,6 +5484,45 @@ def oracle_sql() -> dict[str, str]:
                            least(1.0, inter / da) FROM pm
           UNION ALL SELECT label, 'containment_b_in_a',
                            least(1.0, inter / db) FROM pm
+        )
+        UNION ALL
+        -- near-dup split-leakage replay (r14): the shared MinHash
+        -- candidate CTE + the id-keyed doc_id % 3 split CASE; counts
+        -- are BIGINT by construction (count/count DISTINCT, no sums)
+        SELECT 'nearleak' AS kind, label, metric AS lang,
+               CAST(value AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+               CASE WHEN metric = 'n_pairs' THEN max_est END AS stat
+        FROM (
+          WITH nlm AS ({_minhash_oracle()}),
+          nsp AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'train'
+                                   WHEN 1 THEN 'test'
+                                   ELSE 'val' END AS sp
+            FROM documents
+          ),
+          ncross AS (
+            SELECT least(a.sp, b.sp) AS sa, greatest(a.sp, b.sp) AS sb,
+                   CASE WHEN a.sp < b.sp THEN m.id_a ELSE m.id_b END AS da,
+                   CASE WHEN a.sp < b.sp THEN m.id_b ELSE m.id_a END AS db,
+                   m.est_jaccard
+            FROM nlm m
+            JOIN nsp a ON m.id_a = a.doc_id
+            JOIN nsp b ON m.id_b = b.doc_id
+            WHERE m.est_jaccard >= 0.5 AND a.sp <> b.sp
+          ),
+          nagg AS (
+            SELECT sa || '|' || sb AS label,
+                   count(*) AS n_pairs,
+                   count(DISTINCT da) AS n_docs_a,
+                   count(DISTINCT db) AS n_docs_b,
+                   round(max(est_jaccard), 6) AS max_est
+            FROM ncross GROUP BY sa, sb
+          )
+          SELECT label, 'n_pairs' AS metric, n_pairs AS value, max_est
+          FROM nagg
+          UNION ALL SELECT label, 'n_docs_a', n_docs_a, max_est FROM nagg
+          UNION ALL SELECT label, 'n_docs_b', n_docs_b, max_est FROM nagg
         )
     """
     out["chunk_shards"] = f"""

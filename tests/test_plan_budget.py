@@ -92,7 +92,15 @@ BUDGET = {
                            # re-attach join, per-doc reassembly; the
                            # column branches stay exchange-free
     "doc_repetition": 2,
-    "split_report": 5,
+    "split_report": 12,   # r13 pinned 5 (counts + leakage + the kmv
+                          # sketch build). r14 +7: the nearleak branch
+                          # — one full minhash candidate pipeline
+                          # (id-spread, signature agg, banded
+                          # self-join, pair agg; the near_dup family's
+                          # audited per-pipeline cost) + two
+                          # report-grain split attaches, with the
+                          # persisted signature frame re-printing its
+                          # lineage in the budget's string scan
     "chunk_shards": 4,     # + FFD pack bucket exchange + the bucket-
                            # totals window's constant-key exchange (a
                            # single-partition move of the tiny totals
