@@ -159,7 +159,11 @@ def calibration_report(
     signal, no bin); probabilities clamp into [0, 1] bins with
     p == 1.0 in the top bin (the standard closed-top convention).
     Empty bins are absent — a reliability diagram has nothing to say
-    where the classifier never predicts.
+    where the classifier never predicts. ``label_col`` MUST be
+    binary 0/1 — enforced loudly (a distributed ``raise_error``
+    branch): a fractional/soft label would silently truncate under
+    the exact-count ``n_pos`` and skew frac_pos/gap/ECE; threshold
+    or round soft labels before calling.
 
     Plan shape: ONE map-side-combined aggregate on a pure-arithmetic
     bin expression over a 2-column projection; the report is ≤
@@ -175,6 +179,19 @@ def calibration_report(
     base = df.where(
         p.isNotNull() & ~F.isnan(p) & y.isNotNull() & ~F.isnan(y)
     )
+    # binary-label guard (docstring contract): a soft label under the
+    # exact-count n_pos would truncate silently — fail loudly instead
+    y_ok = F.when(
+        (y == F.lit(0.0)) | (y == F.lit(1.0)), y
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "calibration_report: label_col must be binary 0/1 — "
+                "got a fractional/soft label; threshold or round "
+                "labels before calling"
+            )
+        )
+    )
     b = F.least(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor(p * F.lit(bins)).cast("int")),
@@ -183,7 +200,7 @@ def calibration_report(
         base.groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(y).cast("long").alias("n_pos"),
+            F.sum(y_ok).cast("long").alias("n_pos"),
             F.avg(p).alias("mean_pred"),
         )
         .select(

@@ -99,17 +99,23 @@ def near_dup_leakage(
     n_docs_b (distinct leaking documents on each side — what you'd
     have to remove), max_est (worst pair). Empty result = clean
     split. Within-split pairs are deliberately absent — they are the
-    dedup family's business, not leakage.
+    dedup family's business, not leakage. A NULL split label rides
+    as the ``'(null)'`` sentinel (the datacard convention), so a
+    partially-unlabeled corpus surfaces its unlabeled side as its
+    own boundary instead of silently dropping those pairs.
 
     Plan shape: ONE :func:`~sentinel_spark.functions.dedup.
     minhash_candidate_pairs` run (the banded self-join — bucket-
     bounded, never all-pairs; ``max_band_size`` guards boilerplate
-    floods exactly as there) + a broadcastable (id, split) attach on
-    both pair sides + one report-grain aggregate. The split
-    assignment rides a 2-column frame; at 100 TB the candidate
-    mining is the same cost the near-dup pass already pays — run
-    this as a branch of that pass, not a second scan. The pair
-    miner's internal persist rides the result's release handle
+    floods exactly as there) + an (id, split) attach on both pair
+    sides + one report-grain aggregate. The attach joins the
+    BOUNDED pairs frame against a 2-column corpus projection —
+    plain equi-joins, left to AQE: the splits side is corpus-sized
+    (never broadcast), and at runtime AQE broadcasts the pairs side
+    when it is small. At 100 TB the candidate mining is the same
+    cost the near-dup pass already pays — run this as a branch of
+    that pass, not a second scan. The pair miner's internal persist
+    rides the result's release handle
     (:func:`sentinel_spark.cache.release`)."""
     from sentinel_spark.cache import carry
     from sentinel_spark.functions.dedup import minhash_candidate_pairs
@@ -125,7 +131,11 @@ def near_dup_leakage(
     )
     pairs = pairs_raw.where(F.col("est_jaccard") >= min_est_jaccard)
     splits = df.select(
-        F.col(id_col).alias("_id"), s.cast("string").alias("_sp")
+        F.col(id_col).alias("_id"),
+        # '(null)' sentinel: NULL != NULL would silently drop pairs
+        # touching an unlabeled document, making a partially-labeled
+        # corpus read cleaner than it is
+        F.coalesce(s.cast("string"), F.lit("(null)")).alias("_sp"),
     )
     tagged = (
         pairs.join(
@@ -474,6 +484,27 @@ def mixture_sample_epochs(
     )
 
 
+def _collect_sources_bounded(agg_df, max_sources: int, caller: str,
+                             source_col: str):
+    """The budget family's driver-collect guard (the KMV
+    ``max_sources`` pattern, :func:`sentinel_spark.functions.sketch.
+    source_overlap`): a per-source aggregate collects one row per
+    DISTINCT ``source_col`` value — a corpus property, not a
+    parameter — so a caller passing a high-cardinality column (URL,
+    doc id) must fail loudly instead of landing an unbounded collect
+    on the driver. ``limit(max_sources + 1)`` bounds the fetch
+    itself, so even the failing path moves at most one extra row."""
+    rows = agg_df.limit(max_sources + 1).collect()
+    if len(rows) > max_sources:
+        raise ValueError(
+            f"{caller}: more than max_sources={max_sources} distinct "
+            f"values in source column {source_col!r} — budgets are "
+            "per-SOURCE (a bounded taxonomy); pass a coarser column "
+            "or raise max_sources deliberately"
+        )
+    return rows
+
+
 def temperature_budgets(
     df,
     source_col: str,
@@ -483,6 +514,7 @@ def temperature_budgets(
     alpha: float = 0.7,
     cap: bool = True,
     sizes: dict[str, int] | None = None,
+    max_sources: int = 4096,
 ) -> dict[str, int]:
     """Per-source token budgets for :func:`mixture_sample` under
     temperature-scaled mixing — the standard multilingual/multi-source
@@ -506,7 +538,8 @@ def temperature_budgets(
     callers that already collected the per-source totals — a harness
     building several budget schemes from one size vector should pay
     ONE job, not one per scheme (``df``/``source_col``/``token_col``
-    are ignored when it is given)."""
+    are ignored when it is given). ``max_sources`` bounds the driver
+    collect loudly (:func:`_collect_sources_bounded`)."""
     if sizes is not None:
         sizes = {s: int(n) for s, n in sizes.items()}
     else:
@@ -514,9 +547,14 @@ def temperature_budgets(
         # — treat as size 0 (it then drops at the n > 0 weight filter)
         sizes = {
             r[0]: int(r[1])
-            for r in df.groupBy(source_col)
-            .agg(F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0)))
-            .collect()
+            for r in _collect_sources_bounded(
+                df.groupBy(source_col).agg(
+                    F.coalesce(
+                        F.sum(F.col(token_col).cast("long")), F.lit(0)
+                    )
+                ),
+                max_sources, "temperature_budgets", source_col,
+            )
         }
     if not sizes or total_tokens <= 0:
         return {}
@@ -544,6 +582,7 @@ def unimax_budgets(
     *,
     total_tokens: int,
     max_epochs: float = 4.0,
+    max_sources: int = 4096,
 ) -> dict[str, int]:
     """Per-source token budgets under UniMax allocation (Chung et al.
     2023, "UniMax: Fairer and More Effective Language Sampling for
@@ -577,9 +616,12 @@ def unimax_budgets(
         raise ValueError("max_epochs must be > 0")
     sizes = {
         r[0]: int(r[1])
-        for r in df.groupBy(source_col)
-        .agg(F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0)))
-        .collect()
+        for r in _collect_sources_bounded(
+            df.groupBy(source_col).agg(
+                F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0))
+            ),
+            max_sources, "unimax_budgets", source_col,
+        )
     }
     caps = {s: float(max_epochs) * n for s, n in sizes.items() if n > 0}
     if not caps or total_tokens <= 0:
@@ -610,6 +652,7 @@ def excess_loss_budgets(
     temperature: float = 1.0,
     uniform_mix: float = 0.0,
     cap: bool = True,
+    max_sources: int = 4096,
 ) -> dict[str, int]:
     """Per-source token budgets weighted by clipped excess loss —
     the static-proxy special case of DoReMi (Xie et al. 2023,
@@ -633,7 +676,11 @@ def excess_loss_budgets(
     Σ tok·max(loss−ref, 0) / Σ tok over valid rows (token-weighted —
     budgets are token-denominated); a source with no valid rows gets
     excess 0 (smallest weight, never dropped — every domain keeps
-    probability mass, as in the paper). With ``cap=True`` budgets cap
+    probability mass, as in the paper, so EVERY source appears in
+    the returned dict; a sharp temperature or a zero-size cap can
+    still integerize a tail source's budget to 0 tokens, and that
+    entry rides as an explicit 0 rather than being silently
+    omitted). With ``cap=True`` budgets cap
     at the source's size, un-redistributed
     (:func:`temperature_budgets`' closed-form contract; pass the
     result to :func:`mixture_sample`, or ``cap=False`` shares to
@@ -641,11 +688,12 @@ def excess_loss_budgets(
 
     Plan shape: the :func:`temperature_budgets` family — ONE
     map-side-combined per-source aggregate (rows = number of
-    sources) collects to the driver; the softmax is driver-side
-    closed-form arithmetic over that vector (max-subtracted for
-    overflow stability), then floor(x + 0.5) half-UP integerization,
-    so the output is a deterministic pure function of the aggregate
-    vector."""
+    sources) collects to the driver — bounded loudly by
+    ``max_sources`` (:func:`_collect_sources_bounded`); the softmax
+    is driver-side closed-form arithmetic over that vector
+    (max-subtracted for overflow stability), then floor(x + 0.5)
+    half-UP integerization, so the output is a deterministic pure
+    function of the aggregate vector."""
     import math
 
     if total_tokens <= 0:
@@ -661,16 +709,19 @@ def excess_loss_budgets(
         loss.isNotNull() & ~F.isnan(loss) & ref.isNotNull() & ~F.isnan(ref)
     )
     excess = F.greatest(loss - ref, F.lit(0.0))
-    rows = df.groupBy(source_col).agg(
-        F.coalesce(F.sum(tok), F.lit(0)).alias("_sz"),
-        F.coalesce(
-            F.sum(F.when(valid, excess * tok).otherwise(F.lit(0.0))),
-            F.lit(0.0),
-        ).alias("_xs"),
-        F.coalesce(
-            F.sum(F.when(valid, tok).otherwise(F.lit(0))), F.lit(0)
-        ).alias("_vt"),
-    ).collect()
+    rows = _collect_sources_bounded(
+        df.groupBy(source_col).agg(
+            F.coalesce(F.sum(tok), F.lit(0)).alias("_sz"),
+            F.coalesce(
+                F.sum(F.when(valid, excess * tok).otherwise(F.lit(0.0))),
+                F.lit(0.0),
+            ).alias("_xs"),
+            F.coalesce(
+                F.sum(F.when(valid, tok).otherwise(F.lit(0))), F.lit(0)
+            ).alias("_vt"),
+        ),
+        max_sources, "excess_loss_budgets", source_col,
+    )
     if not rows:
         return {}
     sizes = {r[0]: int(r[1]) for r in rows}
@@ -691,8 +742,10 @@ def excess_loss_budgets(
         b = int(math.floor(total_tokens * ws + 0.5))
         if cap:
             b = min(b, sizes[s])
-        if b > 0:
-            out[s] = b
+        # every domain keeps its entry (budget 0 stays explicit) —
+        # the docstring's never-dropped contract; mixture_sample
+        # selects nothing for a 0 budget, harmlessly
+        out[s] = b
     return out
 
 

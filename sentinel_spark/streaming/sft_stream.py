@@ -214,7 +214,18 @@ def run_sft_stream(
     and fp-cluster the index — same maintenance rationale as
     ``run_near_dup_stream``: the per-batch index scan prunes on fp
     file stats (+ bloom for the un-clustered tail), so per-batch cost
-    tracks the batch's fingerprint footprint."""
+    tracks the batch's fingerprint footprint.
+
+    INPUT CONTRACT — ``id_col`` values must be unique across the
+    stream's lifetime (the family convention, shared with
+    ``run_near_dup_stream``): all three tables merge on content/id
+    keys with insert-not-matched semantics, so a REUSED id arriving
+    later with different content is silently skipped in convs, and a
+    second rejection of an already-rejected id keeps the first
+    stage/match_id attribution. Ids are producer-assigned exactly so
+    replays of the same record are no-ops; a producer that recycles
+    ids for new content must switch to a content-derived id (e.g.
+    the fingerprint) before this loop."""
     checkpoint_dir = checkpoint_dir or os.path.join(corpus_dir, "_checkpoint")
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:

@@ -1162,3 +1162,87 @@ def test_near_dup_leakage(spark):
 
     assert getattr(rep2, "_sentinel_cached", [])
     release(rep2)
+
+
+def test_near_dup_leakage_null_split_sentinel(spark):
+    """A NULL split label rides as '(null)' (ADVICE r14): pairs
+    touching an unlabeled document surface as their own boundary
+    instead of being silently dropped by NULL != NULL."""
+    from sentinel_spark.functions.sampling import near_dup_leakage
+
+    base = "the quick brown fox jumps over the lazy dog again tonight"
+    df = spark.createDataFrame(
+        [(1, "train", base), (2, None, base + " ok")],
+        "doc_id long, split string, text string",
+    )
+    rep = near_dup_leakage(
+        df, "text", "doc_id", "split", min_est_jaccard=0.5
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # '(null)' < 'train' lexicographically -> lands on the a side
+    assert (r.split_a, r.split_b) == ("(null)", "train")
+    assert r.n_pairs == 1 and r.n_docs_a == 1 and r.n_docs_b == 1
+
+
+def test_budget_family_max_sources_guard(spark):
+    """All three budget collects fail loudly past max_sources (the
+    KMV source_overlap precedent): a high-cardinality source column
+    must not land an unbounded collect on the driver."""
+    import pytest as _pytest
+
+    from sentinel_spark.functions.sampling import (
+        excess_loss_budgets,
+        temperature_budgets,
+        unimax_budgets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}", 10, 2.0, 1.0) for i in range(8)],
+        "doc_id long, source string, n_tok int, loss double, ref double",
+    )
+    with _pytest.raises(ValueError, match="max_sources=4.*source"):
+        temperature_budgets(
+            df, "source", "n_tok", total_tokens=100, max_sources=4
+        )
+    with _pytest.raises(ValueError, match="unimax_budgets"):
+        unimax_budgets(
+            df, "source", "n_tok", total_tokens=100, max_sources=4
+        )
+    with _pytest.raises(ValueError, match="excess_loss_budgets"):
+        excess_loss_budgets(
+            df, "source", "n_tok", "loss", "ref",
+            total_tokens=100, max_sources=4,
+        )
+    # at the bound, all three still work
+    assert len(
+        temperature_budgets(
+            df, "source", "n_tok", total_tokens=100, max_sources=8
+        )
+    ) == 8
+    # the sizes= fast path never touches the frame, so no guard fires
+    assert temperature_budgets(
+        None, "source", "n_tok", total_tokens=100,
+        sizes={f"s{i}": 10 for i in range(8)}, max_sources=4,
+    )
+
+
+def test_excess_loss_budgets_zero_budget_kept(spark):
+    """Sharp temperature + no uniform mix: the cold sources' budgets
+    integerize to 0 — and the entries STAY in the dict (ADVICE r14:
+    the never-dropped contract is now literal)."""
+    from sentinel_spark.functions.sampling import excess_loss_budgets
+
+    rows = (
+        [(i, "hot", 10, 9.0, 1.0) for i in range(4)]
+        + [(10 + i, "cold", 10, 1.0, 1.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok int, loss double, ref double"
+    )
+    b = excess_loss_budgets(
+        df, "source", "n_tok", "loss", "ref",
+        total_tokens=40, temperature=0.01,
+    )
+    assert set(b) == {"hot", "cold"}
+    assert b["cold"] == 0 and b["hot"] == 40

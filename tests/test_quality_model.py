@@ -143,3 +143,11 @@ def test_calibration_report_and_ece(spark):
     assert set(rep3) == {9} and rep3[9].n == 1  # p=1.0 in top bin only
     with _pytest.raises(ValueError, match="bins"):
         calibration_report(df, "p", "y", bins=1)
+
+    # binary-label contract (ADVICE r14): a soft label would silently
+    # truncate under the exact-count n_pos — it must raise loudly
+    soft = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 0.5, 1.0)], "id long, p double, y double"
+    )
+    with _pytest.raises(Exception, match="binary 0/1"):
+        calibration_report(soft, "p", "y").collect()
