@@ -679,7 +679,16 @@ def q_corpus_report(spark, sf_dir):
     # _drift_report_oracle DuckDB replay every pytest run.
     from sentinel_spark.cache import carry
 
-    drift = _drift_counts_rows(spark, sf_dir)
+    # r15 DRIFT STAIRCASE STEP 1 (VERDICT r14 #1): counts went green
+    # in r14 (the HUGEINT-promotion fix), so per the standing decision
+    # table (PLANS.md r13) the dshare_ppm exact-rational BIGINT tier
+    # reattaches ALONE — drift rows expose stat2 = dshare_ppm and
+    # drift_sum rows stat1 = Σ|dshare_ppm| (tvd2x), while the ratio
+    # tier (drift stat1 / drift_sum stat2) stays NULL on both engines.
+    # Nothing else in the gate changes (freeze discipline). Red → the
+    # fault is the dshare arithmetic; green → ratio_ppm in r16 closes
+    # the staircase.
+    drift = _drift_dshare_rows(spark, sf_dir)
     # r14: the two deferred report branches land on the counts+BIGINT
     # pattern (VERDICT r13 #5) — committed SEPARATELY from the
     # drift_sum BIGINT cast so a red bit stays attributable: if r14
@@ -783,6 +792,63 @@ def _drift_counts_rows(spark, sf_dir):
             F.col("n_a").alias("n_docs"),
             F.col("n_b").alias("n_tokens"),
             null_d.alias("stat1"),
+            null_d.alias("stat2"),
+        )
+    )
+    return with_release(drows.unionByName(srows), [dt])
+
+
+def _drift_dshare_rows(spark, sf_dir):
+    """Drift staircase step 1 (r15, VERDICT r14 #1): the drift/
+    drift_sum rows of ``corpus_report`` with the dshare_ppm
+    exact-rational tier attached — same features, same snapshot
+    halves, same :func:`~sentinel_spark.functions.drift.drift_table`
+    lineage as the r13/r14 counts-only form, but drift rows carry
+    stat2 = ``dshare_ppm`` (round(1e6·sa) − round(1e6·sb) in pure
+    BIGINT round-half-up division — no double, no libm) and
+    drift_sum rows carry stat1 = Σ|dshare_ppm| (``tvd2x_ppm``, the
+    2·TVD micro-units). The ratio tier (drift stat1 / drift_sum
+    stat2) stays NULL on BOTH engines until r16 — one new variable
+    per round, per the staircase decision table."""
+    from sentinel_spark.cache import with_release
+    from sentinel_spark.functions.drift import drift_table
+
+    d = _t(spark, sf_dir, "documents")
+    feats = {
+        "source": F.col("source"),
+        "lang": F.col("lang"),
+        "len256": F.floor(F.length("text") / 256),
+    }
+    dt = drift_table(
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 != 0),
+        feats,
+    ).select("feature", "bucket", "n_a", "n_b", "dshare_ppm").persist()
+    null_d = F.lit(None).cast("double")
+    drows = dt.select(
+        F.lit("drift").alias("kind"),
+        F.col("feature").alias("key1"),
+        F.col("bucket").alias("key2"),
+        F.col("n_a").alias("n_docs"),
+        F.col("n_b").alias("n_tokens"),
+        null_d.alias("stat1"),
+        F.col("dshare_ppm").cast("double").alias("stat2"),
+    )
+    srows = (
+        dt.groupBy("feature")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_a").alias("n_a"),
+            F.sum("n_b").alias("n_b"),
+            F.sum(F.abs(F.col("dshare_ppm"))).alias("tvd2x_ppm"),
+        )
+        .select(
+            F.lit("drift_sum").alias("kind"),
+            F.col("feature").alias("key1"),
+            F.col("n_buckets").cast("string").alias("key2"),
+            F.col("n_a").alias("n_docs"),
+            F.col("n_b").alias("n_tokens"),
+            F.col("tvd2x_ppm").cast("double").alias("stat1"),
             null_d.alias("stat2"),
         )
     )
@@ -1036,6 +1102,50 @@ def _drift_counts_oracle():
                CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
         FROM ({_DRIFT_DRJ_SQL}) GROUP BY feature
+    """
+
+
+def _drift_dshare_oracle():
+    """DuckDB replay of :func:`_drift_dshare_rows` — drift staircase
+    step 1 (r15): the shared dr_j CTE's keys + counts (r14-green) plus
+    the dshare_ppm tier ONLY: with alpha = 1/2 the smoothed share
+    round(1e6·na2/da) is (2e6·na2 + da) // (2·da) in pure BIGINT
+    round-half-up arithmetic (`//` is DuckDB integer division, `div`
+    on the Spark side), dshare = the difference of the two rounded
+    shares, and the drift_sum tier sums |dshare| (CAST to BIGINT
+    before the hashed DOUBLE — the HUGEINT-promotion rule). The ratio
+    tier stays NULL on both engines until r16. Inline derived tables
+    (no WITH — this fragment lands mid-UNION inside the composed
+    corpus_report oracle, where a CTE would be a parse error; the
+    counts-only r13 form had the same shape)."""
+    terms = f"""
+          SELECT feature, bucket, n_a, n_b,
+                 (2000000 * na2 + da) // (2 * da)
+                   - (2000000 * nb2 + db) // (2 * db) AS dshare_ppm
+          FROM (
+            SELECT j.*,
+                   2 * j.n_a + 1 AS na2, 2 * j.n_b + 1 AS nb2,
+                   2 * t.tot_a + t.k AS da, 2 * t.tot_b + t.k AS db
+            FROM ({_DRIFT_DRJ_SQL}) j
+            JOIN (
+              SELECT feature, sum(n_a) AS tot_a, sum(n_b) AS tot_b,
+                     count(*) AS k
+              FROM ({_DRIFT_DRJ_SQL}) GROUP BY 1
+            ) t USING (feature)
+          )
+    """
+    return f"""
+        SELECT 'drift' AS kind, feature AS key1, bucket AS key2,
+               n_a AS n_docs, n_b AS n_tokens,
+               CAST(NULL AS DOUBLE) AS stat1,
+               CAST(dshare_ppm AS DOUBLE) AS stat2
+        FROM ({terms})
+        UNION ALL
+        SELECT 'drift_sum', feature, CAST(count(*) AS VARCHAR),
+               CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT),
+               CAST(CAST(sum(abs(dshare_ppm)) AS BIGINT) AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+        FROM ({terms}) GROUP BY feature
     """
 
 
@@ -5137,12 +5247,13 @@ def oracle_sql() -> dict[str, str]:
     # its family's composed SQL, so the per-operator checks are intact —
     # they just land in one registry row (see the consolidation note on
     # the Spark side).
-    # r13 BISECT PHASE 2: cube + hist exactly as the r12 driver-green
-    # form, plus the drift rows COUNTS-ONLY (keys + n_a/n_b, stats
-    # NULL on both engines — see _drift_counts_rows). The full-stat
-    # replay stays in :func:`_drift_report_oracle` (exercised every
-    # pytest run by tests/test_drift.py against
-    # :func:`_drift_report_rows`) for the r14 stat-by-stat reattach.
+    # r15 STAIRCASE STEP 1: cube + hist exactly as the r12
+    # driver-green form, plus the drift rows with the dshare_ppm
+    # exact-rational tier attached (counts went green r14; see
+    # _drift_dshare_rows / _drift_dshare_oracle). The ratio tier
+    # stays NULL until r16; the full-stat replay stays in
+    # :func:`_drift_report_oracle` (exercised every pytest run by
+    # tests/test_drift.py against :func:`_drift_report_rows`).
     out["corpus_report"] = f"""
         SELECT 'cube' AS kind, source AS key1, lang AS key2, n_docs, n_tokens,
                CAST(avg_chars AS DOUBLE) AS stat1, CAST(NULL AS DOUBLE) AS stat2
@@ -5153,7 +5264,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(min_tok AS DOUBLE) AS stat1, CAST(max_tok AS DOUBLE) AS stat2
         FROM ({base["length_histogram"]})
         UNION ALL
-        {_drift_counts_oracle()}
+        {_drift_dshare_oracle()}
         UNION ALL
         -- retention branch (r14): 16-bin descending-cumulative
         -- survivor counts on the exact (doc_id % 16)/16 axis; window
