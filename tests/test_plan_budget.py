@@ -141,10 +141,21 @@ BUDGET = {
     "sessionize": 2,       # lag branch: window + rollup share one
                            # exchange; r8 native branch: its own single
                            # (user, session_window) exchange
-    "decontam": 13,        # + r6 scrub branch (token/window/fingerprint
+    "decontam": 23,        # + r6 scrub branch (token/window/fingerprint
                            # aggregates + coverage anti-join + per-doc
                            # reassembly) + r6 paragraph-dedup branch
                            # (split/fingerprint aggregate + reassembly)
+                           # + r15 by-suite branches (+10 in the plan
+                           # STRING, audited): per_ds runs ONCE behind
+                           # a report-grain persist — its real cost is
+                           # 2 corpus id-spreads (hits + totals
+                           # lineages), 3 MB-scale bench-side
+                           # exchanges, 3 broadcasts — and the
+                           # suite_sum rollup adds one KB-scale
+                           # exchange; the rest is the persisted
+                           # lineage re-printing inside
+                           # InMemoryRelation for both consumer
+                           # branches (the winnow_pairs precedent)
     "winnow_pairs": 48,    # r13 split (VERDICT r12 #1c): the winnow
                            # incremental lineage alone — batch fp +
                            # hot-fp guard + gate-persisted widx each
@@ -214,7 +225,11 @@ BUDGET = {
     # construction (bounded model-scale collects); the returned scoring
     # plans are scans with broadcast models
     "lm_perplexity": 0,
-    "trainer_suite": 0,
+    "trainer_suite": 1,    # r15 calib branch: ONE hash-agg exchange
+                           # for the 10-bin reliability aggregate
+                           # (map-side combined — each task ships at
+                           # most `bins` partial rows); the doc branch
+                           # stays a scan with broadcast model weights
     "pca_covariance": 0,
     "web_domains": 8,      # two-phase count_distinct + r6 blocklist-
                            # evidence aggregate + r8 url_dedup branch
