@@ -2300,6 +2300,37 @@ def q_chunk_shards(spark, sf_dir):
     )
 
 
+def _excess_budget_literals() -> dict[str, int]:
+    """The sample_suite excess branch's ground-truth budget vector,
+    shared by the Spark gate's construction comment and the DuckDB
+    oracle (which embeds these as literals — the mixture-integration
+    precedent, VERDICT r14 #5): the gate constructs per-source
+    loss − ref as a DYADIC CONSTANT (src0 +0.25, src1 −0.5 → clips
+    to 0, src2 +1.0) over a varying dyadic base, so the token-
+    weighted mean clipped excess is EXACTLY (0.25, 0.0, 1.0) —
+    IEEE-exact at every step (products integer/4, sums < 2^53,
+    division of an exact multiple) — and the softmax inputs are known
+    at authoring time. This helper replays excess_loss_budgets'
+    driver arithmetic VERBATIM (same operation order, same
+    ``math.exp`` in the same Python process), so no transcendental
+    ever enters hashed SQL; a Spark-side aggregate fault (NULL
+    handling, clipping, weighting) shifts the excess, hence the
+    softmax, hence the 9-digit uncapped budgets — hash mismatch."""
+    import math
+
+    ex = {"src0": 0.25, "src1": 0.0, "src2": 1.0}
+    temperature, uniform_mix, total = 0.5, 0.25, 10**9
+    mx = max(ex.values())
+    expv = {s: math.exp((x - mx) / temperature) for s, x in ex.items()}
+    z = sum(expv.values())
+    n = len(expv)
+    w = {
+        s: (1.0 - uniform_mix) * e / z + uniform_mix / n
+        for s, e in expv.items()
+    }
+    return {s: int(math.floor(total * ws + 0.5)) for s, ws in w.items()}
+
+
 def q_sample_suite(spark, sf_dir):
     """The deterministic sampling schemes unioned with a ``method``
     tag: stratified rates, quality-weighted, fixed-N per group, and
@@ -2311,8 +2342,11 @@ def q_sample_suite(spark, sf_dir):
     CLOSED-FORM function of the per-source size vector, so the oracle
     states them literally in SQL (pow/round over the same sums), the
     budget riding the weight slot; ``epochs`` the upsampling mixture;
-    ``dsir`` the importance-resampling pipeline; and (r13) ``budget``
-    the greedy best-first budget_select on a tie-heavy score."""
+    ``dsir`` the importance-resampling pipeline; (r13) ``budget``
+    the greedy best-first budget_select on a tie-heavy score; and
+    (r15) ``excess`` the DoReMi static-proxy excess_loss_budgets —
+    see :func:`_excess_budget_literals` for its literal-embedding
+    portability design."""
     st = q_stratified_sample(spark, sf_dir).select(
         F.lit("stratified").alias("method"),
         "doc_id",
@@ -2483,6 +2517,47 @@ def q_sample_suite(spark, sf_dir):
         F.lit(None).cast("string").alias("source"),
         F.col("n_tok").cast("double").alias("weight"),
     )
+    # excess branch (r15, VERDICT r14 #5 — sampling.
+    # excess_loss_budgets, DoReMi's static-proxy one-shot): loss − ref
+    # is a per-source dyadic constant over a varying dyadic base
+    # (doc_id % 5)/8, with loss NULL on doc_id % 11 == 0 (the
+    # exclusion leg), so the token-weighted mean clipped excess is
+    # analytically exact and the oracle states the resulting budgets
+    # as literals via _excess_budget_literals() — see that docstring
+    # for the portability/sensitivity argument. The aggregate itself
+    # runs distributed on the persisted token base; cap=False at 1e9
+    # total makes all nine digits data-sensitive.
+    from sentinel_spark.functions.sampling import excess_loss_budgets
+
+    c_s = (
+        F.when(F.col("source") == "src0", F.lit(0.25))
+        .when(F.col("source") == "src1", F.lit(-0.5))
+        .otherwise(F.lit(1.0))
+    )
+    ref = (F.col("doc_id") % 5) / F.lit(8.0)
+    exdf = base.where(
+        F.col("source").isin("src0", "src1", "src2")
+    ).select(
+        "source",
+        "n_tok",
+        ref.alias("ref"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(None).cast("double")
+        ).otherwise(ref + c_s).alias("loss"),
+    )
+    exb = excess_loss_budgets(
+        exdf, "source", "n_tok", "loss", "ref",
+        total_tokens=10**9, temperature=0.5, uniform_mix=0.25, cap=False,
+    )
+    exr = spark.createDataFrame(
+        sorted(exb.items()), "source string, budget long"
+    ).select(
+        F.lit("excess").alias("method"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.col("budget").cast("double").alias("weight"),
+    )
     out = (
         st.unionByName(wt)
         .unionByName(gp)
@@ -2491,6 +2566,7 @@ def q_sample_suite(spark, sf_dir):
         .unionByName(ep)
         .unionByName(ds)
         .unionByName(bs)
+        .unionByName(exr)
     )
     # the tagging selects drop the raw frames' persisted-frame
     # handles — carry them so the caller's release() reaches the DSIR
@@ -5839,6 +5915,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
           )
         ) WHERE tok_before < 2000
+        UNION ALL
+        -- excess_loss_budgets replay (r15): budgets are LITERALS
+        -- computed once driver-side by _excess_budget_literals() —
+        -- ground truth from the analytically-exact excess vector
+        -- (0.25, 0, 1.0), no exp() in SQL; the Spark side derives
+        -- the same numbers from the DATA through the full
+        -- distributed aggregate + softmax, so any aggregate fault
+        -- breaks the 9-digit match. Row existence still rides the
+        -- corpus (DISTINCT source).
+        SELECT 'excess' AS method, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS VARCHAR) AS lang, source,
+               CAST(CASE source
+                      WHEN 'src0' THEN {_excess_budget_literals()["src0"]}
+                      WHEN 'src1' THEN {_excess_budget_literals()["src1"]}
+                      ELSE {_excess_budget_literals()["src2"]}
+                    END AS DOUBLE) AS weight
+        FROM (SELECT DISTINCT source FROM documents
+              WHERE source IN ('src0', 'src1', 'src2'))
     """
     out["dedup_clusters"] = f"""
         SELECT * FROM ({base["dedup_clusters"]}) CROSS JOIN ({base["dedup_report"]})
