@@ -1026,7 +1026,7 @@ def _sft_suite_oracle():
                    ';' ORDER BY i) AS spans_str
           FROM spp GROUP BY doc_id
         )
-        SELECT b.doc_id,
+        SELECT 'conv' AS kind, b.doc_id,
                (b.r NOT IN (0, 1)) AS json_ok,
                a.n_turns, a.n_system, a.alternation_ok,
                a.ends_with_assistant, a.has_empty_content, a.roles_ok,
@@ -1042,6 +1042,50 @@ def _sft_suite_oracle():
                         false) AS structure_ok_tools,
                a.flat_md5, a.fingerprint, a.spans_str
         FROM sb b LEFT JOIN sagg a USING (doc_id)
+        UNION ALL
+        -- preference branch (r15): chosen/rejected struct extremes
+        -- replayed independently — DuckDB struct max/min over
+        -- {{'s': score, 'ni': -id}} states the same (highest score,
+        -- lowest id) / (lowest score, highest id) total order; the
+        -- pair packs into flat_md5, the pool counts into spans_str
+        SELECT 'pref' AS kind, grp AS doc_id,
+               CAST(NULL AS BOOLEAN) AS json_ok,
+               CAST(NULL AS BIGINT) AS n_turns,
+               CAST(NULL AS BIGINT) AS n_system,
+               CAST(NULL AS BOOLEAN) AS alternation_ok,
+               CAST(NULL AS BOOLEAN) AS ends_with_assistant,
+               CAST(NULL AS BOOLEAN) AS has_empty_content,
+               CAST(NULL AS BOOLEAN) AS roles_ok,
+               CAST(NULL AS BIGINT) AS n_chars,
+               CAST(NULL AS BOOLEAN) AS structure_ok,
+               CAST(NULL AS BOOLEAN) AS alternation_ok_tools,
+               CAST(NULL AS BOOLEAN) AS structure_ok_tools,
+               CAST(chosen_id AS VARCHAR) || ':'
+                 || CAST(rejected_id AS VARCHAR) || ':'
+                 || CAST(CAST(chosen_score AS BIGINT) AS VARCHAR) || ':'
+                 || CAST(CAST(rejected_score AS BIGINT) AS VARCHAR) || ':'
+                 || CAST(CAST(margin AS BIGINT) AS VARCHAR) AS flat_md5,
+               CAST(NULL AS VARCHAR) AS fingerprint,
+               CAST(n_candidates AS VARCHAR) || ':'
+                 || CAST(n_valid AS VARCHAR) AS spans_str
+        FROM (
+          SELECT grp, -best.ni AS chosen_id, -worst.ni AS rejected_id,
+                 best.s AS chosen_score, worst.s AS rejected_score,
+                 best.s - worst.s AS margin, n_candidates, n_valid
+          FROM (
+            SELECT grp, count(*) AS n_candidates, count(s) AS n_valid,
+                   max(CASE WHEN s IS NOT NULL
+                            THEN {{'s': s, 'ni': -rid}} END) AS best,
+                   min(CASE WHEN s IS NOT NULL
+                            THEN {{'s': s, 'ni': -rid}} END) AS worst
+            FROM (
+              SELECT doc_id % 200 AS grp, doc_id AS rid,
+                     CASE WHEN doc_id % 13 = 0 THEN NULL
+                          ELSE CAST(doc_id % 7 AS DOUBLE) END AS s
+              FROM documents
+            ) GROUP BY grp
+          ) WHERE n_valid >= 2
+        ) WHERE margin >= 2.0
     """
 
 
@@ -1836,7 +1880,10 @@ def q_sft_suite(spark, sf_dir):
     loss-mask spans serialized compactly — ONE zero-exchange
     projection over synthetic conversations built from documents by
     :func:`_sft_conv_json`. The oracle re-derives every field in SQL
-    from an exploded turns table built by the same class rules."""
+    from an exploded turns table built by the same class rules.
+
+    r15: the ``pref`` kind-branch adds functions/preference.py's DPO
+    chosen/rejected pair construction — see the branch comment."""
     from sentinel_spark.functions import sft as SFT
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1846,7 +1893,8 @@ def q_sft_suite(spark, sf_dir):
     strict = SFT.conversation_checks("messages")
     tools = SFT.conversation_checks("messages", allow_tool_calls=True)
     spans = SFT.flatten_spans("messages")
-    return p.select(
+    conv = p.select(
+        F.lit("conv").alias("kind"),
         "doc_id",
         "json_ok",
         *[c.alias(k) for k, c in strict.items()],
@@ -1869,6 +1917,51 @@ def q_sft_suite(spark, sf_dir):
             ";",
         ).alias("spans_str"),
     )
+    # preference branch (r15 — functions/preference.py): DPO
+    # chosen/rejected extremes over a deterministic candidate pool
+    # (group = doc_id % 200, tie-heavy score = doc_id % 7, NULL score
+    # on doc_id % 13 — the exclusion leg; min_margin = 2.0 exercises
+    # the filter). One map-side-combined struct-extreme aggregate —
+    # no window, no join. The pair ids+scores pack into flat_md5 and
+    # the pool counts into spans_str (the stack-label precedent);
+    # every other slot is NULL with the conv branch's own dtypes.
+    from sentinel_spark.functions.preference import preference_pairs
+
+    cand = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 200).alias("grp"),
+        F.col("doc_id").alias("rid"),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(None).cast("double")
+        ).otherwise((F.col("doc_id") % 7).cast("double")).alias("score"),
+    )
+    pairs = preference_pairs(
+        cand, "grp", "score", id_col="rid", min_margin=2.0
+    )
+    dt = dict(conv.dtypes)
+    packed = F.concat_ws(
+        ":",
+        F.col("chosen_id").cast("string"),
+        F.col("rejected_id").cast("string"),
+        F.col("chosen_score").cast("bigint").cast("string"),
+        F.col("rejected_score").cast("bigint").cast("string"),
+        F.col("margin").cast("bigint").cast("string"),
+    )
+    pref = pairs.select(
+        F.lit("pref").alias("kind"),
+        F.col("grp").cast(dt["doc_id"]).alias("doc_id"),
+        *[
+            F.lit(None).cast(dt[c]).alias(c)
+            for c in conv.columns
+            if c not in ("kind", "doc_id", "flat_md5", "spans_str")
+        ],
+        packed.alias("flat_md5"),
+        F.concat_ws(
+            ":",
+            F.col("n_candidates").cast("string"),
+            F.col("n_valid").cast("string"),
+        ).alias("spans_str"),
+    )
+    return conv.unionByName(pref)
 
 
 def q_multimodal_features(spark, sf_dir):

@@ -1,0 +1,175 @@
+"""Preference-pair construction for DPO/RLHF-style training data.
+
+A scored pool of candidate responses per prompt — reward-model
+scores, verifier outcomes, judge ratings — becomes (a) the
+chosen/rejected PAIRS preference-optimization trainers consume
+(Rafailov et al. 2023, "Direct Preference Optimization"), and (b)
+the best-of-n winner selection rejection-sampling / distillation
+pipelines consume (Touvron et al. 2023's rejection-sampling stage).
+Part of the §2.12 training-pipeline extension surface (the reference
+has no preference data model).
+
+Scale design: :func:`preference_pairs` is ONE map-side-combined
+aggregate — per prompt group, the chosen/rejected extremes are
+struct-max/min (score, order-inverted id), so the shuffle moves one
+partial row per (task, group), never the candidate pool, and no
+window sort ever sees the full scan (the ``grouped_topk`` funnel
+exists for the top-n > 1 case). Response BODIES never ride the
+aggregate: pairs carry ids, and :func:`attach_preference_texts`
+joins the text back at report grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    score_col: str | Column,
+    *,
+    id_col: str,
+    min_margin: float = 0.0,
+    min_candidates: int = 2,
+) -> DataFrame:
+    """Per-``group_col`` (prompt) chosen/rejected extremes over a
+    scored candidate pool: one row per group with ≥ ``min_candidates``
+    scored candidates and ``chosen_score − rejected_score ≥
+    min_margin`` — (group, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_candidates, n_valid).
+
+    Determinism contract: ``id_col`` must be an INTEGRAL column,
+    unique per (group, candidate) — enforced loudly on the dtype
+    (the order-inverting tie-break negates it). Chosen is the
+    highest score, ties broken by LOWEST id; rejected the lowest
+    score, ties broken by HIGHEST id — so an all-tied pool still
+    yields a deterministic (and distinct) pair at margin 0. A
+    margin-0 pair is a coin flip to a DPO trainer; set
+    ``min_margin > 0`` to drop them (kept at 0.0 by default so the
+    operator reports, rather than hides, tied pools).
+
+    Rows with NULL/NaN score are excluded from the extremes (no
+    signal) but counted in ``n_candidates``; ``n_valid`` counts the
+    scored ones, and groups below ``min_candidates`` valid rows
+    produce no pair.
+
+    Plan shape: ONE aggregate — struct-max and struct-min are
+    algebraic, so partials combine map-side and the exchange carries
+    one row per (task, group). No window, no self-join, no response
+    text: join bodies back with :func:`attach_preference_texts`."""
+    if min_candidates < 2:
+        raise ValueError("min_candidates must be >= 2 (a pair needs two)")
+    dt = dict(df.dtypes).get(id_col)
+    if dt not in _INTEGRAL:
+        raise ValueError(
+            f"preference_pairs: id_col {id_col!r} must be integral for "
+            f"the order-inverting tie-break (got {dt}); hash string ids "
+            "to xxhash64 first"
+        )
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "double"
+    )
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).cast("long").alias("_id"),
+        s.alias("_s"),
+    )
+    valid = F.col("_s").isNotNull() & ~F.isnan(F.col("_s"))
+    # struct ordering is lexicographic: (score, -id) max → highest
+    # score then LOWEST id; min → lowest score then HIGHEST id
+    ranked = F.struct(
+        F.col("_s").alias("s"), (-F.col("_id")).alias("ni")
+    )
+    agg = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(F.when(valid, 1)).alias("n_valid"),
+        F.max(F.when(valid, ranked)).alias("_best"),
+        F.min(F.when(valid, ranked)).alias("_worst"),
+    )
+    return (
+        agg.where(F.col("n_valid") >= min_candidates)
+        .select(
+            F.col("_g").alias(group_col),
+            (-F.col("_best.ni")).alias("chosen_id"),
+            (-F.col("_worst.ni")).alias("rejected_id"),
+            F.col("_best.s").alias("chosen_score"),
+            F.col("_worst.s").alias("rejected_score"),
+            (F.col("_best.s") - F.col("_worst.s")).alias("margin"),
+            "n_candidates",
+            "n_valid",
+        )
+        .where(F.col("margin") >= F.lit(float(min_margin)))
+    )
+
+
+def best_of_n(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    *,
+    id_col: str,
+    n: int = 1,
+    buckets: int = 32,
+) -> DataFrame:
+    """Best-of-n winner selection per prompt group — the
+    rejection-sampling / distillation stage: keep the ``n``
+    highest-scored candidates per group, deterministic under ties
+    (score desc, then ``id_col`` asc), with a ``rank`` column.
+    NULL/NaN-scored candidates never rank.
+
+    Delegates to :func:`~sentinel_spark.functions.similarity.
+    grouped_topk` — the two-level salted top-n funnel — so no single
+    task ever sorts a whole group's pool; n=1 is the common best-of-n
+    winner, larger n feeds multi-sample distillation."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from sentinel_spark.functions.similarity import grouped_topk
+
+    s = F.col(score_col).cast("double")
+    scored = df.where(s.isNotNull() & ~F.isnan(s))
+    return grouped_topk(
+        scored, n, score_col, group_col=group_col, tie_col=id_col,
+        buckets=buckets,
+    )
+
+
+def attach_preference_texts(
+    pairs: DataFrame,
+    responses: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chosen_name: str = "chosen_text",
+    rejected_name: str = "rejected_text",
+) -> DataFrame:
+    """Join response bodies onto a :func:`preference_pairs` frame —
+    two equi-joins at PAIR grain (the pairs side is one row per
+    prompt, orders of magnitude below the candidate pool; AQE
+    broadcasts it when small). Keeping bodies out of the pair
+    aggregate is the scale contract: text rides the shuffle exactly
+    twice, here, not through the extremes."""
+    r = responses.select(
+        F.col(id_col).cast("long").alias("_rid"),
+        F.col(text_col).alias("_rtext"),
+    )
+    out = (
+        pairs.join(
+            r.select(
+                F.col("_rid").alias("chosen_id"),
+                F.col("_rtext").alias(chosen_name),
+            ),
+            "chosen_id",
+        )
+        .join(
+            r.select(
+                F.col("_rid").alias("rejected_id"),
+                F.col("_rtext").alias(rejected_name),
+            ),
+            "rejected_id",
+        )
+    )
+    return out

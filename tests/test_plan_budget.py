@@ -179,11 +179,14 @@ BUDGET = {
                            # re-prints that rode those branches.
     "ingest_rollup": 11,
     "salted_agg": 5,       # two salted phases x two paths + join
-    "sft_suite": 0,       # r14: parse + validators + flatten + spans,
+    "sft_suite": 1,       # r14: parse + validators + flatten + spans,
                           # all array HOFs in ONE projection; the
                           # typed_tags row it replaced folded into
-                          # patch_labels (still 0 — union of two pure
-                          # projections)
+                          # patch_labels. r15 pref branch: ONE
+                          # hash-agg exchange for the per-group
+                          # chosen/rejected struct extremes (map-side
+                          # combined — one partial row per (task,
+                          # group); no window, no join)
     "media_suite": 0,      # Arrow fan-out, no shuffle
     "cosine_near_dup": 2,  # r10 xjoin branch: grouped_topk's two
                            # window exchanges ((q_id, salt) level-1

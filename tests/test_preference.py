@@ -1,0 +1,113 @@
+"""Preference-pair construction (functions/preference.py): DPO
+chosen/rejected extremes, best-of-n winner selection, text attach."""
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.preference import (
+    attach_preference_texts,
+    best_of_n,
+    preference_pairs,
+)
+
+
+def _pool(spark):
+    # group 1: clear margin; group 2: all-tied scores; group 3: one
+    # scored candidate only (NULL-heavy); group 4: margin exactly 1.0
+    rows = [
+        (1, 10, 3.0, "g1 best"),
+        (1, 11, 1.0, "g1 worst"),
+        (1, 12, 2.0, "g1 mid"),
+        (2, 20, 2.0, "g2 a"),
+        (2, 21, 2.0, "g2 b"),
+        (2, 22, 2.0, "g2 c"),
+        (3, 30, 5.0, "g3 only"),
+        (3, 31, None, "g3 unscored"),
+        (4, 40, 2.0, "g4 hi"),
+        (4, 41, 1.0, "g4 lo"),
+    ]
+    return spark.createDataFrame(
+        rows, "grp int, rid long, score double, text string"
+    )
+
+
+def test_preference_pairs_extremes_and_ties(spark):
+    df = _pool(spark)
+    out = {
+        r.grp: r
+        for r in preference_pairs(
+            df, "grp", "score", id_col="rid"
+        ).collect()
+    }
+    # group 3 has one valid candidate -> no pair
+    assert set(out) == {1, 2, 4}
+    g1 = out[1]
+    assert (g1.chosen_id, g1.rejected_id) == (10, 11)
+    assert (g1.chosen_score, g1.rejected_score, g1.margin) == (3.0, 1.0, 2.0)
+    assert (g1.n_candidates, g1.n_valid) == (3, 3)
+    # all-tied pool: chosen = LOWEST id, rejected = HIGHEST id,
+    # margin 0 — deterministic and distinct
+    g2 = out[2]
+    assert (g2.chosen_id, g2.rejected_id) == (20, 22)
+    assert g2.margin == 0.0
+    # min_margin drops the tied pool and the margin-1 pair
+    kept = {
+        r.grp
+        for r in preference_pairs(
+            df, "grp", "score", id_col="rid", min_margin=1.5
+        ).collect()
+    }
+    assert kept == {1}
+    # NULL scores counted in n_candidates, not n_valid
+    g3all = preference_pairs(
+        df.where(F.col("grp") == 3), "grp", "score", id_col="rid"
+    )
+    assert g3all.count() == 0
+
+
+def test_preference_pairs_guards(spark):
+    df = _pool(spark)
+    with pytest.raises(ValueError, match="min_candidates"):
+        preference_pairs(df, "grp", "score", id_col="rid", min_candidates=1)
+    with pytest.raises(ValueError, match="integral"):
+        preference_pairs(df, "grp", "score", id_col="text")
+
+
+def test_preference_pairs_one_aggregate_no_window(spark):
+    """Plan contract: one exchange, no window sort, no join."""
+    df = _pool(spark)
+    plan = (
+        preference_pairs(df, "grp", "score", id_col="rid")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_best_of_n(spark):
+    df = _pool(spark)
+    top1 = {
+        r.grp: r
+        for r in best_of_n(df, "grp", "score", id_col="rid").collect()
+    }
+    # NaN/NULL never rank; winner deterministic under ties (lowest id)
+    assert top1[1].rid == 10 and top1[2].rid == 20 and top1[3].rid == 30
+    assert all(r.rank == 1 for r in top1.values())
+    top2 = best_of_n(df, "grp", "score", id_col="rid", n=2)
+    got = {(r.grp, r.rank): r.rid for r in top2.collect()}
+    assert got[(1, 1)] == 10 and got[(1, 2)] == 12  # score order
+    assert got[(2, 1)] == 20 and got[(2, 2)] == 21  # tie -> id order
+    with pytest.raises(ValueError, match="n must be"):
+        best_of_n(df, "grp", "score", id_col="rid", n=0)
+
+
+def test_attach_preference_texts(spark):
+    df = _pool(spark)
+    pairs = preference_pairs(df, "grp", "score", id_col="rid")
+    out = {
+        r.grp: r
+        for r in attach_preference_texts(pairs, df, "rid", "text").collect()
+    }
+    assert out[1].chosen_text == "g1 best"
+    assert out[1].rejected_text == "g1 worst"
+    assert out[2].chosen_text == "g2 a" and out[2].rejected_text == "g2 c"

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""One-off scale-assurance harness (r15, VERDICT r14 #8): convert the
+"100-TB-shaped" plan audits of the expensive gates into a MEASURED
+scaling exponent, the strongest evidence a local[32] sandbox can
+produce.
+
+Builds a deterministic 10x corpus from sf0.1 (no new generator, no
+/root/testdata writes):
+
+- documents: replicas r = 1..9 append 45k rows at doc_id + r * 10^7.
+  Each replica doc's text is a CONTENT-seeded pseudo-random
+  permutation of the base doc's own tokens (seed = md5(text) + r), so
+  (a) per-doc length and unigram composition — what the quality /
+  tokenize / funnel stages cost on — are preserved exactly; (b) exact
+  -duplicate clusters replicate per replica (identical texts permute
+  identically), keeping the corpus's dup-rate statistics instead of
+  creating a 10x duplicate flood; (c) cross-replica 3-gram collisions
+  stay at the background rate (permutation randomizes n-gram
+  structure), so pair-mining gates scale like a corpus, not like a
+  pathological all-dup stress test.
+- embeddings: replicas add a seeded +-1e-3 uniform perturbation per
+  coordinate, preserving cluster geometry without identical-vector
+  degeneracy.
+
+Usage:
+    python tools/scale_assurance.py [gate ...]
+        # default gates: near_dup_pairs corpus_funnel decontam
+        #                ann_methods semantic_dedup
+
+Writes the 10x parquet under /tmp/sentinel_scale/sf1.0 (scratch; a
+rerun reuses it), times each gate's full action (count()) at sf0.1
+and at the 10x dir on the same session, and prints one JSON line:
+{"gate": {"t1": s, "t10": s, "exponent": log10(t10/t1)}}  — exponent
+1.0 is perfectly linear scaling; > ~1.3 flags a super-linear stage.
+"""
+import hashlib
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE_DIR = "/tmp/sentinel_scale/sf1.0"
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 9
+DEFAULT_GATES = [
+    "near_dup_pairs",
+    "corpus_funnel",
+    "decontam",
+    "ann_methods",
+    "semantic_dedup",
+]
+
+
+def build_scale_dir():
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    dpath = os.path.join(SCALE_DIR, "documents.parquet")
+    epath = os.path.join(SCALE_DIR, "embeddings.parquet")
+    if os.path.exists(dpath) and os.path.exists(epath):
+        return
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM '{BASE}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    out = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+
+    def push(did, text, lang, source, nch):
+        out["doc_id"].append(did)
+        out["text"].append(text)
+        out["lang"].append(lang)
+        out["source"].append(source)
+        out["n_chars"].append(nch)
+
+    for did, text, lang, source, nch in docs:
+        push(did, text, lang, source, nch)
+    for r in range(1, REPLICAS + 1):
+        for did, text, lang, source, nch in docs:
+            toks = (text or "").split(" ")
+            seed = int.from_bytes(
+                hashlib.md5(
+                    (text or "").encode() + bytes([r])
+                ).digest()[:8],
+                "big",
+            )
+            rng = random.Random(seed)
+            rng.shuffle(toks)
+            t2 = " ".join(toks)
+            push(did + r * 10**7, t2, lang, source, len(t2))
+    pq.write_table(pa.table(out), dpath)
+
+    vecs = con.execute(
+        f"SELECT vec_id, embedding, label "
+        f"FROM '{BASE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vids, embs, labels = [], [], []
+    for vid, emb, lab in vecs:
+        vids.append(vid)
+        embs.append(list(emb))
+        labels.append(lab)
+    base_arr = np.asarray(embs, dtype=np.float32)
+    all_ids, all_embs, all_labels = list(vids), [base_arr], list(labels)
+    for r in range(1, REPLICAS + 1):
+        rng = np.random.default_rng(1000 + r)
+        pert = base_arr + rng.uniform(
+            -1e-3, 1e-3, size=base_arr.shape
+        ).astype(np.float32)
+        all_ids.extend(v + r * 10**7 for v in vids)
+        all_embs.append(pert)
+        all_labels.extend(labels)
+    merged = np.concatenate(all_embs, axis=0)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": all_ids,
+                "embedding": pa.array(
+                    [row.tolist() for row in merged],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": all_labels,
+            }
+        ),
+        epath,
+    )
+
+
+def main():
+    gates = sys.argv[1:] or DEFAULT_GATES
+    build_scale_dir()
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+    from sentinel_spark.cache import release
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    results = {}
+    for g in gates:
+        row = {}
+        for label, sf_dir in (("t1", BASE), ("t10", SCALE_DIR)):
+            t0 = time.time()
+            df = qs[g](spark, sf_dir)
+            n = df.count()
+            row[label] = round(time.time() - t0, 3)
+            row[f"rows_{label}"] = n
+            release(df)
+        import math
+
+        row["exponent"] = round(
+            math.log10(max(row["t10"], 1e-9) / max(row["t1"], 1e-9)), 3
+        )
+        results[g] = row
+        print(json.dumps({g: row}), flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
