@@ -137,6 +137,125 @@ def best_of_n(
     )
 
 
+def bradley_terry_strengths(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    *,
+    n_iter: int = 100,
+    smoothing: float = 0.5,
+    max_pairs: int = 1 << 16,
+):
+    """Bradley–Terry strength estimation from pairwise comparison
+    outcomes (Bradley & Terry 1952; the minorization–maximization
+    iteration of Hunter 2004) — the batch ranking step a preference
+    pipeline runs on judge/human A-vs-B outcomes before thresholding
+    or pair selection: each row is one comparison (``winner_col``
+    beat ``loser_col``), the output is one row per item with its
+    fitted strength, win/game counts, and dense rank.
+
+    ``smoothing`` pseudo-wins are added in BOTH directions of every
+    OBSERVED pair (the standard half-win regularization), so items
+    with zero wins keep positive strength and the MM iteration is
+    well-defined; strengths are only comparable within a connected
+    component of the comparison graph — smoothing does not connect
+    components, it only regularizes observed ones. Strengths are
+    normalized to geometric mean 1 and returned as a DataFrame
+    (item, strength, n_wins, n_games, rank), rank densely ordered by
+    (strength desc, item asc).
+
+    Plan shape: ONE map-side-combined (winner, loser) count
+    aggregate — the only corpus-scale work; the collect is bounded
+    loudly by ``max_pairs`` (comparison matrices are item²-bounded,
+    and item taxonomies — models, prompts, sources — are small by
+    nature). The MM fixed point runs driver-side over that bounded
+    matrix in deterministic sorted order."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    counts = (
+        df.groupBy(
+            F.col(winner_col).cast("string").alias("_w"),
+            F.col(loser_col).cast("string").alias("_l"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_pairs + 1)
+        .collect()
+    )
+    if len(counts) > max_pairs:
+        raise ValueError(
+            f"bradley_terry_strengths: more than max_pairs={max_pairs} "
+            "distinct (winner, loser) pairs — raise the bound or "
+            "pre-aggregate to a coarser item taxonomy"
+        )
+    import math
+
+    # raw[(w, l)] = observed wins of w over l; self-comparisons and
+    # NULL items carry no signal and drop
+    raw: dict[tuple[str, str], int] = {}
+    for w, l, n in counts:
+        if w is None or l is None or w == l:
+            continue
+        raw[(w, l)] = raw.get((w, l), 0) + int(n)
+    items = sorted({i for pair in raw for i in pair})
+    spark = df.sparkSession
+    if not items:
+        return spark.createDataFrame(
+            [],
+            "item string, strength double, n_wins long, n_games long, "
+            "rank int",
+        )
+    raw_wins = {i: 0 for i in items}
+    raw_games = {i: 0 for i in items}
+    pair_games: dict[tuple[str, str], float] = {}
+    for (w, l), n in raw.items():
+        raw_wins[w] += n
+        raw_games[w] += n
+        raw_games[l] += n
+        key = (w, l) if w < l else (l, w)
+        pair_games[key] = pair_games.get(key, 0.0) + n
+    # smoothed quantities drive the MM iteration only; the reported
+    # counts stay raw
+    sm_wins = dict(raw_wins)
+    sm_pairs = dict(pair_games)
+    if smoothing > 0:
+        for a, b in pair_games:
+            sm_wins[a] += smoothing
+            sm_wins[b] += smoothing
+            sm_pairs[(a, b)] += 2 * smoothing
+    neighbors: dict[str, list[str]] = {i: [] for i in items}
+    for a, b in sm_pairs:
+        neighbors[a].append(b)
+        neighbors[b].append(a)
+    p = {i: 1.0 for i in items}
+    for _ in range(n_iter):
+        p_new = {}
+        for i in items:
+            denom = sum(
+                sm_pairs[(i, j) if i < j else (j, i)] / (p[i] + p[j])
+                for j in neighbors[i]
+            )
+            p_new[i] = (sm_wins[i] / denom) if denom > 0 else p[i]
+        # geometric-mean normalization pins the scale (the likelihood
+        # is invariant to a global factor)
+        g = math.exp(
+            sum(math.log(v) for v in p_new.values() if v > 0)
+            / len(p_new)
+        )
+        p = {i: (v / g if g > 0 else v) for i, v in p_new.items()}
+    ranked = sorted(items, key=lambda i: (-p[i], i))
+    rank = {i: r + 1 for r, i in enumerate(ranked)}
+    rows = [
+        (i, float(p[i]), raw_wins[i], raw_games[i], rank[i])
+        for i in items
+    ]
+    return spark.createDataFrame(
+        rows,
+        "item string, strength double, n_wins long, n_games long, rank int",
+    )
+
+
 def attach_preference_texts(
     pairs: DataFrame,
     responses: DataFrame,

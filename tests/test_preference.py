@@ -101,6 +101,52 @@ def test_best_of_n(spark):
         best_of_n(df, "grp", "score", id_col="rid", n=0)
 
 
+def test_bradley_terry_strengths(spark):
+    from sentinel_spark.functions.preference import bradley_terry_strengths
+
+    # transitive tournament: a beats b 9:1, b beats c 9:1, a beats c
+    # 9:1 -> strengths strictly ordered a > b > c
+    rows = (
+        [("a", "b")] * 9 + [("b", "a")] * 1
+        + [("b", "c")] * 9 + [("c", "b")] * 1
+        + [("a", "c")] * 9 + [("c", "a")] * 1
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = {r.item: r for r in bradley_terry_strengths(df, "winner", "loser").collect()}
+    assert out["a"].strength > out["b"].strength > out["c"].strength
+    assert (out["a"].rank, out["b"].rank, out["c"].rank) == (1, 2, 3)
+    # reported counts are RAW (smoothing never leaks into them)
+    assert out["a"].n_wins == 18 and out["a"].n_games == 20
+    assert out["c"].n_wins == 2 and out["c"].n_games == 20
+    # geometric mean of strengths pinned to 1
+    import math
+
+    g = math.prod(r.strength for r in out.values()) ** (1 / 3)
+    assert abs(g - 1.0) < 1e-9
+
+    # symmetric record -> equal strengths; zero-win item stays
+    # positive under smoothing
+    sym = spark.createDataFrame(
+        [("x", "y")] * 5 + [("y", "x")] * 5 + [("x", "z")] * 4,
+        "winner string, loser string",
+    )
+    s = {r.item: r for r in bradley_terry_strengths(sym, "winner", "loser").collect()}
+    assert abs(s["x"].strength - s["y"].strength) < 1e-6
+    assert s["z"].strength > 0 and s["z"].n_wins == 0
+    # self-comparisons and NULLs drop
+    noisy = spark.createDataFrame(
+        [("a", "a"), (None, "b"), ("a", None)], "winner string, loser string"
+    )
+    assert bradley_terry_strengths(noisy, "winner", "loser").count() == 0
+    # guards
+    with pytest.raises(ValueError, match="max_pairs"):
+        bradley_terry_strengths(df, "winner", "loser", max_pairs=2)
+    with pytest.raises(ValueError, match="n_iter"):
+        bradley_terry_strengths(df, "winner", "loser", n_iter=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        bradley_terry_strengths(df, "winner", "loser", smoothing=-1)
+
+
 def test_attach_preference_texts(spark):
     df = _pool(spark)
     pairs = preference_pairs(df, "grp", "score", id_col="rid")
