@@ -1086,6 +1086,62 @@ def _sft_suite_oracle():
             ) GROUP BY grp
           ) WHERE n_valid >= 2
         ) WHERE margin >= 2.0
+        UNION ALL
+        -- advantage branch (r15): GRPO per-group reward z-score
+        -- replayed op-for-op (sum/count moments, sqrt/divide — the
+        -- sequential-fold IEEE class on exactly-summing integer
+        -- rewards); exposure is floor(x*1e6 + 0.5) scaled BIGINT,
+        -- 'x' where the operator contracts NULL
+        SELECT 'adv' AS kind, rid AS doc_id,
+               CAST(NULL AS BOOLEAN) AS json_ok,
+               CAST(NULL AS BIGINT) AS n_turns,
+               CAST(NULL AS BIGINT) AS n_system,
+               CAST(NULL AS BOOLEAN) AS alternation_ok,
+               CAST(NULL AS BOOLEAN) AS ends_with_assistant,
+               CAST(NULL AS BOOLEAN) AS has_empty_content,
+               CAST(NULL AS BOOLEAN) AS roles_ok,
+               CAST(NULL AS BIGINT) AS n_chars,
+               CAST(NULL AS BOOLEAN) AS structure_ok,
+               CAST(NULL AS BOOLEAN) AS alternation_ok_tools,
+               CAST(NULL AS BOOLEAN) AS structure_ok_tools,
+               coalesce(CAST(CAST(floor(adv * 1e6 + 0.5) AS BIGINT)
+                             AS VARCHAR), 'x')
+                 || ':' || coalesce(CAST(CAST(floor(grp_mean * 1e6 + 0.5)
+                                              AS BIGINT) AS VARCHAR), 'x')
+                 || ':' || coalesce(CAST(CAST(floor(grp_std * 1e6 + 0.5)
+                                              AS BIGINT) AS VARCHAR), 'x')
+                 AS flat_md5,
+               CAST(NULL AS VARCHAR) AS fingerprint,
+               CAST(grp AS VARCHAR) || ':' || CAST(grp_n AS VARCHAR)
+                 AS spans_str
+        FROM (
+          SELECT d.rid, d.grp, s.grp_n,
+                 CASE WHEN s.grp_n > 0 THEN s.sr / s.grp_n END AS grp_mean,
+                 CASE WHEN s.grp_n > 0 THEN
+                   sqrt(greatest(s.sr2 / s.grp_n
+                                 - (s.sr / s.grp_n) * (s.sr / s.grp_n),
+                                 0.0)) END AS grp_std,
+                 CASE WHEN d.r IS NOT NULL AND s.grp_n >= 2 THEN
+                   (d.r - s.sr / s.grp_n)
+                     / (sqrt(greatest(s.sr2 / s.grp_n
+                                      - (s.sr / s.grp_n) * (s.sr / s.grp_n),
+                                      0.0)) + 1e-6) END AS adv
+          FROM (
+            SELECT doc_id % 150 AS grp, doc_id AS rid,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        ELSE CAST(doc_id % 9 AS DOUBLE) END AS r
+            FROM documents
+          ) d JOIN (
+            SELECT grp, count(r) AS grp_n, sum(r) AS sr,
+                   sum(r * r) AS sr2
+            FROM (
+              SELECT doc_id % 150 AS grp,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL
+                          ELSE CAST(doc_id % 9 AS DOUBLE) END AS r
+              FROM documents
+            ) GROUP BY grp
+          ) s USING (grp)
+        )
     """
 
 
@@ -1961,7 +2017,51 @@ def q_sft_suite(spark, sf_dir):
             F.col("n_valid").cast("string"),
         ).alias("spans_str"),
     )
-    return conv.unionByName(pref)
+    # advantage branch (r15 — preference.group_advantages, the
+    # GRPO-style per-prompt reward z-score): integer rewards
+    # (doc_id % 9) sum exactly, so mean/var/sqrt/divide is the
+    # sequential-fold IEEE class — bit-portable — and the exposed
+    # form is the floor(x*1e6 + 0.5) scaled BIGINT (the budget
+    # integerization, sign-consistent on both engines). NULL-reward
+    # leg on doc_id % 17; single-candidate NULL-advantage contract
+    # rides the 'x' placeholder.
+    from sentinel_spark.functions.preference import group_advantages
+
+    adv_in = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 150).alias("grp"),
+        F.col("doc_id").alias("rid"),
+        F.when(
+            F.col("doc_id") % 17 == 0, F.lit(None).cast("double")
+        ).otherwise((F.col("doc_id") % 9).cast("double")).alias("r"),
+    )
+    ga = group_advantages(adv_in, "grp", "r")
+
+    def _ppm(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint").cast(
+            "string"
+        )
+
+    adv = ga.select(
+        F.lit("adv").alias("kind"),
+        F.col("rid").cast(dt["doc_id"]).alias("doc_id"),
+        *[
+            F.lit(None).cast(dt[c]).alias(c)
+            for c in conv.columns
+            if c not in ("kind", "doc_id", "flat_md5", "spans_str")
+        ],
+        F.concat_ws(
+            ":",
+            F.coalesce(_ppm(F.col("advantage")), F.lit("x")),
+            F.coalesce(_ppm(F.col("grp_mean")), F.lit("x")),
+            F.coalesce(_ppm(F.col("grp_std")), F.lit("x")),
+        ).alias("flat_md5"),
+        F.concat_ws(
+            ":",
+            F.col("grp").cast("string"),
+            F.col("grp_n").cast("string"),
+        ).alias("spans_str"),
+    )
+    return conv.unionByName(pref).unionByName(adv)
 
 
 def q_multimodal_features(spark, sf_dir):

@@ -137,6 +137,67 @@ def best_of_n(
     )
 
 
+def group_advantages(
+    df: DataFrame,
+    group_col: str,
+    reward_col: str | Column,
+    *,
+    eps: float = 1e-6,
+    min_candidates: int = 2,
+) -> DataFrame:
+    """Group-relative advantage normalization — the per-prompt reward
+    z-score GRPO-style RL pipelines feed the policy update (Shao et
+    al. 2024, "DeepSeekMath": advantage = (r − mean_group) /
+    (std_group + ε) without a learned value baseline): every input
+    row comes back with ``advantage``, ``grp_mean``, ``grp_std`` and
+    ``grp_n`` attached; groups with fewer than ``min_candidates``
+    scored rows get NULL advantage (a 1-sample z-score is noise, and
+    σ=0 single groups would divide the ε alone), and NULL/NaN rewards
+    propagate NULL without polluting the group moments.
+
+    σ is the population std (GRPO's convention). The arithmetic is a
+    short fixed sequence of IEEE ops on the group sums — sum, sum of
+    squares, count, then mean/var/sqrt/divide — so with exact-summing
+    rewards (integers, dyadics) the result is bit-portable
+    engine-to-engine (the sequential-fold policy; IEEE sqrt is
+    correctly rounded).
+
+    Plan shape: one map-side-combined (group → n, Σr, Σr²) aggregate
+    plus an equi-join of that NARROW stats frame back on the group
+    key — no window sort over the candidate scan, no broadcast
+    assumption (prompt taxonomies are corpus-scale; AQE broadcasts
+    the stats side when it is small)."""
+    if min_candidates < 1:
+        raise ValueError("min_candidates must be >= 1")
+    r = (
+        F.col(reward_col) if isinstance(reward_col, str) else reward_col
+    ).cast("double")
+    valid = r.isNotNull() & ~F.isnan(r)
+    rv = F.when(valid, r)
+    stats = df.groupBy(F.col(group_col)).agg(
+        F.count(rv).alias("grp_n"),
+        F.sum(rv).alias("_sr"),
+        F.sum(rv * rv).alias("_sr2"),
+    )
+    joined = df.join(stats, group_col)
+    mean = F.col("_sr") / F.col("grp_n")
+    var = F.col("_sr2") / F.col("grp_n") - mean * mean
+    # clamp: catastrophic cancellation can produce a tiny negative
+    # var on constant groups; the clamp is exact 0 there
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    adv = F.when(
+        valid & (F.col("grp_n") >= min_candidates),
+        (r - mean) / (std + F.lit(float(eps))),
+    )
+    return joined.select(
+        *df.columns,
+        F.col("grp_n"),
+        F.when(F.col("grp_n") > 0, mean).alias("grp_mean"),
+        F.when(F.col("grp_n") > 0, std).alias("grp_std"),
+        adv.alias("advantage"),
+    )
+
+
 def bradley_terry_strengths(
     df: DataFrame,
     winner_col: str,

@@ -179,14 +179,18 @@ BUDGET = {
                            # re-prints that rode those branches.
     "ingest_rollup": 11,
     "salted_agg": 5,       # two salted phases x two paths + join
-    "sft_suite": 1,       # r14: parse + validators + flatten + spans,
+    "sft_suite": 2,       # r14: parse + validators + flatten + spans,
                           # all array HOFs in ONE projection; the
                           # typed_tags row it replaced folded into
                           # patch_labels. r15 pref branch: ONE
                           # hash-agg exchange for the per-group
                           # chosen/rejected struct extremes (map-side
                           # combined — one partial row per (task,
-                          # group); no window, no join)
+                          # group); no window, no join. r15 adv
+                          # branch: ONE hash-agg exchange for the
+                          # (group -> n, Σr, Σr²) moments; the
+                          # re-attach join broadcasts the 150-row
+                          # stats side under AQE
     "media_suite": 0,      # Arrow fan-out, no shuffle
     "cosine_near_dup": 2,  # r10 xjoin branch: grouped_topk's two
                            # window exchanges ((q_id, salt) level-1

@@ -101,6 +101,47 @@ def test_best_of_n(spark):
         best_of_n(df, "grp", "score", id_col="rid", n=0)
 
 
+def test_group_advantages(spark):
+    from sentinel_spark.functions.preference import group_advantages
+
+    rows = [
+        (1, 10, 1.0), (1, 11, 2.0), (1, 12, 3.0),   # mean 2, std sqrt(2/3)
+        (2, 20, 5.0), (2, 21, 5.0),                  # constant -> std 0
+        (3, 30, 7.0),                                # single -> NULL adv
+        (4, 40, 1.0), (4, 41, None),                 # NULL reward leg
+    ]
+    df = spark.createDataFrame(rows, "grp int, rid long, r double")
+    out = {r.rid: r for r in group_advantages(df, "grp", "r").collect()}
+    import math
+
+    std1 = math.sqrt(2.0 / 3.0)
+    assert out[10].advantage == pytest.approx(-1.0 / (std1 + 1e-6))
+    assert out[11].advantage == pytest.approx(0.0, abs=1e-9)
+    assert out[12].advantage == pytest.approx(1.0 / (std1 + 1e-6))
+    assert out[11].grp_n == 3 and out[11].grp_mean == 2.0
+    # constant group: std 0, advantage 0/eps = 0
+    assert out[20].advantage == pytest.approx(0.0, abs=1e-9)
+    assert out[20].grp_std == 0.0
+    # single-candidate group: moments attach, advantage NULL
+    assert out[30].advantage is None and out[30].grp_mean == 7.0
+    # NULL reward: excluded from moments, NULL advantage, row kept
+    assert out[41].advantage is None
+    assert out[40].grp_n == 1 and out[40].advantage is None  # < min_candidates
+    ok = group_advantages(df, "grp", "r", min_candidates=1)
+    got40 = {r.rid: r for r in ok.collect()}[40]
+    assert got40.advantage == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError, match="min_candidates"):
+        group_advantages(df, "grp", "r", min_candidates=0)
+    # plan: aggregate + equi-join, no window
+    plan = (
+        group_advantages(df, "grp", "r")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
 def test_bradley_terry_strengths(spark):
     from sentinel_spark.functions.preference import bradley_terry_strengths
 
