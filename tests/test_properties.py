@@ -1158,3 +1158,107 @@ def test_excess_loss_budget_laws(spark, data, total, temperature):
     )
     for s, (size, _) in data.items():
         assert capped.get(s, 0) <= size
+
+
+@SLOW
+@given(
+    scores=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, width=32
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    n_groups=st.integers(min_value=1, max_value=4),
+    min_margin=st.floats(min_value=0.0, max_value=5.0, allow_nan=False),
+)
+def test_preference_pairs_laws(spark, scores, n_groups, min_margin):
+    """preference_pairs extremes vs a Python reference on arbitrary
+    pools: chosen/rejected are the (max score, min id)/(min score,
+    max id) extremes of the scored rows, margin is their gap, and
+    min_margin only ever SHRINKS the kept-group set."""
+    from sentinel_spark.functions.preference import preference_pairs
+
+    rows = [
+        (i % n_groups, i, s if s is None else float(s))
+        for i, s in enumerate(scores)
+    ]
+    df = spark.createDataFrame(rows, "grp int, rid long, score double")
+    got = {
+        r.grp: r
+        for r in preference_pairs(
+            df, "grp", "score", id_col="rid", min_margin=min_margin
+        ).collect()
+    }
+    by_g = {}
+    for g, rid, s in rows:
+        by_g.setdefault(g, []).append((rid, s))
+    for g, pool in by_g.items():
+        valid = [(rid, s) for rid, s in pool if s is not None]
+        if len(valid) < 2:
+            assert g not in got
+            continue
+        hi = max(s for _, s in valid)
+        lo = min(s for _, s in valid)
+        chosen = min(rid for rid, s in valid if s == hi)
+        rejected = max(rid for rid, s in valid if s == lo)
+        if hi - lo >= min_margin:
+            r = got[g]
+            assert (r.chosen_id, r.rejected_id) == (chosen, rejected)
+            assert r.margin == hi - lo
+            assert r.n_valid == len(valid) and r.n_candidates == len(pool)
+        else:
+            assert g not in got
+    # monotonicity: raising min_margin never adds a group
+    tighter = {
+        r.grp
+        for r in preference_pairs(
+            df, "grp", "score", id_col="rid", min_margin=min_margin + 1.0
+        ).collect()
+    }
+    assert tighter <= set(got)
+
+
+@SLOW
+@given(
+    rewards=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=2, max_size=16
+    ),
+    shift=st.integers(min_value=-1000, max_value=1000),
+)
+def test_group_advantages_shift_invariance(spark, rewards, shift):
+    """Advantage laws on one group: per-group advantage mean ≈ 0, and
+    a constant reward shift leaves every advantage unchanged up to
+    float rounding (fl((s + n·c)/n) differs from fl(s/n) + c by at
+    most an ulp, so the z-scores track to ~1e-9 relative — exact
+    invariance is NOT an IEEE identity, which this test documents)."""
+    import pytest
+
+    from sentinel_spark.functions.preference import group_advantages
+
+    df = spark.createDataFrame(
+        [(0, i, float(r)) for i, r in enumerate(rewards)],
+        "grp int, rid long, r double",
+    )
+    base = {
+        r.rid: r.advantage
+        for r in group_advantages(df, "grp", "r").collect()
+    }
+    shifted_df = df.select(
+        "grp", "rid", (F.col("r") + F.lit(float(shift))).alias("r")
+    )
+    shifted = {
+        r.rid: r.advantage
+        for r in group_advantages(shifted_df, "grp", "r").collect()
+    }
+    assert set(base) == set(shifted)
+    for rid, v in base.items():
+        assert shifted[rid] == pytest.approx(v, rel=1e-6, abs=1e-6)
+    if len(set(rewards)) > 1:
+        m = sum(base.values()) / len(base)
+        assert abs(m) < 1e-6
+    else:
+        assert all(v == 0.0 for v in base.values())
