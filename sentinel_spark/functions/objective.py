@@ -1,0 +1,244 @@
+"""Pretraining-objective data preparation: T5-style span corruption
+and UL2-style prefix-LM splits.
+
+Denoising objectives (Raffel et al. 2020 §3.1.4's span corruption;
+Tay et al. 2022's UL2 denoiser mix) need the corpus rewritten into
+(input, target) pairs BEFORE tokenizer/packing stages run — corrupted
+spans replaced by sentinel markers in the input and collected after
+matching sentinels in the target. Doing it engine-side keeps the
+rewrite declarative: everything below is built-in array higher-order
+functions over the token array (bounded per document, never corpus-
+wide), zero Python per row, zero shuffles — a map-only projection at
+any corpus scale. Part of the §2.12 training-pipeline extension
+surface (the reference has no objective-prep stage).
+
+Determinism: span starts and lengths derive from ``xxhash64(id, pos,
+salt)``, so the same document under the same salt corrupts
+identically on every engine, run, and partition layout — reruns are
+reproducible and train/validation splits cannot drift. The published
+samplers draw random non-overlapping spans; this deterministic
+variant draws independent starts and MERGES overlaps (adjacent
+covered runs become one sentinel), which preserves the objective's
+shape (expected corruption rate, mean span length) while staying a
+pure per-row expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.text import tokens
+
+
+def span_corruption(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    corruption_rate: float = 0.15,
+    mean_span_len: int = 3,
+    sentinel_fmt: str = "<extra_id_{}>",
+    salt: str = "",
+) -> DataFrame:
+    """Rewrite each document into a (``input_text``, ``target_text``)
+    span-corruption pair: ~``corruption_rate`` of tokens fall inside
+    corrupted spans of mean length ``mean_span_len``; each maximal
+    covered run becomes ``<extra_id_k>`` (k counting runs left to
+    right) in the input, and the target lists every sentinel followed
+    by the tokens it hides, closed by one final sentinel (the T5
+    wire format). Also returns ``n_tokens``, ``n_corrupted`` and
+    ``n_spans`` so rate drift is auditable downstream.
+
+    Reconstruction law (pytest-pinned): splicing each target span
+    back over its input sentinel recovers the original token sequence
+    exactly — the pair is lossless at token grain.
+
+    Mechanics: position p (1-based) STARTS a span iff
+    ``xxhash64(id:p:salt) % k == 0`` with ``k = round(mean_span_len /
+    corruption_rate)`` (so the expected covered fraction is the
+    corruption rate), and that span's length is ``1 + xxhash64(...)
+    % (2·mean_span_len − 1)`` (mean = ``mean_span_len``). Coverage at
+    p is an EXISTS over the bounded window [p − L_max + 1, p] — a
+    fixed ~2·mean_span_len inner loop, never a per-document scan.
+    A tokenizer ships ~100 sentinel ids: filter on ``n_spans`` before
+    tokenizing if documents are long enough to exceed that.
+
+    Plan shape: one map-only projection of array HOFs (transform /
+    filter / exists / array_join) over the per-document token array;
+    no shuffle, no UDF, no state."""
+    if not (0.0 < corruption_rate < 1.0):
+        raise ValueError("corruption_rate must be in (0, 1)")
+    if mean_span_len < 1:
+        raise ValueError("mean_span_len must be >= 1")
+    k = max(1, int(round(mean_span_len / corruption_rate)))
+    l_max = 2 * mean_span_len - 1
+    idc = F.col(id_col).cast("string")
+
+    def h(p: Column, tag: str) -> Column:
+        return F.xxhash64(
+            F.concat_ws(":", idc, p.cast("string"), F.lit(tag), F.lit(salt))
+        )
+
+    def is_start(p: Column) -> Column:
+        return F.pmod(h(p, "s"), F.lit(k)) == 0
+
+    def span_len(p: Column) -> Column:
+        return F.lit(1) + F.pmod(h(p, "l"), F.lit(l_max))
+
+    # NULL text reads as empty (the repo convention) — a NULL token
+    # array would otherwise poison every size/HOF downstream
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    n = F.size(toks)
+    # sequence(1, 0) would DESCEND to [1, 0] on an empty document and
+    # feed element_at an index of 0 — guard the axis to a true empty
+    pos = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def covered(p: Column) -> Column:
+        lo = F.greatest(F.lit(1), p - F.lit(l_max - 1))
+        return F.exists(
+            F.sequence(lo, p),
+            lambda q: is_start(q) & (q + span_len(q) > p),
+        )
+
+    cov = F.transform(pos, covered)
+
+    def cov_at(p: Column) -> Column:
+        return F.element_at(cov, p)
+
+    # a covered position starts a run iff it is the first position or
+    # the previous position is uncovered; the run index (sentinel id)
+    # is then the count of run starts at or before it, minus 1
+    run_start = F.transform(
+        pos,
+        lambda p: cov_at(p) & F.when(p == 1, F.lit(True)).otherwise(
+            ~F.element_at(cov, p - 1)
+        ),
+    )
+
+    def runs_before(p: Column) -> Column:
+        return F.size(
+            F.filter(
+                F.sequence(F.lit(1), p),
+                lambda q: F.element_at(run_start, q),
+            )
+        )
+
+    def sentinel(kk: Column) -> Column:
+        return F.concat(
+            F.lit(sentinel_fmt.split("{}")[0]),
+            kk.cast("string"),
+            F.lit(sentinel_fmt.split("{}")[1]),
+        )
+
+    # input: uncovered tokens verbatim; a sentinel at each run start;
+    # interior covered positions vanish
+    input_parts = F.filter(
+        F.transform(
+            pos,
+            lambda p: F.when(
+                ~cov_at(p), F.element_at(toks, p)
+            ).when(
+                F.element_at(run_start, p), sentinel(runs_before(p) - 1)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # target: at each run start the sentinel, then every covered
+    # token; closed by the final sentinel
+    target_parts = F.filter(
+        F.transform(
+            pos,
+            lambda p: F.when(
+                F.element_at(run_start, p),
+                F.concat(
+                    sentinel(runs_before(p) - 1),
+                    F.lit(" "),
+                    F.element_at(toks, p),
+                ),
+            ).when(cov_at(p), F.element_at(toks, p)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_spans = F.size(F.filter(run_start, lambda x: x))
+    target_text = F.when(
+        n_spans > 0,
+        F.concat(
+            F.array_join(target_parts, " "),
+            F.lit(" "),
+            sentinel(n_spans),
+        ),
+    ).otherwise(sentinel(F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        F.array_join(input_parts, " ").alias("input_text"),
+        target_text.alias("target_text"),
+        n.alias("n_tokens"),
+        F.size(F.filter(cov, lambda x: x)).alias("n_corrupted"),
+        n_spans.alias("n_spans"),
+    )
+
+
+def prefix_lm_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_prefix_frac: float = 0.25,
+    max_prefix_frac: float = 0.75,
+    salt: str = "",
+) -> DataFrame:
+    """UL2 S-denoiser / prefix-LM preparation: split each document's
+    token sequence at a deterministic per-document boundary drawn
+    uniformly from [``min_prefix_frac``, ``max_prefix_frac``] of its
+    length (hash-derived — reproducible everywhere), returning
+    ``prefix_text`` (the conditioning context), ``continuation_text``
+    (the prediction target), and the boundary ``n_prefix`` /
+    ``n_tokens`` counts. Documents with < 2 tokens keep everything in
+    the prefix and an empty continuation (nothing to predict).
+
+    Same scale contract as :func:`span_corruption`: one map-only
+    HOF projection, no shuffle, no Python."""
+    if not (0.0 <= min_prefix_frac <= max_prefix_frac <= 1.0):
+        raise ValueError(
+            "need 0 <= min_prefix_frac <= max_prefix_frac <= 1"
+        )
+    idc = F.col(id_col).cast("string")
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    n = F.size(toks)
+    # u in [0, 1): 20 hash bits -> plenty of resolution, exact in a
+    # double
+    u = (
+        F.pmod(
+            F.xxhash64(F.concat_ws(":", idc, F.lit("pfx"), F.lit(salt))),
+            F.lit(1 << 20),
+        )
+        / F.lit(float(1 << 20))
+    )
+    frac = F.lit(min_prefix_frac) + u * F.lit(
+        max_prefix_frac - min_prefix_frac
+    )
+    n_prefix = F.when(n < 2, n).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.least(n - 1, F.floor(frac * n.cast("double")).cast("int")),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.slice(toks, 1, n_prefix), " ").alias("prefix_text"),
+        F.when(
+            n > n_prefix,
+            F.array_join(
+                F.slice(toks, n_prefix + 1, n - n_prefix), " "
+            ),
+        ).otherwise(F.lit("")).alias("continuation_text"),
+        n_prefix.alias("n_prefix"),
+        n.alias("n_tokens"),
+    )

@@ -1,0 +1,146 @@
+"""Objective-prep operators (functions/objective.py): T5 span
+corruption and UL2 prefix-LM splits. The load-bearing check is the
+RECONSTRUCTION law — splicing each target span back over its input
+sentinel must recover the original token sequence exactly — which
+pins the whole coverage/run/sentinel machinery without re-deriving
+the hash draw."""
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions.objective import prefix_lm_split, span_corruption
+from sentinel_spark.functions.text import WORD_RE
+
+SENT = re.compile(r"<extra_id_(\d+)>")
+
+
+def _py_tokens(text):
+    return re.findall(WORD_RE, (text or "").lower())
+
+
+def _docs(spark, n=60):
+    rows = [
+        (
+            i,
+            " ".join(
+                f"w{(i * 31 + j * 7) % 23}" for j in range((i % 37) + 2)
+            ),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _splice(input_text, target_text):
+    """Python reconstruction: replace <extra_id_k> in the input with
+    the k-th target span."""
+    spans = {}
+    parts = SENT.split(target_text)
+    # parts = ['', k0, span0, k1, span1, ..., kN, trailing]
+    for j in range(1, len(parts) - 1, 2):
+        spans[int(parts[j])] = parts[j + 1].split()
+    out = []
+    for tok in input_text.split():
+        m = SENT.fullmatch(tok)
+        if m:
+            out.extend(spans.get(int(m.group(1)), []))
+        else:
+            out.append(tok)
+    return out
+
+
+def test_span_corruption_reconstruction_law(spark):
+    df = _docs(spark)
+    out = span_corruption(df, "text", "doc_id").collect()
+    orig = {r.doc_id: r.text for r in df.collect()}
+    assert len(out) == df.count()
+    total_tok = total_cov = 0
+    for r in out:
+        toks = _py_tokens(orig[r.doc_id])
+        assert r.n_tokens == len(toks)
+        assert _splice(r.input_text, r.target_text) == toks
+        # sentinel ids appear in order 0..n_spans-1 in the input and
+        # the target closes with <extra_id_n_spans>
+        ids = [int(m.group(1)) for m in SENT.finditer(r.input_text)]
+        assert ids == list(range(r.n_spans))
+        assert r.target_text.endswith(f"<extra_id_{r.n_spans}>")
+        # counts reconcile: corrupted tokens = tokens - input words
+        kept = [t for t in r.input_text.split() if not SENT.fullmatch(t)]
+        assert r.n_corrupted == len(toks) - len(kept)
+        total_tok += r.n_tokens
+        total_cov += r.n_corrupted
+    # corpus-level corruption rate lands near the target (loose band:
+    # independent starts + merge give ~rate on average)
+    assert 0.05 < total_cov / total_tok < 0.40
+
+
+def test_span_corruption_determinism_and_salt(spark):
+    df = _docs(spark, n=30)
+    a = sorted(map(tuple, span_corruption(df, "text", "doc_id").collect()))
+    b = sorted(map(tuple, span_corruption(df, "text", "doc_id").collect()))
+    assert a == b
+    c = sorted(
+        map(tuple, span_corruption(df, "text", "doc_id", salt="v2").collect())
+    )
+    assert a != c
+    with pytest.raises(ValueError, match="corruption_rate"):
+        span_corruption(df, "text", "doc_id", corruption_rate=0.0)
+    with pytest.raises(ValueError, match="mean_span_len"):
+        span_corruption(df, "text", "doc_id", mean_span_len=0)
+
+
+def test_span_corruption_edges(spark):
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_corruption(edge, "text", "doc_id").collect()}
+    for did in (1, 2):
+        r = out[did]
+        assert r.n_tokens == 0 and r.n_spans == 0 and r.input_text == ""
+        assert r.target_text == "<extra_id_0>"
+    assert out[3].n_tokens == 1
+
+
+def test_prefix_lm_split(spark):
+    df = _docs(spark)
+    out = {r.doc_id: r for r in prefix_lm_split(df, "text", "doc_id").collect()}
+    orig = {r.doc_id: r.text for r in df.collect()}
+    for did, r in out.items():
+        toks = _py_tokens(orig[did])
+        joined = (r.prefix_text + " " + r.continuation_text).split()
+        assert joined == toks
+        assert r.n_tokens == len(toks)
+        if len(toks) >= 2:
+            assert 1 <= r.n_prefix <= len(toks) - 1
+            frac = r.n_prefix / len(toks)
+            # floor + clamp keep the draw inside the band up to one
+            # token of quantization
+            assert 0.25 - 1 / len(toks) <= frac <= 0.75 + 1e-9
+    # deterministic, salt-sensitive
+    again = {r.doc_id: r.n_prefix for r in prefix_lm_split(df, "text", "doc_id").collect()}
+    assert again == {d: r.n_prefix for d, r in out.items()}
+    # edge docs: everything in the prefix, empty continuation
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "solo")], "doc_id long, text string"
+    )
+    eo = {r.doc_id: r for r in prefix_lm_split(edge, "text", "doc_id").collect()}
+    assert eo[1].n_prefix == 0 and eo[1].continuation_text == ""
+    assert eo[2].n_prefix == 1 and eo[2].continuation_text == ""
+    with pytest.raises(ValueError, match="prefix_frac"):
+        prefix_lm_split(df, "text", "doc_id", min_prefix_frac=0.9,
+                        max_prefix_frac=0.1)
+
+
+def test_objective_plan_is_map_only(spark):
+    """Scale contract: both operators are pure projections — no
+    exchange, no UDF eval node."""
+    df = _docs(spark, n=5)
+    for frame in (
+        span_corruption(df, "text", "doc_id"),
+        prefix_lm_split(df, "text", "doc_id"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan  # no row-at-a-time or Arrow UDF
