@@ -176,6 +176,66 @@ def near_dup_leakage(
     )
 
 
+def cluster_aware_split(
+    df,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    min_est_jaccard: float = 0.5,
+    max_band_size: int | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+    salt: str = "",
+):
+    """Train/val/test assignment that CANNOT leak near-duplicates
+    across the boundary — the remedy to what :func:`near_dup_leakage`
+    audits: documents are first clustered at near-dup grain (MinHash
+    LSH candidates → connected components, the dedup family's
+    machinery), then the split label is hashed from the CLUSTER id,
+    so every near-copy of a document lands in the same split by
+    construction (Lee et al. 2022's recommendation, made structural).
+    :func:`assign_split` on a content fingerprint already guarantees
+    this for EXACT duplicates; this is the near-dup-grain upgrade.
+
+    Output: ``df``'s columns + ``cluster_id`` + ``split``. Law
+    (pytest-pinned): :func:`near_dup_leakage` over the result with
+    the same mining parameters reports ZERO cross-split pairs —
+    every candidate pair is a cluster edge, and cluster members
+    share a split.
+
+    Plan shape: ONE banded candidate run (bucket-bounded, never
+    all-pairs) + the components iteration (both exactly what a
+    near-dup dedup pass already pays — run this as a branch of that
+    pass at scale) + an id-keyed cluster attach join; the split
+    label itself is a pure hash expression on ``cluster_id``.
+    Release handles from the pair miner ride the result
+    (:func:`sentinel_spark.cache.release`)."""
+    from sentinel_spark.cache import carry
+    from sentinel_spark.functions.cluster import dedup_clusters
+    from sentinel_spark.functions.dedup import minhash_candidate_pairs
+
+    pairs_raw = minhash_candidate_pairs(
+        df, text_col, id_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands,
+        max_band_size=max_band_size,
+    )
+    cand = pairs_raw.where(F.col("est_jaccard") >= min_est_jaccard)
+    clusters = dedup_clusters(df, cand, id_col)
+    out = df.join(
+        clusters.select(id_col, "cluster_id"), id_col
+    ).withColumn(
+        "split",
+        assign_split(
+            F.col("cluster_id").cast("string"), weights,
+            buckets=buckets, salt=salt,
+        ),
+    )
+    return carry(out, pairs_raw, clusters)
+
+
 def hash_sample(
     key: Column | str,
     fraction: float,

@@ -1185,6 +1185,53 @@ def test_near_dup_leakage_null_split_sentinel(spark):
     assert r.n_pairs == 1 and r.n_docs_a == 1 and r.n_docs_b == 1
 
 
+def test_cluster_aware_split_zero_leakage_law(spark):
+    """The audit/remedy loop closes: cluster_aware_split's output,
+    audited by near_dup_leakage WITH THE SAME mining parameters,
+    reports zero cross-split pairs — near-copies share a cluster,
+    clusters share a split."""
+    from sentinel_spark.cache import release
+    from sentinel_spark.functions.sampling import (
+        cluster_aware_split,
+        near_dup_leakage,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again tonight"
+    rows = [(1, base), (2, base + " ok"), (3, base + " yes maybe"),
+            (4, "completely different content about rivers and maps"),
+            (5, base + " sure"),
+            (6, "another unrelated page on gardening and soil quality")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {"train": 0.5, "test": 0.25, "val": 0.25}
+    out = cluster_aware_split(df, "text", "doc_id", w, min_est_jaccard=0.5)
+    got = {r.doc_id: r for r in out.collect()}
+    # every input row labeled; the near-dup family 1/2/3/5 shares one
+    # cluster and therefore one split
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    fam = {got[i].cluster_id for i in (1, 2, 3, 5)}
+    assert len(fam) == 1
+    assert len({got[i].split for i in (1, 2, 3, 5)}) == 1
+    assert all(r.split in w for r in got.values())
+    # the law: the audit over the remedy's output is empty
+    audit = near_dup_leakage(
+        out.select("doc_id", "text", "split"), "text", "doc_id", "split",
+        min_est_jaccard=0.5,
+    )
+    assert audit.count() == 0
+    release(audit)
+    release(out)
+    # determinism + salt sensitivity of the labels
+    again = {
+        r.doc_id: r.split
+        for r in cluster_aware_split(
+            df, "text", "doc_id", w, min_est_jaccard=0.5
+        ).collect()
+    }
+    assert again == {d: r.split for d, r in got.items()}
+    with pytest.raises(ValueError, match="sum to 1"):
+        cluster_aware_split(df, "text", "doc_id", {"train": 0.5})
+
+
 def test_budget_family_max_sources_guard(spark):
     """All three budget collects fail loudly past max_sources (the
     KMV source_overlap precedent): a high-cardinality source column
