@@ -1,0 +1,81 @@
+"""Per-gate phase profiler: decomposes each registry gate's bench cost
+into CONSTRUCTION (Python build incl. eager driver jobs), PLANNING
+(analysis + optimization + physical planning, no execution), and
+EXECUTION (noop sink), with Spark job counts per phase — the guide-§1
+"where is the time actually going" instrument for an overhead-dominated
+local bench.
+
+Usage:
+    python tools/profile_gates.py [sf_dir] [gate ...]   # default sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from sentinel_spark.cache import release  # noqa: E402
+from sentinel_spark.session import get_spark  # noqa: E402
+
+
+def n_jobs(sc) -> int:
+    return len(sc._jsc.sc().statusTracker().getJobIdsForGroup(None))
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.1"
+    names = args[1:] if args and os.path.isdir(args[0]) else args
+
+    spark = get_spark("gate-profile")
+    sc = spark.sparkContext
+    qs = E.queries()
+    rows = []
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        rec = {"gate": name}
+        for attempt in ("cold", "warm"):
+            j0 = n_jobs(sc)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            j1 = n_jobs(sc)
+            # force full physical planning without execution
+            df._sc = sc
+            _ = df._jdf.queryExecution().executedPlan()
+            t2 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t3 = time.perf_counter()
+            j2 = n_jobs(sc)
+            release(df)
+            rec[attempt] = {
+                "build_s": round(t1 - t0, 3),
+                "plan_s": round(t2 - t1, 3),
+                "exec_s": round(t3 - t2, 3),
+                "total_s": round(t3 - t0, 3),
+                "build_jobs": j1 - j0,
+                "exec_jobs": j2 - j1,
+            }
+        rows.append(rec)
+        c, w = rec["cold"], rec["warm"]
+        print(
+            f"{name:20s} cold: build {c['build_s']:6.2f} ({c['build_jobs']:3d} jobs) "
+            f"plan {c['plan_s']:5.2f} exec {c['exec_s']:6.2f} ({c['exec_jobs']:3d} jobs) | "
+            f"warm: build {w['build_s']:6.2f} plan {w['plan_s']:5.2f} exec {w['exec_s']:6.2f}",
+            flush=True,
+        )
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "plans", "r15", "profile.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
