@@ -95,9 +95,9 @@ def connected_components(
     driver-local union-find pass instead of the iterative job chain —
     identical output, none of the per-round checkpoint/convergence
     overhead that dominates small graphs. Beyond the threshold the
-    distributed large-star/small-star runs unchanged; the edge count
-    needed for the decision is a by-product of the first
-    materialization, so the check costs nothing extra. This mirrors
+    distributed large-star/small-star runs unchanged; the size count
+    doubles as the job that materializes the lazily persisted edge
+    list, so the decision adds no pass of its own. This mirrors
     Spark's own broadcast-vs-shuffle join adaptivity: driver-local is
     not a scale assumption when the data is broadcast-bounded by
     construction.
@@ -113,12 +113,31 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    edges = _materialize(edges)
+    # r15 (optimization): a lazy persist replaces the former eager
+    # localCheckpoint — the size probe (count) is then the job that
+    # materializes the cache, so the small-graph path costs
+    # count + bounded collect-from-cache (two jobs) instead of
+    # checkpoint + count + collect (three, one of them writing
+    # shuffle-partition-many tiny blocks), and the big-graph path
+    # saves the checkpoint job outright. (A limit(threshold+1).collect
+    # probe was tried first and reverted: Spark's incremental limit
+    # execution scans 1 → 4 → 16 → ... partitions, costing MORE stages
+    # than the count it replaced.)
+    id_type = edges.schema["u"].dataType
+    edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
-        return _driver_components(edges)
+        out = _driver_components(edges.sparkSession, edges.collect(), id_type)
+        edges.unpersist(blocking=True)
+        return out
+    first = edges
     for _ in range(max_iterations):
         nxt = _materialize(_small_star(_large_star(edges)))
+        if first is not None:
+            # the checkpointed round-1 output no longer references the
+            # persisted raw edge list — release it
+            first.unpersist(blocking=True)
+            first = None
         # Equal counts are necessary for set equality, and counting a
         # localCheckpointed frame is ~free — so the (relatively)
         # expensive exact exceptAll comparison only runs on rounds
@@ -138,13 +157,15 @@ def connected_components(
     )
 
 
-def _driver_components(edges: DataFrame) -> DataFrame:
-    """Union-find over a broadcast-bounded edge list, on the driver.
-    Path-halving find + min-root union ⇒ component = min node id,
-    exactly matching the distributed algorithm's output contract."""
+def _driver_components(spark, rows, id_type) -> DataFrame:
+    """Union-find over a broadcast-bounded, already-collected edge list,
+    on the driver. Path-halving find + min-root union ⇒ component = min
+    node id, exactly matching the distributed algorithm's output
+    contract. ``rows`` are the (u, v) Rows; ``id_type`` the node id's
+    Spark type (r15: takes collected rows instead of a DataFrame so
+    the collect rides the cache the size count just materialized)."""
     import pyspark.sql.types as TY
 
-    rows = edges.collect()
     parent: dict = {}
 
     def find(x):
@@ -167,14 +188,13 @@ def _driver_components(edges: DataFrame) -> DataFrame:
             lo, hi = (ru, rv) if ru < rv else (rv, ru)
             parent[hi] = lo
     out = [(x, find(x)) for x in parent]
-    id_type = edges.schema["u"].dataType
     schema = TY.StructType(
         [
             TY.StructField("id", id_type),
             TY.StructField("component", id_type),
         ]
     )
-    return edges.sparkSession.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def dedup_clusters(

@@ -1013,10 +1013,22 @@ def kmeans_fit(
             .getField("m")
             .alias("c_vec")
         )
+        # r15 (optimization): the rebuilt frame is k rows but inherits
+        # the mean-aggregate's shuffle-partition layout, so each
+        # round's checkpoint materialized shuffle-partition-many
+        # near-empty blocks (and every downstream scan of the
+        # centroids re-launched that many tasks). Coalesce to ~8k
+        # centroids per partition — model-artifact scale, the same
+        # boundedness the broadcast assignment already assumes — so
+        # the materialization and every later read run O(k/8k) tasks
+        # at any corpus scale. Pure layout change: the means are
+        # aggregated before the coalesce, so values are untouched.
+        n_parts = (k + 8191) // 8192
         cents = _materialize(
             cents.select("cell", F.col("c_vec").alias("old"))
             .join(newc, "cell", "left")
             .select("cell", F.coalesce("c_vec", "old").alias("c_vec"))
+            .coalesce(n_parts)
         )
     return cents
 

@@ -36,6 +36,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): an r15 A/B of
+        # byte-based coalescing (false + 64 MB advisory) measured
+        # neutral-to-negative — post-shuffle stages here carry real
+        # parallel compute even when their bytes are small, and
+        # coalescing them to 1-2 partitions serializes that work; the
+        # default's floor of defaultParallelism partitions is the right
+        # trade on every box size.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -54,6 +61,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Ad-hoc conf overrides for A/B measurement without code edits:
+    # SPARK_GRAFT_CONF="k=v;k=v" (the bench contract's env-parameterized
+    # settings rule — production values go here, local defaults above).
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,129 @@
+"""Single-gate job/stage trace: run one registry gate with the Spark
+event log enabled and print every job (duration, description, stage
+count) and every stage (duration, tasks, shuffle bytes) — the guide-§7
+"where is the time actually going" breakdown, robust to the box's
+wall-clock noise because the structure (job/stage/task counts, bytes)
+is deterministic even when durations wobble.
+
+Usage:
+    python tools/job_trace.py <gate> [sf_dir] [--warm]
+
+--warm runs the gate twice and traces the second run (codegen-cached).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from sentinel_spark.cache import release  # noqa: E402
+from sentinel_spark.session import get_spark  # noqa: E402
+
+EVDIR = "/tmp/spark-events"
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    warm = "--warm" in sys.argv
+    gate = args[0]
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    os.makedirs(EVDIR, exist_ok=True)
+    spark = get_spark(
+        "job-trace",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": EVDIR,
+        },
+    )
+    sc = spark.sparkContext
+    fn = E.queries()[gate]
+    if warm:
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        release(df)
+    marker = time.time() * 1000
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    t_build = time.perf_counter() - t0
+    df.write.format("noop").mode("overwrite").save()
+    t_total = time.perf_counter() - t0
+    release(df)
+    sc._jsc.sc().listenerBus().waitUntilEmpty()
+    app_id = sc.applicationId
+    spark.stop()
+    time.sleep(1.0)
+
+    path = os.path.join(EVDIR, app_id)
+    if not os.path.exists(path):
+        # Spark 4 rolling event log: a directory of events_N_<appid> files
+        d = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+        parts = sorted(
+            os.path.join(d, p) for p in os.listdir(d) if p.startswith("events")
+        )
+    else:
+        parts = [path]
+    jobs: dict[int, dict] = {}
+    stages: dict[int, dict] = {}
+    lines = []
+    for p in parts:
+        if p.endswith(".zstd"):
+            import subprocess
+
+            data = subprocess.run(
+                ["zstd", "-dc", p], capture_output=True, check=True
+            ).stdout
+            lines += data.decode().splitlines()
+        else:
+            with open(p) as fh:
+                lines += fh.read().splitlines()
+    if True:
+        for line in lines:
+            ev = json.loads(line)
+            k = ev.get("Event")
+            if k == "SparkListenerJobStart":
+                if ev["Submission Time"] < marker:
+                    continue
+                jid = ev["Job ID"]
+                jobs[jid] = {
+                    "t0": ev["Submission Time"],
+                    "desc": (ev.get("Properties") or {}).get(
+                        "spark.job.description", ""
+                    )[:90],
+                    "n_stages": len(ev.get("Stage Infos", [])),
+                    "stage_ids": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+                }
+            elif k == "SparkListenerJobEnd":
+                jid = ev["Job ID"]
+                if jid in jobs:
+                    jobs[jid]["t1"] = ev["Completion Time"]
+            elif k == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                if si.get("Submission Time", 0) < marker:
+                    continue
+                stages[si["Stage ID"]] = {
+                    "name": si["Stage Name"][:70],
+                    "tasks": si["Number of Tasks"],
+                    "ms": si.get("Completion Time", 0)
+                    - si.get("Submission Time", 0),
+                }
+    print(f"gate={gate} build={t_build:.2f}s total={t_total:.2f}s "
+          f"jobs={len(jobs)} stages={len(stages)} "
+          f"tasks={sum(s['tasks'] for s in stages.values())}")
+    for jid in sorted(jobs):
+        j = jobs[jid]
+        dur = (j.get("t1", j["t0"]) - j["t0"]) / 1000.0
+        print(f"  job {jid:4d} {dur:7.2f}s stages={j['n_stages']:2d}  {j['desc']}")
+        for sid in sorted(j["stage_ids"]):
+            if sid in stages:
+                s = stages[sid]
+                print(f"        stage {sid:4d} {s['ms']/1000.0:7.2f}s "
+                      f"tasks={s['tasks']:3d}  {s['name']}")
+
+
+if __name__ == "__main__":
+    main()
