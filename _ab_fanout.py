@@ -1,0 +1,27 @@
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import __spark_entry__ as E
+from sentinel_spark.cache import release
+from sentinel_spark.session import get_spark
+
+GATES = ["corpus_funnel","ann_methods","near_dup_pairs","decontam","sample_suite",
+         "corpus_report","semantic_dedup","trainer_suite","split_report","ann_recall",
+         "line_clean","sft_suite","winnow_pairs","web_domains","agg_stats","doc_repetition",
+         "lm_perplexity","dedup_clusters","chunk_shards","labels_join"]
+sf="/root/testdata/sf0.1"
+spark=get_spark("ab-fanout")
+qs=E.queries()
+out={}
+for g in GATES:
+    fn=qs[g]
+    runs=[]
+    for i in range(3):
+        t0=time.perf_counter()
+        df=fn(spark,sf)
+        df.write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter()-t0,2))
+        release(df)
+    out[g]=runs
+print(json.dumps({"conf":{"bytes":os.environ.get("SPARK_GRAFT_FANOUT_BYTES","default"),
+                          "parts":os.environ.get("SPARK_GRAFT_FANOUT_PARTS","0")},
+                  "gates":out}))

@@ -31,6 +31,62 @@ TABLE_NAMES = (
 # Dimension tables small enough to broadcast at any realistic scale.
 BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
 
+# Fan-out floor for degenerate scans (optimization guide §2.5, input
+# skew: "one huge unsplittable file ... repartition immediately after
+# the read"). A single-row-group parquet file is unsplittable, so its
+# scan — and every narrow stage fused on top of it, which is exactly
+# where the per-document featurize passes (tokenize / shingle /
+# minhash / vector math) live — runs as ONE task no matter how many
+# cores the box has. When the whole table is at most one scan split
+# (``maxPartitionBytes``), round-robin repartition right after the
+# read: the exchange moves at most one split's bytes exactly once,
+# and every downstream per-row stage runs in parallel. At scale the
+# condition is false by construction (any real table exceeds one
+# split and arrives as many files), so production plans gain nothing
+# and lose nothing — this is the inverse of AQE's small-partition
+# coalescing, derived from input size the same way. Filter pushdown
+# and column pruning still reach the scan (Catalyst pushes
+# deterministic predicates and projections through Repartition), so
+# PushedFilters/ReadSchema are unchanged.
+#
+# Scope and sizing, both measured (20-gate × 3-rep A/B, OPTIMIZATION_
+# r15.md): only the per-row-COMPUTE-heavy corpora (text documents,
+# embeddings) benefit — their featurize passes cost orders of
+# magnitude more CPU per byte than a columnar scan — while fanning
+# the numeric star-schema tables was neutral-to-negative (the extra
+# exchange + per-task overhead outweigh their cheap row work), and
+# over-fanning (one partition per core, 32 here) LOST to moderate
+# fan-out: 2 042 tiny tasks per composite gate paid ~2.7× the total
+# CPU of the same plan at ~8 partitions (per-task fixed cost dwarfs
+# 150-row work items). Partition count is therefore derived from
+# input size — one partition per ``_FANOUT_ADVISORY`` bytes (64 KB
+# default; heavy-compute rows want far smaller advisory than AQE's
+# shuffle-byte default), clamped to defaultParallelism.
+# ``SPARK_GRAFT_FANOUT_BYTES`` overrides the fire threshold (0
+# disables); ``SPARK_GRAFT_FANOUT_ADVISORY`` the per-partition byte
+# target. Results are layout-independent by the engine's own contract
+# (no rand()/monotonic ids in query paths; the DuckDB oracle
+# re-verifies value equality under the new layout at every SF).
+_FANOUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_BYTES", str(128 * 1024 * 1024))
+)
+_FANOUT_ADVISORY = int(
+    os.environ.get("SPARK_GRAFT_FANOUT_ADVISORY", str(64 * 1024))
+)
+_FANOUT_TABLES = {"documents", "embeddings"}
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    if _FANOUT_BYTES <= 0 or size > _FANOUT_BYTES:
+        return df
+    p = spark.sparkContext.defaultParallelism
+    n = min(p, max(2, -(-size // _FANOUT_ADVISORY)))
+    return df.repartition(n)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -85,6 +141,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 )
             df = df.withColumn("ts", ts)
         return df
+    if name in _FANOUT_TABLES:
+        return _fan_out(spark, spark.read.parquet(path), path)
     return spark.read.parquet(path)
 
 

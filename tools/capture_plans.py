@@ -1,0 +1,49 @@
+"""Dump ``explain("formatted")`` for registry gates to
+``plans/r15/<gate>_<tag>.txt`` — the judge-facing before/after plan
+evidence for the optimization rounds.
+
+Usage:
+    python tools/capture_plans.py <tag> [sf_dir] [gate ...]   # default: all gates, sf0.1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from sentinel_spark.cache import release  # noqa: E402
+from sentinel_spark.session import get_spark  # noqa: E402
+
+
+def explain_str(df) -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(qe, "formatted")
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    rest = sys.argv[2:]
+    sf_dir = rest[0] if rest and os.path.isdir(rest[0]) else "/root/testdata/sf0.1"
+    names = rest[1:] if rest and os.path.isdir(rest[0]) else rest
+
+    spark = get_spark("plan-capture")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in E.queries().items():
+        if names and name not in names:
+            continue
+        df = fn(spark, sf_dir)
+        with open(os.path.join(out_dir, f"{name}_{tag}.txt"), "w") as f:
+            f.write(explain_str(df))
+        release(df)
+        print(name, flush=True)
+
+
+if __name__ == "__main__":
+    main()

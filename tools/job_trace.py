@@ -105,24 +105,58 @@ def main() -> None:
                 si = ev["Stage Info"]
                 if si.get("Submission Time", 0) < marker:
                     continue
-                stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"][:70],
-                    "tasks": si["Number of Tasks"],
-                    "ms": si.get("Completion Time", 0)
+                rec = stages.setdefault(si["Stage ID"], {})
+                scopes = []
+                for ri in si.get("RDD Info", []):
+                    sc_ = ri.get("Scope")
+                    if sc_:
+                        try:
+                            nm = json.loads(sc_).get("name", "")
+                        except Exception:
+                            nm = ""
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
+                rec.update(
+                    name=si["Stage Name"][:70],
+                    tasks=si["Number of Tasks"],
+                    ms=si.get("Completion Time", 0)
                     - si.get("Submission Time", 0),
-                }
+                    scopes=",".join(scopes[:12]),
+                )
+            elif k == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                m = ev.get("Task Metrics") or {}
+                rec = stages.setdefault(sid, {})
+                run = m.get("Executor Run Time", 0)
+                rec["run_ms"] = rec.get("run_ms", 0) + run
+                rec["max_ms"] = max(rec.get("max_ms", 0), run)
+                rec["py_ms"] = rec.get("py_ms", 0) + (
+                    m.get("Executor Deserialize Time", 0)
+                )
+                sr = (m.get("Shuffle Read Metrics") or {})
+                rec["sh_rd"] = rec.get("sh_rd", 0) + sr.get(
+                    "Remote Bytes Read", 0
+                ) + sr.get("Local Bytes Read", 0)
+                sw = (m.get("Shuffle Write Metrics") or {})
+                rec["sh_wr"] = rec.get("sh_wr", 0) + sw.get(
+                    "Shuffle Bytes Written", 0
+                )
     print(f"gate={gate} build={t_build:.2f}s total={t_total:.2f}s "
           f"jobs={len(jobs)} stages={len(stages)} "
-          f"tasks={sum(s['tasks'] for s in stages.values())}")
+          f"tasks={sum(s.get('tasks', 0) for s in stages.values())}")
     for jid in sorted(jobs):
         j = jobs[jid]
         dur = (j.get("t1", j["t0"]) - j["t0"]) / 1000.0
         print(f"  job {jid:4d} {dur:7.2f}s stages={j['n_stages']:2d}  {j['desc']}")
         for sid in sorted(j["stage_ids"]):
-            if sid in stages:
+            if sid in stages and "name" in stages[sid]:
                 s = stages[sid]
                 print(f"        stage {sid:4d} {s['ms']/1000.0:7.2f}s "
-                      f"tasks={s['tasks']:3d}  {s['name']}")
+                      f"tasks={s['tasks']:3d} "
+                      f"cpu={s.get('run_ms',0)/1000.0:6.2f}s "
+                      f"maxtask={s.get('max_ms',0)/1000.0:5.2f}s "
+                      f"shR={s.get('sh_rd',0)>>10}K shW={s.get('sh_wr',0)>>10}K"
+                      f"  {s.get('scopes', '')[:110]}")
 
 
 if __name__ == "__main__":
