@@ -171,8 +171,13 @@ def minhash_signatures(
     sh = shingle_rows(df, text_col, id_col, shingle_n).select(
         "id", F.pmod(_md5_int60("s"), F.lit(p)).alias("h")
     )
+    # r15 (optimization): one F.expr per permutation instead of five
+    # chained Column calls — each Column method is a py4j round-trip,
+    # and this builder runs several times per composed gate (see the
+    # simhash_table note; identical parsed expressions, driver-side
+    # construction only).
     aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
+        F.expr(f"min(pmod(h * {a}L + {b}L, {p}L))").alias(f"m{i}")
         for i, (a, b) in enumerate(coef)
     ]
     return (
@@ -209,6 +214,19 @@ def lsh_band_key(signature: Column, band: int, rows_per_band: int) -> Column:
             "|", F.lit(str(band)), F.concat_ws("|", sl.cast("array<string>"))
         )
     )
+
+
+def _banded_keys(sig_col: str, num_bands: int, rows_per_band: int) -> Column:
+    """``explode(array(<lsh_band_key(b)> …))`` as ONE parsed SQL
+    expression — the same Catalyst tree :func:`lsh_band_key` composes,
+    built without num_bands × 8 py4j round-trips (r15; see
+    simhash_table's note)."""
+    keys = ",".join(
+        f"md5(concat_ws('|', '{b}', concat_ws('|', cast(slice({sig_col}, "
+        f"{b * rows_per_band + 1}, {rows_per_band}) as array<string>))))"
+        for b in range(num_bands)
+    )
+    return F.expr(f"explode(array({keys}))")
 
 
 def _guard_hot_bands(
@@ -329,12 +347,7 @@ def minhash_candidate_pairs(
     # Narrow (id, band_key) rows through the self-join + pair-dedup;
     # signatures re-attach afterwards so the shuffled rows stay small.
     banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[lsh_band_key(F.col("sig"), b, rows_per_band) for b in range(num_bands)]
-            )
-        ).alias("band_key"),
+        "id", _banded_keys("sig", num_bands, rows_per_band).alias("band_key")
     )
     star = None
     if max_band_size is not None:
@@ -402,11 +415,7 @@ def minhash_band_index(
     return sig.select(
         "id",
         "sig",
-        F.explode(
-            F.array(
-                *[lsh_band_key(F.col("sig"), b, rows_per_band) for b in range(num_bands)]
-            )
-        ).alias("band_key"),
+        _banded_keys("sig", num_bands, rows_per_band).alias("band_key"),
     ).select("band_key", "id", "sig")
 
 
@@ -630,61 +639,68 @@ def simhash_table(
     # 16-bit counters cap at 65,535 distinct shingles per document
     # (≈ 400 KB+ of text); an assert_true guard fails loudly instead of
     # silently wrapping — split oversized documents before simhashing.
-    lut = [
-        F.lit(
+    # r15 (optimization, guide §1/§7.3 driver overhead): the per-bit
+    # expression trees below are rendered as SQL STRINGS and handed to
+    # ONE F.expr() each, instead of composing ~600 Column objects —
+    # every Column method is a py4j socket round-trip, and this
+    # function alone cost ~1.4 s of driver time per build (cProfile:
+    # the near_dup_pairs gate spent 2.5 s in 18 018 py4j
+    # send_command calls). The parsed expressions are identical
+    # Catalyst trees, so the generated code, the plan, and the results
+    # are unchanged — only the Python-side construction collapses to
+    # one round-trip. (Same trick as the oracle's inlined SQL: strings
+    # are cheap in Python, expression objects are not.)
+    lut_sql = "array(%s)" % ",".join(
+        str(
             ((x & 1) << 0)
             | (((x >> 1) & 1) << 16)
             | (((x >> 2) & 1) << 32)
             | (((x >> 3) & 1) << 48)
-        ).cast("long")
+        ) + "L"
         for x in range(16)
-    ]
-    lut_arr = F.array(*lut)
+    )
 
-    def nibble(p: int) -> Column:
+    def nibble_sql(p: int) -> str:
         # hex digit p (0-based from the left) of the md5: digits 0-7
         # live in ``hi``, 8-15 in ``lo``; left-most digit is the high
         # nibble of its 32-bit half.
-        src, off = (F.col("hi"), 7 - p) if p < 8 else (F.col("lo"), 15 - p)
-        return F.shiftrightunsigned(src, 4 * off).bitwiseAND(F.lit(15))
+        src, off = ("hi", 7 - p) if p < 8 else ("lo", 15 - p)
+        return f"(shiftrightunsigned({src}, {4 * off}) & 15)"
 
     sums = [
-        F.sum(F.element_at(lut_arr, (nibble(p) + 1).cast("int"))).alias(f"s{p}")
+        F.expr(
+            f"sum(element_at({lut_sql}, cast(({nibble_sql(p)} + 1) as int)))"
+        ).alias(f"s{p}")
         for p in range(16)
     ]
     counts = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *sums)
 
-    def set_count(b: int):
+    def set_count_sql(b: int) -> str:
         # md5 bit b = bit (b % 4) of nibble (b // 4) → field (b % 4) of
         # sum s{b // 4}.
-        return F.shiftrightunsigned(F.col(f"s{b // 4}"), 16 * (b % 4)).bitwiseAND(
-            F.lit(0xFFFF)
-        )
+        return f"(shiftrightunsigned(s{b // 4}, {16 * (b % 4)}) & 65535)"
 
     # majority vote: bit set iff 2 * set_count > n_shingles. OR-combine
     # as a balanced tree (depth 6) rather than a 64-deep left fold —
     # shallow expression trees analyze and codegen-compile faster.
     terms = [
-        F.when(
-            set_count(b) * 2 > F.col("n"), F.lit(1 << b if b < 63 else -(1 << 63))
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
+        "cast(case when %s * 2 > n then %s else 0L end as bigint)"
+        % (set_count_sql(b), f"{1 << b}L" if b < 63 else f"{-(1 << 63)}L")
         for b in range(64)
     ]
     while len(terms) > 1:
         terms = [
-            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            f"({terms[i]} | {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
             for i in range(0, len(terms), 2)
         ]
-    guard = F.assert_true(
-        F.col("n") < F.lit(1 << 16),
-        F.lit(
-            "simhash_table: document exceeds 65535 distinct shingles; "
-            "split oversized documents before simhashing"
-        ),
+    guard = (
+        "assert_true(n < 65536, 'simhash_table: document exceeds 65535 "
+        "distinct shingles; split oversized documents before simhashing')"
     )
-    return counts.select("id", F.when(guard.isNull(), terms[0]).alias("h"))
+    return counts.select(
+        "id",
+        F.expr(f"case when {guard} is null then {terms[0]} end").alias("h"),
+    )
 
 
 def simhash_hamming_pairs(
@@ -750,20 +766,14 @@ def banded_hamming_pairs(
     sim = hashes.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("h")
     ).persist()
+    # one parsed expression instead of num_bands × 5 py4j round-trips
+    # (r15; see simhash_table's note) — identical struct-explode tree
+    bk = ",".join(
+        f"struct({b} as band, (shiftright(h, {band_bits * b}) & {mask}) as key)"
+        for b in range(num_bands)
+    )
     banded = sim.select(
-        "id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(f"shiftright(h, {band_bits * b}) & {mask}").alias("key"),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", "h", F.expr(f"explode(array({bk}))").alias("bk")
     ).select("id", "h", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     pairs = (
         banded.alias("a")

@@ -946,6 +946,65 @@ def default_k(n: int) -> int:
     return max(1, math.isqrt(max(n, 1) - 1) + 1)
 
 
+def _round6(x: float):
+    """Spark's ``round(double, 6)``: java BigDecimal.valueOf (shortest
+    decimal repr — what Python ``repr(float)`` also produces) +
+    HALF_UP. ``decimal.ROUND_HALF_UP`` ties away from zero, matching
+    java HALF_UP."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _kmeans_fit_driver(spark, rows, k: int, n_iter: int):
+    """Driver-local Lloyd's over an already-collected (id, vec) list —
+    the broadcast-bounded adaptive path of :func:`kmeans_fit` (the
+    :func:`~sentinel_spark.functions.cluster.connected_components`
+    driver-threshold precedent). Replicates the distributed path's
+    contract exactly: init = k lowest-id vectors, cosine argmax with
+    ties to the lower cell (numpy argmax picks the first/lowest index
+    among exact ties), empty cells keep their previous centroid, every
+    updated component quantized with :func:`_round6`. Returns ``None``
+    when a zero-norm vector/centroid is present — there the engines'
+    NaN orderings could diverge, so that case stays on the distributed
+    path whose semantics are already pinned."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    V = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    vn = np.sqrt((V * V).sum(axis=1))
+    if not len(rows) or (vn == 0).any() or not np.isfinite(V).all():
+        return None
+    cents = [[_round6(x) for x in rows[i][1]] for i in range(min(k, len(rows)))]
+    for _ in range(n_iter):
+        C = np.asarray(cents, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        if (cn == 0).any():
+            return None
+        sims = (V @ C.T) / (vn[:, None] * cn[None, :])
+        best = np.argmax(sims, axis=1)
+        for cell in range(len(cents)):
+            members = V[best == cell]
+            if len(members):
+                s = members.sum(axis=0)
+                cents[cell] = [_round6(x) for x in s / len(members)]
+    import pyspark.sql.types as TY
+
+    schema = TY.StructType(
+        [
+            TY.StructField("cell", TY.IntegerType()),
+            TY.StructField("c_vec", TY.ArrayType(TY.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, cents[i]) for i in range(len(cents))], schema
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int | None,
@@ -953,6 +1012,7 @@ def kmeans_fit(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_threshold: int = 65536,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column — the real
     IVF centroid trainer (:func:`ivf_topk`'s first-k-by-id centroids
@@ -977,8 +1037,31 @@ def kmeans_fit(
     each round so iteration i+1's plan doesn't replay iteration i."""
     from sentinel_spark.functions.cluster import _materialize
 
+    n = emb.count()
     if k is None:
-        k = default_k(emb.count())
+        k = default_k(n)
+    # r15 (optimization): adaptive driver-local path below a
+    # broadcast-bounded row count — the connected_components
+    # driver-threshold trade. The distributed loop costs
+    # 1 + n_iter localCheckpoint materializations, each re-scanning
+    # the un-cached input and re-running the broadcast assignment
+    # (~20 Spark jobs for n_iter=2 at any input size); below the
+    # threshold ONE collect replaces them and the (id, vec) payload is
+    # a few MB by construction. The count that gates the decision is
+    # one column-pruned pass (already paid when k=None); at corpus
+    # scale it is a rounding error against the n_iter assignment
+    # passes the distributed loop then runs. Identical output contract
+    # (see _kmeans_fit_driver); zero-norm/non-finite inputs fall back
+    # to the distributed path.
+    if n <= driver_threshold:
+        out = _kmeans_fit_driver(
+            emb.sparkSession,
+            emb.select(id_col, vec_col).collect(),
+            k,
+            n_iter,
+        )
+        if out is not None:
+            return out
 
     # k rows — a single-partition window is the intended plan; the
     # constant partition key is column-derived (pmod(xxhash64)=0) so
