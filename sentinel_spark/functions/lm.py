@@ -96,8 +96,13 @@ def train_bigram_lm(
     # Fold a/b -> <unk> distributed-side: the vocab frame is
     # max_vocab rows by construction, so both joins broadcast and the
     # downstream groupBy keys on at most (V+2)^2 *observed* pairs.
+    import pandas as pd
+
+    # r15: Arrow path — the pickled-rows form re-deserializes in
+    # Python workers on every broadcast rebuild (see cluster.
+    # _driver_components note); same rows, same schema.
     vocab_df = spark.createDataFrame(
-        [(w,) for w in sorted(vocab)], "w: string"
+        pd.DataFrame(sorted(vocab), columns=["w"]), "w: string"
     )
     in_a = F.broadcast(
         vocab_df.select(F.col("w").alias("a"), F.lit(True).alias("__ina"))

@@ -91,19 +91,34 @@ def logreg_fit(
     """
     weights = [0.0] * dim
     bias = 0.0
-    x = F.col(features_col)
-    y = F.col(label_col).cast("double")
+    # r15 (optimization): each iteration's gradient expressions are
+    # rendered as SQL strings (one F.expr per gradient) instead of
+    # ~6·dim chained Column objects per iteration — every Column call
+    # is a py4j round-trip and the loop repeats n_iter times (see
+    # dedup.simhash_table's note). The 'D' suffix keeps every literal
+    # a DOUBLE (a bare SQL '0.5' parses as DECIMAL); repr() is the
+    # shortest round-trip form, so the parsed doubles are bit-equal to
+    # the F.lit values. Same left-to-right margin fold, same
+    # arithmetic, same results.
     for _ in range(n_iter):
-        p = F.lit(1.0) / (
-            F.lit(1.0) + F.exp(-_margin(x, weights, bias))
+        m = " + ".join(
+            [f"{bias!r}D"]
+            + [
+                f"{float(w)!r}D * cast({features_col}[{j}] as double)"
+                for j, w in enumerate(weights)
+            ]
         )
-        err = p - y
+        err = (
+            f"(1.0D / (1.0D + exp(-({m}))) - cast({label_col} as double))"
+        )
         grads = df.agg(
             *[
-                F.avg(err * x[j].cast("double")).alias(f"g{j}")
+                F.expr(
+                    f"avg({err} * cast({features_col}[{j}] as double))"
+                ).alias(f"g{j}")
                 for j in range(dim)
             ],
-            F.avg(err).alias("gb"),
+            F.expr(f"avg({err})").alias("gb"),
         ).collect()[0]
         weights = [weights[j] - lr * grads[f"g{j}"] for j in range(dim)]
         bias = bias - lr * grads["gb"]

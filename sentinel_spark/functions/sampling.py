@@ -16,6 +16,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+
+def _pd():
+    """Lazy pandas handle for the driver-local frames below: feeding
+    createDataFrame a pandas frame takes the Arrow path, whose
+    broadcast rebuilds skip the pickled-rows Python-worker
+    deserialization (r15; measured in cluster._driver_components)."""
+    import pandas
+
+    return pandas
+
+
 DEFAULT_BUCKETS = 1_000_000
 
 
@@ -1237,7 +1248,10 @@ def budget_select_by_source(
         if not work:
             break
         params = spark.createDataFrame(
-            [(s, st[0], st[1] - st[0]) for s, st in work.items()],
+            _pd().DataFrame(
+                [(s, st[0], st[1] - st[0]) for s, st in work.items()],
+                columns=["_bs_src", "_p_lo", "_p_w"],
+            ),
             "_bs_src string, _p_lo double, _p_w double",
         )
         j = boundary.join(F.broadcast(params), "_bs_src").withColumn(
@@ -1270,7 +1284,10 @@ def budget_select_by_source(
             st[2] = rem
             st[3] = hist.get(s, {}).get(bb, (0, 0))[1]
             chosen.append((s, bb))
-        bsel = spark.createDataFrame(chosen, "_bs_src string, _p_b int")
+        bsel = spark.createDataFrame(
+            _pd().DataFrame(chosen, columns=["_bs_src", "_p_b"]),
+            "_bs_src string, _p_b int",
+        )
         boundary = (
             j.join(F.broadcast(bsel), "_bs_src")
             .where(F.col("_bin") == F.col("_p_b"))
@@ -1288,15 +1305,18 @@ def budget_select_by_source(
     if over:
         lmax_o = max(len(state[s][4]) for s in over)
         oann = spark.createDataFrame(
-            [
-                (
-                    s,
-                    [lv[0] for lv in state[s][4]],
-                    [lv[1] for lv in state[s][4]],
-                    [lv[2] for lv in state[s][4]],
-                )
-                for s in over
-            ],
+            _pd().DataFrame(
+                [
+                    (
+                        s,
+                        [lv[0] for lv in state[s][4]],
+                        [lv[1] for lv in state[s][4]],
+                        [lv[2] for lv in state[s][4]],
+                    )
+                    for s in over
+                ],
+                columns=["_bs_src", "_o_los", "_o_ws", "_o_bs"],
+            ),
             "_bs_src string, _o_los array<double>, _o_ws array<double>, "
             "_o_bs array<int>",
         )
@@ -1349,7 +1369,11 @@ def budget_select_by_source(
         for s in set(full) | set(state)
     ]
     ann = spark.createDataFrame(
-        ann_rows,
+        _pd().DataFrame(
+            ann_rows,
+            columns=["_bs_src", "_p_full", "_p_los", "_p_ws", "_p_bs",
+                     "_p_rem", "_p_tie"],
+        ),
         "_bs_src string, _p_full boolean, _p_los array<double>, "
         "_p_ws array<double>, _p_bs array<int>, _p_rem long, "
         "_p_tie boolean",
