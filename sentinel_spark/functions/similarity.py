@@ -1521,8 +1521,16 @@ def _pq_encode_join(
     # any other bare name — and must never collide with this path's
     # intermediates, or the same pq_encode call would work on the
     # literal path and throw AMBIGUOUS_REFERENCE on the join path
+    # r15: pandas → Arrow path; the pickled-rows form re-deserializes
+    # in Python workers on every broadcast rebuild (see cluster.
+    # _driver_components note). Same rows, same schema.
+    import pandas as pd
+
     cb = spark.createDataFrame(
-        cb_rows, "__sub int, __cb_cell int, __cb_vec array<double>, __cb_cn2 double"
+        pd.DataFrame(
+            cb_rows, columns=["__sub", "__cb_cell", "__cb_vec", "__cb_cn2"]
+        ),
+        "__sub int, __cb_cell int, __cb_vec array<double>, __cb_cn2 double",
     )
     ex = emb.select(
         F.col(id_col),
@@ -1621,12 +1629,18 @@ def _pq_luts_frame(
         ])
         return queries.withColumn("luts", luts)
     spark = queries.sparkSession
+    # r15: pandas → Arrow path (see pq_encode's note)
+    import pandas as pd
+
     cbf = spark.createDataFrame(
-        [
-            (s, c, [float(x) for x in codebooks[s][c]])
-            for s in range(m)
-            for c in range(len(codebooks[s]))
-        ],
+        pd.DataFrame(
+            [
+                (s, c, [float(x) for x in codebooks[s][c]])
+                for s in range(m)
+                for c in range(len(codebooks[s]))
+            ],
+            columns=["sub", "cell", "c_vec"],
+        ),
         "sub int, cell int, c_vec array<double>",
     )
     scored = queries.select(F.col("q_id"), qv).crossJoin(

@@ -57,3 +57,25 @@ def test_events_ts_instant_is_zone_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", zone)
     assert shifted_instant == utc_instant
+
+
+def test_fanout_fires_only_on_tiny_corpus_tables(spark):
+    """r15 scan fan-out: documents/embeddings scans smaller than one
+    split are repartitioned to >1 partitions (size-derived, capped at
+    defaultParallelism); the numeric star-schema tables are left on
+    the scan's own layout. Values are layout-independent — the same
+    rows come back either way."""
+    from sentinel_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    assert 1 < docs.rdd.getNumPartitions() <= spark.sparkContext.defaultParallelism
+    li = load_table(spark, SF, "lineitem")
+    assert li.rdd.getNumPartitions() == spark.read.parquet(
+        SF + "/lineitem.parquet"
+    ).rdd.getNumPartitions()
+    # fan-out preserves the row multiset
+    import pyspark.sql.functions as F
+
+    plain = spark.read.parquet(SF + "/documents.parquet")
+    assert docs.exceptAll(plain).count() == 0
+    assert plain.exceptAll(docs).count() == 0

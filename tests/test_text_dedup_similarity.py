@@ -1919,3 +1919,38 @@ def test_datacard_partials_merge(spark):
     )
     mm = {r.slice: r for r in merge_datacard_partials(mixed).collect()}
     assert mm["a"].lang_top == "en" and mm["a"].n_docs == 5
+
+
+def test_kmeans_driver_path_equals_distributed(spark):
+    """r15: kmeans_fit gained an adaptive driver-local path below
+    ``driver_threshold`` rows. Both paths must produce the SAME
+    centroid table — cell ids, vector values, bit-for-bit — including
+    under empty cells (identical init vectors) and k > n."""
+    vecs = (
+        [(i, [1.0 + 0.03 * i, 0.05 * i, 0.125]) for i in range(6)]
+        + [(20 + i, [-0.5, 1.0, 0.07 * i]) for i in range(5)]
+        + [(40, [1.0 + 0.03 * 1, 0.05 * 1, 0.125])]  # duplicate of id 1
+    )
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    for k, n_iter in ((3, 2), (4, 1), (15, 2)):
+        drv = SIM.kmeans_fit(df, k, n_iter=n_iter)  # threshold fires
+        dist = SIM.kmeans_fit(df, k, n_iter=n_iter, driver_threshold=0)
+        a = sorted(map(tuple, drv.collect()))
+        b = sorted(map(tuple, dist.collect()))
+        assert a == b, f"k={k} n_iter={n_iter}: driver != distributed"
+
+
+def test_kmeans_driver_path_zero_norm_falls_back(spark):
+    """A zero-norm vector routes the driver path to the distributed
+    loop, whose ANSI division-by-zero error is the pinned semantics —
+    the r15 driver shortcut must not silently change that contract
+    (numpy would have yielded NaN/inf instead of raising)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id int, embedding array<float>",
+    )
+    with pytest.raises(ArithmeticException):
+        SIM.kmeans_fit(df, 2, n_iter=1).count()
