@@ -89,8 +89,31 @@ def main():
     from sentinel_spark.cache import carry
     from sentinel_spark.pipelines import build_training_corpus
 
-    tiny_res = build_training_corpus(tiny, tiny.select("doc_id", "text"), None)
-    tiny_funnel = carry(tiny_res.funnel, tiny_res.selected)
+    # r15: warm the gate's EXACT recipe shape — dsir stage ON and the
+    # drop-report branch ON, plus the rep-aggregate crossJoin assembly
+    # q_corpus_funnel adds — the previous dsir-off/report-off warmup
+    # left those branches' first-JIT on the gate's cold run (~2 s
+    # cold-vs-med gap on frozen code).
+    tiny_res = build_training_corpus(
+        tiny, tiny.select("doc_id", "text"), None,
+        dsir_target=tiny.select("doc_id", "text"), dsir_n=2,
+        with_drop_report=True,
+    )
+    _st = F.col("stage")
+    tiny_rep = tiny_res.drop_report.agg(
+        *[
+            F.sum((_st == s).cast("long")).alias(f"rep_{s}")
+            for s in ("quality", "exact_dup", "near_dup",
+                      "contaminated", "dsir", "kept")
+        ],
+        F.sum(
+            F.when(_st == "kept", F.col("n_tok")).otherwise(F.lit(0))
+        ).cast("long").alias("rep_kept_tok"),
+    )
+    tiny_funnel = carry(
+        tiny_res.funnel.crossJoin(tiny_rep),
+        tiny_res.selected, tiny_res.drop_report,
+    )
     tiny_funnel.write.format("noop").mode("overwrite").save()
     release(tiny_funnel)
     # ... and the paragraph-grain dedup shape (md5-keyed winner
@@ -171,6 +194,30 @@ def main():
     warm_ann_union = E.ann_union(tiny_emb)
     warm_ann_union.write.format("noop").mode("overwrite").save()
     release(warm_ann_union)
+    # r15: ... and the ann_recall gate's two recall-join shapes with
+    # the gate's structural literals (qids/k/rerank/bits/dim — a
+    # different isin() arity or k changes the generated code text and
+    # misses the codegen cache): the union warmup above compiles the
+    # serving branches but not the hits/recall join+aggregate
+    # programs, which otherwise first-JIT on the gate's cold run
+    # (~2 s cold-vs-med gap on frozen code).
+    from sentinel_spark.functions import similarity as SIM_W
+
+    warm_recall = (
+        SIM_W.ann_recall(tiny_emb, [0, 1, 2, 3, 4], k=5, rerank=4)
+        .select(F.lit("quantized").alias("kind"), "q_id", "hits", "recall")
+        .unionByName(
+            SIM_W.ann_join_recall(
+                tiny_emb.where(F.col("vec_id") % 100 == 7),
+                tiny_emb.where(F.col("vec_id") % 100 != 7),
+                k=5, bits=4, multiprobe=True, dim=64,
+            ).select(
+                F.lit("xjoin_lsh").alias("kind"), "q_id", "hits", "recall"
+            )
+        )
+    )
+    warm_recall.write.format("noop").mode("overwrite").save()
+    release(warm_recall)
     # ... and the r9 dsir shape (zip_with bigram featurize, md5-int60
     # bucket model joins, gumbel ranking), whose first-JIT otherwise
     # lands on sample_suite's cold run.
