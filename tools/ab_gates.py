@@ -1,5 +1,17 @@
+"""Same-process A/B harness: run a fixed set of heavy gates 3x each
+and print one JSON line with the per-gate runs — toggle engine
+settings via env (SPARK_GRAFT_FANOUT_*, SPARK_GRAFT_CONF) between
+invocations and compare MEDIANS. This is the instrument behind the
+r15 fan-out decision (OPTIMIZATION_r15.md): this sandbox's wall clock
+drifts up to 4x across windows, so only same-process or back-to-back
+comparisons are trustworthy.
+
+Usage:
+    SPARK_GRAFT_FANOUT_BYTES=0 python tools/ab_gates.py
+"""
+
 import os, sys, time, json
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as E
 from sentinel_spark.cache import release
 from sentinel_spark.session import get_spark
