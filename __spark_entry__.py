@@ -46,8 +46,18 @@ from sentinel_spark.operators.datapoints import get_datapoints, id_lookup
 from sentinel_spark.sources.tables import load_table
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    fan_out: bool | None = None,
+) -> DataFrame:
+    # fan_out=False opts a gate out of the degenerate-scan spread
+    # (sources.tables._fan_out) where the per-gate A/B measured the
+    # added exchange as a net loss (VERDICT r15 #1); None keeps the
+    # table-class default.
+    return load_table(spark, sf_dir, name, fan_out=fan_out)
 
 
 # --------------------------------------------------------------------------
@@ -583,7 +593,7 @@ def q_corpus_cube(spark, sf_dir):
     per-lang, per-(source,lang), and grand-total rows from a single
     shuffle (partial aggregation covers every set). The null-marker
     columns are coalesced to '(all)' so the result is engine-portable."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     return (
         d.cube("source", "lang")
         .agg(
@@ -607,7 +617,7 @@ def q_length_histogram(spark, sf_dir):
     bucket is a pure log2/floor expression so the whole query is one
     map-side-combined aggregate; at 100 TB this is a scan plus a
     ~60-row shuffle."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     n = T.token_count("text")
     # bucket = bit-length of the token count (exact integer arithmetic
     # via base-2 conv, no floating log2 boundary risk); bucket b covers
@@ -813,7 +823,7 @@ def _drift_dshare_rows(spark, sf_dir):
     from sentinel_spark.cache import with_release
     from sentinel_spark.functions.drift import drift_table
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     feats = {
         "source": F.col("source"),
         "lang": F.col("lang"),
@@ -867,7 +877,7 @@ def _retention_rows(spark, sf_dir):
     the hashed projection."""
     from sentinel_spark.functions.sampling import retention_curve
 
-    db = _t(spark, sf_dir, "documents").select(
+    db = _t(spark, sf_dir, "documents", fan_out=False).select(
         ((F.col("doc_id") % 16) / F.lit(16.0)).alias("q"),
         T.token_count("text").alias("n_tok"),
     )
@@ -893,7 +903,7 @@ def _novelty_rows(spark, sf_dir):
     pytest-only."""
     from sentinel_spark.functions.text import ngram_novelty
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     nv = ngram_novelty(d, "text", "doc_id", n=8)
     return (
         nv.join(d.select("doc_id", "lang"), "doc_id")
@@ -1416,7 +1426,7 @@ def q_hash_split(spark, sf_dir):
     per (split, lang)."""
     from sentinel_spark.functions import sampling as SP
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     split = SP.assign_split(
         T.normalized_text("text"), {"train": 0.9, "val": 0.05, "test": 0.05}
     )
@@ -1434,7 +1444,7 @@ def q_split_leakage(spark, sf_dir):
     versus the content-keyed split, which leaks zero by construction."""
     from sentinel_spark.functions import sampling as SP
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
     dup = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     by_id = SP.assign_split(
         F.col("doc_id").cast("string"), {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -1572,7 +1582,7 @@ def q_stratified_sample(spark, sf_dir):
     — no global pass, no shuffle; pushed to the scan."""
     from sentinel_spark.functions import sampling as SP
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     keep = SP.stratified_sample(
         "lang",
         F.col("doc_id").cast("string"),
@@ -1590,7 +1600,7 @@ def q_group_sample(spark, sf_dir):
     the rank window reuses it."""
     from sentinel_spark.functions import sampling as SP
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     out = SP.group_sample_n(
         d, ["source", "lang"], F.col("doc_id"), 10, salt="gs"
     )
@@ -1604,7 +1614,7 @@ def q_weighted_sample(spark, sf_dir):
     monotone in the score. Pure per-row filter, no shuffle."""
     from sentinel_spark.functions import sampling as SP
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     w = T.quality_score("text")
     keep = SP.weighted_sample(F.col("doc_id").cast("string"), w, salt="wq")
     return d.where(keep).select("doc_id", w.alias("weight"))
@@ -2072,7 +2082,7 @@ def q_multimodal_features(spark, sf_dir):
         extract_media_features,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     media = attach_fake_media(d, "doc_id", "text")
     return extract_media_features(media)
 
@@ -2083,7 +2093,7 @@ def q_media_frames(spark, sf_dir):
     derivation makes even this Python-side fan-out hash-checkable."""
     from sentinel_spark.functions.multimodal import attach_fake_media, sample_frames
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf_dir, "documents", fan_out=False).filter(F.col("doc_id") < 100)
     return sample_frames(attach_fake_media(d, "doc_id", "text"), n_frames=4)
 
 
@@ -2193,7 +2203,7 @@ def q_exact_dedup_all(spark, sf_dir):
     """S8 + exact text dedup: content-hash dup groups over the part
     dimension (brand|type key) and over document fingerprints, one
     shuffle each, tagged by ``src``."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     doc = D.exact_dup_groups(d, T.fingerprint("text"), "doc_id").select(
         F.lit("doc").alias("src"),
         "dup_key",
@@ -2399,7 +2409,7 @@ def q_split_report(spark, sf_dir):
     )
     from sentinel_spark.functions.sketch import kmv_sketches, source_overlap
 
-    d3 = _t(spark, sf_dir, "documents").where(
+    d3 = _t(spark, sf_dir, "documents", fan_out=False).where(
         F.col("source").isin("src1", "src2", "src3")
     )
     sh = D.shingle_rows(d3.select("doc_id", "text"), "text", "doc_id", 3).join(
@@ -2432,7 +2442,7 @@ def q_split_report(spark, sf_dir):
     from sentinel_spark.cache import carry
     from sentinel_spark.functions.sampling import near_dup_leakage
 
-    dd = _t(spark, sf_dir, "documents").withColumn(
+    dd = _t(spark, sf_dir, "documents", fan_out=False).withColumn(
         "_split",
         F.element_at(
             F.array(F.lit("train"), F.lit("test"), F.lit("val")),
@@ -2573,7 +2583,7 @@ def q_sample_suite(spark, sf_dir):
     from sentinel_spark.functions import sampling as SP
 
     base = (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", fan_out=False)
         .select("doc_id", "source", T.token_count("text").alias("n_tok"))
         .persist()
     )
@@ -2607,7 +2617,7 @@ def q_sample_suite(spark, sf_dir):
     from sentinel_spark.functions.dsir import dsir_select
     from sentinel_spark.functions.sampling import temperature_budgets
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     sizes_all = {
         r[0]: int(r[1])
         for r in base.groupBy("source")
@@ -2779,7 +2789,7 @@ def q_dedup_clusters_report(spark, sf_dir):
     from sentinel_spark.cache import with_release
     from sentinel_spark.functions.cluster import dedup_clusters
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     cand = D.minhash_candidate_pairs(
         d, "text", "doc_id", shingle_n=3, num_hashes=16, num_bands=4
     )
@@ -3126,7 +3136,7 @@ def q_winnow_pairs(spark, sf_dir):
     """Winnowing (MOSS) fingerprint overlap via the incremental index
     lineage on a capped subset — see :func:`winnow_union` for the
     full design notes; score is the shared-fingerprint count."""
-    return winnow_union(_t(spark, sf_dir, "documents"))
+    return winnow_union(_t(spark, sf_dir, "documents", fan_out=False))
 
 
 def q_media_suite(spark, sf_dir):
@@ -3164,7 +3174,7 @@ def q_media_suite(spark, sf_dir):
         perceptual_hash_media,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     ph = perceptual_hash_media(
         attach_fake_media(d, "doc_id", "text")
     ).select(
@@ -3296,7 +3306,7 @@ def q_ann_methods(spark, sf_dir):
     brute and LSH top-k frames (25 rows each) are persisted because
     two consumers read them — the union and the RRF fusion — so
     neither corpus scan runs twice."""
-    return ann_union(_t(spark, sf_dir, "embeddings"))
+    return ann_union(_t(spark, sf_dir, "embeddings", fan_out=False))
 
 
 def q_semantic_dedup_cells(spark, sf_dir):
@@ -3311,7 +3321,7 @@ def q_semantic_dedup_cells(spark, sf_dir):
     size the broadcast assignment cost k·dim folds per vector dominates
     long before the pair join does, so the small fixed k is also the
     faster plan here."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", fan_out=False)
     cents = SIM.kmeans_fit(e, 8, n_iter=2)
     sd = SIM.semantic_dedup(e, threshold=0.35, centroids=cents)
     # cell populations come from the dedup output itself — no second
@@ -3363,7 +3373,7 @@ def q_lm_perplexity(spark, sf_dir):
     Spark side sums in token order)."""
     from sentinel_spark.functions import lm as LM
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=False)
     model = LM.train_bigram_lm(d, "text", max_vocab=200, add_k=0.1)
     return LM.perplexity_table(d, "text", "doc_id", model).select(
         "doc_id",

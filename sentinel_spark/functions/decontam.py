@@ -22,7 +22,7 @@ Scale contract (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from sentinel_spark.functions.dedup import shingle_rows
 
@@ -74,6 +74,68 @@ def contamination_table(
     bench_set = benchmark_ngram_set(bench, text_col, n).withColumn("_hit", F.lit(1))
     sh = shingle_rows(docs, text_col, id_col, n)
     marked = sh.join(F.broadcast(bench_set), "s", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias("contam_frac"),
+            (F.col("n_hits") / F.col("n_ngrams") >= min_overlap_frac).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def ngram_md5_array(text_col: str, n: int = 8) -> Column:
+    """Per-document DISTINCT word-``n``-gram md5 array as ONE Column —
+    the scan-fused corpus side of :func:`contamination_table` (r16,
+    VERDICT r15 #3). Same shingle set as ``shingle_rows`` (distinct
+    n-grams, whole-token-string for short docs, ``['']`` for empty
+    text), each keyed by its md5 so a cached featurize frame carries
+    32-char keys instead of raw n-gram text. NULL text yields NULL
+    (``shingle_rows`` emits no rows there; ``explode`` of NULL keeps
+    that equivalence)."""
+    from sentinel_spark.functions.dedup import _shingles_sql
+
+    sh = _shingles_sql(text_col, n)
+    return F.expr(
+        f"CASE WHEN {text_col} IS NULL THEN NULL ELSE "
+        f"transform({sh}, s -> md5(s)) END"
+    )
+
+
+def contamination_from_ngram_md5(
+    doc_hashes: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    hash_col: str = "__sh8",
+    n: int = 8,
+    min_overlap_frac: float = 0.05,
+) -> DataFrame:
+    """:func:`contamination_table` fed from a precomputed per-document
+    n-gram md5 array (:func:`ngram_md5_array`) instead of a text
+    re-scan (r16). ``doc_hashes`` carries (``id_col``, ``hash_col``);
+    the benchmark side is unchanged — its distinct n-gram set is built
+    from ``bench`` text and keyed by the same md5. Identical counts,
+    fractions and flags: md5 is injective on distinct shingle strings
+    for every practical purpose, and both sides key the same way."""
+    bench_set = (
+        benchmark_ngram_set(bench, text_col, n)
+        .select(F.md5("s").alias("__h"))
+        .withColumn("_hit", F.lit(1))
+    )
+    sh = doc_hashes.select(
+        F.col(id_col).alias("id"), F.explode(hash_col).alias("__h")
+    )
+    marked = sh.join(F.broadcast(bench_set), "__h", "left")
     return (
         marked.groupBy("id")
         .agg(

@@ -82,6 +82,37 @@ def hashed_ngram_counts(
 
 
 
+def dsir_buckets_array(text_col: str, *, buckets: int = 10_000) -> Column:
+    """Per-document hashed unigram+bigram bucket ids WITH multiplicity
+    as ONE array Column — the scan-fused featurize of
+    :func:`hashed_ngram_counts` (r16, VERDICT r15 #3): same grams
+    (:func:`_grams`), same md5-int60 bucket hash, applied inside the
+    array instead of after an explode, so a pipeline's existing
+    featurize pass carries DSIR's features as ~``2·n_tok`` small longs
+    per document. Empty/NULL text → empty array (explode drops it,
+    like the gram-less rows of the exploded form)."""
+    return F.transform(
+        _grams(text_col),
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(buckets),
+        ),
+    )
+
+
+def _counts_from_bucket_arrays(
+    df: DataFrame, id_col: str, bucket_col: str
+) -> DataFrame:
+    """(id, bucket, cnt) from a precomputed bucket-id array column —
+    the drop-in replacement for :func:`hashed_ngram_counts` when the
+    featurize already ran scan-fused (:func:`dsir_buckets_array`)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(bucket_col).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -90,18 +121,30 @@ def dsir_log_weights(
     *,
     buckets: int = 10_000,
     alpha: float = 1.0,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Per-raw-document DSIR log importance weight:
     (id, n_grams, log_w) with ``log_w = Σ cnt·log_ratio(bucket)``
     (UNROUNDED — selection consumes it; round at exposure). Documents
     with no grams (empty/NULL text) keep a row with n_grams=0 and
-    log_w=0 — the weight of an empty product, not a dropped document."""
+    log_w=0 — the weight of an empty product, not a dropped document.
+
+    ``bucket_col`` (r16): when set, ``raw`` already carries the
+    per-document bucket-id array (:func:`dsir_buckets_array`) under
+    that column and ``text_col`` is not read on the raw side — the
+    scan-fused path of a pipeline whose featurize pass computed the
+    buckets alongside its other flags."""
     # the featurized corpus feeds TWO consumers (the raw bucket model
     # and the per-doc weight sums) — persist it so the corpus is
     # tokenized/exploded exactly once; raw_b and tgt (≤ buckets rows
     # each) persist too because their totals AND the ratio join both
     # read them. All three ride the output's release chain.
-    counts = hashed_ngram_counts(raw, text_col, id_col, buckets=buckets).persist()
+    if bucket_col is not None:
+        counts = _counts_from_bucket_arrays(raw, id_col, bucket_col).persist()
+    else:
+        counts = hashed_ngram_counts(
+            raw, text_col, id_col, buckets=buckets
+        ).persist()
     raw_b = (
         counts.groupBy("bucket").agg(F.sum("cnt").alias("cr")).persist()
     )
@@ -187,6 +230,7 @@ def dsir_select(
     buckets: int = 10_000,
     alpha: float = 1.0,
     salt: str = "",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Gumbel-top-``n`` importance resampling: (id, n_grams, log_w,
     score, log_w_ppm, score_ppm, rank) for the ``n`` selected
@@ -200,7 +244,8 @@ def dsir_select(
     TakeOrderedAndProject; the rank window runs over only the n
     survivors (bm25_topk's idiom)."""
     w = dsir_log_weights(
-        raw, target, text_col, id_col, buckets=buckets, alpha=alpha
+        raw, target, text_col, id_col, buckets=buckets, alpha=alpha,
+        bucket_col=bucket_col,
     )
     score_raw = F.col("log_w") + gumbel_noise("id", salt=salt)
     scored = w.select(

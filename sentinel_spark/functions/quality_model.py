@@ -89,6 +89,8 @@ def logreg_fit(
     you cache/sample the featurized frame first; the algorithm itself
     holds no corpus-sized state anywhere.
     """
+    import math
+
     weights = [0.0] * dim
     bias = 0.0
     # r15 (optimization): each iteration's gradient expressions are
@@ -100,26 +102,45 @@ def logreg_fit(
     # shortest round-trip form, so the parsed doubles are bit-equal to
     # the F.lit values. Same left-to-right margin fold, same
     # arithmetic, same results.
+    #
+    # r16 (ADVICE r15): column names are backtick-quoted so names
+    # needing quoting (spaces, hyphens, dots) keep working, and an
+    # iteration whose weights went non-finite (divergent training:
+    # repr(inf) renders 'infD', a SQL parse error) falls back to the
+    # Column-builder form of the same left-to-right fold, which
+    # handles non-finite literals natively.
+    fc = "`" + features_col.replace("`", "``") + "`"
+    lc = "`" + label_col.replace("`", "``") + "`"
     for _ in range(n_iter):
-        m = " + ".join(
-            [f"{bias!r}D"]
-            + [
-                f"{float(w)!r}D * cast({features_col}[{j}] as double)"
-                for j, w in enumerate(weights)
-            ]
-        )
-        err = (
-            f"(1.0D / (1.0D + exp(-({m}))) - cast({label_col} as double))"
-        )
-        grads = df.agg(
-            *[
+        if all(math.isfinite(w) for w in weights) and math.isfinite(bias):
+            m = " + ".join(
+                [f"{bias!r}D"]
+                + [
+                    f"{float(w)!r}D * cast({fc}[{j}] as double)"
+                    for j, w in enumerate(weights)
+                ]
+            )
+            err = (
+                f"(1.0D / (1.0D + exp(-({m}))) - cast({lc} as double))"
+            )
+            gcols = [
                 F.expr(
-                    f"avg({err} * cast({features_col}[{j}] as double))"
+                    f"avg({err} * cast({fc}[{j}] as double))"
                 ).alias(f"g{j}")
                 for j in range(dim)
-            ],
-            F.expr(f"avg({err})").alias("gb"),
-        ).collect()[0]
+            ] + [F.expr(f"avg({err})").alias("gb")]
+        else:
+            x = F.col(features_col)
+            m_c = _margin(x, weights, bias)
+            err_c = (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-m_c))
+                - F.col(label_col).cast("double")
+            )
+            gcols = [
+                F.avg(err_c * x[j].cast("double")).alias(f"g{j}")
+                for j in range(dim)
+            ] + [F.avg(err_c).alias("gb")]
+        grads = df.agg(*gcols).collect()[0]
         weights = [weights[j] - lr * grads[f"g{j}"] for j in range(dim)]
         bias = bias - lr * grads["gb"]
     return LogReg(weights=weights, bias=bias, n_iter=n_iter, lr=lr)

@@ -969,15 +969,30 @@ def _kmeans_fit_driver(spark, rows, k: int, n_iter: int):
     ties to the lower cell (numpy argmax picks the first/lowest index
     among exact ties), empty cells keep their previous centroid, every
     updated component quantized with :func:`_round6`. Returns ``None``
-    when a zero-norm vector/centroid is present — there the engines'
-    NaN orderings could diverge, so that case stays on the distributed
-    path whose semantics are already pinned."""
+    when the input is empty or a zero-norm vector/centroid is present —
+    there the engines' NaN orderings could diverge, so those cases stay
+    on the distributed path whose semantics are already pinned.
+
+    Float-order caveat (ADVICE r15): numpy accumulates dots/means
+    pairwise/BLAS-ordered while Spark folds in scan order, so a mean
+    within ~1 ulp of a 1e-6 HALF_UP rounding boundary (or a cosine
+    argmax within ~1 ulp of an exact tie) could in principle pick a
+    different quantized value per path. :func:`_round6` absorbs
+    everything away from those boundaries; the fixed and randomized
+    equivalence tests (incl. engineered near-tie geometries) pin
+    observed equality, but the contract is "equal after 6-decimal
+    quantization", not bit-equal intermediate arithmetic."""
     import numpy as np
 
+    # Empty input returns None BEFORE any numpy math: a (0,)-shaped
+    # array raises AxisError on .sum(axis=1), and the distributed path
+    # already produces the correct empty centroid table (ADVICE r15).
+    if not rows:
+        return None
     rows = sorted(rows, key=lambda r: r[0])
     V = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     vn = np.sqrt((V * V).sum(axis=1))
-    if not len(rows) or (vn == 0).any() or not np.isfinite(V).all():
+    if (vn == 0).any() or not np.isfinite(V).all():
         return None
     cents = [[_round6(x) for x in rows[i][1]] for i in range(min(k, len(rows)))]
     for _ in range(n_iter):
@@ -1037,8 +1052,9 @@ def kmeans_fit(
     each round so iteration i+1's plan doesn't replay iteration i."""
     from sentinel_spark.functions.cluster import _materialize
 
-    n = emb.count()
+    n = None
     if k is None:
+        n = emb.count()
         k = default_k(n)
     # r15 (optimization): adaptive driver-local path below a
     # broadcast-bounded row count — the connected_components
@@ -1047,21 +1063,36 @@ def kmeans_fit(
     # the un-cached input and re-running the broadcast assignment
     # (~20 Spark jobs for n_iter=2 at any input size); below the
     # threshold ONE collect replaces them and the (id, vec) payload is
-    # a few MB by construction. The count that gates the decision is
-    # one column-pruned pass (already paid when k=None); at corpus
-    # scale it is a rounding error against the n_iter assignment
-    # passes the distributed loop then runs. Identical output contract
-    # (see _kmeans_fit_driver); zero-norm/non-finite inputs fall back
-    # to the distributed path.
-    if n <= driver_threshold:
-        out = _kmeans_fit_driver(
-            emb.sparkSession,
-            emb.select(id_col, vec_col).collect(),
-            k,
-            n_iter,
-        )
-        if out is not None:
-            return out
+    # a few MB by construction. Identical output contract (see
+    # _kmeans_fit_driver); zero-norm/non-finite inputs fall back to
+    # the distributed path.
+    #
+    # r16 (VERDICT r15 #5 / ADVICE): the threshold check no longer
+    # costs a full count() when the caller passes k — a
+    # ``limit(threshold+1).collect()`` probe decides it instead.
+    # executeTake evaluates partitions incrementally (1, then 4×
+    # more per round), so on an over-threshold corpus the probe
+    # touches a bounded prefix of the (possibly expensive, computed-
+    # not-scanned) upstream pipeline rather than all of it, and when
+    # the probe comes back ≤ threshold rows it IS the whole input —
+    # the collect the driver path needed anyway. k=None already paid
+    # an exact count for the √n rule; reuse it instead of probing.
+    if driver_threshold > 0:
+        rows = None
+        if n is None:
+            probe = (
+                emb.select(id_col, vec_col)
+                .limit(driver_threshold + 1)
+                .collect()
+            )
+            if len(probe) <= driver_threshold:
+                rows = probe
+        elif n <= driver_threshold:
+            rows = emb.select(id_col, vec_col).collect()
+        if rows is not None:
+            out = _kmeans_fit_driver(emb.sparkSession, rows, k, n_iter)
+            if out is not None:
+                return out
 
     # k rows — a single-partition window is the intended plan; the
     # constant partition key is column-derived (pmod(xxhash64)=0) so

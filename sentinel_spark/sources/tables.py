@@ -63,32 +63,114 @@ BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
 # default; heavy-compute rows want far smaller advisory than AQE's
 # shuffle-byte default), clamped to defaultParallelism.
 # ``SPARK_GRAFT_FANOUT_BYTES`` overrides the fire threshold (0
-# disables); ``SPARK_GRAFT_FANOUT_ADVISORY`` the per-partition byte
-# target. Results are layout-independent by the engine's own contract
+# disables; unset = the session's ``spark.sql.files.maxPartitionBytes``
+# — ADVICE r15: a raised/lowered split size moves the degenerate-scan
+# boundary with it, a fixed 128 MB constant does not);
+# ``SPARK_GRAFT_FANOUT_ADVISORY`` the per-partition byte target.
+# Results are layout-independent by the engine's own contract
 # (no rand()/monotonic ids in query paths; the DuckDB oracle
 # re-verifies value equality under the new layout at every SF).
-_FANOUT_BYTES = int(
-    os.environ.get("SPARK_GRAFT_FANOUT_BYTES", str(128 * 1024 * 1024))
-)
+#
+# r16 (VERDICT r15 #2): the fire condition now also covers the TRUE
+# guide-§2.5 case — a huge file whose row groups exceed the split
+# size. Parquet scans split at row-group boundaries, so a 1 GB file
+# with ONE row group yields 8 byte-range splits of which 7 are empty:
+# the whole-table-is-tiny check alone left exactly the input skew the
+# guide describes un-fixed at scale. The row-group count comes from
+# one footer read (KBs), paid only when the file exceeds one split.
+# Directory inputs (the production layout): a table of ≥2 data files
+# already has file-level scan parallelism and is left alone — the
+# listing stops at the second data file, so huge listings cost
+# nothing here.
+_FANOUT_BYTES = os.environ.get("SPARK_GRAFT_FANOUT_BYTES")
 _FANOUT_ADVISORY = int(
     os.environ.get("SPARK_GRAFT_FANOUT_ADVISORY", str(64 * 1024))
 )
 _FANOUT_TABLES = {"documents", "embeddings"}
 
 
-def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+def _parse_bytes(v) -> int:
+    """'128m' / '134217728b' / 134217728 → bytes (Spark size-conf
+    grammar: optional unit suffix, case-insensitive, 1024-based)."""
+    s = str(v).strip().lower()
+    units = {
+        "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+        "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+        "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50,
+    }
+    num = s.rstrip("bkmgtp")
+    unit = s[len(num):] or "b"
+    return int(float(num) * units[unit])
+
+
+def _fanout_threshold(spark: SparkSession) -> int:
+    if _FANOUT_BYTES is not None:
+        return int(_FANOUT_BYTES)
     try:
-        size = os.path.getsize(path)
+        return _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        return 128 * 1024 * 1024
+
+
+def _single_data_file(path: str) -> str | None:
+    """The table's one data file, or None when it has 0 or ≥2 (the
+    listing short-circuits at the second, so production-sized
+    directories are O(2) dirents)."""
+    if os.path.isfile(path):
+        return path
+    found = None
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                if e.name.startswith((".", "_")) or not e.is_file():
+                    continue
+                if found is not None:
+                    return None
+                found = e.path
+    except OSError:
+        return None
+    return found
+
+
+def _max_row_group_bytes(fpath: str, size: int) -> int:
+    """Upper bound on the largest scan work item: total bytes over
+    row-group count (a footer-only read). Falls back to the whole
+    file when the footer is unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        n_rg = pq.ParquetFile(fpath).metadata.num_row_groups
+        return -(-size // max(1, n_rg))
+    except Exception:
+        return size
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    threshold = _fanout_threshold(spark)
+    if threshold <= 0:
+        return df
+    fpath = _single_data_file(path)
+    if fpath is None:
+        return df
+    try:
+        size = os.path.getsize(fpath)
     except OSError:
         return df
-    if _FANOUT_BYTES <= 0 or size > _FANOUT_BYTES:
+    # fire when the whole table is at most one scan split (the scan is
+    # ONE task), or when its row groups are bigger than a split (the
+    # scan has ≤ n_row_groups non-empty tasks of > one split each)
+    if size > threshold and _max_row_group_bytes(fpath, size) <= threshold:
         return df
     p = spark.sparkContext.defaultParallelism
     n = min(p, max(2, -(-size // _FANOUT_ADVISORY)))
     return df.repartition(n)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fan_out: bool | None = None
+) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -141,7 +223,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 )
             df = df.withColumn("ts", ts)
         return df
-    if name in _FANOUT_TABLES:
+    # ``fan_out``: per-call-site override of the degenerate-scan spread
+    # (VERDICT r15 #1 — the added exchange is a per-job fixed cost that
+    # cheap-per-row gates never repay; they opt out where the A/B said
+    # the exchange loses). None = the table-class default.
+    if fan_out is None:
+        fan_out = name in _FANOUT_TABLES
+    if fan_out:
         return _fan_out(spark, spark.read.parquet(path), path)
     return spark.read.parquet(path)
 

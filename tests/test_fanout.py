@@ -1,0 +1,150 @@
+"""sources.tables._fan_out — the degenerate-scan spread (guide §2.5).
+
+r16 coverage (VERDICT r15 #2 / ADVICE r15): the spread must fire for
+(a) a whole table at most one scan split — the local regime — and
+(b) a HUGE file whose row groups exceed the split size (parquet scans
+split at row-group boundaries, so a 1 GB single-row-group file scans
+as one non-empty task no matter how many byte-range splits cover it);
+it must NOT fire for a big well-laid-out file (row groups ≤ split) or
+a multi-file directory, and the fire threshold follows the session's
+``spark.sql.files.maxPartitionBytes`` rather than a constant.
+
+The synthetic files are small with a proportionally small
+``maxPartitionBytes`` — the decision logic only sees the ratios.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sentinel_spark.sources import tables as TB
+
+
+def _write_parquet(spark, path: str, n_rows: int, rows_per_group: int):
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # ~320 incompressible bytes per row so on-disk size tracks row
+    # count (compressible filler would collapse under snappy and move
+    # files across the synthetic split threshold)
+    def _blob(i: int) -> str:
+        return "".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest() for j in range(10)
+        )
+
+    t = pa.table(
+        {
+            "doc_id": list(range(n_rows)),
+            "text": [_blob(i) for i in range(n_rows)],
+        }
+    )
+    pq.write_table(t, path, row_group_size=rows_per_group)
+
+
+def _scan_partitions(df) -> int:
+    return df.rdd.getNumPartitions()
+
+
+@pytest.fixture()
+def split_conf(spark):
+    """Pin maxPartitionBytes small so synthetic-size files straddle it."""
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+    yield 16 * 1024
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fanout_fires_on_single_split_table(spark, split_conf, tmp_path):
+    p = str(tmp_path / "tiny.parquet")
+    _write_parquet(spark, p, 20, 20)  # ~7 KB < 16 KB threshold
+    assert os.path.getsize(p) <= split_conf
+    out = TB._fan_out(spark, spark.read.parquet(p), p)
+    assert _scan_partitions(out) > 1
+
+
+def test_fanout_fires_on_huge_single_row_group(spark, split_conf, tmp_path):
+    # the true guide-§2.5 case: file ≫ one split, ONE row group — the
+    # scan would have exactly one non-empty task without the spread
+    p = str(tmp_path / "hugerg.parquet")
+    _write_parquet(spark, p, 3000, 3000)
+    size = os.path.getsize(p)
+    assert size > split_conf
+    assert TB._max_row_group_bytes(p, size) > split_conf
+    out = TB._fan_out(spark, spark.read.parquet(p), p)
+    assert _scan_partitions(out) > 1
+    # and the spread preserves the rows exactly
+    assert out.count() == 3000
+
+
+def test_fanout_skips_well_laid_out_big_file(spark, split_conf, tmp_path):
+    # file ≫ one split but row groups ≤ split: the scan already
+    # parallelizes, no exchange wanted
+    p = str(tmp_path / "manyrg.parquet")
+    _write_parquet(spark, p, 3000, 40)  # ~75 row groups of ~13 KB
+    size = os.path.getsize(p)
+    assert size > split_conf
+    assert TB._max_row_group_bytes(p, size) <= split_conf
+    df = spark.read.parquet(p)
+    out = TB._fan_out(spark, df, p)
+    assert out is df  # unchanged frame — no repartition node
+
+
+def test_fanout_skips_multi_file_directory(spark, split_conf, tmp_path):
+    d = tmp_path / "table.parquet"
+    d.mkdir()
+    _write_parquet(spark, str(d / "part-0.parquet"), 20, 20)
+    _write_parquet(spark, str(d / "part-1.parquet"), 20, 20)
+    df = spark.read.parquet(str(d))
+    out = TB._fan_out(spark, df, str(d))
+    assert out is df
+
+
+def test_fanout_single_file_directory_fires(spark, split_conf, tmp_path):
+    d = tmp_path / "table1.parquet"
+    d.mkdir()
+    _write_parquet(spark, str(d / "part-0.parquet"), 20, 20)
+    out = TB._fan_out(spark, spark.read.parquet(str(d)), str(d))
+    assert _scan_partitions(out) > 1
+
+
+def test_fanout_threshold_follows_session_conf(spark, tmp_path):
+    # ADVICE r15: raising maxPartitionBytes must move the boundary
+    p = str(tmp_path / "mid.parquet")
+    _write_parquet(spark, p, 3000, 40)  # multi-row-group, "big" file
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        df = spark.read.parquet(p)
+        assert TB._fan_out(spark, df, p) is df  # rg ≤ split: no fire
+        # raise the split size past the whole file: now the table is
+        # "at most one split" and the spread fires again
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(1 << 30)
+        )
+        assert _scan_partitions(TB._fan_out(spark, df, p)) > 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fanout_env_zero_disables(spark, split_conf, tmp_path, monkeypatch):
+    p = str(tmp_path / "tiny2.parquet")
+    _write_parquet(spark, p, 40, 40)
+    monkeypatch.setattr(TB, "_FANOUT_BYTES", "0")
+    df = spark.read.parquet(p)
+    assert TB._fan_out(spark, df, p) is df
+
+
+def test_fanout_opt_out_param(spark, tmp_path):
+    # load_table(..., fan_out=False) must yield a plan with no
+    # repartition above the scan (VERDICT r15 #1's opt-out mechanism)
+    sf = "/root/testdata/sf0.001"
+    on = TB.load_table(spark, sf, "documents", fan_out=True)
+    off = TB.load_table(spark, sf, "documents", fan_out=False)
+    assert "RoundRobinPartitioning" not in off._jdf.queryExecution().executedPlan().toString()
+    # at sf0.001 the table is one tiny file, so the default fires
+    assert _scan_partitions(on) >= 2

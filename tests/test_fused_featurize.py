@@ -1,0 +1,181 @@
+"""r16 scan-fused featurize equivalence (VERDICT r15 #3).
+
+The corpus-recipe pipeline computes minhash signatures, decontam
+n-gram keys and DSIR bucket features inside its ONE featurize pass
+(per-document array Columns) instead of re-scanning the text per
+stage. These tests pin value equivalence between each fused builder
+and the exploded bulk operator it replaces, on the tricky shapes the
+shingle contract names: short docs (< n tokens), empty text,
+punctuation-only text (0 tokens), repeated shingles, NULL text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sentinel_spark.functions import decontam as DC
+from sentinel_spark.functions import dedup as D
+from sentinel_spark.functions import dsir as DS
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+    (2, "quick brown"),  # short: < 3 tokens
+    (3, ""),  # empty: [''] shingle
+    (4, "!!! ... ???"),  # 0 tokens after WORD_RE: [''] shingle
+    (5, "a b a b a b a b a b"),  # heavy repeated shingles
+    (6, None),  # NULL text: absent from shingle_rows
+    (7, "The QUICK brown FOX jumps over a very lazy dog indeed today"),
+    (8, "one"),  # single token
+]
+SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, SCHEMA)
+
+
+def test_minhash_sig_array_equals_signatures(spark):
+    df = _docs(spark)
+    bulk = {
+        r["id"]: tuple(r["sig"])
+        for r in D.minhash_signatures(df, "text", "doc_id").collect()
+    }
+    fused = {
+        r["doc_id"]: (tuple(r["sig"]) if r["sig"] is not None else None)
+        for r in df.select(
+            "doc_id", D.minhash_sig_array("text").alias("sig")
+        ).collect()
+    }
+    # NULL text: absent from the grouped table, NULL in the fused form
+    assert fused.pop(6) is None
+    assert 6 not in bulk
+    assert fused == bulk
+
+
+def test_minhash_pairs_from_sigs_equals_candidate_pairs(spark):
+    df = _docs(spark).where(F.col("text").isNotNull())
+    for kwargs in (
+        {},
+        {"max_band_size": 2},
+        {"max_band_size": 2, "mark_star": True},
+    ):
+        ref = sorted(
+            map(
+                tuple,
+                D.minhash_candidate_pairs(
+                    df, "text", "doc_id", **kwargs
+                ).collect(),
+            )
+        )
+        sig = df.select(
+            F.col("doc_id").alias("id"),
+            D.minhash_sig_array("text").alias("sig"),
+        ).persist()
+        got = sorted(
+            map(tuple, D.minhash_pairs_from_sigs(sig, **kwargs).collect())
+        )
+        sig.unpersist(blocking=True)
+        assert got == ref, f"kwargs={kwargs}"
+
+
+def test_ngram_md5_array_equals_shingle_rows(spark):
+    df = _docs(spark)
+    for n in (2, 8):
+        bulk: dict[int, set] = {}
+        for r in D.shingle_rows(df, "text", "doc_id", n).select(
+            "id", F.md5("s").alias("h")
+        ).collect():
+            bulk.setdefault(r["id"], set()).add(r["h"])
+        fused = {
+            r["doc_id"]: (set(r["hs"]) if r["hs"] is not None else None)
+            for r in df.select(
+                "doc_id", DC.ngram_md5_array("text", n).alias("hs")
+            ).collect()
+        }
+        assert fused.pop(6) is None and 6 not in bulk
+        # fused arrays are already distinct — sets match exactly
+        assert fused == bulk, f"n={n}"
+
+
+def test_contamination_from_ngram_md5_equals_table(spark):
+    df = _docs(spark).where(F.col("text").isNotNull())
+    bench = spark.createDataFrame(
+        [(100, "fox jumps over the lazy dog and more"), (101, "quick brown")],
+        SCHEMA,
+    ).select("text")
+    ref = sorted(
+        map(
+            tuple,
+            DC.contamination_table(
+                df, bench, "text", "doc_id", n=4, min_overlap_frac=0.2
+            ).collect(),
+        )
+    )
+    hashes = df.select(
+        "doc_id", DC.ngram_md5_array("text", 4).alias("__sh")
+    )
+    got = sorted(
+        map(
+            tuple,
+            DC.contamination_from_ngram_md5(
+                hashes, bench, "text", "doc_id",
+                hash_col="__sh", n=4, min_overlap_frac=0.2,
+            ).collect(),
+        )
+    )
+    assert got == ref
+
+
+def test_dsir_buckets_array_equals_hashed_counts(spark):
+    df = _docs(spark)
+    ref = sorted(
+        map(
+            tuple,
+            DS.hashed_ngram_counts(
+                df, "text", "doc_id", buckets=64
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            DS._counts_from_bucket_arrays(
+                df.select(
+                    "doc_id",
+                    DS.dsir_buckets_array("text", buckets=64).alias("__b"),
+                ),
+                "doc_id",
+                "__b",
+            ).collect(),
+        )
+    )
+    assert got == ref
+
+
+def test_dsir_select_bucket_col_equals_text_path(spark):
+    df = _docs(spark)
+    target = spark.createDataFrame(
+        [(200, "brown fox news"), (201, "lazy dog daily")], SCHEMA
+    )
+    ref = sorted(
+        map(
+            tuple,
+            DS.dsir_select(
+                df, target, "text", "doc_id", 4, buckets=64, salt="t"
+            ).collect(),
+        )
+    )
+    fused_in = df.select(
+        "doc_id", DS.dsir_buckets_array("text", buckets=64).alias("__b")
+    )
+    got = sorted(
+        map(
+            tuple,
+            DS.dsir_select(
+                fused_in, target, "text", "doc_id", 4,
+                buckets=64, salt="t", bucket_col="__b",
+            ).collect(),
+        )
+    )
+    assert got == ref

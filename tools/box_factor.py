@@ -27,17 +27,40 @@ import sys
 # Gates with no lineage change across recent rounds — update this list
 # when one of them changes (the round's BASELINE per-addition table is
 # the source of truth for what changed).
+#
+# r16 (VERDICT r15 #6): reset to the 26 gates the r15 optimization
+# round did NOT touch — they are not among the 24 fan-out plans and
+# touch none of r15's changed source files, so their r15→r16 ratios
+# measure the box window, not code. The r15 list had gone stale (it
+# still named decontam/dedup_clusters/semantic_dedup/lm_perplexity/
+# chunk_shards, all touched in r15).
 STABLE = [
-    "decontam",
-    "dedup_clusters",
-    "semantic_dedup",
-    "tfidf_keywords",
-    "events_report",
+    "datapoint_select",
+    "selector_algebra",
+    "array_selectors",
+    "ownership_filter",
+    "label_masking",
+    "id_lookup",
     "agg_stats",
+    "agg_stats_grouped",
+    "fragment_agg",
+    "pipeline_rollup",
     "labels_join",
+    "render_strip",
+    "union_pipelines",
+    "topk_per_group",
+    "users_validation",
+    "part_scalars",
+    "events_report",
+    "events_windows",
+    "doc_repetition",
+    "asof_join",
+    "range_join",
     "sessionize",
-    "chunk_shards",
-    "lm_perplexity",
+    "ingest_rollup",
+    "salted_agg",
+    "pca_covariance",
+    "rejects_channel",
 ]
 
 

@@ -31,8 +31,11 @@ def main() -> None:
     names = rest[1:] if rest and os.path.isdir(rest[0]) else rest
 
     spark = get_spark("plan-capture")
+    # round dir via SPARK_GRAFT_PLAN_DIR (default the current round's)
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name, fn in E.queries().items():
