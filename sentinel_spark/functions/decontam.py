@@ -100,13 +100,18 @@ def ngram_md5_array(text_col: str, n: int = 8) -> Column:
     text), each keyed by its md5 so a cached featurize frame carries
     32-char keys instead of raw n-gram text. NULL text yields NULL
     (``shingle_rows`` emits no rows there; ``explode`` of NULL keeps
-    that equivalence)."""
-    from sentinel_spark.functions.dedup import _shingles_sql
+    that equivalence). The token array is let-bound once per row (see
+    ``dedup.minhash_sig_array`` — interpreted HOFs get no common-
+    subexpression elimination, so an unbound form re-tokenizes ~4×)."""
+    from sentinel_spark.functions.dedup import _shingles_of_var_sql
+    from sentinel_spark.functions.text import WORD_RE
 
-    sh = _shingles_sql(text_col, n)
+    toks = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    sh_t = _shingles_of_var_sql("t", n)
     return F.expr(
         f"CASE WHEN {text_col} IS NULL THEN NULL ELSE "
-        f"transform({sh}, s -> md5(s)) END"
+        f"transform(array({toks}), t -> transform({sh_t}, s -> md5(s)))[0]"
+        f" END"
     )
 
 

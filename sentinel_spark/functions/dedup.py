@@ -210,24 +210,31 @@ def minhash_sig_array(
     pairing, exactly like the absent rows of the grouped form.
 
     Built as one ``F.expr`` (the r15 expr-string convention) with the
-    hash array let-bound via the array-wrap idiom so the tokenize +
-    shingle subtree evaluates ONCE per row, not once per permutation.
-    """
+    token array AND the hash array let-bound via the array-wrap idiom
+    (``transform(array(x), v -> body)[0]``): HOF subtrees evaluate
+    interpreted with no common-subexpression elimination, so an
+    unbound shingle expression would re-run the regexp tokenizer ~4×
+    per row — measured 2.7× slower than this form on the sf0.1
+    documents table."""
     p = 2147483647  # 2^31 - 1, prime (minhash_signatures' modulus)
     coef = _minhash_coefficients(num_hashes, p)
-    sh = _shingles_sql(text_col, shingle_n)
+    toks = f"regexp_extract_all(lower({text_col}), '{WORD_RE}', 0)"
+    sh_t = _shingles_of_var_sql("t", shingle_n)
     hs = (
-        f"transform({sh}, s -> pmod(cast(conv(substring(md5(s), 1, 15),"
+        f"transform({sh_t}, s -> pmod(cast(conv(substring(md5(s), 1, 15),"
         f" 16, 10) as bigint), {p}L))"
     )
     coef_arr = ", ".join(
         f"named_struct('a', {a}L, 'b', {b}L)" for a, b in coef
     )
+    mins = (
+        f"transform(array({coef_arr}), "
+        f"c -> array_min(transform(hs, h -> pmod(h * c.a + c.b, {p}L))))"
+    )
     return F.expr(
         f"CASE WHEN {text_col} IS NULL THEN NULL ELSE "
-        f"transform(array({hs}), hs -> transform(array({coef_arr}), "
-        f"c -> array_min(transform(hs, h -> pmod(h * c.a + c.b, {p}L)))"
-        f"))[0] END"
+        f"transform(array({toks}), t -> "
+        f"transform(array({hs}), hs -> {mins})[0])[0] END"
     )
 
 
@@ -441,56 +448,22 @@ def minhash_candidate_pairs(
     Call :func:`sentinel_spark.cache.release` on the result when done —
     the signature table persists to feed three plan branches.
     """
-    rows_per_band = num_hashes // num_bands
     # The signature table feeds three plan branches (banded explode +
     # two pair re-attach joins); persist so the tokenize+hash lineage
     # runs once, not once per branch. It is tiny (num_hashes longs/doc).
+    # r16: the pairing stages live in minhash_pairs_from_sigs so
+    # pipelines holding scan-fused signatures reuse the identical plan.
     sig = minhash_signatures(
         df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
     ).persist()
-    # Narrow (id, band_key) rows through the self-join + pair-dedup;
-    # signatures re-attach afterwards so the shuffled rows stay small.
-    banded = sig.select(
-        "id", _banded_keys("sig", num_bands, rows_per_band).alias("band_key")
+    out = minhash_pairs_from_sigs(
+        sig,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        max_band_size=max_band_size,
+        mark_star=mark_star,
     )
-    star = None
-    if max_band_size is not None:
-        banded, star = _guard_hot_bands(banded, max_band_size, ["band_key"])
-    pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), "band_key")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    if mark_star:
-        pairs = pairs.withColumn("star_only", F.lit(False))
-        if star is not None:
-            pairs = pairs.unionByName(star.withColumn("star_only", F.lit(True)))
-        # a pair can arrive both ways (shares a normal band AND a hot
-        # one, as rep-member); it is star_only iff NO normal route
-        # exists — bool_and over the routes, same shuffle the
-        # dropDuplicates would have done
-        pairs = pairs.groupBy("id_a", "id_b").agg(
-            F.bool_and("star_only").alias("star_only")
-        )
-    else:
-        if star is not None:
-            pairs = pairs.unionByName(star)
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    with_sigs = (
-        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
-    )
-    # estimated jaccard = fraction of matching signature positions
-    match_frac = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
-        / F.lit(float(num_hashes)),
-        6,
-    )
-    out_cols = ["id_a", "id_b", match_frac.alias("est_jaccard")] + (
-        ["star_only"] if mark_star else []
-    )
-    return with_release(with_sigs.select(*out_cols), [sig])
+    return with_release(out, [sig])
 
 
 def minhash_band_index(
@@ -1156,6 +1129,19 @@ def _shingles_sql(col: str, n: int) -> str:
         f"CASE WHEN size({toks}) < {n} THEN array(concat_ws(' ', {toks})) "
         f"ELSE array_distinct(transform(sequence(1, size({toks}) - {n} + 1), "
         f"i -> concat_ws(' ', slice({toks}, i, {n})))) END"
+    )
+
+
+def _shingles_of_var_sql(var: str, n: int) -> str:
+    """:func:`_shingles_sql` over an already-bound token-array lambda
+    variable (r16): inside HOFs there is no common-subexpression
+    elimination, so callers let-bind the tokenizer once
+    (``transform(array(<toks>), {var} -> ...)``) and build shingles
+    from the bound array instead of re-tokenizing per reference."""
+    return (
+        f"CASE WHEN size({var}) < {n} THEN array(concat_ws(' ', {var})) "
+        f"ELSE array_distinct(transform(sequence(1, size({var}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({var}, i, {n})))) END"
     )
 
 

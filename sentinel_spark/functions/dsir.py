@@ -90,13 +90,24 @@ def dsir_buckets_array(text_col: str, *, buckets: int = 10_000) -> Column:
     array instead of after an explode, so a pipeline's existing
     featurize pass carries DSIR's features as ~``2·n_tok`` small longs
     per document. Empty/NULL text → empty array (explode drops it,
-    like the gram-less rows of the exploded form)."""
-    return F.transform(
-        _grams(text_col),
-        lambda g: F.pmod(
-            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-            F.lit(buckets),
-        ),
+    like the gram-less rows of the exploded form). The token array is
+    let-bound once per row (see ``dedup.minhash_sig_array`` — HOF
+    subtrees get no common-subexpression elimination, so the unbound
+    :func:`_grams` form re-tokenizes ~4× per row)."""
+    toks = (
+        f"regexp_extract_all(lower(coalesce({text_col}, '')),"
+        f" '{WORD_RE}', 0)"
+    )
+    grams = (
+        "concat(t, zip_with("
+        "slice(t, 1, greatest(size(t) - 1, 0)), "
+        "slice(t, 2, greatest(size(t) - 1, 0)), "
+        "(a, b) -> concat(a, ' ', b)))"
+    )
+    return F.expr(
+        f"transform(array({toks}), t -> transform({grams}, "
+        f"g -> pmod(cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint),"
+        f" {int(buckets)})))[0]"
     )
 
 

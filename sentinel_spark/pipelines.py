@@ -155,21 +155,60 @@ def build_training_corpus(
     canonical-min rules for both dedup stages, hash-ordered mixture,
     hash-bucketed packing.
 
-    Caching shape: only the NARROW per-document flags frame (id,
-    source, token count, quality flag, fingerprint — tens of bytes per
-    document) persists; the text column is re-scanned from the source
-    by the stages that need it (LSH pairing, decontamination, export)
-    and re-joined against the cached flags. At corpus scale a cached
-    full-text frame is memory-infeasible, and the featurization
-    (tokenize + Gopher rules + fingerprint) — the expensive part of
-    the scan — runs exactly once either way."""
-    # One featurization pass; only the narrow flags frame is cached.
+    Caching shape (r16): ONE featurize pass computes, per document,
+    the flags (token count, quality, fingerprint) AND every stage's
+    hash-array features — minhash signature (16 longs), decontam
+    n-gram md5 keys (when ``benchmark`` is given), DSIR bucket ids
+    (when ``dsir_target`` is given) — and only that narrow frame
+    persists; raw text is NEVER cached. LSH pairing, decontamination
+    and DSIR scoring consume their arrays filtered to their own row
+    sets, so the corpus text is scanned and tokenized exactly once;
+    the only later text reads are the export/selected join and the
+    optional star re-scoring and scrub passes, each over bounded or
+    final row sets."""
+    # One featurization pass; only narrow per-document frames are
+    # cached — flags plus HASH-ARRAY features, never text.
+    #
+    # r16 (VERDICT r15 #3): the three stage featurizations that used
+    # to re-scan and re-tokenize the text — minhash signatures over
+    # the exact/quality survivors, decontam n-gram keys over the
+    # near-dup canonicals, DSIR bucket counts over the clean set —
+    # are now computed HERE, in the same projection as the flags, as
+    # per-document arrays (16 sig longs; one md5 per distinct
+    # decontam n-gram; one bucket id per uni/bigram) and ride the
+    # cached narrow frame. Each stage consumes its array filtered to
+    # its own row set, so stage semantics (and values — equivalence
+    # pytest-pinned per builder, oracle-pinned end to end) are
+    # unchanged while the corpus text is scanned and tokenized ONCE.
+    # The trade, stated: the features are computed for ALL input
+    # documents (the old shape featurized each stage's smaller
+    # survivor set) and the cache widens from flags-only to
+    # flags+hash-arrays (~2-4x the text bytes worst case, spilling to
+    # disk at scale) — bought back by three fewer full text scans AND
+    # three fewer regexp tokenize passes of the corpus, the dominant
+    # per-row cost of every one of those scans.
+    fused_cols = [
+        D.minhash_sig_array(text_col, shingle_n=shingle_n).alias("__sig")
+    ]
+    if benchmark is not None:
+        from sentinel_spark.functions.decontam import ngram_md5_array
+
+        fused_cols.append(
+            ngram_md5_array(text_col, decontam_n).alias("__sh8")
+        )
+    if dsir_target is not None:
+        from sentinel_spark.functions.dsir import dsir_buckets_array
+
+        fused_cols.append(
+            dsir_buckets_array(text_col, buckets=dsir_buckets).alias("__bkt")
+        )
     narrow = docs.select(
         F.col(id_col),
         *([F.col(source_col)] if source_col else []),
         T.token_count(text_col).alias("n_tok"),
         T.gopher_pass(text_col, **(quality_kwargs or {})).alias("quality_ok"),
         T.fingerprint(text_col).alias("fp"),
+        *fused_cols,
     )
     texts = docs.select(id_col, text_col)
     # Optional CCNet perplexity gate (``ppl_lm``: a pre-trained
@@ -211,15 +250,28 @@ def build_training_corpus(
     )
 
     # near-dup on the exact-surviving quality-passing frame (the
-    # expensive stage runs on the reduced set); text re-attaches from
-    # the source scan, flags come from the cache.
+    # expensive stage runs on the reduced set); signatures come from
+    # the fused featurize (cached on narrow), flags from the cache —
+    # no text re-scan. NULL-text rows carry a NULL signature by the
+    # fused builder's contract (the grouped signature table simply has
+    # no row for them), so they are filtered before pairing. The
+    # (id, sig) projection persists because the pairing reads it three
+    # times (band explode + two estimate re-attach joins).
     survivor_meta = flagged.where(
         F.col("quality_ok") & F.col("ppl_ok") & F.col("exact_canonical")
     )
-    survivors = texts.join(survivor_meta, id_col)
-    cand_raw = D.minhash_candidate_pairs(
-        survivors, text_col, id_col, shingle_n=shingle_n,
-        max_band_size=max_band_size, mark_star=rescore_stars,
+    sig_surv = (
+        survivor_meta.select(
+            F.col(id_col).alias("id"), F.col("__sig").alias("sig")
+        )
+        .where(F.col("sig").isNotNull())
+        .persist()
+    )
+    cand_raw = with_release(
+        D.minhash_pairs_from_sigs(
+            sig_surv, max_band_size=max_band_size, mark_star=rescore_stars
+        ),
+        [sig_surv],
     )
     if rescore_stars:
         # The hot-band guard's measured recall caveat (see
@@ -233,8 +285,12 @@ def build_training_corpus(
             F.col("est_jaccard") >= min_est_jaccard
         )
         star_pairs = cand_raw.where(F.col("star_only"))
+        # exact re-scoring needs the original text — one bounded scan
+        # over the survivors' (id, text) rows, survivors only (the
+        # narrow-cache contract: text is never cached)
         star_kept = D.verify_pairs_jaccard(
-            survivors, star_pairs, text_col, id_col,
+            texts.join(survivor_meta.select(id_col), id_col),
+            star_pairs, text_col, id_col,
             shingle_n=shingle_n, min_jaccard=min_est_jaccard,
         ).select("id_a", "id_b", F.col("jaccard").alias("est_jaccard"))
         cand = normal.select("id_a", "id_b", "est_jaccard").unionByName(
@@ -246,11 +302,19 @@ def build_training_corpus(
     stage2 = survivor_meta.join(clusters.select(id_col, "is_canonical"), id_col)
 
     if benchmark is not None:
-        contam = contamination_table(
-            texts.join(stage2.where("is_canonical").select(id_col), id_col),
+        # corpus side from the fused n-gram md5 arrays (no text
+        # re-scan); the benchmark side (small by nature) still builds
+        # its distinct n-gram set from text and keys by the same md5
+        from sentinel_spark.functions.decontam import (
+            contamination_from_ngram_md5,
+        )
+
+        contam = contamination_from_ngram_md5(
+            stage2.where("is_canonical").select(id_col, "__sh8"),
             benchmark,
             text_col,
             id_col,
+            hash_col="__sh8",
             n=decontam_n,
             min_overlap_frac=decontam_max_frac,
         ).select(id_col, "contaminated")
@@ -262,11 +326,12 @@ def build_training_corpus(
 
     # stage3 is consumed by TWO funnel aggregates (f1, f2) plus the
     # selected/export path; its lineage contains the decontam 8-gram
-    # shingle pass over the canonical survivors, which would otherwise
-    # run once per consumer. It is as narrow as the flags frame
-    # (ids + scalars), so persisting it stays inside the
-    # narrow-frames-only caching contract above.
-    stage3 = stage3.persist()
+    # overlap pass over the canonical survivors, which would otherwise
+    # run once per consumer. The fused hash-array columns are dropped
+    # FIRST so the persisted frame stays ids + scalars (the
+    # narrow-frames caching contract); consumers that need an array
+    # re-join it from the already-cached narrow frame.
+    stage3 = stage3.drop("__sig", "__sh8", "__bkt").persist()
 
     clean = stage3.where(F.col("is_canonical") & ~F.col("contaminated"))
     # optional DSIR stage (functions/dsir.py): resample the clean
@@ -285,9 +350,15 @@ def build_training_corpus(
         # read the post-dsir clean frame (the final-counts aggregate,
         # the dsir funnel columns, and the selected/export path) — an
         # unpersisted top-n would re-run the selection chain (counts ⨝
-        # ratio → weight agg → TakeOrdered) once per consumer
+        # ratio → weight agg → TakeOrdered) once per consumer.
+        # Raw-side features come from the fused bucket arrays (cached
+        # on narrow — stage3 deliberately dropped them), re-attached to
+        # the clean ids by one join against the cache; the target side
+        # (small by definition) still featurizes from text.
         dsir_picked = dsir_select(
-            texts.join(clean.select(id_col), id_col),
+            clean.select(id_col).join(
+                narrow.select(F.col(id_col), F.col("__bkt")), id_col
+            ),
             dsir_target,
             text_col,
             id_col,
@@ -295,6 +366,7 @@ def build_training_corpus(
             buckets=dsir_buckets,
             alpha=dsir_alpha,
             salt="corpus-dsir",
+            bucket_col="__bkt",
         ).persist()
         clean = clean.join(
             dsir_picked.select(F.col("id").alias(id_col)), id_col
