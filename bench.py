@@ -25,7 +25,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E
-from pyspark.sql import functions as F
 from sentinel_spark.cache import release
 from sentinel_spark.session import get_spark
 
@@ -53,179 +52,44 @@ def main():
     spark.range(64).repartition(8).mapInPandas(
         lambda batches: batches, "id long"
     ).write.format("noop").mode("overwrite").save()
-    # ... and the five-branch near-dup union (which subsumes the
-    # shingle-pipeline shape) on a 3-row frame: its one-time codegen
-    # costs ~4.4 s regardless of data size — measured as the r4
-    # near_dup_pairs cold-warm gap — and otherwise lands on whichever
-    # shingle gate happens to run first.
-    tiny = spark.createDataFrame(
-        [(i, f"warm up the shingle window pipeline shape {i}") for i in range(3)],
-        "doc_id long, text string",
-    )
-    tiny_union = E.near_dup_union(tiny)
-    tiny_union.write.format("noop").mode("overwrite").save()
-    release(tiny_union)
-    # ... and the winnow incremental shape, split out of the union in
-    # r13 (fingerprint pipeline + df guard + overlap join) so its
-    # scan-independent generated stages land in the codegen cache
-    # before the winnow_pairs cold run. tiny's doc 0 survives the %40
-    # residue, so every plan branch is non-empty.
-    tiny_winnow = E.winnow_union(tiny)
-    tiny_winnow.write.format("noop").mode("overwrite").save()
-    release(tiny_winnow)
-    # ... and the scrub shape (token-grain lead window + anti-join +
-    # per-doc reassembly), whose one-time codegen otherwise lands on
-    # the decontam gate's cold run (r6: ~5 s cold-vs-median gap).
-    from sentinel_spark.functions.decontam import remove_duplicate_passages
-
-    remove_duplicate_passages(tiny, "text", "doc_id", n=4).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    # ... and the full corpus-recipe shape (gopher gate → exact dedup →
-    # survivor minhash → decontam → 3-aggregate funnel union), whose
-    # one-time codegen otherwise lands on corpus_funnel's cold run
-    # (r6: 6.0 s cold vs 3.8 s min — mostly first-JIT of the recipe's
-    # union/aggregate shapes).
-    from sentinel_spark.cache import carry
-    from sentinel_spark.pipelines import build_training_corpus
-
-    # r15: warm the gate's EXACT recipe shape — dsir stage ON and the
-    # drop-report branch ON, plus the rep-aggregate crossJoin assembly
-    # q_corpus_funnel adds — the previous dsir-off/report-off warmup
-    # left those branches' first-JIT on the gate's cold run (~2 s
-    # cold-vs-med gap on frozen code).
-    tiny_res = build_training_corpus(
-        tiny, tiny.select("doc_id", "text"), None,
-        dsir_target=tiny.select("doc_id", "text"), dsir_n=2,
-        with_drop_report=True,
-    )
-    _st = F.col("stage")
-    tiny_rep = tiny_res.drop_report.agg(
-        *[
-            F.sum((_st == s).cast("long")).alias(f"rep_{s}")
-            for s in ("quality", "exact_dup", "near_dup",
-                      "contaminated", "dsir", "kept")
-        ],
-        F.sum(
-            F.when(_st == "kept", F.col("n_tok")).otherwise(F.lit(0))
-        ).cast("long").alias("rep_kept_tok"),
-    )
-    tiny_funnel = carry(
-        tiny_res.funnel.crossJoin(tiny_rep),
-        tiny_res.selected, tiny_res.drop_report,
-    )
-    tiny_funnel.write.format("noop").mode("overwrite").save()
-    release(tiny_funnel)
-    # ... and the paragraph-grain dedup shape (md5-keyed winner
-    # aggregate + segment reassembly) added to the decontam gate in r7;
-    # its first-JIT otherwise lands on that gate's cold run (r7: 6.7 s
-    # cold vs 4.3 s median — the largest remaining cold-warm gap).
-    from sentinel_spark.functions.dedup import dedup_paragraphs
-
-    tiny_para = tiny.select(
-        "doc_id", F.replace(F.col("text"), F.lit(" the"), F.lit("\nthe")).alias("text")
-    )
-    dedup_paragraphs(tiny_para, "text", "doc_id").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    # ... and the r8 line_clean branch shapes: the corpus-frequency
-    # boilerplate aggregate (count_distinct + re-attach + reassembly)
-    # and the normalize_unicode mapInPandas (Arrow python-runner
-    # startup), which otherwise land on line_clean's cold run.
-    from sentinel_spark.functions.dedup import remove_boilerplate_lines
-    from sentinel_spark.functions.text import normalize_unicode
-
-    warm_bp = normalize_unicode(
-        remove_boilerplate_lines(tiny_para, "text", "doc_id"), "text"
-    )
-    warm_bp.write.format("noop").mode("overwrite").save()
-    # ... and the r8 sessionize/epochs branch shapes: the native
-    # session_window aggregate and the epochs explode(sequence) over
-    # the mixture prefix sum — both otherwise first-JIT on their
-    # gates' cold runs.
-    from sentinel_spark.functions.sampling import mixture_sample_epochs
-    from sentinel_spark.streaming.session_stream import session_rollup_stream
-
-    tiny_ev = spark.createDataFrame(
-        [("u", "2024-01-01 00:00:0%d" % i) for i in range(3)],
-        "user_id string, ts string",
-    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
-    session_rollup_stream(tiny_ev, "ts", "user_id", gap_seconds=60).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    mixture_sample_epochs(
-        tiny.withColumn("src", F.lit("a")).withColumn("n_tok", F.lit(5)),
-        "src", "n_tok", {"a": 40}, key="doc_id",
-    ).write.format("noop").mode("overwrite").save()
-    # ... and the ingest shred shape (JSON-schema validation mapInPandas
-    # → shred multi-join → rollup): the gate is fixture-sized, so its
-    # 2.9 s cold vs 1.7 s median (r7) is almost entirely this one-time
-    # codegen. One single-upload fixture warms every stage.
-    from sentinel_spark.operators.ingest import read_uploads, shred_uploads
-    from sentinel_spark.operators.rollup import pipeline_stats
-    from sentinel_spark.plans.pipeline_spec import PIPELINES
-
-    fx = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures"
-    )
-    shredded = shred_uploads(
-        read_uploads(spark, [os.path.join(fx, "plain", "plain.json")]),
-        PIPELINES["plain"],
-        "warmup-user",
-        eager=True,
-    )
-    warm_roll = carry(pipeline_stats(shredded.runs), shredded.cached)
-    warm_roll.write.format("noop").mode("overwrite").save()
-    release(warm_roll)
-    # ... and the r8/r9 ANN serving shapes: the PQ-ADC fold and the
-    # IVF-PQ residual/bias+LUT program are LARGE generated classes
-    # (~1 MiB task binaries at m=4/k=16). r10 (VERDICT r9 #8): warm
-    # the gate's EXACT seven-branch union + RRF plan (shared
-    # ann_union builder, identical qids/k/cells/probe/m/pq_k/rerank
-    # literals, tiny data) instead of per-branch tiny runs — the
-    # per-branch warmups never compiled the union program, leaving a
-    # 1.5x cold/median gap on the gate; same-text generated code now
-    # lands in Spark's codegen cache before the gate's cold run.
-    tiny_emb = spark.createDataFrame(
-        [(i, [float((i * 7 + j * 3) % 5) + 0.1 * j for j in range(64)])
-         for i in range(20)],
-        "vec_id long, embedding array<float>",
-    )
-    warm_ann_union = E.ann_union(tiny_emb)
-    warm_ann_union.write.format("noop").mode("overwrite").save()
-    release(warm_ann_union)
-    # r15: ... and the ann_recall gate's two recall-join shapes with
-    # the gate's structural literals (qids/k/rerank/bits/dim — a
-    # different isin() arity or k changes the generated code text and
-    # misses the codegen cache): the union warmup above compiles the
-    # serving branches but not the hits/recall join+aggregate
-    # programs, which otherwise first-JIT on the gate's cold run
-    # (~2 s cold-vs-med gap on frozen code).
-    from sentinel_spark.functions import similarity as SIM_W
-
-    warm_recall = (
-        SIM_W.ann_recall(tiny_emb, [0, 1, 2, 3, 4], k=5, rerank=4)
-        .select(F.lit("quantized").alias("kind"), "q_id", "hits", "recall")
-        .unionByName(
-            SIM_W.ann_join_recall(
-                tiny_emb.where(F.col("vec_id") % 100 == 7),
-                tiny_emb.where(F.col("vec_id") % 100 != 7),
-                k=5, bits=4, multiprobe=True, dim=64,
-            ).select(
-                F.lit("xjoin_lsh").alias("kind"), "q_id", "hits", "recall"
-            )
-        )
-    )
-    warm_recall.write.format("noop").mode("overwrite").save()
-    release(warm_recall)
-    # ... and the r9 dsir shape (zip_with bigram featurize, md5-int60
-    # bucket model joins, gumbel ranking), whose first-JIT otherwise
-    # lands on sample_suite's cold run.
-    from sentinel_spark.functions.dsir import dsir_select
-
-    warm_ds = dsir_select(tiny, tiny, "text", "doc_id", n=2, buckets=64)
-    warm_ds.write.format("noop").mode("overwrite").save()
-    release(warm_ds)
+    # r16 (VERDICT r15 #7): GENERIC compile sweep replacing the eleven
+    # hand-built per-shape warmups that accreted over r4-r15 (each one
+    # existed to move a specific gate's one-time codegen/JIT out of its
+    # cold run, and each new one invited a comparability argument).
+    # For every registry gate: build the gate's frame against the real
+    # sf_dir and compile its generated code via the codegen explain
+    # (org.apache.spark.sql.execution.debug.codegenStringSeq generates
+    # AND Janino-compiles every WholeStageCodegen subtree into the
+    # shared codegen cache — measured: a fresh-session gate cold run
+    # drops ~8 s after one sweep of its own plan). AQE is disabled
+    # around the explain so the wholestage subtrees exist pre-execution
+    # (an AdaptiveSparkPlan prints nothing before it runs); the timed
+    # region below is untouched and still computes everything from the
+    # parquet inputs — the sweep executes NO data jobs beyond the eager
+    # driver collects a gate's construction itself performs, and
+    # release() drops any operator-internal persists it registered, so
+    # no result or cache crosses into the timed runs.
+    if os.environ.get("SPARK_GRAFT_WARMUP", "generic") != "none":
+        for _name, _fn in qs.items():
+            try:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                _df = _fn(spark, sf_dir)
+                spark._jvm.PythonSQLUtils.explainString(
+                    _df._jdf.queryExecution(), "codegen"
+                )
+            except Exception:
+                pass
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+                try:
+                    release(_df)
+                except Exception:
+                    pass
+    # (r16: the eleven hand-built per-shape warmups that lived here
+    # r4-r15 — near-dup union, winnow union, scrub, corpus recipe,
+    # paragraph dedup, boilerplate/normalize, sessionize/epochs,
+    # ingest shred, ANN union, recall joins, dsir — are replaced by
+    # the generic compile sweep above; see OPTIMIZATION_r16.md.)
 
     # Three repetitions per gate: run 1 = cold (codegen/JIT included,
     # comparable across rounds), runs 2-3 = warm recomputes. The
